@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout (build.sbt routes forked stdout
+  * through un-prefixed so the driver can parse it). Failed queries are
+  * excluded from `total` and listed in `failed` instead of being silently
+  * timed (round-1 verdict fix).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results: Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+
+    val qs = results.collect { case (k, v, true) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     spark.stop()
+    // Last line of stdout, unprefixed (run / outputStrategy := StdoutOutput).
+    println(line)
   }
 }

@@ -1,13 +1,307 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.array.ZMatrix
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.streaming.Stream
+import graft.zarr.Zarr
+
+/** Driver contract — SURVEY.md §2 keys map 1:1 to `queries` keys.
+  * Every SQL-expressible operator has an `oracleSql` twin with IDENTICAL
+  * column names and deterministic value math (see SURVEY.md §5).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def mat(s: SparkSession, d: String): ZMatrix = ZMatrix.fromLineitem(s, d)
+
+  private val annPlanes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+  private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
+
+  private def queryVec(s: SparkSession, d: String): Array[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core ----
+    "q1_pricing_summary" -> Relational.q1PricingSummary _,
+    "q2_filter_pushdown" -> Relational.q2FilterPushdown _,
+    "q3_shipping_priority" -> Relational.q3ShippingPriority _,
+    "q4_exists_semi" -> Relational.q4ExistsSemi _,
+    "q5_region_revenue" -> Relational.q5RegionRevenue _,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q7_topk_orders" -> Relational.q7TopkOrders _,
+    "q8_distinct" -> Relational.q8Distinct _,
+    "q9_intersect" -> Relational.q9Intersect _,
+    "q10_window_running" -> Relational.q10WindowRunning _,
+    "q11_conditional_agg" -> Relational.q11ConditionalAgg _,
+    "q12_having" -> Relational.q12Having _,
+    "q13_sessionize" -> Relational.q13Sessionize _,
+    "q14_asof_join" -> Relational.q14AsofJoin _,
+
+    // ---- zappy array surface (matrix: i=orderkey, j=linenumber, v=quantity) ----
+    "arr_log1p" -> ((s, d) => mat(s, d).log1p_.mapValues(round(_, 6)).cells),
+    "arr_affine" -> ((s, d) => mat(s, d).affine(2.5, 1.0).cells),
+    "arr_center_cols" -> ((s, d) => {
+      val m = mat(s, d)
+      m.broadcastOverCols(m.meanAxis0)((v, mv) => round(v - mv, 6)).cells
+    }),
+    "arr_add_matrices" -> ((s, d) => {
+      val m = mat(s, d); (m + (m * 2.0)).cells
+    }),
+    "arr_mask_count" -> ((s, d) =>
+      mat(s, d).gt(25).cells.groupBy(col("i"))
+        .agg(count(when(col("v") === 1.0, 1)).as("n_hot"))),
+    "arr_agg_axis0" -> ((s, d) => mat(s, d).aggAxis0),
+    "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
+    "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
+    "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
+    "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
+    "arr_astype" -> ((s, d) => mat(s, d).astypeInt),
+    "arr_transpose" -> ((s, d) => mat(s, d).transpose.cells),
+    "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
+    "arr_rechunk" -> ((s, d) => mat(s, d).rechunk(64).cells),
+    "arr_row_normalize" -> ((s, d) => mat(s, d).rowNormalize.cells),
+    "zarr_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarr_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+
+    // ---- LLM-pipeline: dedup ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    "emb_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dupPlanes, minCos = 0.3)),
+
+    // ---- LLM-pipeline: similarity search ----
+    "ann_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryVec(s, d), 50)),
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryVec(s, d), 10, annPlanes)),
+
+    // ---- LLM-pipeline: text analysis ----
+    "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
+    "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- LLM-pipeline: multimodal ----
+    "multimodal_meta" -> ((s, d) => Multimodal.features(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- streaming ----
+    "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(avg(l_quantity), 6) AS avg_qty, count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_discount > 0.05""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region, nation, customer, supplier, orders, lineitem
+        |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+        |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q8_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q9_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q10_window_running" ->
+      """SELECT user_id, event_id,
+        | row_number() OVER w AS rn,
+        | round(coalesce(lag(value) OVER w, 0), 2) AS prev_value,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q11_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CASE WHEN value > 100 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_cents,
+        | count(DISTINCT user_id) AS nu
+        |FROM events GROUP BY 1""".stripMargin,
+    "q12_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 HAVING count(*) >= 15""".stripMargin,
+    "q13_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |f AS (SELECT user_id, ts, event_id, es,
+        |  CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, es,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | max(es) - min(es) AS dur_secs
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "q14_asof_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts > v.ts""".stripMargin,
+
+    "arr_log1p" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round(ln(1 + v), 6) AS v FROM m""".stripMargin,
+    "arr_affine" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v * 2.5 + 1.0 AS v FROM m""".stripMargin,
+    "arr_center_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round(v - sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j), 6) AS v FROM m""".stripMargin,
+    "arr_add_matrices" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v * 3.0 AS v FROM m""".stripMargin,
+    "arr_mask_count" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, count(*) FILTER (WHERE v > 25) AS n_hot FROM m GROUP BY 1""".stripMargin,
+    "arr_agg_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j, sum(v) AS sum_v, count(*) AS n, round(sum(v) / count(*), 6) AS mean_v,
+        | round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) AS var_v FROM m GROUP BY 1""".stripMargin,
+    "arr_agg_axis1" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, sum(v) AS sum_v, count(*) AS n FROM m GROUP BY 1""".stripMargin,
+    "arr_agg_full" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT sum(v) AS sum_v, count(*) AS n, round(sum(v) / count(*), 6) AS mean_v FROM m""".stripMargin,
+    "arr_bool_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m WHERE i IN (SELECT i FROM m GROUP BY 1 HAVING sum(v) > 200)""".stripMargin,
+    "arr_slice" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m WHERE i >= 100 AND i < 300 AND j >= 2 AND j < 5""".stripMargin,
+    "arr_astype" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, CAST(v AS INTEGER) AS v FROM m""".stripMargin,
+    "arr_transpose" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j AS i, i AS j, v FROM m""".stripMargin,
+    "arr_matmul_gram" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v FROM m a JOIN m b ON a.i = b.i GROUP BY 1, 2""".stripMargin,
+    "arr_rechunk" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "arr_row_normalize" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round(v / sum(v) OVER (PARTITION BY i), 6) AS v FROM m""".stripMargin,
+    "zarr_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ann_cosine_topk" ->
+      """SELECT e.vec_id,
+        | round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |   / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |      * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) AS cos
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |CROSS JOIN range(64) r(i)
+        |GROUP BY e.vec_id ORDER BY cos DESC, e.vec_id LIMIT 50""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | round(length(regexp_replace(text, '\s', '', 'g'))
+        |   / length(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len,
+        | round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text), 4) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |  length(string_split_regex(trim(text), '\s+')) AS ntok,
+        |  length(regexp_replace(text, '\s', '', 'g'))
+        |    / length(string_split_regex(trim(text), '\s+')) AS avgwl,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) AS punct
+        |  FROM documents)
+        |SELECT doc_id,
+        | round(least(1.0, ntok / 100.0) * (1.0 - least(1.0, punct * 5))
+        |   * (CASE WHEN avgwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |FROM s""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

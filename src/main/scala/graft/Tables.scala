@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-generated testdata star schema (TESTDATA.md).
+  * One parquet file per table; filters/projections applied by callers are
+  * pushed into the scan by Catalyst (verified via explain in tests).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  /** events.parquet carries nanosecond timestamps, which Spark only reads
+    * via `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/Bench/test
+    * sessions). Normalize to a microsecond TIMESTAMP here so downstream
+    * operators see a standard column either way. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

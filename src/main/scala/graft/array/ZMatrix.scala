@@ -1,0 +1,176 @@
+package graft.array
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coordinate-form distributed 2-D matrix: a DataFrame of cells
+  * `(i: Long, j: Long, v: Double)`.
+  *
+  * This re-expresses the reference's `ZappyArray` surface (lasersonlab/zappy
+  * `zappy/base.py`: a row-chunked NumPy ndarray executed per-block on Spark
+  * RDDs) Spark-first instead of porting the block executor:
+  *  - elementwise ufuncs are Catalyst column expressions (whole-stage
+  *    codegen, no UDFs);
+  *  - axis reductions are hash aggregates with map-side partial agg;
+  *  - NumPy-style vector broadcasting is a broadcast join against a tiny
+  *    (ncols- or nrows-sized) vector table;
+  *  - boolean indexing / slicing are filters that push to the scan;
+  *  - matmul shuffles only on the contraction key;
+  *  - rechunking is `repartition` on a block id — Spark's partitioner is
+  *    the chunk grid.
+  *
+  * At 100 TB the cell table is just a big fact table: everything here is a
+  * standard scan/agg/join shape that AQE + Tungsten already scale.
+  */
+final case class ZMatrix(cells: DataFrame) {
+
+  private def sel(v: Column): DataFrame = cells.select(col("i"), col("j"), v.as("v"))
+
+  // ---- elementwise ufuncs (zappy: log1p/expm1/exp/sqrt/abs/negative) ----
+  def mapValues(f: Column => Column): ZMatrix = ZMatrix(sel(f(col("v"))))
+  def log1p_ : ZMatrix = mapValues(log1p)
+  def expm1_ : ZMatrix = mapValues(expm1)
+  def exp_   : ZMatrix = mapValues(exp)
+  def sqrt_  : ZMatrix = mapValues(sqrt)
+  def abs_   : ZMatrix = mapValues(abs)
+  def neg    : ZMatrix = mapValues(c => -c)
+  def pow_(p: Double): ZMatrix = mapValues(pow(_, p))
+
+  // ---- scalar arithmetic (NumPy scalar broadcasting) ----
+  def +(sc: Double): ZMatrix = mapValues(_ + sc)
+  def -(sc: Double): ZMatrix = mapValues(_ - sc)
+  def *(sc: Double): ZMatrix = mapValues(_ * sc)
+  def /(sc: Double): ZMatrix = mapValues(_ / sc)
+  def affine(a: Double, b: Double): ZMatrix = mapValues(c => c * a + b)
+
+  // ---- comparison ufuncs -> 0/1 mask (zappy boolean arrays) ----
+  def gt(sc: Double): ZMatrix  = mapValues(c => when(c > sc, 1.0).otherwise(0.0))
+  def lt(sc: Double): ZMatrix  = mapValues(c => when(c < sc, 1.0).otherwise(0.0))
+  def geq(sc: Double): ZMatrix = mapValues(c => when(c >= sc, 1.0).otherwise(0.0))
+  def eqv(sc: Double): ZMatrix = mapValues(c => when(c === sc, 1.0).otherwise(0.0))
+
+  /** Elementwise combine with an aligned matrix (same coordinates):
+    * inner join on (i, j). Co-partitioning on (i, j) makes this a single
+    * shuffle; with bucketed storage it would be shuffle-free. */
+  def zip(other: ZMatrix)(f: (Column, Column) => Column): ZMatrix = {
+    val l = cells.as("l"); val r = other.cells.as("r")
+    ZMatrix(l.join(r, col("l.i") === col("r.i") && col("l.j") === col("r.j"))
+      .select(col("l.i").as("i"), col("l.j").as("j"), f(col("l.v"), col("r.v")).as("v")))
+  }
+  def +(other: ZMatrix): ZMatrix = zip(other)(_ + _)
+  def *(other: ZMatrix): ZMatrix = zip(other)(_ * _)
+
+  /** NumPy row-vector broadcasting: `X op vec[j]`. The vector (one row per
+    * column of X) is broadcast — never a shuffle on X. */
+  def broadcastOverCols(vec: DataFrame)(f: (Column, Column) => Column): ZMatrix =
+    ZMatrix(cells.join(broadcast(vec.select(col("j"), col("v").as("_bv"))), Seq("j"))
+      .select(col("i"), col("j"), f(col("v"), col("_bv")).as("v")))
+
+  /** NumPy col-vector broadcasting: `X op vec[i]`. At scale the i-vector can
+    * be fact-sized, so this is a plain (shuffle) join, not a broadcast. */
+  def overRows(vec: DataFrame)(f: (Column, Column) => Column): ZMatrix =
+    ZMatrix(cells.join(vec.select(col("i"), col("v").as("_bv")), Seq("i"))
+      .select(col("i"), col("j"), f(col("v"), col("_bv")).as("v")))
+
+  // ---- reductions (zappy sum/mean/var with axis=0/1/None) ----
+  /** Per-column aggregates. Variance uses the explicit moment formula over
+    * exact sums so results are bit-deterministic across engines. */
+  def aggAxis0: DataFrame =
+    cells.groupBy(col("j")).agg(
+      sum(col("v")).as("sum_v"),
+      count(lit(1)).as("n"),
+      sum(col("v") * col("v")).as("_ss"))
+      .select(col("j"), col("sum_v"), col("n"),
+        round(col("sum_v") / col("n"), 6).as("mean_v"),
+        round((col("_ss") - col("sum_v") * col("sum_v") / col("n")) / col("n"), 6).as("var_v"))
+
+  def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
+  def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
+
+  def aggAxis1: DataFrame =
+    cells.groupBy(col("i")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+  def sumAxis1: DataFrame = cells.groupBy(col("i")).agg(sum(col("v")).as("v"))
+
+  def aggFull: DataFrame =
+    cells.agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      .select(col("sum_v"), col("n"), round(col("sum_v") / col("n"), 6).as("mean_v"))
+
+  // ---- indexing (zappy X[mask, :], slices) ----
+  /** Boolean row indexing where the mask is derived from a row aggregate
+    * (scanpy filter_cells): left-semi join against the qualifying row ids. */
+  def filterRowsBySum(pred: Column => Column): ZMatrix = {
+    val keep = cells.groupBy(col("i")).agg(sum(col("v")).as("_rs"))
+      .filter(pred(col("_rs"))).select(col("i"))
+    ZMatrix(cells.join(keep, Seq("i"), "left_semi"))
+  }
+
+  /** Integer-range slicing `X[i0:i1, j0:j1]` — a pushed-down range filter. */
+  def slice(i0: Long, i1: Long, j0: Long, j1: Long): ZMatrix =
+    ZMatrix(cells.filter(col("i") >= i0 && col("i") < i1 && col("j") >= j0 && col("j") < j1))
+
+  // ---- dtype / shape ops ----
+  def astypeInt: DataFrame = cells.select(col("i"), col("j"), col("v").cast("int").as("v"))
+  def transpose: ZMatrix = ZMatrix(cells.select(col("j").as("i"), col("i").as("j"), col("v")))
+
+  /** Matmul this(i,k) × other(k,j): shuffle both sides on the contraction
+    * key k only, then hash-aggregate on (i,j) with map-side combine. */
+  def matmul(other: ZMatrix): ZMatrix = {
+    val a = cells.select(col("i"), col("j").as("k"), col("v").as("av"))
+    val b = other.cells.select(col("i").as("k"), col("j"), col("v").as("bv"))
+    ZMatrix(a.join(b, Seq("k")).groupBy(col("i"), col("j"))
+      .agg(sum(col("av") * col("bv")).as("v")))
+  }
+
+  /** Gram matrix XᵀX without materializing the transpose twice. */
+  def gram: ZMatrix = transpose.matmul(this)
+
+  /** Rechunk: repartition cells by a row-block id (the zappy chunk grid).
+    * Data is unchanged; only the physical partitioning moves. */
+  def rechunk(blockRows: Long): ZMatrix =
+    ZMatrix(cells.repartition((col("i") / blockRows).cast("long")))
+
+  /** scanpy normalize_per_cell: each row scaled by its own sum. One shuffle
+    * on i shared by the aggregate and the re-join (AQE reuses exchange). */
+  def rowNormalize: ZMatrix = {
+    val rs = cells.groupBy(col("i")).agg(sum(col("v")).as("_rs"))
+    ZMatrix(cells.join(rs, Seq("i"))
+      .select(col("i"), col("j"), round(col("v") / col("_rs"), 6).as("v")))
+  }
+}
+
+object ZMatrix {
+  /** Build from any long-form DataFrame (the relational bridge). */
+  def fromLongForm(df: DataFrame, iCol: String, jCol: String, vCol: String): ZMatrix =
+    ZMatrix(df.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j"),
+      col(vCol).cast("double").as("v")))
+
+  /** zappy from_ndarray: local dense matrix -> distributed coordinate form. */
+  def fromDense(spark: SparkSession, m: Array[Array[Double]]): ZMatrix = {
+    import spark.implicits._
+    val cells = for { i <- m.indices; j <- m(i).indices } yield (i.toLong, j.toLong, m(i)(j))
+    ZMatrix(cells.toDF("i", "j", "v"))
+  }
+
+  /** The testdata-backed demo matrix: i=l_orderkey, j=l_linenumber,
+    * v=sum(l_quantity). (orderkey, linenumber) is NOT unique in lineitem,
+    * and a matrix needs unique coordinates — aggregate at construction
+    * (values stay integral doubles, so sums are exact). */
+  def fromLineitem(spark: SparkSession, sfDir: String): ZMatrix = {
+    val raw = fromLongForm(graft.Tables.lineitem(spark, sfDir),
+      "l_orderkey", "l_linenumber", "l_quantity")
+    ZMatrix(raw.cells.groupBy(col("i"), col("j")).agg(sum(col("v")).as("v")))
+  }
+}
+
+/** Local bridge (zappy asndarray) — test/driver-side only; never call on
+  * data-scale matrices. */
+object ZLocal {
+  def toDense(m: ZMatrix, rows: Int, cols: Int, fill: Double = 0.0): Array[Array[Double]] = {
+    val out = Array.fill(rows, cols)(fill)
+    m.cells.collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      if (i < rows && j < cols) out(i)(j) = r.getDouble(2)
+    }
+    out
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora — exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard verification. Everything is bucketed: candidate pairs are
+  * generated ONLY inside LSH buckets (never an all-pairs cross join), and a
+  * per-bucket cap bounds the worst-case quadratic blowup on skewed buckets,
+  * so the shapes survive a 100 TB corpus.
+  * All hashing is `xxhash64` (codegen'd, deterministic across runs/executors).
+  */
+object Dedup {
+
+  def tokensOf(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word k-shingles as strings ("a b c"). Empty array when too short. */
+  def shinglesOf(c: Column, k: Int): Column = {
+    val toks = tokensOf(c)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        x => concat_ws(" ", slice(toks, x + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this
+    * one shuffle of (hash, id) pairs, not documents. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash signatures: explode distinct shingles, take `numHashes`
+    * independent mins (seeded xxhash64) in ONE hash aggregate. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingle: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shinglesOf(col(textCol), shingle)).as("sh"))
+      .distinct()
+    val aggs = (0 until numHashes).map(k => min(xxhash64(lit(k), col("sh"))).as(s"mh$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band the signature: band b hashes rows [b*r, (b+1)*r). Output long form
+    * (doc_id, band, bucket) ready for the bucket join. */
+  def bands(sigs: DataFrame, bandsN: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bandsN).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(10000 + b) +: cols: _*).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(banded: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs = same (band, bucket), id1 < id2, deduped across bands.
+    * `maxBucket` caps pathological buckets (skew guard at scale). */
+  def candidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val capped = banded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val l = capped.as("l"); val r = capped.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs only (the verify stage).
+    * Shingle sets are re-joined per side — candidate-bounded, not corpus². */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingle: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shinglesOf(col(textCol), shingle)).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline → (id1, id2, jaccard ≥ minJaccard). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bandsN: Int = 16, shingle: Int = 3,
+                   minJaccard: Double = 0.05): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
+    val cand = candidatePairs(bands(sigs, bandsN, numHashes / bandsN))
+    jaccardVerify(cand, docs, idCol, textCol, shingle)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash over word hashes: per-bit ±1 votes, one hash aggregate
+    * (64 sums), fingerprint assembled from vote signs. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokensOf(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3):
+    * pigeonhole on 4×16-bit blocks — a pair within distance 3 must agree on
+    * at least one block, so the bucket join covers all such pairs. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
+    val blocks = fps.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val l = blocks.as("l"); val r = blocks.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

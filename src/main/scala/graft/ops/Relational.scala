@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational core over the testdata star schema (TPC-H-ish shapes).
+  *
+  * Scale notes (100 TB contract):
+  *  - dimension tables (region/nation/supplier, and customer at these SFs)
+  *    are broadcast — no shuffle on the fact side for those joins;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    reuse it for the downstream aggregate where possible;
+  *  - every filter/projection is expressed on base columns so Catalyst
+  *    pushes it into the parquet scan (PushedFilters / ReadSchema);
+  *  - aggregates are hash aggregates with map-side partial aggregation;
+  *  - money sums are rounded to 2dp in BOTH engines (oracle parity);
+  *    unordered event-value sums go through exact integer cents.
+  */
+object Relational {
+
+  /** R2/Q1: pricing summary — groupBy-agg with exact integral sums. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  /** R1/Q2-ish: selective filter + projection; pushes to the parquet scan. */
+  def q2FilterPushdown(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") < 10 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** R3/Q3: shipping priority — 3-table join + agg + top-k.
+    * customer is broadcast (dimension-sized); orders⋈lineitem shuffles on
+    * orderkey, and the groupBy reuses that key (no second shuffle).
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** R4/Q4: EXISTS as a left-semi join (no row duplication, no distinct). */
+  def q4ExistsSemi(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    val o = orders(s, d)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** R5/Q5: region revenue — 6-table join; all dimensions broadcast. */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val r  = region(s, d).filter(col("r_name") === "ASIA")
+    val n  = nation(s, d)
+    val c  = customer(s, d)
+    val su = supplier(s, d)
+    val o  = orders(s, d)
+    val l  = lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** R6/Q6: forecast revenue — single-row selective aggregate. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** R7: global top-k with deterministic tie-break. TakeOrderedAndProject:
+    * per-partition top-k then a single k-row merge — no full sort shuffle. */
+  def q7TopkOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** R8: distinct (hash aggregate with map-side partial). */
+  def q8Distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** R9: INTERSECT set op. */
+  def q9Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey").as("custkey"))
+      .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
+
+  /** R10: window functions — rank, lag, running sum, one sort per user.
+    * Running sums are sequential within the frame in both engines, so
+    * double addition order matches the oracle exactly.
+    */
+  def q10WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d).select(
+      col("user_id"), col("event_id"),
+      row_number().over(w).cast("long").as("rn"),
+      round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("prev_value"),
+      round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_sum"))
+  }
+
+  /** R11: conditional agg + count-distinct; unordered money sum goes
+    * through exact integer cents so the oracle hash matches bit-for-bit. */
+  def q11ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 100, round(col("value") * 100).cast("long")).otherwise(0L)).as("big_cents"),
+        countDistinct(col("user_id")).as("nu"))
+
+  /** R12: having-filtered aggregate. */
+  def q12Having(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+
+  /** R13: gap-based sessionization (30 min) — the classic lag + cumulative
+    * sum trick; one shuffle on user_id, windows reuse the same sort.
+    * Gap math is done on floor-epoch-seconds in BOTH engines (parity).
+    */
+  def q13Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("es", unix_timestamp(col("ts").cast("timestamp")))
+      .withColumn("new_sess",
+        when(col("es") - lag(col("es"), 1).over(w) > 1800 || lag(col("es"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("es")) - min(col("es"))).as("dur_secs"))
+  }
+
+  /** R14: as-of join — for each purchase, the latest prior view by the same
+    * user. Implemented as ONE sort+window over the unioned stream (views
+    * carry their id forward via last(ignoreNulls)) — no join at all, so it
+    * scales as a single shuffle on user_id rather than a range join.
+    */
+  def q14AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("view_id_here", when(col("event_type") === "view", col("event_id")))
+      .withColumn("last_view", last(col("view_id_here"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("last_view").as("view_id"))
+  }
+}

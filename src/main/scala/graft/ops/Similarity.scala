@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
+  * `zip_with`+`aggregate` dot product (no UDF, no shuffle until the final
+  * k-row TakeOrdered merge).
+  *
+  * Scale path: random-hyperplane LSH buckets. Each vector hashes to a
+  * `numPlanes`-bit bucket; a query probes its own bucket plus all
+  * Hamming-1 neighbors (multi-probe), so at 100 TB the scan touches
+  * ~ (numPlanes+1)/2^numPlanes of the corpus instead of all of it, with the
+  * bucket id usable as a partition/cluster key for storage-side pruning.
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: fixed-seed Gaussian components. O(planes·dim)
+    * doubles — a parameter, broadcast as literals into codegen. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private def dotLit(vecCol: Column, q: Array[Double]): Column =
+    aggregate(zip_with(vecCol, typedlit(q), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(vecCol: Column): Column =
+    sqrt(aggregate(transform(vecCol, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine of each row's vector against a fixed query vector. The double
+    * cast makes the fold arithmetic exact-deterministic (f32 → f64 widening
+    * is lossless; left-to-right fold matches an index-ordered oracle). */
+  def cosineToQuery(emb: DataFrame, vecCol: String, q: Array[Double]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    emb.withColumn("cos", dotLit(v, q) / (norm(v) * lit(qn)))
+  }
+
+  /** Brute-force cosine top-k (rounded for deterministic ranking). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     q: Array[Double], k: Int): DataFrame =
+    cosineToQuery(emb, vecCol, q)
+      .select(col(idCol), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Assign each vector its hyperplane-sign bucket (int bitmask). */
+  def withBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case (p, idx) =>
+      when(dotLit(v, p) > 0, lit(1 << idx)).otherwise(lit(0))
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  def bucketOf(q: Array[Double], planes: Array[Array[Double]]): Int =
+    planes.zipWithIndex.foldLeft(0) { case (acc, (p, idx)) =>
+      val d = p.zip(q).map { case (a, b) => a * b }.sum
+      if (d > 0) acc | (1 << idx) else acc
+    }
+
+  /** LSH ANN: probe the query's bucket + Hamming-1 neighbors, exact cosine
+    * within. The `isin` probe list prunes at the scan/cluster level. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Double],
+              k: Int, planes: Array[Array[Double]]): DataFrame = {
+    val qb = bucketOf(q, planes)
+    val probes = qb +: planes.indices.map(b => qb ^ (1 << b))
+    val bucketed = withBucket(emb, vecCol, planes)
+      .filter(col("bucket").isin(probes: _*))
+    bruteForceTopK(bucketed, idCol, vecCol, q, k)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
+    * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
+    * each unordered pair is still generated once per shared probe). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   planes: Array[Array[Double]], minCos: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bucketed = withBucket(emb, vecCol, planes)
+      .select(col(idCol).as("doc_id"), v.as("vec"), norm(v).as("nrm"), col("bucket"))
+    val probed = bucketed.withColumn("probe",
+      explode(array((col("bucket") +:
+        planes.indices.map(b => col("bucket").bitwiseXOR(lit(1 << b)))): _*)))
+    val l = probed.as("l"); val r = bucketed.as("r")
+    l.join(r, col("l.probe") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        (aggregate(zip_with(col("l.vec"), col("r.vec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: per-document stats, BPE-ish
+  * token counting, quality scoring, language ID, fingerprinting. Everything
+  * is a codegen'd column expression over one scan — no UDFs, no shuffle
+  * (these are embarrassingly parallel at any scale).
+  */
+object TextOps {
+
+  private val punctPat = "[.,!?;:]"
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbols. */
+  private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def nTokens(c: Column): Column = size(split(trim(c), "\\s+"))
+  def nChars(c: Column): Column = length(c)
+
+  /** Per-doc stats: whitespace tokens, chars, mean token length, punct ratio. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      nTokens(t).as("n_tok"),
+      nChars(t).as("n_chars"),
+      round(length(regexp_replace(t, "\\s", "")).cast("double") / nTokens(t), 4).as("avg_tok_len"),
+      round(length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t), 4).as("punct_ratio"))
+  }
+
+  /** Regex token count (BPE-style pre-tokenization granularity). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(bpePat)).as("n_bpe"),
+      nTokens(col(textCol)).as("n_ws"))
+
+  /** Heuristic quality score in [0,1]: length saturation × punctuation
+    * sanity × word-length sanity. Deterministic integer/ratio math. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ntok = nTokens(t)
+    val avgWl = length(regexp_replace(t, "\\s", "")).cast("double") / ntok
+    val punct = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t)
+    docs.select(col(idCol).as("doc_id"),
+      round(least(lit(1.0), ntok / lit(100.0)) * (lit(1.0) - least(lit(1.0), punct * 5)) *
+        when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4).as("quality"))
+  }
+
+  /** Stopword/charset language ID (en/fr/es/de/zh). Scores = stopword hits
+    * per language via word-boundary regex counts; CJK wins by charset. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "was", "that", "with", "for"),
+      "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"),
+      "es" -> Seq("el", "los", "las", "una", "que", "por", "para", "con"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val t = lower(col(textCol))
+    val scores: Seq[(String, Column)] = markers.map { case (lang, words) =>
+      lang -> words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
+    }
+    val zhChars = regexp_count(col(textCol), lit("[\\x{4e00}-\\x{9fff}]"))
+    // argmax over language scores; CJK charset dominates when present
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
+      when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"),
+      when(zhChars > 0, "zh")
+        .when(best.getField("s") > 0, best.getField("l"))
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike a
+    * bag-of-words hash): sequential fold via `aggregate` — codegen'd.
+    * Arithmetic stays under 2^36 (mod 1e9+7 each step) so ANSI mode never
+    * overflows. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = 1000000007L
+    docs.select(col(idCol).as("doc_id"),
+      aggregate(Dedup.tokensOf(col(textCol)), lit(17L),
+        (acc, tok) => pmod(acc * 31 + pmod(xxhash64(tok), lit(p)), lit(p))).as("fingerprint"))
+  }
+}

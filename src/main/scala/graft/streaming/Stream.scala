@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * At scale these run as `readStream` over an object-store prefix with
+  * watermarked state in RocksDB; here they're driven synchronously by a
+  * file source + memory sink so the batch oracle can check them exactly.
+  */
+object Stream {
+
+  /** Tumbling-window aggregate (1 h) over the events stream. Money goes
+    * through exact integer cents (unordered double sums would not be
+    * bit-stable across engines). Returns the finished result as a batch
+    * DataFrame: (ws epoch-secs, event_type, n, cents).
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = s"target/tmp/stream_events_$sfName"
+    val batch = graft.Tables.events(spark, sfDir)
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(tmp)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+
+    val qn = s"win_agg_$sfName"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(qn).select(
+      unix_timestamp(col("window.start").cast("timestamp")).as("ws"),
+      col("event_type"), col("n"), col("cents"))
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class Ev(user_id: Long, event_id: Long, es: Long)
+  final case class SessState(sessionId: Long, startEs: Long, lastEs: Long, n: Long)
+  final case class SessOut(user_id: Long, session_id: Long, n_events: Long, dur_secs: Long)
+
+  val GapSecs = 1800L
+
+  /** Emits a session when a new event arrives past the gap; the still-open
+    * session stays in state (flushed by a later event, or by the caller
+    * feeding a sentinel / relying on timeout in a real deployment). */
+  def sessionFn(userId: Long, evs: Iterator[Ev],
+                state: GroupState[SessState]): Iterator[SessOut] = {
+    val sorted = evs.toSeq.sortBy(e => (e.es, e.event_id))
+    var out = List.empty[SessOut]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      if (st == null) st = SessState(1L, e.es, e.es, 1L)
+      else if (e.es - st.lastEs > GapSecs) {
+        out ::= SessOut(userId, st.sessionId, st.n, st.lastEs - st.startEs)
+        st = SessState(st.sessionId + 1, e.es, e.es, 1L)
+      } else st = st.copy(lastEs = e.es, n = st.n + 1)
+    }
+    if (st != null) state.update(st)
+    out.reverseIterator
+  }
+
+  /** Streaming sessionization over a stream of Ev. Used with MemoryStream
+    * in tests; semantics match Relational.q13Sessionize for closed sessions. */
+  def sessionize(evs: org.apache.spark.sql.Dataset[Ev]): org.apache.spark.sql.Dataset[SessOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFn)
+  }
+}
