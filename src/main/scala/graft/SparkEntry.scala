@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def mat(s: SparkSession, d: String): ZMatrix = ZMatrix.fromLineitem(s, d)
 
-  private val annPlanes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+  private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
   private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
 
   private def queryVec(s: SparkSession, d: String): Array[Double] =

@@ -62,12 +62,20 @@ object Similarity {
       if (d > 0) acc | (1 << idx) else acc
     }
 
-  /** LSH ANN: probe the query's bucket + Hamming-1 neighbors, exact cosine
-    * within. The `isin` probe list prunes at the scan/cluster level. */
+  /** All buckets within Hamming distance `maxHamming` of `qb` (multi-probe). */
+  def probeSet(qb: Int, numPlanes: Int, maxHamming: Int): Seq[Int] = {
+    def flips(bits: List[Int]): Int = bits.foldLeft(qb)((a, b) => a ^ (1 << b))
+    (0 to maxHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(c => flips(c.toList))).distinct
+  }
+
+  /** LSH ANN: probe the query's bucket plus all Hamming-`maxHamming`
+    * neighbors, exact cosine within. The `isin` probe list prunes at the
+    * scan/cluster level (bucket is a storage partition key at scale).
+    * nprobe (via maxHamming) trades recall for scan fraction. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Double],
-              k: Int, planes: Array[Array[Double]]): DataFrame = {
-    val qb = bucketOf(q, planes)
-    val probes = qb +: planes.indices.map(b => qb ^ (1 << b))
+              k: Int, planes: Array[Array[Double]], maxHamming: Int = 2): DataFrame = {
+    val probes = probeSet(bucketOf(q, planes), planes.length, maxHamming)
     val bucketed = withBucket(emb, vecCol, planes)
       .filter(col("bucket").isin(probes: _*))
     bruteForceTopK(bucketed, idCol, vecCol, q, k)

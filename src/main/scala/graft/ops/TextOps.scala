@@ -21,8 +21,8 @@ object TextOps {
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol).as("doc_id"),
-      nTokens(t).as("n_tok"),
-      nChars(t).as("n_chars"),
+      nTokens(t).cast("long").as("n_tok"),
+      nChars(t).cast("long").as("n_chars"),
       round(length(regexp_replace(t, "\\s", "")).cast("double") / nTokens(t), 4).as("avg_tok_len"),
       round(length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t), 4).as("punct_ratio"))
   }
@@ -30,8 +30,8 @@ object TextOps {
   /** Regex token count (BPE-style pre-tokenization granularity). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      regexp_count(col(textCol), lit(bpePat)).as("n_bpe"),
-      nTokens(col(textCol)).as("n_ws"))
+      regexp_count(col(textCol), lit(bpePat)).cast("long").as("n_bpe"),
+      nTokens(col(textCol)).cast("long").as("n_ws"))
 
   /** Heuristic quality score in [0,1]: length saturation × punctuation
     * sanity × word-length sanity. Deterministic integer/ratio math. */

@@ -118,31 +118,55 @@ object Zarr {
       }
   }
 
-  /** Read a Zarr array back as coordinate cells (i, j, v), including fill
-    * values (dense semantics) — callers filter if they want sparse. */
+  /** Read a Zarr array back as coordinate cells (i, j, v) with dense
+    * semantics: chunk files absent from the store (zarr writes none for
+    * all-fill chunks) materialize as fill cells. The store listing is a
+    * driver-side metadata op (one directory/object LIST); chunk decode is
+    * partition-parallel via the binaryFile source. */
   def read(spark: SparkSession, path: String): ZMatrix = {
     val meta = readMeta(path)
     import spark.implicits._
-    val chunks = spark.read.format("binaryFile")
+    val (cr, cc) = (meta.chunkRows, meta.chunkCols)
+    val (nr, nc) = (meta.rows, meta.cols)
+    val (zl, fill) = (meta.zlib, meta.fill)
+
+    val present = new File(path).list().filter(_.matches("\\d+\\.\\d+")).toSet
+    val gridR = ((nr + cr - 1) / cr).toInt
+    val gridC = ((nc + cc - 1) / cc).toInt
+    val missing = for {
+      ci <- 0 until gridR; cj <- 0 until gridC
+      if !present.contains(s"$ci.$cj")
+    } yield (ci.toLong, cj.toLong)
+
+    val decoded = spark.read.format("binaryFile")
       .load(path).filter(!col("path").endsWith(".zarray"))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    val (cr, cc) = (meta.chunkRows, meta.chunkCols)
-    val (nr, nc) = (meta.rows, meta.cols)
-    val zl = meta.zlib
-    val cells = chunks.flatMap { case (p, bytes0) =>
-      val name = p.substring(p.lastIndexOf('/') + 1)
-      val Array(ci, cj) = name.split("\\.").map(_.toLong)
-      val bytes = if (zl) inflate(bytes0, cr * cc * 8) else bytes0
-      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      for {
-        li <- 0 until cr
-        lj <- 0 until cc
-        i = ci * cr + li
-        j = cj * cc + lj
-        if i < nr && j < nc
-      } yield (i, j, bb.getDouble((li * cc + lj) * 8))
-    }.toDF("i", "j", "v")
-    ZMatrix(cells)
+      .flatMap { case (p, bytes0) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val Array(ci, cj) = name.split("\\.").map(_.toLong)
+        val bytes = if (zl) inflate(bytes0, cr * cc * 8) else bytes0
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        for {
+          li <- 0 until cr
+          lj <- 0 until cc
+          i = ci * cr + li
+          j = cj * cc + lj
+          if i < nr && j < nc
+        } yield (i, j, bb.getDouble((li * cc + lj) * 8))
+      }
+
+    val fills = spark.createDataset(missing).repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (ci, cj) =>
+        for {
+          li <- 0 until cr
+          lj <- 0 until cc
+          i = ci * cr + li
+          j = cj * cc + lj
+          if i < nr && j < nc
+        } yield (i, j, fill)
+      }
+
+    ZMatrix(decoded.union(fills).toDF("i", "j", "v"))
   }
 }

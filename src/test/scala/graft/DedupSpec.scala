@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again until dusk settles on the quiet town"
+  val nearDup = base.replace("quiet", "sleepy") // one-token edit
+  val unrelated = "completely different content about distributed query engines and columnar storage formats at scale"
+
+  def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated),
+    (4L, "short text"), (5L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(r.length == 4) // base, nearDup, unrelated, short
+    val dupGroup = r.find(_.getAs[Long]("n") == 2L && r.length > 0)
+    val groups = r.map(x => (x.getAs[Long]("keep_id"), x.getAs[Long]("n"))).toMap
+    assert(groups(0L) == 2L) // ids 0,1 collapse, keeper is 0
+    assert(groups(3L) == 2L) // ids 3,5 collapse
+  }
+
+  test("minhash-LSH finds planted near-dups and skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L))) // exact dup pair
+    assert(ids.contains((0L, 2L)) && ids.contains((1L, 2L))) // near-dup pairs
+    assert(!ids.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(0L, 1L, 2L)).nonEmpty })
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("simhash: identical fp for identical text, close for near-dup") {
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) <= 8)
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(3L)) > 8)
+  }
+
+  test("simhash pairs via 4-block pigeonhole") {
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(fps, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 5L)))
+  }
+
+  test("deterministic across runs") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binary column pipeline: schema, determinism, batch shape") {
+    val docs = Seq((1L, "hello"), (2L, "a longer piece of text")).toDF("doc_id", "text")
+    val f = Multimodal.features(docs, "doc_id", "text")
+    assert(f.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "channels"))
+    val r = f.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 5L)      // utf-8 bytes of "hello"
+    assert(r(1L).getInt(2) == 5 % 640)
+    assert(r(1L).getInt(3) == (5 * 7) % 480)
+    assert(r(1L).getInt(4) == 3)
+  }
+
+  test("stub decode is pure and batch-size independent") {
+    val rows = (1 to 200).map(i => Multimodal.MediaRow(i.toLong, Array.fill(i)(7.toByte), "x"))
+    val once = Multimodal.decodeBatches(rows.iterator).toSeq
+    val twice = Multimodal.decodeBatches(rows.iterator).toSeq
+    assert(once == twice && once.size == 200)
+    assert(once.head.n_bytes == 1L && once.last.n_bytes == 200L)
+  }
+}

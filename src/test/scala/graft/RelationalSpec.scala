@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.ops.Relational
+
+/** Correctness spot-checks on sf0.001 plus PLAN AUDITS: the scan must
+  * receive pushed filters, dimension joins must broadcast — the properties
+  * that keep these shapes viable at 100 TB. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q7 top-k matches driver-side sort") {
+    val got = Relational.q7TopkOrders(spark, sf).collect().map(_.getLong(0)).toSeq
+    val exp = Tables.orders(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+      .sortBy { case (k, p) => (-p, k) }.take(10).map(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("q7 plan uses TakeOrderedAndProject (no full sort shuffle)") {
+    assert(planOf(Relational.q7TopkOrders(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q2 filters are pushed to the parquet scan") {
+    val plan = planOf(Relational.q2FilterPushdown(spark, sf))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q2 scan prunes columns (ReadSchema subset)") {
+    val plan = planOf(Relational.q2FilterPushdown(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"))
+  }
+
+  test("q3 and q5 broadcast the dimension side") {
+    assert(planOf(Relational.q3ShippingPriority(spark, sf)).contains("BroadcastHashJoin"))
+    val p5 = planOf(Relational.q5RegionRevenue(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("q9 intersect equals set intersection") {
+    val got = Relational.q9Intersect(spark, sf).collect().map(_.getLong(0)).toSet
+    val c = Tables.customer(spark, sf).select("c_custkey").collect().map(_.getLong(0)).toSet
+    val o = Tables.orders(spark, sf).select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == c.intersect(o))
+  }
+
+  test("q13 sessionization: session count equals gap count + users") {
+    val sess = Relational.q13Sessionize(spark, sf)
+    val nSessions = sess.count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(nSessions >= nUsers)
+    val totalEvents = sess.agg(sum("n_events")).head().getLong(0)
+    assert(totalEvents == Tables.events(spark, sf).count())
+  }
+
+  test("q14 as-of join: every purchase appears exactly once") {
+    val asof = Relational.q14AsofJoin(spark, sf)
+    val nPurch = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(asof.count() == nPurch)
+    assert(asof.select("purchase_id").distinct().count() == nPurch)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

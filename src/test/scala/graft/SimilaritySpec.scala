@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute-force cosine matches manual computation") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top(0L) == 1.0)
+    assert(math.abs(top(2L) - math.sqrt(0.5)) < 1e-3)
+    assert(top(3L) == -1.0)
+  }
+
+  test("LSH ANN recall >= 0.5 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val planes = Similarity.hyperplanes(6, 64)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes, maxHamming = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty)
+    // these embeddings are nearly unclustered, so LSH recall tracks scan
+    // fraction (~35% at 6 planes / hamming<=2); require a floor well above
+    // the ~10% random-subset baseline
+    assert(exact.intersect(approx).size >= 4, s"recall too low: ${exact.intersect(approx).size}/10")
+  }
+
+  test("near-dup pairs: finds high-cosine pairs, bounded candidates") {
+    val planes = Similarity.hyperplanes(4, 3, seed = 11L)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)),
+      (1L, Array(1.0f, 0.11f, 0.001f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", planes, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+}

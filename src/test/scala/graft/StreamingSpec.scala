@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Stream
+import graft.streaming.Stream.{Ev, SessOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed agg equals batch windowed agg") {
+    import spark.implicits._
+    val streamed = Stream.windowAgg(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(unix_timestamp(col("window.start").cast("timestamp")).as("ws"),
+        col("event_type"), col("n"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches gap semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Stream.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap 3600 > 1800); user 2: one session
+      input.addData(
+        Ev(1L, 1L, 1000L), Ev(1L, 2L, 1100L), Ev(1L, 3L, 5000L),
+        Ev(2L, 4L, 1000L))
+      q.processAllAvailable()
+      // sentinel events flush the open sessions
+      input.addData(Ev(1L, 99L, 999999L), Ev(2L, 98L, 999999L))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").as[SessOut].collect().toSet
+      assert(out.contains(SessOut(1L, 1L, 2L, 100L)))  // events 1,2
+      assert(out.contains(SessOut(1L, 2L, 1L, 0L)))    // event 3
+      assert(out.contains(SessOut(2L, 1L, 1L, 0L)))    // event 4
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stats: token/char counts and ratios") {
+    val df = Seq((1L, "Hello world, this is text.")).toDF("doc_id", "text")
+    val r = TextOps.stats(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tok") == 5L)
+    assert(r.getAs[Long]("n_chars") == 26L)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(2.0 / 26.0 * 10000) / 10000)
+  }
+
+  test("bpe-ish token count splits words, digits, symbols") {
+    val df = Seq((1L, "abc123 de-f!")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(df, "doc_id", "text").head()
+    // abc | 123 | de | - | f | !  = 6
+    assert(r.getAs[Long]("n_bpe") == 6L)
+    assert(r.getAs[Long]("n_ws") == 2L)
+  }
+
+  test("langid recognizes stopword profiles and CJK charset") {
+    val df = Seq(
+      (1L, "the cat and the dog that was here is of note"),
+      (2L, "le chat est dans la maison pour les vacances"),
+      (3L, "el perro y los gatos que viven por la casa para siempre con una luz"),
+      (4L, "der hund und die katze ist nicht mit ein haus"),
+      (5L, "你好世界这是中文"),
+      (6L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextOps.langId(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "fr"); assert(got(3L) == "es")
+    assert(got(4L) == "de"); assert(got(5L) == "zh"); assert(got(6L) == "und")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+    assert(fp(1L) >= 0 && fp(1L) < 1000000007L)
+  }
+
+  test("quality in [0,1]") {
+    val df = Tables.documents(spark, TestSpark.sf)
+    val vals = TextOps.quality(df, "doc_id", "text").collect().map(_.getAs[Double]("quality"))
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.array.{ZLocal, ZMatrix}
+
+class ZMatrixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val dense: Array[Array[Double]] = Array(
+    Array(1.0, 2.0, 3.0),
+    Array(4.0, 5.0, 6.0),
+    Array(7.0, 8.0, 9.0),
+    Array(0.0, 1.0, 2.0))
+
+  def m: ZMatrix = ZMatrix.fromDense(spark, dense)
+
+  test("fromDense/toDense roundtrip (zappy from_ndarray/asndarray)") {
+    assert(ZLocal.toDense(m, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("elementwise ufuncs") {
+    val got = ZLocal.toDense(m.log1p_, 4, 3)
+    for (i <- 0 until 4; j <- 0 until 3)
+      assert(math.abs(got(i)(j) - math.log1p(dense(i)(j))) < 1e-12)
+    val sq = ZLocal.toDense(m.sqrt_, 4, 3)
+    assert(sq(1)(1) == math.sqrt(5.0))
+  }
+
+  test("scalar arithmetic and affine") {
+    val got = ZLocal.toDense(m.affine(2.5, 1.0), 4, 3)
+    assert(got(1)(2) == 6.0 * 2.5 + 1.0)
+    assert(ZLocal.toDense(m * 2.0, 4, 3)(2)(0) == 14.0)
+  }
+
+  test("comparison ufunc -> mask") {
+    val got = ZLocal.toDense(m.gt(5.0), 4, 3)
+    assert(got(1)(2) == 1.0 && got(1)(1) == 0.0)
+  }
+
+  test("matrix + matrix aligned join") {
+    val got = ZLocal.toDense(m + (m * 2.0), 4, 3)
+    for (i <- 0 until 4; j <- 0 until 3) assert(got(i)(j) == 3 * dense(i)(j))
+  }
+
+  test("row-vector broadcasting (center columns)") {
+    val centered = m.broadcastOverCols(m.meanAxis0)((v, mv) => v - mv)
+    val got = ZLocal.toDense(centered, 4, 3)
+    val mean0 = (1.0 + 4.0 + 7.0 + 0.0) / 4
+    assert(math.abs(got(0)(0) - (1.0 - mean0)) < 1e-12)
+  }
+
+  test("axis reductions: sum/mean/var") {
+    val a0 = m.aggAxis0.orderBy("j").collect()
+    assert(a0(0).getAs[Double]("sum_v") == 12.0)
+    assert(a0(0).getAs[Double]("mean_v") == 3.0)
+    // var of (1,4,7,0): mean 3, sq diffs 4+1+16+9=30, /4 = 7.5
+    assert(math.abs(a0(0).getAs[Double]("var_v") - 7.5) < 1e-9)
+    val a1 = m.aggAxis1.orderBy("i").collect()
+    assert(a1(0).getAs[Double]("sum_v") == 6.0)
+    val full = m.aggFull.head()
+    assert(full.getAs[Double]("sum_v") == 48.0 && full.getAs[Long]("n") == 12L)
+  }
+
+  test("boolean row indexing by row-sum") {
+    val kept = m.filterRowsBySum(_ > 10.0).cells.select("i").distinct().collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L)) // row sums: 6, 15, 24, 3
+  }
+
+  test("slice is a range filter") {
+    val s = m.slice(1, 3, 0, 2).cells.collect()
+    assert(s.length == 4)
+    assert(s.forall(r => r.getLong(0) >= 1 && r.getLong(0) < 3 && r.getLong(1) < 2))
+  }
+
+  test("transpose and matmul (gram)") {
+    val g = ZLocal.toDense(m.gram, 3, 3)
+    // gram[0][0] = 1+16+49+0 = 66 ; gram[0][1] = 2+20+56+0 = 78
+    assert(g(0)(0) == 66.0 && g(0)(1) == 78.0 && g(1)(0) == 78.0)
+  }
+
+  test("rechunk preserves data") {
+    val r = m.rechunk(2)
+    assert(ZLocal.toDense(r, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("row normalize") {
+    val got = ZLocal.toDense(m.rowNormalize, 4, 3)
+    assert(math.abs(got(0)(0) - 1.0 / 6.0) < 1e-6)
+  }
+
+  test("astype int truncates to IntegerType") {
+    val dt = m.astypeInt.schema("v").dataType
+    assert(dt == org.apache.spark.sql.types.IntegerType)
+  }
+}

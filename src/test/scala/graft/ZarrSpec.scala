@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.array.{ZLocal, ZMatrix}
+import graft.zarr.Zarr
+
+class ZarrSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val dense: Array[Array[Double]] = Array.tabulate(10, 5)((i, j) => i * 10.0 + j)
+
+  test("zarr v2 roundtrip, raw chunks, chunk grid partitioning") {
+    val path = "/root/repo/target/tmp/zarr_test_raw"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, chunkRows = 4, chunkCols = 3)
+    val meta = Zarr.readMeta(path)
+    assert(meta.rows == 10 && meta.cols == 5 && meta.chunkRows == 4 && !meta.zlib)
+    // edge chunks exist: ceil(10/4) x ceil(5/3) = 3 x 2 chunk files
+    val files = new java.io.File(path).list().filterNot(_ == ".zarray")
+    assert(files.toSet == Set("0.0", "0.1", "1.0", "1.1", "2.0", "2.1"))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("zarr v2 roundtrip with zlib compressor") {
+    val path = "/root/repo/target/tmp/zarr_test_zlib"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
+    assert(Zarr.readMeta(path).zlib)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("absent cells read back as fill value") {
+    val path = "/root/repo/target/tmp/zarr_test_fill"
+    val sparse = ZMatrix.fromDense(spark, dense).slice(0, 10, 0, 2) // drop cols 2..4
+    Zarr.write(sparse, path, 10, 5, 4, 3)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5, fill = -1.0)
+    assert(back(3)(4) == 0.0) // fill written into the chunk
+    assert(back(3)(1) == dense(3)(1))
+  }
+}
