@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * `zip_with` + `aggregate` compute a dot product correctly but run as
+  * interpreted higher-order functions that allocate an intermediate array
+  * per row — at 100 TB (and measurably at sf0.1) that is the ANN/near-dup
+  * bottleneck. `DotProduct` generates a tight primitive loop inside
+  * whole-stage codegen instead: no allocation, no virtual dispatch.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> children (VectorExprs casts)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var k = 0
+    while (k < n) { s += x.getDouble(k) * y.getDouble(k); k += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $s += $a.getDouble($k) * $b.getDouble($k);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExprs {
+
+  private def asDoubleArray(c: Column): Column = c.cast("array<double>")
+
+  /** dot(a, b) over array<double> (casts applied), codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(asDoubleArray(a)),
+      GraftSqlBridge.expression(asDoubleArray(b))))
+
+  /** L2 norm via self-dot. */
+  def norm2(a: Column): Column = {
+    val ad = asDoubleArray(a)
+    org.apache.spark.sql.functions.sqrt(dot(ad, ad))
+  }
+}

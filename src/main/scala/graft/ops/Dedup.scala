@@ -23,20 +23,37 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exploded word k-shingle HASHES: (doc_id, h) one row per shingle
+    * position. Shingles are assembled with NATIVE array ops only —
+    * k shifted `slice`s zipped positionally — and hashed AFTER the explode
+    * with a codegen'd k-argument xxhash64. No higher-order-function lambda
+    * anywhere on this path (those run interpreted and dominated the
+    * profile). Shingle identity is all MinHash/Jaccard need. */
+  def shingleHashExplode(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokensOf(col(textCol))
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    val zipped = arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
+    docs.select(col(idCol).as("doc_id"), explode(zipped).as("sh"))
+      .select(col("doc_id"), xxhash64((0 until k).map(i => col(s"sh.$i")): _*).as("h"))
+  }
+
   /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this
     * one shuffle of (hash, id) pairs, not documents. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signatures: explode distinct shingles, take `numHashes`
-    * independent mins (seeded xxhash64) in ONE hash aggregate. */
+  /** MinHash signatures in ONE map-side-combining hash aggregate.
+    * Each shingle string is hashed ONCE to a long; the `numHashes`
+    * independent hash functions remix that long (seeded xxhash64 on 8
+    * bytes, not on the string). No `distinct` — min() is idempotent over
+    * duplicate shingles, so the pre-aggregation shuffle would be pure
+    * waste (and partial aggregation shrinks the shuffle to one row of
+    * `numHashes` longs per (partition, doc)). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingle: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shinglesOf(col(textCol), shingle)).as("sh"))
-      .distinct()
-    val aggs = (0 until numHashes).map(k => min(xxhash64(lit(k), col("sh"))).as(s"mh$k"))
+    val sh = shingleHashExplode(docs, idCol, textCol, shingle)
+    val aggs = (0 until numHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"mh$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -66,11 +83,16 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs only (the verify stage).
-    * Shingle sets are re-joined per side — candidate-bounded, not corpus². */
+    * Shingle sets are computed ONLY for docs that appear in a candidate
+    * pair (left-semi first): the expensive array materialization is
+    * candidate-bounded, not corpus-sized. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingle: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shinglesOf(col(textCol), shingle)).as("sh"))
+    val candIds = pairs.select(col("id1").as("cand_id"))
+      .union(pairs.select(col("id2").as("cand_id"))).distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === candIds("cand_id"), "left_semi")
+    val sets = shingleHashExplode(candDocs, idCol, textCol, shingle)
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))

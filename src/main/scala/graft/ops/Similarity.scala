@@ -24,11 +24,10 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  private def dotLit(vecCol: Column, q: Array[Double]): Column =
-    aggregate(zip_with(vecCol, typedlit(q), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+  import graft.functions.VectorExprs.{dot, norm2}
 
-  private def norm(vecCol: Column): Column =
-    sqrt(aggregate(transform(vecCol, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def dotLit(vecCol: Column, q: Array[Double]): Column =
+    dot(vecCol, typedlit(q))
 
   /** Cosine of each row's vector against a fixed query vector. The double
     * cast makes the fold arithmetic exact-deterministic (f32 → f64 widening
@@ -36,7 +35,7 @@ object Similarity {
   def cosineToQuery(emb: DataFrame, vecCol: String, q: Array[Double]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val qn = math.sqrt(q.map(x => x * x).sum)
-    emb.withColumn("cos", dotLit(v, q) / (norm(v) * lit(qn)))
+    emb.withColumn("cos", dotLit(v, q) / (norm2(v) * lit(qn)))
   }
 
   /** Brute-force cosine top-k (rounded for deterministic ranking). */
@@ -88,15 +87,14 @@ object Similarity {
                    planes: Array[Array[Double]], minCos: Double): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val bucketed = withBucket(emb, vecCol, planes)
-      .select(col(idCol).as("doc_id"), v.as("vec"), norm(v).as("nrm"), col("bucket"))
+      .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"), col("bucket"))
     val probed = bucketed.withColumn("probe",
       explode(array((col("bucket") +:
         planes.indices.map(b => col("bucket").bitwiseXOR(lit(1 << b)))): _*)))
     val l = probed.as("l"); val r = bucketed.as("r")
     l.join(r, col("l.probe") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        (aggregate(zip_with(col("l.vec"), col("r.vec"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
       .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
   }

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters — the hook a
+  * library needs to expose custom Catalyst expressions as `Column`s on
+  * Spark 4's ColumnNode API. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
