@@ -69,16 +69,18 @@ object Dedup {
   }
 
   /** Candidate pairs = same (band, bucket), id1 < id2, deduped across bands.
-    * `maxBucket` caps pathological buckets (skew guard at scale). */
+    * ONE aggregation collects each bucket's ids (capped at `maxBucket` —
+    * the skew guard at scale), then two explodes emit the in-bucket cross
+    * product — no self-join, so the signature pipeline upstream is scanned
+    * exactly once. Bucket membership is LSH-bounded; the cap bounds the
+    * quadratic worst case. */
   def candidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
-    val capped = banded.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxBucket).drop("_rn")
-    val l = capped.as("l"); val r = capped.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
       .distinct()
   }
 
@@ -101,7 +103,12 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline → (id1, id2, jaccard ≥ minJaccard). */
+  /** Full MinHash-LSH near-dup pipeline → (id1, id2, jaccard ≥ minJaccard).
+    * The signature pipeline is scanned once for candidate generation (the
+    * pair stage aggregates buckets instead of self-joining, so the DAG does
+    * not fork above it); the verify stage re-derives shingles only for the
+    * candidate-bounded doc subset. On a long-lived cluster, persist `sigs`
+    * before calling if signatures are reused across many queries. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bandsN: Int = 16, shingle: Int = 3,
                    minJaccard: Double = 0.05): DataFrame = {
