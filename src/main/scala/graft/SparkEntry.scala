@@ -44,14 +44,21 @@ object SparkEntry {
     "q12_having" -> Relational.q12Having _,
     "q13_sessionize" -> Relational.q13Sessionize _,
     "q14_asof_join" -> Relational.q14AsofJoin _,
+    "q15_percentile" -> Relational.q15Percentile _,
+    "q16_rollup" -> Relational.q16Rollup _,
+    "q17_left_join" -> Relational.q17LeftJoin _,
+    "q18_json" -> Relational.q18Json _,
+    "q19_time_extract" -> Relational.q19TimeExtract _,
 
     // ---- zappy array surface (matrix: i=orderkey, j=linenumber, v=quantity) ----
     "arr_log1p" -> ((s, d) => mat(s, d).log1p_.mapValues(round(_, 6)).cells),
     "arr_affine" -> ((s, d) => mat(s, d).affine(2.5, 1.0).cells),
     "arr_center_cols" -> ((s, d) => {
       val m = mat(s, d)
-      m.broadcastOverCols(m.meanAxis0)((v, mv) => round(v - mv, 6)).cells
+      m.broadcastOverCols(m.meanAxis0)((v, mv) => round(v - mv, 6) + 0.0).cells
     }),
+    "arr_bool_cols" -> ((s, d) => mat(s, d).filterColsByMean(_ > 25).cells),
+    "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
     "arr_add_matrices" -> ((s, d) => {
       val m = mat(s, d); (m + (m * 2.0)).cells
     }),
@@ -189,6 +196,30 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts > v.ts""".stripMargin,
+    "q15_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q17_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q18_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_big
+        |FROM events GROUP BY 1""".stripMargin,
+    "q19_time_extract" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, count(*) AS n,
+        | count(DISTINCT user_id) AS nu
+        |FROM events GROUP BY 1""".stripMargin,
 
     "arr_log1p" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
@@ -201,7 +232,7 @@ object SparkEntry {
     "arr_center_cols" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
-        |SELECT i, j, round(v - sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j), 6) AS v FROM m""".stripMargin,
+        |SELECT i, j, round(v - sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j), 6) + 0 AS v FROM m""".stripMargin,
     "arr_add_matrices" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -214,7 +245,7 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT j, sum(v) AS sum_v, count(*) AS n, round(sum(v) / count(*), 6) AS mean_v,
-        | round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) AS var_v FROM m GROUP BY 1""".stripMargin,
+        | round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) + 0 AS var_v FROM m GROUP BY 1""".stripMargin,
     "arr_agg_axis1" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -256,6 +287,17 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
 
+    "arr_bool_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM m GROUP BY 1 HAVING sum(v) / count(*) > 25)""".stripMargin,
+    "arr_scale" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round((v - sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j))
+        |  / sqrt((sum(v * v) OVER (PARTITION BY j)
+        |          - sum(v) OVER (PARTITION BY j) * sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j))
+        |         / count(*) OVER (PARTITION BY j)), 6) + 0 AS v FROM m""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
@@ -263,7 +305,7 @@ object SparkEntry {
       """SELECT e.vec_id,
         | round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
         |   / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
-        |      * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) AS cos
+        |      * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
         |FROM embeddings e
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |CROSS JOIN range(64) r(i)

@@ -82,7 +82,7 @@ final case class ZMatrix(cells: DataFrame) {
       sum(col("v") * col("v")).as("_ss"))
       .select(col("j"), col("sum_v"), col("n"),
         round(col("sum_v") / col("n"), 6).as("mean_v"),
-        round((col("_ss") - col("sum_v") * col("sum_v") / col("n")) / col("n"), 6).as("var_v"))
+        (round((col("_ss") - col("sum_v") * col("sum_v") / col("n")) / col("n"), 6) + 0.0).as("var_v"))
 
   def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
   def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
@@ -102,6 +102,30 @@ final case class ZMatrix(cells: DataFrame) {
     val keep = cells.groupBy(col("i")).agg(sum(col("v")).as("_rs"))
       .filter(pred(col("_rs"))).select(col("i"))
     ZMatrix(cells.join(keep, Seq("i"), "left_semi"))
+  }
+
+  /** Boolean column indexing from a column aggregate (scanpy filter_genes):
+    * the qualifying-column set is tiny (ncols), so the semi-join broadcasts. */
+  def filterColsByMean(pred: Column => Column): ZMatrix = {
+    val keep = cells.groupBy(col("j"))
+      .agg((sum(col("v")) / count(lit(1))).as("_cm"))
+      .filter(pred(col("_cm"))).select(col("j"))
+    ZMatrix(cells.join(broadcast(keep), Seq("j"), "left_semi"))
+  }
+
+  /** scanpy scale: per-column standardization (x−μ_j)/σ_j. Moments come
+    * from one aggregate over exact sums (bit-deterministic), the ncols-row
+    * stats vector broadcasts back onto the cells. `+0.0` collapses IEEE
+    * −0.0 so rounded output matches the SQL oracle byte-for-byte. */
+  def scaleCols: ZMatrix = {
+    val stats = cells.groupBy(col("j")).agg(
+        sum(col("v")).as("_s"), count(lit(1)).as("_n"),
+        sum(col("v") * col("v")).as("_ss"))
+      .select(col("j"), (col("_s") / col("_n")).as("_mu"),
+        sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("_sd"))
+    ZMatrix(cells.join(broadcast(stats), Seq("j"))
+      .select(col("i"), col("j"),
+        (round((col("v") - col("_mu")) / col("_sd"), 6) + 0.0).as("v")))
   }
 
   /** Integer-range slicing `X[i0:i1, j0:j1]` — a pushed-down range filter. */

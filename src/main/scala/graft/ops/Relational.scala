@@ -165,4 +165,44 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("last_view").as("view_id"))
   }
+
+  /** R15: exact percentiles (sort-based linear interpolation — same
+    * definition as the oracle's quantile_cont). */
+  def q15Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"))
+
+  /** R16: ROLLUP grouping sets (subtotals + grand total in one pass). */
+  def q16Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** R17: left outer join keeping customers with zero orders (count of the
+    * right key is null-skipping, so empty groups report 0). */
+  def q17LeftJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total_spend"))
+  }
+
+  /** R18: semi-structured extraction from the JSON props column. */
+  def q18Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(when(col("k") > 50, 1)).as("n_big"))
+
+  /** R19: time-dimension extraction + aggregate (hour-of-day profile). */
+  def q19TimeExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
 }

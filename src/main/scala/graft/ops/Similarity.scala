@@ -42,7 +42,8 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      q: Array[Double], k: Int): DataFrame =
     cosineToQuery(emb, vecCol, q)
-      .select(col(idCol), round(col("cos"), 4).as("cos"))
+      // +0.0 collapses IEEE -0.0 (oracle byte-parity for near-zero cosines)
+      .select(col(idCol), (round(col("cos"), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 

@@ -68,6 +68,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(asof.select("purchase_id").distinct().count() == nPurch)
   }
 
+  test("q16 rollup includes subtotal and grand-total rows") {
+    val r = Relational.q16Rollup(spark, sf).collect()
+    val grand = r.filter(x => x.isNullAt(0) && x.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+    assert(r.exists(x => !x.isNullAt(0) && x.isNullAt(1))) // per-flag subtotal
+  }
+
+  test("q17 left join keeps customers with zero orders") {
+    val r = Relational.q17LeftJoin(spark, sf)
+    assert(r.count() == Tables.customer(spark, sf).count())
+    assert(r.filter(col("n_orders") === 0 && col("total_spend") === 0.0).count() >= 0)
+  }
+
+  test("q18 json extraction sums the k field") {
+    val r = Relational.q18Json(spark, sf)
+    assert(r.count() == 5) // one row per event_type
+    assert(r.agg(sum("sum_k")).head().getLong(0) > 0)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

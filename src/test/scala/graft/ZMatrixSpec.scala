@@ -93,4 +93,20 @@ class ZMatrixSpec extends AnyFunSuite {
     val dt = m.astypeInt.schema("v").dataType
     assert(dt == org.apache.spark.sql.types.IntegerType)
   }
+
+  test("boolean column indexing by column mean") {
+    // col means: (1+4+7+0)/4=3, (2+5+8+1)/4=4, (3+6+9+2)/4=5
+    val kept = m.filterColsByMean(_ > 3.5).cells.select("j").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("scaleCols standardizes each column (scanpy scale)") {
+    val got = ZLocal.toDense(m.scaleCols, 4, 3)
+    // col 0: mean 3, var 7.5 -> (1-3)/sqrt(7.5)
+    assert(math.abs(got(0)(0) - (1.0 - 3.0) / math.sqrt(7.5)) < 1e-6)
+    // standardized columns have ~zero mean
+    for (j <- 0 until 3)
+      assert(math.abs((0 until 4).map(i => got(i)(j)).sum) < 1e-5)
+  }
 }
