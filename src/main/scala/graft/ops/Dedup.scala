@@ -43,25 +43,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signatures in ONE map-side-combining hash aggregate.
-    * Each shingle string is hashed ONCE to a long; the `numHashes`
-    * independent hash functions remix that long (seeded xxhash64 on 8
-    * bytes, not on the string). No `distinct` — min() is idempotent over
-    * duplicate shingles, so the pre-aggregation shuffle would be pure
-    * waste (and partial aggregation shrinks the shuffle to one row of
-    * `numHashes` longs per (partition, doc)). */
+  /** MinHash signatures → (doc_id, sig: array<bigint>) via the custom
+    * one-pass MinHashAgg aggregate (graft.functions.MinHashAgg): shingle
+    * structs are built with native array ops and consumed per-document —
+    * no explode, so the aggregate's input is |docs| rows, not
+    * |docs|·|shingles|, and the shuffle ships `numHashes` longs per doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingle: Int): DataFrame = {
-    val sh = shingleHashExplode(docs, idCol, textCol, shingle)
-    val aggs = (0 until numHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"mh$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val toks = tokensOf(col(textCol))
+    val len = greatest(size(toks) - (shingle - 1), lit(0))
+    val zipped = arrays_zip((1 to shingle).map(i => slice(toks, lit(i), len)): _*)
+    docs.select(col(idCol).as("doc_id"), zipped.as("shingles"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("shingles"), numHashes, shingle).as("sig"))
   }
 
   /** Band the signature: band b hashes rows [b*r, (b+1)*r). Output long form
     * (doc_id, band, bucket) ready for the bucket join. */
   def bands(sigs: DataFrame, bandsN: Int, rowsPerBand: Int): DataFrame = {
     val banded = (0 until bandsN).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(10000 + b) +: cols: _*).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(banded: _*)).as("bb"))
