@@ -59,6 +59,11 @@ object SparkEntry {
     }),
     "arr_bool_cols" -> ((s, d) => mat(s, d).filterColsByMean(_ > 25).cells),
     "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
+    "arr_center_rows" -> ((s, d) => {
+      val m = mat(s, d)
+      val rowMeans = m.aggAxis1.select(col("i"), (col("sum_v") / col("n")).as("v"))
+      m.overRows(rowMeans)((v, mv) => round(v - mv, 6) + 0.0).cells
+    }),
     "arr_add_matrices" -> ((s, d) => {
       val m = mat(s, d); (m + (m * 2.0)).cells
     }),
@@ -66,6 +71,7 @@ object SparkEntry {
       mat(s, d).gt(25).cells.groupBy(col("i"))
         .agg(count(when(col("v") === 1.0, 1)).as("n_hot"))),
     "arr_agg_axis0" -> ((s, d) => mat(s, d).aggAxis0),
+    "arr_median_axis0" -> ((s, d) => mat(s, d).medianAxis0),
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
@@ -115,6 +121,7 @@ object SparkEntry {
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
+    "stream_join" -> ((s, d) => Stream.streamJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -298,6 +305,20 @@ object SparkEntry {
         |  / sqrt((sum(v * v) OVER (PARTITION BY j)
         |          - sum(v) OVER (PARTITION BY j) * sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j))
         |         / count(*) OVER (PARTITION BY j)), 6) + 0 AS v FROM m""".stripMargin,
+    "arr_center_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round(v - sum(v) OVER (PARTITION BY i) / count(*) OVER (PARTITION BY i), 6) + 0 AS v FROM m""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND p.user_id = v.user_id
+        | AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+    "arr_median_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j, round(quantile_cont(v, 0.5), 4) AS v FROM m GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

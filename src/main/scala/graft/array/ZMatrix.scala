@@ -87,6 +87,11 @@ final case class ZMatrix(cells: DataFrame) {
   def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
   def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
 
+  /** Exact median per column (sort-based linear interpolation, the
+    * NumPy/quantile_cont definition). */
+  def medianAxis0: DataFrame =
+    cells.groupBy(col("j")).agg(round(expr("percentile(v, 0.5)"), 4).as("v"))
+
   def aggAxis1: DataFrame =
     cells.groupBy(col("i")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
   def sumAxis1: DataFrame = cells.groupBy(col("i")).agg(sum(col("v")).as("v"))
@@ -167,6 +172,17 @@ object ZMatrix {
   def fromLongForm(df: DataFrame, iCol: String, jCol: String, vCol: String): ZMatrix =
     ZMatrix(df.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j"),
       col(vCol).cast("double").as("v")))
+
+  /** zappy zeros/ones: constant matrices built distributed (range × range,
+    * no driver-side materialization). */
+  def constant(spark: SparkSession, rows: Long, cols: Long, value: Double): ZMatrix = {
+    import spark.implicits._
+    val r = spark.range(rows).select(col("id").as("i"))
+    val c = spark.range(cols).select(col("id").as("j"))
+    ZMatrix(r.crossJoin(c).withColumn("v", lit(value)))
+  }
+  def zeros(spark: SparkSession, rows: Long, cols: Long): ZMatrix = constant(spark, rows, cols, 0.0)
+  def ones(spark: SparkSession, rows: Long, cols: Long): ZMatrix = constant(spark, rows, cols, 1.0)
 
   /** zappy from_ndarray: local dense matrix -> distributed coordinate form. */
   def fromDense(spark: SparkSession, m: Array[Array[Double]]): ZMatrix = {

@@ -40,6 +40,37 @@ object Stream {
       col("event_type"), col("n"), col("cents"))
   }
 
+  /** Stream-stream inner join: each purchase joined to the views by the
+    * same user in the preceding hour. Watermarks bound both sides' state
+    * (views older than the range + slack are evicted); inner-join matches
+    * emit as found, so the finite-input result is deterministic and equals
+    * the batch range join the oracle runs. */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = s"target/tmp/stream_events_join_$sfName"
+    val batch = graft.Tables.events(spark, sfDir)
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+
+    val joined = purchases.join(views,
+      purchases("user_id") === views("user_id") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+
+    val qn = s"stream_join_$sfName"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

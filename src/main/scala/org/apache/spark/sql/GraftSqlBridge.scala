@@ -9,4 +9,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-BUILT session (extensions only
+    * bind at session construction; this is the live-session equivalent). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -101,6 +101,14 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("zeros/ones constructors build distributed constants") {
+    val z = ZMatrix.ones(spark, 5, 4)
+    assert(z.aggFull.head().getAs[Double]("sum_v") == 20.0)
+    assert(ZMatrix.zeros(spark, 3, 3).cells.count() == 9)
+    // median of column 0: values (1,4,7,0) -> interpolated 2.5
+    assert(m.medianAxis0.orderBy("j").head().getDouble(1) == 2.5)
+  }
+
   test("scaleCols standardizes each column (scanpy scale)") {
     val got = ZLocal.toDense(m.scaleCols, 4, 3)
     // col 0: mean 3, var 7.5 -> (1-3)/sqrt(7.5)
