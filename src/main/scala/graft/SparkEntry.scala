@@ -97,6 +97,9 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5))),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dupPlanes, minCos = 0.3)),

@@ -120,6 +120,39 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Distributed connected components over a near-dup pair graph
+    * (id1, id2) → (doc_id, component = min doc id reachable). Min-label
+    * propagation: each round joins labels to the edge list and takes the
+    * elementwise min; converges in O(diameter) rounds. The driver loop
+    * controls ITERATIONS only (log-bounded) — per-round work is
+    * joins/aggregates on the distributed edge list, and `localCheckpoint`
+    * truncates the growing lineage. This is the keeper-selection stage of
+    * a dedup pipeline: keep doc_id == component, drop the rest. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(col("doc_id"), least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("component", "old").as("l"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over word hashes: per-bit ±1 votes, one hash aggregate
     * (64 sums), fingerprint assembled from vote signs. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

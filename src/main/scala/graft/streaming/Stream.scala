@@ -12,18 +12,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Stream {
 
+  /** Stage the events table once per (sf, schema) as the file-stream
+    * source dir; reused by every streaming query in the session. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def eventsStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = s"target/tmp/stream_events_$sfName"
+    val schema = staged.computeIfAbsent(tmp, { _ =>
+      val batch = graft.Tables.events(spark, sfDir)
+      batch.write.mode("overwrite").parquet(tmp)
+      batch.schema
+    })
+    (spark.readStream.schema(schema).parquet(tmp), sfName)
+  }
+
   /** Tumbling-window aggregate (1 h) over the events stream. Money goes
     * through exact integer cents (unordered double sums would not be
     * bit-stable across engines). Returns the finished result as a batch
     * DataFrame: (ws epoch-secs, event_type, n, cents).
     */
   def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmp = s"target/tmp/stream_events_$sfName"
-    val batch = graft.Tables.events(spark, sfDir)
-    batch.write.mode("overwrite").parquet(tmp)
-
-    val stream = spark.readStream.schema(batch.schema).parquet(tmp)
+    val (stream, sfName) = eventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -46,12 +56,7 @@ object Stream {
     * emit as found, so the finite-input result is deterministic and equals
     * the batch range join the oracle runs. */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmp = s"target/tmp/stream_events_join_$sfName"
-    val batch = graft.Tables.events(spark, sfDir)
-    batch.write.mode("overwrite").parquet(tmp)
-
-    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val (src, sfName) = eventsStream(spark, sfDir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
       .withWatermark("pts", "2 hours")

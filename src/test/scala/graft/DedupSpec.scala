@@ -50,6 +50,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 5L)))
   }
 
+  test("connected components: chains merge, min id labels the component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components on a longer chain (diameter > 2)") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs).collect().map(_.getLong(1)).distinct
+    assert(cc.toSeq == Seq(1L))
+  }
+
   test("deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
