@@ -303,11 +303,13 @@ object SparkEntry {
         |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM m GROUP BY 1 HAVING sum(v) / count(*) > 25)""".stripMargin,
     "arr_scale" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
-        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
-        |SELECT i, j, round((v - sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j))
-        |  / sqrt((sum(v * v) OVER (PARTITION BY j)
-        |          - sum(v) OVER (PARTITION BY j) * sum(v) OVER (PARTITION BY j) / count(*) OVER (PARTITION BY j))
-        |         / count(*) OVER (PARTITION BY j)), 6) + 0 AS v FROM m""".stripMargin,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT i, j, v,
+        |  sum(v) OVER w / count(*) OVER w AS mu,
+        |  sqrt((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
+        |       / count(*) OVER w) AS sd
+        |  FROM m WINDOW w AS (PARTITION BY j))
+        |SELECT i, j, CASE WHEN sd = 0 THEN 0.0 ELSE round((v - mu) / sd, 6) + 0 END AS v FROM s""".stripMargin,
     "arr_center_rows" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -130,7 +130,9 @@ final case class ZMatrix(cells: DataFrame) {
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("_sd"))
     ZMatrix(cells.join(broadcast(stats), Seq("j"))
       .select(col("i"), col("j"),
-        (round((col("v") - col("_mu")) / col("_sd"), 6) + 0.0).as("v")))
+        // zero-variance columns scale to 0 (scanpy convention), not NaN
+        when(col("_sd") === 0.0, 0.0)
+          .otherwise(round((col("v") - col("_mu")) / col("_sd"), 6) + 0.0).as("v")))
   }
 
   /** Integer-range slicing `X[i0:i1, j0:j1]` — a pushed-down range filter. */

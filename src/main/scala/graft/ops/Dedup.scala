@@ -114,7 +114,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bandsN: Int = 16, shingle: Int = 3,
                    minJaccard: Double = 0.05): DataFrame = {
+    // Docs too short to have any shingle share the sentinel (MaxValue)
+    // signature and would all band-collide with each other — drop them
+    // before banding (they cannot be near-dups at this shingle size).
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
     val cand = candidatePairs(bands(sigs, bandsN, numHashes / bandsN))
     jaccardVerify(cand, docs, idCol, textCol, shingle)
       .filter(col("jaccard") >= minJaccard)

@@ -69,6 +69,13 @@ object Zarr {
     d.end(); out.toByteArray
   }
 
+  /** Decode one chunk file's bytes into row-major doubles. */
+  def decodeChunk(bytes0: Array[Byte], nElems: Int, zlib: Boolean): Array[Double] = {
+    val bytes = if (zlib) inflate(bytes0, nElems * 8) else bytes0
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(nElems)(bb.getDouble)
+  }
+
   private def inflate(b: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater(); inf.setInput(b)
     val out = new Array[Byte](outLen)

@@ -50,6 +50,11 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 5L)))
   }
 
+  test("shingle-less short docs never pair with each other") {
+    val shorties = Seq((10L, "one two"), (11L, "ab cd"), (12L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(shorties, "doc_id", "text", minJaccard = 0.0).count() == 0)
+  }
+
   test("connected components: chains merge, min id labels the component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
     val cc = Dedup.connectedComponents(pairs).collect()

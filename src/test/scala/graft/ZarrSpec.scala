@@ -29,6 +29,15 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("DataSource V2: spark.read.format(\"zarr\") matches Zarr.read") {
+    val path = "/root/repo/target/tmp/zarr_test_dsv2"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
+    val viaDs = spark.read.format("zarr").load(path)
+    assert(viaDs.rdd.getNumPartitions == 6) // one partition per chunk
+    val got = ZLocal.toDense(ZMatrix(viaDs), 10, 5)
+    assert(got.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
   test("absent cells read back as fill value") {
     val path = "/root/repo/target/tmp/zarr_test_fill"
     val sparse = ZMatrix.fromDense(spark, dense).slice(0, 10, 0, 2) // drop cols 2..4
