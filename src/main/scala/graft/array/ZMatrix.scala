@@ -35,6 +35,11 @@ final case class ZMatrix(cells: DataFrame) {
   def abs_   : ZMatrix = mapValues(abs)
   def neg    : ZMatrix = mapValues(c => -c)
   def pow_(p: Double): ZMatrix = mapValues(pow(_, p))
+  def sign_  : ZMatrix = mapValues(signum)
+  def round_ : ZMatrix = mapValues(round(_, 0))
+  def clip(lo: Double, hi: Double): ZMatrix = mapValues(c => least(greatest(c, lit(lo)), lit(hi)))
+  def maximum(sc: Double): ZMatrix = mapValues(c => greatest(c, lit(sc)))
+  def minimum(sc: Double): ZMatrix = mapValues(c => least(c, lit(sc)))
 
   // ---- scalar arithmetic (NumPy scalar broadcasting) ----
   def +(sc: Double): ZMatrix = mapValues(_ + sc)

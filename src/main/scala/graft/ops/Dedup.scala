@@ -157,6 +157,21 @@ object Dedup {
     labels
   }
 
+  /** End-to-end dedup: exact dup groups collapse to their min id, then
+    * MinHash near-dup components collapse to theirs; returns the surviving
+    * (kept) documents. The whole pipeline is hash-bucketed — no stage is
+    * all-pairs. */
+  def deduplicate(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val exactKeep = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val afterExact = docs.join(exactKeep, Seq(idCol), "left_semi")
+    val comps = connectedComponents(
+      minhashPairs(afterExact, idCol, textCol, minJaccard = minJaccard))
+    val drop = comps.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    afterExact.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over word hashes: per-bit ±1 votes, one hash aggregate
     * (64 sums), fingerprint assembled from vote signs. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -51,4 +51,40 @@ object Multimodal {
     import spark.implicits._
     asMedia(docs, idCol, textCol).mapPartitions(decodeBatches).toDF()
   }
+
+  // ---- further stubbed media kernels (same batched plumbing) ----
+
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+  final case class FrameSample(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB resize: deterministic payload downsample standing in for an image
+    * scaler; real part is the schema + bounded batch memory. */
+  def resizeStub(r: MediaRow, w: Int, h: Int): ResizedMedia = {
+    val target = math.max(1, math.min(r.payload.length, w * h))
+    val step = math.max(1, r.payload.length / target)
+    ResizedMedia(r.doc_id, w, h, r.payload.grouped(step).map(_.head).toArray)
+  }
+
+  /** STUB frame sampling: every `stride`-th payload window as a "frame" —
+    * stands in for video frame extraction; one input row fans out to many
+    * frame rows (the shape that matters for partition sizing at scale). */
+  def frameSampleStub(r: MediaRow, frameBytes: Int, stride: Int): Iterator[FrameSample] =
+    r.payload.grouped(frameBytes).zipWithIndex
+      .filter { case (_, idx) => idx % stride == 0 }
+      .map { case (bytes, idx) => FrameSample(r.doc_id, idx, bytes) }
+
+  def resized(docs: DataFrame, idCol: String, textCol: String, w: Int, h: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs, idCol, textCol)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeStub(_, w, h)))).toDF()
+  }
+
+  def frames(docs: DataFrame, idCol: String, textCol: String,
+             frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs, idCol, textCol)
+      .mapPartitions(_.flatMap(frameSampleStub(_, frameBytes, stride))).toDF()
+  }
 }

@@ -90,6 +90,9 @@ object Zarr {
     val meta = Meta(rows, cols, chunkRows, chunkCols, zlib, fill)
     val dir = new File(path)
     dir.mkdirs()
+    // stale chunks from a previous shape/chunking would corrupt reads
+    Option(dir.list()).foreach(_.filter(_.matches("\\d+\\.\\d+"))
+      .foreach(f => new File(dir, f).delete()))
     Files.write(Paths.get(path, ".zarray"), metaJson(meta).getBytes("UTF-8"))
 
     val withChunk = m.cells.select(

@@ -68,6 +68,13 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.toSeq == Seq(1L))
   }
 
+  test("end-to-end deduplicate keeps one representative per cluster") {
+    val kept = Dedup.deduplicate(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {0,1,2} collapse to 0 (exact 0=1, near-dup 2); {3,5} collapse to 3
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq

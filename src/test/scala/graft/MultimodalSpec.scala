@@ -18,6 +18,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1L).getInt(4) == 3)
   }
 
+  test("resize and frame-sample stubs: schema, fan-out, determinism") {
+    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+    val rz = Multimodal.resized(docs, "doc_id", "text", 8, 8)
+    assert(rz.columns.toSeq == Seq("doc_id", "width", "height", "payload"))
+    assert(rz.head().getInt(1) == 8)
+    val fr = Multimodal.frames(docs, "doc_id", "text", frameBytes = 64, stride = 2)
+    assert(fr.columns.toSeq == Seq("doc_id", "frame_idx", "payload"))
+    // 300 bytes -> frames 0..4, stride 2 keeps 0,2,4
+    assert(fr.select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2, 4))
+  }
+
   test("stub decode is pure and batch-size independent") {
     val rows = (1 to 200).map(i => Multimodal.MediaRow(i.toLong, Array.fill(i)(7.toByte), "x"))
     val once = Multimodal.decodeBatches(rows.iterator).toSeq

@@ -27,6 +27,13 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(sq(1)(1) == math.sqrt(5.0))
   }
 
+  test("clip / maximum / minimum / sign ufuncs") {
+    val c = ZLocal.toDense(m.clip(2.0, 7.0), 4, 3)
+    assert(c(0)(0) == 2.0 && c(2)(2) == 7.0 && c(1)(1) == 5.0)
+    assert(ZLocal.toDense((m - 5.0).sign_, 4, 3)(0)(0) == -1.0)
+    assert(ZLocal.toDense(m.maximum(8.0), 4, 3)(0)(0) == 8.0)
+  }
+
   test("scalar arithmetic and affine") {
     val got = ZLocal.toDense(m.affine(2.5, 1.0), 4, 3)
     assert(got(1)(2) == 6.0 * 2.5 + 1.0)
