@@ -130,8 +130,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(sum(l_extendedprice), 4) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
         | round(avg(l_quantity), 6) AS avg_qty, count(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
         |GROUP BY 1, 2""".stripMargin,
@@ -140,7 +140,7 @@ object SparkEntry {
         |WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_discount > 0.05""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -154,7 +154,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM region, nation, customer, supplier, orders, lineitem
         |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
         |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey
@@ -162,7 +162,7 @@ object SparkEntry {
         |  AND c_nationkey = s_nationkey
         |GROUP BY 1""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q7_topk_orders" ->
@@ -210,14 +210,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
         | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-        | round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q16_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q17_left_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        | coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+        | coalesce(round(sum(o_totalprice), 4), 0.0) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     "q18_json" ->

@@ -15,8 +15,11 @@ import graft.Tables._
   *  - every filter/projection is expressed on base columns so Catalyst
   *    pushes it into the parquet scan (PushedFilters / ReadSchema);
   *  - aggregates are hash aggregates with map-side partial aggregation;
-  *  - money sums are rounded to 2dp in BOTH engines (oracle parity);
-  *    unordered event-value sums go through exact integer cents.
+  *  - unordered money sums are rounded to 4dp in BOTH engines: the true
+  *    sums are exact 4-decimal rationals, which can land exactly ON the
+  *    2-decimal half-grid (a last-ulp summation-order difference would
+  *    then flip the rounded cent) but never on the 4-decimal one;
+  *    event-value sums go through exact integer cents.
   */
 object Relational {
 
@@ -27,8 +30,8 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("n"))
 
@@ -49,7 +52,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -78,7 +81,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
   }
 
   /** R6/Q6: forecast revenue — single-row selective aggregate. */
@@ -87,7 +90,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
 
   /** R7: global top-k with deterministic tie-break. TakeOrderedAndProject:
     * per-partition top-k then a single k-row merge — no full sort shuffle. */
@@ -174,7 +177,11 @@ object Relational {
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"))
+        // round to 4 (not 2): even-count medians of 2-decimal prices land
+        // EXACTLY on the 2-decimal half-grid, so a last-ulp difference
+        // between engines flips the rounded cent; the 4-decimal grid is
+        // 5e-5 away from any achievable midpoint
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
 
   /** R16: ROLLUP grouping sets (subtotals + grand total in one pass). */
   def q16Rollup(s: SparkSession, d: String): DataFrame =
@@ -189,7 +196,7 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total_spend"))
+        coalesce(round(sum(col("o_totalprice")), 4), lit(0.0)).as("total_spend"))
   }
 
   /** R18: semi-structured extraction from the JSON props column. */
