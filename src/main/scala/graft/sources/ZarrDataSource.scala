@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,8 +54,41 @@ class ZarrTable(path: String) extends Table with SupportsRead {
     new ZarrScanBuilder(path)
 }
 
-class ZarrScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new ZarrScan(path)
+/** Pushes i/j range filters down to CHUNK PRUNING: a chunk whose index
+  * range cannot satisfy the predicates is never planned, so
+  * `X[a:b, c:d]` on a 100 TB store touches only the overlapping chunks.
+  * Filters stay in `postScanFilters` too (we prune chunks, not rows). */
+class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var iLo = Long.MinValue; private var iHi = Long.MaxValue
+  private var jLo = Long.MinValue; private var jHi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (understood, rest) = filters.partition {
+      case GreaterThanOrEqual("i" | "j", _: Long) => true
+      case GreaterThan("i" | "j", _: Long) => true
+      case LessThan("i" | "j", _: Long) => true
+      case LessThanOrEqual("i" | "j", _: Long) => true
+      case _ => false
+    }
+    understood.foreach {
+      case GreaterThanOrEqual("i", v: Long) => iLo = iLo.max(v)
+      case GreaterThan("i", v: Long)        => iLo = iLo.max(v + 1)
+      case LessThan("i", v: Long)           => iHi = iHi.min(v - 1)
+      case LessThanOrEqual("i", v: Long)    => iHi = iHi.min(v)
+      case GreaterThanOrEqual("j", v: Long) => jLo = jLo.max(v)
+      case GreaterThan("j", v: Long)        => jLo = jLo.max(v + 1)
+      case LessThan("j", v: Long)           => jHi = jHi.min(v - 1)
+      case LessThanOrEqual("j", v: Long)    => jHi = jHi.min(v)
+      case _ => ()
+    }
+    pushed = understood
+    filters // chunk-level pruning only: Spark must still apply row filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZarrScan(path, iLo, iHi, jLo, jHi)
 }
 
 /** One partition per chunk of the grid; `file == null` marks an all-fill
@@ -64,7 +97,8 @@ case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                               zlib: Boolean, fill: Double) extends InputPartition
 
-class ZarrScan(path: String) extends Scan with Batch {
+class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
+               jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = ZarrDataSource.cellSchema
   override def toBatch: Batch = this
 
@@ -73,7 +107,12 @@ class ZarrScan(path: String) extends Scan with Batch {
     val present = new java.io.File(path).list().filter(_.matches("\\d+\\.\\d+")).toSet
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
-    (for (ci <- 0 until gridR; cj <- 0 until gridC) yield {
+    def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
+      c.toLong * size <= hi && (c.toLong + 1) * size - 1 >= lo
+    (for {
+      ci <- 0 until gridR if overlaps(ci, meta.chunkRows, iLo, iHi)
+      cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
+    } yield {
       val f = if (present.contains(s"$ci.$cj")) s"$path/$ci.$cj" else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill): InputPartition

@@ -38,6 +38,19 @@ class ZarrSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("DSv2 filter pushdown prunes chunks") {
+    import org.apache.spark.sql.functions.col
+    val path = "/root/repo/target/tmp/zarr_test_prune"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3)
+    // rows 0-3 = chunk row 0 only; cols 3-4 = chunk col 1 only -> 1 of 6 chunks
+    val pruned = spark.read.format("zarr").load(path)
+      .filter(col("i") < 4L && col("j") >= 3L)
+    assert(pruned.rdd.getNumPartitions == 1)
+    val rows = pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 8) // 4 rows x cols {3,4}
+    assert(rows.forall { case (i, j, v) => v == dense(i.toInt)(j.toInt) })
+  }
+
   test("absent cells read back as fill value") {
     val path = "/root/repo/target/tmp/zarr_test_fill"
     val sparse = ZMatrix.fromDense(spark, dense).slice(0, 10, 0, 2) // drop cols 2..4
