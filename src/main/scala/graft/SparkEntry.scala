@@ -49,6 +49,8 @@ object SparkEntry {
     "q17_left_join" -> Relational.q17LeftJoin _,
     "q18_json" -> Relational.q18Json _,
     "q19_time_extract" -> Relational.q19TimeExtract _,
+    "q20_above_avg" -> Relational.q20AboveAvg _,
+    "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
 
     // ---- zappy array surface (matrix: i=orderkey, j=linenumber, v=quantity) ----
     "arr_log1p" -> ((s, d) => mat(s, d).log1p_.mapValues(round(_, 6)).cells),
@@ -125,6 +127,7 @@ object SparkEntry {
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
     "stream_join" -> ((s, d) => Stream.streamJoin(s, d)),
+    "stream_sessionize" -> ((s, d) => Stream.sessionizeStream(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -324,6 +327,26 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT j, round(quantile_cont(v, 0.5), 4) AS v FROM m GROUP BY 1""".stripMargin,
+    "q20_above_avg" ->
+      """WITH p AS (SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+        |b AS (SELECT p_brand AS bb, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS bn
+        |      FROM p GROUP BY 1)
+        |SELECT p_partkey, p_brand, p_retailprice
+        |FROM p JOIN b ON p_brand = bb
+        |WHERE cents * bn > sum_cents""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |f AS (SELECT user_id, ts, event_id, es,
+        |  CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, es,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |s AS (SELECT user_id, session_id, count(*) AS n_events,
+        |      max(es) - min(es) AS dur_secs FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events, dur_secs FROM s
+        |WHERE session_id < (SELECT max(session_id) FROM s s2 WHERE s2.user_id = s.user_id)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

@@ -212,4 +212,26 @@ object Relational {
     events(s, d)
       .groupBy(hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+
+  /** R20: decorrelated scalar subquery — parts priced above their brand's
+    * average. The comparison runs in exact integer cents scaled by the
+    * group count (price·n > sum), so engine summation-order noise can
+    * never flip a boundary row. Brand stats broadcast back to the scan. */
+  def q20AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).withColumn("cents", round(col("p_retailprice") * 100).cast("long"))
+    val stats = p.groupBy(col("p_brand").as("b"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("bn"))
+    p.join(broadcast(stats), p("p_brand") === stats("b"))
+      .filter(col("cents") * col("bn") > col("sum_cents"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+  }
+
+  /** R21: sketch-based distinct counts (HLL). Sketches differ across
+    * engines, so this is rows-only checked; OrdersSpec asserts the
+    * estimate lands within 5% of exact. */
+  def q21ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 }

@@ -111,4 +111,21 @@ object Stream {
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFn)
   }
+
+  /** Stateful sessionization driven over the events file stream. The
+    * finite input arrives in one batch, so the emitted result is exactly
+    * the CLOSED sessions — every session except each user's last (which
+    * stays open in state, awaiting more data / a timeout in production).
+    * That set is deterministic and batch-expressible, so it oracle-checks. */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val evs = src.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("es")).as[Ev]
+    val qn = s"stream_sess_$sfName"
+    val q = sessionize(evs).writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+  }
 }

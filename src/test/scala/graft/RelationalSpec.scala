@@ -88,6 +88,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.agg(sum("sum_k")).head().getLong(0) > 0)
   }
 
+  test("q21 approx distinct within 5% of exact") {
+    val approx = Relational.q21ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
