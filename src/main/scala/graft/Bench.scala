@@ -21,6 +21,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Warm the engine (scheduler, codegen compiler, shuffle machinery) so
+    // the alphabetically-first query isn't billed for session startup.
+    // Touches no benchmark tables.
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+
     val results: Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

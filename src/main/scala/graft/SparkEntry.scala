@@ -83,6 +83,20 @@ object SparkEntry {
     "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
     "arr_rechunk" -> ((s, d) => mat(s, d).rechunk(64).cells),
     "arr_row_normalize" -> ((s, d) => mat(s, d).rowNormalize.cells),
+    // Gram matrix of the embeddings table through the array layer: the
+    // 2000×64 dense matrix XᵀX (PCA prep) — shuffles on vec_id only,
+    // output is a 64×64 constant.
+    "arr_gram_embeddings" -> ((s, d) => {
+      val cells = Tables.embeddings(s, d).select(col("vec_id").as("i"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v")))
+      ZMatrix(cells.select(col("i"), col("j").cast("long").as("j"), col("v")))
+        .gram.mapValues(c => round(c, 4) + 0.0).cells
+    }),
+    "q22_sql_surface" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+              |FROM lineitem_v GROUP BY 1""".stripMargin)
+    }),
     "zarr_roundtrip" -> ((s, d) => {
       val m = mat(s, d)
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
@@ -347,6 +361,14 @@ object SparkEntry {
         |      max(es) - min(es) AS dur_secs FROM g GROUP BY 1, 2)
         |SELECT user_id, session_id, n_events, dur_secs FROM s
         |WHERE session_id < (SELECT max(session_id) FROM s s2 WHERE s2.user_id = s.user_id)""".stripMargin,
+    "arr_gram_embeddings" ->
+      """WITH m AS (SELECT vec_id AS i, r.i AS j, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+        |           FROM embeddings CROSS JOIN range(64) r(i))
+        |SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) + 0 AS v
+        |FROM m a JOIN m b ON a.i = b.i GROUP BY 1, 2""".stripMargin,
+    "q22_sql_surface" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
