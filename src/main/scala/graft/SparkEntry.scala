@@ -51,6 +51,7 @@ object SparkEntry {
     "q19_time_extract" -> Relational.q19TimeExtract _,
     "q20_above_avg" -> Relational.q20AboveAvg _,
     "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
+    "q23_pivot" -> Relational.q23Pivot _,
 
     // ---- zappy array surface (matrix: i=orderkey, j=linenumber, v=quantity) ----
     "arr_log1p" -> ((s, d) => mat(s, d).log1p_.mapValues(round(_, 6)).cells),
@@ -369,6 +370,14 @@ object SparkEntry {
     "q22_sql_surface" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q23_pivot" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

@@ -234,4 +234,13 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  /** R23: pivot — hour-of-day × event-type counts. The explicit value
+    * list keeps it a single-pass conditional aggregate (no extra job to
+    * discover pivot values). */
+  def q23Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
 }
