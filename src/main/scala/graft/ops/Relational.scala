@@ -42,15 +42,17 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
 
   /** R3/Q3: shipping priority — 3-table join + agg + top-k.
-    * customer is broadcast (dimension-sized); orders⋈lineitem shuffles on
-    * orderkey, and the groupBy reuses that key (no second shuffle).
+    * customer SCALES with the data (fact-sized at 100 TB), so it gets no
+    * broadcast hint — AQE broadcasts it while it fits and shuffle-joins
+    * beyond that; orders⋈lineitem shuffles on orderkey, and the groupBy
+    * reuses that key (no second shuffle).
     */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("revenue"))
@@ -67,7 +69,10 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** R5/Q5: region revenue — 6-table join; all dimensions broadcast. */
+  /** R5/Q5: region revenue — 6-table join. Only the FIXED-cardinality
+    * dimensions (nation=25, region=5 at any SF) carry broadcast hints;
+    * customer/supplier scale with the data, so AQE picks their strategy
+    * (broadcast while small, shuffle at 100 TB). */
   def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
     val r  = region(s, d).filter(col("r_name") === "ASIA")
     val n  = nation(s, d)
@@ -76,8 +81,8 @@ object Relational {
     val o  = orders(s, d)
     val l  = lineitem(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
