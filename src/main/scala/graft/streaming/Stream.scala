@@ -16,6 +16,18 @@ object Stream {
     * source dir; reused by every streaming query in the session. */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Streaming state partition count is fixed at query start from
+    * shuffle.partitions; 32 partitions × sides × micro-batches of
+    * state-store files dominate small local runs, so streaming queries
+    * run with a smaller count (a real deployment sizes this to state
+    * volume, not to the CPU count). */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def eventsStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val tmp = s"target/tmp/stream_events_$sfName"
@@ -41,9 +53,11 @@ object Stream {
         sum(round(col("value") * 100).cast("long")).as("cents"))
 
     val qn = s"win_agg_$sfName"
-    val q = agg.writeStream.format("memory").queryName(qn)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
     spark.table(qn).select(
       unix_timestamp(col("window.start").cast("timestamp")).as("ws"),
@@ -57,12 +71,14 @@ object Stream {
     * the batch range join the oracle runs. */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val (src, sfName) = eventsStream(spark, sfDir)
+    // watermark = join range (1 h) + slack: state for a view is evictable
+    // once no future purchase can reach back to it
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
-      .withWatermark("pts", "2 hours")
+      .withWatermark("pts", "65 minutes")
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
-      .withWatermark("vts", "2 hours")
+      .withWatermark("vts", "65 minutes")
 
     val joined = purchases.join(views,
       purchases("user_id") === views("user_id") &&
@@ -70,9 +86,11 @@ object Stream {
       .select(col("purchase_id"), col("view_id"))
 
     val qn = s"stream_join_$sfName"
-    val q = joined.writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qn)
   }
 
@@ -123,9 +141,11 @@ object Stream {
     val evs = src.select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts").cast("timestamp")).as("es")).as[Ev]
     val qn = s"stream_sess_$sfName"
-    val q = sessionize(evs).writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = sessionize(evs).writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qn)
   }
 }
