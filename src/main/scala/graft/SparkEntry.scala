@@ -75,6 +75,11 @@ object SparkEntry {
         .agg(count(when(col("v") === 1.0, 1)).as("n_hot"))),
     "arr_agg_axis0" -> ((s, d) => mat(s, d).aggAxis0),
     "arr_median_axis0" -> ((s, d) => mat(s, d).medianAxis0),
+    "arr_minmax_axis0" -> ((s, d) => {
+      val m = mat(s, d)
+      m.minAxis0.withColumnRenamed("v", "min_v")
+        .join(m.maxAxis0.withColumnRenamed("v", "max_v"), Seq("j"))
+    }),
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
@@ -378,6 +383,10 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "arr_minmax_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j, min(v) AS min_v, max(v) AS max_v FROM m GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

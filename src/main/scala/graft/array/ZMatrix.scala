@@ -47,6 +47,8 @@ final case class ZMatrix(cells: DataFrame) {
   def *(sc: Double): ZMatrix = mapValues(_ * sc)
   def /(sc: Double): ZMatrix = mapValues(_ / sc)
   def affine(a: Double, b: Double): ZMatrix = mapValues(c => c * a + b)
+  def floorDiv(sc: Double): ZMatrix = mapValues(c => floor(c / sc).cast("double"))
+  def mod_(sc: Double): ZMatrix = mapValues(c => c - floor(c / sc) * sc) // NumPy mod (sign of divisor)
 
   // ---- comparison ufuncs -> 0/1 mask (zappy boolean arrays) ----
   def gt(sc: Double): ZMatrix  = mapValues(c => when(c > sc, 1.0).otherwise(0.0))
@@ -91,6 +93,14 @@ final case class ZMatrix(cells: DataFrame) {
 
   def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
   def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
+  def minAxis0: DataFrame = cells.groupBy(col("j")).agg(min(col("v")).as("v"))
+  def maxAxis0: DataFrame = cells.groupBy(col("j")).agg(max(col("v")).as("v"))
+  def minAxis1: DataFrame = cells.groupBy(col("i")).agg(min(col("v")).as("v"))
+  def maxAxis1: DataFrame = cells.groupBy(col("i")).agg(max(col("v")).as("v"))
+
+  /** NumPy any/all over a 0/1 mask matrix, per row. */
+  def anyAxis1: DataFrame = cells.groupBy(col("i")).agg((max(col("v")) > 0).as("v"))
+  def allAxis1: DataFrame = cells.groupBy(col("i")).agg((min(col("v")) > 0).as("v"))
 
   /** Exact median per column (sort-based linear interpolation, the
     * NumPy/quantile_cont definition). */

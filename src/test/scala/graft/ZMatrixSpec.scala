@@ -27,6 +27,19 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(sq(1)(1) == math.sqrt(5.0))
   }
 
+  test("min/max axis reductions, any/all, floorDiv/mod") {
+    val mins = m.minAxis0.orderBy("j").collect().map(_.getDouble(1)).toSeq
+    assert(mins == Seq(0.0, 1.0, 2.0))
+    val maxs = m.maxAxis1.orderBy("i").collect().map(_.getDouble(1)).toSeq
+    assert(maxs == Seq(3.0, 6.0, 9.0, 2.0))
+    val any = m.gt(6.0).anyAxis1.orderBy("i").collect().map(_.getBoolean(1)).toSeq
+    assert(any == Seq(false, false, true, false))
+    val all = m.gt(0.5).allAxis1.orderBy("i").collect().map(_.getBoolean(1)).toSeq
+    assert(all == Seq(true, true, true, false)) // last row contains 0
+    assert(ZLocal.toDense(m.floorDiv(2.0), 4, 3)(2)(1) == 4.0) // 8 / 2
+    assert(ZLocal.toDense(m.mod_(3.0), 4, 3)(2)(0) == 1.0) // 7 mod 3
+  }
+
   test("clip / maximum / minimum / sign ufuncs") {
     val c = ZLocal.toDense(m.clip(2.0, 7.0), 4, 3)
     assert(c(0)(0) == 2.0 && c(2)(2) == 7.0 && c(1)(1) == 5.0)
