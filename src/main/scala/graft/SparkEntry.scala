@@ -89,6 +89,23 @@ object SparkEntry {
     "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
     "arr_rechunk" -> ((s, d) => mat(s, d).rechunk(64).cells),
     "arr_row_normalize" -> ((s, d) => mat(s, d).rowNormalize.cells),
+    // The scanpy preprocessing recipe as ONE composed plan:
+    // normalize_per_cell → log1p (scaled counts) → per-gene standardize.
+    // Final rounding at 4dp: the scale stage's column moments come from
+    // unordered sums of irrational values, so the 1e-11 engine noise needs
+    // the wider half-grid margin (SURVEY §5).
+    "arr_recipe_scanpy" -> ((s, d) => {
+      val normalized = mat(s, d).rowNormalize
+      val lg = normalized.mapValues(c => log1p(c * 10000))
+      val stats = lg.cells.groupBy(col("j")).agg(
+          sum(col("v")).as("_s"), count(lit(1)).as("_n"),
+          sum(col("v") * col("v")).as("_ss"))
+        .select(col("j"), (col("_s") / col("_n")).as("_mu"),
+          sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("_sd"))
+      lg.cells.join(broadcast(stats), Seq("j"))
+        .select(col("i"), col("j"),
+          (round((col("v") - col("_mu")) / col("_sd"), 4) + 0.0).as("v"))
+    }),
     // Gram matrix of the embeddings table through the array layer: the
     // 2000×64 dense matrix XᵀX (PCA prep) — shuffles on vec_id only,
     // output is a 64×64 constant.
@@ -387,6 +404,17 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT j, min(v) AS min_v, max(v) AS max_v FROM m GROUP BY 1""".stripMargin,
+    "arr_recipe_scanpy" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |rn AS (SELECT i, j, round(v / sum(v) OVER (PARTITION BY i), 6) AS v FROM m),
+        |lg AS (SELECT i, j, ln(1 + v * 10000) AS v FROM rn),
+        |st AS (SELECT i, j, v,
+        |  sum(v) OVER w / count(*) OVER w AS mu,
+        |  sqrt((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
+        |       / count(*) OVER w) AS sd
+        |  FROM lg WINDOW w AS (PARTITION BY j))
+        |SELECT i, j, round((v - mu) / sd, 4) + 0 AS v FROM st""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
