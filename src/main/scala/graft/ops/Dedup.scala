@@ -144,14 +144,15 @@ object Dedup {
     while (!converged && it < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
+      // carry the changed flag inside the checkpointed frame: one
+      // materialization per round, convergence read off the cached result
       val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
-        .select(col("doc_id"), least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component")).as("changed"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.withColumnRenamed("component", "old").as("l"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.select(col("doc_id"), col("component"))
       it += 1
     }
     labels
