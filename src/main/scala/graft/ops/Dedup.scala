@@ -14,15 +14,6 @@ object Dedup {
 
   def tokensOf(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word k-shingles as strings ("a b c"). Empty array when too short. */
-  def shinglesOf(c: Column, k: Int): Column = {
-    val toks = tokensOf(c)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        x => concat_ws(" ", slice(toks, x + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Exploded word k-shingle HASHES: (doc_id, h) one row per shingle
     * position. Shingles are assembled with NATIVE array ops only —
     * k shifted `slice`s zipped positionally — and hashed AFTER the explode
