@@ -136,9 +136,13 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    // Components over the simhash near-dup graph (hamming ≤ 3): every stage
+    // (fingerprint, pigeonhole pairs, min-label propagation) has a DuckDB
+    // twin, so keeper selection is oracle-checked end-to-end. The minhash
+    // variant of this pipeline is exercised by Dedup.deduplicate's tests.
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5))),
+        Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text")))),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dupPlanes, minCos = 0.3)),
@@ -167,7 +171,102 @@ object SparkEntry {
     "stream_sessionize" -> ((s, d) => Stream.sessionizeStream(s, d)),
   )
 
+  // ---- generated DuckDB oracle SQL for hash/vector operators ----
+  // These twins reproduce graft's hashing and float folds bit-identically:
+  // the token hash is an md5 prefix (md5 exists in both engines), and every
+  // dot product is an ORDERED left fold (list_reduce) matching DotProduct's
+  // index-order loop, so even sign decisions at hyperplane boundaries agree.
+
+  private def sqlDoubles(xs: Array[Double]): String =
+    xs.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Ordered left-fold dot product — bit-identical to DotProduct's loop. */
+  private def dotFold(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def dotFoldLit(a: String, plane: Array[Double]): String =
+    s"list_reduce(list_transform(range(1, 65), i -> ($a)[i]::DOUBLE * (${sqlDoubles(plane)})[i]), (x, y) -> x + y)"
+
+  /** Hyperplane-sign bucket, matching Similarity.withBucket. */
+  private def bucketSqlOf(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, idx) =>
+      s"(CASE WHEN ${dotFoldLit(vec, p)} > 0 THEN ${1 << idx} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE chain computing (doc_id, simhash) exactly as Dedup.simhash. */
+  private val simhashFpCtes: String = {
+    val votes = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val fp = (0 until Dedup.SimhashBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM v)""".stripMargin
+  }
+
+  private val langidSql: String = {
+    val scores = graft.ops.TextOps.langMarkers.map { case (lang, ws) =>
+      "(" + ws.map(w => s"len(regexp_extract_all(lt, '\\b$w\\b'))").mkString(" + ") + s") AS s_$lang"
+    }.mkString(", ")
+    s"""WITH lt AS (SELECT doc_id, lower(text) AS lt, text FROM documents),
+       |sc AS (SELECT doc_id, $scores,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh FROM lt)
+       |SELECT doc_id, CASE WHEN s_zh > 0 THEN 'zh'
+       |  WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+       |  WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+       |  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+       |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang FROM sc""".stripMargin
+  }
+
+  private val annLshSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qd AS (SELECT q.qe, ${bucketSqlOf("q.qe", annPlanes)} AS qbucket,
+       |  sqrt(${dotFold("q.qe", "q.qe")}) AS qn FROM q q),
+       |sc AS (SELECT e.vec_id,
+       |  ${dotFold("e.embedding", "qd.qe")} / (sqrt(${dotFold("e.embedding", "e.embedding")}) * qd.qn) AS cos,
+       |  ${bucketSqlOf("e.embedding", annPlanes)} AS bucket, qd.qbucket AS qbucket
+       |  FROM embeddings e CROSS JOIN qd)
+       |SELECT vec_id, round(cos, 4) + 0 AS cos FROM sc
+       |WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 2
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  private val embNearDupSql: String =
+    s"""WITH b AS (SELECT e.vec_id AS doc_id, e.embedding AS vec,
+       |  ${bucketSqlOf("e.embedding", dupPlanes)} AS bucket,
+       |  sqrt(${dotFold("e.embedding", "e.embedding")}) AS nrm FROM embeddings e),
+       |p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |  ${dotFold("a.vec", "c.vec")} / (a.nrm * c.nrm) AS cos
+       |  FROM b a JOIN b c ON a.doc_id < c.doc_id
+       |   AND bit_count(xor(a.bucket::BIGINT, c.bucket::BIGINT)) <= 1)
+       |SELECT id1, id2, round(cos, 4) AS cos FROM p WHERE cos >= 0.3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"WITH $simhashFpCtes SELECT doc_id, simhash FROM fp",
+    // Connected components as a recursive CTE: the all-pairs hamming join is
+    // oracle-side only (fine at sf0.01); graft's pigeonhole+cap generates the
+    // identical pair set because ≤3 differing bits leave ≥1 of 4 blocks equal.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $simhashFpCtes,
+         |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2 FROM fp a JOIN fp c
+         |       ON a.doc_id < c.doc_id AND bit_count(xor(a.simhash, c.simhash)) <= 3),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2 AS src, id1 AS dst FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(17::BIGINT,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007)),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_langid" -> langidSql,
+    "ann_lsh_topk" -> annLshSql,
+    "emb_neardup" -> embNearDupSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 4) AS sum_base,

@@ -8,11 +8,21 @@ import org.apache.spark.sql.functions._
   * generated ONLY inside LSH buckets (never an all-pairs cross join), and a
   * per-bucket cap bounds the worst-case quadratic blowup on skewed buckets,
   * so the shapes survive a 100 TB corpus.
-  * All hashing is `xxhash64` (codegen'd, deterministic across runs/executors).
+  * Hashing: `xxhash64` (codegen'd, deterministic) on Spark-only paths
+  * (minhash family); md5-prefix [[Dedup.mdHash60]] where the DuckDB oracle
+  * must reproduce values bit-identically (simhash).
   */
 object Dedup {
 
   def tokensOf(c: Column): Column = split(trim(c), "\\s+")
+
+  /** First 60 bits of md5 as a signed long — the oracle-parity hash: DuckDB
+    * computes the identical value as `('0x' || substring(md5(t),1,15))::BIGINT`.
+    * Used where the driver's DuckDB oracle must reproduce the hash (simhash);
+    * xxhash64 stays on the Spark-only paths (minhash family) where it's
+    * cheaper. All builtin codegen'd expressions. */
+  def mdHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Exploded word k-shingle HASHES: (doc_id, h) one row per shingle
     * position. Shingles are assembled with NATIVE array ops only —
@@ -164,37 +174,51 @@ object Dedup {
     afterExact.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over word hashes: per-bit ±1 votes, one hash aggregate
-    * (64 sums), fingerprint assembled from vote signs. */
+  /** 60-bit SimHash over word hashes: per-bit ±1 votes, one hash aggregate
+    * (60 sums), fingerprint assembled from vote signs. 60 bits (not 64)
+    * because the token hash is the md5-prefix [[mdHash60]], which the DuckDB
+    * oracle reproduces bit-identically — simhash is fully oracle-checkable. */
+  val SimhashBits = 60
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokensOf(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h", mdHash60(col("t")))
+    val votes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(b =>
+    val fp = (0 until SimhashBits).map(b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3):
-    * pigeonhole on 4×16-bit blocks — a pair within distance 3 must agree on
-    * at least one block, so the bucket join covers all such pairs. */
-  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * pigeonhole on 4×15-bit blocks — a pair within distance 3 must agree on
+    * at least one block, so the bucket join covers all such pairs.
+    *
+    * Like [[candidatePairs]], the in-bucket cross product is generated from
+    * ONE aggregation with a `maxBucket` cap (sorted, so the kept prefix is
+    * deterministic): a degenerate block key shared by k docs costs
+    * min(k, maxBucket)² pairs, never k² — the skew guard that makes this
+    * survive a 1B-doc corpus where a hot 15-bit key would otherwise hold
+    * ~15k docs ⇒ ~10⁸ pairs. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
     val blocks = fps.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+            shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val l = blocks.as("l"); val r = blocks.as("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    blocks.groupBy(col("blk"), col("key"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))), 1, maxBucket).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("m1"), col("ms"))
+      .select(col("m1"), explode(col("ms")).as("m2"))
+      .filter(col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("id1"), col("m2.doc_id").as("id2"),
+        bit_count(col("m1.simhash").bitwiseXOR(col("m2.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -45,14 +45,19 @@ object TextOps {
         when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4).as("quality"))
   }
 
+  /** Stopword marker lists for [[langId]] — public so the DuckDB oracle SQL
+    * is generated from the same source of truth. Order matters: earlier
+    * languages win score ties (the argmax fold keeps the accumulator). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was", "that", "with", "for"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "una", "que", "por", "para", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+
   /** Stopword/charset language ID (en/fr/es/de/zh). Scores = stopword hits
     * per language via word-boundary regex counts; CJK wins by charset. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is", "was", "that", "with", "for"),
-      "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"),
-      "es" -> Seq("el", "los", "las", "una", "que", "por", "para", "con"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val markers = langMarkers
     val t = lower(col(textCol))
     val scores: Seq[(String, Column)] = markers.map { case (lang, words) =>
       lang -> words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
@@ -70,13 +75,12 @@ object TextOps {
   }
 
   /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike a
-    * bag-of-words hash): sequential fold via `aggregate` — codegen'd.
-    * Arithmetic stays under 2^36 (mod 1e9+7 each step) so ANSI mode never
-    * overflows. */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = 1000000007L
+    * bag-of-words hash). A native Catalyst expression
+    * ([[graft.functions.Md5Fingerprint]]) — the previous `aggregate`
+    * higher-order function ran interpreted; this stays inside whole-stage
+    * codegen AND is oracle-checkable (md5-prefix token hash, reproduced by
+    * DuckDB via `list_reduce`). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      aggregate(Dedup.tokensOf(col(textCol)), lit(17L),
-        (acc, tok) => pmod(acc * 31 + pmod(xxhash64(tok), lit(p)), lit(p))).as("fingerprint"))
-  }
+      graft.functions.Md5Fingerprint.fingerprint(col(textCol)).as("fingerprint"))
 }

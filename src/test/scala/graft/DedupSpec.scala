@@ -50,6 +50,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 5L)))
   }
 
+  test("simhash pairs: maxBucket caps a hot block key (bounded-pairs skew guard)") {
+    // 50 identical fingerprints — every block key is shared by all 50 docs.
+    // Uncapped this is C(50,2)=1225 pairs; maxBucket=10 bounds it to the
+    // sorted prefix: C(10,2)=45 pairs among doc_ids 0..9.
+    val hot = spark.range(50).selectExpr("id AS doc_id", "1234567890123L AS simhash")
+    val capped = Dedup.simhashPairs(hot, maxHamming = 3, maxBucket = 10).collect()
+    assert(capped.length == 45)
+    assert(capped.map(r => math.max(r.getLong(0), r.getLong(1))).max == 9L)
+    val uncapped = Dedup.simhashPairs(hot, maxHamming = 3).count()
+    assert(uncapped == 1225L)
+  }
+
   test("shingle-less short docs never pair with each other") {
     val shorties = Seq((10L, "one two"), (11L, "ab cd"), (12L, "x y")).toDF("doc_id", "text")
     assert(Dedup.minhashPairs(shorties, "doc_id", "text", minJaccard = 0.0).count() == 0)
