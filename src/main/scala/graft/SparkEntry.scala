@@ -84,6 +84,11 @@ object SparkEntry {
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
     "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
+    // NumPy fancy indexing X[[7,3,11,3,42,999], :][:, [5,1,3,1]] — gather
+    // with duplicates on both axes (positions remap, repeats repeat).
+    "arr_fancy_index" -> ((s, d) =>
+      mat(s, d).selectRows(Seq(7L, 3L, 11L, 3L, 42L, 999L))
+        .selectCols(Seq(5L, 1L, 3L, 1L)).cells),
     "arr_astype" -> ((s, d) => mat(s, d).astypeInt),
     "arr_transpose" -> ((s, d) => mat(s, d).transpose.cells),
     "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
@@ -140,9 +145,15 @@ object SparkEntry {
     // (fingerprint, pigeonhole pairs, min-label propagation) has a DuckDB
     // twin, so keeper selection is oracle-checked end-to-end. The minhash
     // variant of this pipeline is exercised by Dedup.deduplicate's tests.
+    // maxBucket is explicitly UNCAPPED here because the oracle's all-pairs
+    // hamming join has no cap: exact-duplicate texts share identical
+    // fingerprints, so a hot bucket past the default cap would silently
+    // change component assignments at larger scale factors. The capped
+    // default stays the production/scale configuration.
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text")))),
+        Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
+          maxBucket = Int.MaxValue))),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dupPlanes, minCos = 0.3)),
@@ -411,6 +422,13 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m WHERE i >= 100 AND i < 300 AND j >= 2 AND j < 5""".stripMargin,
+    "arr_fancy_index" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |ri(pos, src) AS (VALUES (0, 7), (1, 3), (2, 11), (3, 3), (4, 42), (5, 999)),
+        |ci(pos, src) AS (VALUES (0, 5), (1, 1), (2, 3), (3, 1))
+        |SELECT CAST(ri.pos AS BIGINT) AS i, CAST(ci.pos AS BIGINT) AS j, m.v
+        |FROM m JOIN ri ON m.i = ri.src JOIN ci ON m.j = ci.src""".stripMargin,
     "arr_astype" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -154,8 +154,46 @@ final case class ZMatrix(cells: DataFrame) {
   def slice(i0: Long, i1: Long, j0: Long, j1: Long): ZMatrix =
     ZMatrix(cells.filter(col("i") >= i0 && col("i") < i1 && col("j") >= j0 && col("j") < j1))
 
+  /** NumPy integer-array (fancy) row indexing `X[idx, :]`: output row p is
+    * input row idx(p) — duplicates in `idx` repeat rows (gather semantics).
+    * The index list is an O(k) parameter, so it joins as a broadcast local
+    * relation; the `i`-match also prunes as an IN-list at the scan. */
+  def selectRows(idx: Seq[Long]): ZMatrix = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val gather = broadcast(idx.zipWithIndex.map { case (src, p) => (src, p.toLong) }
+      .toDF("_src", "_pos"))
+    ZMatrix(cells.join(gather, col("i") === col("_src"))
+      .select(col("_pos").as("i"), col("j"), col("v")))
+  }
+
+  /** NumPy fancy column indexing `X[:, idx]` — same gather, on `j`. */
+  def selectCols(idx: Seq[Long]): ZMatrix = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val gather = broadcast(idx.zipWithIndex.map { case (src, p) => (src, p.toLong) }
+      .toDF("_src", "_pos"))
+    ZMatrix(cells.join(gather, col("j") === col("_src"))
+      .select(col("i"), col("_pos").as("j"), col("v")))
+  }
+
   // ---- dtype / shape ops ----
   def astypeInt: DataFrame = cells.select(col("i"), col("j"), col("v").cast("int").as("v"))
+
+  /** zappy `astype`: cast the value column to a target dtype, keeping the
+    * coordinate form. Doubles stay the in-flight representation for float
+    * targets (f8/f4 — an f4 target rounds through Float), integral targets
+    * truncate like NumPy's C cast. */
+  def astype(dtype: String): ZMatrix = {
+    val v = dtype match {
+      case "f8" | "double" => col("v").cast("double")
+      case "f4" | "float"  => col("v").cast("float").cast("double")
+      case "i8" | "long"   => col("v").cast("long").cast("double")
+      case "i4" | "int"    => col("v").cast("int").cast("double")
+      case other           => throw new IllegalArgumentException(s"unsupported dtype $other")
+    }
+    ZMatrix(sel(v))
+  }
   def transpose: ZMatrix = ZMatrix(cells.select(col("j").as("i"), col("i").as("j"), col("v")))
 
   /** Matmul this(i,k) × other(k,j): shuffle both sides on the contraction

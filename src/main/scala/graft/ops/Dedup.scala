@@ -201,9 +201,12 @@ object Dedup {
     * Like [[candidatePairs]], the in-bucket cross product is generated from
     * ONE aggregation with a `maxBucket` cap (sorted, so the kept prefix is
     * deterministic): a degenerate block key shared by k docs costs
-    * min(k, maxBucket)² pairs, never k² — the skew guard that makes this
-    * survive a 1B-doc corpus where a hot 15-bit key would otherwise hold
-    * ~15k docs ⇒ ~10⁸ pairs. */
+    * min(k, maxBucket)² pairs, never k² — the skew guard on the QUADRATIC
+    * term. Caveat: the `collect_list` buffer itself is still O(k) structs
+    * for a k-doc bucket before the slice, so a pathological single key
+    * (e.g. billions of byte-identical docs that skipped exact dedup) is
+    * bounded by executor memory, not by `maxBucket` — run [[exact]] first
+    * (as [[deduplicate]] does) so identical texts collapse before simhash. */
   def simhashPairs(fps: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
     val blocks = fps.select(col("doc_id"), col("simhash"),

@@ -20,12 +20,24 @@ object Stream {
     * shuffle.partitions; 32 partitions × sides × micro-batches of
     * state-store files dominate small local runs, so streaming queries
     * run with a smaller count (a real deployment sizes this to state
-    * volume, not to the CPU count). */
+    * volume, not to the CPU count). State lives in RocksDB (the 100 TB
+    * deployment choice: bounded executor heap, changelog-checkpointable)
+    * instead of the default in-heap HDFS-backed map. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    val pKey = "spark.sql.shuffle.partitions"
+    val sKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevP = spark.conf.get(pKey)
+    val prevS = spark.conf.getOption(sKey)
+    spark.conf.set(pKey, n.toString)
+    spark.conf.set(sKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      spark.conf.set(pKey, prevP)
+      prevS match {
+        case Some(v) => spark.conf.set(sKey, v)
+        case None    => spark.conf.unset(sKey)
+      }
+    }
   }
 
   private def eventsStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {

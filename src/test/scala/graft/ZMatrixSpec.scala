@@ -114,6 +114,20 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(dt == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("astype f4 rounds through Float; i8 truncates") {
+    val third = ZMatrix.fromDense(spark, Array(Array(1.0 / 3.0)))
+    assert(ZLocal.toDense(third.astype("f4"), 1, 1)(0)(0) == (1.0f / 3.0f).toDouble)
+    assert(ZLocal.toDense((m / 2.0).astype("i8"), 4, 3)(2)(1) == 4.0) // 8/2=4
+    assert(ZLocal.toDense((m / 2.0).astype("i4"), 4, 3)(1)(0) == 2.0) // 4/2=2
+  }
+
+  test("fancy indexing gathers rows/cols with duplicates (X[[2,0,2], :][:, [1,1]])") {
+    val got = ZLocal.toDense(m.selectRows(Seq(2L, 0L, 2L)).selectCols(Seq(1L, 1L)), 3, 2)
+    assert(got(0).toSeq == Seq(8.0, 8.0)) // row 2, col 1 twice
+    assert(got(1).toSeq == Seq(2.0, 2.0)) // row 0
+    assert(got(2).toSeq == Seq(8.0, 8.0)) // row 2 again
+  }
+
   test("boolean column indexing by column mean") {
     // col means: (1+4+7+0)/4=3, (2+5+8+1)/4=4, (3+6+9+2)/4=5
     val kept = m.filterColsByMean(_ > 3.5).cells.select("j").distinct()
