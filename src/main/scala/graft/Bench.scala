@@ -26,8 +26,13 @@ object Bench {
     // Touches no benchmark tables.
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
 
+    // SPARK_GRAFT_ONLY=comma,separated,substrings — local iteration filter;
+    // the driver never sets it, so its runs time every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val results: Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

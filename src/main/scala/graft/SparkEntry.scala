@@ -142,18 +142,21 @@ object SparkEntry {
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
     // Components over the simhash near-dup graph (hamming ≤ 3): every stage
-    // (fingerprint, pigeonhole pairs, min-label propagation) has a DuckDB
-    // twin, so keeper selection is oracle-checked end-to-end. The minhash
-    // variant of this pipeline is exercised by Dedup.deduplicate's tests.
-    // maxBucket is explicitly UNCAPPED here because the oracle's all-pairs
-    // hamming join has no cap: exact-duplicate texts share identical
-    // fingerprints, so a hot bucket past the default cap would silently
-    // change component assignments at larger scale factors. The capped
-    // default stays the production/scale configuration.
-    "dedup_components" -> ((s, d) =>
+    // (exact pre-pass, fingerprint, pigeonhole pairs, min-label propagation)
+    // has a DuckDB twin, so keeper selection is oracle-checked end-to-end.
+    // Exact duplicates are collapsed BEFORE simhash — identical texts are
+    // the only systematic source of hot fingerprint buckets, so after the
+    // pre-pass the production maxBucket=1000 cap is safe here too: a capped
+    // bucket would need >1000 DISTINCT texts sharing a 15-bit block key.
+    // The oracle CTE applies the same pre-pass, so both engines compute
+    // components over the exact-deduped corpus.
+    "dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val kept = docs.join(keep, Seq("doc_id"), "left_semi")
       Dedup.connectedComponents(
-        Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-          maxBucket = Int.MaxValue))),
+        Dedup.simhashPairs(Dedup.simhash(kept, "doc_id", "text")))
+    }),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dupPlanes, minCos = 0.3)),
@@ -204,13 +207,14 @@ object SparkEntry {
       s"(CASE WHEN ${dotFoldLit(vec, p)} > 0 THEN ${1 << idx} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Shared CTE chain computing (doc_id, simhash) exactly as Dedup.simhash. */
-  private val simhashFpCtes: String = {
+  /** Shared CTE chain computing (doc_id, simhash) exactly as Dedup.simhash,
+    * over `source` (the documents table, or an exact-deduped CTE of it). */
+  private def simhashFpCtes(source: String = "documents"): String = {
     val votes = (0 until Dedup.SimhashBits).map(b =>
       s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
     val fp = (0 until Dedup.SimhashBits).map(b =>
       s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ")
-    s"""tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM $source),
        |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok),
        |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
        |fp AS (SELECT doc_id, $fp AS simhash FROM v)""".stripMargin
@@ -254,12 +258,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" ->
-      s"WITH $simhashFpCtes SELECT doc_id, simhash FROM fp",
+      s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
     // Connected components as a recursive CTE: the all-pairs hamming join is
     // oracle-side only (fine at sf0.01); graft's pigeonhole+cap generates the
     // identical pair set because ≤3 differing bits leave ≥1 of 4 blocks equal.
+    // Same exact-dedup pre-pass as the Spark body: components are computed
+    // over the corpus with identical texts collapsed to their min doc_id.
     "dedup_components" ->
-      s"""WITH RECURSIVE $simhashFpCtes,
+      s"""WITH RECURSIVE
+         |keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+         |docs_kept AS (SELECT d.doc_id, d.text FROM documents d
+         |              JOIN keep k ON d.doc_id = k.doc_id),
+         |${simhashFpCtes("docs_kept")},
          |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2 FROM fp a JOIN fp c
          |       ON a.doc_id < c.doc_id AND bit_count(xor(a.simhash, c.simhash)) <= 3),
          |edges AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2 AS src, id1 AS dst FROM pr),

@@ -125,38 +125,83 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Distributed connected components over a near-dup pair graph
-    * (id1, id2) → (doc_id, component = min doc id reachable). Min-label
-    * propagation: each round joins labels to the edge list and takes the
-    * elementwise min; converges in O(diameter) rounds. The driver loop
-    * controls ITERATIONS only (log-bounded) — per-round work is
+  /** Connected components over a near-dup pair graph
+    * (id1, id2) → (doc_id, component = min doc id reachable). Two regimes:
+    * below `localEdgeThreshold` edges, union-find on the collected edge
+    * list (the graph is broadcast-class data — one job, no iteration);
+    * above it, distributed min-label propagation with pointer doubling,
+    * where the driver loop controls ITERATIONS only — per-round work is
     * joins/aggregates on the distributed edge list, and `localCheckpoint`
-    * truncates the growing lineage. This is the keeper-selection stage of
-    * a dedup pipeline: keep doc_id == component, drop the rest. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
-      // carry the changed flag inside the checkpointed frame: one
-      // materialization per round, convergence read off the cached result
-      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
-          (coalesce(col("nbr"), col("component")) < col("component")).as("changed"))
+    * truncates the growing lineage. Both produce identical labels. This is
+    * the keeper-selection stage of a dedup pipeline: keep
+    * doc_id == component, drop the rest. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          localEdgeThreshold: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgePairs = pairs.select(col("id1").cast("long").as("src"),
+      col("id2").cast("long").as("dst")).localCheckpoint()
+    val edgeCount = edgePairs.count()
+    if (edgeCount <= localEdgeThreshold) {
+      // Near-dup candidate graphs are SPARSE — orders of magnitude smaller
+      // than the corpus (LSH buckets are capped, so pair counts are
+      // quadratic-bounded per bucket). Up to the threshold (~80 MB of longs,
+      // the same class of driver traffic as a broadcast join) union-find on
+      // the driver beats any iterative distributed plan: one job instead of
+      // O(log d) join rounds. The distributed loop below remains the path
+      // for genuinely large graphs.
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgePairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // root = min id of the component: union always keeps the smaller root
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      out.toDF("doc_id", "component")
+    } else {
+      val edges = edgePairs
+        .union(edgePairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
-      converged = updated.filter(col("changed")).limit(1).count() == 0
-      labels = updated.select(col("doc_id"), col("component"))
-      it += 1
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id"))
+        .localCheckpoint()
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        val viaEdge = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("component"))
+        // pointer doubling: component(x)=y ∧ component(y)=z ⇒ z reachable
+        // from x (edges are symmetric), so min-ing in z is sound and lets
+        // labels hop through already-merged prefixes
+        val viaLabel = labels.as("a")
+          .join(labels.as("b"), col("a.component") === col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("b.component").as("component"))
+        val nbrMin = viaEdge.union(viaLabel)
+          .groupBy(col("doc_id")).agg(min(col("component")).as("nbr"))
+        // carry the changed flag inside the checkpointed frame: one
+        // materialization per round, convergence read off the cached result
+        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+            (coalesce(col("nbr"), col("component")) < col("component")).as("changed"))
+          .localCheckpoint()
+        converged = updated.filter(col("changed")).limit(1).count() == 0
+        labels = updated.select(col("doc_id"), col("component"))
+        it += 1
+      }
+      labels
     }
-    labels
   }
 
   /** End-to-end dedup: exact dup groups collapse to their min id, then

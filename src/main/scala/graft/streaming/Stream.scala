@@ -16,21 +16,33 @@ object Stream {
     * source dir; reused by every streaming query in the session. */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** State-store provider. RocksDB is the at-scale deployment choice
+    * (bounded executor heap, changelog checkpointing for TB-sized state),
+    * but measured at local[32] with toy state it REGRESSES every streaming
+    * query (~2× — per-partition instance spin-up × partitions × sides ×
+    * micro-batches dominates; BASELINE.md optimization ledger, round 4).
+    * So the default here is Spark's in-memory HDFS-backed provider, and
+    * deployments opt into RocksDB with GRAFT_STATE_STORE=rocksdb (or a
+    * fully-qualified provider class). */
+  private val stateStoreProvider: Option[String] =
+    sys.env.get("GRAFT_STATE_STORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case cls => cls
+    }
+
   /** Streaming state partition count is fixed at query start from
     * shuffle.partitions; 32 partitions × sides × micro-batches of
     * state-store files dominate small local runs, so streaming queries
     * run with a smaller count (a real deployment sizes this to state
-    * volume, not to the CPU count). State lives in RocksDB (the 100 TB
-    * deployment choice: bounded executor heap, changelog-checkpointable)
-    * instead of the default in-heap HDFS-backed map. */
+    * volume, not to the CPU count). */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
     val sKey = "spark.sql.streaming.stateStore.providerClass"
     val prevP = spark.conf.get(pKey)
     val prevS = spark.conf.getOption(sKey)
     spark.conf.set(pKey, n.toString)
-    spark.conf.set(sKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    stateStoreProvider.foreach(spark.conf.set(sKey, _))
     try body finally {
       spark.conf.set(pKey, prevP)
       prevS match {

@@ -80,6 +80,18 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.toSeq == Seq(1L))
   }
 
+  test("distributed label-propagation path matches union-find path") {
+    // adversarial ordering: min id sits mid-chain, plus a shuffled cluster
+    val pairs = (Seq((9L, 4L), (4L, 1L), (1L, 6L), (6L, 8L), (8L, 3L)) ++
+      Seq((20L, 25L), (25L, 22L), (21L, 22L))).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local.values.toSet == Set(1L, 20L))
+  }
+
   test("end-to-end deduplicate keeps one representative per cluster") {
     val kept = Dedup.deduplicate(docs, "doc_id", "text", minJaccard = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
