@@ -7,9 +7,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,10 +33,12 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrDataSource.cellSchema
+  // external metadata: writes arrive with the query's own schema
+  // (ci, cj, i, j, v) — reads still infer the cell schema above
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new ZarrTable(properties.get("path"))
-  override def supportsExternalMetadata(): Boolean = false
+    new ZarrTable(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object ZarrDataSource {
@@ -44,14 +48,18 @@ object ZarrDataSource {
     StructField("v", DoubleType, nullable = false)))
 }
 
-class ZarrTable(path: String) extends Table with SupportsRead {
-  require(path != null, "zarr source requires .load(path)")
+class ZarrTable(path: String, tableSchema: StructType = ZarrDataSource.cellSchema)
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "zarr source requires .load(path) / .save(path)")
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrDataSource.cellSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ZarrWriteBuilder(path, info)
 }
 
 /** Pushes i/j range filters down to CHUNK PRUNING: a chunk whose index
@@ -95,7 +103,7 @@ class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFil
   * chunk the writer skipped. */
 case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
-                              zlib: Boolean, fill: Double) extends InputPartition
+                              zlib: Boolean, fill: Double, dtype: String) extends InputPartition
 
 class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
                jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
@@ -115,7 +123,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
     } yield {
       val f = if (present.contains(s"$ci.$cj")) s"$path/$ci.$cj" else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
-        meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill): InputPartition
+        meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype): InputPartition
     }).toArray
   }
 
@@ -130,7 +138,7 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
   private val values: Array[Double] =
     if (p.file == null) null
     else Zarr.decodeChunk(Files.readAllBytes(Paths.get(p.file)),
-      p.chunkRows * p.chunkCols, p.zlib)
+      p.chunkRows * p.chunkCols, p.zlib, p.dtype)
 
   private var li = 0
   private var lj = -1
@@ -156,5 +164,152 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
     new GenericInternalRow(Array[Any](curI, curJ, v))
   }
 
+  override def close(): Unit = ()
+}
+
+// ---- write path: df.write.format("zarr") ----
+
+/** Everything a task needs, extracted from the (non-serializable) options
+  * map on the driver. Field indices are resolved once from the write
+  * schema; `rows`/`cols` may be absent and are then inferred at commit
+  * from the per-task max coordinates. */
+case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
+                         rowsOpt: Option[Long], colsOpt: Option[Long],
+                         dtype: String, zlib: Boolean, fill: Double,
+                         ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int)
+
+class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    val opts = info.options()
+    def idxOf(name: String, types: Set[DataType]): Int = {
+      val i = schema.fieldIndex(name)
+      require(types.contains(schema(i).dataType),
+        s"zarr write: column $name must be one of $types, got ${schema(i).dataType}")
+      i
+    }
+    require(opts.containsKey("chunkRows") && opts.containsKey("chunkCols"),
+      "zarr write requires .option(\"chunkRows\", ...) and .option(\"chunkCols\", ...)")
+    val dtype = Option(opts.get("dtype")).getOrElse("<f8")
+    require(Zarr.Dtypes.contains(dtype), s"unsupported dtype $dtype")
+    val conf = ZarrWriteConf(path,
+      opts.get("chunkRows").toInt, opts.get("chunkCols").toInt,
+      Option(opts.get("rows")).map(_.toLong), Option(opts.get("cols")).map(_.toLong),
+      dtype, Option(opts.get("zlib")).exists(_.toBoolean),
+      Option(opts.get("fill")).map(_.toDouble).getOrElse(0.0),
+      idxOf("ci", Set(LongType)), idxOf("cj", Set(LongType)),
+      idxOf("i", Set(LongType)), idxOf("j", Set(LongType)),
+      idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)))
+    new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
+  }
+}
+
+/** The write declares its physical needs instead of shuffling by hand:
+  * clustered distribution on (ci, cj) guarantees each task owns whole
+  * chunks, the sort order lets the task writer stream chunk-by-chunk with
+  * a single chunk buffer in memory. Catalyst inserts (and AQE sizes) the
+  * exchange — this replaces the old side-channel
+  * repartition+sortWithinPartitions+foreachPartition helper. */
+class ZarrWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("ci"), Expressions.column("cj")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("ci"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("cj"), SortDirection.ASCENDING))
+  override def toBatch: BatchWrite = new ZarrBatchWrite(conf, vType, truncate)
+}
+
+case class ZarrCommitMessage(files: Seq[String], maxI: Long, maxJ: Long)
+    extends WriterCommitMessage
+
+class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side prep before any task runs: ensure the store dir exists;
+    // on overwrite, clear stale chunks (a previous shape/chunking would
+    // otherwise corrupt reads) and the old metadata
+    val dir = new java.io.File(conf.path)
+    dir.mkdirs()
+    if (truncate) {
+      Option(dir.list()).foreach(_.filter(f => f.matches("\\d+\\.\\d+") || f == ".zarray")
+        .foreach(f => new java.io.File(dir, f).delete()))
+    }
+    ZarrWriterFactory(conf, vType)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // .zarray lands last: a store is readable only once commit succeeds
+    val ms = messages.collect { case m: ZarrCommitMessage => m }
+    val rows = conf.rowsOpt.getOrElse(ms.map(_.maxI).foldLeft(-1L)(_ max _) + 1)
+    val cols = conf.colsOpt.getOrElse(ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1)
+    Zarr.writeMetaFile(conf.path,
+      Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill, conf.dtype))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: ZarrCommitMessage => m }
+      .foreach(_.files.foreach(f => new java.io.File(f).delete()))
+}
+
+case class ZarrWriterFactory(conf: ZarrWriteConf, vType: DataType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZarrDataWriter(conf, vType)
+}
+
+/** Streams (ci,cj)-sorted rows into one chunk buffer at a time; each chunk
+  * file is written exactly once (the required distribution means no other
+  * task touches it; a retried task rewrites identical bytes, so
+  * direct-to-final naming is idempotent on a filesystem — an object-store
+  * deployment would stage to task-attempt prefixes instead). */
+class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[InternalRow] {
+  private var curCi = Long.MinValue
+  private var curCj = Long.MinValue
+  private var buf: Array[Double] = null
+  private val files = scala.collection.mutable.ListBuffer.empty[String]
+  private var maxI = -1L
+  private var maxJ = -1L
+
+  private def flush(): Unit = if (buf != null) {
+    val bytes = Zarr.encodeChunk(buf, conf.dtype, conf.zlib)
+    val f = new java.io.File(conf.path, s"$curCi.$curCj")
+    val out = new java.io.FileOutputStream(f)
+    try out.write(bytes) finally out.close()
+    files += f.getPath
+  }
+
+  override def write(r: InternalRow): Unit = {
+    val ci = r.getLong(conf.ciIdx)
+    val cj = r.getLong(conf.cjIdx)
+    if (ci != curCi || cj != curCj) {
+      flush()
+      curCi = ci; curCj = cj
+      buf = Array.fill(conf.chunkRows * conf.chunkCols)(conf.fill)
+    }
+    val i = r.getLong(conf.iIdx)
+    val j = r.getLong(conf.jIdx)
+    val v = vType match {
+      case DoubleType  => r.getDouble(conf.vIdx)
+      case FloatType   => r.getFloat(conf.vIdx).toDouble
+      case LongType    => r.getLong(conf.vIdx).toDouble
+      case IntegerType => r.getInt(conf.vIdx).toDouble
+      case other       => throw new IllegalStateException(s"unexpected v type $other")
+    }
+    if (i > maxI) maxI = i
+    if (j > maxJ) maxJ = j
+    buf((i - ci * conf.chunkRows).toInt * conf.chunkCols + (j - cj * conf.chunkCols).toInt) = v
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    buf = null
+    ZarrCommitMessage(files.toSeq, maxI, maxJ)
+  }
+
+  override def abort(): Unit = files.foreach(f => new java.io.File(f).delete())
   override def close(): Unit = ()
 }

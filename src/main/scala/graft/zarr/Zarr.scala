@@ -25,14 +25,29 @@ import graft.array.ZMatrix
 object Zarr {
 
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
-                        zlib: Boolean, fill: Double)
+                        zlib: Boolean, fill: Double, dtype: String = "<f8")
+
+  /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
+    * big) + f8/f4/i8/i4. In-flight values are always doubles (the ZMatrix
+    * substrate); integral dtypes truncate on write, and i8 values beyond
+    * 2^53 lose precision on read-back through double. */
+  val Dtypes: Set[String] = Set("<f8", "<f4", "<i8", "<i4", ">f8", ">f4", ">i8", ">i4")
+
+  def elemSize(dtype: String): Int = dtype.substring(1) match {
+    case "f8" | "i8" => 8
+    case "f4" | "i4" => 4
+    case other => throw new IllegalArgumentException(s"unsupported dtype $other")
+  }
+
+  private def byteOrder(dtype: String): ByteOrder =
+    if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
   private def metaJson(m: Meta): String = {
     val comp = if (m.zlib) """{"id": "zlib", "level": 1}""" else "null"
     s"""{
        |    "chunks": [${m.chunkRows}, ${m.chunkCols}],
        |    "compressor": $comp,
-       |    "dtype": "<f8",
+       |    "dtype": "${m.dtype}",
        |    "fill_value": ${m.fill},
        |    "filters": null,
        |    "order": "C",
@@ -58,10 +73,12 @@ object Zarr {
     val chunks = longs(jsonField(json, "chunks"))
     val zlib = jsonField(json, "compressor").contains("zlib")
     val fill = jsonField(json, "fill_value").toDouble
-    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill)
+    val dtype = jsonField(json, "dtype").replaceAll("\"", "")
+    require(Dtypes.contains(dtype), s"unsupported dtype $dtype")
+    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype)
   }
 
-  private def deflate(b: Array[Byte]): Array[Byte] = {
+  private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater(1); d.setInput(b); d.finish()
     val out = new java.io.ByteArrayOutputStream(b.length / 2)
     val buf = new Array[Byte](8192)
@@ -69,14 +86,34 @@ object Zarr {
     d.end(); out.toByteArray
   }
 
-  /** Decode one chunk file's bytes into row-major doubles. */
-  def decodeChunk(bytes0: Array[Byte], nElems: Int, zlib: Boolean): Array[Double] = {
-    val bytes = if (zlib) inflate(bytes0, nElems * 8) else bytes0
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    Array.fill(nElems)(bb.getDouble)
+  /** Encode a row-major double buffer as raw chunk bytes in `dtype`
+    * (integral dtypes truncate toward zero, the NumPy C-cast rule). */
+  def encodeChunk(buf: Array[Double], dtype: String, zlib: Boolean): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * elemSize(dtype)).order(byteOrder(dtype))
+    dtype.substring(1) match {
+      case "f8" => buf.foreach(bb.putDouble)
+      case "f4" => buf.foreach(v => bb.putFloat(v.toFloat))
+      case "i8" => buf.foreach(v => bb.putLong(v.toLong))
+      case "i4" => buf.foreach(v => bb.putInt(v.toInt))
+    }
+    val raw = bb.array()
+    if (zlib) deflate(raw) else raw
   }
 
-  private def inflate(b: Array[Byte], outLen: Int): Array[Byte] = {
+  /** Decode one chunk file's bytes into row-major doubles. */
+  def decodeChunk(bytes0: Array[Byte], nElems: Int, zlib: Boolean,
+                  dtype: String = "<f8"): Array[Double] = {
+    val bytes = if (zlib) inflate(bytes0, nElems * elemSize(dtype)) else bytes0
+    val bb = ByteBuffer.wrap(bytes).order(byteOrder(dtype))
+    dtype.substring(1) match {
+      case "f8" => Array.fill(nElems)(bb.getDouble)
+      case "f4" => Array.fill(nElems)(bb.getFloat.toDouble)
+      case "i8" => Array.fill(nElems)(bb.getLong.toDouble)
+      case "i4" => Array.fill(nElems)(bb.getInt.toDouble)
+    }
+  }
+
+  private[zarr] def inflate(b: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater(); inf.setInput(b)
     val out = new Array[Byte](outLen)
     var off = 0
@@ -84,49 +121,27 @@ object Zarr {
     inf.end(); out
   }
 
-  /** Write a (dense-semantics) matrix: absent cells become `fill`. */
+  private[graft] def writeMetaFile(path: String, m: Meta): Unit =
+    Files.write(Paths.get(path, ".zarray"), metaJson(m).getBytes("UTF-8"))
+
+  /** Write a (dense-semantics) matrix: absent cells become `fill`.
+    * Thin wrapper over the DSv2 sink (`df.write.format("zarr")`,
+    * graft.sources.ZarrDataSource): the chunk-id shuffle + within-partition
+    * sort is declared via `RequiresDistributionAndOrdering` on (ci, cj), so
+    * Catalyst owns the exchange and AQE can size it. */
   def write(m: ZMatrix, path: String, rows: Long, cols: Long,
-            chunkRows: Int, chunkCols: Int, zlib: Boolean = false, fill: Double = 0.0): Unit = {
-    val meta = Meta(rows, cols, chunkRows, chunkCols, zlib, fill)
-    val dir = new File(path)
-    dir.mkdirs()
-    // stale chunks from a previous shape/chunking would corrupt reads
-    Option(dir.list()).foreach(_.filter(_.matches("\\d+\\.\\d+"))
-      .foreach(f => new File(dir, f).delete()))
-    Files.write(Paths.get(path, ".zarray"), metaJson(meta).getBytes("UTF-8"))
-
-    val withChunk = m.cells.select(
-      (col("i") / chunkRows).cast("long").as("ci"),
-      (col("j") / chunkCols).cast("long").as("cj"),
-      col("i"), col("j"), col("v"))
-
-    // One shuffle on the chunk id; each task then owns whole chunks.
-    withChunk.repartition(col("ci"), col("cj"))
-      .sortWithinPartitions(col("ci"), col("cj"))
-      .foreachPartition { rows0: Iterator[org.apache.spark.sql.Row] =>
-        var cur: (Long, Long) = null
-        var buf: Array[Double] = null
-        def flush(): Unit = if (cur != null) {
-          val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-          buf.foreach(bb.putDouble)
-          val raw = bb.array()
-          val bytes = if (meta.zlib) deflate(raw) else raw
-          val f = new FileOutputStream(new File(dir, s"${cur._1}.${cur._2}"))
-          try f.write(bytes) finally f.close()
-        }
-        rows0.foreach { r =>
-          val key = (r.getLong(0), r.getLong(1))
-          if (key != cur) {
-            flush(); cur = key
-            buf = Array.fill(chunkRows * chunkCols)(fill)
-          }
-          val li = (r.getLong(2) - key._1 * chunkRows).toInt
-          val lj = (r.getLong(3) - key._2 * chunkCols).toInt
-          buf(li * chunkCols + lj) = r.getDouble(4)
-        }
-        flush()
-      }
-  }
+            chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
+            fill: Double = 0.0, dtype: String = "<f8"): Unit =
+    m.cells.select(
+        (col("i") / chunkRows).cast("long").as("ci"),
+        (col("j") / chunkCols).cast("long").as("cj"),
+        col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("v").cast("double").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", chunkRows.toString).option("chunkCols", chunkCols.toString)
+      .option("rows", rows.toString).option("cols", cols.toString)
+      .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
+      .mode("overwrite").save(path)
 
   /** Read a Zarr array back as coordinate cells (i, j, v) with dense
     * semantics: chunk files absent from the store (zarr writes none for
@@ -139,6 +154,7 @@ object Zarr {
     val (cr, cc) = (meta.chunkRows, meta.chunkCols)
     val (nr, nc) = (meta.rows, meta.cols)
     val (zl, fill) = (meta.zlib, meta.fill)
+    val dt = meta.dtype
 
     val present = new File(path).list().filter(_.matches("\\d+\\.\\d+")).toSet
     val gridR = ((nr + cr - 1) / cr).toInt
@@ -155,15 +171,14 @@ object Zarr {
       .flatMap { case (p, bytes0) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
         val Array(ci, cj) = name.split("\\.").map(_.toLong)
-        val bytes = if (zl) inflate(bytes0, cr * cc * 8) else bytes0
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val vals = decodeChunk(bytes0, cr * cc, zl, dt)
         for {
           li <- 0 until cr
           lj <- 0 until cc
           i = ci * cr + li
           j = cj * cc + lj
           if i < nr && j < nc
-        } yield (i, j, bb.getDouble((li * cc + lj) * 8))
+        } yield (i, j, vals(li * cc + lj))
       }
 
     val fills = spark.createDataset(missing).repartition(spark.sparkContext.defaultParallelism)

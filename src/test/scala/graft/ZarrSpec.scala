@@ -59,4 +59,54 @@ class ZarrSpec extends AnyFunSuite {
     assert(back(3)(4) == 0.0) // fill written into the chunk
     assert(back(3)(1) == dense(3)(1))
   }
+
+  test("DSv2 writer API: df.write.format(\"zarr\") round-trips, shape inferred") {
+    import org.apache.spark.sql.functions.col
+    val path = "/root/repo/target/tmp/zarr_test_writer_api"
+    ZMatrix.fromDense(spark, dense).cells
+      .select((col("i") / 4).cast("long").as("ci"), (col("j") / 3).cast("long").as("cj"),
+        col("i"), col("j"), col("v"))
+      .write.format("zarr")
+      .option("chunkRows", "4").option("chunkCols", "3")
+      .mode("overwrite").save(path)
+    // rows/cols omitted: inferred from max coordinates at commit
+    val meta = Zarr.readMeta(path)
+    assert(meta.rows == 10 && meta.cols == 5 && meta.dtype == "<f8")
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("overwrite truncates stale chunks from a previous chunking") {
+    val path = "/root/repo/target/tmp/zarr_test_truncate"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 2, 2) // 5x3 grid
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3) // 3x2 grid
+    val files = new java.io.File(path).list().filterNot(_ == ".zarray")
+    assert(files.toSet == Set("0.0", "0.1", "1.0", "1.1", "2.0", "2.1"))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("multi-dtype stores round-trip (f4/i8/i4, both byte orders)") {
+    // integral values representable exactly in every target dtype
+    val ints: Array[Array[Double]] = Array.tabulate(6, 4)((i, j) => (i * 7 + j).toDouble)
+    for (dtype <- Seq("<f8", "<f4", "<i8", "<i4", ">f4", ">i8")) {
+      val path = s"/root/repo/target/tmp/zarr_test_dtype_${dtype.replaceAll("[<>]", "_")}"
+      Zarr.write(ZMatrix.fromDense(spark, ints), path, 6, 4, 4, 2, dtype = dtype)
+      val meta = Zarr.readMeta(path)
+      assert(meta.dtype == dtype)
+      // chunk files shrink with 4-byte dtypes: full 4x2 chunk = 8 elems
+      val f00 = new java.io.File(path, "0.0")
+      assert(f00.length() == 8L * Zarr.elemSize(dtype))
+      val back = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 6, 4)
+      assert(back.map(_.toSeq).toSeq == ints.map(_.toSeq).toSeq, s"dtype $dtype")
+    }
+  }
+
+  test("integral dtype truncates fractional values like a NumPy C cast") {
+    val frac: Array[Array[Double]] = Array(Array(1.9, -2.7), Array(0.4, 3.5))
+    val path = "/root/repo/target/tmp/zarr_test_dtype_trunc"
+    Zarr.write(ZMatrix.fromDense(spark, frac), path, 2, 2, 2, 2, dtype = "<i4")
+    val back = ZLocal.toDense(Zarr.read(spark, path), 2, 2)
+    assert(back.map(_.toSeq).toSeq == Seq(Seq(1.0, -2.0), Seq(0.0, 3.0)))
+  }
 }
