@@ -20,6 +20,20 @@ object SparkEntry {
 
   private def mat(s: SparkSession, d: String): ZMatrix = ZMatrix.fromLineitem(s, d)
 
+  /** Stage the lineitem matrix once per sf dir as a bucketed-by-(i,j)
+    * parquet table: subsequent aligned zips co-locate at load time with no
+    * Exchange above the scans (ZMatrix.persistBucketed). */
+  private val bucketedStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bucketedMat(s: SparkSession, d: String): ZMatrix = {
+    val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+    val table = bucketedStaged.computeIfAbsent(d, { _ =>
+      val t = s"graft_cells_$sfName"
+      ZMatrix.persistBucketed(mat(s, d), t, s"target/tmp/bucketed_cells_$sfName")
+      t
+    })
+    ZMatrix(s.table(table))
+  }
+
   private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
   private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
 
@@ -67,8 +81,11 @@ object SparkEntry {
       val rowMeans = m.aggAxis1.select(col("i"), (col("sum_v") / col("n")).as("v"))
       m.overRows(rowMeans)((v, mv) => round(v - mv, 6) + 0.0).cells
     }),
+    // matrix ⊕ matrix over BUCKETED cell storage: both sides load with the
+    // (i,j) bucket layout as their partitioning, so the aligned zip's join
+    // runs with no Exchange above the scans (asserted in ZMatrixSpec).
     "arr_add_matrices" -> ((s, d) => {
-      val m = mat(s, d); (m + (m * 2.0)).cells
+      val m = bucketedMat(s, d); (m + (m * 2.0)).cells
     }),
     "arr_mask_count" -> ((s, d) =>
       mat(s, d).gt(25).cells.groupBy(col("i"))
@@ -168,6 +185,16 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec(s, d), 10, annPlanes)),
+    // IVF ANN: deterministic hash-sampled + 1-Lloyd-step centroids, probe
+    // the 4 nearest of 16 lists (~25% scan fraction, tunable; list_id is
+    // the storage partition key at scale). No oracle: the centroid
+    // training loop is not SQL-expressible — recall vs brute force and
+    // determinism are scalatest-asserted (SimilaritySpec; SURVEY §5).
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryVec(s, d), 10, cents, nprobe = 4)
+    }),
 
     // ---- LLM-pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
@@ -183,6 +210,7 @@ object SparkEntry {
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
     "stream_join" -> ((s, d) => Stream.streamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => Stream.sessionizeStream(s, d)),
+    "stream_dedup" -> ((s, d) => Stream.streamDedup(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----
@@ -584,6 +612,10 @@ object SparkEntry {
         | CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        | CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hs
+        |FROM events""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
         | event_type, count(*) AS n,

@@ -239,6 +239,30 @@ object ZMatrix {
   def zeros(spark: SparkSession, rows: Long, cols: Long): ZMatrix = constant(spark, rows, cols, 0.0)
   def ones(spark: SparkSession, rows: Long, cols: Long): ZMatrix = constant(spark, rows, cols, 1.0)
 
+  /** Persist a matrix as a BUCKETED parquet table (bucketed + sorted on the
+    * given columns, default the (i, j) coordinates). Reads of the returned
+    * matrix carry the bucket layout as their output partitioning, so an
+    * (i, j)-equality zip between two matrices persisted with the same
+    * bucket count runs with NO Exchange above either scan — the join
+    * co-locates at load time. This is the cell-storage answer to "big
+    * matrix ⊕ big matrix shuffles both sides": at 100 TB you bucket the
+    * store once and every subsequent aligned op is shuffle-free. (For
+    * matmul, bucket by the contraction key instead: left on "j", right on
+    * "i".) */
+  def persistBucketed(m: ZMatrix, table: String, path: String,
+                      buckets: Int = 8, cols: Seq[String] = Seq("i", "j")): ZMatrix = {
+    val spark = m.cells.sparkSession
+    // repartition on the bucket keys first: without it every input task
+    // writes a sliver of every bucket (tasks x buckets tiny files); with it
+    // each task owns whole buckets - one file per bucket
+    m.cells.repartition(buckets, cols.map(col): _*)
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(table)
+    ZMatrix(spark.table(table))
+  }
+
   /** zappy from_ndarray: local dense matrix -> distributed coordinate form. */
   def fromDense(spark: SparkSession, m: Array[Array[Double]]): ZMatrix = {
     import spark.implicits._

@@ -81,6 +81,67 @@ object Similarity {
     bruteForceTopK(bucketed, idCol, vecCol, q, k)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic IVF training: seed centroids are the `nlist` vectors
+    * with the smallest xxhash64(id) (a fixed-seed sample that is stable
+    * across partitionings — TakeOrdered of nlist rows, never a full
+    * collect), refined by `iters` Lloyd steps. Each step is one
+    * assignment scan + a per-list average (map-side partial agg), with the
+    * new nlist centroids rounded to 6 dp so the tiny unordered-sum float
+    * noise can never flip a boundary assignment between runs. Returns the
+    * centroid matrix — O(nlist·dim) doubles, a model parameter. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 1): Array[Array[Double]] = {
+    val v = col(vecCol).cast("array<double>")
+    var cents = emb.select(v.as("vec"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = withIvfList(emb.select(v.as("vec")), "vec", cents)
+      val dim = cents(0).length
+      val avgCols = (0 until dim).map(d =>
+        round(avg(element_at(col("vec"), d + 1)), 6).as(s"c$d"))
+      cents = assigned.groupBy(col("list_id"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .orderBy(col("list_id"))
+        .collect().map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest (max-cosine) centroid list. The
+    * centroid matrix enters the plan as literals — nlist codegen'd dot
+    * products per row, no join, no shuffle. `list_id` is the storage
+    * partition / cluster key at scale. */
+  def withIvfList(emb: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
+    }
+    emb.withColumn("list_id", greatest(scored: _*).getField("l"))
+  }
+
+  /** IVF ANN top-k: score the query against all centroids driver-side
+    * (O(nlist·dim)), scan ONLY the `nprobe` nearest lists, exact cosine
+    * within. Unlike hyperplane LSH (whose Hamming-ball probe set covers
+    * ~35% of the corpus at 6 planes), the probed fraction here is
+    * ~nprobe/nlist and tunable independently of recall via training
+    * quality — with list_id as a storage partition key the other lists
+    * are never read at all. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Double],
+              k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = centroids.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn), l)
+    }.sortBy { case (cos, l) => (-cos, l) }.take(nprobe).map(_._2)
+    val listed = withIvfList(emb, vecCol, centroids)
+      .filter(col("list_id").isin(probes.toSeq: _*))
+    bruteForceTopK(listed, idCol, vecCol, q, k)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
     * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
     * each unordered pair is still generated once per shared probe). */

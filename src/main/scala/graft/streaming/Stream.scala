@@ -118,6 +118,30 @@ object Stream {
     spark.table(qn)
   }
 
+  /** Streaming dedup: at most one event per (user, type, hour) — the
+    * streaming face of exact dedup in a training-data pipeline.
+    * `dropDuplicatesWithinWatermark` keeps dedup state only for the
+    * watermark window (2 h), so state is bounded by key cardinality per
+    * window, not by stream length — the production shape for continuous
+    * ingest. The finite test input arrives in one micro-batch, so the
+    * emitted set is exactly the batch DISTINCT the oracle runs. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val dd = src
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hs"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hs")
+      .select(col("user_id"), col("event_type"), col("hs"))
+    val qn = s"stream_dedup_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = dd.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

@@ -38,6 +38,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 4, s"recall too low: ${exact.intersect(approx).size}/10")
   }
 
+  test("IVF ANN: recall >= 8/10 vs brute force at nprobe=4 on clustered data") {
+    // 8 well-separated clusters in dim 16, 60 points each, deterministic
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 5)
+    val vecs = (0 until 480).map { id =>
+      val c = centers(id % 8)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = centers(3).map(x => x + 0.1)
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 8)
+    assert(cents.length == 8 && cents(0).length == 16)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10, cents, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(approx).size >= 8,
+      s"IVF recall too low: ${exact.intersect(approx).size}/10")
+  }
+
+  test("IVF centroids are deterministic across runs and scan only probed lists") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 4)
+    val b = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // probed subset is a strict subset of the corpus (the scan-fraction win)
+    val n = emb.count()
+    val listed = Similarity.withIvfList(emb, "embedding", a)
+    val probedOne = listed.filter(col("list_id") === 0).count()
+    assert(probedOne > 0 && probedOne < n)
+  }
+
   test("near-dup pairs: finds high-cosine pairs, bounded candidates") {
     val planes = Similarity.hyperplanes(4, 3, seed = 11L)
     val vecs = Seq(

@@ -22,6 +22,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming watermarked dedup equals batch distinct") {
+    val streamed = Stream.streamDedup(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hs"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.size < Tables.events(spark, TestSpark.sf).count()) // dups dropped
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches gap semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

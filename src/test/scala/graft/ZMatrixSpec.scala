@@ -151,4 +151,27 @@ class ZMatrixSpec extends AnyFunSuite {
     for (j <- 0 until 3)
       assert(math.abs((0 until 4).map(i => got(i)(j)).sum) < 1e-5)
   }
+
+  test("bucketed cell storage makes aligned zip shuffle-free") {
+    val b = ZMatrix.persistBucketed(m, "zmx_bucket_test",
+      "/root/repo/target/tmp/zmx_bucket_test", buckets = 4)
+    // this toy table would broadcast (also shuffle-free, but not what we
+    // are proving) - disable broadcast to expose the sort-merge path a
+    // fact-sized matrix would take, and assert the bucket layout removed
+    // the shuffle on both sides
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val zipped = b + (b * 2.0)
+      val plan = zipped.cells.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used in:\n$plan")
+      // and the result is still correct
+      val got = ZLocal.toDense(zipped, 4, 3)
+      for (i <- 0 until 4; j <- 0 until 3)
+        assert(got(i)(j) == dense(i)(j) * 3.0)
+    } finally spark.conf.set(key, prev)
+  }
 }
