@@ -157,7 +157,12 @@ final case class ZMatrix(cells: DataFrame) {
   /** NumPy integer-array (fancy) row indexing `X[idx, :]`: output row p is
     * input row idx(p) — duplicates in `idx` repeat rows (gather semantics).
     * The index list is an O(k) parameter, so it joins as a broadcast local
-    * relation; the `i`-match also prunes as an IN-list at the scan. */
+    * relation; the `i`-match also prunes as an IN-list at the scan.
+    * DIVERGENCE from NumPy: an out-of-range source index yields an EMPTY
+    * output row, not an IndexError — under sparse COO an absent row is
+    * indistinguishable from an all-zero one, so no cheap bound check
+    * exists (callers that need NumPy's error must validate idx against
+    * the known shape). */
   def selectRows(idx: Seq[Long]): ZMatrix = {
     val spark = cells.sparkSession
     import spark.implicits._
@@ -182,8 +187,13 @@ final case class ZMatrix(cells: DataFrame) {
 
   /** zappy `astype`: cast the value column to a target dtype, keeping the
     * coordinate form. Doubles stay the in-flight representation for float
-    * targets (f8/f4 — an f4 target rounds through Float), integral targets
-    * truncate like NumPy's C cast. */
+    * targets (f8/f4 — an f4 target rounds through Float); integral targets
+    * truncate toward zero for in-range values. DIVERGENCE from NumPy on
+    * extremes: Spark 4 runs ANSI mode, so casting NaN or an out-of-range
+    * double to long/int THROWS (fail-fast) instead of NumPy's undefined
+    * C-cast wrap — asserted in ZMatrixSpec ("astype to int throws on
+    * NaN"). Fail-fast is the deliberate choice for a data pipeline: a
+    * silent wrap corrupts downstream values. */
   def astype(dtype: String): ZMatrix = {
     val v = dtype match {
       case "f8" | "double" => col("v").cast("double")

@@ -152,6 +152,19 @@ class ZMatrixSpec extends AnyFunSuite {
       assert(math.abs((0 until 4).map(i => got(i)(j)).sum) < 1e-5)
   }
 
+  test("astype to int throws on NaN under ANSI (documented NumPy divergence)") {
+    import spark.implicits._
+    val bad = ZMatrix(Seq((0L, 0L, Double.NaN)).toDF("i", "j", "v"))
+    val e = intercept[Exception] {
+      bad.astype("i4").cells.collect()
+    }
+    assert(e.isInstanceOf[org.apache.spark.SparkThrowable]
+      || e.getCause.isInstanceOf[org.apache.spark.SparkThrowable])
+    // in-range values still truncate toward zero
+    val ok = ZMatrix(Seq((0L, 0L, -2.7)).toDF("i", "j", "v"))
+    assert(ok.astype("i8").cells.head().getDouble(2) == -2.0)
+  }
+
   test("bucketed cell storage makes aligned zip shuffle-free") {
     val b = ZMatrix.persistBucketed(m, "zmx_bucket_test",
       "/root/repo/target/tmp/zmx_bucket_test", buckets = 4)
