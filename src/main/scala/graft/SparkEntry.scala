@@ -202,6 +202,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d), "doc_id", "text")),
+    "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta" -> ((s, d) => Multimodal.features(Tables.documents(s, d), "doc_id", "text")),
@@ -314,6 +316,31 @@ object SparkEntry {
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
     "text_langid" -> langidSql,
+    // generated from TextOps.piiPatterns so both engines share the regexes
+    // (DuckDB string literals are not backslash-escaped: '\b' reaches RE2
+    // as a word boundary, same bytes the Java regex sees)
+    "text_redact" -> {
+      val red = graft.ops.TextOps.piiPatterns.foldLeft("text") {
+        case (c, (p, tag)) => s"regexp_replace($c, '$p', '$tag', 'g')"
+      }
+      val n = graft.ops.TextOps.piiPatterns.map { case (p, _) =>
+        s"len(regexp_extract_all(text, '$p'))"
+      }.mkString(" + ")
+      s"SELECT doc_id, $red AS redacted, CAST($n AS BIGINT) AS n_pii FROM documents"
+    },
+    // bigrams as chr(1)-joined strings (DuckDB's list_distinct cannot take
+    // nested lists); tokens are whitespace-split so the separator cannot
+    // create boundary ambiguity
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents),
+        |m AS (SELECT doc_id, tok, len(tok) AS n,
+        |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big FROM t)
+        |SELECT doc_id,
+        | CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END AS dup_word_ratio,
+        | CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END AS dup_bigram_ratio,
+        | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= 0.3
+        |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= 0.2 AS keep
+        |FROM m""".stripMargin,
     "ann_lsh_topk" -> annLshSql,
     "emb_neardup" -> embNearDupSql,
     "q1_pricing_summary" ->

@@ -74,6 +74,48 @@ object TextOps {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** PII patterns shared with the generated oracle SQL — RE2-safe (no
+    * backrefs/lookarounds), so Java regex and DuckDB agree match-for-match. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>")
+
+  /** PII scrub: emails, IPv4s, and phone-shaped numbers replaced by tags,
+    * applied in [[piiPatterns]] order. `n_pii` counts matches on the
+    * ORIGINAL text per pattern (a value inside an already-redacted span —
+    * e.g. an IP used as an email host — counts for both patterns even
+    * though one replacement wins). One scan, codegen'd regex ops. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = piiPatterns.map { case (p, _) => regexp_count(t, lit(p)) }.reduce(_ + _)
+    val red = piiPatterns.foldLeft(t) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
+    docs.select(col(idCol).as("doc_id"), red.as("redacted"), n.cast("long").as("n_pii"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-word fraction and
+    * duplicate-bigram fraction (1 − distinct/total), plus the keep flag a
+    * filtering pipeline would apply. Bigrams are built with the same
+    * native shifted-`slice` + `arrays_zip` trick as MinHash shingles (no
+    * interpreted lambda), distinct-counted via `array_distinct` — a single
+    * scan, no shuffle, no UDF. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 maxDupWord: Double = 0.3, maxDupBigram: Double = 0.2): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val n2 = greatest(n - 1, lit(0))
+    val bigrams = arrays_zip(slice(toks, lit(1), n2), slice(toks, lit(2), n2))
+    val dupW = when(n > 0,
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4) + 0.0)
+      .otherwise(0.0)
+    val dupB = when(n > 1,
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / n2, 4) + 0.0)
+      .otherwise(0.0)
+    docs.select(col(idCol).as("doc_id"),
+      dupW.as("dup_word_ratio"), dupB.as("dup_bigram_ratio"),
+      (dupW <= maxDupWord && dupB <= maxDupBigram).as("keep"))
+  }
+
   /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike a
     * bag-of-words hash). A native Catalyst expression
     * ([[graft.functions.Md5Fingerprint]]) — the previous `aggregate`

@@ -12,9 +12,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Stream {
 
-  /** Stage the events table once per (sf, schema) as the file-stream
-    * source dir; reused by every streaming query in the session. */
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** Raw events schema per sf dir (one driver-side footer read), so the
+    * file stream can read the ORIGINAL parquet bytes — no data copy. The
+    * file source requires a DIRECTORY, and the testdata table is a single
+    * file, so we link it into a per-sf dir (a metadata op; a real
+    * deployment points readStream at an object-store prefix directly). */
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def linkedEventsDir(sfDir: String, sfName: String): String = {
+    val dir = java.nio.file.Paths.get(s"target/tmp/stream_src_$sfName")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath)
+    dir.toString
+  }
 
   /** State-store provider. RocksDB is the at-scale deployment choice
     * (bounded executor heap, changelog checkpointing for TB-sized state),
@@ -54,13 +67,17 @@ object Stream {
 
   private def eventsStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmp = s"target/tmp/stream_events_$sfName"
-    val schema = staged.computeIfAbsent(tmp, { _ =>
-      val batch = graft.Tables.events(spark, sfDir)
-      batch.write.mode("overwrite").parquet(tmp)
-      batch.schema
-    })
-    (spark.readStream.schema(schema).parquet(tmp), sfName)
+    val raw = schemas.computeIfAbsent(sfDir,
+      _ => spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val stream0 = spark.readStream.schema(raw)
+      .parquet(linkedEventsDir(sfDir, sfName))
+    // same nanosecond-ts normalization as Tables.events, applied in-stream
+    val stream = raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream0
+    }
+    (stream, sfName)
   }
 
   /** Tumbling-window aggregate (1 h) over the events stream. Money goes

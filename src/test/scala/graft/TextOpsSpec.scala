@@ -51,4 +51,27 @@ class TextOpsSpec extends AnyFunSuite {
     val vals = TextOps.quality(df, "doc_id", "text").collect().map(_.getAs[Double]("quality"))
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("redact replaces emails, IPs, and phone numbers with tags") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or 192.168.0.1 at 555-867-5309 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextOps.redact(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == "contact <EMAIL> or <IP> at <PHONE> now")
+    assert(r(1L)._2 == 3L)
+    assert(r(2L) == ("no pii here at all", 0L))
+  }
+
+  test("repetition ratios flag duplicate-heavy documents") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),                    // 1 distinct word of 5
+      (2L, "all words here are fully distinct tokens")).toDF("doc_id", "text")
+    val r = TextOps.repetition(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r(1L)._1 == 0.8)   // 1 - 1/5
+    assert(r(1L)._2 == 0.75)  // bigrams: 4 total, 1 distinct
+    assert(!r(1L)._3)         // dropped by the keep rule
+    assert(r(2L) == ((0.0, 0.0, true)))
+  }
 }
