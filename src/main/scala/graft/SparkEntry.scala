@@ -206,7 +206,10 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- LLM-pipeline: multimodal ----
-    "multimodal_meta" -> ((s, d) => Multimodal.features(Tables.documents(s, d), "doc_id", "text")),
+    // runs through the Arrow columnar-batch kernel interface (the
+    // attachment point for an out-of-JVM codec); same stub math as
+    // Multimodal.features, so the oracle is unchanged
+    "multimodal_meta" -> ((s, d) => Multimodal.featuresArrow(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),

@@ -52,6 +52,93 @@ object Multimodal {
     asMedia(docs, idCol, textCol).mapPartitions(decodeBatches).toDF()
   }
 
+  // ---- Arrow batch kernel interface ----
+
+  import org.apache.arrow.memory.RootAllocator
+  import org.apache.arrow.vector.{BigIntVector, IntVector, VarBinaryVector, VectorSchemaRoot}
+  import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+  import scala.jdk.CollectionConverters._
+
+  private def arrowField(name: String, t: ArrowType): Field =
+    new Field(name, FieldType.notNullable(t), null)
+
+  /** Columnar contract of the decode kernel: what a real out-of-JVM codec
+    * (Python / native over Arrow IPC) would receive and return. */
+  val mediaArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("payload", ArrowType.Binary.INSTANCE)).asJava)
+
+  val featureArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("n_bytes", new ArrowType.Int(64, true)),
+    arrowField("width", new ArrowType.Int(32, true)),
+    arrowField("height", new ArrowType.Int(32, true)),
+    arrowField("channels", new ArrowType.Int(32, true))).asJava)
+
+  /** The STUB kernel against the Arrow contract: reads the payload column
+    * vector, writes the feature vectors — same deterministic math as
+    * [[stubDecode]]. A real deployment swaps this one function for an IPC
+    * round-trip to a codec process; everything around it stays. */
+  def stubArrowKernel(in: VectorSchemaRoot, out: VectorSchemaRoot): Unit = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+    val oW = out.getVector("width").asInstanceOf[IntVector]
+    val oH = out.getVector("height").asInstanceOf[IntVector]
+    val oC = out.getVector("channels").asInstanceOf[IntVector]
+    val n = in.getRowCount
+    var i = 0
+    while (i < n) {
+      val nb = payload.get(i).length.toLong
+      oId.setSafe(i, docId.get(i))
+      oBytes.setSafe(i, nb)
+      oW.setSafe(i, (nb % 640).toInt)
+      oH.setSafe(i, ((nb * 7) % 480).toInt)
+      oC.setSafe(i, 3)
+      i += 1
+    }
+    out.setRowCount(n)
+  }
+
+  /** The Arrow-batch decode pipeline: each partition's rows are packed into
+    * `BatchSize`-row Arrow `VectorSchemaRoot` batches (payload bytes laid
+    * out columnar, one contiguous buffer per batch), handed to the kernel,
+    * and the feature batch is read back as typed rows. Allocations are
+    * per-batch and closed eagerly, so peak native memory is one batch of
+    * payloads per task — the same bound a real codec handoff needs. */
+  def featuresArrow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs, idCol, textCol).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        val alloc = new RootAllocator()
+        val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+        val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
+        try {
+          in.allocateNew()
+          val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+          val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+          batch.zipWithIndex.foreach { case (r, i) =>
+            docId.setSafe(i, r.doc_id)
+            payload.setSafe(i, r.payload)
+          }
+          in.setRowCount(batch.size)
+          out.allocateNew()
+          stubArrowKernel(in, out)
+          val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+          val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+          val oW = out.getVector("width").asInstanceOf[IntVector]
+          val oH = out.getVector("height").asInstanceOf[IntVector]
+          val oC = out.getVector("channels").asInstanceOf[IntVector]
+          // materialize before close: the vectors' buffers die with alloc
+          (0 until out.getRowCount).map(i =>
+            MediaFeatures(oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i)))
+        } finally { in.close(); out.close(); alloc.close() }
+      }
+    }.toDF()
+  }
+
   // ---- further stubbed media kernels (same batched plumbing) ----
 
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])

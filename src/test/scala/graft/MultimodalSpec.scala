@@ -18,6 +18,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1L).getInt(4) == 3)
   }
 
+  test("Arrow batch kernel produces identical features to the row path") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val viaRows = Multimodal.features(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaArrow = Multimodal.featuresArrow(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaArrow == viaRows && viaArrow.nonEmpty)
+    // more rows than one batch, so multi-batch packing is exercised
+    assert(viaArrow.size > Multimodal.BatchSize)
+  }
+
   test("resize and frame-sample stubs: schema, fan-out, determinism") {
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
     val rz = Multimodal.resized(docs, "doc_id", "text", 8, 8)

@@ -165,6 +165,29 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ok.astype("i8").cells.head().getDouble(2) == -2.0)
   }
 
+  test("contraction-key bucketed matmul shuffles only for the output aggregate") {
+    // matmul joins left.j = right.i (the contraction key k): bucket each
+    // side on ITS join key and the join co-locates at load time — the only
+    // remaining exchange is the unavoidable one keyed by the OUTPUT (i,j)
+    val l = ZMatrix.persistBucketed(m, "zmx_mm_left",
+      "/root/repo/target/tmp/zmx_mm_left", buckets = 4, cols = Seq("j"))
+    val r = ZMatrix.persistBucketed(m, "zmx_mm_right",
+      "/root/repo/target/tmp/zmx_mm_right", buckets = 4, cols = Seq("i"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val prod = l.matmul(r)
+      val plan = prod.cells.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"expected only the aggregate exchange in:\n$plan")
+      // result matches the unbucketed matmul
+      val viaBucket = ZLocal.toDense(prod, 3, 3)
+      val plain = ZLocal.toDense(m.matmul(m), 3, 3)
+      assert(viaBucket.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("bucketed cell storage makes aligned zip shuffle-free") {
     val b = ZMatrix.persistBucketed(m, "zmx_bucket_test",
       "/root/repo/target/tmp/zmx_bucket_test", buckets = 4)
