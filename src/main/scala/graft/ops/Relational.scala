@@ -248,4 +248,21 @@ object Relational {
       .groupBy(hour(col("ts")).cast("long").as("hr"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
+
+  /** Skew-salted equi-join: when one join key carries a pathological share
+    * of the fact rows (and the other side is too big to broadcast), AQE's
+    * skew-join split only helps sort-merge joins after the fact — salting
+    * fixes the layout up front. Fact rows scatter deterministically across
+    * `salts` sub-keys (hash of all columns, so co-located duplicates
+    * split too); the other side replicates each row `salts` times. The
+    * join then shuffles on (key, salt), bounding any task's share of a hot
+    * key to ~1/salts. Equivalent row-for-row to the plain join. */
+  def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val saltedOther = other.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedOther, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -98,14 +98,22 @@ object Similarity {
       .orderBy(col("h")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = withIvfList(emb.select(v.as("vec")), "vec", cents)
       val dim = cents(0).length
-      val avgCols = (0 until dim).map(d =>
-        round(avg(element_at(col("vec"), d + 1)), 6).as(s"c$d"))
-      cents = assigned.groupBy(col("list_id"))
-        .agg(avgCols.head, avgCols.tail: _*)
-        .orderBy(col("list_id"))
-        .collect().map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
+      // per-list means via posexplode + one (list_id, dim) aggregate — a
+      // 2-column plan that codegen-compiles far faster than a dim-wide
+      // aggregate, and shuffles (nlist·dim) partial sums either way
+      val assigned = withIvfList(emb.select(v.as("vec")), "vec", cents)
+        .select(col("list_id"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("list_id"), col("d"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      val byList = assigned.groupBy(_.getInt(0))
+      cents = byList.keys.toArray.sorted.map { l =>
+        val ms = byList(l)
+        val c = new Array[Double](dim)
+        ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        c
+      }
     }
     cents
   }

@@ -107,4 +107,23 @@ class RelationalSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("salted join equals plain join and splits the hot key across salts") {
+    import spark.implicits._
+    // 90% of fact rows share key 1 (the skew), dim has 3 keys
+    val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (2L + i % 2, i.toLong))).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    // the hot key's fact rows scatter across all 8 salt buckets
+    val saltDist = fact.filter($"k" === 1L)
+      .withColumn("_salt", pmod(xxhash64(fact.columns.map(col): _*), lit(8L)).cast("int"))
+      .groupBy("_salt").count().collect()
+    assert(saltDist.length == 8)
+    assert(saltDist.map(_.getLong(1)).max < 900L / 2) // no bucket hoards the key
+  }
 }
