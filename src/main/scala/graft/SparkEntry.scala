@@ -203,6 +203,11 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d), "doc_id", "text")),
+    // benchmark decontamination: docs 0-49 stand in for the eval suite
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
+    }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- LLM-pipeline: multimodal ----
@@ -331,6 +336,19 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT doc_id, $red AS redacted, CAST($n AS BIGINT) AS n_pii FROM documents"
     },
+    // same shingle construction as Dedup.shingleStrings: chr(1)-joined
+    // 3-gram strings, distinct per doc; docs under 3 tokens emit no rows
+    // in BOTH engines (empty range / empty slice)
+    "text_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s FROM tok),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50)
+        |SELECT doc_id, count(*) AS n_shingles,
+        | count(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS n_contaminated,
+        | round(count(*) FILTER (WHERE s IN (SELECT s FROM bench)) / count(*), 4) AS ratio
+        |FROM sh GROUP BY 1""".stripMargin,
     // bigrams as chr(1)-joined strings (DuckDB's list_distinct cannot take
     // nested lists); tokens are whitespace-split so the separator cannot
     // create boundary ambiguity

@@ -38,6 +38,41 @@ object Dedup {
       .select(col("doc_id"), xxhash64((0 until k).map(i => col(s"sh.$i")): _*).as("h"))
   }
 
+  /** Distinct word k-shingles as chr(1)-joined STRINGS (not hashes) —
+    * used where a DuckDB oracle must reproduce the shingle set exactly.
+    * Same native shifted-slice construction as [[shingleHashExplode]];
+    * docs with fewer than k tokens contribute no rows. */
+  def shingleStrings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokensOf(col(textCol))
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    val zipped = arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
+    docs.select(col(idCol).as("doc_id"), explode(zipped).as("sh"))
+      .select(col("doc_id"),
+        // chr(1) separator keeps token boundaries unambiguous; tokens are
+        // whitespace-split so the separator cannot appear at a boundary
+        concat_ws("\u0001", (0 until k).map(i => col(s"sh.$i")): _*).as("s"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: per-document overlap of its distinct word
+    * k-shingles with a benchmark corpus's shingle set (the standard check
+    * that training data does not contain eval data). The benchmark shingle
+    * set is eval-suite-sized — tiny next to the corpus — so the membership
+    * join broadcasts; the corpus side is one shingle explode + distinct +
+    * one aggregate. Returns (doc_id, n_shingles, n_contaminated, ratio)
+    * for every doc with at least k tokens. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val ds = shingleStrings(docs, idCol, textCol, k)
+    val bs = broadcast(shingleStrings(bench, idCol, textCol, k)
+      .select(col("s")).distinct().withColumn("_hit", lit(1)))
+    ds.join(bs, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("ratio"))
+  }
+
   /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this
     * one shuffle of (hash, id) pairs, not documents. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

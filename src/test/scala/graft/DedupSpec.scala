@@ -99,6 +99,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("contamination measures shingle overlap against a benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),      // contains a bench 3-gram
+      (2L, "totally unrelated words in this doc"), // no overlap
+      (3L, "the quick brown fox")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox runs away")).toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, bench, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // doc 1: shingles {the-quick-brown, quick-brown-fox, brown-fox-jumps,
+    // fox-jumps-high}; bench contains the first two
+    assert(r(1L) == ((4L, 2L, 0.5)))
+    assert(r(2L)._2 == 0L)
+    assert(r(3L) == ((2L, 2L, 1.0))) // fully contained in the benchmark
+  }
+
   test("deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
