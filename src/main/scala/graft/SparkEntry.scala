@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.array.ZMatrix
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.streaming.Stream
 import graft.zarr.Zarr
 
@@ -36,6 +36,11 @@ object SparkEntry {
 
   private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
   private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
+
+  /** Mix-rebalancing demo rates: keep 25% of the "crawl dump" half of the
+    * sources (src10..src19), all of the curated half. Shared with the
+    * generated oracle SQL, so both engines apply identical rates. */
+  private val mixRates: Map[String, Double] = (10 to 19).map(i => s"src$i" -> 0.25).toMap
 
   private def queryVec(s: SparkSession, d: String): Array[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -210,6 +215,15 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
 
+    // ---- LLM-pipeline: sampling / splitting / packing ----
+    "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id")),
+    "sample_quota" -> ((s, d) =>
+      Sampling.quotaSample(Tables.documents(s, d), "source", "doc_id", n = 10)),
+    "sample_mix" -> ((s, d) =>
+      Sampling.mixSample(Tables.documents(s, d), "source", "doc_id", mixRates)),
+    "sample_pack" -> ((s, d) =>
+      Sampling.packSequences(Tables.documents(s, d), "doc_id", "text", budget = 512)),
+
     // ---- LLM-pipeline: multimodal ----
     // runs through the Arrow columnar-batch kernel interface (the
     // attachment point for an out-of-JVM codec); same stub math as
@@ -362,6 +376,42 @@ object SparkEntry {
         | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= 0.3
         |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= 0.2 AS keep
         |FROM m""".stripMargin,
+    // sampling twins share one hash construction with Sampling.hashKey:
+    // ('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT — md5 of the
+    // id's decimal string, 60-bit positive prefix, identical in both engines
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    // single global row_number — equivalent to graft's two-stage salted cap
+    // (the global per-group top-n survives any per-salt pre-cap of >= n)
+    "sample_quota" ->
+      """WITH r AS (SELECT doc_id, source AS group_key,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |k AS (SELECT doc_id, group_key,
+        |  row_number() OVER (PARTITION BY group_key ORDER BY hk, doc_id) AS rk FROM r)
+        |SELECT doc_id, group_key, rk FROM k WHERE rk <= 10""".stripMargin,
+    "sample_mix" -> {
+      val rateCase = mixRates.toSeq.sortBy(_._1).foldLeft("1.0") {
+        case (acc, (k, r)) => s"CASE WHEN source = '$k' THEN $r ELSE $acc END"
+      }
+      s"""SELECT doc_id, source AS group_key FROM documents
+         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)::DOUBLE
+         |  < ($rateCase) * 10000.0""".stripMargin
+    },
+    // the id-ordered global window is the single-node equivalent of graft's
+    // hierarchical block prefix sum (same totals, same cut points)
+    "sample_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS s
+        |  FROM t)
+        |SELECT doc_id, n_tok, s // 512 AS pack_id, s % 512 AS pack_offset FROM c""".stripMargin,
     "ann_lsh_topk" -> annLshSql,
     "emb_neardup" -> embNearDupSql,
     "q1_pricing_summary" ->

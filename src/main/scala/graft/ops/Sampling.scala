@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset sampling / splitting for training-data pipelines: deterministic
+  * hash splits, skew-safe per-source quotas, source-mix rebalancing, and
+  * concat-and-chunk sequence packing.
+  *
+  * Everything keys on a STABLE hash of the record id — never on position
+  * (`monotonically_increasing_id`, partition index) and never on a seeded
+  * RNG, so assignments survive repartitioning, retries, and incremental
+  * re-runs: the properties a 100 TB pipeline actually needs from its
+  * splitter. The hash is an md5 prefix, so the DuckDB oracle reproduces
+  * every assignment bit-for-bit.
+  */
+object Sampling {
+
+  /** 60-bit integer from the md5 of the id's decimal string — the shared
+    * deterministic "random" key (same construction the DuckDB twin uses:
+    * ('0x' || substring(md5(id), 1, 15))::BIGINT). */
+  private def hashKey(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic train/val/test split: bucket = md5-hash(id) mod 100,
+    * split by cumulative thresholds (default 80/10/10). A pure map over one
+    * scan — no shuffle, no RNG, stable under any re-partitioning. */
+  def hashSplit(docs: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(hashKey(col(idCol)), lit(100))
+    docs.select(col(idCol).as("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-group quota: keep the n records of each group with the smallest
+    * hash keys (a deterministic uniform sample of n per group, NOT "first n
+    * by id"). Runs in two stages so a hot group cannot overwhelm one task:
+    * stage 1 caps each of `salts` hash-derived subgroups at n (bounded
+    * local sorts), stage 2 ranks the ≤ salts×n survivors per group. The
+    * global top-n by hash order is a subset of the per-salt top-n's, so the
+    * two-stage result equals a single global row_number — which is exactly
+    * what the DuckDB twin runs. */
+  def quotaSample(docs: DataFrame, groupCol: String, idCol: String,
+                  n: Int, salts: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
+      .withColumn("_rk", hashKey(col("doc_id")))
+    val salted = Window.partitionBy(col("group_key"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("_rk"), col("doc_id"))
+    val full = Window.partitionBy(col("group_key")).orderBy(col("_rk"), col("doc_id"))
+    base.withColumn("_srk", row_number().over(salted)).filter(col("_srk") <= n)
+      .withColumn("rk", row_number().over(full)).filter(col("rk") <= n)
+      .select(col("doc_id"), col("group_key"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Source-mix rebalancing: downsample each group to a configured keep
+    * rate (default 1.0), deterministically — a record survives iff
+    * hash(id) mod 10000 < rate×10000. The mix knob of a training-data
+    * pipeline ("keep 25% of the low-quality crawl, all of the curated
+    * sources") with resharding-stable membership; changing a rate only
+    * adds/removes rows at the margin, it never reshuffles survivors. */
+  def mixSample(docs: DataFrame, groupCol: String, idCol: String,
+                rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
+      when(col(groupCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
+      .filter(pmod(hashKey(col("doc_id")), lit(10000)).cast("double") < rate * 10000.0)
+  }
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    * documents are concatenated in id order and cut into fixed token-budget
+    * context windows; each document reports the pack it STARTS in and its
+    * token offset inside that pack. The global prefix sum is computed
+    * hierarchically — per-block window sums plus a broadcast of the tiny
+    * block-offset table — so no stage ever sorts more than one block
+    * (classic distributed scan; the id-ordered window in the DuckDB twin is
+    * the single-node equivalent). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, blockSize: Long = 4096L): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.nTokens(col(textCol)).cast("long").as("n_tok"),
+      (col(idCol) / blockSize).cast("long").as("_blk"))
+    val inBlock = Window.partitionBy(col("_blk"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = toks.withColumn("_cum_local", sum(col("n_tok")).over(inBlock))
+    // block totals are O(#blocks) rows — the single-partition window over
+    // them is over a broadcast-scale table, not the data
+    val blockOffsets = toks.groupBy(col("_blk")).agg(sum(col("n_tok")).as("_bt"))
+      .withColumn("_boff",
+        coalesce(sum(col("_bt")).over(Window.orderBy(col("_blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_blk"), col("_boff"))
+    withLocal.join(broadcast(blockOffsets), Seq("_blk"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("_boff") + col("_cum_local") - col("n_tok")).as("_start"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("_start") / budget).cast("long").as("pack_id"),
+        pmod(col("_start"), lit(budget.toLong)).as("pack_offset"))
+  }
+}

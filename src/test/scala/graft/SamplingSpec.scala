@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = (0L until 400L).map { i =>
+    (i, s"src${i % 4}", ("tok " * (1 + (i % 7).toInt)).trim)
+  }.toDF("doc_id", "source", "text")
+
+  test("hashSplit partitions every record exactly once, near the target fractions") {
+    val r = Sampling.hashSplit(docs, "doc_id").collect()
+    assert(r.length == 400)
+    val bySplit = r.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 80/10/10 within a generous tolerance at n=400
+    assert(bySplit("train") > 280 && bySplit("train") < 360)
+    assert(bySplit("val") > 10 && bySplit("test") > 10)
+    // stable: same ids get same split on a re-run over a repartitioned input
+    val again = Sampling.hashSplit(docs.repartition(13), "doc_id").collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("split")).toMap
+    r.foreach(x => assert(again(x.getLong(0)) == x.getAs[String]("split")))
+  }
+
+  test("quotaSample keeps exactly n per group and matches the unsalted rank") {
+    val r = Sampling.quotaSample(docs, "source", "doc_id", n = 15)
+    val byGroup = r.groupBy("group_key").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byGroup.values.forall(_ == 15L))
+    // two-stage salted result == single global row_number (the oracle shape)
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val direct = docs.select(col("doc_id"), col("source").as("group_key"), hk.as("_hk"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("group_key").orderBy(col("_hk"), col("doc_id"))))
+      .filter(col("rk") <= 15).select("doc_id", "group_key", "rk")
+    assert(r.select("doc_id", "group_key", "rk").except(direct).isEmpty)
+  }
+
+  test("mixSample downsamples only the configured groups, deterministically") {
+    val rates = Map("src1" -> 0.25, "src3" -> 0.0)
+    val r = Sampling.mixSample(docs, "source", "doc_id", rates)
+    val byGroup = r.groupBy("group_key").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byGroup("src0") == 100L && byGroup("src2") == 100L) // untouched
+    assert(!byGroup.contains("src3"))                          // rate 0 drops all
+    assert(byGroup("src1") > 5 && byGroup("src1") < 50)        // ~25 of 100
+    // monotone in the rate: survivors at 0.25 survive at 0.5
+    val more = Sampling.mixSample(docs, "source", "doc_id", Map("src1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    r.filter(col("group_key") === "src1").collect()
+      .foreach(x => assert(more.contains(x.getLong(0))))
+  }
+
+  test("packSequences: offsets chain contiguously and match the global prefix sum") {
+    // small blockSize forces the hierarchical (multi-block) path
+    val r = Sampling.packSequences(docs, "doc_id", "text", budget = 64, blockSize = 32L)
+      .collect().sortBy(_.getLong(0))
+    assert(r.length == 400)
+    var cum = 0L
+    r.foreach { row =>
+      val (start, tok) = (row.getLong(2) * 64 + row.getLong(3), row.getLong(1))
+      assert(start == cum, s"doc ${row.getLong(0)} starts at $start, expected $cum")
+      cum += tok
+    }
+    assert(r.map(_.getLong(2)).max == (cum - r.last.getLong(1)) / 64)
+  }
+}
