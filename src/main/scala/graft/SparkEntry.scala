@@ -103,6 +103,9 @@ object SparkEntry {
         .join(m.maxAxis0.withColumnRenamed("v", "max_v"), Seq("j"))
     }),
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
+    "arr_argmax_axis0" -> ((s, d) => mat(s, d).argmaxAxis0),
+    "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
+    "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
     "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
@@ -573,6 +576,21 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT j AS i, i AS j, v FROM m""".stripMargin,
+    "arr_argmax_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT j, max(v) AS max_v FROM m GROUP BY 1)
+        |SELECT m.j, min(m.i) AS argmax_i, mx.max_v
+        |FROM m JOIN mx ON m.j = mx.j AND m.v = mx.max_v GROUP BY m.j, mx.max_v""".stripMargin,
+    "arr_cumsum_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, sum(v) OVER (PARTITION BY i ORDER BY j
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM m""".stripMargin,
+    "arr_clip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, least(greatest(v, 5.0), 30.0) AS v FROM m""".stripMargin,
     "arr_matmul_gram" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -107,6 +107,30 @@ final case class ZMatrix(cells: DataFrame) {
   def medianAxis0: DataFrame =
     cells.groupBy(col("j")).agg(round(expr("percentile(v, 0.5)"), 4).as("v"))
 
+  /** NumPy argmax(axis=0) over STORED cells: per column, the row index of
+    * the max value (ties → smallest i). One hash aggregate with map-side
+    * combine — the max is taken over (v, −i) structs (Spark orders structs
+    * field-by-field), so no join, window, or second pass. Sparse
+    * divergence: implicit zeros are not candidates, so on a column whose
+    * stored values are all negative, dense NumPy would return a zero cell
+    * instead. */
+  def argmaxAxis0: DataFrame =
+    cells.groupBy(col("j"))
+      .agg(max(struct(col("v"), (-col("i")).as("ni"))).as("_m"))
+      .select(col("j"), (-col("_m.ni")).as("argmax_i"), col("_m.v").as("max_v"))
+
+  /** NumPy cumsum(axis=1) sampled at stored cells: running sum across j
+    * within each row. The window partitions by i — parallel across rows,
+    * per-partition work bounded by ncols. Implicit zeros don't alter the
+    * partial sums, so stored-position values equal the dense cumsum at the
+    * same coordinates. */
+  def cumsumAxis1: ZMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    ZMatrix(cells.select(col("i"), col("j"),
+      sum(col("v")).over(Window.partitionBy(col("i")).orderBy(col("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
+  }
+
   def aggAxis1: DataFrame =
     cells.groupBy(col("i")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
   def sumAxis1: DataFrame = cells.groupBy(col("i")).agg(sum(col("v")).as("v"))

@@ -40,6 +40,23 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(m.mod_(3.0), 4, 3)(2)(0) == 1.0) // 7 mod 3
   }
 
+  test("argmaxAxis0 picks the max row per column, ties -> smallest i") {
+    // col 0: max 7 at i=2; add a tie matrix to exercise the (v, -i) struct order
+    val am = m.argmaxAxis0.orderBy("j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(am == Seq((0L, 2L, 7.0), (1L, 2L, 8.0), (2L, 2L, 9.0)))
+    val tied = ZMatrix.fromDense(spark, Array(Array(5.0, 1.0), Array(5.0, 2.0)))
+    val t = tied.argmaxAxis0.orderBy("j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((0L, 0L), (1L, 1L))) // col 0 tie at 5.0 -> i=0
+  }
+
+  test("cumsumAxis1 matches the dense prefix sum at stored cells") {
+    val cs = ZLocal.toDense(m.cumsumAxis1, 4, 3)
+    for (i <- 0 until 4; j <- 0 until 3)
+      assert(cs(i)(j) == dense(i).take(j + 1).sum, s"($i,$j)")
+  }
+
   test("clip / maximum / minimum / sign ufuncs") {
     val c = ZLocal.toDense(m.clip(2.0, 7.0), 4, 3)
     assert(c(0)(0) == 2.0 && c(2)(2) == 7.0 && c(1)(1) == 5.0)
