@@ -217,6 +217,10 @@ object SparkEntry {
       Dedup.contamination(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
+    "text_vocab" -> ((s, d) => TextOps.vocab(Tables.documents(s, d), "doc_id", "text", minCount = 5)),
+    "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
+    "emb_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
 
     // ---- LLM-pipeline: sampling / splitting / packing ----
     "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id")),
@@ -379,6 +383,26 @@ object SparkEntry {
         | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= 0.3
         |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= 0.2 AS keep
         |FROM m""".stripMargin,
+    "text_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents)
+        |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, round(tf * (ln((n + 1) / (df + 1)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN nd""".stripMargin,
+    "emb_quantize" ->
+      """WITH c AS (SELECT vec_id, r.i AS dim, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+        |           FROM embeddings CROSS JOIN range(64) r(i)),
+        |rg AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM c GROUP BY 1)
+        |SELECT vec_id, dim, CASE WHEN mx = mn THEN 0::BIGINT
+        |  ELSE CAST(least(255.0, floor((x - mn) / (mx - mn) * 256.0)) AS BIGINT) END AS q
+        |FROM c JOIN rg USING (dim)""".stripMargin,
     // sampling twins share one hash construction with Sampling.hashKey:
     // ('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT — md5 of the
     // id's decimal string, 60-bit positive prefix, identical in both engines

@@ -150,6 +150,26 @@ object Similarity {
     bruteForceTopK(listed, idCol, vecCol, q, k)
   }
 
+  /** Scalar int8 quantization of an embedding column in long form:
+    * per-dimension min/max over the corpus (one tiny aggregate that
+    * broadcasts back), each component mapped to 0..255 by
+    * `min(255, floor((x−mn)/(mx−mn)·256))`. Floor keeps both engines
+    * bit-identical (no rounding-mode edge), constant dimensions map to 0.
+    * This is the memory path for ANN at scale — a 100 TB f32 corpus
+    * becomes 25 TB of int8 codes scanned 4× faster, with the (id, dim)
+    * long form writable as the quantized store directly. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val comps = emb.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val ranges = comps.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    comps.join(broadcast(ranges), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(least(lit(255.0), floor((col("x") - col("mn"))
+            / (col("mx") - col("mn")) * 256.0)).cast("long")).as("q"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
     * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
     * each unordered pair is still generated once per shared probe). */

@@ -116,6 +116,33 @@ object TextOps {
       (dupW <= maxDupWord && dupB <= maxDupBigram).as("keep"))
   }
 
+  /** Corpus vocabulary with a min-count threshold (tokenizer-training
+    * prep): explode whitespace tokens, one hash aggregate with map-side
+    * combine — at 100 TB the shuffle carries (token, partial-count), not
+    * documents, and the output is vocabulary-sized. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String, minCount: Int = 5): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= minCount)
+
+  /** Smoothed TF-IDF over (doc, token) pairs: tf = in-doc count,
+    * idf = ln((N+1)/(df+1)) + 1. Two aggregates share the exploded-token
+    * shuffle lineage; the document-frequency table is vocabulary-sized and
+    * broadcasts back onto the pairs. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n")) // 1-row plan, joins as broadcast
+    tf.join(broadcast(df_), Seq("token")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0), 6)
+          .as("tfidf"))
+  }
+
   /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike a
     * bag-of-words hash). A native Catalyst expression
     * ([[graft.functions.Md5Fingerprint]]) — the previous `aggregate`

@@ -80,4 +80,17 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((0L, 1L)))
   }
+
+  test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 7.0f, -2.0f)),
+      (1L, Array(0.5f, 7.0f, 0.0f)),
+      (2L, Array(1.0f, 7.0f, 2.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q((0L, 0L)) == 0L && q((2L, 0L)) == 255L) // min/max endpoints
+    assert(q((1L, 0L)) == 128L)                      // midpoint: floor(0.5*256)
+    assert(Seq(0L, 1L, 2L).forall(id => q((id, 1L)) == 0L)) // constant dim
+    assert(q((0L, 2L)) < q((1L, 2L)) && q((1L, 2L)) < q((2L, 2L))) // monotone
+  }
 }

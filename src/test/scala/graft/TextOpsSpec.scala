@@ -74,4 +74,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r(1L)._3)         // dropped by the keep rule
     assert(r(2L) == ((0.0, 0.0, true)))
   }
+
+  test("vocab counts tokens and docs, applies min-count") {
+    val df = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "a")).toDF("doc_id", "text")
+    val v = TextOps.vocab(df, "doc_id", "text", minCount = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v == Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)))) // c, d below min-count
+  }
+
+  test("tfidf: rarer tokens score higher, repeated tokens scale linearly") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val t = TextOps.tfidf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val idfA = math.log(3.0 / 3.0) + 1.0 // df=2, n=2
+    val idfB = math.log(3.0 / 2.0) + 1.0 // df=1
+    assert(t((1L, "a")) == math.rint(2 * idfA * 1e6) / 1e6)
+    assert(t((1L, "b")) == math.rint(idfB * 1e6) / 1e6)
+    assert(t((1L, "b")) > t((2L, "a"))) // rare beats common
+  }
 }
