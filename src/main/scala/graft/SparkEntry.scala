@@ -104,6 +104,7 @@ object SparkEntry {
     }),
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
     "arr_argmax_axis0" -> ((s, d) => mat(s, d).argmaxAxis0),
+    "arr_argmin_axis0" -> ((s, d) => mat(s, d).argminAxis0),
     "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
     "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
@@ -218,6 +219,8 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
     "text_vocab" -> ((s, d) => TextOps.vocab(Tables.documents(s, d), "doc_id", "text", minCount = 5)),
+    "text_chunk" -> ((s, d) =>
+      TextOps.chunk(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -383,6 +386,24 @@ object SparkEntry {
         | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= 0.3
         |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= 0.2 AS keep
         |FROM m""".stripMargin,
+    // chunk k covers tokens [k*24+1, k*24+32] 1-based inclusive — Spark's
+    // slice(start, length) and DuckDB's list_slice(begin, end) both
+    // truncate past the array end, so trailing chunks agree
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents),
+        |m AS (SELECT doc_id, tok,
+        |  greatest(CAST(ceil((len(tok) - 8) / 24.0) AS BIGINT), 1) AS nch FROM t),
+        |e AS (SELECT doc_id, tok, unnest(range(nch)) AS chunk_id FROM m)
+        |SELECT doc_id, chunk_id,
+        | array_to_string(list_slice(tok, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk,
+        | CAST(least(len(tok) - chunk_id * 24, 32) AS BIGINT) AS n_tok
+        |FROM e""".stripMargin,
+    "arr_argmin_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |mn AS (SELECT j, min(v) AS min_v FROM m GROUP BY 1)
+        |SELECT m.j, min(m.i) AS argmin_i, mn.min_v
+        |FROM m JOIN mn ON m.j = mn.j AND m.v = mn.min_v GROUP BY m.j, mn.min_v""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents)

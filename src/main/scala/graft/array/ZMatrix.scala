@@ -119,6 +119,15 @@ final case class ZMatrix(cells: DataFrame) {
       .agg(max(struct(col("v"), (-col("i")).as("ni"))).as("_m"))
       .select(col("j"), (-col("_m.ni")).as("argmax_i"), col("_m.v").as("max_v"))
 
+  /** NumPy argmin(axis=0) over STORED cells — min(struct(v, i)) picks the
+    * smallest value, ties → smallest i, in one hash aggregate. Same sparse
+    * caveat as [[argmaxAxis0]] with the sign flipped: implicit zeros are
+    * not candidates, so all-positive columns diverge from dense NumPy. */
+  def argminAxis0: DataFrame =
+    cells.groupBy(col("j"))
+      .agg(min(struct(col("v"), col("i"))).as("_m"))
+      .select(col("j"), col("_m.i").as("argmin_i"), col("_m.v").as("min_v"))
+
   /** NumPy cumsum(axis=1) sampled at stored cells: running sum across j
     * within each row. The window partitions by i — parallel across rows,
     * per-partition work bounded by ncols. Implicit zeros don't alter the

@@ -116,6 +116,28 @@ object TextOps {
       (dupW <= maxDupWord && dupB <= maxDupBigram).as("keep"))
   }
 
+  /** Fixed-size token chunking with overlap (the pretraining/RAG document
+    * splitter): chunk k of a doc covers tokens [k·stride, k·stride+size)
+    * where stride = size − overlap, and every doc emits at least one chunk.
+    * One scan, fan-out bounded by doc length / stride; the chunk count and
+    * slice bounds are closed-form, so the DuckDB twin (list_slice over the
+    * same token array) reproduces every chunk byte-for-byte. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nch = greatest(ceil((size(toks) - overlap).cast("double") / stride).cast("long"), lit(1L))
+    docs.select(col(idCol).as("doc_id"), toks.as("_t"), nch.as("_nch"))
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(0L), col("_nch") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("_t"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk"),
+        least(size(col("_t")) - col("chunk_id") * stride, lit(chunkSize)).cast("long")
+          .as("n_tok"))
+  }
+
   /** Corpus vocabulary with a min-count threshold (tokenizer-training
     * prep): explode whitespace tokens, one hash aggregate with map-side
     * combine — at 100 TB the shuffle carries (token, partial-count), not

@@ -56,6 +56,14 @@ class SamplingSpec extends AnyFunSuite {
       .foreach(x => assert(more.contains(x.getLong(0))))
   }
 
+  test("hashSplit and mixSample are map-only plans (no Exchange)") {
+    for (df <- Seq(Sampling.hashSplit(docs, "doc_id"),
+                   Sampling.mixSample(docs, "source", "doc_id", Map("src1" -> 0.5)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+    }
+  }
+
   test("packSequences: offsets chain contiguously and match the global prefix sum") {
     // small blockSize forces the hierarchical (multi-block) path
     val r = Sampling.packSequences(docs, "doc_id", "text", budget = 64, blockSize = 32L)

@@ -82,6 +82,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v == Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)))) // c, d below min-count
   }
 
+  test("chunk: overlapping windows cover every token, short docs emit one chunk") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextOps.chunk(df, "doc_id", "text", chunkSize = 4, overlap = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getString(2), x.getLong(3))).toMap
+    // stride 3: chunks at tokens 1-4, 4-7, 7-10
+    assert(r((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(r((1L, 1L)) == (("t4 t5 t6 t7", 4L)))
+    assert(r((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(!r.contains((1L, 3L)))
+    assert(r((2L, 0L)) == (("a b", 2L))) // below chunkSize: one short chunk
+    // consecutive chunks share exactly `overlap` tokens
+    assert(r((1L, 0L))._1.split(" ").last == r((1L, 1L))._1.split(" ").head)
+  }
+
   test("tfidf: rarer tokens score higher, repeated tokens scale linearly") {
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val t = TextOps.tfidf(df, "doc_id", "text").collect()

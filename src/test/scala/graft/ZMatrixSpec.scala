@@ -51,6 +51,16 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(t == Seq((0L, 0L), (1L, 1L))) // col 0 tie at 5.0 -> i=0
   }
 
+  test("argminAxis0 picks the min row per column, ties -> smallest i") {
+    val am = m.argminAxis0.orderBy("j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(am == Seq((0L, 3L, 0.0), (1L, 3L, 1.0), (2L, 3L, 2.0)))
+    val tied = ZMatrix.fromDense(spark, Array(Array(5.0, 2.0), Array(5.0, 1.0)))
+    val t = tied.argminAxis0.orderBy("j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((0L, 0L), (1L, 1L))) // col 0 tie at 5.0 -> i=0
+  }
+
   test("cumsumAxis1 matches the dense prefix sum at stored cells") {
     val cs = ZLocal.toDense(m.cumsumAxis1, 4, 3)
     for (i <- 0 until 4; j <- 0 until 3)
