@@ -71,6 +71,16 @@ object SparkEntry {
     "q20_above_avg" -> Relational.q20AboveAvg _,
     "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
     "q23_pivot" -> Relational.q23Pivot _,
+    // skew-salted join, oracle-checked against the PLAIN join: salting is
+    // row-equivalent by construction, so the DuckDB twin needs no salt
+    "q24_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(li, ord, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
 
     // ---- zappy array surface (matrix: i=orderkey, j=linenumber, v=quantity) ----
     "arr_log1p" -> ((s, d) => mat(s, d).log1p_.mapValues(round(_, 6)).cells),
@@ -186,6 +196,13 @@ object SparkEntry {
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dupPlanes, minCos = 0.3)),
+    // IVF-pruned near-dup (rows-only: centroid training isn't SQL);
+    // recall vs the hyperplane pair set asserted in SimilaritySpec
+    "emb_neardup_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.nearDupPairsIvf(emb, "vec_id", "embedding", cents, minCos = 0.3)
+    }),
 
     // ---- LLM-pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -404,6 +421,9 @@ object SparkEntry {
         |mn AS (SELECT j, min(v) AS min_v FROM m GROUP BY 1)
         |SELECT m.j, min(m.i) AS argmin_i, mn.min_v
         |FROM m JOIN mn ON m.j = mn.j AND m.v = mn.min_v GROUP BY m.j, mn.min_v""".stripMargin,
+    "q24_salted_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents)

@@ -170,6 +170,46 @@ object Similarity {
             / (col("mx") - col("mn")) * 256.0)).cast("long")).as("q"))
   }
 
+  /** Top-2 IVF lists per vector (primary + runner-up) via one array_sort
+    * over the nlist (score, list) structs — O(nlist log nlist) per row on a
+    * parameter-sized array, no join. */
+  private def withIvfTop2(emb: DataFrame, vecCol: String,
+                          centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
+    }
+    val sorted = array_sort(array(scored: _*)) // ascending by (s, l)
+    emb.withColumn("list_id", element_at(sorted, -1).getField("l"))
+      .withColumn("list2_id", element_at(sorted, -2).getField("l"))
+  }
+
+  /** Embedding near-dup with IVF-pruned candidates: pairs are generated
+    * only within a shared IVF list, with each vector's top-2 lists probed
+    * on ONE side so boundary-straddling near-dups are still found (the
+    * same one-sided-explosion trick as [[nearDupPairs]], at ~1/nlist the
+    * candidate volume of a 6-plane Hamming-1 bucket join). list_id is the
+    * storage partition key at scale — candidate generation co-locates with
+    * the quantized store and never reads across lists. Rows-only entry:
+    * the centroid training loop is not SQL-expressible (recall vs the
+    * hyperplane pair set is scalatest-asserted instead). */
+  def nearDupPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val listed = withIvfTop2(emb, vecCol, centroids)
+      .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"),
+        col("list_id"), col("list2_id"))
+    val probed = listed.withColumn("probe",
+      explode(array(col("list_id"), col("list2_id"))))
+    val l = probed.as("l"); val r = listed.as("r")
+    l.join(r, col("l.probe") === col("r.list_id") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
     * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
     * each unordered pair is still generated once per shared probe). */

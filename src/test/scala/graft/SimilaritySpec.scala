@@ -81,6 +81,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("IVF near-dup: recall >= 0.8 vs exact same-cluster pairs, precision exact") {
+    val rnd = new scala.util.Random(23L)
+    val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)
+    val raw = (0 until 120).map { id =>
+      val c = centers(id % 6)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((s, x, y), i) =>
+        (s + a(i).toDouble * b(i), x + a(i).toDouble * a(i), y + b(i).toDouble * b(i))
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for { i <- raw.indices; j <- raw.indices if i < j
+                       if cos(raw(i)._2, raw(j)._2) >= 0.99 } yield (i.toLong, j.toLong)).toSet
+    assert(exact.nonEmpty)
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 6)
+    val got = Similarity.nearDupPairsIvf(vecs, "vec_id", "embedding", cents, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}") // exact verify stage
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF near-dup recall $recall")
+  }
+
   test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
     val vecs = Seq(
       (0L, Array(0.0f, 7.0f, -2.0f)),
