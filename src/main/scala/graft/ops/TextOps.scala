@@ -165,6 +165,26 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** Per-source dataset card (the report a curation pipeline publishes with
+    * a training mix): doc/token counts, quality mass, language diversity.
+    * Composes [[quality]] and [[langId]] relationally (joins on doc_id) and
+    * aggregates once by source. Quality is summed in exact integer
+    * ten-thousandths — an unordered double sum would be last-ulp
+    * nondeterministic across engines; the integer sum is exact in both. */
+  def sourceReport(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val q = quality(docs, idCol, textCol)
+    val l = langId(docs, idCol, textCol)
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
+        nTokens(col(textCol)).cast("long").as("_nt"))
+      .join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+      .groupBy(col("group_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(round(col("quality") * 10000).cast("long")).as("quality_e4_sum"),
+        count_distinct(col("pred_lang")).as("n_langs"))
+  }
+
   /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike a
     * bag-of-words hash). A native Catalyst expression
     * ([[graft.functions.Md5Fingerprint]]) — the previous `aggregate`

@@ -75,6 +75,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(2L) == ((0.0, 0.0, true)))
   }
 
+  test("sourceReport aggregates docs/tokens/quality/langs per source") {
+    val df = Seq(
+      (1L, "src_a", "the cat and the dog that was here is of note"),
+      (2L, "src_a", "le chat est dans la maison pour les vacances"),
+      (3L, "src_b", "x y z")).toDF("doc_id", "source", "text")
+    val r = TextOps.sourceReport(df, "doc_id", "text", "source").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(4)))).toMap
+    assert(r("src_a") == ((2L, 20L, 2L))) // 2 docs, 11+9 tokens, en+fr
+    assert(r("src_b") == ((1L, 3L, 1L)))  // und
+  }
+
   test("vocab counts tokens and docs, applies min-count") {
     val df = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "a")).toDF("doc_id", "text")
     val v = TextOps.vocab(df, "doc_id", "text", minCount = 2).collect()
