@@ -82,13 +82,17 @@ object SparkEntry {
     "q20_above_avg" -> Relational.q20AboveAvg _,
     "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
     "q23_pivot" -> Relational.q23Pivot _,
-    // skew-salted join, oracle-checked against the PLAIN join: salting is
-    // row-equivalent by construction, so the DuckDB twin needs no salt
+    // hybrid skew join, oracle-checked against the PLAIN join: the hybrid
+    // is row-equivalent by construction, so the DuckDB twin needs no salt.
+    // hotThreshold=1000 — lineitem has ≤7 rows per orderkey, so here the
+    // salted branch is empty and the hybrid runs at plain-join cost (the
+    // self-tuning property; the salted path itself is exercised in
+    // RelationalSpec on a synthetic 90%-hot-key fixture).
     "q24_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Relational.saltedJoin(li, ord, "l_orderkey")
+      Relational.skewJoin(li, ord, "l_orderkey", hotThreshold = 1000L)
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     }),

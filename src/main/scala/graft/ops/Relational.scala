@@ -265,4 +265,26 @@ object Relational {
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedOther, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Production skew join: detect at runtime which keys exceed
+    * `hotThreshold` on the fact side, salt ONLY those, plain-join the
+    * rest, union. The detection aggregate is map-side combined and its
+    * output is bounded by construction (≤ |fact| / hotThreshold keys), so
+    * the driver-side emptiness probe is O(1) data; when the data has no
+    * skew the probe short-circuits to the untouched plain join — zero
+    * replication, zero extra joins, one detection scan. Row-equivalent to
+    * the plain join either way, so the oracle twin IS the plain join. */
+  def skewJoin(fact: DataFrame, other: DataFrame, key: String,
+               salts: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold).select(col(key))
+    if (hot.isEmpty) fact.join(other, Seq(key))
+    else {
+      val cold = fact.join(broadcast(hot), Seq(key), "left_anti")
+        .join(other.join(broadcast(hot), Seq(key), "left_anti"), Seq(key))
+      saltedJoin(fact.join(broadcast(hot), Seq(key), "left_semi"),
+          other.join(broadcast(hot), Seq(key), "left_semi"), key, salts)
+        .unionByName(cold)
+    }
+  }
 }

@@ -125,5 +125,13 @@ class RelationalSpec extends AnyFunSuite {
       .groupBy("_salt").count().collect()
     assert(saltDist.length == 8)
     assert(saltDist.map(_.getLong(1)).max < 900L / 2) // no bucket hoards the key
+    // hybrid: threshold 500 salts ONLY key 1 (900 rows); result still equals plain
+    val hybrid = Relational.skewJoin(fact, dim, "k", salts = 8, hotThreshold = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(hybrid == plain)
+    // threshold above every frequency -> pure plain join path, still equal
+    val noHot = Relational.skewJoin(fact, dim, "k", salts = 8, hotThreshold = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(noHot == plain)
   }
 }
