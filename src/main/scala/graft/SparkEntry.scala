@@ -251,6 +251,27 @@ object SparkEntry {
       TextOps.chunk(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
     "report_sources" -> ((s, d) =>
       TextOps.sourceReport(Tables.documents(s, d), "doc_id", "text", "source")),
+    // the flagship curation pipeline: quality gate ∧ repetition keep ∧
+    // known language ∧ mix rebalance → exact-dedup keepers. All four
+    // per-row signals are COLUMN expressions composed into a single scan
+    // (one Project+Filter, whole-stage codegen'd — not a join per signal),
+    // so the only shuffle is the exact-dedup keeper semi-join. Every
+    // stage's formula has its own oracle twin; the pipeline twin composes
+    // them as nested CTEs, so end-to-end keep decisions are hash-checked.
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      docs.select(col("doc_id"), col("source").as("group_key"),
+          TextOps.qualityCol(col("text")).as("quality"),
+          // dup-word cap 0.6: this corpus draws from a small vocabulary, so
+          // the 0.3 default (tuned for natural prose) would reject 85% of it
+          TextOps.repetitionKeepCol(col("text"), maxDupWord = 0.6).as("_keep"),
+          TextOps.langIdCol(col("text")).as("_lang"))
+        .filter(col("quality") >= 0.3 && col("_keep") && col("_lang") =!= "und" &&
+          Sampling.mixPredicate(col("doc_id"), col("group_key"), mixRates))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("group_key"), col("quality"))
+    }),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -311,6 +332,24 @@ object SparkEntry {
        |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
        |fp AS (SELECT doc_id, $fp AS simhash FROM v)""".stripMargin
   }
+
+  /** Shared rate CASE + hash predicate for mix twins (source of truth:
+    * [[mixRates]]). */
+  private def mixPredicateSql(idExpr: String, srcExpr: String): String = {
+    val rateCase = mixRates.toSeq.sortBy(_._1).foldLeft("1.0") {
+      case (acc, (k, r)) => s"CASE WHEN $srcExpr = '$k' THEN $r ELSE $acc END"
+    }
+    s"""(('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 10000)::DOUBLE
+       |  < ($rateCase) * 10000.0""".stripMargin
+  }
+
+  private def repetitionKeepSql(maxDupWord: Double, maxDupBigram: Double): String =
+    s"""SELECT doc_id,
+       | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= $maxDupWord
+       |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= $maxDupBigram AS keep
+       |FROM (SELECT doc_id, tok, len(tok) AS n,
+       |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents))""".stripMargin
 
   private val qualitySql: String =
     """WITH s AS (SELECT doc_id,
@@ -469,6 +508,16 @@ object SparkEntry {
         |SELECT vec_id, dim, CASE WHEN mx = mn THEN 0::BIGINT
         |  ELSE CAST(least(255.0, floor((x - mn) / (mx - mn) * 256.0)) AS BIGINT) END AS q
         |FROM c JOIN rg USING (dim)""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH q AS ($qualitySql), rep AS (${repetitionKeepSql(0.6, 0.2)}), g AS ($langidSql),
+         |ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |f AS (SELECT d.doc_id, d.source, q.quality
+         |      FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+         |                       JOIN g USING (doc_id)
+         |      WHERE q.quality >= 0.3 AND rep.keep AND g.pred_lang <> 'und'
+         |        AND d.doc_id IN (SELECT doc_id FROM ke))
+         |SELECT doc_id, source AS group_key, quality FROM f
+         |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
     // sampling twins share one hash construction with Sampling.hashKey:
     // ('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT — md5 of the
     // id's decimal string, 60-bit positive prefix, identical in both engines
@@ -488,14 +537,9 @@ object SparkEntry {
         |k AS (SELECT doc_id, group_key,
         |  row_number() OVER (PARTITION BY group_key ORDER BY hk, doc_id) AS rk FROM r)
         |SELECT doc_id, group_key, rk FROM k WHERE rk <= 10""".stripMargin,
-    "sample_mix" -> {
-      val rateCase = mixRates.toSeq.sortBy(_._1).foldLeft("1.0") {
-        case (acc, (k, r)) => s"CASE WHEN source = '$k' THEN $r ELSE $acc END"
-      }
+    "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
-         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)::DOUBLE
-         |  < ($rateCase) * 10000.0""".stripMargin
-    },
+         |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
     // the id-ordered global window is the single-node equivalent of graft's
     // hierarchical block prefix sum (same totals, same cut points)
     "sample_pack" ->

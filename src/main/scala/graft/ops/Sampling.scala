@@ -61,14 +61,19 @@ object Sampling {
     * pipeline ("keep 25% of the low-quality crawl, all of the curated
     * sources") with resharding-stable membership; changing a rate only
     * adds/removes rows at the margin, it never reshuffles survivors. */
-  def mixSample(docs: DataFrame, groupCol: String, idCol: String,
-                rates: Map[String, Double]): DataFrame = {
+  /** The mix keep rule as a column predicate — composable into a larger
+    * single-scan filter (see pipeline_curate). */
+  def mixPredicate(id: Column, group: Column, rates: Map[String, Double]): Column = {
     val rate = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
-      when(col(groupCol) === k, lit(r)).otherwise(acc)
+      when(group === k, lit(r)).otherwise(acc)
     }
-    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
-      .filter(pmod(hashKey(col("doc_id")), lit(10000)).cast("double") < rate * 10000.0)
+    pmod(hashKey(id), lit(10000)).cast("double") < rate * 10000.0
   }
+
+  def mixSample(docs: DataFrame, groupCol: String, idCol: String,
+                rates: Map[String, Double]): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
+      .filter(mixPredicate(col("doc_id"), col("group_key"), rates))
 
   /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
     * documents are concatenated in id order and cut into fixed token-budget

@@ -33,17 +33,20 @@ object TextOps {
       regexp_count(col(textCol), lit(bpePat)).cast("long").as("n_bpe"),
       nTokens(col(textCol)).cast("long").as("n_ws"))
 
-  /** Heuristic quality score in [0,1]: length saturation × punctuation
-    * sanity × word-length sanity. Deterministic integer/ratio math. */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** Quality score as a pure column expression — composable into a single
+    * scan alongside other per-row signals (see pipeline_curate). */
+  def qualityCol(t: Column): Column = {
     val ntok = nTokens(t)
     val avgWl = length(regexp_replace(t, "\\s", "")).cast("double") / ntok
     val punct = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t)
-    docs.select(col(idCol).as("doc_id"),
-      round(least(lit(1.0), ntok / lit(100.0)) * (lit(1.0) - least(lit(1.0), punct * 5)) *
-        when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4).as("quality"))
+    round(least(lit(1.0), ntok / lit(100.0)) * (lit(1.0) - least(lit(1.0), punct * 5)) *
+      when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4)
   }
+
+  /** Heuristic quality score in [0,1]: length saturation × punctuation
+    * sanity × word-length sanity. Deterministic integer/ratio math. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), qualityCol(col(textCol)).as("quality"))
 
   /** Stopword marker lists for [[langId]] — public so the DuckDB oracle SQL
     * is generated from the same source of truth. Order matters: earlier
@@ -54,25 +57,27 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "una", "que", "por", "para", "con"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
 
-  /** Stopword/charset language ID (en/fr/es/de/zh). Scores = stopword hits
-    * per language via word-boundary regex counts; CJK wins by charset. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val markers = langMarkers
-    val t = lower(col(textCol))
-    val scores: Seq[(String, Column)] = markers.map { case (lang, words) =>
+  /** Language-ID as a pure column expression (argmax over stopword scores,
+    * CJK charset dominates) — composable into a single scan. */
+  def langIdCol(raw: Column): Column = {
+    val t = lower(raw)
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, words) =>
       lang -> words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
     }
-    val zhChars = regexp_count(col(textCol), lit("[\\x{4e00}-\\x{9fff}]"))
-    // argmax over language scores; CJK charset dominates when present
+    val zhChars = regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]"))
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
       when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
     }
-    docs.select(col(idCol).as("doc_id"),
-      when(zhChars > 0, "zh")
-        .when(best.getField("s") > 0, best.getField("l"))
-        .otherwise("und").as("pred_lang"))
+    when(zhChars > 0, "zh")
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise("und")
   }
+
+  /** Stopword/charset language ID (en/fr/es/de/zh). Scores = stopword hits
+    * per language via word-boundary regex counts; CJK wins by charset. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), langIdCol(col(textCol)).as("pred_lang"))
 
   /** PII patterns shared with the generated oracle SQL — RE2-safe (no
     * backrefs/lookarounds), so Java regex and DuckDB agree match-for-match. */
@@ -99,9 +104,9 @@ object TextOps {
     * native shifted-`slice` + `arrays_zip` trick as MinHash shingles (no
     * interpreted lambda), distinct-counted via `array_distinct` — a single
     * scan, no shuffle, no UDF. */
-  def repetition(docs: DataFrame, idCol: String, textCol: String,
-                 maxDupWord: Double = 0.3, maxDupBigram: Double = 0.2): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+  /** (dup_word_ratio, dup_bigram_ratio) as column expressions. */
+  def repetitionRatioCols(t: Column): (Column, Column) = {
+    val toks = split(trim(t), "\\s+")
     val n = size(toks)
     val n2 = greatest(n - 1, lit(0))
     val bigrams = arrays_zip(slice(toks, lit(1), n2), slice(toks, lit(2), n2))
@@ -111,6 +116,19 @@ object TextOps {
     val dupB = when(n > 1,
       round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / n2, 4) + 0.0)
       .otherwise(0.0)
+    (dupW, dupB)
+  }
+
+  /** The repetition keep rule as one column expression. */
+  def repetitionKeepCol(t: Column, maxDupWord: Double = 0.3,
+                        maxDupBigram: Double = 0.2): Column = {
+    val (dupW, dupB) = repetitionRatioCols(t)
+    dupW <= maxDupWord && dupB <= maxDupBigram
+  }
+
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 maxDupWord: Double = 0.3, maxDupBigram: Double = 0.2): DataFrame = {
+    val (dupW, dupB) = repetitionRatioCols(col(textCol))
     docs.select(col(idCol).as("doc_id"),
       dupW.as("dup_word_ratio"), dupB.as("dup_bigram_ratio"),
       (dupW <= maxDupWord && dupB <= maxDupBigram).as("keep"))

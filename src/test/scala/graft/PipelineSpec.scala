@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed curation pipeline must stay a single-scan plan: all four
+  * per-row signals (quality, repetition, langid, mix hash) evaluate inside
+  * one Project/Filter over one documents scan, and the only shuffles belong
+  * to the exact-dedup keeper semi-join — NOT one join per signal. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pipeline_curate: one documents scan per side, no per-signal joins") {
+    val df = SparkEntry.queries("pipeline_curate")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 scans (pipeline side + keeper side), got $scans:\n$plan")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly the keeper semi-join, got $joins joins")
+    assert(df.count() > 0)
+  }
+}
