@@ -185,6 +185,18 @@ object SparkEntry {
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
+    // same roundtrip through the Zarr v3 layout (zarr.json, c/ci/cj keys,
+    // gzip codec) — proves both store formats preserve the cells exactly
+    "zarr_v3_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarr3_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
+        zlib = true, format = 3)
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -738,6 +750,10 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, round(v / sum(v) OVER (PARTITION BY i), 6) AS v FROM m""".stripMargin,
     "zarr_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_v3_roundtrip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,

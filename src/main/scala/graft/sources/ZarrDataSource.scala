@@ -103,7 +103,8 @@ class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFil
   * chunk the writer skipped. */
 case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
-                              zlib: Boolean, fill: Double, dtype: String) extends InputPartition
+                              zlib: Boolean, fill: Double, dtype: String,
+                              format: Int = 2) extends InputPartition
 
 class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
                jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
@@ -112,7 +113,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = Zarr.readMeta(path)
-    val present = new java.io.File(path).list().filter(_.matches("\\d+\\.\\d+")).toSet
+    val present = Zarr.listChunks(path, meta.format)
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
     def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
@@ -121,9 +122,11 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
       ci <- 0 until gridR if overlaps(ci, meta.chunkRows, iLo, iHi)
       cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
     } yield {
-      val f = if (present.contains(s"$ci.$cj")) s"$path/$ci.$cj" else null
+      val f = if (present((ci.toLong, cj.toLong)))
+        Zarr.chunkFile(path, ci, cj, meta.format).getPath else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
-        meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype): InputPartition
+        meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
+        meta.format): InputPartition
     }).toArray
   }
 
@@ -138,7 +141,7 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
   private val values: Array[Double] =
     if (p.file == null) null
     else Zarr.decodeChunk(Files.readAllBytes(Paths.get(p.file)),
-      p.chunkRows * p.chunkCols, p.zlib, p.dtype)
+      p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
 
   private var li = 0
   private var lj = -1
@@ -176,7 +179,8 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
 case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          rowsOpt: Option[Long], colsOpt: Option[Long],
                          dtype: String, zlib: Boolean, fill: Double,
-                         ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int)
+                         ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int,
+                         format: Int = 2)
 
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -196,6 +200,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       "zarr write requires .option(\"chunkRows\", ...) and .option(\"chunkCols\", ...)")
     val dtype = Option(opts.get("dtype")).getOrElse("<f8")
     require(Zarr.Dtypes.contains(dtype), s"unsupported dtype $dtype")
+    val format = Option(opts.get("zarrFormat")).map(_.toInt).getOrElse(2)
+    require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
     val conf = ZarrWriteConf(path,
       opts.get("chunkRows").toInt, opts.get("chunkCols").toInt,
       Option(opts.get("rows")).map(_.toLong), Option(opts.get("cols")).map(_.toLong),
@@ -203,7 +209,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       Option(opts.get("fill")).map(_.toDouble).getOrElse(0.0),
       idxOf("ci", Set(LongType)), idxOf("cj", Set(LongType)),
       idxOf("i", Set(LongType)), idxOf("j", Set(LongType)),
-      idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)))
+      idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
+      format)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -236,8 +243,18 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     val dir = new java.io.File(conf.path)
     dir.mkdirs()
     if (truncate) {
-      Option(dir.list()).foreach(_.filter(f => f.matches("\\d+\\.\\d+") || f == ".zarray")
+      Option(dir.list()).foreach(_.filter(f =>
+          f.matches("\\d+\\.\\d+") || f == ".zarray" || f == "zarr.json")
         .foreach(f => new java.io.File(dir, f).delete()))
+      // v3 chunk tree: delete c/<ci>/<cj> leaves, then the empty dirs
+      val c = new java.io.File(dir, "c")
+      if (c.isDirectory) {
+        Option(c.listFiles()).foreach(_.foreach { ciDir =>
+          Option(ciDir.listFiles()).foreach(_.foreach(_.delete()))
+          ciDir.delete()
+        })
+        c.delete()
+      }
     }
     ZarrWriterFactory(conf, vType)
   }
@@ -248,7 +265,8 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     val rows = conf.rowsOpt.getOrElse(ms.map(_.maxI).foldLeft(-1L)(_ max _) + 1)
     val cols = conf.colsOpt.getOrElse(ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1)
     Zarr.writeMetaFile(conf.path,
-      Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill, conf.dtype))
+      Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
+        conf.dtype, conf.format))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -275,8 +293,9 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
   private var maxJ = -1L
 
   private def flush(): Unit = if (buf != null) {
-    val bytes = Zarr.encodeChunk(buf, conf.dtype, conf.zlib)
-    val f = new java.io.File(conf.path, s"$curCi.$curCj")
+    val bytes = Zarr.encodeChunk(buf, conf.dtype, conf.zlib, conf.format)
+    val f = Zarr.chunkFile(conf.path, curCi, curCj, conf.format)
+    f.getParentFile.mkdirs() // v3 nests chunks under c/<ci>/
     val out = new java.io.FileOutputStream(f)
     try out.write(bytes) finally out.close()
     files += f.getPath

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
 
 import graft.array.ZMatrix
 
-/** Minimal Zarr v2 store (directory of chunk files + `.zarray` JSON),
-  * matching the reference's storage format (lasersonlab/zappy reads/writes
-  * Zarr v2 arrays: C-order chunks named "ci.cj", little-endian dtype,
-  * `compressor: null` or zlib). No external libraries — the metadata JSON
-  * is tiny and fixed-shape, written/parsed directly.
+/** Minimal Zarr store in BOTH formats: v2 (directory of "ci.cj" chunk
+  * files + `.zarray` JSON — the reference's storage format; lasersonlab/
+  * zappy reads/writes Zarr v2 arrays with C-order chunks, little-endian
+  * dtype, `compressor: null` or zlib) and v3 (the current spec:
+  * `zarr.json` metadata, "c/ci/cj" chunk keys, named data types, gzip
+  * codec). No external libraries — the metadata JSON is tiny and
+  * fixed-shape, written/parsed directly. Format is detected on read;
+  * chosen on write via `format = 2|3` / `.option("zarrFormat", ...)`.
   *
   * Scale design: the chunk grid IS the partitioning.
   *  - write: one shuffle (`repartition` on chunk id) then each task writes
@@ -24,8 +27,12 @@ import graft.array.ZMatrix
   */
 object Zarr {
 
+  /** `format` 2 = classic v2 store (`.zarray`, "ci.cj" chunk keys,
+    * zlib-framed compression); 3 = current Zarr v3 spec (`zarr.json`,
+    * "c/ci/cj" chunk keys, named dtypes, gzip codec). */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
-                        zlib: Boolean, fill: Double, dtype: String = "<f8")
+                        zlib: Boolean, fill: Double, dtype: String = "<f8",
+                        format: Int = 2)
 
   /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
     * big) + f8/f4/i8/i4. In-flight values are always doubles (the ZMatrix
@@ -56,6 +63,29 @@ object Zarr {
        |}""".stripMargin
   }
 
+  /** v2 dtype string ↔ v3 named data_type (+ endian for the bytes codec). */
+  private val v3Names: Map[String, String] =
+    Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32")
+  private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
+
+  private def metaJsonV3(m: Meta): String = {
+    val endian = if (m.dtype.startsWith(">")) "big" else "little"
+    val codecs = if (m.zlib)
+      s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}, {"name": "gzip", "configuration": {"level": 1}}]"""
+    else s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}]"""
+    s"""{
+       |    "zarr_format": 3,
+       |    "node_type": "array",
+       |    "shape": [${m.rows}, ${m.cols}],
+       |    "data_type": "${v3Names(m.dtype.substring(1))}",
+       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunkRows}, ${m.chunkCols}]}},
+       |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+       |    "fill_value": ${m.fill},
+       |    "codecs": $codecs,
+       |    "attributes": {}
+       |}""".stripMargin
+  }
+
   private def jsonField(json: String, key: String): String = {
     val m = java.util.regex.Pattern
       .compile("\"" + key + "\"\\s*:\\s*(\\[[^\\]]*\\]|\\{[^}]*\\}|[^,}\\s]+)")
@@ -67,7 +97,11 @@ object Zarr {
   private def longs(arr: String): Array[Long] =
     arr.replaceAll("[\\[\\]\\s]", "").split(",").map(_.toLong)
 
-  def readMeta(path: String): Meta = {
+  /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). */
+  def readMeta(path: String): Meta =
+    if (Files.exists(Paths.get(path, "zarr.json"))) readMetaV3(path) else readMetaV2(path)
+
+  private def readMetaV2(path: String): Meta = {
     val json = new String(Files.readAllBytes(Paths.get(path, ".zarray")), "UTF-8")
     val shape = longs(jsonField(json, "shape"))
     val chunks = longs(jsonField(json, "chunks"))
@@ -78,6 +112,22 @@ object Zarr {
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype)
   }
 
+  private def readMetaV3(path: String): Meta = {
+    val json = new String(Files.readAllBytes(Paths.get(path, "zarr.json")), "UTF-8")
+    // "shape" matches only the top-level key: "chunk_shape" has no quote
+    // directly before "shape", so the regex cannot hit it
+    val shape = longs(jsonField(json, "shape"))
+    val chunks = longs(jsonField(json, "chunk_shape"))
+    val zlib = json.contains("\"gzip\"")
+    val fill = jsonField(json, "fill_value").toDouble
+    val named = jsonField(json, "data_type").replaceAll("\"", "")
+    val endian = if (json.contains("\"big\"")) ">" else "<"
+    val base = v3NamesInv.getOrElse(named,
+      throw new IllegalArgumentException(s"unsupported data_type $named"))
+    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
+      endian + base, format = 3)
+  }
+
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater(1); d.setInput(b); d.finish()
     val out = new java.io.ByteArrayOutputStream(b.length / 2)
@@ -86,9 +136,31 @@ object Zarr {
     d.end(); out.toByteArray
   }
 
+  private[zarr] def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private[zarr] def gunzip(b: Array[Byte], outLen: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val out = new Array[Byte](outLen)
+    var off = 0
+    while (off < outLen) {
+      val n = in.read(out, off, outLen - off)
+      require(n > 0, "truncated gzip chunk")
+      off += n
+    }
+    in.close(); out
+  }
+
   /** Encode a row-major double buffer as raw chunk bytes in `dtype`
-    * (integral dtypes truncate toward zero, the NumPy C-cast rule). */
-  def encodeChunk(buf: Array[Double], dtype: String, zlib: Boolean): Array[Byte] = {
+    * (integral dtypes truncate toward zero, the NumPy C-cast rule).
+    * Compression framing follows the store format: v2 = zlib, v3 = gzip
+    * (the v3 spec's codec). */
+  def encodeChunk(buf: Array[Double], dtype: String, zlib: Boolean,
+                  format: Int = 2): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * elemSize(dtype)).order(byteOrder(dtype))
     dtype.substring(1) match {
       case "f8" => buf.foreach(bb.putDouble)
@@ -97,13 +169,15 @@ object Zarr {
       case "i4" => buf.foreach(v => bb.putInt(v.toInt))
     }
     val raw = bb.array()
-    if (zlib) deflate(raw) else raw
+    if (!zlib) raw else if (format == 3) gzip(raw) else deflate(raw)
   }
 
   /** Decode one chunk file's bytes into row-major doubles. */
   def decodeChunk(bytes0: Array[Byte], nElems: Int, zlib: Boolean,
-                  dtype: String = "<f8"): Array[Double] = {
-    val bytes = if (zlib) inflate(bytes0, nElems * elemSize(dtype)) else bytes0
+                  dtype: String = "<f8", format: Int = 2): Array[Double] = {
+    val outLen = nElems * elemSize(dtype)
+    val bytes = if (!zlib) bytes0
+      else if (format == 3) gunzip(bytes0, outLen) else inflate(bytes0, outLen)
     val bb = ByteBuffer.wrap(bytes).order(byteOrder(dtype))
     dtype.substring(1) match {
       case "f8" => Array.fill(nElems)(bb.getDouble)
@@ -122,7 +196,29 @@ object Zarr {
   }
 
   private[graft] def writeMetaFile(path: String, m: Meta): Unit =
-    Files.write(Paths.get(path, ".zarray"), metaJson(m).getBytes("UTF-8"))
+    if (m.format == 3)
+      Files.write(Paths.get(path, "zarr.json"), metaJsonV3(m).getBytes("UTF-8"))
+    else
+      Files.write(Paths.get(path, ".zarray"), metaJson(m).getBytes("UTF-8"))
+
+  /** Chunk file for (ci, cj) under the store root: "ci.cj" in v2,
+    * "c/ci/cj" (default key encoding) in v3. */
+  def chunkFile(path: String, ci: Long, cj: Long, format: Int): File =
+    if (format == 3) new File(new File(new File(path, "c"), ci.toString), cj.toString)
+    else new File(path, s"$ci.$cj")
+
+  /** List present chunk coordinates in a store of either format. */
+  def listChunks(path: String, format: Int): Set[(Long, Long)] =
+    if (format == 3) {
+      val c = new File(path, "c")
+      Option(c.list()).getOrElse(Array.empty).flatMap { ci =>
+        Option(new File(c, ci).list()).getOrElse(Array.empty)
+          .map(cj => (ci.toLong, cj.toLong))
+      }.toSet
+    } else
+      Option(new File(path).list()).getOrElse(Array.empty)
+        .filter(_.matches("\\d+\\.\\d+"))
+        .map { n => val Array(a, b) = n.split("\\."); (a.toLong, b.toLong) }.toSet
 
   /** Write a (dense-semantics) matrix: absent cells become `fill`.
     * Thin wrapper over the DSv2 sink (`df.write.format("zarr")`,
@@ -131,7 +227,7 @@ object Zarr {
     * Catalyst owns the exchange and AQE can size it. */
   def write(m: ZMatrix, path: String, rows: Long, cols: Long,
             chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
-            fill: Double = 0.0, dtype: String = "<f8"): Unit =
+            fill: Double = 0.0, dtype: String = "<f8", format: Int = 2): Unit =
     m.cells.select(
         (col("i") / chunkRows).cast("long").as("ci"),
         (col("j") / chunkCols).cast("long").as("cj"),
@@ -141,57 +237,45 @@ object Zarr {
       .option("chunkRows", chunkRows.toString).option("chunkCols", chunkCols.toString)
       .option("rows", rows.toString).option("cols", cols.toString)
       .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
+      .option("zarrFormat", format.toString)
       .mode("overwrite").save(path)
 
-  /** Read a Zarr array back as coordinate cells (i, j, v) with dense
-    * semantics: chunk files absent from the store (zarr writes none for
-    * all-fill chunks) materialize as fill cells. The store listing is a
-    * driver-side metadata op (one directory/object LIST); chunk decode is
-    * partition-parallel via the binaryFile source. */
+  /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
+    * with dense semantics: chunk files absent from the store (zarr writes
+    * none for all-fill chunks) materialize as fill cells. The store listing
+    * is a driver-side metadata op (one directory/object LIST producing only
+    * coordinates); chunk decode is partition-parallel — each task reads and
+    * decodes its own chunk files. */
   def read(spark: SparkSession, path: String): ZMatrix = {
     val meta = readMeta(path)
     import spark.implicits._
     val (cr, cc) = (meta.chunkRows, meta.chunkCols)
     val (nr, nc) = (meta.rows, meta.cols)
     val (zl, fill) = (meta.zlib, meta.fill)
-    val dt = meta.dtype
+    val (dt, fmt) = (meta.dtype, meta.format)
 
-    val present = new File(path).list().filter(_.matches("\\d+\\.\\d+")).toSet
+    val present = listChunks(path, meta.format)
     val gridR = ((nr + cr - 1) / cr).toInt
     val gridC = ((nc + cc - 1) / cc).toInt
-    val missing = for {
+    val chunks = for {
       ci <- 0 until gridR; cj <- 0 until gridC
-      if !present.contains(s"$ci.$cj")
-    } yield (ci.toLong, cj.toLong)
+    } yield (ci.toLong, cj.toLong,
+      if (present((ci.toLong, cj.toLong))) chunkFile(path, ci, cj, fmt).getPath else null)
 
-    val decoded = spark.read.format("binaryFile")
-      .load(path).filter(!col("path").endsWith(".zarray"))
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes0) =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        val Array(ci, cj) = name.split("\\.").map(_.toLong)
-        val vals = decodeChunk(bytes0, cr * cc, zl, dt)
+    val cells = spark.createDataset(chunks.toSeq)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (ci, cj, file) =>
+        val vals = if (file == null) null
+          else decodeChunk(Files.readAllBytes(Paths.get(file)), cr * cc, zl, dt, fmt)
         for {
           li <- 0 until cr
           lj <- 0 until cc
           i = ci * cr + li
           j = cj * cc + lj
           if i < nr && j < nc
-        } yield (i, j, vals(li * cc + lj))
+        } yield (i, j, if (vals == null) fill else vals(li * cc + lj))
       }
 
-    val fills = spark.createDataset(missing).repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { case (ci, cj) =>
-        for {
-          li <- 0 until cr
-          lj <- 0 until cc
-          i = ci * cr + li
-          j = cj * cc + lj
-          if i < nr && j < nc
-        } yield (i, j, fill)
-      }
-
-    ZMatrix(decoded.union(fills).toDF("i", "j", "v"))
+    ZMatrix(cells.toDF("i", "j", "v"))
   }
 }
