@@ -58,19 +58,26 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
 
   /** Language-ID as a pure column expression (argmax over stopword scores,
-    * CJK charset dominates) — composable into a single scan. */
+    * CJK charset dominates) — composable into a single scan. The argmax is
+    * `greatest` over (score, −index) structs, NOT a when/otherwise fold: a
+    * fold duplicates the accumulator tree at every step, which multiplies
+    * the 8-regex score subtrees exponentially and blows whole-stage codegen
+    * past the JVM's 64 KB method limit once composed with other signals
+    * (measured: the curation pipeline fell back to interpreted execution).
+    * With `greatest`, each regex appears exactly once; ties still resolve
+    * to the earliest-listed language via the −index field. */
   def langIdCol(raw: Column): Column = {
     val t = lower(raw)
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, words) =>
-      lang -> words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
+    val scored: Seq[Column] = langMarkers.zipWithIndex.map { case ((_, words), idx) =>
+      struct(words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _).as("s"),
+        lit(-idx).as("ni"))
     }
     val zhChars = regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]"))
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
-      when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
+    val best = greatest(scored: _*)
+    val bestLang = element_at(array(langMarkers.map(m => lit(m._1)): _*),
+      (-best.getField("ni") + 1).cast("int"))
     when(zhChars > 0, "zh")
-      .when(best.getField("s") > 0, best.getField("l"))
+      .when(best.getField("s") > 0, bestLang)
       .otherwise("und")
   }
 
