@@ -308,6 +308,9 @@ object SparkEntry {
     "stream_join" -> ((s, d) => Stream.streamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => Stream.sessionizeStream(s, d)),
     "stream_dedup" -> ((s, d) => Stream.streamDedup(s, d)),
+    // rows-only (centroid training isn't SQL-expressible); stream-vs-batch
+    // assignment equality is asserted in StreamingSpec
+    "stream_ivf_assign" -> ((s, d) => Stream.ivfAssignStream(s, d, ivfModel(s, d, 16))),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----

@@ -19,15 +19,18 @@ object Stream {
     * deployment points readStream at an object-store prefix directly). */
   private val schemas = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private def linkedEventsDir(sfDir: String, sfName: String): String = {
-    val dir = java.nio.file.Paths.get(s"target/tmp/stream_src_$sfName")
+  private def linkedTableDir(sfDir: String, sfName: String, table: String): String = {
+    val dir = java.nio.file.Paths.get(s"target/tmp/stream_src_${table}_$sfName")
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
+    val link = dir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath)
+        java.nio.file.Paths.get(sfDir, s"$table.parquet").toAbsolutePath)
     dir.toString
   }
+
+  private def linkedEventsDir(sfDir: String, sfName: String): String =
+    linkedTableDir(sfDir, sfName, "events")
 
   /** State-store provider. RocksDB is the at-scale deployment choice
     * (bounded executor heap, changelog checkpointing for TB-sized state),
@@ -153,6 +156,31 @@ object Stream {
     val qn = s"stream_dedup_$sfName"
     withStatePartitions(spark, 8) {
       val q = dd.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
+  /** Streaming IVF index maintenance: vectors arriving on a stream are
+    * assigned their inverted-list id in-flight with the batch-trained
+    * centroid model (codegen'd dot products — stateless, no watermark, no
+    * shuffle), the shape that keeps an ANN index current under continuous
+    * ingest: in production the sink is a foreachBatch upsert into the
+    * list-partitioned store; here it's the memory sink so the result can
+    * be checked against the batch assignment. */
+  def ivfAssignStream(spark: SparkSession, sfDir: String,
+                      centroids: Array[Array[Double]]): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/embeddings",
+      _ => spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "embeddings"))
+    val assigned = graft.ops.Similarity.withIvfList(src, "embedding", centroids)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    val qn = s"stream_ivf_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = assigned.writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }

@@ -55,4 +55,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains(SessOut(2L, 1L, 1L, 0L)))    // event 4
     } finally q.stop()
   }
+
+  test("streaming IVF assignment equals the batch assignment") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 4)
+    val streamed = graft.streaming.Stream.ivfAssignStream(spark, TestSpark.sf, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Similarity.withIvfList(emb, "embedding", cents)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("list_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.toSet.size > 1) // vectors actually spread across lists
+  }
 }
