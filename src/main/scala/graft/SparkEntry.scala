@@ -358,13 +358,19 @@ object SparkEntry {
        |  < ($rateCase) * 10000.0""".stripMargin
   }
 
-  private def repetitionKeepSql(maxDupWord: Double, maxDupBigram: Double): String =
-    s"""SELECT doc_id,
-       | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= $maxDupWord
-       |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= $maxDupBigram AS keep
+  /** One source of truth for the repetition twin: emits doc_id, both dup
+    * ratios, and the keep flag at the given thresholds. `text_repetition`
+    * uses it at the (0.3, 0.2) defaults; pipeline_curate's CTE at its
+    * corpus-tuned thresholds — the formula text exists exactly once. */
+  private def repetitionSql(maxDupWord: Double, maxDupBigram: Double): String = {
+    val dupW = "CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END"
+    val dupB = "CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END"
+    s"""SELECT doc_id, $dupW AS dup_word_ratio, $dupB AS dup_bigram_ratio,
+       | ($dupW) <= $maxDupWord AND ($dupB) <= $maxDupBigram AS keep
        |FROM (SELECT doc_id, tok, len(tok) AS n,
        |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents))""".stripMargin
+  }
 
   private val qualitySql: String =
     """WITH s AS (SELECT doc_id,
@@ -472,16 +478,7 @@ object SparkEntry {
     // bigrams as chr(1)-joined strings (DuckDB's list_distinct cannot take
     // nested lists); tokens are whitespace-split so the separator cannot
     // create boundary ambiguity
-    "text_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents),
-        |m AS (SELECT doc_id, tok, len(tok) AS n,
-        |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big FROM t)
-        |SELECT doc_id,
-        | CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END AS dup_word_ratio,
-        | CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END AS dup_bigram_ratio,
-        | (CASE WHEN n > 0 THEN round(1.0 - len(list_distinct(tok)) / n, 4) + 0 ELSE 0.0 END) <= 0.3
-        |  AND (CASE WHEN n > 1 THEN round(1.0 - len(list_distinct(big)) / (n - 1), 4) + 0 ELSE 0.0 END) <= 0.2 AS keep
-        |FROM m""".stripMargin,
+    "text_repetition" -> repetitionSql(0.3, 0.2),
     // chunk k covers tokens [k*24+1, k*24+32] 1-based inclusive — Spark's
     // slice(start, length) and DuckDB's list_slice(begin, end) both
     // truncate past the array end, so trailing chunks agree
@@ -524,7 +521,7 @@ object SparkEntry {
         |  ELSE CAST(least(255.0, floor((x - mn) / (mx - mn) * 256.0)) AS BIGINT) END AS q
         |FROM c JOIN rg USING (dim)""".stripMargin,
     "pipeline_curate" ->
-      s"""WITH q AS ($qualitySql), rep AS (${repetitionKeepSql(0.6, 0.2)}), g AS ($langidSql),
+      s"""WITH q AS ($qualitySql), rep AS (${repetitionSql(0.6, 0.2)}), g AS ($langidSql),
          |ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |f AS (SELECT d.doc_id, d.source, q.quality
          |      FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)

@@ -268,18 +268,27 @@ object Relational {
 
   /** Production skew join: detect at runtime which keys exceed
     * `hotThreshold` on the fact side, salt ONLY those, plain-join the
-    * rest, union. The detection aggregate is map-side combined and its
-    * output is bounded by construction (≤ |fact| / hotThreshold keys), so
-    * the driver-side emptiness probe is O(1) data; when the data has no
-    * skew the probe short-circuits to the untouched plain join — zero
-    * replication, zero extra joins, one detection scan. Row-equivalent to
-    * the plain join either way, so the oracle twin IS the plain join. */
+    * rest, union. Detection is exactly ONE map-side-combined aggregate
+    * scan whose output is bounded by construction (≤ |fact|/hotThreshold
+    * keys), collected to the driver once and re-entered as literals:
+    * no skew → the untouched plain join (zero replication, zero extra
+    * joins); skew → IN-list filters that push to the scans. Beyond
+    * `maxHotKeys` collected keys (a pathological flat-hot distribution)
+    * the hot set stays distributed as broadcast semi/anti joins instead.
+    * Row-equivalent to the plain join either way, so the oracle twin IS
+    * the plain join. */
   def skewJoin(fact: DataFrame, other: DataFrame, key: String,
-               salts: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+               salts: Int = 16, hotThreshold: Long = 100000L,
+               maxHotKeys: Int = 10000): DataFrame = {
     val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > hotThreshold).select(col(key))
-    if (hot.isEmpty) fact.join(other, Seq(key))
-    else {
+    val hotKeys = hot.limit(maxHotKeys + 1).collect().map(_.get(0))
+    if (hotKeys.isEmpty) fact.join(other, Seq(key))
+    else if (hotKeys.length <= maxHotKeys) {
+      val isHot = col(key).isin(hotKeys.toSeq: _*)
+      saltedJoin(fact.filter(isHot), other.filter(isHot), key, salts)
+        .unionByName(fact.filter(!isHot).join(other.filter(!isHot), Seq(key)))
+    } else {
       val cold = fact.join(broadcast(hot), Seq(key), "left_anti")
         .join(other.join(broadcast(hot), Seq(key), "left_anti"), Seq(key))
       saltedJoin(fact.join(broadcast(hot), Seq(key), "left_semi"),

@@ -47,7 +47,10 @@ object Sampling {
                   n: Int, salts: Int = 16): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
       .withColumn("_rk", hashKey(col("doc_id")))
-    val salted = Window.partitionBy(col("group_key"), pmod(col("doc_id"), lit(salts)))
+    // salt from the HASH, not the raw id: a raw pmod degrades silently on
+    // stride-patterned or non-numeric ids (all-even ids would use half the
+    // subgroups; a string id casts to NULL and collapses stage 1 entirely)
+    val salted = Window.partitionBy(col("group_key"), pmod(col("_rk"), lit(salts.toLong)))
       .orderBy(col("_rk"), col("doc_id"))
     val full = Window.partitionBy(col("group_key")).orderBy(col("_rk"), col("doc_id"))
     base.withColumn("_srk", row_number().over(salted)).filter(col("_srk") <= n)
@@ -55,12 +58,6 @@ object Sampling {
       .select(col("doc_id"), col("group_key"), col("rk").cast("long").as("rk"))
   }
 
-  /** Source-mix rebalancing: downsample each group to a configured keep
-    * rate (default 1.0), deterministically — a record survives iff
-    * hash(id) mod 10000 < rate×10000. The mix knob of a training-data
-    * pipeline ("keep 25% of the low-quality crawl, all of the curated
-    * sources") with resharding-stable membership; changing a rate only
-    * adds/removes rows at the margin, it never reshuffles survivors. */
   /** The mix keep rule as a column predicate — composable into a larger
     * single-scan filter (see pipeline_curate). */
   def mixPredicate(id: Column, group: Column, rates: Map[String, Double]): Column = {
@@ -70,6 +67,12 @@ object Sampling {
     pmod(hashKey(id), lit(10000)).cast("double") < rate * 10000.0
   }
 
+  /** Source-mix rebalancing: downsample each group to a configured keep
+    * rate (default 1.0), deterministically — a record survives iff
+    * hash(id) mod 10000 < rate×10000. The mix knob of a training-data
+    * pipeline ("keep 25% of the low-quality crawl, all of the curated
+    * sources") with resharding-stable membership; changing a rate only
+    * adds/removes rows at the margin, it never reshuffles survivors. */
   def mixSample(docs: DataFrame, groupCol: String, idCol: String,
                 rates: Map[String, Double]): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))

@@ -118,17 +118,22 @@ object Similarity {
     cents
   }
 
+  /** The (cosine-to-centroid, list) structs shared by every IVF consumer —
+    * assignment, top-2 probing, streaming — so a scoring change can never
+    * desynchronize batch and stream list assignments. */
+  private def centroidScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
+    }
+
   /** Assign each vector to its nearest (max-cosine) centroid list. The
     * centroid matrix enters the plan as literals — nlist codegen'd dot
     * products per row, no join, no shuffle. `list_id` is the storage
     * partition / cluster key at scale. */
   def withIvfList(emb: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val scored = centroids.zipWithIndex.map { case (c, l) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
-    }
-    emb.withColumn("list_id", greatest(scored: _*).getField("l"))
+    emb.withColumn("list_id", greatest(centroidScores(v, centroids): _*).getField("l"))
   }
 
   /** IVF ANN top-k: score the query against all centroids driver-side
@@ -171,39 +176,35 @@ object Similarity {
   }
 
   /** Top-2 IVF lists per vector (primary + runner-up) via one array_sort
-    * over the nlist (score, list) structs — O(nlist log nlist) per row on a
-    * parameter-sized array, no join. */
+    * over the shared [[centroidScores]] structs — O(nlist log nlist) per
+    * row on a parameter-sized array, no join. */
   private def withIvfTop2(emb: DataFrame, vecCol: String,
                           centroids: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val scored = centroids.zipWithIndex.map { case (c, l) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
-    }
-    val sorted = array_sort(array(scored: _*)) // ascending by (s, l)
+    val sorted = array_sort(array(centroidScores(v, centroids): _*)) // ascending by (s, l)
     emb.withColumn("list_id", element_at(sorted, -1).getField("l"))
       .withColumn("list2_id", element_at(sorted, -2).getField("l"))
   }
 
-  /** Embedding near-dup with IVF-pruned candidates: pairs are generated
-    * only within a shared IVF list, with each vector's top-2 lists probed
-    * on ONE side so boundary-straddling near-dups are still found (the
-    * same one-sided-explosion trick as [[nearDupPairs]], at ~1/nlist the
-    * candidate volume of a 6-plane Hamming-1 bucket join). list_id is the
-    * storage partition key at scale — candidate generation co-locates with
-    * the quantized store and never reads across lists. Rows-only entry:
-    * the centroid training loop is not SQL-expressible (recall vs the
-    * hyperplane pair set is scalatest-asserted instead). */
+  /** Embedding near-dup with IVF-pruned candidates: each vector is
+    * multi-assigned to its top-2 lists and pairs are generated within a
+    * SHARED probe list (both sides exploded — "x's top-2 contains y's
+    * primary" is not symmetric, so a one-sided probe would miss about half
+    * the boundary-straddling configurations; sharing any of the 2×2 list
+    * combinations is symmetric). Duplicate candidates collapse in the
+    * final (id1, id2) aggregate. Candidate volume is ~4/nlist of the
+    * corpus per list — still list-pruned, and list_id remains the storage
+    * partition key, so candidate generation co-locates with the quantized
+    * store. Rows-only entry: the centroid training loop is not
+    * SQL-expressible (recall vs exact pairs is scalatest-asserted). */
   def nearDupPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
                       centroids: Array[Array[Double]], minCos: Double): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val listed = withIvfTop2(emb, vecCol, centroids)
+    val probed = withIvfTop2(emb, vecCol, centroids)
       .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"),
-        col("list_id"), col("list2_id"))
-    val probed = listed.withColumn("probe",
-      explode(array(col("list_id"), col("list2_id"))))
-    val l = probed.as("l"); val r = listed.as("r")
-    l.join(r, col("l.probe") === col("r.list_id") && col("l.doc_id") < col("r.doc_id"))
+        explode(array(col("list_id"), col("list2_id"))).as("probe"))
+    val l = probed.as("l"); val r = probed.as("r")
+    l.join(r, col("l.probe") === col("r.probe") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
         (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)

@@ -138,7 +138,9 @@ object Zarr {
 
   private[zarr] def gzip(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length / 2)
-    val gz = new java.util.zip.GZIPOutputStream(out)
+    // level 1, matching the "level": 1 the v3 metadata declares (the
+    // GZIPOutputStream default would be 6 — metadata must describe the bytes)
+    val gz = new java.util.zip.GZIPOutputStream(out) { `def`.setLevel(1) }
     gz.write(b); gz.close()
     out.toByteArray
   }
