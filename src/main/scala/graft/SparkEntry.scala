@@ -186,7 +186,9 @@ object SparkEntry {
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
     // same roundtrip through the Zarr v3 layout (zarr.json, c/ci/cj keys,
-    // gzip codec) — proves both store formats preserve the cells exactly
+    // gzip codec), SHARDED: each 1024-row shard object packs four 256-row
+    // inner chunks + an end index — proves the store format that keeps the
+    // object count sane at 100 TB preserves the cells exactly
     "zarr_v3_roundtrip" -> ((s, d) => {
       val m = mat(s, d)
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
@@ -194,7 +196,7 @@ object SparkEntry {
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/tmp/zarr3_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
-        zlib = true, format = 3)
+        zlib = true, format = 3, innerRows = 256, innerCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
 

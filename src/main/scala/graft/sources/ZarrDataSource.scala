@@ -104,7 +104,8 @@ class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFil
 case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                               zlib: Boolean, fill: Double, dtype: String,
-                              format: Int = 2) extends InputPartition
+                              format: Int = 2, innerRows: Int = 0,
+                              innerCols: Int = 0) extends InputPartition
 
 class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
                jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
@@ -126,7 +127,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
         Zarr.chunkFile(path, ci, cj, meta.format).getPath else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
-        meta.format): InputPartition
+        meta.format, meta.innerRows, meta.innerCols): InputPartition
     }).toArray
   }
 
@@ -140,6 +141,9 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
 class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow] {
   private val values: Array[Double] =
     if (p.file == null) null
+    else if (p.innerRows > 0)
+      Zarr.decodeShard(Files.readAllBytes(Paths.get(p.file)),
+        p.chunkRows, p.chunkCols, p.innerRows, p.innerCols, p.dtype, p.zlib, p.fill)
     else Zarr.decodeChunk(Files.readAllBytes(Paths.get(p.file)),
       p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
 
@@ -180,7 +184,7 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          rowsOpt: Option[Long], colsOpt: Option[Long],
                          dtype: String, zlib: Boolean, fill: Double,
                          ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int,
-                         format: Int = 2)
+                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0)
 
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -202,6 +206,15 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     require(Zarr.Dtypes.contains(dtype), s"unsupported dtype $dtype")
     val format = Option(opts.get("zarrFormat")).map(_.toInt).getOrElse(2)
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
+    val innerRows = Option(opts.get("innerRows")).map(_.toInt).getOrElse(0)
+    val innerCols = Option(opts.get("innerCols")).map(_.toInt).getOrElse(0)
+    if (innerRows > 0 || innerCols > 0) {
+      require(format == 3, "sharding (innerRows/innerCols) requires zarrFormat=3")
+      require(innerRows > 0 && innerCols > 0 &&
+        opts.get("chunkRows").toInt % innerRows == 0 &&
+        opts.get("chunkCols").toInt % innerCols == 0,
+        "inner chunk shape must divide the shard (chunkRows/chunkCols) shape")
+    }
     val conf = ZarrWriteConf(path,
       opts.get("chunkRows").toInt, opts.get("chunkCols").toInt,
       Option(opts.get("rows")).map(_.toLong), Option(opts.get("cols")).map(_.toLong),
@@ -210,7 +223,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("ci", Set(LongType)), idxOf("cj", Set(LongType)),
       idxOf("i", Set(LongType)), idxOf("j", Set(LongType)),
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
-      format)
+      format, innerRows, innerCols)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -266,7 +279,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     val cols = conf.colsOpt.getOrElse(ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
-        conf.dtype, conf.format))
+        conf.dtype, conf.format, conf.innerRows, conf.innerCols))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -293,7 +306,10 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
   private var maxJ = -1L
 
   private def flush(): Unit = if (buf != null) {
-    val bytes = Zarr.encodeChunk(buf, conf.dtype, conf.zlib, conf.format)
+    val bytes = if (conf.innerRows > 0)
+      Zarr.encodeShard(buf, conf.chunkRows, conf.chunkCols,
+        conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill)
+    else Zarr.encodeChunk(buf, conf.dtype, conf.zlib, conf.format)
     val f = Zarr.chunkFile(conf.path, curCi, curCj, conf.format)
     f.getParentFile.mkdirs() // v3 nests chunks under c/<ci>/
     val out = new java.io.FileOutputStream(f)

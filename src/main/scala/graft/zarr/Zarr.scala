@@ -29,10 +29,17 @@ object Zarr {
 
   /** `format` 2 = classic v2 store (`.zarray`, "ci.cj" chunk keys,
     * zlib-framed compression); 3 = current Zarr v3 spec (`zarr.json`,
-    * "c/ci/cj" chunk keys, named dtypes, gzip codec). */
+    * "c/ci/cj" chunk keys, named dtypes, gzip codec).
+    * `innerRows/innerCols` > 0 selects the v3 `sharding_indexed` codec:
+    * chunkRows×chunkCols becomes the SHARD shape and each shard file packs
+    * a grid of inner chunks plus an end-of-file index (offset/nbytes pairs
+    * + crc32c) — the object-count answer at 100 TB, where one object per
+    * chunk would mean billions of store objects. */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
-                        format: Int = 2)
+                        format: Int = 2, innerRows: Int = 0, innerCols: Int = 0) {
+    def sharded: Boolean = innerRows > 0 && innerCols > 0
+  }
 
   /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
     * big) + f8/f4/i8/i4. In-flight values are always doubles (the ZMatrix
@@ -70,9 +77,16 @@ object Zarr {
 
   private def metaJsonV3(m: Meta): String = {
     val endian = if (m.dtype.startsWith(">")) "big" else "little"
-    val codecs = if (m.zlib)
+    val inner = if (m.zlib)
       s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}, {"name": "gzip", "configuration": {"level": 1}}]"""
     else s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}]"""
+    val codecs = if (m.sharded)
+      s"""[{"name": "sharding_indexed", "configuration": {
+         |        "chunk_shape": [${m.innerRows}, ${m.innerCols}],
+         |        "codecs": $inner,
+         |        "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+         |        "index_location": "end"}}]""".stripMargin
+    else inner
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
@@ -117,7 +131,17 @@ object Zarr {
     // "shape" matches only the top-level key: "chunk_shape" has no quote
     // directly before "shape", so the regex cannot hit it
     val shape = longs(jsonField(json, "shape"))
-    val chunks = longs(jsonField(json, "chunk_shape"))
+    // "chunk_shape" appears once (outer grid) — twice when sharded: the
+    // chunk_grid's (shard shape, serialized first) then the sharding
+    // codec's (inner chunk shape)
+    val chunkShapes = java.util.regex.Pattern
+      .compile("\"chunk_shape\"\\s*:\\s*(\\[[^\\]]*\\])").matcher(json)
+    require(chunkShapes.find(), "missing chunk_shape in zarr.json")
+    val chunks = longs(chunkShapes.group(1))
+    val inner = if (json.contains("\"sharding_indexed\"")) {
+      require(chunkShapes.find(), "sharding_indexed without inner chunk_shape")
+      longs(chunkShapes.group(1))
+    } else Array(0L, 0L)
     val zlib = json.contains("\"gzip\"")
     val fill = jsonField(json, "fill_value").toDouble
     val named = jsonField(json, "data_type").replaceAll("\"", "")
@@ -125,7 +149,7 @@ object Zarr {
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
-      endian + base, format = 3)
+      endian + base, format = 3, innerRows = inner(0).toInt, innerCols = inner(1).toInt)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -197,6 +221,72 @@ object Zarr {
     inf.end(); out
   }
 
+  /** Encode a whole shard (row-major `shardRows`×`shardCols` buffer) as the
+    * v3 `sharding_indexed` layout: concatenated encoded inner chunks, then
+    * an index of (offset, nbytes) uint64-LE pairs in row-major inner-grid
+    * order — all-ones sentinel pairs for all-fill chunks, which are not
+    * stored at all — then the index's crc32c (4 bytes LE). */
+  def encodeShard(buf: Array[Double], shardRows: Int, shardCols: Int,
+                  innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
+                  fill: Double): Array[Byte] = {
+    require(shardRows % innerRows == 0 && shardCols % innerCols == 0,
+      "inner chunk shape must divide the shard shape")
+    val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
+    val encoded = for (ci <- 0 until gridR; cj <- 0 until gridC) yield {
+      val inner = new Array[Double](innerRows * innerCols)
+      var allFill = true
+      for (li <- 0 until innerRows; lj <- 0 until innerCols) {
+        val v = buf((ci * innerRows + li) * shardCols + cj * innerCols + lj)
+        if (v != fill) allFill = false
+        inner(li * innerCols + lj) = v
+      }
+      if (allFill) null else encodeChunk(inner, dtype, zlib, 3)
+    }
+    val index = ByteBuffer.allocate(encoded.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    encoded.foreach {
+      case null => index.putLong(-1L); index.putLong(-1L) // 0xFF…FF sentinel
+      case c    => index.putLong(off); index.putLong(c.length.toLong); off += c.length
+    }
+    val idx = index.array()
+    val crc = new java.util.zip.CRC32C
+    crc.update(idx)
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).array()
+    val out = new java.io.ByteArrayOutputStream(off.toInt + idx.length + 4)
+    encoded.foreach(c => if (c != null) out.write(c))
+    out.write(idx); out.write(tail)
+    out.toByteArray
+  }
+
+  /** Decode a shard file back to the full row-major shard buffer (missing
+    * inner chunks materialize as `fill`). Verifies the index crc32c. */
+  def decodeShard(bytes: Array[Byte], shardRows: Int, shardCols: Int,
+                  innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
+                  fill: Double): Array[Double] = {
+    val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
+    val idxLen = gridR * gridC * 16
+    val idxOff = bytes.length - idxLen - 4
+    require(idxOff >= 0, "shard file shorter than its index")
+    val crc = new java.util.zip.CRC32C
+    crc.update(bytes, idxOff, idxLen)
+    val stored = ByteBuffer.wrap(bytes, idxOff + idxLen, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(stored == crc.getValue.toInt, "shard index crc32c mismatch")
+    val index = ByteBuffer.wrap(bytes, idxOff, idxLen).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = Array.fill(shardRows * shardCols)(fill)
+    for (ci <- 0 until gridR; cj <- 0 until gridC) {
+      val off = index.getLong(); val len = index.getLong()
+      if (off != -1L) {
+        val inner = decodeChunk(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
+          innerRows * innerCols, zlib, dtype, 3)
+        for (li <- 0 until innerRows; lj <- 0 until innerCols)
+          buf((ci * innerRows + li) * shardCols + cj * innerCols + lj) = inner(li * innerCols + lj)
+      }
+    }
+    buf
+  }
+
   private[graft] def writeMetaFile(path: String, m: Meta): Unit =
     if (m.format == 3)
       Files.write(Paths.get(path, "zarr.json"), metaJsonV3(m).getBytes("UTF-8"))
@@ -229,7 +319,8 @@ object Zarr {
     * Catalyst owns the exchange and AQE can size it. */
   def write(m: ZMatrix, path: String, rows: Long, cols: Long,
             chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
-            fill: Double = 0.0, dtype: String = "<f8", format: Int = 2): Unit =
+            fill: Double = 0.0, dtype: String = "<f8", format: Int = 2,
+            innerRows: Int = 0, innerCols: Int = 0): Unit =
     m.cells.select(
         (col("i") / chunkRows).cast("long").as("ci"),
         (col("j") / chunkCols).cast("long").as("cj"),
@@ -240,6 +331,7 @@ object Zarr {
       .option("rows", rows.toString).option("cols", cols.toString)
       .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
       .option("zarrFormat", format.toString)
+      .option("innerRows", innerRows.toString).option("innerCols", innerCols.toString)
       .mode("overwrite").save(path)
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
@@ -264,10 +356,13 @@ object Zarr {
     } yield (ci.toLong, cj.toLong,
       if (present((ci.toLong, cj.toLong))) chunkFile(path, ci, cj, fmt).getPath else null)
 
+    val (ir, ic) = (meta.innerRows, meta.innerCols)
     val cells = spark.createDataset(chunks.toSeq)
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (ci, cj, file) =>
         val vals = if (file == null) null
+          else if (ir > 0)
+            decodeShard(Files.readAllBytes(Paths.get(file)), cr, cc, ir, ic, dt, zl, fill)
           else decodeChunk(Files.readAllBytes(Paths.get(file)), cr * cc, zl, dt, fmt)
         for {
           li <- 0 until cr

@@ -139,6 +139,46 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("sharded v3 store: inner-chunk index, fill sentinels, crc, roundtrip") {
+    val path = "/root/repo/target/tmp/zarr_test_v3_shard"
+    // shard = 4x4 of 2x2 inner chunks; array 10x5 -> 3x2 shard grid
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 4,
+      zlib = true, format = 3, innerRows = 2, innerCols = 2)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "zarr.json")), "UTF-8")
+    assert(json.contains("\"sharding_indexed\"") && json.contains("\"crc32c\""))
+    val meta = Zarr.readMeta(path)
+    assert(meta.sharded && meta.innerRows == 2 && meta.chunkRows == 4)
+    // far fewer store objects than inner chunks: 6 shards vs 3x2x(2x2)=24 inner
+    assert(Zarr.listChunks(path, 3).size <= 6)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
+    assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("sharded store skips all-fill inner chunks via index sentinels") {
+    // only the top-left 2x2 of an 8x8 array is nonzero -> in the single
+    // 8x8 shard of 4x4 inner chunks, 3 of 4 inner chunks are all-fill
+    val sparse = Array.tabulate(8, 8)((i, j) => if (i < 2 && j < 2) 5.0 else 0.0)
+    val path = "/root/repo/target/tmp/zarr_test_v3_shard_sparse"
+    Zarr.write(ZMatrix.fromDense(spark, sparse).cells match {
+      case c => ZMatrix(c.filter(org.apache.spark.sql.functions.col("v") =!= 0.0))
+    }, path, 8, 8, 8, 8, format = 3, innerRows = 4, innerCols = 4)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "c/0/0"))
+    val idx = java.nio.ByteBuffer.wrap(bytes, bytes.length - 4 - 64, 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val entries = (0 until 4).map(_ => (idx.getLong(), idx.getLong()))
+    assert(entries.count(_._1 == -1L) == 3, s"expected 3 fill sentinels in $entries")
+    val back = ZLocal.toDense(Zarr.read(spark, path), 8, 8)
+    assert(back.map(_.toSeq).toSeq == sparse.map(_.toSeq).toSeq)
+    // corrupting the index must be detected by the crc
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      Zarr.decodeShard(bytes, 8, 8, 4, 4, "<f8", zlib = false, fill = 0.0)
+    }
+  }
+
   test("overwriting a v3 store with a v2 store clears the v3 chunk tree") {
     val path = "/root/repo/target/tmp/zarr_test_v3_to_v2"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
