@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -25,9 +24,8 @@ import graft.zarr.Zarr
   * fans out across executors with no driver data movement (the driver
   * touches only the `.zarray` metadata and the store listing).
   *
-  * Local-filesystem paths only in this environment; an object-store
-  * deployment would swap `Files.readAllBytes` for the Hadoop FS API in
-  * `ZarrChunkReader` — the planning layer is storage-agnostic.
+  * All store I/O goes through the Hadoop FileSystem API, so the same
+  * code serves file://, hdfs://, and s3a:// stores.
   */
 class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
@@ -124,7 +122,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
       cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
     } yield {
       val f = if (present((ci.toLong, cj.toLong)))
-        Zarr.chunkFile(path, ci, cj, meta.format).getPath else null
+        Zarr.chunkPath(path, ci, cj, meta.format) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
         meta.format, meta.innerRows, meta.innerCols): InputPartition
@@ -142,9 +140,9 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
   private val values: Array[Double] =
     if (p.file == null) null
     else if (p.innerRows > 0)
-      Zarr.decodeShard(Files.readAllBytes(Paths.get(p.file)),
+      Zarr.decodeShard(Zarr.readBytes(p.file),
         p.chunkRows, p.chunkCols, p.innerRows, p.innerCols, p.dtype, p.zlib, p.fill)
-    else Zarr.decodeChunk(Files.readAllBytes(Paths.get(p.file)),
+    else Zarr.decodeChunk(Zarr.readBytes(p.file),
       p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
 
   private var li = 0
@@ -250,24 +248,15 @@ case class ZarrCommitMessage(files: Seq[String], maxI: Long, maxJ: Long)
 class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side prep before any task runs: ensure the store dir exists;
-    // on overwrite, clear stale chunks (a previous shape/chunking would
-    // otherwise corrupt reads) and the old metadata
-    val dir = new java.io.File(conf.path)
-    dir.mkdirs()
+    // driver-side prep before any task runs (all through the Hadoop FS
+    // API, so the store may live on file://, hdfs://, or s3a://): on
+    // overwrite, clear stale chunks (a previous shape/chunking would
+    // otherwise corrupt reads), the v3 chunk tree, and the old metadata
     if (truncate) {
-      Option(dir.list()).foreach(_.filter(f =>
-          f.matches("\\d+\\.\\d+") || f == ".zarray" || f == "zarr.json")
-        .foreach(f => new java.io.File(dir, f).delete()))
-      // v3 chunk tree: delete c/<ci>/<cj> leaves, then the empty dirs
-      val c = new java.io.File(dir, "c")
-      if (c.isDirectory) {
-        Option(c.listFiles()).foreach(_.foreach { ciDir =>
-          Option(ciDir.listFiles()).foreach(_.foreach(_.delete()))
-          ciDir.delete()
-        })
-        c.delete()
-      }
+      Zarr.listNames(conf.path)
+        .filter(f => f.matches("\\d+\\.\\d+") || f == ".zarray" || f == "zarr.json")
+        .foreach(f => Zarr.delete(s"${conf.path}/$f"))
+      Zarr.delete(s"${conf.path}/c", recursive = true)
     }
     ZarrWriterFactory(conf, vType)
   }
@@ -284,7 +273,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: ZarrCommitMessage => m }
-      .foreach(_.files.foreach(f => new java.io.File(f).delete()))
+      .foreach(_.files.foreach(f => Zarr.delete(f)))
 }
 
 case class ZarrWriterFactory(conf: ZarrWriteConf, vType: DataType) extends DataWriterFactory {
@@ -310,11 +299,9 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
       Zarr.encodeShard(buf, conf.chunkRows, conf.chunkCols,
         conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill)
     else Zarr.encodeChunk(buf, conf.dtype, conf.zlib, conf.format)
-    val f = Zarr.chunkFile(conf.path, curCi, curCj, conf.format)
-    f.getParentFile.mkdirs() // v3 nests chunks under c/<ci>/
-    val out = new java.io.FileOutputStream(f)
-    try out.write(bytes) finally out.close()
-    files += f.getPath
+    val f = Zarr.chunkPath(conf.path, curCi, curCj, conf.format)
+    Zarr.writeBytes(f, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
+    files += f
   }
 
   override def write(r: InternalRow): Unit = {
@@ -345,6 +332,6 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
     ZarrCommitMessage(files.toSeq, maxI, maxJ)
   }
 
-  override def abort(): Unit = files.foreach(f => new java.io.File(f).delete())
+  override def abort(): Unit = files.foreach(f => Zarr.delete(f))
   override def close(): Unit = ()
 }

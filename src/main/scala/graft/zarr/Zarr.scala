@@ -1,8 +1,6 @@
 package graft.zarr
 
-import java.io.{File, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, Inflater}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -51,6 +49,48 @@ object Zarr {
     case "f8" | "i8" => 8
     case "f4" | "i4" => 4
     case other => throw new IllegalArgumentException(s"unsupported dtype $other")
+  }
+
+  // ---- store I/O through the Hadoop FileSystem API ----
+  // One code path serves file://, hdfs://, and s3a:// stores: executors
+  // build a FileSystem from the default Configuration (which picks up
+  // core-site.xml from the cluster classpath — the standard deployment
+  // contract). Checksumming is disabled for the local scheme so plain
+  // local stores don't grow .crc sidecar files.
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def fsFor(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    (fs, p)
+  }
+
+  private[graft] def readBytes(path: String): Array[Byte] = {
+    val (fs, p) = fsFor(path)
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private[graft] def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val (fs, p) = fsFor(path)
+    val out = fs.create(p, true) // creates parent dirs, overwrites
+    try out.write(bytes) finally out.close()
+  }
+
+  private[graft] def exists(path: String): Boolean = {
+    val (fs, p) = fsFor(path); fs.exists(p)
+  }
+
+  private[graft] def delete(path: String, recursive: Boolean = false): Unit = {
+    val (fs, p) = fsFor(path); fs.delete(p, recursive); ()
+  }
+
+  private[graft] def listNames(path: String): Seq[String] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
   private def byteOrder(dtype: String): ByteOrder =
@@ -113,10 +153,10 @@ object Zarr {
 
   /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). */
   def readMeta(path: String): Meta =
-    if (Files.exists(Paths.get(path, "zarr.json"))) readMetaV3(path) else readMetaV2(path)
+    if (exists(s"$path/zarr.json")) readMetaV3(path) else readMetaV2(path)
 
   private def readMetaV2(path: String): Meta = {
-    val json = new String(Files.readAllBytes(Paths.get(path, ".zarray")), "UTF-8")
+    val json = new String(readBytes(s"$path/.zarray"), "UTF-8")
     val shape = longs(jsonField(json, "shape"))
     val chunks = longs(jsonField(json, "chunks"))
     val zlib = jsonField(json, "compressor").contains("zlib")
@@ -127,7 +167,7 @@ object Zarr {
   }
 
   private def readMetaV3(path: String): Meta = {
-    val json = new String(Files.readAllBytes(Paths.get(path, "zarr.json")), "UTF-8")
+    val json = new String(readBytes(s"$path/zarr.json"), "UTF-8")
     // "shape" matches only the top-level key: "chunk_shape" has no quote
     // directly before "shape", so the regex cannot hit it
     val shape = longs(jsonField(json, "shape"))
@@ -289,27 +329,25 @@ object Zarr {
 
   private[graft] def writeMetaFile(path: String, m: Meta): Unit =
     if (m.format == 3)
-      Files.write(Paths.get(path, "zarr.json"), metaJsonV3(m).getBytes("UTF-8"))
+      writeBytes(s"$path/zarr.json", metaJsonV3(m).getBytes("UTF-8"))
     else
-      Files.write(Paths.get(path, ".zarray"), metaJson(m).getBytes("UTF-8"))
+      writeBytes(s"$path/.zarray", metaJson(m).getBytes("UTF-8"))
 
-  /** Chunk file for (ci, cj) under the store root: "ci.cj" in v2,
+  /** Chunk object path for (ci, cj) under the store root: "ci.cj" in v2,
     * "c/ci/cj" (default key encoding) in v3. */
-  def chunkFile(path: String, ci: Long, cj: Long, format: Int): File =
-    if (format == 3) new File(new File(new File(path, "c"), ci.toString), cj.toString)
-    else new File(path, s"$ci.$cj")
+  def chunkPath(path: String, ci: Long, cj: Long, format: Int): String =
+    if (format == 3) s"$path/c/$ci/$cj" else s"$path/$ci.$cj"
 
-  /** List present chunk coordinates in a store of either format. */
+  /** List present chunk coordinates in a store of either format (one
+    * LIST per directory level; non-numeric names are ignored). */
   def listChunks(path: String, format: Int): Set[(Long, Long)] =
-    if (format == 3) {
-      val c = new File(path, "c")
-      Option(c.list()).getOrElse(Array.empty).flatMap { ci =>
-        Option(new File(c, ci).list()).getOrElse(Array.empty)
+    if (format == 3)
+      listNames(s"$path/c").filter(_.matches("\\d+")).flatMap { ci =>
+        listNames(s"$path/c/$ci").filter(_.matches("\\d+"))
           .map(cj => (ci.toLong, cj.toLong))
       }.toSet
-    } else
-      Option(new File(path).list()).getOrElse(Array.empty)
-        .filter(_.matches("\\d+\\.\\d+"))
+    else
+      listNames(path).filter(_.matches("\\d+\\.\\d+"))
         .map { n => val Array(a, b) = n.split("\\."); (a.toLong, b.toLong) }.toSet
 
   /** Write a (dense-semantics) matrix: absent cells become `fill`.
@@ -354,16 +392,15 @@ object Zarr {
     val chunks = for {
       ci <- 0 until gridR; cj <- 0 until gridC
     } yield (ci.toLong, cj.toLong,
-      if (present((ci.toLong, cj.toLong))) chunkFile(path, ci, cj, fmt).getPath else null)
+      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, fmt) else null)
 
     val (ir, ic) = (meta.innerRows, meta.innerCols)
     val cells = spark.createDataset(chunks.toSeq)
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (ci, cj, file) =>
         val vals = if (file == null) null
-          else if (ir > 0)
-            decodeShard(Files.readAllBytes(Paths.get(file)), cr, cc, ir, ic, dt, zl, fill)
-          else decodeChunk(Files.readAllBytes(Paths.get(file)), cr * cc, zl, dt, fmt)
+          else if (ir > 0) decodeShard(readBytes(file), cr, cc, ir, ic, dt, zl, fill)
+          else decodeChunk(readBytes(file), cr * cc, zl, dt, fmt)
         for {
           li <- 0 until cr
           lj <- 0 until cc

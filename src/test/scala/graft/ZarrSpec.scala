@@ -179,6 +179,17 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("store I/O accepts scheme-qualified URIs (file://) via the Hadoop FS API") {
+    val path = "file:///root/repo/target/tmp/zarr_test_uri"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
+    assert(Zarr.readMeta(path).rows == 10)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    // and through the DSv2 reader
+    val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
+    assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
   test("overwriting a v3 store with a v2 store clears the v3 chunk tree") {
     val path = "/root/repo/target/tmp/zarr_test_v3_to_v2"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
