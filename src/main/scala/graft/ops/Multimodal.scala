@@ -139,6 +139,57 @@ object Multimodal {
     }.toDF()
   }
 
+  /** The Arrow IPC wire contract, end-to-end: each input batch is
+    * serialized through the IPC STREAM format — the exact bytes a codec
+    * subprocess would read from its pipe — deserialized again, and only
+    * the deserialized batch is handed to the kernel. No codec process
+    * exists in this sandbox, so the trip is loopback, but schema and
+    * buffers provably survive serialization bit-exactly (asserted against
+    * [[featuresArrow]] in MultimodalSpec); a real deployment replaces the
+    * loopback streams with the subprocess pipe and changes nothing else. */
+  def featuresArrowIpc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs, idCol, textCol).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        val alloc = new RootAllocator()
+        val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+        val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
+        try {
+          in.allocateNew()
+          val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+          val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+          batch.zipWithIndex.foreach { case (r, i) =>
+            docId.setSafe(i, r.doc_id)
+            payload.setSafe(i, r.payload)
+          }
+          in.setRowCount(batch.size)
+          // write the batch to IPC stream bytes (the subprocess' stdin)…
+          val wire = new java.io.ByteArrayOutputStream()
+          val writer = new ArrowStreamWriter(in, null,
+            java.nio.channels.Channels.newChannel(wire))
+          writer.start(); writer.writeBatch(); writer.end(); writer.close()
+          // …and run the kernel on what comes back off the wire
+          val reader = new ArrowStreamReader(
+            new java.io.ByteArrayInputStream(wire.toByteArray), alloc)
+          try {
+            require(reader.loadNextBatch(), "empty IPC stream")
+            out.allocateNew()
+            stubArrowKernel(reader.getVectorSchemaRoot, out)
+          } finally reader.close()
+          val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+          val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+          val oW = out.getVector("width").asInstanceOf[IntVector]
+          val oH = out.getVector("height").asInstanceOf[IntVector]
+          val oC = out.getVector("channels").asInstanceOf[IntVector]
+          (0 until out.getRowCount).map(i =>
+            MediaFeatures(oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i)))
+        } finally { in.close(); out.close(); alloc.close() }
+      }
+    }.toDF()
+  }
+
   // ---- further stubbed media kernels (same batched plumbing) ----
 
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])

@@ -47,4 +47,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(once == twice && once.size == 200)
     assert(once.head.n_bytes == 1L && once.last.n_bytes == 200L)
   }
+
+  test("Arrow IPC wire round-trip yields the same features as the in-memory kernel") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val direct = rows(Multimodal.featuresArrow(docs, "doc_id", "text"))
+    val viaIpc = rows(Multimodal.featuresArrowIpc(docs, "doc_id", "text"))
+    assert(viaIpc == direct && direct.nonEmpty)
+  }
 }
