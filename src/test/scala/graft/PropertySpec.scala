@@ -102,4 +102,68 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.contains(1L) && pairs(1L) > 0.5)
     if (pairs.contains(2L)) assert(pairs(1L) > pairs(2L))
   }
+
+  test("property: chunking covers every token exactly once per stride window") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      size <- Gen.choose(2, 12)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (n, size, overlap)
+    forAll(gen, n = 8) { case (n, size, overlap) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ops.TextOps.chunk(df, "doc_id", "text", size, overlap)
+        .collect().sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+      val stride = size - overlap
+      // every chunk k starts at token k*stride and has the declared shape
+      chunks.foreach { case (k, toks) =>
+        assert(toks.headOption.contains(s"t${k * stride}"), s"chunk $k start")
+        assert(toks.length <= size)
+      }
+      // union of chunks covers all n tokens; last chunk reaches the end
+      assert(chunks.flatMap(_._2).toSet == (0 until n).map(i => s"t$i").toSet)
+      assert(chunks.last._2.last == s"t${n - 1}")
+    }
+  }
+
+  test("property: hashSplit is a partition and quota/mix are subsets with stable membership") {
+    import spark.implicits._
+    forAll(Gen.choose(50, 300), n = 4) { n =>
+      val docs = (0L until n.toLong).map(i => (i, s"g${i % 3}", "x"))
+        .toDF("doc_id", "source", "text")
+      val split = graft.ops.Sampling.hashSplit(docs, "doc_id").collect()
+      assert(split.length == n && split.map(_.getLong(0)).distinct.length == n)
+      val quota = graft.ops.Sampling.quotaSample(docs, "source", "doc_id", 7)
+      assert(quota.groupBy("group_key").count().collect()
+        .forall(_.getLong(1) <= 7L))
+      val mixed = graft.ops.Sampling.mixSample(docs, "source", "doc_id", Map("g1" -> 0.5))
+        .collect().map(_.getLong(0)).toSet
+      assert(mixed.subsetOf((0L until n.toLong).toSet))
+      // repartitioned input -> identical survivor set (resharding stability)
+      val again = graft.ops.Sampling.mixSample(docs.repartition(7), "source", "doc_id",
+        Map("g1" -> 0.5)).collect().map(_.getLong(0)).toSet
+      assert(again == mixed)
+    }
+  }
+
+  test("property: sharded and unsharded v3 zarr stores read back identically") {
+    val gen = for {
+      rows <- Gen.choose(3, 20)
+      cols <- Gen.choose(2, 10)
+    } yield (rows, cols)
+    forAll(gen, n = 4) { case (rows, cols) =>
+      val dense = Array.tabulate(rows, cols)((i, j) => (i * 31 + j * 7 % 5).toDouble)
+      val m = ZMatrix.fromDense(spark, dense)
+      val p1 = s"/root/repo/target/tmp/prop_zarr_plain_${rows}_$cols"
+      val p2 = s"/root/repo/target/tmp/prop_zarr_shard_${rows}_$cols"
+      Zarr.write(m, p1, rows, cols, 4, cols, format = 3)
+      Zarr.write(m, p2, rows, cols, 4, cols, format = 3, innerRows = 2, innerCols = cols)
+      val a = ZLocal.toDense(Zarr.read(spark, p1), rows, cols)
+      val b = ZLocal.toDense(Zarr.read(spark, p2), rows, cols)
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+      assert(a.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    }
+  }
 }
