@@ -4,10 +4,11 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg}
+import graft.functions.{DotProduct, Md5Fingerprint, MinHashAgg}
 
 /** SQL-facing registration of graft's custom Catalyst expressions:
-  * `graft_dot(a, b)` and `graft_minhash(shingles, numHashes, k)`.
+  * `graft_dot(a, b)`, `graft_minhash(shingles, numHashes, k)`, and
+  * `graft_fingerprint(text)`.
   *
   * Two hooks, same builders:
   *  - `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       minhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Md5Fingerprint].getName, "graft_fingerprint"),
+      fingerprintBuilder))
   }
 }
 
@@ -37,8 +42,12 @@ object GraftExtensions {
   val minhashBuilder: Seq[Expression] => Expression =
     args => MinHashAgg(args(0), intArg(args(1)), intArg(args(2))).toAggregateExpression()
 
+  val fingerprintBuilder: Seq[Expression] => Expression =
+    args => Md5Fingerprint(args(0))
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", dotBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_minhash", minhashBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_fingerprint", fingerprintBuilder)
   }
 }

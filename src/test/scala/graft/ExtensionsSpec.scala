@@ -24,4 +24,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1L).length == 8)
     assert(rows(1L) == rows(2L)) // identical docs, identical signatures
   }
+
+  test("graft_fingerprint callable from SQL, equals the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "other words"))
+      .toDF("id", "t").createOrReplaceTempView("fp_docs")
+    val viaSql = spark.sql("SELECT id, graft_fingerprint(t) AS fp FROM fp_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Seq((1L, "alpha beta gamma")).toDF("id", "t")
+      .select(graft.functions.Md5Fingerprint.fingerprint(org.apache.spark.sql.functions.col("t")))
+      .head().getLong(0)
+    assert(viaSql(1L) == viaCol && viaSql(1L) == viaSql(2L) && viaSql(1L) != viaSql(3L))
+  }
 }
