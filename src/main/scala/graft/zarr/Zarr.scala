@@ -59,9 +59,13 @@ object Zarr {
   // local stores don't grow .crc sidecar files.
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
+  // one Configuration per JVM: constructing one parses the default XML
+  // resources (~ms) — per-chunk construction would dominate chunk I/O
+  @transient private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   private def fsFor(path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf) // FileSystem.get caches per scheme
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     (fs, p)
