@@ -82,6 +82,7 @@ object SparkEntry {
     "q20_above_avg" -> Relational.q20AboveAvg _,
     "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
     "q23_pivot" -> Relational.q23Pivot _,
+    "q25_funnel" -> Relational.q25Funnel _,
     // hybrid skew join, oracle-checked against the PLAIN join: the hybrid
     // is row-equivalent by construction, so the DuckDB twin needs no salt.
     // hotThreshold=1000 — lineitem has ≤7 rows per orderkey, so here the
@@ -502,6 +503,16 @@ object SparkEntry {
     "q24_salted_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
+    "q25_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |t1 AS (SELECT user_id, min(es) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(es) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND es > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(es) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND es > t2 GROUP BY 1)
+        |SELECT 1::BIGINT AS stage, count(*) AS n FROM t1
+        |UNION ALL SELECT 2::BIGINT, count(*) FROM t2
+        |UNION ALL SELECT 3::BIGINT, count(*) FROM t3""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents)

@@ -249,6 +249,29 @@ object Relational {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
 
+  /** R26: event funnel — how many users progressed view → click →
+    * purchase, each stage strictly after the previous one. Each stage is a
+    * per-user conditional-min aggregate joined to the previous stage's
+    * timestamps: three shuffles, but every stage SHRINKS (events → one row
+    * per qualifying user), so at scale the later joins run on stage-sized
+    * tables, not the event log. Comparisons on floor-epoch-seconds (the
+    * q13 parity rule: identical integer math in both engines). */
+  def q25Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("es"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("es") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("es") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t3"))
+    t1.agg(count(lit(1)).as("n")).select(lit(1L).as("stage"), col("n"))
+      .unionByName(t2.agg(count(lit(1)).as("n")).select(lit(2L).as("stage"), col("n")))
+      .unionByName(t3.agg(count(lit(1)).as("n")).select(lit(3L).as("stage"), col("n")))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

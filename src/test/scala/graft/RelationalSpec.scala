@@ -108,6 +108,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("funnel counts users per strictly-ordered stage") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u1 completes the funnel; u2 clicks before viewing (stage 1 only);
+    // u3 views+clicks but never purchases; u4 only purchases (stage 0)
+    val ev = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      (3L, "view", ts(1)), (3L, "click", ts(2)),
+      (4L, "purchase", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("_funnel_ev")
+    val e = ev.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val t1 = e.filter(col("event_type") === "view").groupBy("user_id").agg(min("es").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("es") > col("t1")).groupBy("user_id").agg(min("es").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("es") > col("t2")).groupBy("user_id").agg(min("es").as("t3"))
+    assert(t1.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(t2.collect().map(_.getLong(0)).toSet == Set(1L, 3L)) // u2's click precedes its view
+    assert(t3.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("salted join equals plain join and splits the hot key across salts") {
     import spark.implicits._
     // 90% of fact rows share key 1 (the skew), dim has 3 keys
