@@ -103,7 +103,8 @@ case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                               zlib: Boolean, fill: Double, dtype: String,
                               format: Int = 2, innerRows: Int = 0,
-                              innerCols: Int = 0) extends InputPartition
+                              innerCols: Int = 0, fOrder: Boolean = false)
+  extends InputPartition
 
 class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
                jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
@@ -125,7 +126,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
         Zarr.chunkPath(path, ci, cj, meta.format) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
-        meta.format, meta.innerRows, meta.innerCols): InputPartition
+        meta.format, meta.innerRows, meta.innerCols, meta.fOrder): InputPartition
     }).toArray
   }
 
@@ -141,7 +142,11 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
     if (p.file == null) null
     else if (p.innerRows > 0)
       Zarr.decodeShard(Zarr.readBytes(p.file),
-        p.chunkRows, p.chunkCols, p.innerRows, p.innerCols, p.dtype, p.zlib, p.fill)
+        p.chunkRows, p.chunkCols, p.innerRows, p.innerCols, p.dtype, p.zlib, p.fill,
+        p.fOrder)
+    else if (p.fOrder)
+      Zarr.fromFOrder(Zarr.decodeChunk(Zarr.readBytes(p.file),
+        p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format), p.chunkRows, p.chunkCols)
     else Zarr.decodeChunk(Zarr.readBytes(p.file),
       p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
 
@@ -182,7 +187,8 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          rowsOpt: Option[Long], colsOpt: Option[Long],
                          dtype: String, zlib: Boolean, fill: Double,
                          ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int,
-                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0)
+                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
+                         fOrder: Boolean = false)
 
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -221,7 +227,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("ci", Set(LongType)), idxOf("cj", Set(LongType)),
       idxOf("i", Set(LongType)), idxOf("j", Set(LongType)),
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
-      format, innerRows, innerCols)
+      format, innerRows, innerCols,
+      Option(opts.get("fOrder")).exists(_.toBoolean))
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -268,7 +275,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     val cols = conf.colsOpt.getOrElse(ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
-        conf.dtype, conf.format, conf.innerRows, conf.innerCols))
+        conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -297,8 +304,10 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
   private def flush(): Unit = if (buf != null) {
     val bytes = if (conf.innerRows > 0)
       Zarr.encodeShard(buf, conf.chunkRows, conf.chunkCols,
-        conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill)
-    else Zarr.encodeChunk(buf, conf.dtype, conf.zlib, conf.format)
+        conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill, conf.fOrder)
+    else Zarr.encodeChunk(
+      if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
+      conf.dtype, conf.zlib, conf.format)
     val f = Zarr.chunkPath(conf.path, curCi, curCj, conf.format)
     Zarr.writeBytes(f, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
     files += f

@@ -35,8 +35,35 @@ object Zarr {
     * chunk would mean billions of store objects. */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
-                        format: Int = 2, innerRows: Int = 0, innerCols: Int = 0) {
+                        format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
+                        fOrder: Boolean = false) {
     def sharded: Boolean = innerRows > 0 && innerCols > 0
+  }
+
+  /** Row-major ↔ column-major buffer permutation (the v3 `transpose`
+    * codec with order [1, 0]; self-inverse up to swapped dims). */
+  def toFOrder(buf: Array[Double], rows: Int, cols: Int): Array[Double] = {
+    val out = new Array[Double](buf.length)
+    var k = 0
+    var j = 0
+    while (j < cols) {
+      var i = 0
+      while (i < rows) { out(k) = buf(i * cols + j); k += 1; i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  def fromFOrder(buf: Array[Double], rows: Int, cols: Int): Array[Double] = {
+    val out = new Array[Double](buf.length)
+    var k = 0
+    var j = 0
+    while (j < cols) {
+      var i = 0
+      while (i < rows) { out(i * cols + j) = buf(k); k += 1; i += 1 }
+      j += 1
+    }
+    out
   }
 
   /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
@@ -121,9 +148,11 @@ object Zarr {
 
   private def metaJsonV3(m: Meta): String = {
     val endian = if (m.dtype.startsWith(">")) "big" else "little"
+    val transpose =
+      if (m.fOrder) """{"name": "transpose", "configuration": {"order": [1, 0]}}, """ else ""
     val inner = if (m.zlib)
-      s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}, {"name": "gzip", "configuration": {"level": 1}}]"""
-    else s"""[{"name": "bytes", "configuration": {"endian": "$endian"}}]"""
+      s"""[$transpose{"name": "bytes", "configuration": {"endian": "$endian"}}, {"name": "gzip", "configuration": {"level": 1}}]"""
+    else s"""[$transpose{"name": "bytes", "configuration": {"endian": "$endian"}}]"""
     val codecs = if (m.sharded)
       s"""[{"name": "sharding_indexed", "configuration": {
          |        "chunk_shape": [${m.innerRows}, ${m.innerCols}],
@@ -192,8 +221,14 @@ object Zarr {
     val endian = if (json.contains("\"big\"")) ">" else "<"
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
+    val fOrder = json.contains("\"transpose\"") && {
+      val order = jsonField(json, "order").replaceAll("\\s", "")
+      require(order == "[1,0]" || order == "[0,1]", s"unsupported transpose order $order")
+      order == "[1,0]"
+    }
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
-      endian + base, format = 3, innerRows = inner(0).toInt, innerCols = inner(1).toInt)
+      endian + base, format = 3, innerRows = inner(0).toInt, innerCols = inner(1).toInt,
+      fOrder = fOrder)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -272,7 +307,7 @@ object Zarr {
     * stored at all — then the index's crc32c (4 bytes LE). */
   def encodeShard(buf: Array[Double], shardRows: Int, shardCols: Int,
                   innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
-                  fill: Double): Array[Byte] = {
+                  fill: Double, fOrder: Boolean = false): Array[Byte] = {
     require(shardRows % innerRows == 0 && shardCols % innerCols == 0,
       "inner chunk shape must divide the shard shape")
     val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
@@ -284,7 +319,9 @@ object Zarr {
         if (v != fill) allFill = false
         inner(li * innerCols + lj) = v
       }
-      if (allFill) null else encodeChunk(inner, dtype, zlib, 3)
+      if (allFill) null
+      else encodeChunk(if (fOrder) toFOrder(inner, innerRows, innerCols) else inner,
+        dtype, zlib, 3)
     }
     val index = ByteBuffer.allocate(encoded.length * 16).order(ByteOrder.LITTLE_ENDIAN)
     var off = 0L
@@ -307,7 +344,7 @@ object Zarr {
     * inner chunks materialize as `fill`). Verifies the index crc32c. */
   def decodeShard(bytes: Array[Byte], shardRows: Int, shardCols: Int,
                   innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
-                  fill: Double): Array[Double] = {
+                  fill: Double, fOrder: Boolean = false): Array[Double] = {
     val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
     val idxLen = gridR * gridC * 16
     val idxOff = bytes.length - idxLen - 4
@@ -322,8 +359,9 @@ object Zarr {
     for (ci <- 0 until gridR; cj <- 0 until gridC) {
       val off = index.getLong(); val len = index.getLong()
       if (off != -1L) {
-        val inner = decodeChunk(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
+        val raw = decodeChunk(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
           innerRows * innerCols, zlib, dtype, 3)
+        val inner = if (fOrder) fromFOrder(raw, innerRows, innerCols) else raw
         for (li <- 0 until innerRows; lj <- 0 until innerCols)
           buf((ci * innerRows + li) * shardCols + cj * innerCols + lj) = inner(li * innerCols + lj)
       }
@@ -362,7 +400,7 @@ object Zarr {
   def write(m: ZMatrix, path: String, rows: Long, cols: Long,
             chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
             fill: Double = 0.0, dtype: String = "<f8", format: Int = 2,
-            innerRows: Int = 0, innerCols: Int = 0): Unit =
+            innerRows: Int = 0, innerCols: Int = 0, fOrder: Boolean = false): Unit =
     m.cells.select(
         (col("i") / chunkRows).cast("long").as("ci"),
         (col("j") / chunkCols).cast("long").as("cj"),
@@ -374,6 +412,7 @@ object Zarr {
       .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
       .option("zarrFormat", format.toString)
       .option("innerRows", innerRows.toString).option("innerCols", innerCols.toString)
+      .option("fOrder", fOrder.toString)
       .mode("overwrite").save(path)
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
@@ -399,11 +438,13 @@ object Zarr {
       if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, fmt) else null)
 
     val (ir, ic) = (meta.innerRows, meta.innerCols)
+    val fo = meta.fOrder
     val cells = spark.createDataset(chunks.toSeq)
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (ci, cj, file) =>
         val vals = if (file == null) null
-          else if (ir > 0) decodeShard(readBytes(file), cr, cc, ir, ic, dt, zl, fill)
+          else if (ir > 0) decodeShard(readBytes(file), cr, cc, ir, ic, dt, zl, fill, fo)
+          else if (fo) fromFOrder(decodeChunk(readBytes(file), cr * cc, zl, dt, fmt), cr, cc)
           else decodeChunk(readBytes(file), cr * cc, zl, dt, fmt)
         for {
           li <- 0 until cr

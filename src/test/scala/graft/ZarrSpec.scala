@@ -190,6 +190,31 @@ class ZarrSpec extends AnyFunSuite {
     assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("v3 transpose codec (F-order chunks): bytes differ, values roundtrip") {
+    val pC = "/root/repo/target/tmp/zarr_test_v3_corder"
+    val pF = "/root/repo/target/tmp/zarr_test_v3_forder"
+    Zarr.write(ZMatrix.fromDense(spark, dense), pC, 10, 5, 4, 3, format = 3)
+    Zarr.write(ZMatrix.fromDense(spark, dense), pF, 10, 5, 4, 3, format = 3, fOrder = true)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pF, "zarr.json")), "UTF-8")
+    assert(json.contains("\"transpose\"") && json.contains("[1, 0]"))
+    assert(Zarr.readMeta(pF).fOrder && !Zarr.readMeta(pC).fOrder)
+    // stored layouts differ, decoded values agree
+    def chunk(p: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p, "c/0/0")).toSeq
+    assert(chunk(pC) != chunk(pF))
+    val back = ZLocal.toDense(Zarr.read(spark, pF), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(pF)), 10, 5)
+    assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    // and composed with sharding (transpose inside the shard's codec chain)
+    val pS = "/root/repo/target/tmp/zarr_test_v3_forder_shard"
+    Zarr.write(ZMatrix.fromDense(spark, dense), pS, 10, 5, 4, 4,
+      format = 3, innerRows = 2, innerCols = 2, fOrder = true)
+    val backS = ZLocal.toDense(Zarr.read(spark, pS), 10, 5)
+    assert(backS.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
   test("overwriting a v3 store with a v2 store clears the v3 chunk tree") {
     val path = "/root/repo/target/tmp/zarr_test_v3_to_v2"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
