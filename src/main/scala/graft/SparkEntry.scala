@@ -131,6 +131,7 @@ object SparkEntry {
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
     "arr_argmax_axis0" -> ((s, d) => mat(s, d).argmaxAxis0),
     "arr_argmin_axis0" -> ((s, d) => mat(s, d).argminAxis0),
+    "arr_argmax_rows" -> ((s, d) => mat(s, d).argmaxAxis1),
     "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
     "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
@@ -500,6 +501,12 @@ object SparkEntry {
         |mn AS (SELECT j, min(v) AS min_v FROM m GROUP BY 1)
         |SELECT m.j, min(m.i) AS argmin_i, mn.min_v
         |FROM m JOIN mn ON m.j = mn.j AND m.v = mn.min_v GROUP BY m.j, mn.min_v""".stripMargin,
+    "arr_argmax_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT i, max(v) AS max_v FROM m GROUP BY 1)
+        |SELECT m.i, min(m.j) AS argmax_j, mx.max_v
+        |FROM m JOIN mx ON m.i = mx.i AND m.v = mx.max_v GROUP BY m.i, mx.max_v""".stripMargin,
     "q24_salted_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,

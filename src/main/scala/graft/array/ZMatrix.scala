@@ -119,6 +119,14 @@ final case class ZMatrix(cells: DataFrame) {
       .agg(max(struct(col("v"), (-col("i")).as("ni"))).as("_m"))
       .select(col("j"), (-col("_m.ni")).as("argmax_i"), col("_m.v").as("max_v"))
 
+  /** NumPy argmax(axis=1): per row, the column index of the max stored
+    * value (ties → smallest j). Same struct-max single aggregate as
+    * [[argmaxAxis0]], grouped by i. */
+  def argmaxAxis1: DataFrame =
+    cells.groupBy(col("i"))
+      .agg(max(struct(col("v"), (-col("j")).as("nj"))).as("_m"))
+      .select(col("i"), (-col("_m.nj")).as("argmax_j"), col("_m.v").as("max_v"))
+
   /** NumPy argmin(axis=0) over STORED cells — min(struct(v, i)) picks the
     * smallest value, ties → smallest i, in one hash aggregate. Same sparse
     * caveat as [[argmaxAxis0]] with the sign flipped: implicit zeros are

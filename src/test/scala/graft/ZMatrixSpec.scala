@@ -51,6 +51,16 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(t == Seq((0L, 0L), (1L, 1L))) // col 0 tie at 5.0 -> i=0
   }
 
+  test("argmaxAxis1 picks the max column per row, ties -> smallest j") {
+    val am = m.argmaxAxis1.orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(am == Seq((0L, 2L, 3.0), (1L, 2L, 6.0), (2L, 2L, 9.0), (3L, 2L, 2.0)))
+    val tied = ZMatrix.fromDense(spark, Array(Array(5.0, 5.0), Array(1.0, 2.0)))
+    val t = tied.argmaxAxis1.orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((0L, 0L), (1L, 1L))) // row 0 tie at 5.0 -> j=0
+  }
+
   test("argminAxis0 picks the min row per column, ties -> smallest i") {
     val am = m.argminAxis0.orderBy("j").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
