@@ -580,7 +580,8 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_tok,
         |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS s
         |  FROM t)
-        |SELECT doc_id, n_tok, s // 512 AS pack_id, s % 512 AS pack_offset FROM c""".stripMargin,
+        |SELECT doc_id, n_tok, CAST(s // 512 AS BIGINT) AS pack_id,
+        |  CAST(s % 512 AS BIGINT) AS pack_offset FROM c""".stripMargin,
     "ann_lsh_topk" -> annLshSql,
     "emb_neardup" -> embNearDupSql,
     "q1_pricing_summary" ->
