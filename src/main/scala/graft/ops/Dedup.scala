@@ -185,6 +185,7 @@ object Dedup {
       // O(log d) join rounds. The distributed loop below remains the path
       // for genuinely large graphs.
       import scala.collection.mutable
+      import spark.implicits._
       val parent = mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -193,17 +194,17 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edgePairs.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      // typed collect: specialized (Long, Long) tuples, ~24 B/edge on the
+      // driver heap — a boxed Row collect at the 5M-edge threshold would
+      // cost several × that
+      edgePairs.as[(Long, Long)].collect().foreach { case (a, b) =>
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       // root = min id of the component: union always keeps the smaller root
-      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      import spark.implicits._
-      out.toDF("doc_id", "component")
+      parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("doc_id", "component")
     } else {
       val edges = edgePairs
         .union(edgePairs.select(col("dst").as("src"), col("src").as("dst")))

@@ -105,7 +105,9 @@ object Sampling {
       .select(col("doc_id"), col("n_tok"),
         (col("_boff") + col("_cum_local") - col("n_tok")).as("_start"))
       .select(col("doc_id"), col("n_tok"),
-        (col("_start") / budget).cast("long").as("pack_id"),
+        // exact integer division (not float-divide-then-cast): stays equal
+        // to the oracle's `_start // budget` even past 2^53 total tokens
+        expr(s"_start div ${budget.toLong}L").as("pack_id"),
         pmod(col("_start"), lit(budget.toLong)).as("pack_offset"))
   }
 }

@@ -108,11 +108,17 @@ object Similarity {
         .agg(round(avg(col("x")), 6).as("m"))
         .collect()
       val byList = assigned.groupBy(_.getInt(0))
-      cents = byList.keys.toArray.sorted.map { l =>
-        val ms = byList(l)
-        val c = new Array[Double](dim)
-        ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-        c
+      // a list that received no vectors keeps its previous centroid: the
+      // model stays exactly nlist wide and list ids never renumber
+      // mid-training (dropping the entry would shrink and shift both)
+      cents = cents.indices.toArray.map { l =>
+        byList.get(l) match {
+          case Some(ms) =>
+            val c = new Array[Double](dim)
+            ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            c
+          case None => cents(l)
+        }
       }
     }
     cents

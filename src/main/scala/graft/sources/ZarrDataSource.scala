@@ -261,7 +261,8 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     // otherwise corrupt reads), the v3 chunk tree, and the old metadata
     if (truncate) {
       Zarr.listNames(conf.path)
-        .filter(f => f.matches("\\d+\\.\\d+") || f == ".zarray" || f == "zarr.json")
+        .filter(f => f.matches("\\d+\\.\\d+") || f.matches(".*\\.__tmp-\\d+") ||
+          f == ".zarray" || f == "zarr.json")
         .foreach(f => Zarr.delete(s"${conf.path}/$f"))
       Zarr.delete(s"${conf.path}/c", recursive = true)
     }
@@ -285,19 +286,23 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
 
 case class ZarrWriterFactory(conf: ZarrWriteConf, vType: DataType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(conf, vType)
+    new ZarrDataWriter(conf, vType, taskId)
 }
 
-/** Streams (ci,cj)-sorted rows into one chunk buffer at a time; each chunk
-  * file is written exactly once (the required distribution means no other
-  * task touches it; a retried task rewrites identical bytes, so
-  * direct-to-final naming is idempotent on a filesystem — an object-store
-  * deployment would stage to task-attempt prefixes instead). */
-class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[InternalRow] {
+/** Streams (ci,cj)-sorted rows into one chunk buffer at a time. Chunk bytes
+  * are staged under ATTEMPT-SCOPED temp names (`<final>.__tmp-<taskId>` —
+  * invisible to `Zarr.listChunks`, whose patterns accept digits only) and
+  * renamed to their final names in `commit()`. Spark's commit coordinator
+  * lets at most one attempt per partition commit, so under task retry or
+  * speculation a losing attempt's `abort()` deletes only its OWN temps and
+  * can never touch a chunk the winning attempt already published. */
+class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType, taskId: Long)
+    extends DataWriter[InternalRow] {
   private var curCi = Long.MinValue
   private var curCj = Long.MinValue
   private var buf: Array[Double] = null
-  private val files = scala.collection.mutable.ListBuffer.empty[String]
+  // (attempt-temp path, final path) per flushed chunk
+  private val staged = scala.collection.mutable.ListBuffer.empty[(String, String)]
   private var maxI = -1L
   private var maxJ = -1L
 
@@ -309,8 +314,9 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
       if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
       conf.dtype, conf.zlib, conf.format)
     val f = Zarr.chunkPath(conf.path, curCi, curCj, conf.format)
-    Zarr.writeBytes(f, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
-    files += f
+    val tmp = s"$f.__tmp-$taskId"
+    Zarr.writeBytes(tmp, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
+    staged += ((tmp, f))
   }
 
   override def write(r: InternalRow): Unit = {
@@ -338,9 +344,12 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType) extends DataWriter[In
   override def commit(): WriterCommitMessage = {
     flush()
     buf = null
-    ZarrCommitMessage(files.toSeq, maxI, maxJ)
+    // publish: temp → final. Reached by at most one attempt per partition
+    // (commit coordinator), so no rename races another attempt's files.
+    staged.foreach { case (tmp, f) => Zarr.renameOver(tmp, f) }
+    ZarrCommitMessage(staged.map(_._2).toSeq, maxI, maxJ)
   }
 
-  override def abort(): Unit = files.foreach(f => Zarr.delete(f))
+  override def abort(): Unit = staged.foreach { case (tmp, _) => Zarr.delete(tmp) }
   override def close(): Unit = ()
 }

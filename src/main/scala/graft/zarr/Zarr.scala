@@ -118,6 +118,17 @@ object Zarr {
     val (fs, p) = fsFor(path); fs.delete(p, recursive); ()
   }
 
+  /** Rename `src` over `dst` (replacing it if present). Hadoop's
+    * `FileSystem.rename` refuses an existing destination on most schemes,
+    * so any stale destination — e.g. a chunk left by a previous failed
+    * job that overwrite-truncation missed — is deleted first. */
+  private[graft] def renameOver(src: String, dst: String): Unit = {
+    val (fs, s) = fsFor(src)
+    val d = new HPath(dst)
+    if (fs.exists(d)) fs.delete(d, false)
+    require(fs.rename(s, d), s"rename $src -> $dst failed")
+  }
+
   private[graft] def listNames(path: String): Seq[String] = {
     val (fs, p) = fsFor(path)
     if (!fs.exists(p)) Seq.empty
@@ -146,6 +157,13 @@ object Zarr {
     Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32")
   private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
 
+  /** v3 `fill_value` literal per the spec: an INTEGER for integer data
+    * types (a conforming reader may reject `0.0` for int32), a JSON
+    * number for floats. */
+  private def fillLiteral(m: Meta): String =
+    if (m.dtype.endsWith("i8") || m.dtype.endsWith("i4")) m.fill.toLong.toString
+    else m.fill.toString
+
   private def metaJsonV3(m: Meta): String = {
     val endian = if (m.dtype.startsWith(">")) "big" else "little"
     val transpose =
@@ -167,7 +185,7 @@ object Zarr {
        |    "data_type": "${v3Names(m.dtype.substring(1))}",
        |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunkRows}, ${m.chunkCols}]}},
        |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
-       |    "fill_value": ${m.fill},
+       |    "fill_value": ${fillLiteral(m)},
        |    "codecs": $codecs,
        |    "attributes": {}
        |}""".stripMargin
@@ -199,36 +217,69 @@ object Zarr {
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype)
   }
 
+  /** Spec-robust v3 metadata read: real JSON tree traversal (Jackson, on
+    * Spark's own classpath), key-order independent, so stores written by
+    * OTHER conforming v3 writers parse correctly — not just our own.
+    * Codec chains are walked structurally; an unrecognized codec name is
+    * a hard error (decoding its bytes would be wrong), while crc32c and
+    * the index machinery of sharding_indexed are handled in the shard
+    * decoder itself. */
   private def readMetaV3(path: String): Meta = {
-    val json = new String(readBytes(s"$path/zarr.json"), "UTF-8")
-    // "shape" matches only the top-level key: "chunk_shape" has no quote
-    // directly before "shape", so the regex cannot hit it
-    val shape = longs(jsonField(json, "shape"))
-    // "chunk_shape" appears once (outer grid) — twice when sharded: the
-    // chunk_grid's (shard shape, serialized first) then the sharding
-    // codec's (inner chunk shape)
-    val chunkShapes = java.util.regex.Pattern
-      .compile("\"chunk_shape\"\\s*:\\s*(\\[[^\\]]*\\])").matcher(json)
-    require(chunkShapes.find(), "missing chunk_shape in zarr.json")
-    val chunks = longs(chunkShapes.group(1))
-    val inner = if (json.contains("\"sharding_indexed\"")) {
-      require(chunkShapes.find(), "sharding_indexed without inner chunk_shape")
-      longs(chunkShapes.group(1))
-    } else Array(0L, 0L)
-    val zlib = json.contains("\"gzip\"")
-    val fill = jsonField(json, "fill_value").toDouble
-    val named = jsonField(json, "data_type").replaceAll("\"", "")
-    val endian = if (json.contains("\"big\"")) ">" else "<"
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
+    require(root.path("zarr_format").asInt() == 3,
+      s"zarr.json is not a v3 array: zarr_format=${root.path("zarr_format")}")
+    def longsOf(n: JsonNode, what: String): Array[Long] = {
+      require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
+      Array(n.get(0).asLong(), n.get(1).asLong())
+    }
+    val shape = longsOf(root.path("shape"), "shape")
+    val grid = root.path("chunk_grid")
+    require(grid.path("name").asText() == "regular",
+      s"unsupported chunk_grid ${grid.path("name")}")
+    val chunks = longsOf(grid.path("configuration").path("chunk_shape"), "chunk_shape")
+    val keyEnc = root.path("chunk_key_encoding")
+    if (!keyEnc.isMissingNode) {
+      val sep = keyEnc.path("configuration").path("separator").asText("/")
+      require(keyEnc.path("name").asText("default") == "default" && sep == "/",
+        s"unsupported chunk_key_encoding $keyEnc")
+    }
+    // walk one codec chain: compression, endian, transpose order
+    def scanChain(codecs: JsonNode): (Boolean, String, Boolean) = {
+      var zlib = false; var endian = "little"; var fOrder = false
+      codecs.forEach { c =>
+        c.path("name").asText() match {
+          case "gzip" => zlib = true
+          case "bytes" | "endian" =>
+            endian = c.path("configuration").path("endian").asText("little")
+          case "transpose" =>
+            val o = c.path("configuration").path("order")
+            val order = (0 until o.size()).map(o.get(_).asInt())
+            require(order == Seq(1, 0) || order == Seq(0, 1),
+              s"unsupported transpose order $order")
+            fOrder = order == Seq(1, 0)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
+        }
+      }
+      (zlib, endian, fOrder)
+    }
+    val topCodecs = root.path("codecs")
+    val sharded = topCodecs.size() == 1 &&
+      topCodecs.get(0).path("name").asText() == "sharding_indexed"
+    val (inner, chainNode) = if (sharded) {
+      val cfg = topCodecs.get(0).path("configuration")
+      (longsOf(cfg.path("chunk_shape"), "inner chunk_shape"), cfg.path("codecs"))
+    } else (Array(0L, 0L), topCodecs)
+    val (zlib, endian, fOrder) = scanChain(chainNode)
+    val named = root.path("data_type").asText()
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
-    val fOrder = json.contains("\"transpose\"") && {
-      val order = jsonField(json, "order").replaceAll("\\s", "")
-      require(order == "[1,0]" || order == "[0,1]", s"unsupported transpose order $order")
-      order == "[1,0]"
-    }
+    val fill = root.path("fill_value").asDouble()
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
-      endian + base, format = 3, innerRows = inner(0).toInt, innerCols = inner(1).toInt,
-      fOrder = fOrder)
+      (if (endian == "big") ">" else "<") + base, format = 3,
+      innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {

@@ -69,6 +69,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probedOne > 0 && probedOne < n)
   }
 
+  test("IVF training with an empty list keeps the model exactly nlist wide") {
+    // three of four vectors identical → any 3-seed sample contains duplicate
+    // centroids; identical-score assignment ties break to the larger list
+    // id, so the duplicate's smaller list receives NO vectors in the Lloyd
+    // step. The empty list must keep its previous centroid, not vanish.
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 3, iters = 2)
+    assert(cents.length == 3, s"model shrank to ${cents.length} lists")
+    assert(cents.forall(_.length == 2))
+    // assignments still land in [0, nlist)
+    val lists = Similarity.withIvfList(emb, "embedding", cents)
+      .select(col("list_id")).collect().map(_.getInt(0)).toSet
+    assert(lists.forall(l => l >= 0 && l < 3))
+  }
+
   test("near-dup pairs: finds high-cosine pairs, bounded candidates") {
     val planes = Similarity.hyperplanes(4, 3, seed = 11L)
     val vecs = Seq(

@@ -215,6 +215,87 @@ class ZarrSpec extends AnyFunSuite {
     assert(backS.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("v3 metadata parse is key-order independent (external-writer interop)") {
+    val path = "/root/repo/target/tmp/zarr_test_v3_reorder"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3,
+      zlib = true, format = 3, dtype = ">i4", fOrder = true)
+    val want = Zarr.readMeta(path)
+    // rewrite zarr.json as another conforming writer might: keys reordered,
+    // codec configuration before name, extra whitespace
+    val reordered =
+      """{
+        |  "attributes": {},
+        |  "fill_value": 0,
+        |  "codecs": [
+        |    {"configuration": {"order": [1, 0]}, "name": "transpose"},
+        |    {"configuration": {"endian": "big"}, "name": "bytes"},
+        |    {"name": "gzip", "configuration": {"level": 1}}
+        |  ],
+        |  "chunk_key_encoding": {"configuration": {"separator": "/"}, "name": "default"},
+        |  "data_type": "int32",
+        |  "chunk_grid": {"configuration": {"chunk_shape": [4, 3]}, "name": "regular"},
+        |  "node_type": "array",
+        |  "shape": [10, 5],
+        |  "zarr_format": 3
+        |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "zarr.json"),
+      reordered.getBytes("UTF-8"))
+    assert(Zarr.readMeta(path) == want)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("v3 fill_value is an integer literal for integer dtypes") {
+    val path = "/root/repo/target/tmp/zarr_test_v3_intfill"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3,
+      format = 3, dtype = "<i8", fill = 7.0)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "zarr.json")), "UTF-8")
+    assert(json.contains("\"fill_value\": 7") && !json.contains("\"fill_value\": 7.0"))
+    assert(Zarr.readMeta(path).fill == 7.0)
+  }
+
+  test("unknown v3 codec is a hard error, not silent misdecode") {
+    val path = "/root/repo/target/tmp/zarr_test_v3_badcodec"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
+    val p = java.nio.file.Paths.get(path, "zarr.json")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"name\": \"bytes\"", "\"name\": \"blosc\"")
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Zarr.readMeta(path))
+    assert(e.getMessage.contains("blosc"))
+  }
+
+  test("speculative attempts: losing abort after winner commit keeps all chunks") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.DoubleType
+    import graft.sources.{ZarrBatchWrite, ZarrWriteConf, ZarrWriterFactory}
+    val path = "/root/repo/target/tmp/zarr_test_speculation"
+    Zarr.delete(path, recursive = true)
+    val conf = ZarrWriteConf(path, 4, 3, Some(10L), Some(5L), "<f8",
+      zlib = false, fill = 0.0, ciIdx = 0, cjIdx = 1, iIdx = 2, jIdx = 3, vIdx = 4)
+    val factory = ZarrWriterFactory(conf, DoubleType)
+    // two attempts of the SAME partition, as under speculation/retry
+    val winner = factory.createWriter(0, taskId = 1L)
+    val loser = factory.createWriter(0, taskId = 2L)
+    // the DSv2 contract (RequiresDistributionAndOrdering) delivers rows
+    // sorted by (ci, cj) — replicate that here
+    val rows = (for { i <- 0L until 10L; j <- 0L until 5L } yield (i, j))
+      .sortBy { case (i, j) => (i / 4, j / 3) }
+      .map { case (i, j) =>
+        new GenericInternalRow(Array[Any](i / 4, j / 3, i, j, dense(i.toInt)(j.toInt)))
+      }
+    rows.foreach(winner.write)
+    rows.foreach(loser.write)
+    val msg = winner.commit()
+    loser.abort() // AFTER winner's commit — must not delete published chunks
+    new ZarrBatchWrite(conf, DoubleType, truncate = false).commit(Array(msg))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    // no attempt-temp litter survives either path
+    assert(Zarr.listNames(path).forall(n => !n.contains("__tmp")))
+  }
+
   test("overwriting a v3 store with a v2 store clears the v3 chunk tree") {
     val path = "/root/repo/target/tmp/zarr_test_v3_to_v2"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
