@@ -34,6 +34,24 @@ object SparkEntry {
     ZMatrix(s.table(table))
   }
 
+  /** Stage the matrix twice, each side bucketed on ITS matmul join key
+    * (left on "j", right on "i"): the contraction join then co-locates at
+    * load time and the only exchange left in the product plan is the
+    * unavoidable output (i,j) aggregate (plan-asserted in ZMatrixSpec). */
+  private val contractionStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def contractionMats(s: SparkSession, d: String): (ZMatrix, ZMatrix) = {
+    val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (lt, rt) = contractionStaged.computeIfAbsent(d, { _ =>
+      val l = s"graft_mm_left_$sfName"
+      val r = s"graft_mm_right_$sfName"
+      ZMatrix.persistBucketed(mat(s, d), l, s"target/tmp/mm_left_$sfName", cols = Seq("j"))
+      ZMatrix.persistBucketed(mat(s, d), r, s"target/tmp/mm_right_$sfName", cols = Seq("i"))
+      (l, r)
+    })
+    (ZMatrix(s.table(lt)), ZMatrix(s.table(rt)))
+  }
+
   private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
   private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
 
@@ -145,6 +163,13 @@ object SparkEntry {
     "arr_astype" -> ((s, d) => mat(s, d).astypeInt),
     "arr_transpose" -> ((s, d) => mat(s, d).transpose.cells),
     "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
+    // A22 as an oracle-checked row: same product, both sides loaded from
+    // contraction-key bucketed storage (row-equivalence proven the way
+    // q24 proves the salted join against its plain twin)
+    "arr_matmul_bucketed" -> ((s, d) => {
+      val (l, r) = contractionMats(s, d)
+      l.matmul(r).cells
+    }),
     "arr_rechunk" -> ((s, d) => mat(s, d).rechunk(64).cells),
     "arr_row_normalize" -> ((s, d) => mat(s, d).rowNormalize.cells),
     // The scanpy preprocessing recipe as ONE composed plan:
@@ -306,6 +331,9 @@ object SparkEntry {
     // attachment point for an out-of-JVM codec); same stub math as
     // Multimodal.features, so the oracle is unchanged
     "multimodal_meta" -> ((s, d) => Multimodal.featuresArrow(Tables.documents(s, d), "doc_id", "text")),
+    // same features, but every batch crosses a real subprocess pipe
+    // (passthrough codec) — proves the out-of-JVM codec plumbing end-to-end
+    "multimodal_subprocess" -> ((s, d) => Multimodal.featuresSubprocess(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
@@ -762,6 +790,10 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v FROM m a JOIN m b ON a.i = b.i GROUP BY 1, 2""".stripMargin,
+    "arr_matmul_bucketed" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v FROM m a JOIN m b ON a.j = b.i GROUP BY 1, 2""".stripMargin,
     "arr_rechunk" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -896,6 +928,12 @@ object SparkEntry {
          |FROM t JOIN q USING (doc_id) JOIN g USING (doc_id)
          |GROUP BY 1""".stripMargin,
     "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_subprocess" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         | CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,

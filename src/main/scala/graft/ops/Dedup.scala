@@ -128,8 +128,10 @@ object Dedup {
     * candidate-bounded, not corpus-sized. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingle: Int): DataFrame = {
-    val candIds = pairs.select(col("id1").as("cand_id"))
-      .union(pairs.select(col("id2").as("cand_id"))).distinct()
+    // one explode, not a two-branch union: the pairs subtree enters this
+    // plan once here (a union would inline and recompute it twice)
+    val candIds = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("cand_id")).distinct()
     val candDocs = docs.join(candIds, docs(idCol) === candIds("cand_id"), "left_semi")
     val sets = shingleHashExplode(candDocs, idCol, textCol, shingle)
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
@@ -155,7 +157,14 @@ object Dedup {
     // before banding (they cannot be near-dups at this shingle size).
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    // Candidate pairs are TINY (bucket-capped, quadratic-bounded per
+    // bucket) while their lineage is the full corpus-scan LSH pipeline.
+    // The verify stage uses them twice (id extraction + the final join);
+    // without materializing, each use re-runs the whole pipeline — 9
+    // corpus scans instead of 2 in the executed plan. localCheckpoint
+    // pays one tiny write, as for the components loop.
     val cand = candidatePairs(bands(sigs, bandsN, numHashes / bandsN))
+      .localCheckpoint()
     jaccardVerify(cand, docs, idCol, textCol, shingle)
       .filter(col("jaccard") >= minJaccard)
   }

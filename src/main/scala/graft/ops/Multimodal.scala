@@ -190,6 +190,123 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Decode via a REAL codec subprocess, one per partition, speaking the
+    * Arrow IPC stream contract over its stdin/stdout pipes. This is the
+    * process-management half a production out-of-JVM codec needs — spawn,
+    * feed, drain, reap, error propagation — proven here with a passthrough
+    * command: `/bin/cat` echoes the media batches bit-exactly, so the
+    * feature kernel runs on exactly the bytes that survived the pipe
+    * (asserted equal to the in-memory path in MultimodalSpec). A real
+    * codec binary would return feature-schema batches instead and the
+    * JVM-side kernel call disappears; everything else stays.
+    *
+    * Deadlock-safe by construction (the Spark PythonRunner shape): a
+    * feeder thread consumes the partition iterator and writes stdin while
+    * the task thread reads stdout, so neither pipe can fill up and stall
+    * the child; stderr is drained concurrently too. A nonzero exit, a
+    * feed failure, or a torn output stream fails the task with the
+    * child's exit code and captured stderr attached. Peak memory per task
+    * stays one `BatchSize` batch on each side of the pipe. */
+  def featuresSubprocess(docs: DataFrame, idCol: String, textCol: String,
+                         cmd: Seq[String] = Seq("/bin/cat")): DataFrame = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs, idCol, textCol).mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd.asJava).start()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => { proc.destroyForcibly(); () }))
+        val alloc = new RootAllocator()
+        val stderrBuf = new java.io.ByteArrayOutputStream()
+        val errDrain = new Thread(() => {
+          try { proc.getErrorStream.transferTo(stderrBuf); () }
+          catch { case _: java.io.IOException => () }
+        }, "graft-codec-stderr")
+        errDrain.setDaemon(true); errDrain.start()
+        val feedErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+        val feeder = new Thread(() => {
+          val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+          try {
+            val writer = new ArrowStreamWriter(in, null,
+              java.nio.channels.Channels.newChannel(proc.getOutputStream))
+            writer.start()
+            rows.grouped(BatchSize).foreach { batch =>
+              in.allocateNew()
+              val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+              val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+              batch.zipWithIndex.foreach { case (r, i) =>
+                docId.setSafe(i, r.doc_id)
+                payload.setSafe(i, r.payload)
+              }
+              in.setRowCount(batch.size)
+              writer.writeBatch()
+            }
+            writer.end(); writer.close()
+            proc.getOutputStream.close()
+          } catch {
+            // a dead child breaks the pipe mid-write: record and stop; the
+            // reader side surfaces the child's exit status as the error
+            case t: Throwable => feedErr.set(t); ()
+          } finally in.close()
+        }, "graft-codec-feeder")
+        feeder.setDaemon(true); feeder.start()
+
+        val reader = new ArrowStreamReader(proc.getInputStream, alloc)
+        val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
+
+        def reap(): Int = { feeder.join(); errDrain.join(2000); proc.waitFor() }
+        def childError(code: Int, cause: Throwable): Exception = {
+          val err = stderrBuf.toString("UTF-8").take(4096)
+          new RuntimeException(
+            s"codec subprocess ${cmd.mkString(" ")} exited $code" +
+              (if (err.nonEmpty) s"; stderr: $err" else ""), cause)
+        }
+
+        new Iterator[MediaFeatures] {
+          private var cur: Iterator[MediaFeatures] = Iterator.empty
+          private var done = false
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && !done) {
+              val more =
+                try reader.loadNextBatch()
+                catch { // torn/empty stream — attribute it to the child
+                  case t: Throwable =>
+                    done = true
+                    val code = reap()
+                    throw (if (code != 0) childError(code, t) else t)
+                }
+              if (more) {
+                val media = reader.getVectorSchemaRoot
+                out.allocateNew()
+                stubArrowKernel(media, out)
+                val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+                val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+                val oW = out.getVector("width").asInstanceOf[IntVector]
+                val oH = out.getVector("height").asInstanceOf[IntVector]
+                val oC = out.getVector("channels").asInstanceOf[IntVector]
+                // materialize before the next batch reuses the buffers
+                cur = (0 until out.getRowCount).map(i => MediaFeatures(
+                  oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i))).iterator
+              } else {
+                done = true
+                reader.close(); out.close()
+                val code = reap()
+                alloc.close()
+                if (feedErr.get != null && code == 0)
+                  throw new RuntimeException("codec subprocess feed failed", feedErr.get)
+                if (code != 0) throw childError(code, feedErr.get)
+              }
+            }
+            cur.hasNext
+          }
+          override def next(): MediaFeatures = { hasNext; cur.next() }
+        }
+      }
+    }.toDF()
+  }
+
   // ---- further stubbed media kernels (same batched plumbing) ----
 
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])

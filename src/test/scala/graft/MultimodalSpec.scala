@@ -48,6 +48,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(once.head.n_bytes == 1L && once.last.n_bytes == 200L)
   }
 
+  test("codec subprocess path (spawn/feed/drain/reap) equals the in-memory kernel") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val direct = rows(Multimodal.featuresArrow(docs, "doc_id", "text"))
+    val viaProc = rows(Multimodal.featuresSubprocess(docs, "doc_id", "text"))
+    assert(viaProc == direct && direct.nonEmpty)
+    assert(direct.size > Multimodal.BatchSize) // multiple batches crossed the pipe
+  }
+
+  test("codec subprocess failure propagates exit code and stderr to the task") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Multimodal.featuresSubprocess(docs, "doc_id", "text",
+        cmd = Seq("/bin/sh", "-c", "cat > /dev/null; echo decode-blew-up >&2; exit 7")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("exited 7") && chain.contains("decode-blew-up"), chain)
+  }
+
   test("Arrow IPC wire round-trip yields the same features as the in-memory kernel") {
     val docs = Tables.documents(spark, TestSpark.sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
