@@ -113,7 +113,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = Zarr.readMeta(path)
-    val present = Zarr.listChunks(path, meta.format)
+    val present = Zarr.listChunks(path, meta.format, meta.v2Nested)
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
     def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
@@ -123,7 +123,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
       cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
     } yield {
       val f = if (present((ci.toLong, cj.toLong)))
-        Zarr.chunkPath(path, ci, cj, meta.format) else null
+        Zarr.chunkPath(path, ci, cj, meta.format, meta.v2Nested) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
         meta.format, meta.innerRows, meta.innerCols, meta.fOrder): InputPartition
@@ -258,7 +258,11 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     // driver-side prep before any task runs (all through the Hadoop FS
     // API, so the store may live on file://, hdfs://, or s3a://): on
     // overwrite, clear stale chunks (a previous shape/chunking would
-    // otherwise corrupt reads), the v3 chunk tree, and the old metadata
+    // otherwise corrupt reads), the v3 chunk tree, and the old metadata.
+    // Truncation is pre-commit (the same contract as Spark's own
+    // file-table INSERT OVERWRITE): a job that fails after this point
+    // leaves a store with NO metadata file — detectably absent, never
+    // silently mixed-generation, because metadata lands only in commit()
     if (truncate) {
       Zarr.listNames(conf.path)
         .filter(f => f.matches("\\d+\\.\\d+") || f.matches(".*\\.__tmp-\\d+") ||

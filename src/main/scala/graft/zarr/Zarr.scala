@@ -36,7 +36,7 @@ object Zarr {
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
-                        fOrder: Boolean = false) {
+                        fOrder: Boolean = false, v2Nested: Boolean = false) {
     def sharded: Boolean = innerRows > 0 && innerCols > 0
   }
 
@@ -144,7 +144,7 @@ object Zarr {
        |    "chunks": [${m.chunkRows}, ${m.chunkCols}],
        |    "compressor": $comp,
        |    "dtype": "${m.dtype}",
-       |    "fill_value": ${m.fill},
+       |    "fill_value": ${fillLiteral(m)},
        |    "filters": null,
        |    "order": "C",
        |    "shape": [${m.rows}, ${m.cols}],
@@ -157,11 +157,16 @@ object Zarr {
     Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32")
   private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
 
-  /** v3 `fill_value` literal per the spec: an INTEGER for integer data
-    * types (a conforming reader may reject `0.0` for int32), a JSON
-    * number for floats. */
+  /** `fill_value` literal per the specs (same rules in v2 and v3): an
+    * INTEGER for integer data types (a conforming reader may reject `0.0`
+    * for int32), a JSON number for finite floats, and the STRINGS "NaN" /
+    * "Infinity" / "-Infinity" for non-finite floats (bare NaN is not
+    * JSON — a store written with it is unreadable by any parser). */
   private def fillLiteral(m: Meta): String =
     if (m.dtype.endsWith("i8") || m.dtype.endsWith("i4")) m.fill.toLong.toString
+    else if (m.fill.isNaN) "\"NaN\""
+    else if (m.fill.isPosInfinity) "\"Infinity\""
+    else if (m.fill.isNegInfinity) "\"-Infinity\""
     else m.fill.toString
 
   private def metaJsonV3(m: Meta): String = {
@@ -191,30 +196,49 @@ object Zarr {
        |}""".stripMargin
   }
 
-  private def jsonField(json: String, key: String): String = {
-    val m = java.util.regex.Pattern
-      .compile("\"" + key + "\"\\s*:\\s*(\\[[^\\]]*\\]|\\{[^}]*\\}|[^,}\\s]+)")
-      .matcher(json)
-    require(m.find(), s"missing $key in .zarray")
-    m.group(1)
-  }
-
-  private def longs(arr: String): Array[Long] =
-    arr.replaceAll("[\\[\\]\\s]", "").split(",").map(_.toLong)
+  /** Shared v2/v3 `fill_value` parse: JSON number, the spec's non-finite
+    * strings, or null/absent (zarr-python's "no fill" — read as 0). */
+  private def fillOf(n: com.fasterxml.jackson.databind.JsonNode): Double =
+    if (n.isNull || n.isMissingNode) 0.0
+    else if (n.isTextual) n.asText() match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case other => throw new IllegalArgumentException(s"unsupported fill_value '$other'")
+    } else n.asDouble()
 
   /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). */
   def readMeta(path: String): Meta =
     if (exists(s"$path/zarr.json")) readMetaV3(path) else readMetaV2(path)
 
   private def readMetaV2(path: String): Meta = {
-    val json = new String(readBytes(s"$path/.zarray"), "UTF-8")
-    val shape = longs(jsonField(json, "shape"))
-    val chunks = longs(jsonField(json, "chunks"))
-    val zlib = jsonField(json, "compressor").contains("zlib")
-    val fill = jsonField(json, "fill_value").toDouble
-    val dtype = jsonField(json, "dtype").replaceAll("\"", "")
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
+    def longsOf(n: JsonNode, what: String): Array[Long] = {
+      require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
+      Array(n.get(0).asLong(), n.get(1).asLong())
+    }
+    val shape = longsOf(root.path("shape"), "shape")
+    val chunks = longsOf(root.path("chunks"), "chunks")
+    val comp = root.path("compressor")
+    val zlib = !comp.isNull && !comp.isMissingNode && {
+      val id = comp.path("id").asText()
+      require(id == "zlib", s"unsupported v2 compressor '$id'")
+      true
+    }
+    val filters = root.path("filters")
+    require(filters.isNull || filters.isMissingNode || filters.size() == 0,
+      s"unsupported v2 filters $filters")
+    require(root.path("order").asText("C") == "C",
+      "unsupported v2 order (only C-order stores)")
+    val fill = fillOf(root.path("fill_value"))
+    val dtype = root.path("dtype").asText()
     require(Dtypes.contains(dtype), s"unsupported dtype $dtype")
-    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype)
+    val sep = root.path("dimension_separator").asText(".")
+    require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
+    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype,
+      v2Nested = sep == "/")
   }
 
   /** Spec-robust v3 metadata read: real JSON tree traversal (Jackson, on
@@ -276,7 +300,7 @@ object Zarr {
     val named = root.path("data_type").asText()
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
-    val fill = root.path("fill_value").asDouble()
+    val fill = fillOf(root.path("fill_value"))
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
       (if (endian == "big") ">" else "<") + base, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder)
@@ -426,17 +450,27 @@ object Zarr {
     else
       writeBytes(s"$path/.zarray", metaJson(m).getBytes("UTF-8"))
 
-  /** Chunk object path for (ci, cj) under the store root: "ci.cj" in v2,
-    * "c/ci/cj" (default key encoding) in v3. */
-  def chunkPath(path: String, ci: Long, cj: Long, format: Int): String =
-    if (format == 3) s"$path/c/$ci/$cj" else s"$path/$ci.$cj"
+  /** Chunk object path for (ci, cj) under the store root: "ci.cj" in v2
+    * ("ci/cj" when the store declares `dimension_separator: "/"` — the
+    * zarr-python nested layout), "c/ci/cj" (default key encoding) in v3.
+    * We always WRITE "."-separated v2; nested v2 is read-interop. */
+  def chunkPath(path: String, ci: Long, cj: Long, format: Int,
+                v2Nested: Boolean = false): String =
+    if (format == 3) s"$path/c/$ci/$cj"
+    else if (v2Nested) s"$path/$ci/$cj"
+    else s"$path/$ci.$cj"
 
   /** List present chunk coordinates in a store of either format (one
     * LIST per directory level; non-numeric names are ignored). */
-  def listChunks(path: String, format: Int): Set[(Long, Long)] =
+  def listChunks(path: String, format: Int, v2Nested: Boolean = false): Set[(Long, Long)] =
     if (format == 3)
       listNames(s"$path/c").filter(_.matches("\\d+")).flatMap { ci =>
         listNames(s"$path/c/$ci").filter(_.matches("\\d+"))
+          .map(cj => (ci.toLong, cj.toLong))
+      }.toSet
+    else if (v2Nested)
+      listNames(path).filter(_.matches("\\d+")).flatMap { ci =>
+        listNames(s"$path/$ci").filter(_.matches("\\d+"))
           .map(cj => (ci.toLong, cj.toLong))
       }.toSet
     else
@@ -480,13 +514,14 @@ object Zarr {
     val (zl, fill) = (meta.zlib, meta.fill)
     val (dt, fmt) = (meta.dtype, meta.format)
 
-    val present = listChunks(path, meta.format)
+    val present = listChunks(path, meta.format, meta.v2Nested)
     val gridR = ((nr + cr - 1) / cr).toInt
     val gridC = ((nc + cc - 1) / cc).toInt
     val chunks = for {
       ci <- 0 until gridR; cj <- 0 until gridC
     } yield (ci.toLong, cj.toLong,
-      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, fmt) else null)
+      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, fmt, meta.v2Nested)
+      else null)
 
     val (ir, ic) = (meta.innerRows, meta.innerCols)
     val fo = meta.fOrder

@@ -215,6 +215,63 @@ class ZarrSpec extends AnyFunSuite {
     assert(backS.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("v2 interop: zarr-python nested layout (dimension_separator '/', null fill)") {
+    val src = "/root/repo/target/tmp/zarr_test_v2_flat_src"
+    Zarr.write(ZMatrix.fromDense(spark, dense), src, 10, 5, 4, 3)
+    // rebuild the store as zarr-python with NestedDirectoryStore writes it:
+    // chunk keys "ci/cj", dimension_separator declared, fill_value null
+    val path = "/root/repo/target/tmp/zarr_test_v2_nested"
+    Zarr.delete(path, recursive = true)
+    for ((ci, cj) <- Zarr.listChunks(src, 2))
+      Zarr.writeBytes(s"$path/$ci/$cj", Zarr.readBytes(s"$src/$ci.$cj"))
+    val zarray =
+      """{"chunks": [4, 3], "compressor": null, "dimension_separator": "/",
+        | "dtype": "<f8", "fill_value": null, "filters": null, "order": "C",
+        | "shape": [10, 5], "zarr_format": 2}""".stripMargin
+    Zarr.writeBytes(s"$path/.zarray", zarray.getBytes("UTF-8"))
+    val meta = Zarr.readMeta(path)
+    assert(meta.v2Nested && meta.fill == 0.0 && !meta.zlib)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
+    assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("v2 metadata: unsupported compressor/order/filters are hard errors") {
+    val path = "/root/repo/target/tmp/zarr_test_v2_badmeta"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3)
+    def withMeta(json: String): Zarr.Meta = {
+      Zarr.writeBytes(s"$path/.zarray", json.getBytes("UTF-8"))
+      Zarr.readMeta(path)
+    }
+    def base(compressor: String, order: String) =
+      s"""{"chunks": [4, 3], "compressor": $compressor, "dtype": "<f8",
+         | "fill_value": 0.0, "filters": null, "order": "$order",
+         | "shape": [10, 5], "zarr_format": 2}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](withMeta(base("""{"id": "blosc"}""", "C")))
+    assert(e1.getMessage.contains("blosc"))
+    val e2 = intercept[IllegalArgumentException](withMeta(base("null", "F")))
+    assert(e2.getMessage.contains("order"))
+    // restore a valid store for any later test reusing the path
+    assert(withMeta(base("null", "C")).fill == 0.0)
+  }
+
+  test("non-finite fill_value round-trips as the spec's strings in both formats") {
+    val sparse = ZMatrix.fromDense(spark, dense).slice(0, 10, 0, 2) // cols 2..4 absent
+    for (fmt <- Seq(2, 3)) {
+      val path = s"/root/repo/target/tmp/zarr_test_nanfill_v$fmt"
+      Zarr.write(sparse, path, 10, 5, 4, 3, fill = Double.NaN, format = fmt)
+      val metaFile = if (fmt == 3) "zarr.json" else ".zarray"
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, metaFile)), "UTF-8")
+      assert(json.contains("\"fill_value\": \"NaN\""), s"v$fmt wrote: $json")
+      assert(Zarr.readMeta(path).fill.isNaN)
+      val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+      assert(back(3)(1) == dense(3)(1))
+      assert(back(0)(4).isNaN) // chunk col 1 absent -> fill
+    }
+  }
+
   test("v3 metadata parse is key-order independent (external-writer interop)") {
     val path = "/root/repo/target/tmp/zarr_test_v3_reorder"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3,
