@@ -113,7 +113,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = Zarr.readMeta(path)
-    val present = Zarr.listChunks(path, meta.format, meta.v2Nested)
+    val present = Zarr.listChunks(path, meta.keyEnc)
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
     def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
@@ -123,7 +123,7 @@ class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValu
       cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
     } yield {
       val f = if (present((ci.toLong, cj.toLong)))
-        Zarr.chunkPath(path, ci, cj, meta.format, meta.v2Nested) else null
+        Zarr.chunkPath(path, ci, cj, meta.keyEnc) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
         meta.format, meta.innerRows, meta.innerCols, meta.fOrder): InputPartition
@@ -317,7 +317,7 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType, taskId: Long)
     else Zarr.encodeChunk(
       if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
       conf.dtype, conf.zlib, conf.format)
-    val f = Zarr.chunkPath(conf.path, curCi, curCj, conf.format)
+    val f = Zarr.chunkPath(conf.path, curCi, curCj, Zarr.writeKeyEnc(conf.format))
     val tmp = s"$f.__tmp-$taskId"
     Zarr.writeBytes(tmp, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
     staged += ((tmp, f))

@@ -33,10 +33,16 @@ object Zarr {
     * a grid of inner chunks plus an end-of-file index (offset/nbytes pairs
     * + crc32c) — the object-count answer at 100 TB, where one object per
     * chunk would mean billions of store objects. */
+  /** `keyEnc` is the chunk-key layout, normalized across formats/encodings:
+    * "flat" = "ci.cj" at the root (v2 default; v3 "v2" encoding with ".")
+    * "nested" = "ci/cj" (v2 dimension_separator "/"; v3 "v2" encoding "/")
+    * "c/" = "c/ci/cj" (v3 default encoding, "/" separator — our write form)
+    * "c." = "c.ci.cj" (v3 default encoding, "." separator).
+    * We always WRITE "flat" (v2) or "c/" (v3); the rest are read interop. */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
-                        fOrder: Boolean = false, v2Nested: Boolean = false) {
+                        fOrder: Boolean = false, keyEnc: String = "flat") {
     def sharded: Boolean = innerRows > 0 && innerCols > 0
   }
 
@@ -238,7 +244,7 @@ object Zarr {
     val sep = root.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype,
-      v2Nested = sep == "/")
+      keyEnc = if (sep == "/") "nested" else "flat")
   }
 
   /** Spec-robust v3 metadata read: real JSON tree traversal (Jackson, on
@@ -263,11 +269,21 @@ object Zarr {
     require(grid.path("name").asText() == "regular",
       s"unsupported chunk_grid ${grid.path("name")}")
     val chunks = longsOf(grid.path("configuration").path("chunk_shape"), "chunk_shape")
-    val keyEnc = root.path("chunk_key_encoding")
-    if (!keyEnc.isMissingNode) {
-      val sep = keyEnc.path("configuration").path("separator").asText("/")
-      require(keyEnc.path("name").asText("default") == "default" && sep == "/",
-        s"unsupported chunk_key_encoding $keyEnc")
+    // both v3 encodings, both separators (we write default+"/"; the rest
+    // is read interop with other conforming writers)
+    val keyEncNode = root.path("chunk_key_encoding")
+    val keyEnc = if (keyEncNode.isMissingNode) "c/" else {
+      val name = keyEncNode.path("name").asText("default")
+      val sep = keyEncNode.path("configuration").path("separator")
+        .asText(if (name == "v2") "." else "/")
+      (name, sep) match {
+        case ("default", "/") => "c/"
+        case ("default", ".") => "c."
+        case ("v2", "/")      => "nested"
+        case ("v2", ".")      => "flat"
+        case other =>
+          throw new IllegalArgumentException(s"unsupported chunk_key_encoding $other")
+      }
     }
     // walk one codec chain: compression, endian, transpose order
     def scanChain(codecs: JsonNode): (Boolean, String, Boolean) = {
@@ -303,7 +319,8 @@ object Zarr {
     val fill = fillOf(root.path("fill_value"))
     Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
       (if (endian == "big") ">" else "<") + base, format = 3,
-      innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder)
+      innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
+      keyEnc = keyEnc)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -450,32 +467,40 @@ object Zarr {
     else
       writeBytes(s"$path/.zarray", metaJson(m).getBytes("UTF-8"))
 
-  /** Chunk object path for (ci, cj) under the store root: "ci.cj" in v2
-    * ("ci/cj" when the store declares `dimension_separator: "/"` — the
-    * zarr-python nested layout), "c/ci/cj" (default key encoding) in v3.
-    * We always WRITE "."-separated v2; nested v2 is read-interop. */
-  def chunkPath(path: String, ci: Long, cj: Long, format: Int,
-                v2Nested: Boolean = false): String =
-    if (format == 3) s"$path/c/$ci/$cj"
-    else if (v2Nested) s"$path/$ci/$cj"
-    else s"$path/$ci.$cj"
+  /** The key layout we WRITE for each format (see [[Meta.keyEnc]]). */
+  def writeKeyEnc(format: Int): String = if (format == 3) "c/" else "flat"
 
-  /** List present chunk coordinates in a store of either format (one
-    * LIST per directory level; non-numeric names are ignored). */
-  def listChunks(path: String, format: Int, v2Nested: Boolean = false): Set[(Long, Long)] =
-    if (format == 3)
+  /** Chunk object path for (ci, cj) under the store root, per key layout. */
+  def chunkPath(path: String, ci: Long, cj: Long, keyEnc: String): String =
+    keyEnc match {
+      case "c/"     => s"$path/c/$ci/$cj"
+      case "c."     => s"$path/c.$ci.$cj"
+      case "nested" => s"$path/$ci/$cj"
+      case "flat"   => s"$path/$ci.$cj"
+      case other    => throw new IllegalArgumentException(s"unknown keyEnc $other")
+    }
+
+  /** List present chunk coordinates under any key layout (one LIST per
+    * directory level; non-numeric names are ignored). */
+  def listChunks(path: String, keyEnc: String): Set[(Long, Long)] = keyEnc match {
+    case "c/" =>
       listNames(s"$path/c").filter(_.matches("\\d+")).flatMap { ci =>
         listNames(s"$path/c/$ci").filter(_.matches("\\d+"))
           .map(cj => (ci.toLong, cj.toLong))
       }.toSet
-    else if (v2Nested)
+    case "c." =>
+      listNames(path).filter(_.matches("c\\.\\d+\\.\\d+"))
+        .map { n => val Array(_, a, b) = n.split("\\."); (a.toLong, b.toLong) }.toSet
+    case "nested" =>
       listNames(path).filter(_.matches("\\d+")).flatMap { ci =>
         listNames(s"$path/$ci").filter(_.matches("\\d+"))
           .map(cj => (ci.toLong, cj.toLong))
       }.toSet
-    else
+    case "flat" =>
       listNames(path).filter(_.matches("\\d+\\.\\d+"))
         .map { n => val Array(a, b) = n.split("\\."); (a.toLong, b.toLong) }.toSet
+    case other => throw new IllegalArgumentException(s"unknown keyEnc $other")
+  }
 
   /** Write a (dense-semantics) matrix: absent cells become `fill`.
     * Thin wrapper over the DSv2 sink (`df.write.format("zarr")`,
@@ -514,13 +539,13 @@ object Zarr {
     val (zl, fill) = (meta.zlib, meta.fill)
     val (dt, fmt) = (meta.dtype, meta.format)
 
-    val present = listChunks(path, meta.format, meta.v2Nested)
+    val present = listChunks(path, meta.keyEnc)
     val gridR = ((nr + cr - 1) / cr).toInt
     val gridC = ((nc + cc - 1) / cc).toInt
     val chunks = for {
       ci <- 0 until gridR; cj <- 0 until gridC
     } yield (ci.toLong, cj.toLong,
-      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, fmt, meta.v2Nested)
+      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, meta.keyEnc)
       else null)
 
     val (ir, ic) = (meta.innerRows, meta.innerCols)

@@ -150,7 +150,7 @@ class ZarrSpec extends AnyFunSuite {
     val meta = Zarr.readMeta(path)
     assert(meta.sharded && meta.innerRows == 2 && meta.chunkRows == 4)
     // far fewer store objects than inner chunks: 6 shards vs 3x2x(2x2)=24 inner
-    assert(Zarr.listChunks(path, 3).size <= 6)
+    assert(Zarr.listChunks(path, "c/").size <= 6)
     val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
     val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
@@ -222,7 +222,7 @@ class ZarrSpec extends AnyFunSuite {
     // chunk keys "ci/cj", dimension_separator declared, fill_value null
     val path = "/root/repo/target/tmp/zarr_test_v2_nested"
     Zarr.delete(path, recursive = true)
-    for ((ci, cj) <- Zarr.listChunks(src, 2))
+    for ((ci, cj) <- Zarr.listChunks(src, "flat"))
       Zarr.writeBytes(s"$path/$ci/$cj", Zarr.readBytes(s"$src/$ci.$cj"))
     val zarray =
       """{"chunks": [4, 3], "compressor": null, "dimension_separator": "/",
@@ -230,7 +230,7 @@ class ZarrSpec extends AnyFunSuite {
         | "shape": [10, 5], "zarr_format": 2}""".stripMargin
     Zarr.writeBytes(s"$path/.zarray", zarray.getBytes("UTF-8"))
     val meta = Zarr.readMeta(path)
-    assert(meta.v2Nested && meta.fill == 0.0 && !meta.zlib)
+    assert(meta.keyEnc == "nested" && meta.fill == 0.0 && !meta.zlib)
     val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
     val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
@@ -254,6 +254,32 @@ class ZarrSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("order"))
     // restore a valid store for any later test reusing the path
     assert(withMeta(base("null", "C")).fill == 0.0)
+  }
+
+  test("v3 interop: '.'-separator and v2-style chunk key encodings read back") {
+    val src = "/root/repo/target/tmp/zarr_test_v3_keysrc"
+    Zarr.write(ZMatrix.fromDense(spark, dense), src, 10, 5, 4, 3, format = 3)
+    val srcJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src, "zarr.json")), "UTF-8")
+    // (keyEnc json, layout path builder) for the two encodings we don't write
+    val variants = Seq(
+      ("""{"name": "default", "configuration": {"separator": "."}}""",
+        (ci: Long, cj: Long) => s"c.$ci.$cj"),
+      ("""{"name": "v2", "configuration": {"separator": "/"}}""",
+        (ci: Long, cj: Long) => s"$ci/$cj"))
+    for (((enc, key), n) <- variants.zipWithIndex) {
+      val path = s"/root/repo/target/tmp/zarr_test_v3_keyvar$n"
+      Zarr.delete(path, recursive = true)
+      for ((ci, cj) <- Zarr.listChunks(src, "c/"))
+        Zarr.writeBytes(s"$path/${key(ci, cj)}", Zarr.readBytes(s"$src/c/$ci/$cj"))
+      Zarr.writeBytes(s"$path/zarr.json", srcJson.replace(
+        """{"name": "default", "configuration": {"separator": "/"}}""",
+        enc).getBytes("UTF-8"))
+      val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+      assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq, s"variant $enc")
+      val viaDs = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 10, 5)
+      assert(viaDs.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq, s"variant $enc (DSv2)")
+    }
   }
 
   test("non-finite fill_value round-trips as the spec's strings in both formats") {
