@@ -190,6 +190,11 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
                          fOrder: Boolean = false)
 
+/** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
+  * adds this job's chunks to an existing store — the incremental-ingestion
+  * pattern (one slab of the matrix per job/micro-batch). Appends should
+  * pass explicit rows/cols (shape inference sees only the current batch)
+  * and own disjoint chunk sets; a re-written chunk replaces the old one. */
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false

@@ -349,6 +349,24 @@ class ZarrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("blosc"))
   }
 
+  test("append mode: disjoint chunk sets accumulate (incremental ingestion)") {
+    import org.apache.spark.sql.functions.col
+    val path = "/root/repo/target/tmp/zarr_test_append"
+    Zarr.delete(path, recursive = true)
+    def slab(r0: Int, r1: Int) = ZMatrix.fromDense(spark, dense).cells
+      .filter(col("i") >= r0.toLong && col("i") < r1.toLong)
+      .select((col("i") / 5).cast("long").as("ci"), (col("j") / 3).cast("long").as("cj"),
+        col("i"), col("j"), col("v"))
+      .write.format("zarr")
+      .option("chunkRows", "5").option("chunkCols", "3")
+      .option("rows", "10").option("cols", "5") // fixed shape: appends can't shrink it
+      .mode("append").save(path)
+    slab(0, 5)  // chunk row 0
+    slab(5, 10) // chunk row 1 — a later ingestion job, same store
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
   test("speculative attempts: losing abort after winner commit keeps all chunks") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.DoubleType
