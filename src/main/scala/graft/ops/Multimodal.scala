@@ -226,7 +226,11 @@ object Multimodal {
         }, "graft-codec-stderr")
         errDrain.setDaemon(true); errDrain.start()
         val feedErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+        val taskCtx = org.apache.spark.TaskContext.get()
         val feeder = new Thread(() => {
+          // the partition iterator is consumed on THIS thread: carry the
+          // task's context so upstream operator code under it still sees it
+          if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
           val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
           try {
             val writer = new ArrowStreamWriter(in, null,
@@ -244,25 +248,48 @@ object Multimodal {
               writer.writeBatch()
             }
             writer.end(); writer.close()
-            proc.getOutputStream.close()
           } catch {
-            // a dead child breaks the pipe mid-write: record and stop; the
-            // reader side surfaces the child's exit status as the error
-            case t: Throwable => feedErr.set(t); ()
-          } finally in.close()
+            // feed failure (dead child broke the pipe, OR the upstream
+            // iterator itself threw): record it and kill the child so the
+            // reader side can never block forever on its stdout
+            case t: Throwable => feedErr.set(t); proc.destroyForcibly(); ()
+          } finally {
+            in.close()
+            // always end the child's stdin — a child still waiting on
+            // input would otherwise never finish its output stream
+            try proc.getOutputStream.close()
+            catch { case _: java.io.IOException => () }
+          }
         }, "graft-codec-feeder")
         feeder.setDaemon(true); feeder.start()
 
         val reader = new ArrowStreamReader(proc.getInputStream, alloc)
         val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
 
-        def reap(): Int = { feeder.join(); errDrain.join(2000); proc.waitFor() }
+        // on the error path, kill the child FIRST: that snaps both pipes,
+        // so a feeder blocked mid-write unblocks and the join returns. On
+        // the clean path, still bound the wait — a codec that ended its
+        // output but stopped draining stdin would strand the feeder on a
+        // full pipe; killing the child snaps it loose
+        def reap(destroyFirst: Boolean): Int = {
+          if (destroyFirst) proc.destroyForcibly()
+          feeder.join(10000)
+          if (feeder.isAlive) { proc.destroyForcibly(); feeder.join() }
+          errDrain.join(2000); proc.waitFor()
+        }
+        def closeQuietly(): Unit = {
+          try reader.close() catch { case _: Throwable => () }
+          try out.close() catch { case _: Throwable => () }
+          try alloc.close() catch { case _: Throwable => () }
+        }
         def childError(code: Int, cause: Throwable): Exception = {
           val err = stderrBuf.toString("UTF-8").take(4096)
           new RuntimeException(
             s"codec subprocess ${cmd.mkString(" ")} exited $code" +
               (if (err.nonEmpty) s"; stderr: $err" else ""), cause)
         }
+        def feedFailure(): Exception =
+          new RuntimeException("codec subprocess feed failed", feedErr.get)
 
         new Iterator[MediaFeatures] {
           private var cur: Iterator[MediaFeatures] = Iterator.empty
@@ -274,8 +301,10 @@ object Multimodal {
                 catch { // torn/empty stream — attribute it to the child
                   case t: Throwable =>
                     done = true
-                    val code = reap()
-                    throw (if (code != 0) childError(code, t) else t)
+                    val code = reap(destroyFirst = true)
+                    closeQuietly()
+                    throw (if (feedErr.get != null) feedFailure()
+                           else if (code != 0) childError(code, t) else t)
                 }
               if (more) {
                 val media = reader.getVectorSchemaRoot
@@ -292,11 +321,10 @@ object Multimodal {
               } else {
                 done = true
                 reader.close(); out.close()
-                val code = reap()
+                val code = reap(destroyFirst = false)
                 alloc.close()
-                if (feedErr.get != null && code == 0)
-                  throw new RuntimeException("codec subprocess feed failed", feedErr.get)
-                if (code != 0) throw childError(code, feedErr.get)
+                if (feedErr.get != null) throw feedFailure()
+                if (code != 0) throw childError(code, null)
               }
             }
             cur.hasNext

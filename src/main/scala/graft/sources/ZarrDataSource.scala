@@ -192,9 +192,10 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
 
 /** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
   * adds this job's chunks to an existing store — the incremental-ingestion
-  * pattern (one slab of the matrix per job/micro-batch). Appends should
-  * pass explicit rows/cols (shape inference sees only the current batch)
-  * and own disjoint chunk sets; a re-written chunk replaces the old one. */
+  * pattern (one slab of the matrix per job/micro-batch). Appends are
+  * validated against the existing metadata (geometry/dtype/codec/key
+  * layout must match — see ZarrBatchWrite), the shape can only grow, and
+  * a re-written chunk replaces the old one whole. */
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -259,38 +260,82 @@ case class ZarrCommitMessage(files: Seq[String], maxI: Long, maxJ: Long)
 
 class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     extends BatchWrite {
+  // metadata of the store being appended to (driver-side, read once before
+  // any task runs); None for overwrite or a fresh path
+  private var existing: Option[Zarr.Meta] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side prep before any task runs (all through the Hadoop FS
     // API, so the store may live on file://, hdfs://, or s3a://): on
     // overwrite, clear stale chunks (a previous shape/chunking would
-    // otherwise corrupt reads), the v3 chunk tree, and the old metadata.
-    // Truncation is pre-commit (the same contract as Spark's own
-    // file-table INSERT OVERWRITE): a job that fails after this point
-    // leaves a store with NO metadata file — detectably absent, never
-    // silently mixed-generation, because metadata lands only in commit()
+    // otherwise corrupt reads) under EVERY key layout the reader supports
+    // (flat "ci.cj", nested "ci/" dirs, "c.ci.cj", the v3 "c/" tree),
+    // attempt temps, and the old metadata. Truncation is pre-commit (the
+    // same contract as Spark's own file-table INSERT OVERWRITE): a job
+    // that fails after this point leaves a store with NO metadata file —
+    // detectably absent, never silently mixed-generation, because
+    // metadata lands only in commit()
     if (truncate) {
-      Zarr.listNames(conf.path)
-        .filter(f => f.matches("\\d+\\.\\d+") || f.matches(".*\\.__tmp-\\d+") ||
-          f == ".zarray" || f == "zarr.json")
-        .foreach(f => Zarr.delete(s"${conf.path}/$f"))
+      Zarr.listNames(conf.path).foreach { f =>
+        if (f.matches("\\d+\\.\\d+") || f.matches("c\\.\\d+\\.\\d+") ||
+          f.matches(".*\\.__tmp-\\d+") || f == ".zarray" || f == "zarr.json")
+          Zarr.delete(s"${conf.path}/$f")
+        else if (f.matches("\\d+")) // nested-layout chunk-row directory
+          Zarr.delete(s"${conf.path}/$f", recursive = true)
+      }
       Zarr.delete(s"${conf.path}/c", recursive = true)
+    } else {
+      // append: the new chunks must decode under the EXISTING metadata —
+      // geometry, dtype, codec, and key layout all have to match, or the
+      // commit would silently corrupt (or hide) every pre-existing chunk
+      existing = if (Zarr.exists(s"${conf.path}/zarr.json") ||
+        Zarr.exists(s"${conf.path}/.zarray")) Some(Zarr.readMeta(conf.path)) else None
+      existing.foreach { m =>
+        require(m.format == conf.format && m.chunkRows == conf.chunkRows &&
+          m.chunkCols == conf.chunkCols && m.dtype == conf.dtype &&
+          m.zlib == conf.zlib && m.innerRows == conf.innerRows &&
+          m.innerCols == conf.innerCols && m.fOrder == conf.fOrder &&
+          (m.fill == conf.fill || (m.fill.isNaN && conf.fill.isNaN)),
+          s"append requires matching store geometry/codec: existing=$m, " +
+            s"write options=(chunks ${conf.chunkRows}x${conf.chunkCols}, " +
+            s"dtype ${conf.dtype}, zlib ${conf.zlib}, format ${conf.format}, " +
+            s"inner ${conf.innerRows}x${conf.innerCols}, fOrder ${conf.fOrder}, " +
+            s"fill ${conf.fill})")
+        require(m.keyEnc == Zarr.writeKeyEnc(conf.format),
+          s"append to a '${m.keyEnc}'-keyed store is not supported " +
+            s"(this writer emits '${Zarr.writeKeyEnc(conf.format)}' keys)")
+      }
+      // orphan attempt temps from hard-crashed prior jobs never get
+      // truncated away on this path — sweep them here
+      Zarr.cleanTemps(conf.path)
     }
     ZarrWriterFactory(conf, vType)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // .zarray lands last: a store is readable only once commit succeeds
+    // .zarray lands last: a store is readable only once commit succeeds.
+    // Appends can only GROW the shape: inferring from this batch alone
+    // would shrink it below pre-existing chunks and hide them.
     val ms = messages.collect { case m: ZarrCommitMessage => m }
-    val rows = conf.rowsOpt.getOrElse(ms.map(_.maxI).foldLeft(-1L)(_ max _) + 1)
-    val cols = conf.colsOpt.getOrElse(ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1)
+    val rows = conf.rowsOpt.getOrElse(
+      (ms.map(_.maxI).foldLeft(-1L)(_ max _) + 1) max existing.map(_.rows).getOrElse(0L))
+    val cols = conf.colsOpt.getOrElse(
+      (ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1) max existing.map(_.cols).getOrElse(0L))
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: ZarrCommitMessage => m }
-      .foreach(_.files.foreach(f => Zarr.delete(f)))
+    // Overwrite: the store was already truncated, so deleting this job's
+    // published chunks leaves "no metadata, no chunks" — cleanly absent.
+    // Append: a published chunk may have REPLACED a pre-existing one
+    // (renameOver); deleting it would punch a silent fill-reading hole in
+    // a still-valid store, so published chunks stay and the append is
+    // converged by re-running the job (chunk writes are idempotent).
+    if (truncate)
+      messages.collect { case m: ZarrCommitMessage => m }
+        .foreach(_.files.foreach(f => Zarr.delete(f)))
 }
 
 case class ZarrWriterFactory(conf: ZarrWriteConf, vType: DataType) extends DataWriterFactory {

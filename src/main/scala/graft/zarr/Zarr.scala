@@ -124,6 +124,20 @@ object Zarr {
     val (fs, p) = fsFor(path); fs.delete(p, recursive); ()
   }
 
+  /** Delete orphaned attempt-temp chunk files (`*.__tmp-<taskId>`) left by
+    * hard-crashed executors of previous jobs — overwrite truncation covers
+    * them too, but append-mode jobs never truncate, so they sweep here.
+    * One LIST per directory level (root, `c/`, `c/<ci>/`), the same
+    * metadata work a chunk listing already does. */
+  private[graft] def cleanTemps(path: String): Unit = {
+    def sweepFiles(dir: String): Seq[String] =
+      listNames(dir).filter(_.contains(".__tmp-")).map(n => s"$dir/$n")
+    val temps = sweepFiles(path) ++
+      listNames(s"$path/c").filter(_.matches("\\d+"))
+        .flatMap(ci => sweepFiles(s"$path/c/$ci"))
+    temps.foreach(delete(_))
+  }
+
   /** Rename `src` over `dst` (replacing it if present). Hadoop's
     * `FileSystem.rename` refuses an existing destination on most schemes,
     * so any stale destination — e.g. a chunk left by a previous failed

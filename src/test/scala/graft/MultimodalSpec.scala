@@ -69,6 +69,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(chain.contains("exited 7") && chain.contains("decode-blew-up"), chain)
   }
 
+  test("codec subprocess that exits without reading stdin fails the task, no hang") {
+    // ~200 docs of padding so the feed outlives the child and hits the
+    // broken pipe; the task must surface a feed failure, not block forever
+    val docs = (1 to 200).map(i => (i.toLong, "x" * 500)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Multimodal.featuresSubprocess(docs, "doc_id", "text",
+        cmd = Seq("/bin/sh", "-c", "exit 3")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("feed failed") || chain.contains("exited"), chain)
+  }
+
   test("Arrow IPC wire round-trip yields the same features as the in-memory kernel") {
     val docs = Tables.documents(spark, TestSpark.sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

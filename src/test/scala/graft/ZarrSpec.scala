@@ -367,6 +367,47 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("append validates against existing store metadata; shape only grows") {
+    import org.apache.spark.sql.functions.col
+    val path = "/root/repo/target/tmp/zarr_test_append_guard"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3) // overwrite, 10x5
+    def append(chunkRows: Int, rows: Seq[Int]) = ZMatrix.fromDense(spark, dense).cells
+      .filter(col("i").isin(rows.map(_.toLong): _*))
+      .select((col("i") / chunkRows).cast("long").as("ci"), (col("j") / 3).cast("long").as("cj"),
+        col("i"), col("j"), col("v"))
+      .write.format("zarr")
+      .option("chunkRows", chunkRows.toString).option("chunkCols", "3")
+      .mode("append").save(path)
+    // mismatched chunk geometry must be rejected before any task writes
+    val e = intercept[Exception](append(5, 0 to 4))
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("append requires matching"), chain)
+    // compatible append of a 4-row slab with NO rows/cols options: the
+    // store keeps its existing 10x5 shape (inference cannot shrink it)
+    append(4, 0 to 3)
+    val meta = Zarr.readMeta(path)
+    assert(meta.rows == 10 && meta.cols == 5)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("overwrite truncates chunks of every interop key layout") {
+    val path = "/root/repo/target/tmp/zarr_test_truncate_interop"
+    Zarr.delete(path, recursive = true)
+    // plant stale chunks in all three non-written layouts + an orphan temp
+    Zarr.writeBytes(s"$path/0/0", Array[Byte](1, 2, 3))     // nested v2
+    Zarr.writeBytes(s"$path/c.0.0", Array[Byte](1, 2, 3))   // v3 '.' keys
+    Zarr.writeBytes(s"$path/c/0/0", Array[Byte](1, 2, 3))   // v3 tree
+    Zarr.writeBytes(s"$path/0.0.__tmp-9", Array[Byte](1))   // crashed attempt
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3) // overwrite
+    val names = Zarr.listNames(path).toSet
+    assert(!names.contains("0") && !names.contains("c.0.0") && !names.contains("c") &&
+      !names.exists(_.contains("__tmp")), s"stale layout survived: $names")
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
   test("speculative attempts: losing abort after winner commit keeps all chunks") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.DoubleType
