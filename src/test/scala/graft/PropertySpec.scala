@@ -84,6 +84,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: store metadata round-trips across the full option matrix") {
+    // pure metadata write→parse, no Spark jobs — the net over this round's
+    // JSON serialization rewrite (Jackson parse, per-dtype/non-finite
+    // fill literals, key encodings)
+    val metaGen = for {
+      format <- Gen.oneOf(2, 3)
+      dtype <- Gen.oneOf(Zarr.Dtypes.toSeq)
+      zlib <- Gen.oneOf(true, false)
+      intDtype = dtype.endsWith("i8") || dtype.endsWith("i4")
+      fill <- if (intDtype) Gen.oneOf(0.0, 7.0, -3.0)
+              else Gen.oneOf(0.0, 7.5, -1.25, Double.NaN,
+                Double.PositiveInfinity, Double.NegativeInfinity)
+      fOrder <- if (format == 3) Gen.oneOf(true, false) else Gen.const(false)
+      sharded <- if (format == 3) Gen.oneOf(true, false) else Gen.const(false)
+      cr <- Gen.oneOf(4, 6, 8)
+      cc <- Gen.oneOf(4, 6)
+    } yield Zarr.Meta(20, 10, cr, cc, zlib, fill, dtype, format,
+      innerRows = if (sharded) 2 else 0, innerCols = if (sharded) 2 else 0,
+      fOrder = fOrder, keyEnc = Zarr.writeKeyEnc(format))
+    forAll(metaGen, n = 25) { (m: Zarr.Meta) =>
+      val path = "/root/repo/target/tmp/zarr_prop_meta"
+      Zarr.writeMetaFile(path, m)
+      // v2 stores must not be mistaken for v3: drop any stale zarr.json
+      if (m.format == 2) Zarr.delete(s"$path/zarr.json")
+      val r = Zarr.readMeta(path)
+      def sameFill = r.fill == m.fill || (r.fill.isNaN && m.fill.isNaN)
+      assert(r.copy(fill = 0.0) == m.copy(fill = 0.0) && sameFill,
+        s"wrote $m, read $r")
+    }
+  }
+
   test("property: minhash similarity tracks true Jaccard on perturbed docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
