@@ -23,13 +23,18 @@ object Tables {
     * via `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/Bench/test
     * sessions). Normalize to a microsecond TIMESTAMP here so downstream
     * operators see a standard column either way. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
+
+  /** The ONE nanosecond-ts normalization rule, shared by the batch reader
+    * above and the streaming source (Stream.eventsStream) so the two
+    * engines can never truncate event time differently. Works on batch
+    * and streaming frames alike (schema-driven). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -20,14 +20,22 @@ case class DotProduct(left: Expression, right: Expression)
   // callers guarantee array<double> children (VectorExprs casts)
   override def dataType: DataType = DoubleType
 
+  // dimension mismatch → null (not a truncated partial product): a corrupt
+  // or short embedding must drop out of ranking/filters, never rank with a
+  // plausible-looking cosine
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var k = 0
-    while (k < n) { s += x.getDouble(k) * y.getDouble(k); k += 1 }
-    s
+    val n = x.numElements()
+    if (y.numElements() != n) null
+    else {
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += x.getDouble(k) * y.getDouble(k); k += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -36,12 +44,16 @@ case class DotProduct(left: Expression, right: Expression)
       val k = ctx.freshName("k")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $k = 0; $k < $n; $k++) {
-         |  $s += $a.getDouble($k) * $b.getDouble($k);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $s += $a.getDouble($k) * $b.getDouble($k);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -312,10 +312,15 @@ object Relational {
       saltedJoin(fact.filter(isHot), other.filter(isHot), key, salts)
         .unionByName(fact.filter(!isHot).join(other.filter(!isHot), Seq(key)))
     } else {
-      val cold = fact.join(broadcast(hot), Seq(key), "left_anti")
-        .join(other.join(broadcast(hot), Seq(key), "left_anti"), Seq(key))
-      saltedJoin(fact.join(broadcast(hot), Seq(key), "left_semi"),
-          other.join(broadcast(hot), Seq(key), "left_semi"), key, salts)
+      // `hot` feeds FOUR joins below and ReuseExchange does not dedupe a
+      // multiply-referenced subtree — uncheckpointed, the detection
+      // aggregate would re-scan the fact table once per use. Bounded at
+      // <= |fact|/hotThreshold rows, so the materialization is tiny.
+      val hotCk = hot.localCheckpoint()
+      val cold = fact.join(broadcast(hotCk), Seq(key), "left_anti")
+        .join(other.join(broadcast(hotCk), Seq(key), "left_anti"), Seq(key))
+      saltedJoin(fact.join(broadcast(hotCk), Seq(key), "left_semi"),
+          other.join(broadcast(hotCk), Seq(key), "left_semi"), key, salts)
         .unionByName(cold)
     }
   }

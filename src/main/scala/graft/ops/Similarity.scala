@@ -35,13 +35,20 @@ object Similarity {
   def cosineToQuery(emb: DataFrame, vecCol: String, q: Array[Double]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val qn = math.sqrt(q.map(x => x * x).sum)
-    emb.withColumn("cos", dotLit(v, q) / (norm2(v) * lit(qn)))
+    // a zero-norm vector has no cosine: under ANSI mode a plain divide is
+    // a hard DIVIDE_BY_ZERO task failure — try_divide yields null instead,
+    // and consumers drop nulls (top-k) or fail the >= minCos predicate
+    emb.withColumn("cos", try_divide(dotLit(v, q), norm2(v) * lit(qn)))
   }
 
   /** Brute-force cosine top-k (rounded for deterministic ranking). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      q: Array[Double], k: Int): DataFrame =
     cosineToQuery(emb, vecCol, q)
+      // zero-norm vectors (cos = null from try_divide) drop out of the
+      // ranking — unguarded they would either crash (ANSI divide) or
+      // NaN-rank first (NaN orders as the largest double)
+      .filter(col("cos").isNotNull)
       // +0.0 collapses IEEE -0.0 (oracle byte-parity for near-zero cosines)
       .select(col(idCol), (round(col("cos"), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -97,11 +104,21 @@ object Similarity {
     var cents = emb.select(v.as("vec"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
+    // fail degenerate corpora loudly: downstream treats list_id as an
+    // exactly-nlist-wide partition key, so a silently narrower model (or
+    // an AIOOBE from an empty seed set inside the Lloyd loop) is worse
+    // than a clear error here
+    require(cents.length == nlist,
+      s"IVF training needs >= nlist=$nlist vectors, corpus has ${cents.length}")
     for (_ <- 0 until iters) {
       val dim = cents(0).length
       // per-list means via posexplode + one (list_id, dim) aggregate — a
       // 2-column plan that codegen-compiles far faster than a dim-wide
       // aggregate, and shuffles (nlist·dim) partial sums either way
+      // 6dp rounding makes cross-run flips from unordered-sum float noise
+      // vanishingly rare (a flip needs the true mean within ~1 ulp of a
+      // 0.5e-6 grid boundary); run-to-run equality is asserted by the
+      // twin-training test, and IVF rows are no_oracle by design
       val assigned = withIvfList(emb.select(v.as("vec")), "vec", cents)
         .select(col("list_id"), posexplode(col("vec")).as(Seq("d", "x")))
         .groupBy(col("list_id"), col("d"))
@@ -130,7 +147,10 @@ object Similarity {
   private def centroidScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
     centroids.zipWithIndex.map { case (c, l) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dotLit(v, c) / lit(cn)).as("s"), lit(l).as("l"))
+      // an all-zero centroid (zero-vector seed) scores 0 against everything
+      // either way; dividing by its 0 norm would be an ANSI hard error
+      val safeCn = if (cn == 0.0) 1.0 else cn
+      struct((dotLit(v, c) / lit(safeCn)).as("s"), lit(l).as("l"))
     }
 
   /** Assign each vector to its nearest (max-cosine) centroid list. The
@@ -152,10 +172,14 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Double],
               k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val qn = math.sqrt(q.map(x => x * x).sum)
+    // ties rank the LARGER list id first, matching the assignment rule
+    // (greatest over (s, l) structs): with duplicated centroids — which
+    // empty-list preservation makes legitimate — vectors live in the
+    // larger-id list, so the probe must prefer it too
     val probes = centroids.zipWithIndex.map { case (c, l) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       (c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn), l)
-    }.sortBy { case (cos, l) => (-cos, l) }.take(nprobe).map(_._2)
+    }.sortBy { case (cos, l) => (-cos, -l) }.take(nprobe).map(_._2)
     val listed = withIvfList(emb, vecCol, centroids)
       .filter(col("list_id").isin(probes.toSeq: _*))
     bruteForceTopK(listed, idCol, vecCol, q, k)
@@ -188,8 +212,11 @@ object Similarity {
                           centroids: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val sorted = array_sort(array(centroidScores(v, centroids): _*)) // ascending by (s, l)
+    // single-centroid model: ANSI mode makes element_at(..., -2) a hard
+    // error on a 1-element array — degrade to primary = runner-up instead
+    val second = if (centroids.length >= 2) element_at(sorted, -2) else element_at(sorted, -1)
     emb.withColumn("list_id", element_at(sorted, -1).getField("l"))
-      .withColumn("list2_id", element_at(sorted, -2).getField("l"))
+      .withColumn("list2_id", second.getField("l"))
   }
 
   /** Embedding near-dup with IVF-pruned candidates: each vector is
@@ -212,7 +239,8 @@ object Similarity {
     val l = probed.as("l"); val r = probed.as("r")
     l.join(r, col("l.probe") === col("r.probe") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+        try_divide(dot(col("l.vec"), col("r.vec")),
+          col("l.nrm") * col("r.nrm")).as("cos")) // null for zero-norm rows
       .filter(col("cos") >= minCos)
       .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
   }
@@ -231,7 +259,8 @@ object Similarity {
     val l = probed.as("l"); val r = bucketed.as("r")
     l.join(r, col("l.probe") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+        try_divide(dot(col("l.vec"), col("r.vec")),
+          col("l.nrm") * col("r.nrm")).as("cos")) // null for zero-norm rows
       .filter(col("cos") >= minCos)
       .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
   }

@@ -20,12 +20,20 @@ object Stream {
   private val schemas = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   private def linkedTableDir(sfDir: String, sfName: String, table: String): String = {
-    val dir = java.nio.file.Paths.get(s"target/tmp/stream_src_${table}_$sfName")
-    java.nio.file.Files.createDirectories(dir)
+    import java.nio.file.{Files, LinkOption, Paths}
+    val dir = Paths.get(s"target/tmp/stream_src_${table}_$sfName")
+    Files.createDirectories(dir)
     val link = dir.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, s"$table.parquet").toAbsolutePath)
+    val target = Paths.get(sfDir, s"$table.parquet").toAbsolutePath
+    // NOFOLLOW: a dangling link from a prior run (moved/regenerated
+    // testdata) must read as PRESENT so it can be replaced — the default
+    // exists() follows the link and would report false, and the create
+    // below would then throw FileAlreadyExistsException forever
+    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      try Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // lost a benign race
     dir.toString
   }
 
@@ -74,13 +82,8 @@ object Stream {
       _ => spark.read.parquet(s"$sfDir/events.parquet").schema)
     val stream0 = spark.readStream.schema(raw)
       .parquet(linkedEventsDir(sfDir, sfName))
-    // same nanosecond-ts normalization as Tables.events, applied in-stream
-    val stream = raw("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => stream0
-    }
-    (stream, sfName)
+    // the SHARED normalization rule — batch twin and stream can't diverge
+    (graft.Tables.normalizeEventTs(stream0), sfName)
   }
 
   /** Tumbling-window aggregate (1 h) over the events stream. Money goes

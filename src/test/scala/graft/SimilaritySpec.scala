@@ -69,6 +69,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probedOne > 0 && probedOne < n)
   }
 
+  test("zero-norm vectors are excluded from top-k, not NaN-ranked first") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)), (3L, Array(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Array(1.0, 0.0), k = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // id 2 dropped, not rank 1
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+  }
+
+  test("dot product of mismatched dimensions is null, not a truncated product") {
+    import graft.functions.VectorExprs
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 1.0))).toDF("a", "b")
+    val r = df.select(VectorExprs.dot(col("a"), col("b")).as("d")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("single-centroid IVF near-dup degrades instead of ANSI-crashing") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0))
+    val pairs = Similarity.nearDupPairsIvf(emb, "vec_id", "embedding", cents, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("IVF training with an empty list keeps the model exactly nlist wide") {
     // three of four vectors identical → any 3-seed sample contains duplicate
     // centroids; identical-score assignment ties break to the larger list
