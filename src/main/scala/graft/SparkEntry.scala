@@ -184,10 +184,13 @@ object SparkEntry {
           sum(col("v")).as("_s"), count(lit(1)).as("_n"),
           sum(col("v") * col("v")).as("_ss"))
         .select(col("j"), (col("_s") / col("_n")).as("_mu"),
-          sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("_sd"))
+          // greatest-guard vs cancellation, try_divide vs sd=0: both
+          // mirror the DuckDB twin (greatest in its sqrt; x/0 = NULL)
+          sqrt(greatest((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"),
+            lit(0.0))).as("_sd"))
       lg.cells.join(broadcast(stats), Seq("j"))
         .select(col("i"), col("j"),
-          (round((col("v") - col("_mu")) / col("_sd"), 4) + 0.0).as("v"))
+          (round(try_divide(col("v") - col("_mu"), col("_sd")), 4) + 0.0).as("v"))
     }),
     // Gram matrix of the embeddings table through the array layer: the
     // 2000×64 dense matrix XᵀX (PCA prep) — shuffles on vec_id only,
@@ -820,8 +823,8 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
         |s AS (SELECT i, j, v,
         |  sum(v) OVER w / count(*) OVER w AS mu,
-        |  sqrt((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
-        |       / count(*) OVER w) AS sd
+        |  sqrt(greatest((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
+        |       / count(*) OVER w, 0)) AS sd
         |  FROM m WINDOW w AS (PARTITION BY j))
         |SELECT i, j, CASE WHEN sd = 0 THEN 0.0 ELSE round((v - mu) / sd, 6) + 0 END AS v FROM s""".stripMargin,
     "arr_center_rows" ->
@@ -885,8 +888,8 @@ object SparkEntry {
         |lg AS (SELECT i, j, ln(1 + v * 10000) AS v FROM rn),
         |st AS (SELECT i, j, v,
         |  sum(v) OVER w / count(*) OVER w AS mu,
-        |  sqrt((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
-        |       / count(*) OVER w) AS sd
+        |  sqrt(greatest((sum(v * v) OVER w - sum(v) OVER w * sum(v) OVER w / count(*) OVER w)
+        |       / count(*) OVER w, 0)) AS sd
         |  FROM lg WINDOW w AS (PARTITION BY j))
         |SELECT i, j, round((v - mu) / sd, 4) + 0 AS v FROM st""".stripMargin,
     "dedup_exact" ->

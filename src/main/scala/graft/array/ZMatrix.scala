@@ -183,7 +183,12 @@ final case class ZMatrix(cells: DataFrame) {
         sum(col("v")).as("_s"), count(lit(1)).as("_n"),
         sum(col("v") * col("v")).as("_ss"))
       .select(col("j"), (col("_s") / col("_n")).as("_mu"),
-        sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("_sd"))
+        // greatest(…, 0): catastrophic cancellation on a near-constant
+        // column can push the moment-formula variance epsilon-negative;
+        // sqrt of that is NaN (Spark) or a hard error (DuckDB oracle —
+        // its twin carries the same greatest() guard)
+        sqrt(greatest((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"),
+          lit(0.0))).as("_sd"))
     ZMatrix(cells.join(broadcast(stats), Seq("j"))
       .select(col("i"), col("j"),
         // zero-variance columns scale to 0 (scanpy convention), not NaN
@@ -268,8 +273,11 @@ final case class ZMatrix(cells: DataFrame) {
     * on i shared by the aggregate and the re-join (AQE reuses exchange). */
   def rowNormalize: ZMatrix = {
     val rs = cells.groupBy(col("i")).agg(sum(col("v")).as("_rs"))
+    // try_divide: a zero-sum row (possible for signed matrices) yields
+    // null cells — matching the DuckDB twin's x/0 = NULL exactly; a plain
+    // divide would be an ANSI hard error
     ZMatrix(cells.join(rs, Seq("i"))
-      .select(col("i"), col("j"), round(col("v") / col("_rs"), 6).as("v")))
+      .select(col("i"), col("j"), round(try_divide(col("v"), col("_rs")), 6).as("v")))
   }
 }
 
@@ -339,7 +347,7 @@ object ZLocal {
     val out = Array.fill(rows, cols)(fill)
     m.cells.collect().foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
-      if (i < rows && j < cols) out(i)(j) = r.getDouble(2)
+      if (i >= 0 && j >= 0 && i < rows && j < cols) out(i)(j) = r.getDouble(2)
     }
     out
   }

@@ -16,6 +16,14 @@ object Dedup {
 
   def tokensOf(c: Column): Column = split(trim(c), "\\s+")
 
+  /** k shifted `slice`s of the token array, zipped positionally — THE
+    * shingle construction, shared by hashing, string form, and MinHash so
+    * signature shingles and verify shingles can never diverge. */
+  private def shingleZip(toks: Column, k: Int): Column = {
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
+  }
+
   /** First 60 bits of md5 as a signed long — the oracle-parity hash: DuckDB
     * computes the identical value as `('0x' || substring(md5(t),1,15))::BIGINT`.
     * Used where the driver's DuckDB oracle must reproduce the hash (simhash);
@@ -31,9 +39,7 @@ object Dedup {
     * anywhere on this path (those run interpreted and dominated the
     * profile). Shingle identity is all MinHash/Jaccard need. */
   def shingleHashExplode(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = tokensOf(col(textCol))
-    val len = greatest(size(toks) - (k - 1), lit(0))
-    val zipped = arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
+    val zipped = shingleZip(tokensOf(col(textCol)), k)
     docs.select(col(idCol).as("doc_id"), explode(zipped).as("sh"))
       .select(col("doc_id"), xxhash64((0 until k).map(i => col(s"sh.$i")): _*).as("h"))
   }
@@ -43,9 +49,7 @@ object Dedup {
     * Same native shifted-slice construction as [[shingleHashExplode]];
     * docs with fewer than k tokens contribute no rows. */
   def shingleStrings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = tokensOf(col(textCol))
-    val len = greatest(size(toks) - (k - 1), lit(0))
-    val zipped = arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
+    val zipped = shingleZip(tokensOf(col(textCol)), k)
     docs.select(col(idCol).as("doc_id"), explode(zipped).as("sh"))
       .select(col("doc_id"),
         // chr(1) separator keeps token boundaries unambiguous; tokens are
@@ -86,10 +90,8 @@ object Dedup {
     * |docs|·|shingles|, and the shuffle ships `numHashes` longs per doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingle: Int): DataFrame = {
-    val toks = tokensOf(col(textCol))
-    val len = greatest(size(toks) - (shingle - 1), lit(0))
-    val zipped = arrays_zip((1 to shingle).map(i => slice(toks, lit(i), len)): _*)
-    docs.select(col(idCol).as("doc_id"), zipped.as("shingles"))
+    docs.select(col(idCol).as("doc_id"),
+        shingleZip(tokensOf(col(textCol)), shingle).as("shingles"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("shingles"), numHashes, shingle).as("sig"))
   }

@@ -20,14 +20,15 @@ object Sampling {
   /** 60-bit integer from the md5 of the id's decimal string — the shared
     * deterministic "random" key (same construction the DuckDB twin uses:
     * ('0x' || substring(md5(id), 1, 15))::BIGINT). */
-  private def hashKey(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+  private def hashKey(id: Column): Column = Dedup.mdHash60(id.cast("string"))
 
   /** Deterministic train/val/test split: bucket = md5-hash(id) mod 100,
     * split by cumulative thresholds (default 80/10/10). A pure map over one
     * scan — no shuffle, no RNG, stable under any re-partitioning. */
   def hashSplit(docs: DataFrame, idCol: String,
                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct (must be >= 0, sum <= 100)")
     val bucket = pmod(hashKey(col(idCol)), lit(100))
     docs.select(col(idCol).as("doc_id"), bucket.as("bucket"),
       when(bucket < trainPct, "train")

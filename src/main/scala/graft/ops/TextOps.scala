@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val punctPat = "[.,!?;:]"
+  private val punctChars = ".,!?;:"
+  private val nonPunctPat = s"[^$punctChars]"
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbols. */
   private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Whitespace token count. NOTE: empty/whitespace-only text counts as ONE
+    * token — split('') = [''] in Spark AND DuckDB, and the oracle contract
+    * pins that shared semantics rather than special-casing it. */
   def nTokens(c: Column): Column = size(split(trim(c), "\\s+"))
   def nChars(c: Column): Column = length(c)
 
@@ -23,8 +27,12 @@ object TextOps {
     docs.select(col(idCol).as("doc_id"),
       nTokens(t).cast("long").as("n_tok"),
       nChars(t).cast("long").as("n_chars"),
-      round(length(regexp_replace(t, "\\s", "")).cast("double") / nTokens(t), 4).as("avg_tok_len"),
-      round(length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t), 4).as("punct_ratio"))
+      round(try_divide(length(regexp_replace(t, "\\s", "")).cast("double"),
+        nTokens(t)), 4).as("avg_tok_len"),
+      // try_divide: empty text has 0 chars — null ratio (= DuckDB's x/0),
+      // not an ANSI divide error
+      round(try_divide(length(regexp_replace(t, nonPunctPat, "")).cast("double"),
+        nChars(t)), 4).as("punct_ratio"))
   }
 
   /** Regex token count (BPE-style pre-tokenization granularity). */
@@ -38,7 +46,7 @@ object TextOps {
   def qualityCol(t: Column): Column = {
     val ntok = nTokens(t)
     val avgWl = length(regexp_replace(t, "\\s", "")).cast("double") / ntok
-    val punct = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars(t)
+    val punct = try_divide(length(regexp_replace(t, nonPunctPat, "")).cast("double"), nChars(t))
     round(least(lit(1.0), ntok / lit(100.0)) * (lit(1.0) - least(lit(1.0), punct * 5)) *
       when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4)
   }
@@ -149,7 +157,9 @@ object TextOps {
     * same token array) reproduces every chunk byte-for-byte. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
-    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap" +
+        " (a negative overlap would silently drop the tokens between chunks)")
     val stride = chunkSize - overlap
     val toks = split(trim(col(textCol)), "\\s+")
     val nch = greatest(ceil((size(toks) - overlap).cast("double") / stride).cast("long"), lit(1L))
@@ -198,11 +208,14 @@ object TextOps {
     * nondeterministic across engines; the integer sum is exact in both. */
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String): DataFrame = {
-    val q = quality(docs, idCol, textCol)
-    val l = langId(docs, idCol, textCol)
-    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
-        nTokens(col(textCol)).cast("long").as("_nt"))
-      .join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+    // ONE scan, zero joins: the per-doc formulas compose as columns (the
+    // same fusion pipeline_curate uses) — the previous quality+langId
+    // dataframes cost two more scans plus two doc_id shuffle joins
+    val t = col(textCol)
+    docs.select(col(groupCol).as("group_key"),
+        nTokens(t).cast("long").as("_nt"),
+        qualityCol(t).as("quality"),
+        langIdCol(t).as("pred_lang"))
       .groupBy(col("group_key"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_nt")).as("n_tokens"),
