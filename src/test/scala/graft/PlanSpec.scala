@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans(plan) <= 2, s"extra corpus scan in:\n$plan")
   }
 
+  test("report_sources: fused projection, no per-signal joins") {
+    // quality/langid compose as columns over ONE logical scan (the 4
+    // exchanges are count_distinct's expand phases, not joins; the second
+    // scan is AQE stage-reuse accounting). Pre-fusion this was 3 scans
+    // plus two doc_id shuffle joins.
+    val plan = executedPlan("report_sources")
+    assert(parquetScans(plan) <= 2, s"extra corpus scan in:\n$plan")
+    assert(exchanges(plan) <= 4, s"added exchange in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"per-signal join reappeared in:\n$plan")
+  }
+
   test("pipeline_curate: fused single-scan curation, two exchanges") {
     val plan = executedPlan("pipeline_curate")
     assert(exchanges(plan) <= 2, s"added exchange in:\n$plan")
