@@ -63,11 +63,21 @@ class ZarrTable(path: String, tableSchema: StructType = ZarrDataSource.cellSchem
 /** Pushes i/j range filters down to CHUNK PRUNING: a chunk whose index
   * range cannot satisfy the predicates is never planned, so
   * `X[a:b, c:d]` on a 100 TB store touches only the overlapping chunks.
-  * Filters stay in `postScanFilters` too (we prune chunks, not rows). */
-class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  * Filters stay in `postScanFilters` too (we prune chunks, not rows).
+  *
+  * Column pruning goes further than projection: when `v` is not required
+  * (a `count(*)`, a coordinate-only query), the reader never opens or
+  * decodes a single chunk file — cell coordinates derive from the grid
+  * metadata alone, so the scan is pure compute over a driver-side LIST. */
+class ZarrScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var iLo = Long.MinValue; private var iHi = Long.MaxValue
   private var jLo = Long.MinValue; private var jHi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ZarrDataSource.cellSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (understood, rest) = filters.partition {
@@ -94,39 +104,60 @@ class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFil
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZarrScan(path, iLo, iHi, jLo, jHi)
+  override def build(): Scan = new ZarrScan(path, required, iLo, iHi, jLo, jHi)
 }
 
-/** One partition per chunk of the grid; `file == null` marks an all-fill
-  * chunk the writer skipped. */
+/** One partition per chunk of the grid; `file == null` marks a chunk the
+  * reader never opens — either all-fill (the writer skipped it) or a
+  * value-pruned scan (no `v` column required). `fields` is the pruned
+  * output schema's field order. */
 case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                               zlib: Boolean, fill: Double, dtype: String,
                               format: Int = 2, innerRows: Int = 0,
-                              innerCols: Int = 0, fOrder: Boolean = false)
+                              innerCols: Int = 0, fOrder: Boolean = false,
+                              fields: Seq[String] = Seq("i", "j", "v"))
   extends InputPartition
 
-class ZarrScan(path: String, iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
-               jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue) extends Scan with Batch {
-  override def readSchema(): StructType = ZarrDataSource.cellSchema
+class ZarrScan(path: String, required: StructType = ZarrDataSource.cellSchema,
+               iLo: Long = Long.MinValue, iHi: Long = Long.MaxValue,
+               jLo: Long = Long.MinValue, jHi: Long = Long.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  @transient private lazy val meta0 = Zarr.readMeta(path)
+
+  /** Exact stats from the grid metadata (dense semantics: every cell
+    * exists): lets Catalyst auto-broadcast a small store's side of a join
+    * instead of defaulting to "unknown = huge". */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val cells = meta0.rows * meta0.cols
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(cells)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(cells * 8L * math.max(1, required.fields.length))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val meta = Zarr.readMeta(path)
+    val meta = meta0
     val present = Zarr.listChunks(path, meta.keyEnc)
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
     def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
       c.toLong * size <= hi && (c.toLong + 1) * size - 1 >= lo
+    val needV = required.fieldNames.contains("v")
     (for {
       ci <- 0 until gridR if overlaps(ci, meta.chunkRows, iLo, iHi)
       cj <- 0 until gridC if overlaps(cj, meta.chunkCols, jLo, jHi)
     } yield {
-      val f = if (present((ci.toLong, cj.toLong)))
+      // value-pruned scans never touch chunk files: coordinates come from
+      // the grid alone, so count(*)/coordinate queries are decode-free
+      val f = if (needV && present((ci.toLong, cj.toLong)))
         Zarr.chunkPath(path, ci, cj, meta.keyEnc) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
-        meta.format, meta.innerRows, meta.innerCols, meta.fOrder): InputPartition
+        meta.format, meta.innerRows, meta.innerCols, meta.fOrder,
+        required.fieldNames.toSeq): InputPartition
     }).toArray
   }
 
@@ -150,6 +181,14 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
     else Zarr.decodeChunk(Zarr.readBytes(p.file),
       p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
 
+  // field codes resolved once (get() runs per cell): 0 = i, 1 = j, 2 = v
+  private val fieldCodes: Array[Int] = p.fields.map {
+    case "i" => 0
+    case "j" => 1
+    case "v" => 2
+    case other => throw new IllegalStateException(s"unknown zarr column $other")
+  }.toArray
+
   private var li = 0
   private var lj = -1
   private var curI = 0L
@@ -170,8 +209,17 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
   }
 
   override def get(): InternalRow = {
-    val v = if (values == null) p.fill else values(li * p.chunkCols + lj)
-    new GenericInternalRow(Array[Any](curI, curJ, v))
+    val out = new Array[Any](fieldCodes.length)
+    var k = 0
+    while (k < fieldCodes.length) {
+      out(k) = fieldCodes(k) match {
+        case 0 => curI
+        case 1 => curJ
+        case _ => if (values == null) p.fill else values(li * p.chunkCols + lj)
+      }
+      k += 1
+    }
+    new GenericInternalRow(out)
   }
 
   override def close(): Unit = ()
