@@ -35,7 +35,10 @@ object Bench {
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // full evaluation of EVERY output column: a count() would let
+          // Catalyst prune the very expressions under test (regex passes,
+          // window math) and time map-shaped queries as bare scans
+          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -44,10 +47,14 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
 
-    val qs = results.collect { case (k, v, true) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // de_DE/fr_FR machine would print "0,123" — unparseable JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.collect { case (k, v, true) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"${esc(sfDir)}"}"""
     spark.stop()
     // Last line of stdout, unprefixed (run / outputStrategy := StdoutOutput).
     println(line)

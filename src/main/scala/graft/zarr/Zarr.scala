@@ -18,10 +18,15 @@ import graft.array.ZMatrix
   * chosen on write via `format = 2|3` / `.option("zarrFormat", ...)`.
   *
   * Scale design: the chunk grid IS the partitioning.
-  *  - write: one shuffle (`repartition` on chunk id) then each task writes
-  *    only its own chunk files — no driver involvement, no collect;
-  *  - read: Spark's `binaryFile` source lists and splits the chunk files
-  *    across executors; each task decodes its chunks straight to cells.
+  *  - write: one declared exchange (RequiresDistributionAndOrdering on the
+  *    chunk id) then each task writes only its own chunk files — no driver
+  *    involvement, no collect;
+  *  - read: the driver touches METADATA only — the store listing and the
+  *    chunk COORDINATE grid (16 B/chunk, the same driver footprint as
+  *    Spark's own file-source listing) — and each task opens and decodes
+  *    its own chunk files. The DSv2 source is the primary path (adds
+  *    range/column pruning + statistics); `Zarr.read` is the ZMatrix
+  *    convenience wrapper with the same partition-per-chunk layout.
   */
 object Zarr {
 
@@ -96,11 +101,22 @@ object Zarr {
   // resources (~ms) — per-chunk construction would dominate chunk I/O
   @transient private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
+  // PRIVATE FileSystem instances, one per scheme+authority: the JVM-wide
+  // FileSystem.get cache would hand back the same object Spark itself uses
+  // for parquet/checkpoint I/O, and mutating ITS checksum flags would
+  // silently disable corruption detection for the whole application.
+  @transient private lazy val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
   private def fsFor(path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(hadoopConf) // FileSystem.get caches per scheme
-    fs.setWriteChecksum(false)
-    fs.setVerifyChecksum(false)
+    val uri = p.toUri
+    val fs = fsCache.computeIfAbsent(s"${uri.getScheme}|${uri.getAuthority}", _ => {
+      val f = FileSystem.newInstance(uri, hadoopConf)
+      f.setWriteChecksum(false)  // ours alone: no .crc sidecars in stores
+      f.setVerifyChecksum(false)
+      f
+    })
     (fs, p)
   }
 
@@ -216,6 +232,13 @@ object Zarr {
        |}""".stripMargin
   }
 
+  /** Chunk dims must fit a JVM array index: a silent .toInt wrap on a
+    * foreign store's oversized dim would decode garbage, not error. */
+  private def chunkDim(l: Long, what: String): Int = {
+    require(l > 0 && l <= Int.MaxValue, s"$what $l outside supported range [1, 2^31)")
+    l.toInt
+  }
+
   /** Shared v2/v3 `fill_value` parse: JSON number, the spec's non-finite
     * strings, or null/absent (zarr-python's "no fill" — read as 0). */
   private def fillOf(n: com.fasterxml.jackson.databind.JsonNode): Double =
@@ -240,7 +263,7 @@ object Zarr {
       Array(n.get(0).asLong(), n.get(1).asLong())
     }
     val shape = longsOf(root.path("shape"), "shape")
-    val chunks = longsOf(root.path("chunks"), "chunks")
+    val chunks = longsOf(root.path("chunks"), "chunks").map(chunkDim(_, "chunk dim"))
     val comp = root.path("compressor")
     val zlib = !comp.isNull && !comp.isMissingNode && {
       val id = comp.path("id").asText()
@@ -257,7 +280,7 @@ object Zarr {
     require(Dtypes.contains(dtype), s"unsupported dtype $dtype")
     val sep = root.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
-    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill, dtype,
+    Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill, dtype,
       keyEnc = if (sep == "/") "nested" else "flat")
   }
 
@@ -283,6 +306,7 @@ object Zarr {
     require(grid.path("name").asText() == "regular",
       s"unsupported chunk_grid ${grid.path("name")}")
     val chunks = longsOf(grid.path("configuration").path("chunk_shape"), "chunk_shape")
+      .map(chunkDim(_, "chunk dim"))
     // both v3 encodings, both separators (we write default+"/"; the rest
     // is read interop with other conforming writers)
     val keyEncNode = root.path("chunk_key_encoding")
@@ -331,7 +355,7 @@ object Zarr {
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
     val fill = fillOf(root.path("fill_value"))
-    Meta(shape(0), shape(1), chunks(0).toInt, chunks(1).toInt, zlib, fill,
+    Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill,
       (if (endian == "big") ">" else "<") + base, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
       keyEnc = keyEnc)
@@ -402,8 +426,18 @@ object Zarr {
     val inf = new Inflater(); inf.setInput(b)
     val out = new Array[Byte](outLen)
     var off = 0
-    while (off < outLen && !inf.finished()) off += inf.inflate(out, off, outLen - off)
-    inf.end(); out
+    while (off < outLen && !inf.finished()) {
+      val n = inf.inflate(out, off, outLen - off)
+      // zero progress before stream end = truncated/corrupt input; without
+      // this check the loop would spin forever and hang the executor task
+      if (n == 0 && !inf.finished())
+        throw new IllegalArgumentException(
+          s"truncated or corrupt zlib chunk (decoded $off of $outLen bytes)")
+      off += n
+    }
+    inf.end()
+    require(off == outLen, s"zlib chunk decoded $off of $outLen bytes")
+    out
   }
 
   /** Encode a whole shard (row-major `shardRows`×`shardCols` buffer) as the
