@@ -575,45 +575,11 @@ object Zarr {
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
     * with dense semantics: chunk files absent from the store (zarr writes
-    * none for all-fill chunks) materialize as fill cells. The store listing
-    * is a driver-side metadata op (one directory/object LIST producing only
-    * coordinates); chunk decode is partition-parallel — each task reads and
-    * decodes its own chunk files. */
-  def read(spark: SparkSession, path: String): ZMatrix = {
-    val meta = readMeta(path)
-    import spark.implicits._
-    val (cr, cc) = (meta.chunkRows, meta.chunkCols)
-    val (nr, nc) = (meta.rows, meta.cols)
-    val (zl, fill) = (meta.zlib, meta.fill)
-    val (dt, fmt) = (meta.dtype, meta.format)
-
-    val present = listChunks(path, meta.keyEnc)
-    val gridR = ((nr + cr - 1) / cr).toInt
-    val gridC = ((nc + cc - 1) / cc).toInt
-    val chunks = for {
-      ci <- 0 until gridR; cj <- 0 until gridC
-    } yield (ci.toLong, cj.toLong,
-      if (present((ci.toLong, cj.toLong))) chunkPath(path, ci, cj, meta.keyEnc)
-      else null)
-
-    val (ir, ic) = (meta.innerRows, meta.innerCols)
-    val fo = meta.fOrder
-    val cells = spark.createDataset(chunks.toSeq)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { case (ci, cj, file) =>
-        val vals = if (file == null) null
-          else if (ir > 0) decodeShard(readBytes(file), cr, cc, ir, ic, dt, zl, fill, fo)
-          else if (fo) fromFOrder(decodeChunk(readBytes(file), cr * cc, zl, dt, fmt), cr, cc)
-          else decodeChunk(readBytes(file), cr * cc, zl, dt, fmt)
-        for {
-          li <- 0 until cr
-          lj <- 0 until cc
-          i = ci * cr + li
-          j = cj * cc + lj
-          if i < nr && j < nc
-        } yield (i, j, if (vals == null) fill else vals(li * cc + lj))
-      }
-
-    ZMatrix(cells.toDF("i", "j", "v"))
-  }
+    * none for all-fill chunks) materialize as fill cells. This is a thin
+    * wrapper over the DSv2 source — ONE read path, so ZMatrix consumers
+    * inherit its partition-per-chunk layout, i/j range pushdown → chunk
+    * pruning, column pruning (a value-free scan never decodes), and exact
+    * grid statistics. */
+  def read(spark: SparkSession, path: String): ZMatrix =
+    ZMatrix(spark.read.format("zarr").load(path))
 }
