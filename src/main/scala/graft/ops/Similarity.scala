@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -225,19 +226,35 @@ object Similarity {
     * primary" is not symmetric, so a one-sided probe would miss about half
     * the boundary-straddling configurations; sharing any of the 2×2 list
     * combinations is symmetric). Duplicate candidates collapse in the
-    * final (id1, id2) aggregate. Candidate volume is ~4/nlist of the
-    * corpus per list — still list-pruned, and list_id remains the storage
+    * final (id1, id2) aggregate.
+    *
+    * The quadratic term is bounded the same way minhash/simhash bound a
+    * bucket (maxBucket): a per-list row_number cap — sorted by doc_id, so
+    * truncation is deterministic — keeps one hot list (a dense embedding
+    * cluster, the NORM in near-dup corpora) from degenerating to
+    * (N/nlist)² pairs. The cap runs as a streaming sort-window (spills;
+    * never buffers the list), and only THEN does a single capped-bucket
+    * aggregation (buffer ≤ maxList vectors) emit the in-list cross
+    * product — one corpus scan, no self-join. list_id remains the storage
     * partition key, so candidate generation co-locates with the quantized
     * store. Rows-only entry: the centroid training loop is not
     * SQL-expressible (recall vs exact pairs is scalatest-asserted). */
   def nearDupPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
-                      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+                      centroids: Array[Array[Double]], minCos: Double,
+                      maxList: Int = 1000): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val probed = withIvfTop2(emb, vecCol, centroids)
       .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"),
         explode(array(col("list_id"), col("list2_id"))).as("probe"))
-    val l = probed.as("l"); val r = probed.as("r")
-    l.join(r, col("l.probe") === col("r.probe") && col("l.doc_id") < col("r.doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxList)
+    probed.groupBy(col("probe"))
+      .agg(collect_list(struct(col("doc_id"), col("vec"), col("nrm"))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(col("es")).as("l"), col("es"))
+      .select(col("l"), explode(col("es")).as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
         try_divide(dot(col("l.vec"), col("r.vec")),
           col("l.nrm") * col("r.nrm")).as("cos")) // null for zero-norm rows

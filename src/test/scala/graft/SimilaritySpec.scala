@@ -151,6 +151,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF near-dup recall $recall")
   }
 
+  test("IVF near-dup: one hot list stays maxList-bounded, not quadratic") {
+    // 500 near-identical vectors — ALL land in the same (primary, runner-up)
+    // probe lists, the exact dense-cluster shape that makes an uncapped
+    // in-list cross product (N/nlist)² at scale. With maxList=20 the
+    // candidate set must be C(20,2)=190 pairs, not C(500,2)=124750.
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0 until 500).map { id =>
+      (id.toLong, Array.fill(8)(1.0f + rnd.nextFloat() * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(-1.0))
+    val pairs = Similarity.nearDupPairsIvf(vecs, "vec_id", "embedding", cents,
+      minCos = 0.0, maxList = 20).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.length <= 20 * 19 / 2, s"cap leaked: ${pairs.length} pairs")
+    // deterministic truncation: the kept ids are the doc_id-sorted prefix
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (0L until 20L).toSet, s"unexpected survivors: $ids")
+  }
+
   test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
     val vecs = Seq(
       (0L, Array(0.0f, 7.0f, -2.0f)),
