@@ -229,6 +229,18 @@ object SparkEntry {
         zlib = true, format = 3, innerRows = 256, innerCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
+    // the reference's ACTUAL entry shape — from_zarr(store, key): the
+    // matrix is the X array inside an anndata-style GROUP store, written
+    // with group metadata and read back by key navigation ("store#X")
+    "zarr_group_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrg_$sfName"
+      Zarr.write(m, s"$path#X", rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      Zarr.read(s, path, "X").cells.filter(col("v") =!= 0.0)
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -810,6 +822,10 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
     "zarr_v3_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_group_roundtrip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,

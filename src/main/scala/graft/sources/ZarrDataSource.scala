@@ -54,8 +54,11 @@ class ZarrTable(path: String, tableSchema: StructType = ZarrDataSource.cellSchem
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  // group navigation (anndata-style stores): the load path may carry a
+  // '#key' fragment, or the key arrives as .option("key", ...) — resolve
+  // to the array directory here (driver-side metadata probes only)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path)
+    new ZarrScanBuilder(Zarr.resolveArray(path, Option(options.get("key"))))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(path, info)
 }
@@ -236,7 +239,11 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          dtype: String, zlib: Boolean, fill: Double,
                          ciIdx: Int, cjIdx: Int, iIdx: Int, jIdx: Int, vIdx: Int,
                          format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
-                         fOrder: Boolean = false)
+                         fOrder: Boolean = false,
+                         // group-addressed write: `path` is the ARRAY dir
+                         // root/seg1/…; commit() writes group metadata at
+                         // the root and intermediate levels
+                         groupRoot: String = "", keySegs: Seq[String] = Nil)
 
 /** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
   * adds this job's chunks to an existing store — the incremental-ingestion
@@ -273,7 +280,17 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
         opts.get("chunkCols").toInt % innerCols == 0,
         "inner chunk shape must divide the shard (chunkRows/chunkCols) shape")
     }
-    val conf = ZarrWriteConf(path,
+    // group-addressed write ("root#X" or .option("key", "X")): the array
+    // lands under root/key and commit() adds the group metadata files, so
+    // the result is a navigable (anndata-style) hierarchy
+    val (groupRoot, frag) = Zarr.splitKey(path)
+    val keySegs = Option(opts.get("key")).filter(_.nonEmpty).orElse(frag)
+      .map(Zarr.validKeySegments).getOrElse(Seq.empty)
+    if (keySegs.nonEmpty)
+      require(!Zarr.isArrayNode(groupRoot),
+        s"$groupRoot is a Zarr ARRAY — cannot write key '${keySegs.mkString("/")}' under it")
+    val arrayPath = (groupRoot +: keySegs).mkString("/")
+    val conf = ZarrWriteConf(arrayPath,
       opts.get("chunkRows").toInt, opts.get("chunkCols").toInt,
       Option(opts.get("rows")).map(_.toLong), Option(opts.get("cols")).map(_.toLong),
       dtype, Option(opts.get("zlib")).exists(_.toBoolean),
@@ -282,7 +299,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("i", Set(LongType)), idxOf("j", Set(LongType)),
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
       format, innerRows, innerCols,
-      Option(opts.get("fOrder")).exists(_.toBoolean))
+      Option(opts.get("fOrder")).exists(_.toBoolean),
+      groupRoot, keySegs)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -369,6 +387,10 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
       (ms.map(_.maxI).foldLeft(-1L)(_ max _) + 1) max existing.map(_.rows).getOrElse(0L))
     val cols = conf.colsOpt.getOrElse(
       (ms.map(_.maxJ).foldLeft(-1L)(_ max _) + 1) max existing.map(_.cols).getOrElse(0L))
+    // group metadata first, array metadata last: the array (the readable
+    // unit) appears only once its whole group hierarchy is navigable
+    if (conf.keySegs.nonEmpty)
+      Zarr.ensureGroupMeta(conf.groupRoot, conf.keySegs, conf.format)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))

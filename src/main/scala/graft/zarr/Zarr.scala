@@ -250,9 +250,111 @@ object Zarr {
       case other => throw new IllegalArgumentException(s"unsupported fill_value '$other'")
     } else n.asDouble()
 
+  // ---- group / AnnData-layout navigation ----
+  // The reference's primary entry shape is an ARRAY INSIDE A GROUP: scanpy
+  // writes an anndata `.zarr` directory (root group; `X` array; `obs`/`var`/
+  // `obsm`/`layers` sub-nodes) and zappy's from_zarr takes (store, key).
+  // A store address is `root#key` (or `.option("key", ...)` on the DSv2
+  // source); navigation is driver-side metadata-only.
+
+  /** Split a `store#key` address into (store root, optional key). */
+  def splitKey(path: String): (String, Option[String]) =
+    path.lastIndexOf('#') match {
+      case -1 => (path, None)
+      case ix => (path.substring(0, ix),
+        Some(path.substring(ix + 1)).filter(_.nonEmpty))
+    }
+
+  private def v3NodeType(path: String): Option[String] =
+    if (!exists(s"$path/zarr.json")) None
+    else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
+      // v3 requires node_type; absent = some other tool's file, not a node
+      .path("node_type").asText(""))
+
+  /** Is `path` a Zarr group (v2 `.zgroup` or v3 `node_type: group`)? */
+  def isGroupNode(path: String): Boolean =
+    exists(s"$path/.zgroup") || v3NodeType(path).contains("group")
+
+  /** Is `path` a Zarr array (v2 `.zarray` or v3 `node_type: array`)? */
+  def isArrayNode(path: String): Boolean =
+    exists(s"$path/.zarray") || v3NodeType(path).contains("array")
+
+  /** Child node names (arrays or sub-groups) of a group — ONE listing plus
+    * one metadata probe per child, driver-side only. */
+  def groupKeys(path: String): Seq[String] =
+    listNames(path)
+      .filter(n => isArrayNode(s"$path/$n") || isGroupNode(s"$path/$n"))
+      .sorted
+
+  private[graft] def validKeySegments(key: String): Seq[String] = {
+    val segs = key.split("/").toSeq.filter(_.nonEmpty)
+    require(segs.nonEmpty && segs.forall(s => s != "." && s != ".."),
+      s"invalid zarr group key '$key'")
+    segs
+  }
+
+  /** Resolve a store address to its array directory: follows `root#key`
+    * (explicit `key` wins over the fragment) through group levels,
+    * failing with the available keys on a bad hop. No key + group root is
+    * an error that LISTS the group's children — the scanpy-store mistake
+    * (`spark.read...load("adata.zarr")`) self-documents the fix. */
+  def resolveArray(rawPath: String, key: Option[String] = None): String = {
+    val (root, frag) = splitKey(rawPath)
+    key.filter(_.nonEmpty).orElse(frag) match {
+      case None =>
+        if (isGroupNode(root)) throw new IllegalArgumentException(
+          s"$root is a Zarr GROUP, not an array — select an array with " +
+            s"'$root#<key>' or .option(\"key\", <key>); available keys: " +
+            groupKeys(root).mkString(", "))
+        root
+      case Some(k) =>
+        validKeySegments(k).foldLeft(root) { (cur, seg) =>
+          if (!isGroupNode(cur)) throw new IllegalArgumentException(
+            s"$cur is not a Zarr group (resolving key '$k' under $root)")
+          if (!exists(s"$cur/$seg")) throw new IllegalArgumentException(
+            s"no node '$seg' under $cur (resolving key '$k'); " +
+              s"available keys: ${groupKeys(cur).mkString(", ")}")
+          s"$cur/$seg"
+        } match {
+          case arr if isArrayNode(arr) => arr
+          case grp if isGroupNode(grp) => throw new IllegalArgumentException(
+            s"$grp is a Zarr sub-GROUP, not an array; available keys: " +
+              groupKeys(grp).mkString(", "))
+          case other => throw new IllegalArgumentException(
+            s"$other is not a Zarr array (no .zarray/zarr.json)")
+        }
+    }
+  }
+
+  /** Create group metadata (root and intermediate levels) for an array
+    * written under `root` + `segs`, so the result is a conforming group
+    * hierarchy other Zarr readers can navigate. Existing node metadata is
+    * never overwritten (appends into an existing anndata store). */
+  private[graft] def ensureGroupMeta(root: String, segs: Seq[String], format: Int): Unit =
+    (0 until segs.length)
+      .map(i => (root +: segs.take(i)).mkString("/"))
+      .foreach { lvl =>
+        if (!exists(s"$lvl/.zgroup") && !exists(s"$lvl/zarr.json")) {
+          if (format == 3)
+            writeBytes(s"$lvl/zarr.json",
+              """{"zarr_format": 3, "node_type": "group", "attributes": {}}"""
+                .getBytes("UTF-8"))
+          else
+            writeBytes(s"$lvl/.zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
+        }
+      }
+
   /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). */
   def readMeta(path: String): Meta =
-    if (exists(s"$path/zarr.json")) readMetaV3(path) else readMetaV2(path)
+    if (exists(s"$path/zarr.json")) readMetaV3(path)
+    else if (exists(s"$path/.zarray")) readMetaV2(path)
+    else if (exists(s"$path/.zgroup")) throw new IllegalArgumentException(
+      s"$path is a Zarr v2 GROUP, not an array — select an array with " +
+        s"'$path#<key>' or .option(\"key\", <key>); available keys: " +
+        groupKeys(path).mkString(", "))
+    else throw new IllegalArgumentException(
+      s"$path is not a Zarr store (no zarr.json / .zarray / .zgroup)")
 
   private def readMetaV2(path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
@@ -297,6 +399,11 @@ object Zarr {
       .readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
     require(root.path("zarr_format").asInt() == 3,
       s"zarr.json is not a v3 array: zarr_format=${root.path("zarr_format")}")
+    if (root.path("node_type").asText("") == "group")
+      throw new IllegalArgumentException(
+        s"$path is a Zarr v3 GROUP, not an array — select an array with " +
+          s"'$path#<key>' or .option(\"key\", <key>); available keys: " +
+          groupKeys(path).mkString(", "))
     def longsOf(n: JsonNode, what: String): Array[Long] = {
       require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
       Array(n.get(0).asLong(), n.get(1).asLong())
@@ -579,7 +686,15 @@ object Zarr {
     * wrapper over the DSv2 source — ONE read path, so ZMatrix consumers
     * inherit its partition-per-chunk layout, i/j range pushdown → chunk
     * pruning, column pruning (a value-free scan never decodes), and exact
-    * grid statistics. */
+    * grid statistics.
+    *
+    * `path` may address an array inside a group store as `root#key`
+    * (e.g. `adata.zarr#X`, `adata.zarr#obsm/X_pca`) — the zappy/scanpy
+    * from_zarr(store, key) entry shape. */
   def read(spark: SparkSession, path: String): ZMatrix =
     ZMatrix(spark.read.format("zarr").load(path))
+
+  /** from_zarr(store, key): read array `key` out of a group store. */
+  def read(spark: SparkSession, path: String, key: String): ZMatrix =
+    ZMatrix(spark.read.format("zarr").option("key", key).load(path))
 }

@@ -261,12 +261,16 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.write(ZMatrix.fromDense(spark, dense), src, 10, 5, 4, 3, format = 3)
     val srcJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(src, "zarr.json")), "UTF-8")
-    // (keyEnc json, layout path builder) for the two encodings we don't write
+    // (keyEnc json, layout path builder) for the three encodings we don't
+    // write — with the two v2-format layouts (flat, nested) this completes
+    // all SIX readable chunk-key encodings
     val variants = Seq(
       ("""{"name": "default", "configuration": {"separator": "."}}""",
         (ci: Long, cj: Long) => s"c.$ci.$cj"),
       ("""{"name": "v2", "configuration": {"separator": "/"}}""",
-        (ci: Long, cj: Long) => s"$ci/$cj"))
+        (ci: Long, cj: Long) => s"$ci/$cj"),
+      ("""{"name": "v2", "configuration": {"separator": "."}}""",
+        (ci: Long, cj: Long) => s"$ci.$cj"))
     for (((enc, key), n) <- variants.zipWithIndex) {
       val path = s"/root/repo/target/tmp/zarr_test_v3_keyvar$n"
       Zarr.delete(path, recursive = true)
@@ -473,5 +477,69 @@ class ZarrSpec extends AnyFunSuite {
     assert(!new java.io.File(path, "c").exists())
     val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("group navigation: anndata-style store — X array + nested obsm key") {
+    val path = "/root/repo/target/tmp/zarr_test_group"
+    Zarr.delete(path, recursive = true)
+    val m = ZMatrix.fromDense(spark, dense)
+    // from_zarr's entry shape: the matrix lives at key X inside the group
+    Zarr.write(m, s"$path#X", 10, 5, 4, 3)
+    Zarr.write(m, s"$path#obsm/X_pca", 10, 5, 4, 3) // nested two levels
+    // the write produced a CONFORMING v2 hierarchy (navigable by zarr-python)
+    assert(Zarr.isGroupNode(path), "root group metadata missing")
+    assert(Zarr.exists(s"$path/.zgroup") && Zarr.exists(s"$path/obsm/.zgroup"))
+    assert(Zarr.groupKeys(path) == Seq("X", "obsm"))
+    assert(Zarr.groupKeys(s"$path/obsm") == Seq("X_pca"))
+    // all four addressing forms agree
+    val want = dense.map(_.toSeq).toSeq
+    assert(ZLocal.toDense(Zarr.read(spark, s"$path#X"), 10, 5).map(_.toSeq).toSeq == want)
+    assert(ZLocal.toDense(Zarr.read(spark, path, "X"), 10, 5).map(_.toSeq).toSeq == want)
+    assert(ZLocal.toDense(ZMatrix(spark.read.format("zarr")
+      .option("key", "obsm/X_pca").load(path)), 10, 5).map(_.toSeq).toSeq == want)
+    assert(ZLocal.toDense(Zarr.read(spark, s"$path/obsm/X_pca"), 10, 5)
+      .map(_.toSeq).toSeq == want) // direct array dir still works
+  }
+
+  test("group navigation errors name the available keys") {
+    val path = "/root/repo/target/tmp/zarr_test_group_err"
+    Zarr.delete(path, recursive = true)
+    Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#X", 10, 5, 4, 3)
+    // group root without a key: both resolution and raw metadata read self-document
+    val e1 = intercept[IllegalArgumentException](Zarr.resolveArray(path))
+    assert(e1.getMessage.contains("available keys: X"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Zarr.readMeta(path))
+    assert(e2.getMessage.contains("GROUP") && e2.getMessage.contains("X"), e2.getMessage)
+    // missing key lists the candidates; the DSv2 path surfaces the same error
+    val e3 = intercept[IllegalArgumentException](Zarr.resolveArray(s"$path#layers/counts"))
+    assert(e3.getMessage.contains("available keys: X"), e3.getMessage)
+    val e4 = intercept[Throwable](spark.read.format("zarr").load(path).collect())
+    assert(e4.toString.contains("GROUP") || Option(e4.getCause).exists(_.toString.contains("GROUP")),
+      s"DSv2 group error lost: $e4")
+    // a key addressing a sub-group (not an array) is rejected too
+    Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#obsm/X_pca", 10, 5, 4, 3)
+    val e5 = intercept[IllegalArgumentException](Zarr.resolveArray(s"$path#obsm"))
+    assert(e5.getMessage.contains("sub-GROUP") && e5.getMessage.contains("X_pca"), e5.getMessage)
+    // writing a key UNDER an existing array is refused
+    val e6 = intercept[Throwable](
+      Zarr.write(ZMatrix.fromDense(spark, dense), s"$path/X#nested", 10, 5, 4, 3))
+    assert(e6.toString.contains("ARRAY") || Option(e6.getCause).exists(_.toString.contains("ARRAY")),
+      s"array-root write error lost: $e6")
+  }
+
+  test("group navigation: v3 group metadata (zarr.json node_type group)") {
+    val path = "/root/repo/target/tmp/zarr_test_group_v3"
+    Zarr.delete(path, recursive = true)
+    Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#X", 10, 5, 4, 3, format = 3)
+    val rootJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "zarr.json")), "UTF-8")
+    assert(rootJson.contains("\"node_type\": \"group\""), rootJson)
+    assert(Zarr.isGroupNode(path) && !Zarr.isArrayNode(path))
+    assert(Zarr.groupKeys(path) == Seq("X"))
+    val back = ZLocal.toDense(Zarr.read(spark, path, "X"), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    // v3 group root read without a key errors with the key listing
+    val e = intercept[IllegalArgumentException](Zarr.readMeta(path))
+    assert(e.getMessage.contains("GROUP") && e.getMessage.contains("X"), e.getMessage)
   }
 }
