@@ -349,6 +349,13 @@ object SparkEntry {
     // same features, but every batch crosses a real subprocess pipe
     // (passthrough codec) — proves the out-of-JVM codec plumbing end-to-end
     "multimodal_subprocess" -> ((s, d) => Multimodal.featuresSubprocess(Tables.documents(s, d), "doc_id", "text")),
+    // REAL decode, no stub anywhere: payloads are actual PNGs (sizes
+    // derived from the text length), the child process is a separate JVM
+    // doing genuine ImageIO bit parsing and returning feature batches —
+    // the oracle predicts the decoder's output independently
+    "multimodal_real_codec" -> ((s, d) =>
+      Multimodal.realCodecFeatures(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))),
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
@@ -956,6 +963,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         | CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_real_codec" ->
+      """SELECT doc_id, CAST(1 + length(text) % 16 AS INTEGER) AS width,
+        | CAST(1 + length(text) % 12 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
     "stream_dedup" ->

@@ -208,11 +208,74 @@ object Multimodal {
     * child's exit code and captured stderr attached. Peak memory per task
     * stays one `BatchSize` batch on each side of the pipe. */
   def featuresSubprocess(docs: DataFrame, idCol: String, textCol: String,
-                         cmd: Seq[String] = Seq("/bin/cat")): DataFrame = {
-    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+                         cmd: Seq[String] = Seq("/bin/cat")): DataFrame =
+    subprocessFeatures(asMedia(docs, idCol, textCol), cmd, childEmitsFeatures = false)
+
+  /** Decode REAL images through a REAL (non-passthrough) codec process:
+    * payloads are actual PNGs ([[asPngMedia]]) and the child —
+    * [[graft.tools.ArrowPngCodec]], a separate JVM doing genuine ImageIO
+    * bit parsing — returns FEATURE batches, so no JVM-side kernel runs at
+    * all. The image sizes derive from the text length, which is what lets
+    * a SQL oracle independently predict the decoder's output end-to-end. */
+  def realCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
+                        cmd: Seq[String] = pngCodecCmd): DataFrame =
+    subprocessFeatures(asPngMedia(docs, idCol, textCol), cmd, childEmitsFeatures = true)
+
+  /** The codec command for THIS environment: a fresh JVM running
+    * [[graft.tools.ArrowPngCodec]] off the same classpath (the sandbox
+    * ships no native codec binary; a deployment substitutes its own
+    * command — the stream contract is unchanged). Computed driver-side:
+    * in local mode the executor classpath IS this JVM's classpath. */
+  def pngCodecCmd: Seq[String] = Seq(
+    s"${System.getProperty("java.home")}/bin/java",
+    "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+    "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+    "--add-opens", "java.base/java.util=ALL-UNNAMED",
+    "-Djava.awt.headless=true",
+    "-Dio.netty.tryReflectionSetAccessible=true",
+    "-Xmx512m",
+    "-cp", System.getProperty("java.class.path"),
+    "graft.tools.ArrowPngCodec")
+
+  /** Deterministic REAL PNG payloads: each doc becomes a (1+len%16) ×
+    * (1+len%12) TYPE_3BYTE_BGR image encoded with ImageIO — genuine PNG
+    * bytes (signature, IHDR, zlib'd IDAT), sized from the text length so
+    * a SQL oracle can predict what a real decoder must report. Pixels are
+    * a deterministic function of (doc_id, x, y). */
+  def asPngMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asMedia(docs, idCol, textCol).mapPartitions { rows =>
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        (lit(1) + length(col(textCol)) % 16).as("w"),
+        (lit(1) + length(col(textCol)) % 12).as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + x * 31 + y * 7) % 255).toInt << 16) | 0x8040)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "image/png")
+      }
+  }
+
+  /** `childEmitsFeatures`: a passthrough child echoes MEDIA batches and the
+    * stub kernel runs JVM-side on what survived the pipe; a real codec
+    * child returns FEATURE batches directly and no JVM kernel runs. */
+  private def subprocessFeatures(media: Dataset[MediaRow], cmd: Seq[String],
+                                 childEmitsFeatures: Boolean): DataFrame = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val proc = new ProcessBuilder(cmd.asJava).start()
@@ -307,16 +370,20 @@ object Multimodal {
                            else if (code != 0) childError(code, t) else t)
                 }
               if (more) {
-                val media = reader.getVectorSchemaRoot
-                out.allocateNew()
-                stubArrowKernel(media, out)
-                val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
-                val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
-                val oW = out.getVector("width").asInstanceOf[IntVector]
-                val oH = out.getVector("height").asInstanceOf[IntVector]
-                val oC = out.getVector("channels").asInstanceOf[IntVector]
+                val feat =
+                  if (childEmitsFeatures) reader.getVectorSchemaRoot
+                  else {
+                    out.allocateNew()
+                    stubArrowKernel(reader.getVectorSchemaRoot, out)
+                    out
+                  }
+                val oId = feat.getVector("doc_id").asInstanceOf[BigIntVector]
+                val oBytes = feat.getVector("n_bytes").asInstanceOf[BigIntVector]
+                val oW = feat.getVector("width").asInstanceOf[IntVector]
+                val oH = feat.getVector("height").asInstanceOf[IntVector]
+                val oC = feat.getVector("channels").asInstanceOf[IntVector]
                 // materialize before the next batch reuses the buffers
-                cur = (0 until out.getRowCount).map(i => MediaFeatures(
+                cur = (0 until feat.getRowCount).map(i => MediaFeatures(
                   oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i))).iterator
               } else {
                 done = true

@@ -90,4 +90,35 @@ class MultimodalSpec extends AnyFunSuite {
     val viaIpc = rows(Multimodal.featuresArrowIpc(docs, "doc_id", "text"))
     assert(viaIpc == direct && direct.nonEmpty)
   }
+
+  test("REAL codec child decodes actual PNG payloads; sizes match prediction") {
+    val docs = Seq((1L, "hello"), (2L, "a longer piece of text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.realCodecFeatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    def expect(len: Int) = (1 + len % 16, 1 + len % 12, 3)
+    assert(got(1L) == expect(5), got)
+    assert(got(2L) == expect(22), got)
+    assert(got(3L) == expect(0), got) // empty text still a valid 1x1 image
+    // n_bytes is the real PNG size: bigger than any fixed header, and the
+    // payload really is a PNG (driver-side decode of one agrees)
+    val one = Multimodal.asPngMedia(docs, "doc_id", "text")
+      .filter(_.doc_id == 2L).collect().head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one.payload))
+    assert(img.getWidth == 1 + 22 % 16 && img.getHeight == 1 + 22 % 12)
+    assert(one.payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("REAL codec child rejects a non-image payload with stderr attached") {
+    val docs = Seq((1L, "not an image")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      // text payloads (asMedia) through the real decoder: the child must
+      // exit nonzero with its complaint on stderr, not emit garbage
+      Multimodal.featuresSubprocess(docs, "doc_id", "text",
+        cmd = Multimodal.pngCodecCmd).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("exited 3") || chain.contains("not a decodable image"), chain)
+  }
 }
