@@ -12,10 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** FINAL plan section only: AdaptiveSparkPlanExec.toString repeats the
+    * pre-AQE plan under "== Initial Plan ==", which double-counts every
+    * operator and hides AQE's stage reuse. Counts below are calibrated on
+    * the final section (re-measure with the PlanCount calibration main
+    * after a deliberate plan change). */
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sf)
     df.collect() // finalize AQE so reuse and runtime joins are visible
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   private def exchanges(plan: String): Int =
@@ -38,34 +43,54 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_minhash_pairs: one corpus-scan pipeline + candidate-bounded verify") {
     val plan = executedPlan("dedup_minhash_pairs")
-    // 3 scans: signature pipeline, verify's semi-join probe, candidate docs.
-    // Before the candidate localCheckpoint this was 9 scans / 27 exchanges
-    // (the LSH pipeline re-ran once per use of the pairs).
-    assert(parquetScans(plan) <= 3, s"extra corpus scan in:\n$plan")
-    assert(exchanges(plan) <= 7, s"added exchange in:\n$plan")
+    // ONE live corpus scan in the final plan (the verify stage's reuses
+    // come back as AQE stage/exchange reuse, not fresh scans). Before the
+    // candidate localCheckpoint the LSH pipeline re-ran once per use of
+    // the pairs — 3 live scans and triple the exchanges.
+    assert(parquetScans(plan) <= 1, s"extra corpus scan in:\n$plan")
+    assert(exchanges(plan) <= 3, s"added exchange in:\n$plan")
   }
 
-  test("dedup_simhash (components' edge stage): two exchanges, two scans") {
+  test("dedup_simhash (components' edge stage): one exchange, one scan") {
     val plan = executedPlan("dedup_simhash")
-    assert(exchanges(plan) <= 2, s"added exchange in:\n$plan")
-    assert(parquetScans(plan) <= 2, s"extra corpus scan in:\n$plan")
+    assert(exchanges(plan) <= 1, s"added exchange in:\n$plan")
+    assert(parquetScans(plan) <= 1, s"extra corpus scan in:\n$plan")
   }
 
   test("report_sources: fused projection, no per-signal joins") {
-    // quality/langid compose as columns over ONE logical scan (the 4
-    // exchanges are count_distinct's expand phases, not joins; the second
-    // scan is AQE stage-reuse accounting). Pre-fusion this was 3 scans
-    // plus two doc_id shuffle joins.
+    // quality/langid compose as columns over ONE scan (the 2 exchanges are
+    // count_distinct's expand phases, not joins). Pre-fusion this was 3
+    // scans plus two doc_id shuffle joins.
     val plan = executedPlan("report_sources")
-    assert(parquetScans(plan) <= 2, s"extra corpus scan in:\n$plan")
-    assert(exchanges(plan) <= 4, s"added exchange in:\n$plan")
+    assert(parquetScans(plan) <= 1, s"extra corpus scan in:\n$plan")
+    assert(exchanges(plan) <= 2, s"added exchange in:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"per-signal join reappeared in:\n$plan")
   }
 
-  test("pipeline_curate: fused single-scan curation, two exchanges") {
+  test("pipeline_curate: fused single-scan curation, one exchange") {
     val plan = executedPlan("pipeline_curate")
-    assert(exchanges(plan) <= 2, s"added exchange in:\n$plan")
-    assert(parquetScans(plan) <= 4, s"extra corpus scan in:\n$plan")
+    assert(exchanges(plan) <= 1, s"added exchange in:\n$plan")
+    assert(parquetScans(plan) <= 2, s"extra corpus scan in:\n$plan")
+  }
+
+  test("arr_recipe_scanpy: rowNormalize's i-shuffle is reused, one fused plan") {
+    // normalize -> log1p -> scale in one plan: the column-moments branch
+    // re-derives the normalized cells, and its row-sum exchange MUST come
+    // back as a ReusedExchange. 5 live exchanges = cell aggregate (x2 for
+    // the stats branch fork), row sums, column moments' partial/final —
+    // a 6th means the fuse or the reuse broke.
+    val plan = executedPlan("arr_recipe_scanpy")
+    assert(plan.contains("ReusedExchange"), s"lost exchange reuse in:\n$plan")
+    assert(exchanges(plan) <= 5, s"added exchange in:\n$plan")
+  }
+
+  test("arr_matmul_bucketed: no shuffle below the output (i,j) aggregate") {
+    // both sides load from contraction-key bucketed storage, so the join
+    // is co-located: the ONLY hash exchange allowed in the product plan is
+    // the final output aggregate. A second one means the bucket layout
+    // stopped lining up with the join keys.
+    val plan = executedPlan("arr_matmul_bucketed")
+    assert(exchanges(plan) <= 1, s"join shuffle reappeared above bucketed scans in:\n$plan")
   }
 }
