@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.array.ZMatrix
-import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Ingest, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.streaming.Stream
 import graft.zarr.Zarr
 
@@ -50,6 +50,21 @@ object SparkEntry {
       (l, r)
     })
     (ZMatrix(s.table(lt)), ZMatrix(s.table(rt)))
+  }
+
+  /** Orders staged once per sf as a Hive-partitioned directory tree
+    * (`o_year=1995/…`) — the production fact-table layout — so q26 can
+    * prove partition pruning on the directory structure itself. */
+  private val ordersPartStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val path = ordersPartStaged.computeIfAbsent(d, { _ =>
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"target/tmp/orders_byyear_$sfName"
+      Ingest.writePartitioned(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))), p, "o_year")
+      p
+    })
+    s.read.parquet(path)
   }
 
   private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
@@ -101,6 +116,15 @@ object SparkEntry {
     "q21_approx_distinct" -> Relational.q21ApproxDistinct _,
     "q23_pivot" -> Relational.q23Pivot _,
     "q25_funnel" -> Relational.q25Funnel _,
+    // fact table in the production directory layout (Hive-partitioned by
+    // year): the o_year predicate prunes whole partition DIRECTORIES at
+    // planning — at 100 TB the other years are never listed or opened.
+    // Pruning is asserted on inputFiles in PlanSpec; the oracle computes
+    // the same aggregate from the unpartitioned original.
+    "q26_partition_pruning" -> ((s, d) =>
+      partitionedOrders(s, d).filter(col("o_year") === 1997)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))),
     // hybrid skew join, oracle-checked against the PLAIN join: the hybrid
     // is row-equivalent by construction, so the DuckDB twin needs no salt.
     // hotThreshold=1000 — lineitem has ≤7 rows per orderkey, so here the
@@ -570,6 +594,9 @@ object SparkEntry {
         |SELECT 1::BIGINT AS stage, count(*) AS n FROM t1
         |UNION ALL SELECT 2::BIGINT, count(*) FROM t2
         |UNION ALL SELECT 3::BIGINT, count(*) FROM t3""".stripMargin,
+    "q26_partition_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents)

@@ -85,6 +85,39 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(plan) <= 5, s"added exchange in:\n$plan")
   }
 
+  test("q26_partition_pruning: the year predicate prunes partition directories") {
+    val plan = executedPlan("q26_partition_pruning")
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
+      s"no o_year partition filter in:\n$plan")
+    // behavioral proof (inputFiles can't show pruning — it lists the whole
+    // FileIndex): a partitioned table whose OTHER partition holds a
+    // deliberately corrupt parquet file. The filtered read succeeds only
+    // if the o_year=1997 predicate pruned that directory at planning —
+    // touching it would throw a footer error.
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    import spark.implicits._
+    val p = "/root/repo/target/tmp/plan_part_corrupt"
+    graft.zarr.Zarr.delete(p, recursive = true)
+    graft.ops.Ingest.writePartitioned(
+      Seq((1L, 1996), (2L, 1996), (3L, 1997), (4L, 1997))
+        .toDF("o_orderkey", "o_year"), p, "o_year")
+    val dir1996 = new java.io.File(p, "o_year=1996")
+    val victims = dir1996.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty, "fixture: no parquet file in o_year=1996")
+    victims.foreach(f => java.nio.file.Files.write(f.toPath,
+      "this is not a parquet file".getBytes("UTF-8")))
+    // explicit schema: otherwise schema INFERENCE reads every footer at
+    // analysis time and would trip on the corrupt file before pruning
+    val schema = "o_orderkey LONG, o_year INT"
+    val got = spark.read.schema(schema).parquet(p).filter(col("o_year") === 1997)
+      .agg(sum(col("o_orderkey"))).collect().head.getLong(0)
+    assert(got == 7L)
+    // and the corruption is real: an unfiltered read must fail
+    intercept[Throwable] {
+      spark.read.schema(schema).parquet(p).agg(sum(col("o_orderkey"))).collect()
+    }
+  }
+
   test("arr_matmul_bucketed: no shuffle below the output (i,j) aggregate") {
     // both sides load from contraction-key bucketed storage, so the join
     // is co-located: the ONLY hash exchange allowed in the product plan is
