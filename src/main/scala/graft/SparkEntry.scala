@@ -389,6 +389,9 @@ object SparkEntry {
     // rows-only (centroid training isn't SQL-expressible); stream-vs-batch
     // assignment equality is asserted in StreamingSpec
     "stream_ivf_assign" -> ((s, d) => Stream.ivfAssignStream(s, d, ivfModel(s, d, 16))),
+    // stream-STATIC broadcast join: ingest-edge decontamination against a
+    // static benchmark fingerprint set (stateless — no watermark/state)
+    "stream_contamination" -> ((s, d) => Stream.contaminationStream(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----
@@ -1001,6 +1004,10 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
         | CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hs
         |FROM events""".stripMargin,
+    "stream_contamination" ->
+      """WITH bench AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, (md5(text) IN (SELECT fp FROM bench)) AS contaminated
+        |FROM documents""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
         | event_type, count(*) AS n,

@@ -190,6 +190,42 @@ object Stream {
     spark.table(qn)
   }
 
+  /** Stream-STATIC join — the third Structured Streaming join mode, and
+    * the decontamination filter at the INGEST edge: documents arrive on a
+    * stream and each is checked against a STATIC benchmark fingerprint
+    * set before it can enter the training corpus. Stateless — no
+    * watermark, no state store; every micro-batch plans a broadcast hash
+    * join against the static side (eval suites are dimension-sized next
+    * to a 100 TB corpus, and the static plan is reused across batches).
+    * Fingerprints are exact md5 of the text — the same rule as
+    * Dedup.exact — so the finite-input result equals the batch twin the
+    * oracle runs. Shingle-level overlap scoring stays a batch op
+    * (Dedup.contamination / text_contamination). */
+  def contaminationStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    // static side: the "benchmark suite" stand-in (docs 0..49), planned
+    // once as a batch relation and broadcast into each micro-batch
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      .withColumn("_hit", lit(1))
+    val flagged = src
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(broadcast(bench), Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("_hit").isNotNull.as("contaminated"))
+    val qn = s"stream_contam_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = flagged.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

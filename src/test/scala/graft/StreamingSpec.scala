@@ -69,4 +69,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.values.toSet.size > 1) // vectors actually spread across lists
   }
+
+  test("stream-static contamination join equals the batch membership check") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val streamed = graft.streaming.Stream.contaminationStream(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val benchFps = docs.filter(col("doc_id") < 50)
+      .select(md5(col("text").cast("binary"))).collect().map(_.getString(0)).toSet
+    val batch = docs.select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> benchFps.contains(r.getString(1))).toMap
+    assert(streamed == batch)
+    // the benchmark docs flag themselves, and not everything is flagged
+    assert((0L until 50L).forall(streamed(_)))
+    assert(streamed.values.exists(!_))
+  }
 }
