@@ -394,6 +394,11 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))
+    // a consolidated store must not go stale: re-consolidate after the new
+    // array's metadata lands (same contract as zarr-python — consolidation
+    // reflects the hierarchy at write time)
+    if (conf.keySegs.nonEmpty && Zarr.exists(s"${conf.groupRoot}/.zmetadata"))
+      Zarr.consolidateMetadata(conf.groupRoot)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

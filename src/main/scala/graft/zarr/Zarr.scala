@@ -294,36 +294,114 @@ object Zarr {
     segs
   }
 
+  // -- consolidated metadata (zarr-python `.zmetadata`) --
+  // At 100 TB on an object store, navigating a group costs one existence
+  // probe per level per node; consolidated metadata collapses the whole
+  // hierarchy into ONE object read. We write the classic v2 form
+  // (`{"metadata": {"X/.zarray": {...}, ...}, "zarr_consolidated_format": 1}`)
+  // and navigation below prefers it whenever present.
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Walk the hierarchy under `root` and write `.zmetadata` consolidating
+    * every node metadata file (`.zgroup`/`.zarray`/`.zattrs`/`zarr.json`),
+    * keyed by store-relative path — readable by zarr-python's
+    * `open_consolidated` for all-v2 stores. Re-run after adding nodes. */
+  def consolidateMetadata(root: String): Unit = {
+    val out = mapper.createObjectNode()
+    val meta = out.putObject("metadata")
+    def put(rel: String, name: String): Unit = {
+      val abs = if (rel.isEmpty) s"$root/$name" else s"$root/$rel/$name"
+      if (exists(abs)) {
+        val key = if (rel.isEmpty) name else s"$rel/$name"
+        meta.set(key, mapper.readTree(new String(readBytes(abs), "UTF-8")))
+        ()
+      }
+    }
+    def walk(rel: String): Unit = {
+      Seq(".zgroup", ".zarray", ".zattrs", "zarr.json").foreach(put(rel, _))
+      val abs = if (rel.isEmpty) root else s"$root/$rel"
+      if (isGroupNode(abs))
+        groupKeys(abs).foreach(c => walk(if (rel.isEmpty) c else s"$rel/$c"))
+    }
+    walk("")
+    out.put("zarr_consolidated_format", 1)
+    writeBytes(s"$root/.zmetadata",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(out).getBytes("UTF-8"))
+  }
+
+  /** Parsed `.zmetadata` key map, if the store has one. */
+  private def readConsolidated(root: String):
+      Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] =
+    if (!exists(s"$root/.zmetadata")) None
+    else {
+      val doc = mapper.readTree(new String(readBytes(s"$root/.zmetadata"), "UTF-8"))
+      val m = doc.path("metadata")
+      val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+      m.fieldNames().forEachRemaining(k => b += k -> m.get(k))
+      Some(b.result())
+    }
+
   /** Resolve a store address to its array directory: follows `root#key`
     * (explicit `key` wins over the fragment) through group levels,
     * failing with the available keys on a bad hop. No key + group root is
     * an error that LISTS the group's children — the scanpy-store mistake
-    * (`spark.read...load("adata.zarr")`) self-documents the fix. */
+    * (`spark.read...load("adata.zarr")`) self-documents the fix.
+    *
+    * With consolidated metadata present, the entire navigation costs ONE
+    * store read (`.zmetadata`) — no per-level existence probes. */
   def resolveArray(rawPath: String, key: Option[String] = None): String = {
     val (root, frag) = splitKey(rawPath)
+    val cons = readConsolidated(root)
+    // node-kind tests against the consolidated key map (rel = ""  is the
+    // root); fall back to per-node store probes when no .zmetadata
+    def keyOf(rel: String, name: String) = if (rel.isEmpty) name else s"$rel/$name"
+    def isGroupRel(rel: String, abs: String): Boolean = cons match {
+      case Some(m) => m.contains(keyOf(rel, ".zgroup")) ||
+        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "group")
+      case None => isGroupNode(abs)
+    }
+    def isArrayRel(rel: String, abs: String): Boolean = cons match {
+      case Some(m) => m.contains(keyOf(rel, ".zarray")) ||
+        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "array")
+      case None => isArrayNode(abs)
+    }
+    def childNodes(rel: String, abs: String): Seq[String] = cons match {
+      case Some(m) =>
+        val prefix = if (rel.isEmpty) "" else s"$rel/"
+        m.keys.toSeq.collect {
+          case k if k.startsWith(prefix) && k.length > prefix.length =>
+            k.substring(prefix.length).split("/")(0)
+        }.distinct.filterNot(n => n.startsWith(".z") || n == "zarr.json").sorted
+      case None => groupKeys(abs)
+    }
     key.filter(_.nonEmpty).orElse(frag) match {
       case None =>
-        if (isGroupNode(root)) throw new IllegalArgumentException(
+        if (isGroupRel("", root)) throw new IllegalArgumentException(
           s"$root is a Zarr GROUP, not an array — select an array with " +
             s"'$root#<key>' or .option(\"key\", <key>); available keys: " +
-            groupKeys(root).mkString(", "))
+            childNodes("", root).mkString(", "))
         root
       case Some(k) =>
-        validKeySegments(k).foldLeft(root) { (cur, seg) =>
-          if (!isGroupNode(cur)) throw new IllegalArgumentException(
-            s"$cur is not a Zarr group (resolving key '$k' under $root)")
-          if (!exists(s"$cur/$seg")) throw new IllegalArgumentException(
-            s"no node '$seg' under $cur (resolving key '$k'); " +
-              s"available keys: ${groupKeys(cur).mkString(", ")}")
-          s"$cur/$seg"
-        } match {
-          case arr if isArrayNode(arr) => arr
-          case grp if isGroupNode(grp) => throw new IllegalArgumentException(
-            s"$grp is a Zarr sub-GROUP, not an array; available keys: " +
-              groupKeys(grp).mkString(", "))
-          case other => throw new IllegalArgumentException(
-            s"$other is not a Zarr array (no .zarray/zarr.json)")
+        val segs = validKeySegments(k)
+        segs.indices.foreach { i =>
+          val rel = segs.take(i).mkString("/")
+          val abs = if (rel.isEmpty) root else s"$root/$rel"
+          if (!isGroupRel(rel, abs)) throw new IllegalArgumentException(
+            s"$abs is not a Zarr group (resolving key '$k' under $root)")
+          if (!childNodes(rel, abs).contains(segs(i)) &&
+              !exists(s"$abs/${segs(i)}")) throw new IllegalArgumentException(
+            s"no node '${segs(i)}' under $abs (resolving key '$k'); " +
+              s"available keys: ${childNodes(rel, abs).mkString(", ")}")
         }
+        val rel = segs.mkString("/")
+        val arr = s"$root/$rel"
+        if (isArrayRel(rel, arr)) arr
+        else if (isGroupRel(rel, arr)) throw new IllegalArgumentException(
+          s"$arr is a Zarr sub-GROUP, not an array; available keys: " +
+            childNodes(rel, arr).mkString(", "))
+        else throw new IllegalArgumentException(
+          s"$arr is not a Zarr array (no .zarray/zarr.json)")
     }
   }
 

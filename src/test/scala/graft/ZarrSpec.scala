@@ -527,6 +527,36 @@ class ZarrSpec extends AnyFunSuite {
       s"array-root write error lost: $e6")
   }
 
+  test("consolidated metadata: .zmetadata form, one-read navigation, write refresh") {
+    val path = "/root/repo/target/tmp/zarr_test_consolidated"
+    Zarr.delete(path, recursive = true)
+    val m = ZMatrix.fromDense(spark, dense)
+    Zarr.write(m, s"$path#X", 10, 5, 4, 3)
+    Zarr.write(m, s"$path#obsm/X_pca", 10, 5, 4, 3)
+    Zarr.consolidateMetadata(path)
+    val json = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
+    // the zarr-python open_consolidated form: version marker + per-node keys
+    assert(json.contains("\"zarr_consolidated_format\" : 1") ||
+      json.contains("\"zarr_consolidated_format\":1"), json)
+    Seq("\".zgroup\"", "\"X/.zarray\"", "\"obsm/.zgroup\"", "\"obsm/X_pca/.zarray\"")
+      .foreach(k => assert(json.contains(k), s"missing $k in:\n$json"))
+    // a group-addressed write into a consolidated store refreshes it
+    Zarr.write(m, s"$path#layers/counts", 10, 5, 4, 3)
+    val refreshed = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
+    assert(refreshed.contains("\"layers/counts/.zarray\""), refreshed)
+    // navigation runs off the ONE consolidated read: delete a sub-group's
+    // own .zgroup — per-level probing would now fail, the map must not
+    Zarr.delete(s"$path/obsm/.zgroup")
+    assert(Zarr.resolveArray(s"$path#obsm/X_pca") == s"$path/obsm/X_pca")
+    val want = dense.map(_.toSeq).toSeq
+    assert(ZLocal.toDense(Zarr.read(spark, s"$path#obsm/X_pca"), 10, 5)
+      .map(_.toSeq).toSeq == want)
+    // error listings come from the consolidated map too
+    val e = intercept[IllegalArgumentException](Zarr.resolveArray(path))
+    assert(e.getMessage.contains("X") && e.getMessage.contains("obsm") &&
+      e.getMessage.contains("layers"), e.getMessage)
+  }
+
   test("group navigation: v3 group metadata (zarr.json node_type group)") {
     val path = "/root/repo/target/tmp/zarr_test_group_v3"
     Zarr.delete(path, recursive = true)
