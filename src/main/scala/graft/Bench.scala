@@ -63,7 +63,10 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // Last line of stdout, unprefixed (run / outputStrategy := StdoutOutput).
+    // full detail first (best-effort: survives in the raw captured tail
+    // when the window allows, and always in target/bench_detail.json)...
+    println(detail)
+    // ...but the LAST stdout line is the compact, always-parseable record.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"${esc(sfDir)}"}""")
   }
 }

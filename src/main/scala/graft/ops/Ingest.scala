@@ -18,12 +18,17 @@ object Ingest {
   /** Stage a table into a Hive-partitioned parquet directory
     * (`path/col=value/part-*.parquet`).
     *
-    * The repartition on the partition column is load-bearing: without it
-    * every write task holds a sliver of every partition value, emitting
-    * numPartitions × numValues tiny files — the classic small-files
-    * failure at scale. With it, each partition directory is written by
-    * the one task that owns the value (AQE coalesces skewed values). */
+    * The REBALANCE-on-the-partition-column shuffle is load-bearing twice
+    * over: without any clustering, every write task holds a sliver of
+    * every partition value, emitting numTasks × numValues tiny files —
+    * the classic small-files failure at scale. A plain
+    * `repartition(col)` fixes that but funnels each value into exactly
+    * ONE task (AQE can merge small partitions, never split a hot one),
+    * serializing the hottest date/source. The rebalance hint keeps
+    * values clustered AND lets AQE's skew splitter fan a hot value out
+    * across tasks — a few files for the hot directory, one for the
+    * rest. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.repartition(col(partitionCol))
+    df.hint("rebalance", partitionCol)
       .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
 }

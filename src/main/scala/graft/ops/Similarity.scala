@@ -243,9 +243,13 @@ object Similarity {
                       centroids: Array[Array[Double]], minCos: Double,
                       maxList: Int = 1000): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // array_distinct: with a single-centroid (or duplicated-centroid)
+    // model, primary == runner-up — an undeduped explode would emit the
+    // same (doc, probe) row twice, consuming two cap slots per doc and
+    // quadrupling pair generation
     val probed = withIvfTop2(emb, vecCol, centroids)
       .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"),
-        explode(array(col("list_id"), col("list2_id"))).as("probe"))
+        explode(array_distinct(array(col("list_id"), col("list2_id")))).as("probe"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe")).orderBy(col("doc_id"))))
       .filter(col("rk") <= maxList)

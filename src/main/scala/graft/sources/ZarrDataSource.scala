@@ -286,9 +286,13 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     val (groupRoot, frag) = Zarr.splitKey(path)
     val keySegs = Option(opts.get("key")).filter(_.nonEmpty).orElse(frag)
       .map(Zarr.validKeySegments).getOrElse(Seq.empty)
+    // no PREFIX of the key may be an existing array: writing "root#X/inner"
+    // when root/X is an array would plant .zgroup inside the array dir — a
+    // non-conforming hybrid node interleaving a chunk tree with children
     if (keySegs.nonEmpty)
-      require(!Zarr.isArrayNode(groupRoot),
-        s"$groupRoot is a Zarr ARRAY — cannot write key '${keySegs.mkString("/")}' under it")
+      (0 until keySegs.length).map(i => (groupRoot +: keySegs.take(i)).mkString("/"))
+        .foreach(p => require(!Zarr.isArrayNode(p),
+          s"$p is a Zarr ARRAY — cannot write key '${keySegs.mkString("/")}' through it"))
     val arrayPath = (groupRoot +: keySegs).mkString("/")
     val conf = ZarrWriteConf(arrayPath,
       opts.get("chunkRows").toInt, opts.get("chunkCols").toInt,
@@ -396,9 +400,11 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))
     // a consolidated store must not go stale: re-consolidate after the new
     // array's metadata lands (same contract as zarr-python — consolidation
-    // reflects the hierarchy at write time)
-    if (conf.keySegs.nonEmpty && Zarr.exists(s"${conf.groupRoot}/.zmetadata"))
-      Zarr.consolidateMetadata(conf.groupRoot)
+    // reflects the hierarchy at write time). Keyless writes refresh too —
+    // a direct-path write into `root/X` walks up to find the consolidated
+    // root the array belongs to.
+    Zarr.refreshConsolidatedAbove(
+      if (conf.keySegs.nonEmpty) conf.groupRoot else conf.path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

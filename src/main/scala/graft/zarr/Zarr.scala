@@ -257,7 +257,12 @@ object Zarr {
   // A store address is `root#key` (or `.option("key", ...)` on the DSv2
   // source); navigation is driver-side metadata-only.
 
-  /** Split a `store#key` address into (store root, optional key). */
+  /** Split a `store#key` address into (store root, optional key).
+    * '#' is RESERVED as the key separator in store addresses — a store
+    * directory whose own name contains a literal '#' cannot be addressed
+    * through this convenience form (rename it, or mount it under a
+    * '#'-free path); the trade buys zappy's from_zarr(store, key) entry
+    * shape in a single string. */
   def splitKey(path: String): (String, Option[String]) =
     path.lastIndexOf('#') match {
       case -1 => (path, None)
@@ -267,7 +272,7 @@ object Zarr {
 
   private def v3NodeType(path: String): Option[String] =
     if (!exists(s"$path/zarr.json")) None
-    else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+    else Some(mapper
       .readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
       // v3 requires node_type; absent = some other tool's file, not a node
       .path("node_type").asText(""))
@@ -301,7 +306,9 @@ object Zarr {
   // (`{"metadata": {"X/.zarray": {...}, ...}, "zarr_consolidated_format": 1}`)
   // and navigation below prefers it whenever present.
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // one ObjectMapper per JVM (thread-safe after construction; building one
+  // is the expensive part — deep hierarchies probe metadata O(nodes) times)
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Walk the hierarchy under `root` and write `.zmetadata` consolidating
     * every node metadata file (`.zgroup`/`.zarray`/`.zattrs`/`zarr.json`),
@@ -330,6 +337,24 @@ object Zarr {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(out).getBytes("UTF-8"))
   }
 
+  /** Re-consolidate the nearest consolidated root at or above `path`
+    * (inclusive), so a write anywhere inside a consolidated hierarchy —
+    * group-addressed OR direct-path — refreshes the map. Walks parent
+    * directories (bounded) and touches only metadata. */
+  private[graft] def refreshConsolidatedAbove(path: String): Unit = {
+    var p = new HPath(path)
+    var depth = 0
+    while (p != null && !p.isRoot && depth < 16) {
+      // HPath child construction, not string concat — concatenation
+      // mangles scheme-qualified roots ("file:///" + "/x" → bad authority)
+      if (exists(new HPath(p, ".zmetadata").toString)) {
+        consolidateMetadata(p.toString); return
+      }
+      p = p.getParent
+      depth += 1
+    }
+  }
+
   /** Parsed `.zmetadata` key map, if the store has one. */
   private def readConsolidated(root: String):
       Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] =
@@ -354,18 +379,20 @@ object Zarr {
     val (root, frag) = splitKey(rawPath)
     val cons = readConsolidated(root)
     // node-kind tests against the consolidated key map (rel = ""  is the
-    // root); fall back to per-node store probes when no .zmetadata
+    // root). The map answers POSITIVELY without store probes; a map miss
+    // still falls back to the store — .zmetadata reflects consolidation
+    // time, and a node added since (an external writer that didn't
+    // re-consolidate) must stay reachable, not fail with a wrong
+    // "no .zarray" error.
     def keyOf(rel: String, name: String) = if (rel.isEmpty) name else s"$rel/$name"
-    def isGroupRel(rel: String, abs: String): Boolean = cons match {
-      case Some(m) => m.contains(keyOf(rel, ".zgroup")) ||
-        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "group")
-      case None => isGroupNode(abs)
-    }
-    def isArrayRel(rel: String, abs: String): Boolean = cons match {
-      case Some(m) => m.contains(keyOf(rel, ".zarray")) ||
-        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "array")
-      case None => isArrayNode(abs)
-    }
+    def isGroupRel(rel: String, abs: String): Boolean = cons.exists(m =>
+      m.contains(keyOf(rel, ".zgroup")) ||
+        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "group")) ||
+      isGroupNode(abs)
+    def isArrayRel(rel: String, abs: String): Boolean = cons.exists(m =>
+      m.contains(keyOf(rel, ".zarray")) ||
+        m.get(keyOf(rel, "zarr.json")).exists(_.path("node_type").asText("") == "array")) ||
+      isArrayNode(abs)
     def childNodes(rel: String, abs: String): Seq[String] = cons match {
       case Some(m) =>
         val prefix = if (rel.isEmpty) "" else s"$rel/"
@@ -436,8 +463,7 @@ object Zarr {
 
   private def readMetaV2(path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
+    val root = mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
     def longsOf(n: JsonNode, what: String): Array[Long] = {
       require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
       Array(n.get(0).asLong(), n.get(1).asLong())
@@ -473,8 +499,7 @@ object Zarr {
     * decoder itself. */
   private def readMetaV3(path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
+    val root = mapper.readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
     require(root.path("zarr_format").asInt() == 3,
       s"zarr.json is not a v3 array: zarr_format=${root.path("zarr_format")}")
     if (root.path("node_type").asText("") == "group")

@@ -520,11 +520,17 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#obsm/X_pca", 10, 5, 4, 3)
     val e5 = intercept[IllegalArgumentException](Zarr.resolveArray(s"$path#obsm"))
     assert(e5.getMessage.contains("sub-GROUP") && e5.getMessage.contains("X_pca"), e5.getMessage)
-    // writing a key UNDER an existing array is refused
+    // writing a key UNDER an existing array is refused — both the direct
+    // form (array as the address root) and the nested form (array as an
+    // intermediate key segment)
     val e6 = intercept[Throwable](
       Zarr.write(ZMatrix.fromDense(spark, dense), s"$path/X#nested", 10, 5, 4, 3))
     assert(e6.toString.contains("ARRAY") || Option(e6.getCause).exists(_.toString.contains("ARRAY")),
       s"array-root write error lost: $e6")
+    val e7 = intercept[Throwable](
+      Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#X/nested", 10, 5, 4, 3))
+    assert(e7.toString.contains("ARRAY") || Option(e7.getCause).exists(_.toString.contains("ARRAY")),
+      s"array-prefix write error lost: $e7")
   }
 
   test("consolidated metadata: .zmetadata form, one-read navigation, write refresh") {
@@ -544,6 +550,10 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.write(m, s"$path#layers/counts", 10, 5, 4, 3)
     val refreshed = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
     assert(refreshed.contains("\"layers/counts/.zarray\""), refreshed)
+    // ...and so does a KEYLESS direct-path write inside the hierarchy
+    Zarr.write(m, s"$path/raw", 10, 5, 4, 3)
+    val refreshed2 = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
+    assert(refreshed2.contains("\"raw/.zarray\""), refreshed2)
     // navigation runs off the ONE consolidated read: delete a sub-group's
     // own .zgroup — per-level probing would now fail, the map must not
     Zarr.delete(s"$path/obsm/.zgroup")
