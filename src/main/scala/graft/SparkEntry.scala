@@ -91,6 +91,14 @@ object SparkEntry {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
 
+  /** The serving batch for ann_batch_topk: vectors 0..7 as queries. */
+  private def queryBatch(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -187,6 +195,11 @@ object SparkEntry {
     "arr_astype" -> ((s, d) => mat(s, d).astypeInt),
     "arr_transpose" -> ((s, d) => mat(s, d).transpose.cells),
     "arr_matmul_gram" -> ((s, d) => mat(s, d).gram.cells),
+    // X·w with a literal parameter vector (w_j = 1/(j+1)) — one pass,
+    // no join; the PCA-projection shape
+    "arr_matvec" -> ((s, d) =>
+      mat(s, d).matvec(Array.tabulate(8)(j => 1.0 / (j + 1)))
+        .select(col("i"), (round(col("v"), 6) + 0.0).as("v"))),
     // A22 as an oracle-checked row: same product, both sides loaded from
     // contraction-key bucketed storage (row-equivalence proven the way
     // q24 proves the salted join against its plain twin)
@@ -312,6 +325,12 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec(s, d), 10, ivfModel(s, d, 16), nprobe = 4)),
+    // batched serving: top-10 for EIGHT query vectors in ONE corpus scan
+    // (bounded per-partition partial top-k, window merge of B×parts×k
+    // partials) — per-query results identical to bruteForceTopK
+    "ann_batch_topk" -> ((s, d) =>
+      Similarity.batchTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryBatch(s, d), 10)),
 
     // ---- LLM-pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
@@ -850,6 +869,11 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "arr_matvec" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, round(sum(v * (list_transform(range(1, 9), x -> 1.0/x))[j + 1]), 6) + 0 AS v
+        |FROM m GROUP BY 1""".stripMargin,
     "arr_row_normalize" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -957,6 +981,18 @@ object SparkEntry {
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |CROSS JOIN range(64) r(i)
         |GROUP BY e.vec_id ORDER BY cos DESC, e.vec_id LIMIT 50""".stripMargin,
+    "ann_batch_topk" ->
+      """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        | CROSS JOIN range(64) r(i)
+        | GROUP BY q.vec_id, e.vec_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

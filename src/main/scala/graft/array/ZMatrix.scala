@@ -264,6 +264,18 @@ final case class ZMatrix(cells: DataFrame) {
   /** Gram matrix XᵀX without materializing the transpose twice. */
   def gram: ZMatrix = transpose.matmul(this)
 
+  /** Matrix–vector product X·w, w a driver-side PARAMETER (a principal
+    * component, a feature weighting): w enters the plan as a literal
+    * array — per-cell multiply + one i-aggregate with map-side combine.
+    * No join, no k-shuffle: the at-scale cost is one pass over the cells.
+    * Under ANSI a cell with j ≥ w.length is a hard INVALID_ARRAY_INDEX
+    * error (dimension mismatch fails fast, the astype rule). Returns
+    * (i, v) with v = Σ_j X[i,j]·w[j]. */
+  def matvec(w: Array[Double]): DataFrame =
+    cells.select(col("i"),
+        (col("v") * element_at(typedlit(w.toSeq), (col("j") + 1).cast("int"))).as("_p"))
+      .groupBy(col("i")).agg(sum(col("_p")).as("v"))
+
   /** Rechunk: repartition cells by a row-block id (the zappy chunk grid).
     * Data is unchanged; only the physical partitioning moves. */
   def rechunk(blockRows: Long): ZMatrix =

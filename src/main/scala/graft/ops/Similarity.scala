@@ -89,6 +89,63 @@ object Similarity {
     bruteForceTopK(bucketed, idCol, vecCol, q, k)
   }
 
+  /** Batched ANN serving: exact top-k for a BATCH of query vectors in ONE
+    * corpus scan — the serving shape (queries arrive in batches; scanning
+    * the corpus once per query would be B scans). The batch (B×dim
+    * doubles, a model-parameter-sized closure) rides into each partition;
+    * a bounded per-partition selection keeps the k best candidates per
+    * query (B·k entries per task — the partial top-k `TakeOrdered` uses
+    * internally, which Spark has no declarative per-group form of), and
+    * the global merge ranks only the B × partitions × k partials with a
+    * window. Scoring matches [[bruteForceTopK]] exactly: f64
+    * left-to-right dot, HALF_UP 4dp rounding (+0.0 collapses -0.0),
+    * zero-norm rows dropped, ties ranked by id. */
+  def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (qid, q) =>
+      (qid, q, math.sqrt(q.map(x => x * x).sum))
+    }
+    // PQ dequeues its max; ordering by (-cos, id) makes "max" = the WORST
+    // kept candidate (lowest cos, then largest id), so replacement is O(log k)
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+    val partials = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        rows.foreach { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          if (nrm > 0.0) qs.zip(heaps).foreach { case ((_, q, qn), heap) =>
+            if (qn > 0.0 && q.length == v.length) {
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += v(j) * q(j); j += 1 } // left-to-right, = dot Expression
+              val cos = BigDecimal(d / (nrm * qn))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+              if (heap.size < k) heap.enqueue((cos, id))
+              else if (worstFirst.lt((cos, id), heap.head)) {
+                heap.dequeue(); heap.enqueue((cos, id))
+              }
+            }
+          }
+        }
+        qs.zip(heaps).iterator.flatMap { case ((qid, _, _), heap) =>
+          heap.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+    partials
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   // ---- IVF (inverted-file) ANN ----
 
   /** Deterministic IVF training: seed centroids are the `nlist` vectors

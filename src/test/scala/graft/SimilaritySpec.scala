@@ -151,6 +151,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF near-dup recall $recall")
   }
 
+  test("batched ANN top-k equals per-query brute force for every query") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def ranked(rows: Seq[(Long, Double)]) = rows.sortBy { case (id, cos) => (-cos, id) }
+    val got = Similarity.batchTopK(emb, "vec_id", "embedding", batch, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(ts => ranked(ts.map(t => (t._2, t._3)).toSeq)).toMap
+    batch.foreach { case (qid, q) =>
+      val single = ranked(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      assert(got(qid) == single, s"query $qid diverged")
+    }
+  }
+
   test("IVF near-dup: one hot list stays maxList-bounded, not quadratic") {
     // 500 near-identical vectors — ALL land in the same (primary, runner-up)
     // probe lists, the exact dense-cluster shape that makes an uncapped

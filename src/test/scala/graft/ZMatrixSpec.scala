@@ -141,6 +141,15 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(r, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("matvec: X·w as one pass with a literal parameter vector") {
+    val w = Array(1.0, 0.5, 0.25)
+    val got = m.matvec(w).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = dense.zipWithIndex.map { case (row, i) =>
+      i.toLong -> row.zip(w).map { case (x, ww) => x * ww }.sum
+    }.toMap
+    assert(got == want)
+  }
+
   test("row normalize") {
     val got = ZLocal.toDense(m.rowNormalize, 4, 3)
     assert(math.abs(got(0)(0) - 1.0 / 6.0) < 1e-6)
