@@ -129,6 +129,9 @@ object SparkEntry {
     // planning — at 100 TB the other years are never listed or opened.
     // Pruning is asserted on inputFiles in PlanSpec; the oracle computes
     // the same aggregate from the unpartitioned original.
+    "q27_grouping_sets" -> Relational.q27GroupingSets _,
+    "q28_anti_join" -> Relational.q28AntiJoin _,
+    "q29_exact_stats" -> Relational.q29ExactStats _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -619,6 +622,34 @@ object SparkEntry {
     "q26_partition_pruning" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1""".stripMargin,
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, count(*) AS n,
+        |  round(sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE / 100.0, 2) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q28_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_inactive, round(sum(c_acctbal), 4) AS bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |GROUP BY 1""".stripMargin,
+    // identical closed forms over identical exact integer moments: the only
+    // floats are final casts of exact decimals, so 6dp rounding is bit-stable
+    "q29_exact_stats" ->
+      """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
+        |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*)::HUGEINT AS n,
+        |  sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |  sum(y::HUGEINT * y::HUGEINT) AS syy FROM b GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((n*sxy - sx*sy)::DOUBLE
+        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) + 0 AS corr_qty_price,
+        |  round((n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE / 10000.0, 4) + 0 AS covar_qty_price,
+        |  round(sqrt((n*sxx - sx*sx)::DOUBLE / (n*(n-1))::DOUBLE) / 100.0, 4) + 0 AS stddev_qty
+        |FROM m""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents)

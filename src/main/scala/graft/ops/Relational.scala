@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -270,6 +270,65 @@ object Relational {
     t1.agg(count(lit(1)).as("n")).select(lit(1L).as("stage"), col("n"))
       .unionByName(t2.agg(count(lit(1)).as("n")).select(lit(2L).as("stage"), col("n")))
       .unionByName(t3.agg(count(lit(1)).as("n")).select(lit(3L).as("stage"), col("n")))
+  }
+
+  /** R27: GROUPING SETS — (flag, status), (flag), and grand-total levels in
+    * ONE pass: Spark plans a single Expand + hash aggregate (each input row
+    * fans out to its grouping levels map-side), so the fact table is
+    * scanned once regardless of level count — at 100 TB that's 1 scan
+    * where separate per-level aggregates would be 3. `grouping_id()` uses
+    * the standard bit encoding (leftmost column = MSB), identical to
+    * DuckDB's GROUPING(). Money goes through exact integer cents; the
+    * final division of an exact long is deterministic in both engines. */
+  def q27GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("cents")) / 100.0, 2).as("rev"))
+
+  /** R28: NOT EXISTS as a left-ANTI join (the complement of q4's semi):
+    * customers with no 1995 order. The year predicate pushes into the
+    * orders scan BEFORE the anti join, and the orders side is projected to
+    * the join key only — at 100 TB the anti join ships filtered keys, not
+    * order rows. */
+  def q28AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_inactive"), round(sum(col("c_acctbal")), 4).as("bal"))
+  }
+
+  /** R29: correlation / covariance / stddev from EXACT integer moments.
+    * Built-in `corr`/`covar_samp` accumulate floating co-moments whose
+    * value depends on partition merge order — unreproducible across engines
+    * AND across runs. Instead: one map-side-combinable aggregate of six
+    * exact decimal(38,0) sums over cent-scaled integers (n, Σx, Σy, Σxy,
+    * Σx², Σy²), then the closed forms on the driver-visible exact values.
+    * The only floats are the FINAL casts of exact decimals — deterministic
+    * nearest-double in both engines, so the 6dp rounding is bit-stable. */
+  def q29ExactStats(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val m = li.groupBy(col("l_returnflag")).agg(
+      dec(count(lit(1))).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val cov  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val nn1  = (col("n") * (col("n") - lit(1))).cast("double")
+    m.select(col("l_returnflag"),
+      (round(cov / sqrt(varx * vary), 6) + 0.0).as("corr_qty_price"),
+      (round(cov / nn1 / 10000.0, 4) + 0.0).as("covar_qty_price"),
+      (round(sqrt(varx / nn1) / 100.0, 4) + 0.0).as("stddev_qty"))
   }
 
   /** Skew-salted equi-join: when one join key carries a pathological share

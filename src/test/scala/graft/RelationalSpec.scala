@@ -159,4 +159,58 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(noHot == plain)
   }
+
+  test("q27 grouping sets: levels are internally consistent, one Expand scan") {
+    val rows = Relational.q27GroupingSets(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // gid 0 = (flag, status); gid 1 = (flag); gid 3 = grand total
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    assert(byGid(3L).length == 1)
+    val total = byGid(3L).head.getAs[Long]("n")
+    assert(byGid(0L).map(_.getAs[Long]("n")).sum == total)
+    assert(byGid(1L).map(_.getAs[Long]("n")).sum == total)
+    // per-flag level sums its detail rows exactly (integer-cents revenue)
+    byGid(1L).foreach { fr =>
+      val flag = fr.getAs[String]("l_returnflag")
+      val detail = byGid(0L).filter(_.getAs[String]("l_returnflag") == flag)
+      assert(detail.map(_.getAs[Long]("n")).sum == fr.getAs[Long]("n"))
+    }
+    // ONE fan-out aggregate, not a per-level union: exactly one Expand node
+    // and one parquet scan in the plan
+    val plan = Relational.q27GroupingSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(?m)^\\s*\\S*\\s*Expand".r.findAllIn(plan).size >= 1)
+    assert(plan.split("Scan parquet").length - 1 == 1)
+  }
+
+  test("q28 anti join is the exact complement of the matching semi join") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi == c.count())
+    assert(Relational.q28AntiJoin(spark, sf).agg(sum(col("n_inactive")))
+      .head().getLong(0) == anti)
+  }
+
+  test("q29 exact-moment stats agree with Spark's builtin corr/covar/stddev") {
+    val got = Relational.q29ExactStats(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("corr_qty_price"), r.getAs[Double]("covar_qty_price"),
+          r.getAs[Double]("stddev_qty"))).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (c, cv, sd)) =>
+      assert(math.abs(c - ref(k)._1) < 1e-4, s"corr $k")
+      assert(math.abs(cv - ref(k)._2) / math.abs(ref(k)._2) < 1e-3, s"covar $k")
+      assert(math.abs(sd - ref(k)._3) / ref(k)._3 < 1e-3, s"stddev $k")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
 }
