@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{DotProduct, Md5Fingerprint, MinHashAgg}
 
@@ -30,11 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[Md5Fingerprint].getName, "graft_fingerprint"),
       fingerprintBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      bloomAggBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      mightContainBuilder))
   }
 }
 
 object GraftExtensions {
   private def intArg(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+  private def longArg(e: Expression): Long = e.eval(null).asInstanceOf[Number].longValue()
 
   val dotBuilder: Seq[Expression] => Expression =
     args => DotProduct(args(0), args(1))
@@ -45,9 +55,27 @@ object GraftExtensions {
   val fingerprintBuilder: Seq[Expression] => Expression =
     args => Md5Fingerprint(args(0))
 
+  /** `graft_bloom_agg(hash[, items[, bits]])` — Spark's internal
+    * BloomFilterAggregate (otherwise reachable only through the runtime
+    * join-filter optimizer rule) surfaced as a SQL aggregate. Child must be
+    * a BIGINT hash (pair with xxhash64). */
+  val bloomAggBuilder: Seq[Expression] => Expression = args => {
+    val items = if (args.length >= 2) longArg(args(1)) else 1000000L
+    val bits = if (args.length >= 3) longArg(args(2)) else items * 8L
+    new BloomFilterAggregate(args(0), Literal(items), Literal(bits))
+      .toAggregateExpression()
+  }
+
+  /** `graft_might_contain(bloom, hash)` — codegen'd membership probe; the
+    * bloom argument must be foldable (a literal or scalar subquery). */
+  val mightContainBuilder: Seq[Expression] => Expression =
+    args => BloomFilterMightContain(args(0), args(1))
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", dotBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_fingerprint", fingerprintBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_bloom_agg", bloomAggBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_might_contain", mightContainBuilder)
   }
 }

@@ -347,6 +347,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
     }),
+    // bloom-prefiltered twin of text_contamination: row-equivalent by
+    // construction (exact verify after the bloom), so it shares the oracle
+    "text_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationBloom(docs, docs.filter(col("doc_id") < 50), "doc_id", "text")
+    }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
     "text_vocab" -> ((s, d) => TextOps.vocab(Tables.documents(s, d), "doc_id", "text", minCount = 5)),
     "text_chunk" -> ((s, d) =>
@@ -501,6 +507,19 @@ object SparkEntry {
        |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang FROM sc""".stripMargin
   }
 
+  /** Shared by text_contamination and its bloom-prefiltered twin (which is
+    * row-equivalent by construction: exact membership verify after bloom). */
+  private val contaminationSql: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s FROM tok),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50)
+      |SELECT doc_id, count(*) AS n_shingles,
+      | count(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS n_contaminated,
+      | round(count(*) FILTER (WHERE s IN (SELECT s FROM bench)) / count(*), 4) AS ratio
+      |FROM sh GROUP BY 1""".stripMargin
+
   private val annLshSql: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qd AS (SELECT q.qe, ${bucketSqlOf("q.qe", annPlanes)} AS qbucket,
@@ -568,16 +587,9 @@ object SparkEntry {
     // same shingle construction as Dedup.shingleStrings: chr(1)-joined
     // 3-gram strings, distinct per doc; docs under 3 tokens emit no rows
     // in BOTH engines (empty range / empty slice)
-    "text_contamination" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s FROM tok),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50)
-        |SELECT doc_id, count(*) AS n_shingles,
-        | count(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS n_contaminated,
-        | round(count(*) FILTER (WHERE s IN (SELECT s FROM bench)) / count(*), 4) AS ratio
-        |FROM sh GROUP BY 1""".stripMargin,
+    "text_contamination" -> contaminationSql,
+    // the bloom prefilter is exact-verified, so the twin IS the exact query
+    "text_contamination_bloom" -> contaminationSql,
     // bigrams as chr(1)-joined strings (DuckDB's list_distinct cannot take
     // nested lists); tokens are whitespace-split so the separator cannot
     // create boundary ambiguity

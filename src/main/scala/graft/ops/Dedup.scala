@@ -77,6 +77,54 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("ratio"))
   }
 
+  /** [[contamination]] with a BLOOM-FILTER prefilter — row-equivalent (the
+    * bloom pass is followed by an exact membership join, so false positives
+    * are eliminated), but at scale the expensive join only ever sees the
+    * bloom-candidate shingles. The filter is built by Spark's own
+    * `BloomFilterAggregate` (one distributed pass over the benchmark
+    * shingles, map-side combined), collected as ONE binary value — a
+    * model-parameter-sized object like the IVF centroid matrix, ~1.2 MB at
+    * the default sizing — and re-entered as a literal, so the codegen'd
+    * `might_contain` probe runs scan-side with no join and no shuffle for
+    * the ~(1−hit−fpp) fraction of shingles that miss. When the benchmark
+    * set outgrows broadcast range (a union of eval suites), the bloom stays
+    * ~10× smaller than the equivalent broadcast hash set; non-candidate
+    * rows skip the shuffle join entirely. */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3,
+                         expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bs = shingleStrings(bench, idCol, textCol, k).select(col("s")).distinct()
+    val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(col("s"))),
+      Literal(expectedItems), Literal(expectedItems * 8L)).toAggregateExpression())
+    val bf = bs.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val ds = shingleStrings(docs, idCol, textCol, k)
+    if (bf == null) {
+      // empty benchmark: BloomFilterAggregate yields null — nothing can be
+      // contaminated, and might_contain(null, …) would null out the probe
+      ds.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), lit(0L).as("n_contaminated"))
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          lit(0.0).as("ratio"))
+    } else {
+      val cand = GraftSqlBridge.column(new BloomFilterMightContain(
+        Literal(bf), GraftSqlBridge.expression(xxhash64(col("s")))))
+      val benchHit = broadcast(bs.select(col("s").as("_bs"), lit(1).as("_hit")))
+      // `_cand && s = _bs`: Catalyst extracts the equi key and applies the
+      // bloom verdict as a left-side pre-join filter — non-candidate rows
+      // keep their null `_hit` without ever probing the join
+      ds.withColumn("_cand", cand)
+        .join(benchHit, col("_cand") && col("s") === col("_bs"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contaminated"))
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("ratio"))
+    }
+  }
+
   /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this
     * one shuffle of (hash, id) pairs, not documents. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

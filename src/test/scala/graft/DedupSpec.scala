@@ -114,6 +114,24 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) == ((2L, 2L, 1.0))) // fully contained in the benchmark
   }
 
+  test("bloom-prefiltered contamination equals the exact variant row-for-row") {
+    val corpus = Tables.documents(spark, TestSpark.sf)
+    val bench = corpus.filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val exact = asMap(Dedup.contamination(corpus, bench, "doc_id", "text"))
+    val bloom = asMap(Dedup.contaminationBloom(corpus, bench, "doc_id", "text"))
+    assert(bloom == exact)
+  }
+
+  test("bloom contamination with an empty benchmark reports zero everywhere") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val bench = corpus.filter(org.apache.spark.sql.functions.lit(false))
+    val r = Dedup.contaminationBloom(corpus, bench, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(1L -> ((0L, 0.0)), 2L -> ((0L, 0.0))))
+  }
+
   test("deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq

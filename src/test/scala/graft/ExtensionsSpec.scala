@@ -37,4 +37,27 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaSql(1L) == viaCol && viaSql(1L) == viaSql(2L) && viaSql(1L) != viaSql(3L))
   }
+
+  test("graft_bloom_agg + graft_might_contain: no false negatives from SQL") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    (0L until 1000L).toDF("v").createOrReplaceTempView("bloom_in")
+    // build the filter as one aggregated binary, re-enter it as a literal
+    // (might_contain requires a foldable bloom argument)
+    val bf = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(v), 1000) AS bf FROM bloom_in")
+      .head().getAs[Array[Byte]]("bf")
+    spark.range(0, 2000).toDF("v").createOrReplaceTempView("bloom_probe")
+    import org.apache.spark.sql.functions._
+    val probe = spark.table("bloom_probe").withColumn("hit",
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bf),
+          org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(col("v"))))))
+    val inserted = probe.filter(col("v") < 1000 && !col("hit")).count()
+    assert(inserted == 0, "bloom filters must never produce false negatives")
+    // absent half: false-positive rate stays near the sizing target (~2%)
+    val fp = probe.filter(col("v") >= 1000 && col("hit")).count()
+    assert(fp < 100, s"false-positive count $fp out of 1000 is implausible")
+  }
 }
