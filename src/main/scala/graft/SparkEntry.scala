@@ -86,6 +86,32 @@ object SparkEntry {
     * generated oracle SQL, so both engines apply identical rates. */
   private val mixRates: Map[String, Double] = (10 to 19).map(i => s"src$i" -> 0.25).toMap
 
+  /** L2-normalized embeddings (zero-norm rows dropped): the PQ staging
+    * frame — normalizing first makes inner-product ADC approximate cosine.
+    * The per-element divide is a staging-time transform, not a query-time
+    * hot path (queries scan only the encoded codes). */
+  private def normEmb(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExprs.norm2
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), v.as("v"), norm2(v).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("nvec"))
+  }
+
+  /** PQ codebooks per sf dir — trained once, shared by every PQ query
+    * (same model-reuse shape as [[ivfModel]]). */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** PCA model per sf dir (fit once, reused — the ivfModel pattern). */
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
+  private def pqModel(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqModels.computeIfAbsent(d, { _ =>
+      Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16)
+    })
+
   private def queryVec(s: SparkSession, d: String): Array[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -235,6 +261,23 @@ object SparkEntry {
     // Gram matrix of the embeddings table through the array layer: the
     // 2000×64 dense matrix XᵀX (PCA prep) — shuffles on vec_id only,
     // output is a 64×64 constant.
+    // scanpy pp.pca over the lineitem matrix: ONE distributed co-moment
+    // pass (exact sums, 6dp-rounded model), driver-side Jacobi eigen of
+    // the ncols² covariance (parameter-sized), one-scan k-accumulator
+    // projection with constant centering offsets — X is never densified.
+    // No oracle: eigendecomposition isn't SQL — orthonormality, variance
+    // preservation, decorrelation, and sparse/dense equivalence are
+    // scalatest-asserted (ZMatrixSpec; SURVEY §5).
+    "arr_pca" -> ((s, d) => {
+      val mm = mat(s, d)
+      val model = pcaModels.computeIfAbsent(d, { _ =>
+        val nrows = mm.cells.select(countDistinct(col("i"))).head().getLong(0)
+        // l_linenumber is 1-based: ncols=8 leaves column 0 implicit-zero
+        // (zero variance — never enters the top-k components)
+        graft.array.Pca.fit(mm, nrows, ncols = 8, k = 3)
+      })
+      graft.array.Pca.transform(mm, model).cells
+    }),
     "arr_gram_embeddings" -> ((s, d) => {
       val cells = Tables.embeddings(s, d).select(col("vec_id").as("i"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v")))
@@ -334,6 +377,18 @@ object SparkEntry {
     "ann_batch_topk" -> ((s, d) =>
       Similarity.batchTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryBatch(s, d), 10)),
+    // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
+    // top-10 over the m-byte codes only (32× compression — THE in-memory
+    // serving path at 100 TB). No oracle: k-means training isn't SQL —
+    // recall vs brute force, determinism, and code bounds are
+    // scalatest-asserted (SimilaritySpec; SURVEY §5).
+    "ann_pq_topk" -> ((s, d) => {
+      val model = pqModel(s, d)
+      val q = queryVec(s, d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      Similarity.pqTopK(Similarity.pqEncode(normEmb(s, d), "vec_id", "nvec", model),
+        model, q.map(_ / qn), 10)
+    }),
 
     // ---- LLM-pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),

@@ -263,6 +263,109 @@ object Similarity {
             / (col("mx") - col("mn")) * 256.0)).cast("long")).as("q"))
   }
 
+  // ---- Product quantization (PQ) ----
+
+  /** L2 k-means assignment scores as (score, l) structs: argmin_c |v−c|² =
+    * argmax_c (v·c − |c|²/2) since |v|² is constant per row — so assignment
+    * is the same codegen'd greatest-over-structs shape as [[centroidScores]]
+    * with no per-centroid norm computation on the data side. */
+  private def l2Scores(v: Column, cents: Array[Array[Double]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, l) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((dotLit(v, c) - lit(half)).as("s"), lit(l).as("l"))
+    }
+
+  /** Deterministic k-means codebook for ONE subspace frame (id, svec):
+    * seeds are the `ksub` sub-vectors with smallest xxhash64(id) (stable
+    * across partitionings), refined by `iters` exact-L2 Lloyd steps with
+    * 6dp-rounded means; empty clusters keep their previous centroid so the
+    * codebook stays exactly `ksub` wide (same contract as IVF training). */
+  private def subCodebook(sub: DataFrame, ksub: Int, iters: Int): Array[Array[Double]] = {
+    var cents = sub.select(col("svec"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h")).limit(ksub)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == ksub,
+      s"PQ training needs >= ksub=$ksub vectors, corpus has ${cents.length}")
+    for (_ <- 0 until iters) {
+      val assigned = sub
+        .select(greatest(l2Scores(col("svec"), cents): _*).getField("l").as("list_id"),
+          posexplode(col("svec")).as(Seq("d", "x")))
+        .groupBy(col("list_id"), col("d"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      val byList = assigned.groupBy(_.getInt(0))
+      cents = cents.indices.toArray.map { l =>
+        byList.get(l) match {
+          case Some(ms) =>
+            val c = new Array[Double](cents(l).length)
+            ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            c
+          case None => cents(l)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Product-quantization training: split the vector into `m` contiguous
+    * subspaces and k-means each independently → m codebooks of `ksub`
+    * centroids (m·ksub·(dim/m) doubles — a model parameter). THE memory
+    * path for ANN at 100 TB: encoded vectors are m small codes
+    * (m·log2(ksub) bits ≈ 4-8 bytes) instead of dim·4 — a 64-dim f32
+    * corpus compresses 32×, far past int8's 4×, so a 100 TB corpus's codes
+    * fit in ~3 TB of cluster memory for in-memory serving. For cosine
+    * semantics, train/encode over L2-NORMALIZED vectors so inner-product
+    * ADC approximates cosine. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val v = col(vecCol).cast("array<double>")
+    val dim = emb.select(size(v)).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    // each subspace trains over the same scan shape; at 100 TB training
+    // runs on a bounded sample upstream (the model is scan-independent)
+    (0 until m).toArray.map { j =>
+      subCodebook(emb.select(col(idCol).as("id"),
+        slice(v, j * sd + 1, sd).as("svec")), ksub, iters)
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the argmin-L2 codebook
+    * entry via the same greatest-over-structs argmax — m·ksub codegen'd
+    * dot products per row, no join, no shuffle. Output (vec_id, codes)
+    * IS the compressed store schema. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sd = codebooks(0)(0).length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      greatest(l2Scores(slice(v, j * sd + 1, sd), cb): _*).getField("l")
+    }: _*)
+    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): the query is NOT
+    * quantized — per subspace, its exact dot with each of the `ksub`
+    * centroids forms a lookup table (m·ksub doubles, computed driver-side,
+    * entering codegen as array literals), and each row's score is m
+    * `element_at` picks + adds over its codes. No vector data is read at
+    * query time — the scan touches only the m-byte codes column, which is
+    * the entire point at 100 TB. Deterministic: LUTs are exact driver
+    * arithmetic, the fold is a fixed left-to-right sum, ties rank by id. */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+             q: Array[Double], k: Int): DataFrame = {
+    val sd = codebooks(0)(0).length
+    val luts: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(j * sd + i) }.sum).toSeq
+    }
+    val score = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedlit(lut), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    codes.select(col("vec_id"), (round(score, 4) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-2 IVF lists per vector (primary + runner-up) via one array_sort
     * over the shared [[centroidScores]] structs — O(nlist log nlist) per
     * row on a parameter-sized array, no join. */

@@ -186,6 +186,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == (0L until 20L).toSet, s"unexpected survivors: $ids")
   }
 
+  test("PQ: codes bounded, training deterministic, encode deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("nvec"))
+    val m1 = Similarity.pqTrain(emb, "vec_id", "nvec", m = 8, ksub = 16)
+    val m2 = Similarity.pqTrain(emb, "vec_id", "nvec", m = 8, ksub = 16)
+    assert(m1.map(_.map(_.toSeq).toSeq).toSeq == m2.map(_.map(_.toSeq).toSeq).toSeq,
+      "twin trainings diverged")
+    assert(m1.length == 8 && m1.forall(_.length == 16) && m1.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "nvec", m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 500)
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    val codes2 = Similarity.pqEncode(emb, "vec_id", "nvec", m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == codes2)
+  }
+
+  test("PQ ADC top-k: recall >= 5/10 vs exact cosine on real embeddings") {
+    import graft.functions.VectorExprs.norm2
+    val v = col("embedding").cast("array<double>")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val norm = emb.select(col("vec_id"), v.as("vv"), norm2(v).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("vv"), x => x / col("nrm")).as("nvec"))
+    val model = Similarity.pqTrain(norm, "vec_id", "nvec", m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") === 1).select(v).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(Similarity.pqEncode(norm, "vec_id", "nvec", model),
+      model, q.map(_ / qn), 10).collect().map(_.getLong(0)).toSet
+    // 8 bytes/vector vs 256: coarse but must far beat the 2% random baseline
+    assert(exact.intersect(pq).size >= 5,
+      s"PQ recall too low: ${exact.intersect(pq).size}/10")
+    // the query vector itself is in the corpus: its own code cell must put
+    // it at (or tied with) the top — sanity that ADC scores are real
+    assert(pq.contains(1L), "query's own vector missing from PQ top-10")
+  }
+
   test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
     val vecs = Seq(
       (0L, Array(0.0f, 7.0f, -2.0f)),

@@ -256,4 +256,75 @@ class ZMatrixSpec extends AnyFunSuite {
         assert(got(i)(j) == dense(i)(j) * 3.0)
     } finally spark.conf.set(key, prev)
   }
+
+  test("jacobi eigensolver matches the closed-form 2x2 eigensystem") {
+    // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
+    val (vals, vecs) = graft.array.Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = vals.zipWithIndex.sortBy(-_._1).map(_._2)
+    assert(math.abs(vals(order(0)) - 3.0) < 1e-9)
+    assert(math.abs(vals(order(1)) - 1.0) < 1e-9)
+    val v0 = Array(vecs(0)(order(0)), vecs(1)(order(0)))
+    assert(math.abs(math.abs(v0(0)) - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(v0(0) - v0(1)) < 1e-9) // same sign, equal components
+  }
+
+  test("PCA: components orthonormal, variance preserved, projection decorrelated") {
+    val data = Array(
+      Array(2.5, 2.4, 0.5), Array(0.5, 0.7, 1.1), Array(2.2, 2.9, 0.3),
+      Array(1.9, 2.2, 0.6), Array(3.1, 3.0, 0.2), Array(2.3, 2.7, 0.5),
+      Array(2.0, 1.6, 0.9), Array(1.0, 1.1, 1.0), Array(1.5, 1.6, 0.8),
+      Array(1.1, 0.9, 1.2))
+    val mm = ZMatrix.fromDense(spark, data)
+    val model = graft.array.Pca.fit(mm, nrows = 10, ncols = 3, k = 3)
+    // eigenvalues descending, non-negative
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(model.eigenvalues.forall(_ >= -1e-9))
+    // components orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val d = model.components(a).zip(model.components(b)).map(t => t._1 * t._2).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-6, s"dot($a,$b)=$d")
+    }
+    // total variance preserved: Σ eigenvalues = Σ per-column population var
+    val colVar = (0 until 3).map { j =>
+      val xs = data.map(_(j)); val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }.sum
+    assert(math.abs(model.eigenvalues.sum - colVar) < 1e-6)
+    // projected scores: per-PC population variance == eigenvalue, and PCs
+    // are mutually decorrelated (off-diagonal covariance ~ 0)
+    val proj = ZLocal.toDense(graft.array.Pca.transform(mm, model), 10, 3)
+    for (c <- 0 until 3) {
+      val xs = proj.map(_(c)); val mu = xs.sum / xs.length
+      val vr = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(vr - model.eigenvalues(c)) < 1e-4, s"pc$c var $vr")
+    }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val ma = proj.map(_(a)).sum / 10; val mb = proj.map(_(b)).sum / 10
+      val cv = proj.map(r => (r(a) - ma) * (r(b) - mb)).sum / 10
+      assert(math.abs(cv) < 1e-4, s"pcs $a,$b correlated: $cv")
+    }
+    // deterministic twin fit
+    val model2 = graft.array.Pca.fit(mm, nrows = 10, ncols = 3, k = 3)
+    assert(model.components.map(_.toSeq).toSeq == model2.components.map(_.toSeq).toSeq)
+    assert(model.eigenvalues.toSeq == model2.eigenvalues.toSeq)
+  }
+
+  test("PCA centering handles implicit zeros (sparse rows project correctly)") {
+    // row 1 has NO stored cell in column 1 (implicit zero)
+    val cells = Seq((0L, 0L, 2.0), (0L, 1L, 4.0), (1L, 0L, 6.0),
+      (2L, 0L, 4.0), (2L, 1L, 2.0))
+    import spark.implicits._
+    val mm = ZMatrix(cells.toDF("i", "j", "v"))
+    val model = graft.array.Pca.fit(mm, nrows = 3, ncols = 2, k = 2)
+    val proj = ZLocal.toDense(graft.array.Pca.transform(mm, model), 3, 2)
+    // dense PCA of [[2,4],[6,0],[4,2]] computed via the same pipeline on an
+    // explicit dense matrix must agree cell-for-cell
+    val denseM = ZMatrix.fromDense(spark,
+      Array(Array(2.0, 4.0), Array(6.0, 0.0), Array(4.0, 2.0)))
+    val dModel = graft.array.Pca.fit(denseM, nrows = 3, ncols = 2, k = 2)
+    val dProj = ZLocal.toDense(graft.array.Pca.transform(denseM, dModel), 3, 2)
+    for (i <- 0 until 3; c <- 0 until 2)
+      assert(math.abs(proj(i)(c) - dProj(i)(c)) < 1e-9, s"cell ($i,$c)")
+  }
 }
