@@ -337,9 +337,56 @@ object Zarr {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(out).getBytes("UTF-8"))
   }
 
+  /** Zarr v3-NATIVE consolidated metadata: the spec puts the map INSIDE the
+    * root group's `zarr.json` (`consolidated_metadata: {metadata:
+    * {<rel-path>: <node zarr.json>}, kind: "inline", must_understand:
+    * false}`) instead of a side file — zarr-python 3 writes/reads this
+    * form. Same 100 TB motive as `.zmetadata`: the whole hierarchy
+    * navigates from ONE object read. Existing root attributes are
+    * preserved; nested consolidated blocks are stripped from child docs
+    * (the root map already covers their subtrees). */
+  def consolidateMetadataV3(root: String): Unit = {
+    require(exists(s"$root/zarr.json"),
+      s"$root has no zarr.json — v3 consolidation needs a v3 group root")
+    val rootDoc = mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(rootDoc.path("node_type").asText("") == "group",
+      s"$root zarr.json is not a group node")
+    val consolidated = mapper.createObjectNode()
+    val meta = consolidated.putObject("metadata")
+    def walk(rel: String): Unit = {
+      val abs = if (rel.isEmpty) root else s"$root/$rel"
+      if (rel.nonEmpty && exists(s"$abs/zarr.json")) {
+        val doc = mapper.readTree(new String(readBytes(s"$abs/zarr.json"), "UTF-8"))
+        doc match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.remove("consolidated_metadata"); ()
+          case _ => ()
+        }
+        meta.set(rel, doc)
+        ()
+      }
+      if (isGroupNode(abs))
+        groupKeys(abs).foreach(c => walk(if (rel.isEmpty) c else s"$rel/$c"))
+    }
+    walk("")
+    consolidated.put("kind", "inline")
+    consolidated.put("must_understand", false)
+    rootDoc.set[com.fasterxml.jackson.databind.JsonNode]("consolidated_metadata", consolidated)
+    writeBytes(s"$root/zarr.json",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootDoc).getBytes("UTF-8"))
+  }
+
+  /** Does this v3 group root carry inline consolidated metadata? */
+  private def hasV3Consolidated(root: String): Boolean =
+    exists(s"$root/zarr.json") &&
+      mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8"))
+        .has("consolidated_metadata")
+
   /** Re-consolidate the nearest consolidated root at or above `path`
     * (inclusive), so a write anywhere inside a consolidated hierarchy —
-    * group-addressed OR direct-path — refreshes the map. Walks parent
+    * group-addressed OR direct-path — refreshes the map, whichever form
+    * (v2 `.zmetadata` side file or v3 inline) the root uses. Walks parent
     * directories (bounded) and touches only metadata. */
   private[graft] def refreshConsolidatedAbove(path: String): Unit = {
     var p = new HPath(path)
@@ -350,22 +397,34 @@ object Zarr {
       if (exists(new HPath(p, ".zmetadata").toString)) {
         consolidateMetadata(p.toString); return
       }
+      if (hasV3Consolidated(p.toString)) {
+        consolidateMetadataV3(p.toString); return
+      }
       p = p.getParent
       depth += 1
     }
   }
 
-  /** Parsed `.zmetadata` key map, if the store has one. */
+  /** Parsed consolidated key map, if the store has one — either form.
+    * The v3 inline map is NORMALIZED to the v2 key shape
+    * (`<rel>/zarr.json` → node doc) so navigation code handles both
+    * identically. */
   private def readConsolidated(root: String):
       Option[Map[String, com.fasterxml.jackson.databind.JsonNode]] =
-    if (!exists(s"$root/.zmetadata")) None
-    else {
+    if (exists(s"$root/.zmetadata")) {
       val doc = mapper.readTree(new String(readBytes(s"$root/.zmetadata"), "UTF-8"))
       val m = doc.path("metadata")
       val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
       m.fieldNames().forEachRemaining(k => b += k -> m.get(k))
       Some(b.result())
-    }
+    } else if (hasV3Consolidated(root)) {
+      val rootDoc = mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8"))
+      val m = rootDoc.path("consolidated_metadata").path("metadata")
+      val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+      b += "zarr.json" -> rootDoc
+      m.fieldNames().forEachRemaining(k => b += s"$k/zarr.json" -> m.get(k))
+      Some(b.result())
+    } else None
 
   /** Resolve a store address to its array directory: follows `root#key`
     * (explicit `key` wins over the fragment) through group levels,

@@ -567,6 +567,43 @@ class ZarrSpec extends AnyFunSuite {
       e.getMessage.contains("layers"), e.getMessage)
   }
 
+  test("consolidated metadata: v3 INLINE form, one-read navigation, write refresh") {
+    val path = "/root/repo/target/tmp/zarr_test_consolidated_v3"
+    Zarr.delete(path, recursive = true)
+    val m = ZMatrix.fromDense(spark, dense)
+    Zarr.write(m, s"$path#X", 10, 5, 4, 3, format = 3)
+    Zarr.write(m, s"$path#obsm/X_pca", 10, 5, 4, 3, format = 3)
+    Zarr.consolidateMetadataV3(path)
+    val json = new String(Zarr.readBytes(s"$path/zarr.json"), "UTF-8")
+    // the zarr-python 3 inline form: map + kind marker INSIDE root zarr.json
+    assert(json.contains("\"consolidated_metadata\""), json)
+    assert(json.contains("\"kind\" : \"inline\"") || json.contains("\"kind\":\"inline\""), json)
+    Seq("\"X\"", "\"obsm\"", "\"obsm/X_pca\"").foreach(k =>
+      assert(json.contains(k), s"missing $k in:\n$json"))
+    // the root stays a conforming group node (readable pre-consolidation)
+    assert(Zarr.isGroupNode(path))
+    // a group-addressed write refreshes the inline map
+    Zarr.write(m, s"$path#layers/counts", 10, 5, 4, 3, format = 3)
+    val refreshed = new String(Zarr.readBytes(s"$path/zarr.json"), "UTF-8")
+    assert(refreshed.contains("\"layers/counts\""), refreshed)
+    // navigation runs off the ONE consolidated read: delete a sub-group's
+    // own zarr.json — per-level probing would now fail, the map must not
+    Zarr.delete(s"$path/obsm/zarr.json")
+    assert(Zarr.resolveArray(s"$path#obsm/X_pca") == s"$path/obsm/X_pca")
+    val want = dense.map(_.toSeq).toSeq
+    assert(ZLocal.toDense(Zarr.read(spark, s"$path#obsm/X_pca"), 10, 5)
+      .map(_.toSeq).toSeq == want)
+    // error listings come from the consolidated map too
+    val e = intercept[IllegalArgumentException](Zarr.resolveArray(path))
+    assert(e.getMessage.contains("X") && e.getMessage.contains("obsm") &&
+      e.getMessage.contains("layers"), e.getMessage)
+    // child docs in the map never nest their own consolidated blocks
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(refreshed).path("consolidated_metadata").path("metadata")
+    meta.fieldNames().forEachRemaining(k =>
+      assert(!meta.get(k).has("consolidated_metadata"), s"nested block under $k"))
+  }
+
   test("group navigation: v3 group metadata (zarr.json node_type group)") {
     val path = "/root/repo/target/tmp/zarr_test_group_v3"
     Zarr.delete(path, recursive = true)
