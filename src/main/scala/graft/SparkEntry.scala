@@ -158,6 +158,7 @@ object SparkEntry {
     "q27_grouping_sets" -> Relational.q27GroupingSets _,
     "q28_anti_join" -> Relational.q28AntiJoin _,
     "q29_exact_stats" -> Relational.q29ExactStats _,
+    "q30_except" -> Relational.q30Except _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -445,6 +446,16 @@ object SparkEntry {
       Sampling.quotaSample(Tables.documents(s, d), "source", "doc_id", n = 10)),
     "sample_mix" -> ((s, d) =>
       Sampling.mixSample(Tables.documents(s, d), "source", "doc_id", mixRates)),
+    // α=0.5 so both engines derive rates through sqrt (correctly-rounded
+    // IEEE — bit-identical); see Sampling.temperatureRates. Grouped on a
+    // token-length band (the `source` column is uniform in this corpus, so
+    // banding is what gives tempering real skew to flatten).
+    "sample_temperature" -> ((s, d) => {
+      val ntok = graft.ops.TextOps.nTokens(col("text"))
+      val banded = Tables.documents(s, d).withColumn("band",
+        when(ntok < 40, "short").when(ntok < 80, "medium").otherwise("long"))
+      Sampling.temperatureSample(banded, "band", "doc_id", alpha = 0.5)
+    }),
     "sample_pack" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d), "doc_id", "text", budget = 512)),
 
@@ -703,6 +714,10 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // identical closed forms over identical exact integer moments: the only
     // floats are final casts of exact decimals, so 6dp rounding is bit-stable
+    "q30_except" ->
+      """SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),
@@ -769,6 +784,21 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    // α=0.5 temperature rates via sqrt of an exact-integer ratio: both
+    // engines compute the identical double, so the 6dp rounding and the
+    // hash-keep threshold agree bit-for-bit
+    "sample_temperature" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN length(string_split_regex(trim(text), '\s+')) < 40 THEN 'short'
+        |       WHEN length(string_split_regex(trim(text), '\s+')) < 80 THEN 'medium'
+        |       ELSE 'long' END AS band FROM documents),
+        |c AS (SELECT band, count(*) AS n FROM b GROUP BY 1),
+        |r AS (SELECT band,
+        |  round(sqrt((SELECT min(n) FROM c)::DOUBLE / n::DOUBLE), 6) + 0 AS rate FROM c)
+        |SELECT b.doc_id, b.band AS group_key, r.rate
+        |FROM b JOIN r ON b.band = r.band
+        |WHERE (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 10000)::DOUBLE < r.rate * 10000.0""".stripMargin,
     // the id-ordered global window is the single-node equivalent of graft's
     // hierarchical block prefix sum (same totals, same cut points)
     "sample_pack" ->

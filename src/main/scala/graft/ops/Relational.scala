@@ -331,6 +331,16 @@ object Relational {
       (round(sqrt(varx / nn1) / 100.0, 4) + 0.0).as("stddev_qty"))
   }
 
+  /** R30: EXCEPT (set difference with distinct semantics) — parts shipped
+    * in 1995 but not in 1996. Spark plans a left-anti hash aggregate over
+    * two pushed-down year-filtered scans; distinct folds into the same
+    * shuffle. */
+  def q30Except(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.filter(year(col("l_shipdate")) === 1995).select(col("l_partkey"))
+      .except(li.filter(year(col("l_shipdate")) === 1996).select(col("l_partkey")))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

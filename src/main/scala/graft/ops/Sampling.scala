@@ -79,6 +79,44 @@ object Sampling {
     docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
       .filter(mixPredicate(col("doc_id"), col("group_key"), rates))
 
+  /** Temperature-scaled source rates from the observed source sizes: the
+    * multilingual-pretraining rebalance, where sampling probability
+    * p_s ∝ n_s^α (α ∈ (0,1]) flattens the source distribution. Realized as
+    * per-source keep rates r_s = (n_min/n_s)^(1−α) — the smallest source
+    * keeps everything, larger sources downsample toward the tempered mix.
+    * Source counts are one aggregate collected driver-side (#sources is
+    * parameter-sized); rates are rounded to 6dp. α=0.5 computes via sqrt,
+    * which IEEE-guarantees correct rounding — the oracle-checked query pins
+    * that α so both engines derive bit-identical rates (pow is only
+    * 1-ulp-accurate and could flip a 6dp boundary). */
+  def temperatureRates(docs: DataFrame, groupCol: String,
+                       alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    counts.map { case (k, n) =>
+      val ratio = nMin.toDouble / n.toDouble
+      val r = if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1.0 - alpha)
+      k -> (BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+  }
+
+  /** Temperature mix sampling: [[temperatureRates]] + the deterministic
+    * hash-keep rule of [[mixSample]] in one scan. Output carries the
+    * applied rate for auditability. */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, alpha)
+    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
+      when(col(groupCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
+        rateCol.as("rate"))
+      .filter(pmod(hashKey(col("doc_id")), lit(10000)).cast("double")
+        < col("rate") * 10000.0)
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
     * documents are concatenated in id order and cut into fixed token-budget
     * context windows; each document reports the pack it STARTS in and its

@@ -194,6 +194,17 @@ class RelationalSpec extends AnyFunSuite {
       .head().getLong(0) == anti)
   }
 
+  test("q30 except equals the anti-join formulation and is non-empty") {
+    val li = Tables.lineitem(spark, sf)
+    val a = li.filter(year(col("l_shipdate")) === 1995).select(col("l_partkey")).distinct()
+    val b = li.filter(year(col("l_shipdate")) === 1996).select(col("l_partkey"))
+    val viaAnti = a.join(b, Seq("l_partkey"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val got = Relational.q30Except(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == viaAnti)
+    assert(got.nonEmpty)
+  }
+
   test("q29 exact-moment stats agree with Spark's builtin corr/covar/stddev") {
     val got = Relational.q29ExactStats(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") ->

@@ -64,6 +64,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample: rates follow n^(alpha-1), smallest source kept whole") {
+    // skewed sources: src0 = 600 docs, src1 = 150, src2 = 50
+    val skewed = ((0L until 600L).map(i => (i, "src0")) ++
+      (600L until 750L).map(i => (i, "src1")) ++
+      (750L until 800L).map(i => (i, "src2")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val rates = Sampling.temperatureRates(skewed, "source", alpha = 0.5)
+    assert(rates("src2") == 1.0)
+    assert(math.abs(rates("src1") - math.sqrt(50.0 / 150.0)) < 1e-6)
+    assert(math.abs(rates("src0") - math.sqrt(50.0 / 600.0)) < 1e-6)
+    val kept = Sampling.temperatureSample(skewed, "source", "doc_id", alpha = 0.5)
+      .collect()
+    val byGroup = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // expected kept ∝ n^alpha = sqrt(n): ~sqrt(600·50)=173, ~sqrt(150·50)=87, 50
+    assert(byGroup("src2") == 50)                       // rate 1.0: all kept
+    assert(byGroup("src1") > 60 && byGroup("src1") < 115, byGroup.toString)
+    assert(byGroup("src0") > 130 && byGroup("src0") < 215, byGroup.toString)
+    // alpha=1 keeps everything (no tempering)
+    assert(Sampling.temperatureSample(skewed, "source", "doc_id", alpha = 1.0)
+      .count() == 800)
+    // deterministic: survivors identical across repartitionings
+    val again = Sampling.temperatureSample(skewed.repartition(7), "source", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("packSequences: offsets chain contiguously and match the global prefix sum") {
     // small blockSize forces the hierarchical (multi-block) path
     val r = Sampling.packSequences(docs, "doc_id", "text", budget = 64, blockSize = 32L)
