@@ -325,6 +325,18 @@ object SparkEntry {
       Zarr.write(m, s"$path#X", rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path, "X").cells.filter(col("v") =!= 0.0)
     }),
+    // rank-1 store roundtrip (anndata obs-column shape): per-order quantity
+    // totals written as a TRUE 1-D Zarr array (1-element shape/chunks,
+    // bare chunk keys) and read back dense — absent chunks materialize as
+    // fill, which the oracle reproduces with a range left-join
+    "zarr_vector_roundtrip" -> ((s, d) => {
+      val sums = mat(s, d).sumAxis1
+      val n = sums.agg(max(col("i"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrv_$sfName"
+      Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
+      Zarr.readVector(s, path)
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -1018,6 +1030,13 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_vector_roundtrip" ->
+      """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT unnest(generate_series(0,
+        |       (SELECT max(l_orderkey) FROM lineitem)))::BIGINT AS i)
+        |SELECT r.i, coalesce(s.v, 0.0) AS v
+        |FROM r LEFT JOIN s USING (i)""".stripMargin,
 
     "arr_bool_cols" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,

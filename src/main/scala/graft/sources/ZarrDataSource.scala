@@ -143,7 +143,7 @@ class ZarrScan(path: String, required: StructType = ZarrDataSource.cellSchema,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = meta0
-    val present = Zarr.listChunks(path, meta.keyEnc)
+    val present = Zarr.listChunks(path, meta.keyEnc, meta.rank1)
     val gridR = ((meta.rows + meta.chunkRows - 1) / meta.chunkRows).toInt
     val gridC = ((meta.cols + meta.chunkCols - 1) / meta.chunkCols).toInt
     def overlaps(c: Int, size: Int, lo: Long, hi: Long): Boolean =
@@ -156,7 +156,7 @@ class ZarrScan(path: String, required: StructType = ZarrDataSource.cellSchema,
       // value-pruned scans never touch chunk files: coordinates come from
       // the grid alone, so count(*)/coordinate queries are decode-free
       val f = if (needV && present((ci.toLong, cj.toLong)))
-        Zarr.chunkPath(path, ci, cj, meta.keyEnc) else null
+        Zarr.chunkPath(path, ci, cj, meta.keyEnc, meta.rank1) else null
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
         meta.format, meta.innerRows, meta.innerCols, meta.fOrder,
@@ -243,7 +243,8 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          // group-addressed write: `path` is the ARRAY dir
                          // root/seg1/…; commit() writes group metadata at
                          // the root and intermediate levels
-                         groupRoot: String = "", keySegs: Seq[String] = Nil)
+                         groupRoot: String = "", keySegs: Seq[String] = Nil,
+                         rank1: Boolean = false)
 
 /** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
   * adds this job's chunks to an existing store — the incremental-ingestion
@@ -273,6 +274,15 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
     val innerRows = Option(opts.get("innerRows")).map(_.toInt).getOrElse(0)
     val innerCols = Option(opts.get("innerCols")).map(_.toInt).getOrElse(0)
+    val rank1 = Option(opts.get("rank1")).exists(_.toBoolean)
+    if (rank1) {
+      require(opts.get("chunkCols").toInt == 1 &&
+        Option(opts.get("cols")).forall(_.toLong == 1L),
+        "rank1 writes must use chunkCols=1 / cols=1 (the (n, 1) column form)")
+      require(innerRows == 0 && innerCols == 0 &&
+        !Option(opts.get("fOrder")).exists(_.toBoolean),
+        "rank-1 stores do not compose with sharding or F-order")
+    }
     if (innerRows > 0 || innerCols > 0) {
       require(format == 3, "sharding (innerRows/innerCols) requires zarrFormat=3")
       require(innerRows > 0 && innerCols > 0 &&
@@ -304,7 +314,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
       format, innerRows, innerCols,
       Option(opts.get("fOrder")).exists(_.toBoolean),
-      groupRoot, keySegs)
+      groupRoot, keySegs, rank1)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -347,10 +357,10 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     // metadata lands only in commit()
     if (truncate) {
       Zarr.listNames(conf.path).foreach { f =>
-        if (f.matches("\\d+\\.\\d+") || f.matches("c\\.\\d+\\.\\d+") ||
+        if (f.matches("\\d+\\.\\d+") || f.matches("c\\.\\d+(\\.\\d+)?") ||
           f.matches(".*\\.__tmp-\\d+") || f == ".zarray" || f == "zarr.json")
           Zarr.delete(s"${conf.path}/$f")
-        else if (f.matches("\\d+")) // nested-layout chunk-row directory
+        else if (f.matches("\\d+")) // nested-layout chunk-row dir OR rank-1 chunk
           Zarr.delete(s"${conf.path}/$f", recursive = true)
       }
       Zarr.delete(s"${conf.path}/c", recursive = true)
@@ -365,6 +375,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
           m.chunkCols == conf.chunkCols && m.dtype == conf.dtype &&
           m.zlib == conf.zlib && m.innerRows == conf.innerRows &&
           m.innerCols == conf.innerCols && m.fOrder == conf.fOrder &&
+          m.rank1 == conf.rank1 &&
           (m.fill == conf.fill || (m.fill.isNaN && conf.fill.isNaN)),
           s"append requires matching store geometry/codec: existing=$m, " +
             s"write options=(chunks ${conf.chunkRows}x${conf.chunkCols}, " +
@@ -397,7 +408,8 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
       Zarr.ensureGroupMeta(conf.groupRoot, conf.keySegs, conf.format)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
-        conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder))
+        conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder,
+        rank1 = conf.rank1))
     // a consolidated store must not go stale: re-consolidate after the new
     // array's metadata lands (same contract as zarr-python — consolidation
     // reflects the hierarchy at write time). Keyless writes refresh too —
@@ -448,7 +460,8 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType, taskId: Long)
     else Zarr.encodeChunk(
       if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
       conf.dtype, conf.zlib, conf.format)
-    val f = Zarr.chunkPath(conf.path, curCi, curCj, Zarr.writeKeyEnc(conf.format))
+    val f = Zarr.chunkPath(conf.path, curCi, curCj, Zarr.writeKeyEnc(conf.format),
+      conf.rank1)
     val tmp = s"$f.__tmp-$taskId"
     Zarr.writeBytes(tmp, bytes) // FS.create makes parent dirs (v3's c/<ci>/)
     staged += ((tmp, f))

@@ -44,10 +44,17 @@ object Zarr {
     * "c/" = "c/ci/cj" (v3 default encoding, "/" separator — our write form)
     * "c." = "c.ci.cj" (v3 default encoding, "." separator).
     * We always WRITE "flat" (v2) or "c/" (v3); the rest are read interop. */
+  /** `rank1`: the store is a 1-D array (anndata obs/var columns, zappy 1-D
+    * ndarrays), represented internally as the (n, 1) column matrix —
+    * metadata and chunk keys carry ONE component, the in-memory cell form
+    * keeps j = 0 so every 2-D operator works unchanged. A 1-D chunk of
+    * length L is byte-identical to a C-order (L, 1) chunk, so encode and
+    * decode are shared. */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
-                        fOrder: Boolean = false, keyEnc: String = "flat") {
+                        fOrder: Boolean = false, keyEnc: String = "flat",
+                        rank1: Boolean = false) {
     def sharded: Boolean = innerRows > 0 && innerCols > 0
   }
 
@@ -176,14 +183,16 @@ object Zarr {
 
   private def metaJson(m: Meta): String = {
     val comp = if (m.zlib) """{"id": "zlib", "level": 1}""" else "null"
+    val chunks = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
+    val shape = if (m.rank1) s"[${m.rows}]" else s"[${m.rows}, ${m.cols}]"
     s"""{
-       |    "chunks": [${m.chunkRows}, ${m.chunkCols}],
+       |    "chunks": $chunks,
        |    "compressor": $comp,
        |    "dtype": "${m.dtype}",
        |    "fill_value": ${fillLiteral(m)},
        |    "filters": null,
        |    "order": "C",
-       |    "shape": [${m.rows}, ${m.cols}],
+       |    "shape": $shape,
        |    "zarr_format": 2
        |}""".stripMargin
   }
@@ -206,6 +215,8 @@ object Zarr {
     else m.fill.toString
 
   private def metaJsonV3(m: Meta): String = {
+    require(!m.rank1 || (!m.sharded && !m.fOrder),
+      "rank-1 stores do not compose with sharding or F-order")
     val endian = if (m.dtype.startsWith(">")) "big" else "little"
     val transpose =
       if (m.fOrder) """{"name": "transpose", "configuration": {"order": [1, 0]}}, """ else ""
@@ -219,12 +230,14 @@ object Zarr {
          |        "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
          |        "index_location": "end"}}]""".stripMargin
     else inner
+    val shape = if (m.rank1) s"[${m.rows}]" else s"[${m.rows}, ${m.cols}]"
+    val chunkShape = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
-       |    "shape": [${m.rows}, ${m.cols}],
+       |    "shape": $shape,
        |    "data_type": "${v3Names(m.dtype.substring(1))}",
-       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunkRows}, ${m.chunkCols}]}},
+       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": $chunkShape}},
        |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
        |    "fill_value": ${fillLiteral(m)},
        |    "codecs": $codecs,
@@ -523,9 +536,14 @@ object Zarr {
   private def readMetaV2(path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
     val root = mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
+    // rank 1 or 2; a 1-D shape pads to the (n, 1) column form
+    val rank1 = root.path("shape").size() == 1
     def longsOf(n: JsonNode, what: String): Array[Long] = {
-      require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
-      Array(n.get(0).asLong(), n.get(1).asLong())
+      require(n.isArray && (n.size() == 1 || n.size() == 2),
+        s"$what must be a 1- or 2-element array, got $n")
+      require((n.size() == 1) == rank1, s"$what rank differs from shape rank")
+      if (n.size() == 1) Array(n.get(0).asLong(), 1L)
+      else Array(n.get(0).asLong(), n.get(1).asLong())
     }
     val shape = longsOf(root.path("shape"), "shape")
     val chunks = longsOf(root.path("chunks"), "chunks").map(chunkDim(_, "chunk dim"))
@@ -546,7 +564,7 @@ object Zarr {
     val sep = root.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill, dtype,
-      keyEnc = if (sep == "/") "nested" else "flat")
+      keyEnc = if (sep == "/") "nested" else "flat", rank1 = rank1)
   }
 
   /** Spec-robust v3 metadata read: real JSON tree traversal (Jackson, on
@@ -566,9 +584,14 @@ object Zarr {
         s"$path is a Zarr v3 GROUP, not an array — select an array with " +
           s"'$path#<key>' or .option(\"key\", <key>); available keys: " +
           groupKeys(path).mkString(", "))
+    // rank 1 or 2; a 1-D shape pads to the (n, 1) column form
+    val rank1 = root.path("shape").size() == 1
     def longsOf(n: JsonNode, what: String): Array[Long] = {
-      require(n.isArray && n.size() == 2, s"$what must be a 2-element array, got $n")
-      Array(n.get(0).asLong(), n.get(1).asLong())
+      require(n.isArray && (n.size() == 1 || n.size() == 2),
+        s"$what must be a 1- or 2-element array, got $n")
+      require((n.size() == 1) == rank1, s"$what rank differs from shape rank")
+      if (n.size() == 1) Array(n.get(0).asLong(), 1L)
+      else Array(n.get(0).asLong(), n.get(1).asLong())
     }
     val shape = longsOf(root.path("shape"), "shape")
     val grid = root.path("chunk_grid")
@@ -624,10 +647,12 @@ object Zarr {
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
     val fill = fillOf(root.path("fill_value"))
+    require(!rank1 || (!sharded && !fOrder),
+      "rank-1 v3 stores with sharding or transpose codecs are unsupported")
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill,
       (if (endian == "big") ">" else "<") + base, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
-      keyEnc = keyEnc)
+      keyEnc = keyEnc, rank1 = rank1)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -787,9 +812,17 @@ object Zarr {
   /** The key layout we WRITE for each format (see [[Meta.keyEnc]]). */
   def writeKeyEnc(format: Int): String = if (format == 3) "c/" else "flat"
 
-  /** Chunk object path for (ci, cj) under the store root, per key layout. */
-  def chunkPath(path: String, ci: Long, cj: Long, keyEnc: String): String =
-    keyEnc match {
+  /** Chunk object path for (ci, cj) under the store root, per key layout.
+    * Rank-1 stores use ONE key component (`cj` must be 0): "0", "c/0",
+    * "c.0" — note v2 flat and nested collapse to the same bare-index key. */
+  def chunkPath(path: String, ci: Long, cj: Long, keyEnc: String,
+                rank1: Boolean = false): String =
+    if (rank1) keyEnc match {
+      case "c/"              => s"$path/c/$ci"
+      case "c."              => s"$path/c.$ci"
+      case "nested" | "flat" => s"$path/$ci"
+      case other             => throw new IllegalArgumentException(s"unknown keyEnc $other")
+    } else keyEnc match {
       case "c/"     => s"$path/c/$ci/$cj"
       case "c."     => s"$path/c.$ci.$cj"
       case "nested" => s"$path/$ci/$cj"
@@ -798,8 +831,20 @@ object Zarr {
     }
 
   /** List present chunk coordinates under any key layout (one LIST per
-    * directory level; non-numeric names are ignored). */
-  def listChunks(path: String, keyEnc: String): Set[(Long, Long)] = keyEnc match {
+    * directory level; non-numeric names are ignored). Rank-1 coordinates
+    * come back as (ci, 0). */
+  def listChunks(path: String, keyEnc: String,
+                 rank1: Boolean = false): Set[(Long, Long)] =
+    if (rank1) keyEnc match {
+      case "c/" =>
+        listNames(s"$path/c").filter(_.matches("\\d+")).map(n => (n.toLong, 0L)).toSet
+      case "c." =>
+        listNames(path).filter(_.matches("c\\.\\d+"))
+          .map(n => (n.substring(2).toLong, 0L)).toSet
+      case "nested" | "flat" =>
+        listNames(path).filter(_.matches("\\d+")).map(n => (n.toLong, 0L)).toSet
+      case other => throw new IllegalArgumentException(s"unknown keyEnc $other")
+    } else keyEnc match {
     case "c/" =>
       listNames(s"$path/c").filter(_.matches("\\d+")).flatMap { ci =>
         listNames(s"$path/c/$ci").filter(_.matches("\\d+"))
@@ -859,4 +904,32 @@ object Zarr {
   /** from_zarr(store, key): read array `key` out of a group store. */
   def read(spark: SparkSession, path: String, key: String): ZMatrix =
     ZMatrix(spark.read.format("zarr").option("key", key).load(path))
+
+  /** Write a 1-D array (anndata obs/var column, zappy 1-D ndarray) from a
+    * long-form (i, v) frame. Stored as a true rank-1 Zarr array — 1-element
+    * shape/chunks, single-component chunk keys — which zarr-python reads as
+    * an ordinary 1-D dataset. Group addressing (`root#obs/ids`) works as
+    * for matrices. */
+  def writeVector(vec: DataFrame, path: String, n: Long, chunk: Int,
+                  zlib: Boolean = false, fill: Double = 0.0,
+                  dtype: String = "<f8", format: Int = 2): Unit =
+    vec.select(
+        (col("i") / chunk).cast("long").as("ci"), lit(0L).as("cj"),
+        col("i").cast("long").as("i"), lit(0L).as("j"),
+        col("v").cast("double").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", chunk.toString).option("chunkCols", "1")
+      .option("rows", n.toString).option("cols", "1")
+      .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
+      .option("zarrFormat", format.toString).option("rank1", "true")
+      .mode("overwrite").save(path)
+
+  /** Read a 1-D array back as (i, v) — errors on a 2-D store (a silent
+    * j-drop would alias columns). */
+  def readVector(spark: SparkSession, path: String, key: String = ""): DataFrame = {
+    val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
+    require(readMeta(arr).rank1, s"$arr is a 2-D array, not a vector — use Zarr.read")
+    val m = if (key.nonEmpty) read(spark, path, key) else read(spark, path)
+    m.cells.select(col("i"), col("v"))
+  }
 }

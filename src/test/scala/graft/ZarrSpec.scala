@@ -567,6 +567,73 @@ class ZarrSpec extends AnyFunSuite {
       e.getMessage.contains("layers"), e.getMessage)
   }
 
+  test("rank-1 arrays: v2/v3 roundtrip, fill gaps, 1-element metadata, bare keys") {
+    import spark.implicits._
+    // 23 values, chunk 10 → chunks 0,1,2; drop indices 10-19 so chunk 1 is
+    // absent from the store and must materialize as fill
+    val vec = (0L until 23L).filterNot(i => i >= 10 && i < 20)
+      .map(i => (i, i * 1.5)).toDF("i", "v")
+    for (fmt <- Seq(2, 3)) {
+      val path = s"/root/repo/target/tmp/zarr_test_vec_v$fmt"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeVector(vec, path, n = 23, chunk = 10, fill = -1.0, format = fmt,
+        zlib = fmt == 3)
+      val meta = Zarr.readMeta(path)
+      assert(meta.rank1 && meta.rows == 23 && meta.cols == 1 && meta.chunkCols == 1)
+      // metadata carries 1-element shape/chunks (what zarr-python writes/reads)
+      val metaFile = if (fmt == 3) "zarr.json" else ".zarray"
+      val json = new String(Zarr.readBytes(s"$path/$metaFile"), "UTF-8")
+      assert(json.contains("[23]"), json)
+      assert(json.contains("[10]"), json)
+      // chunk keys have ONE component
+      if (fmt == 2)
+        assert(new java.io.File(path).list().filter(_.matches("\\d+")).toSet
+          == Set("0", "2"))
+      else
+        assert(new java.io.File(s"$path/c").list().toSet == Set("0", "2"))
+      val back = Zarr.readVector(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(back.size == 23)
+      (0L until 23L).foreach { i =>
+        val want = if (i >= 10 && i < 20) -1.0 else i * 1.5
+        assert(back(i) == want, s"index $i")
+      }
+    }
+  }
+
+  test("rank-1 arrays: anndata-style obs column inside a group, 2-D guard") {
+    import spark.implicits._
+    val path = "/root/repo/target/tmp/zarr_test_vec_group"
+    Zarr.delete(path, recursive = true)
+    Zarr.write(ZMatrix.fromDense(spark, dense), s"$path#X", 10, 5, 4, 3)
+    val obs = (0L until 10L).map(i => (i, i * 2.0)).toDF("i", "v")
+    Zarr.writeVector(obs, s"$path#obs/total_counts", n = 10, chunk = 4)
+    // group metadata exists at both levels; vector readable by key
+    assert(Zarr.isGroupNode(path) && Zarr.isGroupNode(s"$path/obs"))
+    val got = Zarr.readVector(spark, path, "obs/total_counts").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (0L until 10L).map(i => i -> i * 2.0).toMap)
+    // readVector refuses a 2-D array instead of silently dropping j
+    val e = intercept[IllegalArgumentException](Zarr.readVector(spark, path, "X"))
+    assert(e.getMessage.contains("2-D"), e.getMessage)
+    // a foreign 1-D v2 store with bare-index keys reads through the same path
+    val foreign = "/root/repo/target/tmp/zarr_test_vec_foreign"
+    Zarr.delete(foreign, recursive = true)
+    Zarr.writeBytes(s"$foreign/.zarray",
+      """{"chunks": [4], "compressor": null, "dtype": "<f8", "fill_value": 0.0,
+        |"filters": null, "order": "C", "shape": [6], "zarr_format": 2}""".stripMargin
+        .getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(buf.putDouble)
+    Zarr.writeBytes(s"$foreign/0", buf.array())
+    val buf2 = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(5.0, 6.0, 0.0, 0.0).foreach(buf2.putDouble)
+    Zarr.writeBytes(s"$foreign/1", buf2.array())
+    val fgot = Zarr.readVector(spark, foreign).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fgot == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 5.0, 5L -> 6.0))
+  }
+
   test("consolidated metadata: v3 INLINE form, one-read navigation, write refresh") {
     val path = "/root/repo/target/tmp/zarr_test_consolidated_v3"
     Zarr.delete(path, recursive = true)
