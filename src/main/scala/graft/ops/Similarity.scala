@@ -275,38 +275,6 @@ object Similarity {
       struct((dotLit(v, c) - lit(half)).as("s"), lit(l).as("l"))
     }
 
-  /** Deterministic k-means codebook for ONE subspace frame (id, svec):
-    * seeds are the `ksub` sub-vectors with smallest xxhash64(id) (stable
-    * across partitionings), refined by `iters` exact-L2 Lloyd steps with
-    * 6dp-rounded means; empty clusters keep their previous centroid so the
-    * codebook stays exactly `ksub` wide (same contract as IVF training). */
-  private def subCodebook(sub: DataFrame, ksub: Int, iters: Int): Array[Array[Double]] = {
-    var cents = sub.select(col("svec"), xxhash64(col("id")).as("h"))
-      .orderBy(col("h")).limit(ksub)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(cents.length == ksub,
-      s"PQ training needs >= ksub=$ksub vectors, corpus has ${cents.length}")
-    for (_ <- 0 until iters) {
-      val assigned = sub
-        .select(greatest(l2Scores(col("svec"), cents): _*).getField("l").as("list_id"),
-          posexplode(col("svec")).as(Seq("d", "x")))
-        .groupBy(col("list_id"), col("d"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .collect()
-      val byList = assigned.groupBy(_.getInt(0))
-      cents = cents.indices.toArray.map { l =>
-        byList.get(l) match {
-          case Some(ms) =>
-            val c = new Array[Double](cents(l).length)
-            ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-            c
-          case None => cents(l)
-        }
-      }
-    }
-    cents
-  }
-
   /** Product-quantization training: split the vector into `m` contiguous
     * subspaces and k-means each independently → m codebooks of `ksub`
     * centroids (m·ksub·(dim/m) doubles — a model parameter). THE memory
@@ -315,19 +283,62 @@ object Similarity {
     * corpus compresses 32×, far past int8's 4×, so a 100 TB corpus's codes
     * fit in ~3 TB of cluster memory for in-memory serving. For cosine
     * semantics, train/encode over L2-NORMALIZED vectors so inner-product
-    * ADC approximates cosine. */
+    * ADC approximates cosine.
+    *
+    * Job shape: a naive per-subspace loop costs m·(1+iters) corpus scans
+    * (and re-evaluates any upstream transform each time). Instead the
+    * input is localCheckpoint'ed ONCE, every subspace seeds from the same
+    * single job (the ksub smallest-xxhash64(id) rows — the hash ignores
+    * the subspace, so seed ROWS are shared and sliced driver-side), and
+    * each Lloyd iteration is ONE job assigning all m subspaces via an
+    * exploded (sub, list, component) aggregate: 2 + iters tiny jobs total.
+    * Seeds/assignment/6dp mean rounding follow the IVF determinism rules;
+    * empty clusters keep their previous centroid. At 100 TB training runs
+    * on a bounded sample upstream (the model is scan-independent). */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Array[Array[Double]]] = {
-    val v = col(vecCol).cast("array<double>")
-    val dim = emb.select(size(v)).head().getInt(0)
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val sd = dim / m
-    // each subspace trains over the same scan shape; at 100 TB training
-    // runs on a bounded sample upstream (the model is scan-independent)
-    (0 until m).toArray.map { j =>
-      subCodebook(emb.select(col(idCol).as("id"),
-        slice(v, j * sd + 1, sd).as("svec")), ksub, iters)
-    }
+    val cached = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec")).localCheckpoint()
+    try {
+      val dim = cached.select(size(col("vec"))).head().getInt(0)
+      require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+      val sd = dim / m
+      val seedRows = cached.select(col("vec"), xxhash64(col("id")).as("h"))
+        .orderBy(col("h")).limit(ksub)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(seedRows.length == ksub,
+        s"PQ training needs >= ksub=$ksub vectors, corpus has ${seedRows.length}")
+      var books: Array[Array[Array[Double]]] =
+        (0 until m).toArray.map(j => seedRows.map(_.slice(j * sd, (j + 1) * sd)))
+      for (_ <- 0 until iters) {
+        val perSub = array((0 until m).map { j =>
+          val sv = slice(col("vec"), j * sd + 1, sd)
+          struct(lit(j).as("sub"),
+            greatest(l2Scores(sv, books(j)): _*).getField("l").as("list_id"),
+            sv.as("svec"))
+        }: _*)
+        val assigned = cached.select(explode(perSub).as("a"))
+          .select(col("a.sub").as("sub"), col("a.list_id").as("list_id"),
+            posexplode(col("a.svec")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("list_id"), col("d"))
+          .agg(round(avg(col("x")), 6).as("mean"))
+          .collect()
+        val bySub = assigned.groupBy(_.getInt(0))
+        books = books.indices.toArray.map { j =>
+          val byList = bySub.getOrElse(j, Array.empty).groupBy(_.getInt(1))
+          books(j).indices.toArray.map { l =>
+            byList.get(l) match {
+              case Some(ms) =>
+                val c = new Array[Double](sd)
+                ms.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+                c
+              case None => books(j)(l)
+            }
+          }
+        }
+      }
+      books
+    } finally cached.unpersist()
   }
 
   /** Encode vectors to PQ codes: per subspace, the argmin-L2 codebook
