@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * d'être is the scanpy recipe, which ends in PCA).
   *
   * Decomposition of work, 100 TB contract:
-  *  - DISTRIBUTED: one aggregate pass computes the exact column co-moment
-  *    matrix Σ x_a·x_b (ncols² sums with map-side combine) plus per-column
-  *    sums/counts. Cost: one scan; shuffle ships ncols² partials per task.
+  *  - DISTRIBUTED: the column co-moment matrix Σ x_a·x_b via one
+  *    per-row grouping (single data shuffle on i) + in-row pair explode +
+  *    a map-side-combined (a,b) aggregate shipping ncols² partials per
+  *    task; per-column sums ride a second aggregate over the same lineage.
   *  - DRIVER: the ncols×ncols covariance eigen-decomposition. The matrix is
   *    MODEL-PARAMETER-sized (ncols ≤ a few thousand — scanpy PCA runs on
   *    the ~2k highly-variable genes), same class as the IVF centroid
@@ -36,24 +37,35 @@ object Pca {
     * semantics: moments use n = nrows, not stored-cell counts. */
   def fit(m: ZMatrix, nrows: Long, ncols: Int, k: Int): Model = {
     require(k <= ncols, s"k=$k exceeds ncols=$ncols")
-    // exact co-moment pass: G[a][b] = Σ_i x_ia·x_ib from ONE self-join on i
-    // restricted to a<=b (symmetry halves the shuffle), plus column sums.
-    // 6dp rounding before eigen: unordered-sum float noise cannot perturb
-    // the model between runs (the IVF training rule).
-    val l = m.cells.select(col("i"), col("j").as("a"), col("v").as("va"))
-    val r = m.cells.select(col("i"), col("j").as("b"), col("v").as("vb"))
-    val gRows = l.join(r, Seq("i")).filter(col("a") <= col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(round(sum(col("va") * col("vb")), 6).as("g"))
+    // co-moment pass: G[a][b] = Σ_i x_ia·x_ib. NOT a self-join on i (which
+    // would shuffle the cell set twice and re-run the matrix lineage
+    // twice): group each row's cells once, emit its a<=b pairs, aggregate
+    // — one data shuffle on i, map-side-combined (a,b) partials after
+    // (the candidatePairs shape; per-row fanout is nnz², bounded by ncols²).
+    val gRows = m.cells.groupBy(col("i"))
+      .agg(collect_list(struct(col("j"), col("v"))).as("row"))
+      .select(explode(col("row")).as("x"), col("row"))
+      .select(col("x"), explode(col("row")).as("y"))
+      .filter(col("x.j") <= col("y.j"))
+      .groupBy(col("x.j").as("a"), col("y.j").as("b"))
+      .agg(sum(col("x.v") * col("y.v")).as("g"))
       .collect()
     val sums = m.cells.groupBy(col("j")).agg(sum(col("v")).as("s"))
       .collect().map(r2 => r2.getLong(0).toInt -> r2.getDouble(1)).toMap
     val n = nrows.toDouble
-    val mu = Array.tabulate(ncols)(j => sums.getOrElse(j, 0.0) / n)
+    // determinism (the IVF training rule, applied correctly): rounding must
+    // happen at PARAMETER scale, not data-sum scale — a 6dp round of a
+    // 1e12-magnitude sum cannot absorb partition-order float noise, but
+    // the same round of the n-normalized mean can. μ and G/n are rounded
+    // to 6dp; cov then derives EXACTLY from rounded inputs, so the eigen
+    // model is bit-stable across partition orders.
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val mu = Array.tabulate(ncols)(j => r6(sums.getOrElse(j, 0.0) / n))
     val cov = Array.fill(ncols, ncols)(0.0)
     gRows.foreach { r2 =>
       val a = r2.getLong(0).toInt; val b = r2.getLong(1).toInt
-      val c = r2.getDouble(2) / n - mu(a) * mu(b)
+      val c = r6(r2.getDouble(2) / n) - mu(a) * mu(b)
       cov(a)(b) = c; cov(b)(a) = c
     }
     val (values, vectors) = jacobiEigen(cov)

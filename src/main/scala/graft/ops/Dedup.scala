@@ -86,17 +86,23 @@ object Dedup {
     * model-parameter-sized object like the IVF centroid matrix, ~1.2 MB at
     * the default sizing — and re-entered as a literal, so the codegen'd
     * `might_contain` probe runs scan-side with no join and no shuffle for
-    * the ~(1−hit−fpp) fraction of shingles that miss. When the benchmark
-    * set outgrows broadcast range (a union of eval suites), the bloom stays
-    * ~10× smaller than the equivalent broadcast hash set; non-candidate
-    * rows skip the shuffle join entirely. */
+    * the ~(1−hit−fpp) fraction of shingles that miss. The verify join is
+    * deliberately NOT broadcast-hinted (unlike [[contamination]], whose
+    * broadcast IS its pruning mechanism): when the benchmark set outgrows
+    * broadcast range (a union of eval suites), AQE falls back to a shuffle
+    * join whose corpus side the bloom has already cut to the
+    * candidate fraction — that residual join is the point of the variant. */
   def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int = 3,
                          expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // materialized once: the bloom build is an ACTION over this pipeline
+    // and the verify join uses it again — uncheckpointed, the whole
+    // explode+distinct would run twice
     val bs = shingleStrings(bench, idCol, textCol, k).select(col("s")).distinct()
+      .localCheckpoint()
     val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
       GraftSqlBridge.expression(xxhash64(col("s"))),
       Literal(expectedItems), Literal(expectedItems * 8L)).toAggregateExpression())
@@ -112,7 +118,7 @@ object Dedup {
     } else {
       val cand = GraftSqlBridge.column(new BloomFilterMightContain(
         Literal(bf), GraftSqlBridge.expression(xxhash64(col("s")))))
-      val benchHit = broadcast(bs.select(col("s").as("_bs"), lit(1).as("_hit")))
+      val benchHit = bs.select(col("s").as("_bs"), lit(1).as("_hit"))
       // `_cand && s = _bs`: Catalyst extracts the equi key and applies the
       // bloom verdict as a left-side pre-join filter — non-candidate rows
       // keep their null `_hit` without ever probing the join

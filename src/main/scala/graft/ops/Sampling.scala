@@ -94,6 +94,7 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureRates on an empty corpus")
     val nMin = counts.values.min
     counts.map { case (k, n) =>
       val ratio = nMin.toDouble / n.toDouble
@@ -104,12 +105,15 @@ object Sampling {
 
   /** Temperature mix sampling: [[temperatureRates]] + the deterministic
     * hash-keep rule of [[mixSample]] in one scan. Output carries the
-    * applied rate for auditability. */
+    * applied rate for auditability. A null group is a real group (its
+    * count participates in n_min) — the rate fold matches it with an
+    * isNull branch, since `=== null` can never be true. */
   def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
                         alpha: Double = 0.5): DataFrame = {
     val rates = temperatureRates(docs, groupCol, alpha)
     val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
-      when(col(groupCol) === k, lit(r)).otherwise(acc)
+      if (k == null) when(col(groupCol).isNull, lit(r)).otherwise(acc)
+      else when(col(groupCol) === k, lit(r)).otherwise(acc)
     }
     docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
         rateCol.as("rate"))

@@ -390,11 +390,14 @@ object Zarr {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootDoc).getBytes("UTF-8"))
   }
 
-  /** Does this v3 group root carry inline consolidated metadata? */
-  private def hasV3Consolidated(root: String): Boolean =
-    exists(s"$root/zarr.json") &&
-      mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8"))
-        .has("consolidated_metadata")
+  /** Root zarr.json parsed IF it carries inline consolidated metadata —
+    * one read + one parse, shared by the has-check and the map build (a
+    * separate boolean probe would re-fetch and re-parse the same object). */
+  private def v3ConsolidatedDoc(root: String):
+      Option[com.fasterxml.jackson.databind.JsonNode] =
+    if (!exists(s"$root/zarr.json")) None
+    else Some(mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8")))
+      .filter(_.has("consolidated_metadata"))
 
   /** Re-consolidate the nearest consolidated root at or above `path`
     * (inclusive), so a write anywhere inside a consolidated hierarchy —
@@ -410,7 +413,7 @@ object Zarr {
       if (exists(new HPath(p, ".zmetadata").toString)) {
         consolidateMetadata(p.toString); return
       }
-      if (hasV3Consolidated(p.toString)) {
+      if (v3ConsolidatedDoc(p.toString).isDefined) {
         consolidateMetadataV3(p.toString); return
       }
       p = p.getParent
@@ -430,14 +433,13 @@ object Zarr {
       val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
       m.fieldNames().forEachRemaining(k => b += k -> m.get(k))
       Some(b.result())
-    } else if (hasV3Consolidated(root)) {
-      val rootDoc = mapper.readTree(new String(readBytes(s"$root/zarr.json"), "UTF-8"))
+    } else v3ConsolidatedDoc(root).map { rootDoc =>
       val m = rootDoc.path("consolidated_metadata").path("metadata")
       val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
       b += "zarr.json" -> rootDoc
       m.fieldNames().forEachRemaining(k => b += s"$k/zarr.json" -> m.get(k))
-      Some(b.result())
-    } else None
+      b.result()
+    }
 
   /** Resolve a store address to its array directory: follows `root#key`
     * (explicit `key` wins over the fragment) through group levels,
@@ -929,7 +931,8 @@ object Zarr {
   def readVector(spark: SparkSession, path: String, key: String = ""): DataFrame = {
     val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
     require(readMeta(arr).rank1, s"$arr is a 2-D array, not a vector — use Zarr.read")
-    val m = if (key.nonEmpty) read(spark, path, key) else read(spark, path)
-    m.cells.select(col("i"), col("v"))
+    // load the RESOLVED array dir (not the raw root#key) so the data
+    // source doesn't repeat the group navigation this guard already did
+    read(spark, arr).cells.select(col("i"), col("v"))
   }
 }

@@ -88,6 +88,22 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.temperatureSample(skewed.repartition(7), "source", "doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(again == kept.map(_.getLong(0)).toSet)
+    // a null group is a real group: it participates in n_min and gets its
+    // own rate (=== null would silently default it to rate 1.0)
+    val withNull = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, null: String)))
+      .toDF("doc_id", "source")
+    val nullKept = Sampling.temperatureSample(withNull, "source", "doc_id", alpha = 0.5)
+      .collect()
+    val nullRows = nullKept.filter(_.isNullAt(1))
+    assert(nullRows.length == 100)                       // smallest group: all kept
+    assert(nullRows.forall(_.getDouble(2) == 1.0))
+    val bigKept = nullKept.count(r => !r.isNullAt(1))
+    assert(bigKept > 140 && bigKept < 260, s"big group kept $bigKept, want ~200")
+    // empty corpus fails loudly, not with empty.min
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureRates(withNull.filter(lit(false)), "source", alpha = 0.5))
+    assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
   test("packSequences: offsets chain contiguously and match the global prefix sum") {
