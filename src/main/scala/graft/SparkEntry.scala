@@ -498,6 +498,10 @@ object SparkEntry {
     // stream-STATIC broadcast join: ingest-edge decontamination against a
     // static benchmark fingerprint set (stateless — no watermark/state)
     "stream_contamination" -> ((s, d) => Stream.contaminationStream(s, d)),
+    // streaming → Zarr incremental array ingestion: time-banded
+    // micro-batches append chunk-aligned slabs via the DSv2 append mode;
+    // the final store reads back dense against a DuckDB grid twin
+    "stream_zarr_ingest" -> ((s, d) => Stream.zarrIngestStream(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----
@@ -1196,5 +1200,18 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // dense (hour × event-type) cents grid — the batch twin of the
+    // streaming Zarr ingestion's final store (fill cells = 0)
+    "stream_zarr_ingest" ->
+      """WITH e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS habs,
+        |  CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS t,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT habs - (SELECT min(habs) FROM e) AS h, t, cents FROM e),
+        |agg AS (SELECT h, t, sum(cents)::DOUBLE AS v FROM b GROUP BY 1, 2),
+        |r AS (SELECT unnest(generate_series(0, (SELECT max(h) FROM b)))::BIGINT AS i),
+        |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS j)
+        |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
+        |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
   )
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.zarr.Zarr
+
 /** Structured Streaming operators.
   *
   * At scale these run as `readStream` over an object-store prefix with
@@ -279,5 +281,74 @@ object Stream {
       try q.processAllAvailable() finally q.stop()
     }
     spark.table(qn)
+  }
+
+  /** The fixed event-type alphabet (q23's pivot list) as column indices. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Streaming → Zarr INCREMENTAL ARRAY INGESTION: micro-batches of the
+    * event stream append chunk-aligned slabs of an (hour × event-type)
+    * cents matrix to one Zarr store — the continuous-array-build pattern
+    * (telemetry matrices, training-signal grids) running on the DSv2
+    * sink's append mode.
+    *
+    * Correct-by-construction slabs: the source is staged as one file per
+    * `bandHours` time band, the stream reads one FILE per micro-batch, and
+    * chunkRows == bandHours — so each batch's cells cover exactly its own
+    * chunk rows and an append can never replace another batch's chunk.
+    * Batch ORDER doesn't matter (bands are disjoint; shape grows to the
+    * max seen). At 100 TB this is the production shape: one micro-batch =
+    * one time slab = whole chunks, appended while the store stays readable
+    * (metadata commits last per batch).
+    *
+    * Returns the final store read back dense — checked against a DuckDB
+    * twin computing the same dense grid from the raw events. */
+  def zarrIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val bandHours = 240
+    val ev = graft.Tables.events(spark, sfDir).select(
+      (unix_timestamp(col("ts")).cast("long") / 3600L).cast("long").as("hAbs"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min(col("hAbs")), max(col("hAbs"))).head()
+    val (h0, hMax) = (bounds.getLong(0), bounds.getLong(1))
+    val nHours = hMax - h0 + 1
+    val typeIdx = EventTypes.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i)).otherwise(acc) }
+    val banded = ev.select((col("hAbs") - h0).as("h"), typeIdx.cast("long").as("t"),
+        col("cents"))
+      .withColumn("band", expr(s"h div ${bandHours}L"))
+
+    // stage once per sf: partitioned by band, ONE file per band directory
+    val srcDir = s"target/tmp/zarr_ingest_src_$sfName"
+    if (!Zarr.exists(s"$srcDir/_SUCCESS"))
+      banded.repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(srcDir)
+
+    val store = s"target/tmp/zarr_ingest_store_$sfName"
+    Zarr.delete(store, recursive = true) // fresh build each run
+    val stream = spark.readStream
+      .schema("h LONG, t LONG, cents LONG, band LONG") // band = partition dir col
+      .option("maxFilesPerTrigger", 1) // one band file = one micro-batch
+      .parquet(srcDir)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.groupBy(col("h"), col("t"))
+            .agg(sum(col("cents")).cast("double").as("v"))
+            .select(expr(s"h div ${bandHours}L").as("ci"), lit(0L).as("cj"),
+              col("h").as("i"), col("t").as("j"), col("v"))
+            .write.format("zarr")
+            .option("chunkRows", bandHours.toString).option("chunkCols", "5")
+            .option("cols", "5").option("fill", "0.0")
+            .mode("append").save(store)
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    require(Zarr.readMeta(store).rows == nHours,
+      s"ingested store spans ${Zarr.readMeta(store).rows} hours, expected $nHours")
+    Zarr.read(spark, store).cells
   }
 }

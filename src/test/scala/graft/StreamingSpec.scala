@@ -84,4 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     assert((0L until 50L).forall(streamed(_)))
     assert(streamed.values.exists(!_))
   }
+
+  test("streaming zarr ingestion: multi-batch chunk-aligned appends, equals batch grid") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.streaming.Stream.zarrIngestStream(spark, TestSpark.sf)
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val store = s"target/tmp/zarr_ingest_store_$sfName"
+    val meta = graft.zarr.Zarr.readMeta(store)
+    assert(meta.cols == 5 && meta.chunkRows == 240)
+    // the stream ran MULTIPLE micro-batches: one chunk file per time band,
+    // appended independently (the staged source has one file per band)
+    val bands = ((meta.rows + 239) / 240).toInt
+    assert(bands >= 2, s"events span only ${meta.rows} hours — banding degenerate")
+    assert(graft.zarr.Zarr.listChunks(store, meta.keyEnc).size == bands)
+    // final store equals the one-shot batch computation of the same grid
+    val ev = Tables.events(spark, TestSpark.sf).select(
+      (unix_timestamp(col("ts")).cast("long") / 3600L).cast("long").as("habs"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val h0 = ev.agg(min(col("habs"))).head().getLong(0)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val batch = ev.groupBy((col("habs") - h0).as("h"), col("event_type"))
+      .agg(sum(col("cents")).cast("double").as("v"))
+      .collect().map { r =>
+        (r.getLong(0), types.indexOf(r.getString(1)).toLong) -> r.getDouble(2)
+      }.toMap
+    val got = cells.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == meta.rows * 5)
+    got.foreach { case (k, v) => assert(v == batch.getOrElse(k, 0.0), s"cell $k") }
+  }
 }
