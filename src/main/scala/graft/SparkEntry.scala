@@ -159,6 +159,7 @@ object SparkEntry {
     "q28_anti_join" -> Relational.q28AntiJoin _,
     "q29_exact_stats" -> Relational.q29ExactStats _,
     "q30_except" -> Relational.q30Except _,
+    "q31_retention" -> Relational.q31Retention _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -734,6 +735,13 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
         |EXCEPT
         |SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996""".stripMargin,
+    "q31_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT f.cohort_day, (e.day - f.cohort_day) // 7 AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),

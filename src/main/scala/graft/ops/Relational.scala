@@ -341,6 +341,24 @@ object Relational {
       .except(li.filter(year(col("l_shipdate")) === 1996).select(col("l_partkey")))
   }
 
+  /** R32: cohort retention — users grouped by first-seen week, counted
+    * distinct in each later week as an offset from their cohort. The
+    * first-seen table is an aggregate of the event log (shrinks to one row
+    * per user) and the re-join shuffles on user_id once — at 100 TB both
+    * sides hash-partition on the same key, and the final
+    * (cohort, offset) aggregate is tiny. Day-granularity cohorts, weekly
+    * activity offsets — epoch-day integer math identical in both engines
+    * (the q13 parity rule). */
+  def q31Retention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) div 7").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

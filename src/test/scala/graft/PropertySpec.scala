@@ -96,13 +96,14 @@ class PropertySpec extends AnyFunSuite {
       fill <- if (intDtype) Gen.oneOf(0.0, 7.0, -3.0)
               else Gen.oneOf(0.0, 7.5, -1.25, Double.NaN,
                 Double.PositiveInfinity, Double.NegativeInfinity)
-      fOrder <- if (format == 3) Gen.oneOf(true, false) else Gen.const(false)
-      sharded <- if (format == 3) Gen.oneOf(true, false) else Gen.const(false)
+      rank1 <- Gen.oneOf(true, false)
+      fOrder <- if (format == 3 && !rank1) Gen.oneOf(true, false) else Gen.const(false)
+      sharded <- if (format == 3 && !rank1) Gen.oneOf(true, false) else Gen.const(false)
       cr <- Gen.oneOf(4, 6, 8)
-      cc <- Gen.oneOf(4, 6)
-    } yield Zarr.Meta(20, 10, cr, cc, zlib, fill, dtype, format,
+      cc <- if (rank1) Gen.const(1) else Gen.oneOf(4, 6)
+    } yield Zarr.Meta(20, if (rank1) 1 else 10, cr, cc, zlib, fill, dtype, format,
       innerRows = if (sharded) 2 else 0, innerCols = if (sharded) 2 else 0,
-      fOrder = fOrder, keyEnc = Zarr.writeKeyEnc(format))
+      fOrder = fOrder, keyEnc = Zarr.writeKeyEnc(format), rank1 = rank1)
     forAll(metaGen, n = 25) { (m: Zarr.Meta) =>
       val path = "/root/repo/target/tmp/zarr_prop_meta"
       Zarr.writeMetaFile(path, m)
