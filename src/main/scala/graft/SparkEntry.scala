@@ -160,6 +160,7 @@ object SparkEntry {
     "q29_exact_stats" -> Relational.q29ExactStats _,
     "q30_except" -> Relational.q30Except _,
     "q31_retention" -> Relational.q31Retention _,
+    "q32_ntile" -> Relational.q32Ntile _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -337,6 +338,23 @@ object SparkEntry {
       val path = s"/root/repo/target/tmp/zarrv_$sfName"
       Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
       Zarr.readVector(s, path)
+    }),
+    // anndata categorical column roundtrip: the documents source column
+    // stored as an int-code rank-1 array + `categories` attribute, read
+    // back as labels — oracle = the original column
+    "zarr_categorical_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val codes = docs.select(col("doc_id").as("i"),
+        (array_position(typedlit(labels), col("source")) - 1).cast("double").as("v"))
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrc_$sfName"
+      Zarr.writeVector(codes, s"$path#obs/source", n, chunk = 4096, dtype = "<i4")
+      Zarr.writeAttrs(s"$path#obs/source",
+        labels.map(l => "\"" + l + "\"").mkString("{\"categories\": [", ", ", "]}"))
+      Zarr.readCategorical(s, path, "obs/source")
     }),
 
     // ---- LLM-pipeline: dedup ----
@@ -735,6 +753,13 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
         |EXCEPT
         |SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996""".stripMargin,
+    "q32_ntile" ->
+      """WITH t AS (SELECT c_custkey, c_acctbal,
+        |  ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        |  FROM customer)
+        |SELECT decile, count(*) AS n, round(sum(c_acctbal), 4) AS bal,
+        |  round(min(c_acctbal), 2) AS floor_bal
+        |FROM t GROUP BY 1""".stripMargin,
     "q31_retention" ->
       """WITH e AS (SELECT user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
@@ -1042,6 +1067,8 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_categorical_roundtrip" ->
+      "SELECT doc_id AS i, source AS label FROM documents",
     "zarr_vector_roundtrip" ->
       """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
         |           FROM lineitem GROUP BY 1),

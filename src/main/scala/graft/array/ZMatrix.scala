@@ -37,6 +37,14 @@ final case class ZMatrix(cells: DataFrame) {
   def pow_(p: Double): ZMatrix = mapValues(pow(_, p))
   def sign_  : ZMatrix = mapValues(signum)
   def round_ : ZMatrix = mapValues(round(_, 0))
+  def log2_  : ZMatrix = mapValues(log2)
+  def log10_ : ZMatrix = mapValues(log10)
+  def tanh_  : ZMatrix = mapValues(tanh)
+  def square : ZMatrix = mapValues(c => c * c)
+  /** numpy reciprocal; 1/0 is null under the oracle's x/0 rule (ANSI-safe). */
+  def reciprocal: ZMatrix = mapValues(c => try_divide(lit(1.0), c))
+  /** logistic sigmoid 1/(1+e^−x) — the NN-flavored ufunc zappy recipes use. */
+  def sigmoid: ZMatrix = mapValues(c => lit(1.0) / (lit(1.0) + exp(-c)))
   def clip(lo: Double, hi: Double): ZMatrix = mapValues(c => least(greatest(c, lit(lo)), lit(hi)))
   def maximum(sc: Double): ZMatrix = mapValues(c => greatest(c, lit(sc)))
   def minimum(sc: Double): ZMatrix = mapValues(c => least(c, lit(sc)))

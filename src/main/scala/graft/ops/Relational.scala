@@ -341,6 +341,21 @@ object Relational {
       .except(li.filter(year(col("l_shipdate")) === 1996).select(col("l_partkey")))
   }
 
+  /** R33: ntile decile segmentation — customers ranked into account-balance
+    * deciles, per-decile stats. The full order-by is a single-partition
+    * window over the CUSTOMER dimension (not the fact table); at 100 TB
+    * the same segmentation would run on the aggregated per-customer
+    * balance, still dimension-sized. Fully deterministic: the ordering
+    * tie-breaks on the key. */
+  def q32Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"),
+        round(min(col("c_acctbal")), 2).as("floor_bal"))
+  }
+
   /** R32: cohort retention — users grouped by first-seen week, counted
     * distinct in each later week as an offset from their cohort. The
     * first-seen table is an aggregate of the event log (shrinks to one row

@@ -907,6 +907,55 @@ object Zarr {
   def read(spark: SparkSession, path: String, key: String): ZMatrix =
     ZMatrix(spark.read.format("zarr").option("key", key).load(path))
 
+  // ---- node attributes (.zattrs / v3 `attributes`) ----
+  // AnnData keeps its semantics in attributes: categorical columns are an
+  // int-code array whose `categories` attr holds the label list, `X` often
+  // carries normalization provenance. Without attrs a reader sees codes
+  // with no meaning, so they are part of the store surface, not an extra.
+
+  /** Read a node's user attributes as a JSON object node — `.zattrs` on a
+    * v2 node, the `attributes` field of `zarr.json` on a v3 node; an
+    * attribute-less node yields an empty object. */
+  def readAttrs(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val (root, frag) = splitKey(path)
+    val node = frag.map(k => s"$root/${validKeySegments(k).mkString("/")}").getOrElse(root)
+    if (exists(s"$node/.zattrs"))
+      mapper.readTree(new String(readBytes(s"$node/.zattrs"), "UTF-8"))
+    else if (exists(s"$node/zarr.json"))
+      mapper.readTree(new String(readBytes(s"$node/zarr.json"), "UTF-8"))
+        .path("attributes") match {
+          case m if m.isMissingNode || m.isNull => mapper.createObjectNode()
+          case m => m
+        }
+    else mapper.createObjectNode()
+  }
+
+  /** Write (replace) a node's user attributes from a JSON object string.
+    * Format-aware: a v3 node updates `attributes` INSIDE zarr.json (a
+    * separate .zattrs would be invisible to v3 readers); a v2 node writes
+    * `.zattrs`. Consolidated metadata above the node refreshes (both the
+    * v2 walker, which collects .zattrs files, and the v3 inline map see
+    * the change). */
+  def writeAttrs(path: String, attrsJson: String): Unit = {
+    val (root, frag) = splitKey(path)
+    val node = frag.map(k => s"$root/${validKeySegments(k).mkString("/")}").getOrElse(root)
+    val parsed = mapper.readTree(attrsJson)
+    require(parsed.isObject, s"attributes must be a JSON object, got $attrsJson")
+    if (exists(s"$node/zarr.json")) {
+      val doc = mapper.readTree(new String(readBytes(s"$node/zarr.json"), "UTF-8"))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      doc.set[com.fasterxml.jackson.databind.JsonNode]("attributes", parsed)
+      writeBytes(s"$node/zarr.json",
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc).getBytes("UTF-8"))
+    } else {
+      require(exists(s"$node/.zarray") || exists(s"$node/.zgroup"),
+        s"$node is not a Zarr node — write the array/group first")
+      writeBytes(s"$node/.zattrs",
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(parsed).getBytes("UTF-8"))
+    }
+    refreshConsolidatedAbove(node)
+  }
+
   /** Write a 1-D array (anndata obs/var column, zappy 1-D ndarray) from a
     * long-form (i, v) frame. Stored as a true rank-1 Zarr array — 1-element
     * shape/chunks, single-component chunk keys — which zarr-python reads as
@@ -934,5 +983,22 @@ object Zarr {
     // load the RESOLVED array dir (not the raw root#key) so the data
     // source doesn't repeat the group navigation this guard already did
     read(spark, arr).cells.select(col("i"), col("v"))
+  }
+
+  /** AnnData categorical column: a rank-1 int-code array whose
+    * `categories` attribute holds the label list. Returns (i, label); the
+    * label list enters the plan as a literal (parameter-sized). A code
+    * outside the category range is a hard ANSI INVALID_ARRAY_INDEX error —
+    * fail-fast, the astype rule (a silently null label corrupts group-bys
+    * downstream). */
+  def readCategorical(spark: SparkSession, path: String, key: String = ""): DataFrame = {
+    val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
+    val cats = readAttrs(arr).path("categories")
+    require(cats.isArray && cats.size() > 0,
+      s"$arr has no 'categories' attribute — not a categorical column")
+    val labels = (0 until cats.size()).map(cats.get(_).asText())
+    readVector(spark, arr)
+      .select(col("i"),
+        element_at(typedlit(labels), col("v").cast("int") + 1).as("label"))
   }
 }

@@ -257,6 +257,28 @@ class ZMatrixSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("extended ufuncs match local math (log2/log10/tanh/square/reciprocal/sigmoid)") {
+    val fixture = Array(Array(1.0, 2.0), Array(4.0, 0.5))
+    val mm = ZMatrix.fromDense(spark, fixture)
+    def check(z: ZMatrix, f: Double => Double): Unit = {
+      val got = ZLocal.toDense(z, 2, 2)
+      for (i <- 0 until 2; j <- 0 until 2) {
+        val want = f(fixture(i)(j))
+        assert(math.abs(got(i)(j) - want) < 1e-12, s"($i,$j): ${got(i)(j)} vs $want")
+      }
+    }
+    check(mm.log2_, x => math.log(x) / math.log(2))
+    check(mm.log10_, math.log10)
+    check(mm.tanh_, math.tanh)
+    check(mm.square, x => x * x)
+    check(mm.reciprocal, x => 1.0 / x)
+    check(mm.sigmoid, x => 1.0 / (1.0 + math.exp(-x)))
+    // reciprocal of a stored zero is null (dense-cell count drops), not a crash
+    val withZero = ZMatrix.fromDense(spark, Array(Array(0.0, 2.0)))
+    val cells = withZero.reciprocal.cells.collect()
+    assert(cells.length == 2 && cells.count(_.isNullAt(2)) == 1)
+  }
+
   test("jacobi eigensolver matches the closed-form 2x2 eigensystem") {
     // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
     val (vals, vecs) = graft.array.Pca.jacobiEigen(

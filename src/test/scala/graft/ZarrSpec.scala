@@ -634,6 +634,47 @@ class ZarrSpec extends AnyFunSuite {
     assert(fgot == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 5.0, 5L -> 6.0))
   }
 
+  test("attributes: v2 .zattrs / v3 inline roundtrip, categorical column read") {
+    import spark.implicits._
+    val path = "/root/repo/target/tmp/zarr_test_attrs"
+    Zarr.delete(path, recursive = true)
+    // v2: codes vector + categories attr = an anndata categorical column
+    val codes = Seq((0L, 0.0), (1L, 2.0), (2L, 1.0), (3L, 0.0)).toDF("i", "v")
+    Zarr.writeVector(codes, s"$path#obs/cell_type", n = 4, chunk = 2, dtype = "<i4")
+    Zarr.writeAttrs(s"$path#obs/cell_type",
+      """{"categories": ["B", "T", "NK"], "ordered": false}""")
+    val attrs = Zarr.readAttrs(s"$path#obs/cell_type")
+    assert(attrs.path("categories").size() == 3 && !attrs.path("ordered").asBoolean(true))
+    val got = Zarr.readCategorical(spark, path, "obs/cell_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "B", 1L -> "NK", 2L -> "T", 3L -> "B"))
+    // v3: attributes live INSIDE zarr.json (no stray .zattrs file)
+    val p3 = "/root/repo/target/tmp/zarr_test_attrs_v3"
+    Zarr.delete(p3, recursive = true)
+    Zarr.writeVector(codes, s"$p3#obs/batch", n = 4, chunk = 2, dtype = "<i4", format = 3)
+    Zarr.writeAttrs(s"$p3#obs/batch", """{"categories": ["a", "b", "c"]}""")
+    assert(!Zarr.exists(s"$p3/obs/batch/.zattrs"))
+    assert(Zarr.readAttrs(s"$p3#obs/batch").path("categories").get(0).asText() == "a")
+    assert(Zarr.readCategorical(spark, p3, "obs/batch").collect().length == 4)
+    // out-of-range code fails fast (ANSI), not a silent null label
+    Zarr.writeAttrs(s"$p3#obs/batch", """{"categories": ["only_one"]}""")
+    val e = intercept[Throwable](Zarr.readCategorical(spark, p3, "obs/batch").collect())
+    assert(e.toString.contains("INVALID") || e.toString.contains("Index") ||
+      Option(e.getCause).exists(_.toString.contains("INVALID")), e.toString)
+    // attributes cannot be planted on a non-node directory
+    val e2 = intercept[IllegalArgumentException](
+      Zarr.writeAttrs(s"$path/not_a_node", """{"x": 1}"""))
+    assert(e2.getMessage.contains("not a Zarr node"))
+    // consolidation picks attrs up: .zmetadata form carries the .zattrs key
+    Zarr.consolidateMetadata(path)
+    val cons = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
+    assert(cons.contains("obs/cell_type/.zattrs"), cons)
+    // and a later writeAttrs refreshes the consolidated map
+    Zarr.writeAttrs(s"$path#obs/cell_type", """{"categories": ["X", "Y", "Z"]}""")
+    val cons2 = new String(Zarr.readBytes(s"$path/.zmetadata"), "UTF-8")
+    assert(cons2.contains("\"X\""), cons2)
+  }
+
   test("consolidated metadata: v3 INLINE form, one-read navigation, write refresh") {
     val path = "/root/repo/target/tmp/zarr_test_consolidated_v3"
     Zarr.delete(path, recursive = true)
