@@ -352,8 +352,12 @@ object SparkEntry {
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/tmp/zarrc_$sfName"
       Zarr.writeVector(codes, s"$path#obs/source", n, chunk = 4096, dtype = "<i4")
-      Zarr.writeAttrs(s"$path#obs/source",
-        labels.map(l => "\"" + l + "\"").mkString("{\"categories\": [", ", ", "]}"))
+      // Jackson, not string concatenation: labels with quotes/backslashes
+      // must escape correctly (the Verify.scala JSON rule)
+      val catsJson = "{\"categories\": " +
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(labels.toArray) + "}"
+      Zarr.writeAttrs(s"$path#obs/source", catsJson)
       Zarr.readCategorical(s, path, "obs/source")
     }),
 

@@ -313,9 +313,14 @@ object Stream {
     val bounds = ev.agg(min(col("hAbs")), max(col("hAbs"))).head()
     val (h0, hMax) = (bounds.getLong(0), bounds.getLong(1))
     val nHours = hMax - h0 + 1
+    // unknown/null event_type FAILS the batch instead of flowing a -1
+    // column index into the chunk buffer (which would corrupt a neighbor
+    // cell or crash mid-write) — and instead of silently diverging from
+    // the oracle twin's CASE
     val typeIdx = EventTypes.zipWithIndex
-      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
-        when(col("event_type") === t, lit(i)).otherwise(acc) }
+      .foldLeft(raise_error(concat(lit("unknown event_type: "),
+        coalesce(col("event_type"), lit("NULL")))).cast("int")) {
+        case (acc, (t, i)) => when(col("event_type") === t, lit(i)).otherwise(acc) }
     val banded = ev.select((col("hAbs") - h0).as("h"), typeIdx.cast("long").as("t"),
         col("cents"))
       .withColumn("band", expr(s"h div ${bandHours}L"))

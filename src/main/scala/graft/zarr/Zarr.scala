@@ -913,21 +913,37 @@ object Zarr {
   // carries normalization provenance. Without attrs a reader sees codes
   // with no meaning, so they are part of the store surface, not an extra.
 
-  /** Read a node's user attributes as a JSON object node — `.zattrs` on a
-    * v2 node, the `attributes` field of `zarr.json` on a v3 node; an
-    * attribute-less node yields an empty object. */
-  def readAttrs(path: String): com.fasterxml.jackson.databind.JsonNode = {
+  /** Read a node's user attributes as a JSON object node — the
+    * `attributes` field of `zarr.json` on a v3 node, else `.zattrs` (v2);
+    * an attribute-less node yields an empty object. Precedence MATCHES
+    * [[writeAttrs]] (zarr.json first), so attrs written through this API
+    * are always read back — a stale `.zattrs` left next to a v3 node by
+    * an older writer can never shadow them. With consolidated metadata at
+    * the root, the answer comes from the one-read map (no per-node
+    * probes); a map miss still falls back to the store, the navigation
+    * rule. */
+  def readAttrs(path: String, key: String = ""): com.fasterxml.jackson.databind.JsonNode = {
     val (root, frag) = splitKey(path)
-    val node = frag.map(k => s"$root/${validKeySegments(k).mkString("/")}").getOrElse(root)
-    if (exists(s"$node/.zattrs"))
-      mapper.readTree(new String(readBytes(s"$node/.zattrs"), "UTF-8"))
-    else if (exists(s"$node/zarr.json"))
-      mapper.readTree(new String(readBytes(s"$node/zarr.json"), "UTF-8"))
-        .path("attributes") match {
-          case m if m.isMissingNode || m.isNull => mapper.createObjectNode()
-          case m => m
-        }
-    else mapper.createObjectNode()
+    val rel = Some(key).filter(_.nonEmpty).orElse(frag)
+      .map(k => validKeySegments(k).mkString("/")).getOrElse("")
+    val node = if (rel.isEmpty) root else s"$root/$rel"
+    def attrsOf(doc: com.fasterxml.jackson.databind.JsonNode) =
+      doc.path("attributes") match {
+        case m if m.isMissingNode || m.isNull => mapper.createObjectNode()
+        case m => m
+      }
+    val consolidated = readConsolidated(root).flatMap { m =>
+      val zjson = if (rel.isEmpty) "zarr.json" else s"$rel/zarr.json"
+      val zattrs = if (rel.isEmpty) ".zattrs" else s"$rel/.zattrs"
+      m.get(zjson).map(attrsOf).orElse(m.get(zattrs))
+    }
+    consolidated.getOrElse {
+      if (exists(s"$node/zarr.json"))
+        attrsOf(mapper.readTree(new String(readBytes(s"$node/zarr.json"), "UTF-8")))
+      else if (exists(s"$node/.zattrs"))
+        mapper.readTree(new String(readBytes(s"$node/.zattrs"), "UTF-8"))
+      else mapper.createObjectNode()
+    }
   }
 
   /** Write (replace) a node's user attributes from a JSON object string.
@@ -987,9 +1003,11 @@ object Zarr {
 
   /** AnnData categorical column: a rank-1 int-code array whose
     * `categories` attribute holds the label list. Returns (i, label); the
-    * label list enters the plan as a literal (parameter-sized). A code
-    * outside the category range is a hard ANSI INVALID_ARRAY_INDEX error —
-    * fail-fast, the astype rule (a silently null label corrupts group-bys
+    * label list enters the plan as a literal (parameter-sized). Any code
+    * outside [0, n_categories) — including pandas' negative NA codes,
+    * which bare element_at would silently resolve from the END of the
+    * list — raises an explicit error, in ANSI and non-ANSI sessions alike
+    * (fail-fast, the astype rule: a wrong/null label corrupts group-bys
     * downstream). */
   def readCategorical(spark: SparkSession, path: String, key: String = ""): DataFrame = {
     val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
@@ -997,8 +1015,13 @@ object Zarr {
     require(cats.isArray && cats.size() > 0,
       s"$arr has no 'categories' attribute — not a categorical column")
     val labels = (0 until cats.size()).map(cats.get(_).asText())
+    val code = col("v").cast("int")
     readVector(spark, arr)
       .select(col("i"),
-        element_at(typedlit(labels), col("v").cast("int") + 1).as("label"))
+        when(code.between(0, labels.size - 1),
+          element_at(typedlit(labels), code + 1))
+          .otherwise(raise_error(concat(
+            lit(s"categorical code out of range [0, ${labels.size}) in $arr: "),
+            col("v").cast("string")))).as("label"))
   }
 }

@@ -656,11 +656,26 @@ class ZarrSpec extends AnyFunSuite {
     assert(!Zarr.exists(s"$p3/obs/batch/.zattrs"))
     assert(Zarr.readAttrs(s"$p3#obs/batch").path("categories").get(0).asText() == "a")
     assert(Zarr.readCategorical(spark, p3, "obs/batch").collect().length == 4)
-    // out-of-range code fails fast (ANSI), not a silent null label
+    // out-of-range code fails fast with an explicit error (ANSI or not),
+    // not a silent null label
     Zarr.writeAttrs(s"$p3#obs/batch", """{"categories": ["only_one"]}""")
     val e = intercept[Throwable](Zarr.readCategorical(spark, p3, "obs/batch").collect())
-    assert(e.toString.contains("INVALID") || e.toString.contains("Index") ||
-      Option(e.getCause).exists(_.toString.contains("INVALID")), e.toString)
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString(" | ")
+    assert(deepMsg(e).contains("categorical code out of range"), deepMsg(e))
+    // NEGATIVE codes (pandas NA sentinel) also fail — bare element_at
+    // would silently resolve them from the END of the label list
+    val negPath = "/root/repo/target/tmp/zarr_test_attrs_neg"
+    Zarr.delete(negPath, recursive = true)
+    Zarr.writeVector(Seq((0L, 0.0), (1L, -1.0)).toDF("i", "v"),
+      s"$negPath#obs/c", n = 2, chunk = 2, dtype = "<i4")
+    Zarr.writeAttrs(s"$negPath#obs/c", """{"categories": ["A", "B"]}""")
+    val eNeg = intercept[Throwable](Zarr.readCategorical(spark, negPath, "obs/c").collect())
+    assert(deepMsg(eNeg).contains("categorical code out of range"), deepMsg(eNeg))
+    // a stale .zattrs left beside a v3 node can NOT shadow zarr.json attrs
+    // (read precedence matches write: zarr.json first)
+    Zarr.writeBytes(s"$p3/obs/batch/.zattrs", """{"categories": ["stale"]}""".getBytes("UTF-8"))
+    assert(Zarr.readAttrs(s"$p3#obs/batch").path("categories").get(0).asText() == "only_one")
     // attributes cannot be planted on a non-node directory
     val e2 = intercept[IllegalArgumentException](
       Zarr.writeAttrs(s"$path/not_a_node", """{"x": 1}"""))
