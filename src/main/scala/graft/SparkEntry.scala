@@ -339,6 +339,19 @@ object SparkEntry {
       Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
       Zarr.readVector(s, path)
     }),
+    // anndata boolean mask column (|b1, one byte per element): a keep-mask
+    // over documents stored as a rank-1 bool array and read back
+    "zarr_bool_mask" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mask = docs.select(col("doc_id").as("i"),
+        when(graft.ops.TextOps.nTokens(col("text")) >= 40, 1.0).otherwise(0.0).as("v"))
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrb_$sfName"
+      Zarr.writeVector(mask, s"$path#obs/keep", n, chunk = 4096,
+        dtype = "|b1", format = 3)
+      Zarr.readVector(s, path, "obs/keep")
+    }),
     // anndata categorical column roundtrip: the documents source column
     // stored as an int-code rank-1 array + `categories` attribute, read
     // back as labels — oracle = the original column
@@ -1073,6 +1086,11 @@ object SparkEntry {
         |SELECT i, j, v FROM m""".stripMargin,
     "zarr_categorical_roundtrip" ->
       "SELECT doc_id AS i, source AS label FROM documents",
+    "zarr_bool_mask" ->
+      """SELECT doc_id AS i,
+        |  CASE WHEN length(string_split_regex(trim(text), '\s+')) >= 40
+        |       THEN 1.0 ELSE 0.0 END AS v
+        |FROM documents""".stripMargin,
     "zarr_vector_roundtrip" ->
       """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
         |           FROM lineitem GROUP BY 1),

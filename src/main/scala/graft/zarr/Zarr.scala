@@ -85,14 +85,18 @@ object Zarr {
   }
 
   /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
-    * big) + f8/f4/i8/i4. In-flight values are always doubles (the ZMatrix
-    * substrate); integral dtypes truncate on write, and i8 values beyond
-    * 2^53 lose precision on read-back through double. */
-  val Dtypes: Set[String] = Set("<f8", "<f4", "<i8", "<i4", ">f8", ">f4", ">i8", ">i4")
+    * big, '|' none) + f8/f4/i8/i4, plus bool ('|b1' — anndata boolean
+    * mask columns). In-flight values are always doubles (the ZMatrix
+    * substrate); integral dtypes truncate on write, bool maps 0.0 ↔ false
+    * and anything else → true → 1.0, and i8 values beyond 2^53 lose
+    * precision on read-back through double. */
+  val Dtypes: Set[String] =
+    Set("<f8", "<f4", "<i8", "<i4", ">f8", ">f4", ">i8", ">i4", "|b1")
 
   def elemSize(dtype: String): Int = dtype.substring(1) match {
     case "f8" | "i8" => 8
     case "f4" | "i4" => 4
+    case "b1"        => 1
     case other => throw new IllegalArgumentException(s"unsupported dtype $other")
   }
 
@@ -199,7 +203,8 @@ object Zarr {
 
   /** v2 dtype string ↔ v3 named data_type (+ endian for the bytes codec). */
   private val v3Names: Map[String, String] =
-    Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32")
+    Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32",
+      "b1" -> "bool")
   private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
 
   /** `fill_value` literal per the specs (same rules in v2 and v3): an
@@ -208,7 +213,8 @@ object Zarr {
     * "Infinity" / "-Infinity" for non-finite floats (bare NaN is not
     * JSON — a store written with it is unreadable by any parser). */
   private def fillLiteral(m: Meta): String =
-    if (m.dtype.endsWith("i8") || m.dtype.endsWith("i4")) m.fill.toLong.toString
+    if (m.dtype.endsWith("b1")) (if (m.fill != 0.0) "true" else "false")
+    else if (m.dtype.endsWith("i8") || m.dtype.endsWith("i4")) m.fill.toLong.toString
     else if (m.fill.isNaN) "\"NaN\""
     else if (m.fill.isPosInfinity) "\"Infinity\""
     else if (m.fill.isNegInfinity) "\"-Infinity\""
@@ -256,6 +262,7 @@ object Zarr {
     * strings, or null/absent (zarr-python's "no fill" — read as 0). */
   private def fillOf(n: com.fasterxml.jackson.databind.JsonNode): Double =
     if (n.isNull || n.isMissingNode) 0.0
+    else if (n.isBoolean) { if (n.asBoolean()) 1.0 else 0.0 } // bool stores
     else if (n.isTextual) n.asText() match {
       case "NaN" => Double.NaN
       case "Infinity" => Double.PositiveInfinity
@@ -651,8 +658,12 @@ object Zarr {
     val fill = fillOf(root.path("fill_value"))
     require(!rank1 || (!sharded && !fOrder),
       "rank-1 v3 stores with sharding or transpose codecs are unsupported")
+    // 1-byte types carry no byte order: normalize to '|' so append
+    // validation (string equality on dtype) matches what we write
+    val dtypeStr =
+      if (base == "b1") "|b1" else (if (endian == "big") ">" else "<") + base
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill,
-      (if (endian == "big") ">" else "<") + base, format = 3,
+      dtypeStr, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
       keyEnc = keyEnc, rank1 = rank1)
   }
@@ -698,6 +709,7 @@ object Zarr {
       case "f4" => buf.foreach(v => bb.putFloat(v.toFloat))
       case "i8" => buf.foreach(v => bb.putLong(v.toLong))
       case "i4" => buf.foreach(v => bb.putInt(v.toInt))
+      case "b1" => buf.foreach(v => bb.put(if (v != 0.0) 1.toByte else 0.toByte))
     }
     val raw = bb.array()
     if (!zlib) raw else if (format == 3) gzip(raw) else deflate(raw)
@@ -715,6 +727,7 @@ object Zarr {
       case "f4" => Array.fill(nElems)(bb.getFloat.toDouble)
       case "i8" => Array.fill(nElems)(bb.getLong.toDouble)
       case "i4" => Array.fill(nElems)(bb.getInt.toDouble)
+      case "b1" => Array.fill(nElems)(if (bb.get() != 0) 1.0 else 0.0)
     }
   }
 

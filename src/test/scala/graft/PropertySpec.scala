@@ -93,7 +93,8 @@ class PropertySpec extends AnyFunSuite {
       dtype <- Gen.oneOf(Zarr.Dtypes.toSeq)
       zlib <- Gen.oneOf(true, false)
       intDtype = dtype.endsWith("i8") || dtype.endsWith("i4")
-      fill <- if (intDtype) Gen.oneOf(0.0, 7.0, -3.0)
+      fill <- if (dtype.endsWith("b1")) Gen.oneOf(0.0, 1.0)
+              else if (intDtype) Gen.oneOf(0.0, 7.0, -3.0)
               else Gen.oneOf(0.0, 7.5, -1.25, Double.NaN,
                 Double.PositiveInfinity, Double.NegativeInfinity)
       rank1 <- Gen.oneOf(true, false)

@@ -634,6 +634,39 @@ class ZarrSpec extends AnyFunSuite {
     assert(fgot == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 5.0, 5L -> 6.0))
   }
 
+  test("bool dtype (|b1): roundtrip both formats, spec boolean fill, 1 byte/elem") {
+    import spark.implicits._
+    val mask = Seq((0L, 1.0), (1L, 0.0), (2L, 1.0), (3L, 1.0), (4L, 0.0))
+      .toDF("i", "v")
+    for (fmt <- Seq(2, 3)) {
+      val path = s"/root/repo/target/tmp/zarr_test_bool_v$fmt"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeVector(mask, path, n = 5, chunk = 3, dtype = "|b1", format = fmt)
+      val meta = Zarr.readMeta(path)
+      assert(meta.dtype == "|b1" && meta.rank1)
+      // metadata carries the spec's BOOLEAN fill literal and dtype name
+      val json = new String(Zarr.readBytes(
+        s"$path/${if (fmt == 3) "zarr.json" else ".zarray"}"), "UTF-8")
+      assert(json.contains("false"), json)
+      assert(json.contains(if (fmt == 3) "\"bool\"" else "|b1"), json)
+      // chunk payload is one byte per element
+      val chunk0 = Zarr.readBytes(Zarr.chunkPath(path, 0, 0,
+        Zarr.writeKeyEnc(fmt), rank1 = true))
+      assert(chunk0.length == 3, s"expected 3 bytes, got ${chunk0.length}")
+      val back = Zarr.readVector(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(back == Map(0L -> 1.0, 1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+    }
+    // 2-D bool masks work through the same dtype (X > 0 masks)
+    val path2 = "/root/repo/target/tmp/zarr_test_bool_2d"
+    Zarr.delete(path2, recursive = true)
+    val m = ZMatrix.fromDense(spark, dense).gt(25.0)
+    Zarr.write(m, path2, 10, 5, 4, 3, dtype = "|b1")
+    val back2 = ZLocal.toDense(Zarr.read(spark, path2), 10, 5)
+    for (i <- 0 until 10; j <- 0 until 5)
+      assert(back2(i)(j) == (if (dense(i)(j) > 25.0) 1.0 else 0.0))
+  }
+
   test("attributes: v2 .zattrs / v3 inline roundtrip, categorical column read") {
     import spark.implicits._
     val path = "/root/repo/target/tmp/zarr_test_attrs"
