@@ -188,6 +188,8 @@ object SparkEntry {
       m.broadcastOverCols(m.meanAxis0)((v, mv) => round(v - mv, 6) + 0.0).cells
     }),
     "arr_bool_cols" -> ((s, d) => mat(s, d).filterColsByMean(_ > 25).cells),
+    // scanpy highly_variable_genes: top-3 columns by 6dp-rounded variance
+    "arr_hvg" -> ((s, d) => mat(s, d).filterColsTopVar(3).cells),
     "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
     "arr_center_rows" -> ((s, d) => {
       val m = mat(s, d)
@@ -1103,6 +1105,14 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM m GROUP BY 1 HAVING sum(v) / count(*) > 25)""".stripMargin,
+    "arr_hvg" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT j,
+        |  round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) + 0 AS var_v
+        |  FROM m GROUP BY 1),
+        |k AS (SELECT j FROM s ORDER BY var_v DESC, j LIMIT 3)
+        |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM k)""".stripMargin,
     "arr_scale" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),

@@ -182,6 +182,28 @@ final case class ZMatrix(cells: DataFrame) {
     ZMatrix(cells.join(broadcast(keep), Seq("j"), "left_semi"))
   }
 
+  /** scanpy highly_variable_genes (variance flavor): keep the `k` columns
+    * with the largest moment-formula variance, ties → smaller j. The
+    * column-stats table is ncols rows, so ranking is a broadcast-scale
+    * window and the keep-set joins back as a broadcast semi join — the
+    * fact-side cost is one scan + one aggregate, same as any column
+    * filter. Variance is rounded to 6dp BEFORE ranking so the selection
+    * can never flip on unordered-sum float noise (the determinism rule
+    * every model-producing op here follows). */
+  def filterColsTopVar(k: Int): ZMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = cells.groupBy(col("j")).agg(
+        sum(col("v")).as("_s"), count(lit(1)).as("_n"),
+        sum(col("v") * col("v")).as("_ss"))
+      .select(col("j"),
+        (round((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"), 6) + 0.0)
+          .as("_var"))
+    val keep = stats
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_var").desc, col("j"))))
+      .filter(col("_rk") <= k).select(col("j"))
+    ZMatrix(cells.join(broadcast(keep), Seq("j"), "left_semi"))
+  }
+
   /** scanpy scale: per-column standardization (x−μ_j)/σ_j. Moments come
     * from one aggregate over exact sums (bit-deterministic), the ncols-row
     * stats vector broadcasts back onto the cells. `+0.0` collapses IEEE

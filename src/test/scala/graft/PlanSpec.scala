@@ -126,4 +126,15 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("arr_matmul_bucketed")
     assert(exchanges(plan) <= 1, s"join shuffle reappeared above bucketed scans in:\n$plan")
   }
+
+  test("text_contamination_bloom: ONE corpus scan, bench side checkpointed") {
+    // the docs shingle pipeline must enter the plan exactly once (the
+    // bloom verdict is a scan-side filter, not a second pass) and the
+    // bench side must ride the localCheckpoint (an RDD scan), not re-run
+    // its own parquet explode pipeline
+    val plan = executedPlan("text_contamination_bloom")
+    assert(parquetScans(plan) == 1, s"corpus re-scan appeared in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"bench checkpoint missing from:\n$plan")
+  }
 }

@@ -257,6 +257,28 @@ class ZMatrixSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("filterColsTopVar keeps exactly the k most-variable columns") {
+    // column variances of the fixture: all three columns have variance
+    // 7.69 (values differ by a constant shift) — extend with a flat and a
+    // spiky column to force a real ranking
+    val data = Array(
+      Array(1.0, 5.0, 9.0, 100.0),
+      Array(2.0, 5.0, 1.0, 100.0),
+      Array(3.0, 5.0, 9.0, 100.0),
+      Array(4.0, 5.0, 1.0, 100.0))
+    val mm = ZMatrix.fromDense(spark, data)
+    def popVar(j: Int): Double = {
+      val xs = data.map(_(j)); val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val ranked = (0 until 4).sortBy(j => (-popVar(j), j))
+    val kept = mm.filterColsTopVar(2).cells.select("j").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == ranked.take(2).map(_.toLong).toSet, s"kept $kept")
+    // kept cells are unchanged, dropped columns fully absent
+    assert(mm.filterColsTopVar(2).cells.count() == 8)
+  }
+
   test("extended ufuncs match local math (log2/log10/tanh/square/reciprocal/sigmoid)") {
     val fixture = Array(Array(1.0, 2.0), Array(4.0, 0.5))
     val mm = ZMatrix.fromDense(spark, fixture)
