@@ -107,6 +107,10 @@ object SparkEntry {
   /** PCA model per sf dir (fit once, reused — the ivfModel pattern). */
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
+
+  /** PCA model of the full scanpy chain's preprocessed matrix. */
+  private val fullPcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
   private def pqModel(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqModels.computeIfAbsent(d, { _ =>
       Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16)
@@ -262,6 +266,30 @@ object SparkEntry {
       lg.cells.join(broadcast(stats), Seq("j"))
         .select(col("i"), col("j"),
           (round(try_divide(col("v") - col("_mu"), col("_sd")), 4) + 0.0).as("v"))
+    }),
+    // THE full scanpy preprocessing chain as one lineage: normalize →
+    // log1p → highly-variable columns → scale → PCA scores. Rows-only:
+    // the terminal eigendecomposition isn't SQL (every stage before it is
+    // individually oracle-checked by its own query; determinism and score
+    // invariants are scalatest-asserted — SURVEY §5 arr_pca entry).
+    "arr_recipe_full" -> ((s, d) => {
+      // the preprocessed matrix is MATERIALIZED once (localCheckpoint)
+      // before the PCA stage: fit needs a row count + a co-moment pass +
+      // column sums and transform a fourth pass — uncheckpointed, each
+      // would re-run the whole 4-stage chain. This mirrors scanpy itself,
+      // where adata.X is materialized after preprocessing and pp.pca runs
+      // on the stored matrix.
+      val prepped = graft.array.ZMatrix(
+        mat(s, d).rowNormalize
+          .mapValues(c => log1p(c * 10000))
+          .filterColsTopVar(5)
+          .scaleCols
+          .cells.localCheckpoint())
+      val model = fullPcaModels.computeIfAbsent(d, { _ =>
+        val nrows = prepped.cells.select(countDistinct(col("i"))).head().getLong(0)
+        graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
+      })
+      graft.array.Pca.transform(prepped, model).cells
     }),
     // Gram matrix of the embeddings table through the array layer: the
     // 2000×64 dense matrix XᵀX (PCA prep) — shuffles on vec_id only,

@@ -354,6 +354,26 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(model.eigenvalues.toSeq == model2.eigenvalues.toSeq)
   }
 
+  test("full scanpy chain: normalize→log1p→hvg→scale→pca scores behave") {
+    val sf = TestSpark.sf
+    val prepped = ZMatrix.fromLineitem(spark, sf).rowNormalize
+      .mapValues(c => org.apache.spark.sql.functions.log1p(c * 10000))
+      .filterColsTopVar(5)
+      .scaleCols
+    val nrows = prepped.cells.select(countDistinct(col("i"))).head().getLong(0)
+    val m1 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
+    val m2 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq,
+      "twin fits over the composed chain diverged")
+    assert(m1.eigenvalues(0) >= m1.eigenvalues(1))
+    assert(m1.eigenvalues(1) > 0, "second PC carries no variance")
+    // scores are centered per PC (population mean ~ 0 up to 6dp rounding)
+    val scores = graft.array.Pca.transform(prepped, m1).cells
+    val means = scores.groupBy(col("j"))
+      .agg(avg(col("v")).as("m")).collect().map(_.getDouble(1))
+    assert(means.forall(m => math.abs(m) < 1e-3), means.mkString(","))
+  }
+
   test("PCA centering handles implicit zeros (sparse rows project correctly)") {
     // row 1 has NO stored cell in column 1 (implicit zero)
     val cells = Seq((0L, 0L, 2.0), (0L, 1L, 4.0), (1L, 0L, 6.0),
