@@ -279,14 +279,20 @@ object SparkEntry {
       // would re-run the whole 4-stage chain. This mirrors scanpy itself,
       // where adata.X is materialized after preprocessing and pp.pca runs
       // on the stored matrix.
+      val base = mat(s, d)
       val prepped = graft.array.ZMatrix(
-        mat(s, d).rowNormalize
+        base.rowNormalize
           .mapValues(c => log1p(c * 10000))
           .filterColsTopVar(5)
           .scaleCols
           .cells.localCheckpoint())
       val model = fullPcaModels.computeIfAbsent(d, { _ =>
-        val nrows = prepped.cells.select(countDistinct(col("i"))).head().getLong(0)
+        // dense-semantics row count comes from the PRE-filter matrix: hvg
+        // drops COLUMNS, and a row whose only cells sat in dropped columns
+        // is an all-zero row in dense terms, not a missing one — counting
+        // distinct i on the filtered cells would shrink n and skew μ/cov
+        // (the Pca.fit contract: n = nrows, not stored-cell counts)
+        val nrows = base.cells.select(countDistinct(col("i"))).head().getLong(0)
         graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
       })
       graft.array.Pca.transform(prepped, model).cells

@@ -134,7 +134,6 @@ class PlanSpec extends AnyFunSuite {
     // its own parquet explode pipeline
     val plan = executedPlan("text_contamination_bloom")
     assert(parquetScans(plan) == 1, s"corpus re-scan appeared in:\n$plan")
-    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
-      s"bench checkpoint missing from:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"bench checkpoint missing from:\n$plan")
   }
 }

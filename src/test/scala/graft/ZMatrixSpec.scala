@@ -258,9 +258,9 @@ class ZMatrixSpec extends AnyFunSuite {
   }
 
   test("filterColsTopVar keeps exactly the k most-variable columns") {
-    // column variances of the fixture: all three columns have variance
-    // 7.69 (values differ by a constant shift) — extend with a flat and a
-    // spiky column to force a real ranking
+    // population variances: col0 = 1.25, col1 = 0 (constant), col2 = 16,
+    // col3 = 0 (constant) — a clear ranking plus a variance TIE between
+    // the two constant columns to exercise the smaller-j tie-break
     val data = Array(
       Array(1.0, 5.0, 9.0, 100.0),
       Array(2.0, 5.0, 1.0, 100.0),
@@ -356,11 +356,13 @@ class ZMatrixSpec extends AnyFunSuite {
 
   test("full scanpy chain: normalize→log1p→hvg→scale→pca scores behave") {
     val sf = TestSpark.sf
-    val prepped = ZMatrix.fromLineitem(spark, sf).rowNormalize
+    val base = ZMatrix.fromLineitem(spark, sf)
+    val prepped = base.rowNormalize
       .mapValues(c => org.apache.spark.sql.functions.log1p(c * 10000))
       .filterColsTopVar(5)
       .scaleCols
-    val nrows = prepped.cells.select(countDistinct(col("i"))).head().getLong(0)
+    // dense row count from the PRE-filter matrix (hvg drops columns only)
+    val nrows = base.cells.select(countDistinct(col("i"))).head().getLong(0)
     val m1 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     val m2 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq,
