@@ -27,4 +27,38 @@ class SourceParitySpec extends AnyFunSuite {
     assert(q1ish(fromCsv) == expected)
     assert(q1ish(fromJson) == expected)
   }
+
+  test("hostile document text (quotes/commas/newlines/unicode) survives CSV and JSON") {
+    import spark.implicits._
+    // the shapes that corrupt naive delimited exports: embedded delimiter,
+    // quote char, record separator, backslash, non-ASCII
+    val docs = Seq(
+      (0L, "plain text"),
+      (1L, "comma, inside"),
+      (2L, "a \"quoted\" phrase"),
+      (3L, "line one\nline two\nline three"),
+      (4L, "backslash \\ and tab\there"),
+      (5L, "unicode: 你好 — emØji ✓"),
+      (6L, "")).toDF("doc_id", "text")
+    val base = "target/tmp/source_parity_hostile"
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val expected = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // multiLine: embedded newlines make one logical row span physical lines
+    val fromCsv = spark.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(s"$base/csv").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val fromJson = spark.read.schema(docs.schema).json(s"$base/json").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(fromJson == expected)
+    assert(fromCsv == expected)
+    // and the text operators compute identical results over the reread copy
+    val viaJson = graft.ops.TextOps.stats(
+      spark.read.schema(docs.schema).json(s"$base/json"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.ops.TextOps.stats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJson == direct)
+  }
 }
