@@ -217,6 +217,7 @@ object SparkEntry {
         .join(m.maxAxis0.withColumnRenamed("v", "max_v"), Seq("j"))
     }),
     "arr_agg_axis1" -> ((s, d) => mat(s, d).aggAxis1),
+    "arr_var_axis1" -> ((s, d) => mat(s, d).varAxis1),
     "arr_argmax_axis0" -> ((s, d) => mat(s, d).argmaxAxis0),
     "arr_argmin_axis0" -> ((s, d) => mat(s, d).argminAxis0),
     "arr_argmax_rows" -> ((s, d) => mat(s, d).argmaxAxis1),
@@ -1139,6 +1140,12 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM m GROUP BY 1 HAVING sum(v) / count(*) > 25)""".stripMargin,
+    "arr_var_axis1" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, round(sum(v) / count(*), 6) AS mean_v,
+        | round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) + 0 AS var_v
+        |FROM m GROUP BY 1""".stripMargin,
     "arr_hvg" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),

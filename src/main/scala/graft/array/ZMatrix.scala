@@ -158,6 +158,17 @@ final case class ZMatrix(cells: DataFrame) {
 
   def aggAxis1: DataFrame =
     cells.groupBy(col("i")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+
+  /** Per-row mean/variance (numpy var(axis=1) over stored cells) — the
+    * same exact-moment formula as [[aggAxis0]], grouped by i. */
+  def varAxis1: DataFrame =
+    cells.groupBy(col("i")).agg(
+      sum(col("v")).as("_s"), count(lit(1)).as("_n"),
+      sum(col("v") * col("v")).as("_ss"))
+      .select(col("i"),
+        round(col("_s") / col("_n"), 6).as("mean_v"),
+        (round((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"), 6) + 0.0)
+          .as("var_v"))
   def sumAxis1: DataFrame = cells.groupBy(col("i")).agg(sum(col("v")).as("v"))
 
   def aggFull: DataFrame =
