@@ -257,6 +257,17 @@ class ZMatrixSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("varAxis1 matches driver-computed per-row population variance") {
+    val got = m.varAxis1.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    dense.zipWithIndex.foreach { case (row, i) =>
+      val mu = row.sum / row.length
+      val vr = row.map(x => (x - mu) * (x - mu)).sum / row.length
+      assert(math.abs(got(i.toLong)._1 - mu) < 1e-6, s"mean row $i")
+      assert(math.abs(got(i.toLong)._2 - vr) < 1e-6, s"var row $i")
+    }
+  }
+
   test("filterColsTopVar keeps exactly the k most-variable columns") {
     // population variances: col0 = 1.25, col1 = 0 (constant), col2 = 16,
     // col3 = 0 (constant) — a clear ranking plus a variance TIE between
