@@ -119,7 +119,8 @@ case class ZarrChunkPartition(ci: Long, cj: Long, file: String,
                               zlib: Boolean, fill: Double, dtype: String,
                               format: Int = 2, innerRows: Int = 0,
                               innerCols: Int = 0, fOrder: Boolean = false,
-                              fields: Seq[String] = Seq("i", "j", "v"))
+                              fields: Seq[String] = Seq("i", "j", "v"),
+                              comp: String = "")
   extends InputPartition
 
 class ZarrScan(path: String, required: StructType = ZarrDataSource.cellSchema,
@@ -160,7 +161,7 @@ class ZarrScan(path: String, required: StructType = ZarrDataSource.cellSchema,
       ZarrChunkPartition(ci, cj, f, meta.rows, meta.cols,
         meta.chunkRows, meta.chunkCols, meta.zlib, meta.fill, meta.dtype,
         meta.format, meta.innerRows, meta.innerCols, meta.fOrder,
-        required.fieldNames.toSeq): InputPartition
+        required.fieldNames.toSeq, meta.comp): InputPartition
     }).toArray
   }
 
@@ -177,12 +178,13 @@ class ZarrChunkReader(p: ZarrChunkPartition) extends PartitionReader[InternalRow
     else if (p.innerRows > 0)
       Zarr.decodeShard(Zarr.readBytes(p.file),
         p.chunkRows, p.chunkCols, p.innerRows, p.innerCols, p.dtype, p.zlib, p.fill,
-        p.fOrder)
+        p.fOrder, p.comp)
     else if (p.fOrder)
       Zarr.fromFOrder(Zarr.decodeChunk(Zarr.readBytes(p.file),
-        p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format), p.chunkRows, p.chunkCols)
+        p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format, p.comp),
+        p.chunkRows, p.chunkCols)
     else Zarr.decodeChunk(Zarr.readBytes(p.file),
-      p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format)
+      p.chunkRows * p.chunkCols, p.zlib, p.dtype, p.format, p.comp)
 
   // field codes resolved once (get() runs per cell): 0 = i, 1 = j, 2 = v
   private val fieldCodes: Array[Int] = p.fields.map {
@@ -244,7 +246,7 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          // root/seg1/…; commit() writes group metadata at
                          // the root and intermediate levels
                          groupRoot: String = "", keySegs: Seq[String] = Nil,
-                         rank1: Boolean = false)
+                         rank1: Boolean = false, comp: String = "")
 
 /** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
   * adds this job's chunks to an existing store — the incremental-ingestion
@@ -270,6 +272,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       "zarr write requires .option(\"chunkRows\", ...) and .option(\"chunkCols\", ...)")
     val dtype = Option(opts.get("dtype")).getOrElse("<f8")
     require(Zarr.Dtypes.contains(dtype), s"unsupported dtype $dtype")
+    val comp = Option(opts.get("comp")).getOrElse("")
+    require(comp == "" || comp == "blosc", s"unsupported comp '$comp' (\"\" or \"blosc\")")
     val format = Option(opts.get("zarrFormat")).map(_.toInt).getOrElse(2)
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
     val innerRows = Option(opts.get("innerRows")).map(_.toInt).getOrElse(0)
@@ -314,7 +318,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
       format, innerRows, innerCols,
       Option(opts.get("fOrder")).exists(_.toBoolean),
-      groupRoot, keySegs, rank1)
+      groupRoot, keySegs, rank1, comp)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -373,13 +377,13 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
       existing.foreach { m =>
         require(m.format == conf.format && m.chunkRows == conf.chunkRows &&
           m.chunkCols == conf.chunkCols && m.dtype == conf.dtype &&
-          m.zlib == conf.zlib && m.innerRows == conf.innerRows &&
+          m.zlib == conf.zlib && m.comp == conf.comp && m.innerRows == conf.innerRows &&
           m.innerCols == conf.innerCols && m.fOrder == conf.fOrder &&
           m.rank1 == conf.rank1 &&
           (m.fill == conf.fill || (m.fill.isNaN && conf.fill.isNaN)),
           s"append requires matching store geometry/codec: existing=$m, " +
             s"write options=(chunks ${conf.chunkRows}x${conf.chunkCols}, " +
-            s"dtype ${conf.dtype}, zlib ${conf.zlib}, format ${conf.format}, " +
+            s"dtype ${conf.dtype}, zlib ${conf.zlib}, comp '${conf.comp}', format ${conf.format}, " +
             s"inner ${conf.innerRows}x${conf.innerCols}, fOrder ${conf.fOrder}, " +
             s"fill ${conf.fill})")
         require(m.keyEnc == Zarr.writeKeyEnc(conf.format),
@@ -409,7 +413,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder,
-        rank1 = conf.rank1))
+        rank1 = conf.rank1, comp = conf.comp))
     // a consolidated store must not go stale: re-consolidate after the new
     // array's metadata lands (same contract as zarr-python — consolidation
     // reflects the hierarchy at write time). Keyless writes refresh too —
@@ -456,10 +460,11 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType, taskId: Long)
   private def flush(): Unit = if (buf != null) {
     val bytes = if (conf.innerRows > 0)
       Zarr.encodeShard(buf, conf.chunkRows, conf.chunkCols,
-        conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill, conf.fOrder)
+        conf.innerRows, conf.innerCols, conf.dtype, conf.zlib, conf.fill, conf.fOrder,
+        conf.comp)
     else Zarr.encodeChunk(
       if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
-      conf.dtype, conf.zlib, conf.format)
+      conf.dtype, conf.zlib, conf.format, conf.comp)
     val f = Zarr.chunkPath(conf.path, curCi, curCj, Zarr.writeKeyEnc(conf.format),
       conf.rank1)
     val tmp = s"$f.__tmp-$taskId"

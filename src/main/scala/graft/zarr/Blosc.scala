@@ -1,0 +1,243 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Blosc1 chunk frame codec — the compressor zarr-python writes BY DEFAULT
+  * for v2 stores (numcodecs `Blosc(cname='lz4', clevel=5, shuffle=SHUFFLE)`),
+  * so real-world community anndata/zarr stores are overwhelmingly
+  * blosc-framed. Implemented from the public c-blosc container format
+  * (BLOSC format README / blosc.h, stable since blosc 1.0):
+  *
+  * {{{
+  * byte 0      version (format version, 2)
+  * byte 1      versionlz (inner codec format version)
+  * byte 2      flags: bit0 byte-shuffle, bit1 pure-memcpy, bit2 bit-shuffle,
+  *             bits 5-7 inner codec (0 blosclz, 1 lz4/lz4hc, 2 snappy,
+  *             3 zlib, 4 zstd)
+  * byte 3      typesize
+  * bytes 4-7   nbytes   (uncompressed size, uint32 LE)
+  * bytes 8-11  blocksize(uint32 LE)
+  * bytes 12-15 cbytes   (total frame size, uint32 LE)
+  * }}}
+  *
+  * then, unless memcpy: one uint32-LE `bstart` offset per block (frame-
+  * absolute, pointing at the block's first split), and per block a
+  * sequence of splits, each `[int32 cbytes][payload]` — payload raw when
+  * split-cbytes == split-size, else inner-codec-compressed. Byte-shuffle
+  * operates per block over the elements it holds.
+  *
+  * Decode accepts any conforming frame (memcpy, 1-or-typesize splits,
+  * multi-block, leftover last block; inner codecs lz4 / zlib / snappy /
+  * zstd — all already on Spark's classpath; blosclz is the one loud
+  * rejection). The number of splits per block is not recorded in the
+  * frame — c-blosc recomputes it from a version-dependent heuristic — so
+  * the decoder tries the two legal values (typesize, then 1) and accepts
+  * the parse that consumes the block's exact compressed extent while
+  * producing its exact decompressed size; a coincidental false match on
+  * BOTH structure checks across ALL blocks is not realistic.
+  *
+  * Encode writes the simplest conforming frame: single block, single
+  * split, byte-shuffle + LZ4 level-1 — readable by any c-blosc since 1.0
+  * and by zarr-python/numcodecs as-is.
+  */
+object Blosc {
+
+  private val MemcpyFlag = 0x2
+  private val ByteShuffleFlag = 0x1
+  private val BitShuffleFlag = 0x4
+
+  @transient private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  /** Byte shuffle: group byte-lane k of every element together
+    * (out[k*n + e] = in[e*T + k]). Only the leading (len/T)*T bytes
+    * shuffle; the tail (never present for whole-element buffers) copies. */
+  private[graft] def shuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return in
+    val n = in.length / typesize
+    val out = new Array[Byte](in.length)
+    var k = 0
+    while (k < typesize) {
+      var e = 0
+      while (e < n) { out(k * n + e) = in(e * typesize + k); e += 1 }
+      k += 1
+    }
+    var t = n * typesize
+    while (t < in.length) { out(t) = in(t); t += 1 }
+    out
+  }
+
+  private[graft] def unshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return in
+    val n = in.length / typesize
+    val out = new Array[Byte](in.length)
+    var k = 0
+    while (k < typesize) {
+      var e = 0
+      while (e < n) { out(e * typesize + k) = in(k * n + e); e += 1 }
+      k += 1
+    }
+    var t = n * typesize
+    while (t < in.length) { out(t) = in(t); t += 1 }
+    out
+  }
+
+  /** Encode `raw` as a blosc(lz4, byte-shuffle) frame: one block (blocksize
+    * = nbytes), one split. Falls back to the raw-split convention when LZ4
+    * does not shrink the (shuffled) bytes. */
+  def compress(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize out of range")
+    require(raw.length <= Int.MaxValue - 64, "blosc frame limited to < 2 GiB")
+    val doShuffle = typesize > 1 && raw.length % typesize == 0
+    val shuffled = if (doShuffle) shuffle(raw, typesize) else raw
+    val comp = lz4.fastCompressor()
+    val maxLen = comp.maxCompressedLength(shuffled.length)
+    val tmp = new Array[Byte](maxLen)
+    val cLen = comp.compress(shuffled, 0, shuffled.length, tmp, 0, maxLen)
+    val (payload, payloadLen) =
+      if (cLen < shuffled.length) (tmp, cLen) else (shuffled, shuffled.length)
+    // header(16) + bstarts(4, one block) + [int32 split-cbytes][payload]
+    val frame = ByteBuffer.allocate(16 + 4 + 4 + payloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = (if (doShuffle) ByteShuffleFlag else 0) | (1 << 5) // lz4
+    frame.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    frame.putInt(raw.length)      // nbytes
+    frame.putInt(raw.length)      // blocksize = nbytes (single block)
+    frame.putInt(16 + 4 + 4 + payloadLen) // cbytes
+    frame.putInt(20)              // bstart of block 0
+    frame.putInt(payloadLen)      // split cbytes (== size → raw convention)
+    frame.put(payload, 0, payloadLen)
+    frame.array()
+  }
+
+  /** Decode a frame whose uncompressed size is NOT derivable from store
+    * geometry (vlen string chunks): trust the header's own nbytes. */
+  def decompressSelfSized(frame: Array[Byte]): Array[Byte] = {
+    require(frame.length >= 16, s"blosc frame truncated: ${frame.length} bytes")
+    val nbytes = ByteBuffer.wrap(frame, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(nbytes >= 0, s"blosc header nbytes $nbytes invalid")
+    decompress(frame, nbytes)
+  }
+
+  /** Decode one blosc frame; `expectedNBytes` cross-checks the store
+    * geometry (chunk shape × dtype) against the self-describing header. */
+  def decompress(frame: Array[Byte], expectedNBytes: Int): Array[Byte] = {
+    require(frame.length >= 16, s"blosc frame truncated: ${frame.length} bytes")
+    val hdr = ByteBuffer.wrap(frame, 0, 16).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.get() // version
+    hdr.get() // versionlz
+    val flags = hdr.get() & 0xFF
+    val typesize = hdr.get() & 0xFF
+    val nbytes = hdr.getInt
+    val blocksize = hdr.getInt
+    val cbytes = hdr.getInt
+    require(nbytes == expectedNBytes,
+      s"blosc nbytes $nbytes != expected $expectedNBytes (chunk shape × dtype mismatch)")
+    require(cbytes == frame.length,
+      s"blosc cbytes $cbytes != frame length ${frame.length} (truncated chunk file)")
+    if ((flags & BitShuffleFlag) != 0)
+      throw new IllegalArgumentException("unsupported blosc bit-shuffle frame")
+    if ((flags & MemcpyFlag) != 0) {
+      require(frame.length >= 16 + nbytes, "blosc memcpy frame truncated")
+      return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
+    }
+    val codec = (flags >> 5) & 0x7
+    // reject unsupported codecs HERE, loudly — inside the split walker the
+    // per-hypothesis try/catch would fold the real cause into a generic
+    // does-not-parse error
+    codec match {
+      case 1 | 2 | 3 | 4 => ()
+      case 0 => throw new IllegalArgumentException(
+        "unsupported blosc inner codec blosclz — re-encode with cname lz4/zlib/zstd")
+      case other => throw new IllegalArgumentException(s"unknown blosc codec id $other")
+    }
+    require(blocksize > 0, s"blosc blocksize $blocksize invalid")
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val bb = ByteBuffer.wrap(frame, 16, 4 * nblocks).order(ByteOrder.LITTLE_ENDIAN)
+    val bstarts = Array.fill(nblocks)(bb.getInt)
+    val out = new Array[Byte](nbytes)
+    var b = 0
+    while (b < nblocks) {
+      val bsize = math.min(blocksize, nbytes - b * blocksize) // leftover last
+      // compressed extent of this block = gap to the next block's start
+      // (blocks are laid out in order), last block runs to end of frame
+      val extent = (if (b + 1 < nblocks) bstarts(b + 1) else cbytes) - bstarts(b)
+      val block = new Array[Byte](bsize)
+      // splits per block are NOT in the frame: try typesize splits (what
+      // c-blosc writes for fast codecs — version-dependent heuristic,
+      // shuffle not required), then 1
+      val candidates =
+        if (typesize > 1 && bsize % typesize == 0) Seq(typesize, 1) else Seq(1)
+      val ok = candidates.exists(ns => tryDecodeBlock(frame, bstarts(b), extent,
+        block, ns, codec))
+      if (!ok) throw new IllegalArgumentException(
+        s"blosc block $b does not parse with ${candidates.mkString("/")} splits " +
+          s"(codec $codec, extent $extent, bsize $bsize)")
+      val plain = if ((flags & ByteShuffleFlag) != 0) unshuffle(block, typesize) else block
+      System.arraycopy(plain, 0, out, b * blocksize, bsize)
+      b += 1
+    }
+    out
+  }
+
+  /** Attempt to parse one block as `nsplits` equal splits; true iff the
+    * parse consumes exactly `extent` compressed bytes and fills `block`. */
+  private def tryDecodeBlock(frame: Array[Byte], start: Int, extent: Int,
+                             block: Array[Byte], nsplits: Int, codec: Int): Boolean = {
+    if (block.length % nsplits != 0) return false
+    val neblock = block.length / nsplits
+    var pos = start
+    var outPos = 0
+    var s = 0
+    try {
+      while (s < nsplits) {
+        if (pos + 4 > start + extent) return false
+        val c = ByteBuffer.wrap(frame, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        pos += 4
+        if (c < 0 || pos + c > start + extent) return false
+        if (c == neblock) { // raw split
+          System.arraycopy(frame, pos, block, outPos, neblock)
+        } else {
+          val n = inflateSplit(frame, pos, c, block, outPos, neblock, codec)
+          if (n != neblock) return false
+        }
+        pos += c
+        outPos += neblock
+        s += 1
+      }
+      pos - start == extent && outPos == block.length
+    } catch {
+      case _: Exception => false // corrupt under this split hypothesis
+    }
+  }
+
+  /** One split through the inner codec. Returns decompressed length. */
+  private def inflateSplit(src: Array[Byte], off: Int, len: Int,
+                           dst: Array[Byte], dstOff: Int, maxOut: Int,
+                           codec: Int): Int = codec match {
+    case 1 => // lz4 / lz4hc (same block format)
+      lz4.safeDecompressor().decompress(src, off, len, dst, dstOff, maxOut)
+    case 3 => // zlib (standard zlib stream per split)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(src, off, len)
+      var out = 0
+      while (out < maxOut && !inf.finished()) {
+        val n = inf.inflate(dst, dstOff + out, maxOut - out)
+        if (n == 0 && !inf.finished()) throw new IllegalArgumentException("zlib stall")
+        out += n
+      }
+      inf.end(); out
+    case 2 => // snappy raw block
+      val tmp = org.xerial.snappy.Snappy.uncompress(
+        java.util.Arrays.copyOfRange(src, off, off + len))
+      System.arraycopy(tmp, 0, dst, dstOff, math.min(tmp.length, maxOut))
+      tmp.length
+    case 4 => // zstd
+      val tmp = new Array[Byte](maxOut)
+      val n = com.github.luben.zstd.Zstd.decompressByteArray(
+        tmp, 0, maxOut, src, off, len)
+      System.arraycopy(tmp, 0, dst, dstOff, n.toInt)
+      n.toInt
+    case 0 => throw new IllegalArgumentException(
+      "unsupported blosc inner codec blosclz — re-encode with cname lz4/zlib/zstd")
+    case other => throw new IllegalArgumentException(s"unknown blosc codec id $other")
+  }
+}

@@ -50,11 +50,15 @@ object Zarr {
     * keeps j = 0 so every 2-D operator works unchanged. A 1-D chunk of
     * length L is byte-identical to a C-order (L, 1) chunk, so encode and
     * decode are shared. */
+  /** `comp`: "" = the format-default framing selected by `zlib` (v2 zlib /
+    * v3 gzip, or none); "blosc" = blosc(lz4, byte-shuffle) frames — the
+    * zarr-python v2 DEFAULT compressor, so most community stores need it
+    * (see [[Blosc]]; read accepts any conforming inner codec). */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
                         fOrder: Boolean = false, keyEnc: String = "flat",
-                        rank1: Boolean = false) {
+                        rank1: Boolean = false, comp: String = "") {
     def sharded: Boolean = innerRows > 0 && innerCols > 0
   }
 
@@ -85,19 +89,68 @@ object Zarr {
   }
 
   /** Supported Zarr v2 dtype strings: byte-order prefix ('<' little, '>'
-    * big, '|' none) + f8/f4/i8/i4, plus bool ('|b1' — anndata boolean
-    * mask columns). In-flight values are always doubles (the ZMatrix
-    * substrate); integral dtypes truncate on write, bool maps 0.0 ↔ false
-    * and anything else → true → 1.0, and i8 values beyond 2^53 lose
-    * precision on read-back through double. */
+    * big, '|' none) + f8/f4/f2/i8/i4/i2, the unsigned small ints u2/u1
+    * and i1, plus bool ('|b1' — anndata boolean mask columns). The small
+    * dtypes are common in community stores (u1 image bytes, i2/u2 counts,
+    * f2 compressed embeddings). In-flight values are always doubles (the
+    * ZMatrix substrate); integral dtypes truncate on write, bool maps
+    * 0.0 ↔ false and anything else → true → 1.0, i8 values beyond 2^53
+    * lose precision on read-back through double, and f2 writes
+    * round-to-nearest-even to the nearest representable half (the IEEE
+    * 754 / NumPy cast rule). */
   val Dtypes: Set[String] =
-    Set("<f8", "<f4", "<i8", "<i4", ">f8", ">f4", ">i8", ">i4", "|b1")
+    Set("<f8", "<f4", "<f2", "<i8", "<i4", "<i2", "<u2",
+        ">f8", ">f4", ">f2", ">i8", ">i4", ">i2", ">u2",
+        "|u1", "|i1", "|b1")
 
   def elemSize(dtype: String): Int = dtype.substring(1) match {
-    case "f8" | "i8" => 8
-    case "f4" | "i4" => 4
-    case "b1"        => 1
+    case "f8" | "i8"               => 8
+    case "f4" | "i4"               => 4
+    case "f2" | "i2" | "u2"        => 2
+    case "u1" | "i1" | "b1"        => 1
     case other => throw new IllegalArgumentException(s"unsupported dtype $other")
+  }
+
+  /** IEEE 754 binary16 ↔ double (JDK 17 predates Float.float16ToFloat).
+    * Decode is exact (every half is a double); encode rounds to nearest,
+    * ties to even, overflow → ±Inf — the NumPy float16 cast. */
+  private[zarr] def halfToDouble(h: Short): Double = {
+    val bits = h & 0xFFFF
+    val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+    val exp = (bits >> 10) & 0x1F
+    val mant = bits & 0x3FF
+    if (exp == 0x1F) {
+      if (mant == 0) sign * Double.PositiveInfinity else Double.NaN
+    } else if (exp == 0) sign * mant * 5.9604644775390625e-8 // 2^-24 subnormals
+    else sign * (mant + 1024) * math.pow(2.0, exp - 25)
+  }
+
+  private[zarr] def doubleToHalf(d: Double): Short = {
+    val f = d.toFloat
+    val fbits = java.lang.Float.floatToIntBits(f)
+    val sign = (fbits >>> 16) & 0x8000
+    val mag = fbits & 0x7fffffff
+    if (mag >= 0x7f800000)        // Inf / NaN (NaN keeps the quiet bit)
+      (sign | 0x7c00 | (if (mag > 0x7f800000) 0x0200 else 0)).toShort
+    else if (mag >= 0x38800000) { // normal half range, exp >= -14
+      // drop 13 mantissa bits rounding to nearest (ties to even); a carry
+      // propagates into the exponent monotonically, so the subtraction
+      // rebias works unchanged and past-65504 magnitudes clamp to Inf
+      val h = ((mag + 0x0FFF + ((mag >>> 13) & 1)) >>> 13) - 0x1C000
+      (sign | math.min(h, 0x7c00)).toShort
+    } else {                      // subnormal half (or underflow to ±0)
+      val e = mag >>> 23
+      if (e < 101) sign.toShort   // below half the smallest subnormal
+      else {
+        val m = (mag & 0x7fffff) | 0x800000
+        val shift = 126 - e       // 14..25 in this branch
+        val sub = m >>> shift
+        val rem = m & ((1 << shift) - 1)
+        val half = 1 << (shift - 1)
+        val up = if (rem > half || (rem == half && (sub & 1) == 1)) 1 else 0
+        (sign | (sub + up)).toShort
+      }
+    }
   }
 
   // ---- store I/O through the Hadoop FileSystem API ----
@@ -186,7 +239,11 @@ object Zarr {
     if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
   private def metaJson(m: Meta): String = {
-    val comp = if (m.zlib) """{"id": "zlib", "level": 1}""" else "null"
+    val comp =
+      if (m.comp == "blosc")
+        """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
+      else if (m.zlib) """{"id": "zlib", "level": 1}"""
+      else "null"
     val chunks = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
     val shape = if (m.rank1) s"[${m.rows}]" else s"[${m.rows}, ${m.cols}]"
     s"""{
@@ -203,8 +260,9 @@ object Zarr {
 
   /** v2 dtype string ↔ v3 named data_type (+ endian for the bytes codec). */
   private val v3Names: Map[String, String] =
-    Map("f8" -> "float64", "f4" -> "float32", "i8" -> "int64", "i4" -> "int32",
-      "b1" -> "bool")
+    Map("f8" -> "float64", "f4" -> "float32", "f2" -> "float16",
+      "i8" -> "int64", "i4" -> "int32", "i2" -> "int16", "i1" -> "int8",
+      "u2" -> "uint16", "u1" -> "uint8", "b1" -> "bool")
   private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
 
   /** `fill_value` literal per the specs (same rules in v2 and v3): an
@@ -212,9 +270,12 @@ object Zarr {
     * for int32), a JSON number for finite floats, and the STRINGS "NaN" /
     * "Infinity" / "-Infinity" for non-finite floats (bare NaN is not
     * JSON — a store written with it is unreadable by any parser). */
+  private def isIntegral(dtype: String): Boolean =
+    Set("i8", "i4", "i2", "i1", "u2", "u1").contains(dtype.substring(1))
+
   private def fillLiteral(m: Meta): String =
     if (m.dtype.endsWith("b1")) (if (m.fill != 0.0) "true" else "false")
-    else if (m.dtype.endsWith("i8") || m.dtype.endsWith("i4")) m.fill.toLong.toString
+    else if (isIntegral(m.dtype)) m.fill.toLong.toString
     else if (m.fill.isNaN) "\"NaN\""
     else if (m.fill.isPosInfinity) "\"Infinity\""
     else if (m.fill.isNegInfinity) "\"-Infinity\""
@@ -226,9 +287,13 @@ object Zarr {
     val endian = if (m.dtype.startsWith(">")) "big" else "little"
     val transpose =
       if (m.fOrder) """{"name": "transpose", "configuration": {"order": [1, 0]}}, """ else ""
-    val inner = if (m.zlib)
-      s"""[$transpose{"name": "bytes", "configuration": {"endian": "$endian"}}, {"name": "gzip", "configuration": {"level": 1}}]"""
-    else s"""[$transpose{"name": "bytes", "configuration": {"endian": "$endian"}}]"""
+    val bytesCodec = s"""{"name": "bytes", "configuration": {"endian": "$endian"}}"""
+    val inner =
+      if (m.comp == "blosc")
+        s"""[$transpose$bytesCodec, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "shuffle", "typesize": ${elemSize(m.dtype)}, "blocksize": 0}}]"""
+      else if (m.zlib)
+        s"""[$transpose$bytesCodec, {"name": "gzip", "configuration": {"level": 1}}]"""
+      else s"""[$transpose$bytesCodec]"""
     val codecs = if (m.sharded)
       s"""[{"name": "sharding_indexed", "configuration": {
          |        "chunk_shape": [${m.innerRows}, ${m.innerCols}],
@@ -556,24 +621,34 @@ object Zarr {
     }
     val shape = longsOf(root.path("shape"), "shape")
     val chunks = longsOf(root.path("chunks"), "chunks").map(chunkDim(_, "chunk dim"))
-    val comp = root.path("compressor")
-    val zlib = !comp.isNull && !comp.isMissingNode && {
-      val id = comp.path("id").asText()
-      require(id == "zlib", s"unsupported v2 compressor '$id'")
-      true
-    }
+    val compNode = root.path("compressor")
+    // zarr-python's v2 DEFAULT is blosc — the frame is self-describing, so
+    // any cname it declares decodes through Blosc (lz4/zlib/snappy/zstd;
+    // blosclz fails loudly at decode, not here)
+    val (zlib, compName) =
+      if (compNode.isNull || compNode.isMissingNode) (false, "")
+      else compNode.path("id").asText() match {
+        case "zlib"  => (true, "")
+        case "blosc" => (false, "blosc")
+        case id      => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
+      }
+    // dtype before filters: a string store ("|O" + vlen-utf8) should point
+    // at the right API, not die on its filter list
+    val dtype = root.path("dtype").asText()
+    require(Dtypes.contains(dtype),
+      s"unsupported dtype $dtype" +
+        (if (dtype == "|O") " — vlen string arrays read through Zarr.readStringVector"
+         else ""))
     val filters = root.path("filters")
     require(filters.isNull || filters.isMissingNode || filters.size() == 0,
       s"unsupported v2 filters $filters")
     require(root.path("order").asText("C") == "C",
       "unsupported v2 order (only C-order stores)")
     val fill = fillOf(root.path("fill_value"))
-    val dtype = root.path("dtype").asText()
-    require(Dtypes.contains(dtype), s"unsupported dtype $dtype")
     val sep = root.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill, dtype,
-      keyEnc = if (sep == "/") "nested" else "flat", rank1 = rank1)
+      keyEnc = if (sep == "/") "nested" else "flat", rank1 = rank1, comp = compName)
   }
 
   /** Spec-robust v3 metadata read: real JSON tree traversal (Jackson, on
@@ -625,11 +700,16 @@ object Zarr {
       }
     }
     // walk one codec chain: compression, endian, transpose order
-    def scanChain(codecs: JsonNode): (Boolean, String, Boolean) = {
-      var zlib = false; var endian = "little"; var fOrder = false
+    def scanChain(codecs: JsonNode): (Boolean, String, Boolean, String) = {
+      var zlib = false; var endian = "little"; var fOrder = false; var comp = ""
       codecs.forEach { c =>
         c.path("name").asText() match {
-          case "gzip" => zlib = true
+          case "gzip"  => zlib = true
+          case "blosc" =>
+            // shuffle mode / cname live in the self-describing frame too;
+            // only bitshuffle is beyond the decoder, and IT fails loudly
+            // per chunk (Blosc.decompress), not here
+            comp = "blosc"
           case "bytes" | "endian" =>
             endian = c.path("configuration").path("endian").asText("little")
           case "transpose" =>
@@ -642,7 +722,7 @@ object Zarr {
             throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
         }
       }
-      (zlib, endian, fOrder)
+      (zlib, endian, fOrder, comp)
     }
     val topCodecs = root.path("codecs")
     val sharded = topCodecs.size() == 1 &&
@@ -651,7 +731,7 @@ object Zarr {
       val cfg = topCodecs.get(0).path("configuration")
       (longsOf(cfg.path("chunk_shape"), "inner chunk_shape"), cfg.path("codecs"))
     } else (Array(0L, 0L), topCodecs)
-    val (zlib, endian, fOrder) = scanChain(chainNode)
+    val (zlib, endian, fOrder, compName) = scanChain(chainNode)
     val named = root.path("data_type").asText()
     val base = v3NamesInv.getOrElse(named,
       throw new IllegalArgumentException(s"unsupported data_type $named"))
@@ -661,11 +741,12 @@ object Zarr {
     // 1-byte types carry no byte order: normalize to '|' so append
     // validation (string equality on dtype) matches what we write
     val dtypeStr =
-      if (base == "b1") "|b1" else (if (endian == "big") ">" else "<") + base
+      if (elemSize("|" + base) == 1) "|" + base
+      else (if (endian == "big") ">" else "<") + base
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill,
       dtypeStr, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
-      keyEnc = keyEnc, rank1 = rank1)
+      keyEnc = keyEnc, rank1 = rank1, comp = compName)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -699,34 +780,49 @@ object Zarr {
 
   /** Encode a row-major double buffer as raw chunk bytes in `dtype`
     * (integral dtypes truncate toward zero, the NumPy C-cast rule).
-    * Compression framing follows the store format: v2 = zlib, v3 = gzip
-    * (the v3 spec's codec). */
+    * Compression framing: `comp == "blosc"` → a blosc(lz4, shuffle)
+    * frame in either format; else the format default selected by `zlib`
+    * (v2 zlib, v3 gzip — the v3 spec's codec). */
   def encodeChunk(buf: Array[Double], dtype: String, zlib: Boolean,
-                  format: Int = 2): Array[Byte] = {
+                  format: Int = 2, comp: String = ""): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * elemSize(dtype)).order(byteOrder(dtype))
     dtype.substring(1) match {
       case "f8" => buf.foreach(bb.putDouble)
       case "f4" => buf.foreach(v => bb.putFloat(v.toFloat))
+      case "f2" => buf.foreach(v => bb.putShort(doubleToHalf(v)))
       case "i8" => buf.foreach(v => bb.putLong(v.toLong))
       case "i4" => buf.foreach(v => bb.putInt(v.toInt))
+      case "i2" => buf.foreach(v => bb.putShort(v.toShort))
+      case "u2" => buf.foreach(v => bb.putShort((v.toInt & 0xFFFF).toShort))
+      case "u1" => buf.foreach(v => bb.put((v.toInt & 0xFF).toByte))
+      case "i1" => buf.foreach(v => bb.put(v.toByte))
       case "b1" => buf.foreach(v => bb.put(if (v != 0.0) 1.toByte else 0.toByte))
     }
     val raw = bb.array()
-    if (!zlib) raw else if (format == 3) gzip(raw) else deflate(raw)
+    if (comp == "blosc") Blosc.compress(raw, elemSize(dtype))
+    else if (!zlib) raw else if (format == 3) gzip(raw) else deflate(raw)
   }
 
   /** Decode one chunk file's bytes into row-major doubles. */
   def decodeChunk(bytes0: Array[Byte], nElems: Int, zlib: Boolean,
-                  dtype: String = "<f8", format: Int = 2): Array[Double] = {
+                  dtype: String = "<f8", format: Int = 2,
+                  comp: String = ""): Array[Double] = {
     val outLen = nElems * elemSize(dtype)
-    val bytes = if (!zlib) bytes0
+    val bytes =
+      if (comp == "blosc") Blosc.decompress(bytes0, outLen)
+      else if (!zlib) bytes0
       else if (format == 3) gunzip(bytes0, outLen) else inflate(bytes0, outLen)
     val bb = ByteBuffer.wrap(bytes).order(byteOrder(dtype))
     dtype.substring(1) match {
       case "f8" => Array.fill(nElems)(bb.getDouble)
       case "f4" => Array.fill(nElems)(bb.getFloat.toDouble)
+      case "f2" => Array.fill(nElems)(halfToDouble(bb.getShort))
       case "i8" => Array.fill(nElems)(bb.getLong.toDouble)
       case "i4" => Array.fill(nElems)(bb.getInt.toDouble)
+      case "i2" => Array.fill(nElems)(bb.getShort.toDouble)
+      case "u2" => Array.fill(nElems)((bb.getShort & 0xFFFF).toDouble)
+      case "u1" => Array.fill(nElems)((bb.get() & 0xFF).toDouble)
+      case "i1" => Array.fill(nElems)(bb.get().toDouble)
       case "b1" => Array.fill(nElems)(if (bb.get() != 0) 1.0 else 0.0)
     }
   }
@@ -756,7 +852,8 @@ object Zarr {
     * stored at all — then the index's crc32c (4 bytes LE). */
   def encodeShard(buf: Array[Double], shardRows: Int, shardCols: Int,
                   innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
-                  fill: Double, fOrder: Boolean = false): Array[Byte] = {
+                  fill: Double, fOrder: Boolean = false,
+                  comp: String = ""): Array[Byte] = {
     require(shardRows % innerRows == 0 && shardCols % innerCols == 0,
       "inner chunk shape must divide the shard shape")
     val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
@@ -770,7 +867,7 @@ object Zarr {
       }
       if (allFill) null
       else encodeChunk(if (fOrder) toFOrder(inner, innerRows, innerCols) else inner,
-        dtype, zlib, 3)
+        dtype, zlib, 3, comp)
     }
     val index = ByteBuffer.allocate(encoded.length * 16).order(ByteOrder.LITTLE_ENDIAN)
     var off = 0L
@@ -793,7 +890,8 @@ object Zarr {
     * inner chunks materialize as `fill`). Verifies the index crc32c. */
   def decodeShard(bytes: Array[Byte], shardRows: Int, shardCols: Int,
                   innerRows: Int, innerCols: Int, dtype: String, zlib: Boolean,
-                  fill: Double, fOrder: Boolean = false): Array[Double] = {
+                  fill: Double, fOrder: Boolean = false,
+                  comp: String = ""): Array[Double] = {
     val gridR = shardRows / innerRows; val gridC = shardCols / innerCols
     val idxLen = gridR * gridC * 16
     val idxOff = bytes.length - idxLen - 4
@@ -809,7 +907,7 @@ object Zarr {
       val off = index.getLong(); val len = index.getLong()
       if (off != -1L) {
         val raw = decodeChunk(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
-          innerRows * innerCols, zlib, dtype, 3)
+          innerRows * innerCols, zlib, dtype, 3, comp)
         val inner = if (fOrder) fromFOrder(raw, innerRows, innerCols) else raw
         for (li <- 0 until innerRows; lj <- 0 until innerCols)
           buf((ci * innerRows + li) * shardCols + cj * innerCols + lj) = inner(li * innerCols + lj)
@@ -887,7 +985,8 @@ object Zarr {
   def write(m: ZMatrix, path: String, rows: Long, cols: Long,
             chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
             fill: Double = 0.0, dtype: String = "<f8", format: Int = 2,
-            innerRows: Int = 0, innerCols: Int = 0, fOrder: Boolean = false): Unit =
+            innerRows: Int = 0, innerCols: Int = 0, fOrder: Boolean = false,
+            comp: String = ""): Unit =
     m.cells.select(
         (col("i") / chunkRows).cast("long").as("ci"),
         (col("j") / chunkCols).cast("long").as("cj"),
@@ -899,7 +998,7 @@ object Zarr {
       .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
       .option("zarrFormat", format.toString)
       .option("innerRows", innerRows.toString).option("innerCols", innerCols.toString)
-      .option("fOrder", fOrder.toString)
+      .option("fOrder", fOrder.toString).option("comp", comp)
       .mode("overwrite").save(path)
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
@@ -992,7 +1091,8 @@ object Zarr {
     * for matrices. */
   def writeVector(vec: DataFrame, path: String, n: Long, chunk: Int,
                   zlib: Boolean = false, fill: Double = 0.0,
-                  dtype: String = "<f8", format: Int = 2): Unit =
+                  dtype: String = "<f8", format: Int = 2,
+                  comp: String = ""): Unit =
     vec.select(
         (col("i") / chunk).cast("long").as("ci"), lit(0L).as("cj"),
         col("i").cast("long").as("i"), lit(0L).as("j"),
@@ -1002,6 +1102,7 @@ object Zarr {
       .option("rows", n.toString).option("cols", "1")
       .option("dtype", dtype).option("zlib", zlib.toString).option("fill", fill.toString)
       .option("zarrFormat", format.toString).option("rank1", "true")
+      .option("comp", comp)
       .mode("overwrite").save(path)
 
   /** Read a 1-D array back as (i, v) — errors on a 2-D store (a silent
@@ -1036,5 +1137,237 @@ object Zarr {
           .otherwise(raise_error(concat(
             lit(s"categorical code out of range [0, ${labels.size}) in $arr: "),
             col("v").cast("string")))).as("label"))
+  }
+
+  // ---- variable-length string rank-1 arrays (anndata obs/var index) ----
+  // A real anndata store's obs/var INDEX is a vlen string array — v2:
+  // dtype "|O" + the numcodecs vlen-utf8 filter; v3: data_type "string" +
+  // the vlen-utf8 codec. The numeric (i, j, v: double) substrate cannot
+  // carry strings, so strings get their own long-form (i: long, s: string)
+  // pair. Wire format (numcodecs VLenUTF8, zarr-python's object-array
+  // default): uint32-LE item count, then per item uint32-LE byte length +
+  // UTF-8 bytes; the declared compressor wraps that buffer. Chunks at the
+  // array tail are written FULL (fill-padded), the zarr chunk rule.
+
+  private[graft] def vlenEncode(items: Array[String]): Array[Byte] = {
+    val bytes = items.map(s => (if (s == null) "" else s).getBytes("UTF-8"))
+    val bb = ByteBuffer.allocate(4 + bytes.map(4 + _.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(items.length)
+    bytes.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  private[graft] def vlenDecode(bytes: Array[Byte], expected: Int): Array[String] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining() >= 4, "vlen-utf8 chunk truncated (no header)")
+    val n = bb.getInt
+    require(n == expected,
+      s"vlen-utf8 chunk holds $n items, chunk shape says $expected")
+    Array.fill(n) {
+      require(bb.remaining() >= 4, "vlen-utf8 chunk truncated (item header)")
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining(),
+        s"vlen-utf8 item length $len exceeds chunk payload")
+      val b = new Array[Byte](len); bb.get(b); new String(b, "UTF-8")
+    }
+  }
+
+  /** Inflate a zlib/gzip stream of UNKNOWN output size (vlen chunks have
+    * no geometry-derived length) into a growing buffer. */
+  private def inflateUnsized(b: Array[Byte], gzipped: Boolean): Array[Byte] = {
+    val in: java.io.InputStream =
+      if (gzipped) new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      else new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** (n, chunk, zlib, comp, format, keyEnc) of a vlen string array. */
+  private def readStringMeta(path: String): (Long, Int, Boolean, String, Int, String) =
+    if (exists(s"$path/zarr.json")) {
+      val root = mapper.readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
+      require(root.path("zarr_format").asInt() == 3 &&
+        root.path("node_type").asText("") == "array",
+        s"$path/zarr.json is not a v3 array")
+      require(root.path("data_type").asText() == "string",
+        s"$path is not a string array (data_type ${root.path("data_type")}) — " +
+          "numeric arrays read through Zarr.read/readVector")
+      require(root.path("shape").size() == 1,
+        s"string arrays are rank-1 only, got shape ${root.path("shape")}")
+      val n = root.path("shape").get(0).asLong()
+      val chunk = chunkDim(
+        root.path("chunk_grid").path("configuration").path("chunk_shape").get(0).asLong(),
+        "chunk dim")
+      var zlib = false; var comp = ""; var sawVlen = false
+      root.path("codecs").forEach { c =>
+        c.path("name").asText() match {
+          case "vlen-utf8" => sawVlen = true
+          case "gzip"      => zlib = true
+          case "blosc"     => comp = "blosc"
+          case other =>
+            throw new IllegalArgumentException(s"unsupported string-array codec '$other'")
+        }
+      }
+      require(sawVlen, s"$path string array lacks the vlen-utf8 codec")
+      val keyEncNode = root.path("chunk_key_encoding")
+      val name = keyEncNode.path("name").asText("default")
+      val sep = keyEncNode.path("configuration").path("separator")
+        .asText(if (name == "v2") "." else "/")
+      val keyEnc = (name, sep) match {
+        case ("default", "/") => "c/"
+        case ("default", ".") => "c."
+        case ("v2", "/")      => "nested"
+        case ("v2", ".")      => "flat"
+        case other => throw new IllegalArgumentException(s"unsupported chunk_key_encoding $other")
+      }
+      (n, chunk, zlib, comp, 3, keyEnc)
+    } else {
+      val root = mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
+      require(root.path("dtype").asText() == "|O",
+        s"$path is not a string array (dtype ${root.path("dtype")}) — " +
+          "numeric arrays read through Zarr.read/readVector")
+      require(root.path("shape").size() == 1,
+        s"string arrays are rank-1 only, got shape ${root.path("shape")}")
+      val filters = root.path("filters")
+      require(filters.isArray && filters.size() == 1 &&
+        filters.get(0).path("id").asText() == "vlen-utf8",
+        s"object-dtype array needs the vlen-utf8 filter, got $filters")
+      val compNode = root.path("compressor")
+      val (zlib, comp) =
+        if (compNode.isNull || compNode.isMissingNode) (false, "")
+        else compNode.path("id").asText() match {
+          case "zlib"  => (true, "")
+          case "blosc" => (false, "blosc")
+          case id => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
+        }
+      val n = root.path("shape").get(0).asLong()
+      val chunk = chunkDim(root.path("chunks").get(0).asLong(), "chunk dim")
+      val sep = root.path("dimension_separator").asText(".")
+      (n, chunk, zlib, comp, 2, if (sep == "/") "nested" else "flat")
+    }
+
+  /** Write a rank-1 vlen string array from a long-form (i, s) frame —
+    * the anndata obs/var index shape, readable by zarr-python as-is.
+    * One write task per shuffle partition streams its chunks out
+    * speculation-safely (attempt-scoped temp + rename), so the write is
+    * as distributed as the numeric DSv2 path; rows beyond [0, n) fail the
+    * task (a silently dropped index row would desynchronize obs from X).
+    * Missing positions fill with "". */
+  def writeStringVector(vec: DataFrame, path: String, n: Long, chunk: Int,
+                        zlib: Boolean = false, format: Int = 2,
+                        comp: String = ""): Unit = {
+    require(n > 0 && chunk > 0, s"need n > 0 and chunk > 0, got n=$n chunk=$chunk")
+    require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
+    require(comp == "" || comp == "blosc", s"unsupported comp '$comp'")
+    require(!(zlib && comp == "blosc"), "pick one of zlib / blosc")
+    val (root, frag) = splitKey(path)
+    val segs = frag.map(validKeySegments).getOrElse(Nil)
+    val target = (root +: segs).mkString("/")
+    delete(target, recursive = true)
+    val keyEnc = writeKeyEnc(format)
+    val spark = vec.sparkSession
+    import spark.implicits._
+    vec.select(col("i").cast("long"), col("s").cast("string")).as[(Long, String)]
+      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .sortWithinPartitions(col("i"))
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var curCi = -1L
+        var buf: Array[String] = null
+        def flush(): Unit = if (buf != null) {
+          val raw = vlenEncode(buf)
+          val bytes =
+            if (comp == "blosc") Blosc.compress(raw, 1)
+            else if (!zlib) raw
+            else if (format == 3) gzip(raw) else deflate(raw)
+          val f = chunkPath(target, curCi, 0, keyEnc, rank1 = true)
+          val tmp = s"$f.__tmp-$attempt"
+          writeBytes(tmp, bytes)
+          renameOver(tmp, f)
+          buf = null
+        }
+        it.foreach { case (i, s) =>
+          require(i >= 0 && i < n, s"string vector index $i outside [0, $n)")
+          val ci = i / chunk
+          if (ci != curCi) {
+            flush()
+            curCi = ci
+            // tail chunks still allocate the FULL chunk shape (fill-padded)
+            buf = Array.fill(chunk)("")
+          }
+          buf((i - ci * chunk).toInt) = if (s == null) "" else s
+        }
+        flush()
+      }
+    val metaJson =
+      if (format == 3) {
+        val compCodec =
+          if (comp == "blosc")
+            """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "noshuffle", "typesize": 1, "blocksize": 0}}"""
+          else if (zlib) """, {"name": "gzip", "configuration": {"level": 1}}"""
+          else ""
+        s"""{
+           |    "zarr_format": 3,
+           |    "node_type": "array",
+           |    "shape": [$n],
+           |    "data_type": "string",
+           |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunk]}},
+           |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |    "fill_value": "",
+           |    "codecs": [{"name": "vlen-utf8"}$compCodec],
+           |    "attributes": {}
+           |}""".stripMargin
+      } else {
+        val compJson =
+          if (comp == "blosc")
+            """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 0, "blocksize": 0}"""
+          else if (zlib) """{"id": "zlib", "level": 1}"""
+          else "null"
+        s"""{
+           |    "chunks": [$chunk],
+           |    "compressor": $compJson,
+           |    "dtype": "|O",
+           |    "fill_value": null,
+           |    "filters": [{"id": "vlen-utf8"}],
+           |    "order": "C",
+           |    "shape": [$n],
+           |    "zarr_format": 2
+           |}""".stripMargin
+      }
+    writeBytes(s"$target/${if (format == 3) "zarr.json" else ".zarray"}",
+      metaJson.getBytes("UTF-8"))
+    if (segs.nonEmpty) ensureGroupMeta(root, segs, format)
+    refreshConsolidatedAbove(target)
+  }
+
+  /** Read a rank-1 vlen string array back as (i: long, s: string) —
+    * partition-per-chunk (spark.range over the chunk grid), group
+    * addressing as for matrices; absent chunks yield fill ("") rows. */
+  def readStringVector(spark: SparkSession, path: String, key: String = ""): DataFrame = {
+    val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
+    val (n, chunk, zlib, comp, format, keyEnc) = readStringMeta(arr)
+    val nChunks = (n + chunk - 1) / chunk
+    import spark.implicits._
+    spark.range(nChunks).as[Long].flatMap { ci =>
+      val len = math.min(chunk.toLong, n - ci * chunk).toInt
+      val f = chunkPath(arr, ci, 0, keyEnc, rank1 = true)
+      val items: Array[String] =
+        if (!exists(f)) Array.fill(len)("")
+        else {
+          val raw0 = readBytes(f)
+          val raw =
+            if (comp == "blosc") Blosc.decompressSelfSized(raw0)
+            else if (zlib) inflateUnsized(raw0, gzipped = format == 3)
+            else raw0
+          vlenDecode(raw, chunk)
+        }
+      (0 until len).iterator.map(k => (ci * chunk + k, items(k)))
+    }.toDF("i", "s")
   }
 }

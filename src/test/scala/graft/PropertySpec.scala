@@ -92,8 +92,10 @@ class PropertySpec extends AnyFunSuite {
       format <- Gen.oneOf(2, 3)
       dtype <- Gen.oneOf(Zarr.Dtypes.toSeq)
       zlib <- Gen.oneOf(true, false)
-      intDtype = dtype.endsWith("i8") || dtype.endsWith("i4")
+      intDtype = Set("i8", "i4", "i2", "i1", "u2", "u1").contains(dtype.substring(1))
+      unsigned = dtype.substring(1).startsWith("u")
       fill <- if (dtype.endsWith("b1")) Gen.oneOf(0.0, 1.0)
+              else if (unsigned) Gen.oneOf(0.0, 7.0)
               else if (intDtype) Gen.oneOf(0.0, 7.0, -3.0)
               else Gen.oneOf(0.0, 7.5, -1.25, Double.NaN,
                 Double.PositiveInfinity, Double.NegativeInfinity)

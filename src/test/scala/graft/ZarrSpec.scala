@@ -29,6 +29,186 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("blosc codec: shuffle round-trip, frame round-trip, raw fallback") {
+    import graft.zarr.Blosc
+    val raw = Array.tabulate(48 * 8)(i => (i * 37 % 251).toByte)
+    assert(Blosc.unshuffle(Blosc.shuffle(raw, 8), 8).toSeq == raw.toSeq)
+    // compressible payload
+    val rep = Array.fill(4096)(7.toByte)
+    val frame = Blosc.compress(rep, 8)
+    assert(frame.length < rep.length, "repetitive payload did not compress")
+    assert(Blosc.decompress(frame, rep.length).toSeq == rep.toSeq)
+    // incompressible payload exercises the raw-split fallback
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(1024)(rnd.nextInt().toByte)
+    assert(Blosc.decompress(Blosc.compress(noise, 4), noise.length).toSeq == noise.toSeq)
+  }
+
+  test("blosc v2 roundtrip: zarr-python's default compressor reads and writes") {
+    val path = "/root/repo/target/tmp/zarr_test_blosc"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, comp = "blosc")
+    val meta = Zarr.readMeta(path)
+    assert(meta.comp == "blosc" && !meta.zlib)
+    // .zarray declares the blosc compressor (what zarr-python expects back)
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/.zarray")), "UTF-8")
+    assert(zarray.contains("\"id\": \"blosc\""))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("blosc v3 codec chain roundtrip (incl. sharded inner chunks)") {
+    val p3 = "/root/repo/target/tmp/zarr_test_blosc_v3"
+    Zarr.write(ZMatrix.fromDense(spark, dense), p3, 10, 5, 4, 3,
+      format = 3, comp = "blosc")
+    assert(Zarr.readMeta(p3).comp == "blosc")
+    assert(ZLocal.toDense(Zarr.read(spark, p3), 10, 5)
+      .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    val ps = "/root/repo/target/tmp/zarr_test_blosc_shard"
+    Zarr.write(ZMatrix.fromDense(spark, dense), ps, 10, 5, 4, 4,
+      format = 3, innerRows = 2, innerCols = 4, comp = "blosc")
+    assert(ZLocal.toDense(Zarr.read(spark, ps), 10, 5)
+      .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("blosc foreign-store interop: c-blosc typesize-split multi-block frames") {
+    // construct what c-blosc 1.x actually emits for lz4 + byte-shuffle:
+    // MULTI-block frames whose blocks hold TYPESIZE splits (one lz4 stream
+    // per shuffled byte lane) — zarr-python's default wire shape, which our
+    // single-split writer never produces, read through a hand-written store
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    def cblosc(raw: Array[Byte], typesize: Int, blocksize: Int): Array[Byte] = {
+      val nblocks = (raw.length + blocksize - 1) / blocksize
+      require(raw.length % blocksize == 0, "test fixture keeps whole blocks")
+      val blocks = (0 until nblocks).map { b =>
+        // c-blosc shuffles PER BLOCK: rebuild each block's shuffle from the
+        // block's own bytes (not a slice of the whole-buffer shuffle)
+        val blockRaw = java.util.Arrays.copyOfRange(raw, b * blocksize, (b + 1) * blocksize)
+        val blockShuf = graft.zarr.Blosc.shuffle(blockRaw, typesize)
+        val neblock = blocksize / typesize
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until typesize).foreach { s0 =>
+          val split = java.util.Arrays.copyOfRange(blockShuf, s0 * neblock, (s0 + 1) * neblock)
+          val max = lz4.maxCompressedLength(neblock)
+          val tmp = new Array[Byte](max)
+          val n = lz4.compress(split, 0, neblock, tmp, 0, max)
+          val (payload, len) = if (n < neblock) (tmp, n) else (split, neblock)
+          val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(len).array()
+          out.write(hdr); out.write(payload, 0, len)
+        }
+        out.toByteArray
+      }
+      val bstart0 = 16 + 4 * nblocks
+      val bstarts = blocks.scanLeft(bstart0)(_ + _.length).init
+      val cbytes = bstart0 + blocks.map(_.length).sum
+      val frame = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      frame.put(2.toByte).put(1.toByte)
+        .put((0x1 | (1 << 5)).toByte).put(typesize.toByte) // shuffle + lz4
+      frame.putInt(raw.length).putInt(blocksize).putInt(cbytes)
+      bstarts.foreach(frame.putInt)
+      blocks.foreach(b => frame.put(b))
+      frame.array()
+    }
+    // 16x4 f8 array, chunks 8x4 → two chunk files; 2 blocks of 128 B each
+    val d2 = Array.tabulate(16, 4)((i, j) => math.sin(i * 4 + j) * 100)
+    val path = "/root/repo/target/tmp/zarr_test_blosc_foreign"
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/.zarray"),
+      """{"chunks": [8, 4], "compressor": {"id": "blosc", "cname": "lz4",
+        |"clevel": 5, "shuffle": 1, "blocksize": 0}, "dtype": "<f8",
+        |"fill_value": 0.0, "filters": null, "order": "C", "shape": [16, 4],
+        |"zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+    (0 until 2).foreach { ci =>
+      val buf = ByteBuffer.allocate(8 * 4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until 8; j <- 0 until 4) buf.putDouble(d2(ci * 8 + i)(j))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/$ci.0"),
+        cblosc(buf.array(), typesize = 8, blocksize = 128))
+    }
+    val back = ZLocal.toDense(Zarr.read(spark, path), 16, 4)
+    for (i <- 0 until 16; j <- 0 until 4)
+      assert(back(i)(j) == d2(i)(j), s"cell ($i,$j)")
+    // blosclz frames fail loudly, not silently
+    val blPath = "/root/repo/target/tmp/zarr_test_blosclz"
+    new java.io.File(blPath).mkdirs()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$path/.zarray"),
+      java.nio.file.Paths.get(s"$blPath/.zarray"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val bad = cblosc(new Array[Byte](8 * 4 * 8), 8, 128)
+    bad(2) = (bad(2) & 0x1F).toByte // codec bits → 0 = blosclz
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$blPath/0.0"), bad)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$blPath/1.0"),
+      cblosc({ val b = ByteBuffer.allocate(8 * 4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+               for (i <- 0 until 32) b.putDouble(i); b.array() }, 8, 128))
+    val err = intercept[org.apache.spark.SparkException] {
+      // aggregate the VALUE column: a bare count() is answered from the
+      // grid alone (column pruning) and would never decode the bad chunk
+      Zarr.read(spark, blPath).cells
+        .agg(org.apache.spark.sql.functions.sum("v")).head()
+    }
+    assert(err.getMessage.contains("blosclz") ||
+      Option(err.getCause).exists(_.getMessage.contains("blosclz")))
+  }
+
+  test("vlen string vectors: v2 |O+vlen-utf8 / v3 string, fill, compressors, groups") {
+    import spark.implicits._
+    // i=2 is MISSING → fill "" on read-back; unicode + empties roundtrip
+    val names = Seq((0L, "alpha"), (1L, "β-ünïcode✓"), (3L, "delta,with,commas"),
+      (4L, ""))
+    val df = names.toDF("i", "s")
+    val expect = Seq((0L, "alpha"), (1L, "β-ünïcode✓"), (2L, ""),
+      (3L, "delta,with,commas"), (4L, ""))
+    for ((format, comp, zlib) <- Seq((2, "", false), (2, "blosc", false),
+        (2, "", true), (3, "", false), (3, "blosc", false), (3, "", true))) {
+      val path = s"/root/repo/target/tmp/zarr_test_str_${format}_${comp}_$zlib"
+      Zarr.writeStringVector(df, path, n = 5, chunk = 2,
+        zlib = zlib, format = format, comp = comp)
+      val back = Zarr.readStringVector(spark, path).orderBy("i")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(back == expect, s"format=$format comp=$comp zlib=$zlib: $back")
+    }
+    // v2 metadata declares what zarr-python expects back
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/target/tmp/zarr_test_str_2__false/.zarray")), "UTF-8")
+    assert(zarray.contains("\"|O\"") && zarray.contains("vlen-utf8"))
+    // group addressing: the anndata obs/index shape
+    val g = "/root/repo/target/tmp/zarr_test_str_group"
+    Zarr.delete(g, recursive = true)
+    Zarr.writeStringVector(df, s"$g#obs/index", 5, 3)
+    assert(new java.io.File(s"$g/.zgroup").exists(), "group metadata missing")
+    assert(Zarr.readStringVector(spark, g, "obs/index").count() == 5)
+    // numeric readers reject a string store loudly, pointing at the right API
+    val e = intercept[Exception](Zarr.readVector(spark, "/root/repo/target/tmp/zarr_test_str_2__false"))
+    assert(e.getMessage.contains("|O"))
+  }
+
+  test("vlen string foreign fixture: zarr-python-shaped full-tail chunks read back") {
+    // hand-written store in the exact shape zarr-python emits: full-chunk
+    // vlen frames (tail padded with the fill), zlib compressor, object dtype
+    val path = "/root/repo/target/tmp/zarr_test_str_foreign"
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/.zarray"),
+      """{"chunks": [3], "compressor": {"id": "zlib", "level": 5}, "dtype": "|O",
+        |"fill_value": null, "filters": [{"id": "vlen-utf8"}], "order": "C",
+        |"shape": [5], "zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+    def chunkBytes(items: Array[String]): Array[Byte] = {
+      val raw = Zarr.vlenEncode(items)
+      val d = new java.util.zip.Deflater(5); d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/0"),
+      chunkBytes(Array("cell_0", "cell_1", "cell_2")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/1"),
+      chunkBytes(Array("cell_3", "cell_4", ""))) // full tail chunk, padded
+    val back = Zarr.readStringVector(spark, path).orderBy("i")
+      .collect().map(_.getString(1)).toSeq
+    assert(back == Seq("cell_0", "cell_1", "cell_2", "cell_3", "cell_4"))
+  }
+
   test("DataSource V2: spark.read.format(\"zarr\") matches Zarr.read") {
     val path = "/root/repo/target/tmp/zarr_test_dsv2"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
@@ -86,20 +266,52 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
-  test("multi-dtype stores round-trip (f4/i8/i4, both byte orders)") {
-    // integral values representable exactly in every target dtype
-    val ints: Array[Array[Double]] = Array.tabulate(6, 4)((i, j) => (i * 7 + j).toDouble)
-    for (dtype <- Seq("<f8", "<f4", "<i8", "<i4", ">f4", ">i8")) {
-      val path = s"/root/repo/target/tmp/zarr_test_dtype_${dtype.replaceAll("[<>]", "_")}"
+  test("multi-dtype stores round-trip (f4/f2/i8/i4/i2/u2/u1/i1, both byte orders)") {
+    // values 0..23: representable exactly in EVERY target dtype, including
+    // u1's [0,255] range and f2's 10-bit mantissa
+    val ints: Array[Array[Double]] = Array.tabulate(6, 4)((i, j) => (i * 4 + j).toDouble)
+    for (dtype <- Seq("<f8", "<f4", "<f2", "<i8", "<i4", "<i2", "<u2",
+                      ">f4", ">f2", ">i8", ">i2", ">u2", "|u1", "|i1")) {
+      val path = s"/root/repo/target/tmp/zarr_test_dtype_${dtype.replaceAll("[<>|]", "_")}"
       Zarr.write(ZMatrix.fromDense(spark, ints), path, 6, 4, 4, 2, dtype = dtype)
       val meta = Zarr.readMeta(path)
       assert(meta.dtype == dtype)
-      // chunk files shrink with 4-byte dtypes: full 4x2 chunk = 8 elems
+      // chunk files shrink with narrow dtypes: full 4x2 chunk = 8 elems
       val f00 = new java.io.File(path, "0.0")
       assert(f00.length() == 8L * Zarr.elemSize(dtype))
       val back = ZLocal.toDense(ZMatrix(spark.read.format("zarr").load(path)), 6, 4)
       assert(back.map(_.toSeq).toSeq == ints.map(_.toSeq).toSeq, s"dtype $dtype")
     }
+    // the v3 layout names the same dtypes (float16/int16/uint16/uint8)
+    for (dtype <- Seq("<f2", "<i2", "<u2", "|u1")) {
+      val p3 = s"/root/repo/target/tmp/zarr_test_dtype3_${dtype.replaceAll("[<>|]", "_")}"
+      Zarr.write(ZMatrix.fromDense(spark, ints), p3, 6, 4, 4, 2, dtype = dtype, format = 3)
+      assert(Zarr.readMeta(p3).dtype == dtype)
+      val back = ZLocal.toDense(Zarr.read(spark, p3), 6, 4)
+      assert(back.map(_.toSeq).toSeq == ints.map(_.toSeq).toSeq, s"v3 dtype $dtype")
+    }
+  }
+
+  test("f2 half floats: fractions, specials, round-to-nearest-even, overflow") {
+    // exactly representable halves roundtrip bit-perfectly, including
+    // subnormals (2^-24) and non-finite values
+    val exact: Array[Array[Double]] = Array(
+      Array(0.5, -1.25, 65504.0, 5.9604644775390625e-8),
+      Array(0.0, -0.0999755859375, Double.PositiveInfinity, Double.NegativeInfinity))
+    val path = "/root/repo/target/tmp/zarr_test_f2_exact"
+    Zarr.write(ZMatrix.fromDense(spark, exact), path, 2, 4, 2, 4, dtype = "<f2",
+      fill = Double.NaN)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 2, 4)
+    assert(back.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+    // unrepresentable values land on the NEAREST half (ties to even), and
+    // past-range magnitudes overflow to infinity — the NumPy cast table
+    val cast: Array[Array[Double]] = Array(
+      Array(1.0 + math.pow(2, -11), 1.0 + 3 * math.pow(2, -11), 1e6, -1e6))
+    val p2 = "/root/repo/target/tmp/zarr_test_f2_cast"
+    Zarr.write(ZMatrix.fromDense(spark, cast), p2, 1, 4, 1, 4, dtype = "<f2")
+    val b2 = ZLocal.toDense(Zarr.read(spark, p2), 1, 4)
+    assert(b2(0).toSeq == Seq(1.0, 1.0 + math.pow(2, -10) * 2, // ties → even mantissa
+      Double.PositiveInfinity, Double.NegativeInfinity), b2(0).toSeq)
   }
 
   test("integral dtype truncates fractional values like a NumPy C cast") {
@@ -248,8 +460,8 @@ class ZarrSpec extends AnyFunSuite {
       s"""{"chunks": [4, 3], "compressor": $compressor, "dtype": "<f8",
          | "fill_value": 0.0, "filters": null, "order": "$order",
          | "shape": [10, 5], "zarr_format": 2}""".stripMargin
-    val e1 = intercept[IllegalArgumentException](withMeta(base("""{"id": "blosc"}""", "C")))
-    assert(e1.getMessage.contains("blosc"))
+    val e1 = intercept[IllegalArgumentException](withMeta(base("""{"id": "lzma"}""", "C")))
+    assert(e1.getMessage.contains("lzma"))
     val e2 = intercept[IllegalArgumentException](withMeta(base("null", "F")))
     assert(e2.getMessage.contains("order"))
     // restore a valid store for any later test reusing the path
@@ -347,10 +559,10 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, format = 3)
     val p = java.nio.file.Paths.get(path, "zarr.json")
     val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .replace("\"name\": \"bytes\"", "\"name\": \"blosc\"")
+      .replace("\"name\": \"bytes\"", "\"name\": \"zfp\"")
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](Zarr.readMeta(path))
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("zfp"))
   }
 
   test("column pruning: value-pruned scans never open chunk files") {
