@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * d'être is the scanpy recipe, which ends in PCA).
   *
   * Decomposition of work, 100 TB contract:
-  *  - DISTRIBUTED: the column co-moment matrix Σ x_a·x_b via one
-  *    per-row grouping (single data shuffle on i) + in-row pair explode +
-  *    a map-side-combined (a,b) aggregate shipping ncols² partials per
-  *    task; per-column sums ride a second aggregate over the same lineage.
+  *  - DISTRIBUTED: the column co-moment matrix Σ x_a·x_b AND the column
+  *    sums via one per-row grouping (single data shuffle on i) + ONE
+  *    [[graft.functions.CoMomentAgg]] pass — a TypedImperativeAggregate
+  *    accumulating a dense upper-triangle double array per task, one
+  *    buffer shipped per task (no explode, no ncols² tuple fanout).
   *  - DRIVER: the ncols×ncols covariance eigen-decomposition. The matrix is
   *    MODEL-PARAMETER-sized (ncols ≤ a few thousand — scanpy PCA runs on
   *    the ~2k highly-variable genes), same class as the IVF centroid
@@ -37,21 +38,22 @@ object Pca {
     * semantics: moments use n = nrows, not stored-cell counts. */
   def fit(m: ZMatrix, nrows: Long, ncols: Int, k: Int): Model = {
     require(k <= ncols, s"k=$k exceeds ncols=$ncols")
+    import graft.functions.CoMomentAgg
     // co-moment pass: G[a][b] = Σ_i x_ia·x_ib. NOT a self-join on i (which
     // would shuffle the cell set twice and re-run the matrix lineage
-    // twice): group each row's cells once, emit its a<=b pairs, aggregate
-    // — one data shuffle on i, map-side-combined (a,b) partials after
-    // (the candidatePairs shape; per-row fanout is nnz², bounded by ncols²).
-    val gRows = m.cells.groupBy(col("i"))
+    // twice) and NOT an in-row pair explode (which fans every row out to
+    // nnz² Catalyst tuples): group each row's cells once — the single data
+    // shuffle on i — then one CoMomentAgg global aggregate accumulates the
+    // dense upper triangle AND the column sums per task and ships exactly
+    // one (triLen + ncols)-double buffer per task to the driver.
+    val packed = m.cells.groupBy(col("i"))
       .agg(collect_list(struct(col("j"), col("v"))).as("row"))
-      .select(explode(col("row")).as("x"), col("row"))
-      .select(col("x"), explode(col("row")).as("y"))
-      .filter(col("x.j") <= col("y.j"))
-      .groupBy(col("x.j").as("a"), col("y.j").as("b"))
-      .agg(sum(col("x.v") * col("y.v")).as("g"))
-      .collect()
-    val sums = m.cells.groupBy(col("j")).agg(sum(col("v")).as("s"))
-      .collect().map(r2 => r2.getLong(0).toInt -> r2.getDouble(1)).toMap
+      .agg(CoMomentAgg.comoments(col("row"), ncols).as("gs"))
+      .head().getSeq[Double](0)
+    val triLen = CoMomentAgg.triLen(ncols)
+    def gAt(a: Int, b: Int): Double =
+      if (a <= b) packed(CoMomentAgg.triIndex(ncols, a, b))
+      else packed(CoMomentAgg.triIndex(ncols, b, a))
     val n = nrows.toDouble
     // determinism (the IVF training rule, applied correctly): rounding must
     // happen at PARAMETER scale, not data-sum scale — a 6dp round of a
@@ -61,13 +63,12 @@ object Pca {
     // model is bit-stable across partition orders.
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    val mu = Array.tabulate(ncols)(j => r6(sums.getOrElse(j, 0.0) / n))
-    val cov = Array.fill(ncols, ncols)(0.0)
-    gRows.foreach { r2 =>
-      val a = r2.getLong(0).toInt; val b = r2.getLong(1).toInt
-      val c = r6(r2.getDouble(2) / n) - mu(a) * mu(b)
-      cov(a)(b) = c; cov(b)(a) = c
-    }
+    val mu = Array.tabulate(ncols)(j => r6(packed(triLen + j) / n))
+    // the dense accumulator covers EVERY (a,b) pair uniformly: a pair with
+    // disjoint column supports has G = 0 exactly, so its covariance entry
+    // is r6(0/n) − μaμb = −μaμb — the correct dense-semantics value (the
+    // old sparse gRows map silently left such entries at 0.0).
+    val cov = Array.tabulate(ncols, ncols)((a, b) => r6(gAt(a, b) / n) - mu(a) * mu(b))
     val (values, vectors) = jacobiEigen(cov)
     // top-k by eigenvalue desc (ties: smaller original index first) with
     // sign fixed: largest-|component| entry positive — kills the ±v

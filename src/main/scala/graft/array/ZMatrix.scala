@@ -194,21 +194,24 @@ final case class ZMatrix(cells: DataFrame) {
   }
 
   /** scanpy highly_variable_genes (variance flavor): keep the `k` columns
-    * with the largest moment-formula variance, ties → smaller j. The
-    * column-stats table is ncols rows, so ranking is a broadcast-scale
-    * window and the keep-set joins back as a broadcast semi join — the
-    * fact-side cost is one scan + one aggregate, same as any column
-    * filter. Variance is rounded to 6dp BEFORE ranking so the selection
-    * can never flip on unordered-sum float noise (the determinism rule
-    * every model-producing op here follows). */
-  def filterColsTopVar(k: Int): ZMatrix = {
+    * with the largest DENSE per-column variance, ties → smaller j.
+    * `nrows` is the matrix height (coordinate form does not store shape):
+    * scanpy operates densely — implicit zeros count as zeros — so moments
+    * use n = nrows, exactly the [[Pca.fit]] contract the recipe chain
+    * pairs this with (a stored-cell count(*) would rank sparse columns by
+    * a different variance than the reference). The column-stats table is
+    * ncols rows, so ranking is a broadcast-scale window and the keep-set
+    * joins back as a broadcast semi join — the fact-side cost is one scan
+    * + one aggregate, same as any column filter. Variance is rounded to
+    * 6dp BEFORE ranking so the selection can never flip on unordered-sum
+    * float noise (the determinism rule every model-producing op follows). */
+  def filterColsTopVar(k: Int, nrows: Long): ZMatrix = {
     import org.apache.spark.sql.expressions.Window
+    val n = lit(nrows.toDouble)
     val stats = cells.groupBy(col("j")).agg(
-        sum(col("v")).as("_s"), count(lit(1)).as("_n"),
-        sum(col("v") * col("v")).as("_ss"))
+        sum(col("v")).as("_s"), sum(col("v") * col("v")).as("_ss"))
       .select(col("j"),
-        (round((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"), 6) + 0.0)
-          .as("_var"))
+        (round((col("_ss") - col("_s") * col("_s") / n) / n, 6) + 0.0).as("_var"))
     val keep = stats
       .withColumn("_rk", row_number().over(Window.orderBy(col("_var").desc, col("j"))))
       .filter(col("_rk") <= k).select(col("j"))

@@ -283,11 +283,26 @@ class ZMatrixSpec extends AnyFunSuite {
       xs.map(x => (x - mu) * (x - mu)).sum / xs.length
     }
     val ranked = (0 until 4).sortBy(j => (-popVar(j), j))
-    val kept = mm.filterColsTopVar(2).cells.select("j").distinct()
+    val kept = mm.filterColsTopVar(2, nrows = 4).cells.select("j").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(kept == ranked.take(2).map(_.toLong).toSet, s"kept $kept")
     // kept cells are unchanged, dropped columns fully absent
-    assert(mm.filterColsTopVar(2).cells.count() == 8)
+    assert(mm.filterColsTopVar(2, nrows = 4).cells.count() == 8)
+  }
+
+  test("filterColsTopVar uses DENSE variance (implicit zeros count)") {
+    // col0 is stored in only 1 of 4 rows with value 8 → dense variance
+    // = E[x²]−μ² = 64/4 − 4 = 12; over STORED cells it would be 0 (one
+    // value). col1 is fully stored with spread {1,2,3,4} → variance 1.25.
+    // Dense semantics must rank col0 ABOVE col1; stored-cell semantics
+    // would rank it below. nrows comes from the caller (shape, not data).
+    val cells = Seq((0L, 0L, 8.0),
+      (0L, 1L, 1.0), (1L, 1L, 2.0), (2L, 1L, 3.0), (3L, 1L, 4.0))
+    import spark.implicits._
+    val mm = ZMatrix(cells.toDF("i", "j", "v"))
+    val kept = mm.filterColsTopVar(1, nrows = 4).cells.select("j").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), s"sparse column ranked by stored-cell variance: kept $kept")
   }
 
   test("extended ufuncs match local math (log2/log10/tanh/square/reciprocal/sigmoid)") {
@@ -368,12 +383,12 @@ class ZMatrixSpec extends AnyFunSuite {
   test("full scanpy chain: normalize→log1p→hvg→scale→pca scores behave") {
     val sf = TestSpark.sf
     val base = ZMatrix.fromLineitem(spark, sf)
-    val prepped = base.rowNormalize
-      .mapValues(c => org.apache.spark.sql.functions.log1p(c * 10000))
-      .filterColsTopVar(5)
-      .scaleCols
     // dense row count from the PRE-filter matrix (hvg drops columns only)
     val nrows = base.cells.select(countDistinct(col("i"))).head().getLong(0)
+    val prepped = base.rowNormalize
+      .mapValues(c => org.apache.spark.sql.functions.log1p(c * 10000))
+      .filterColsTopVar(5, nrows)
+      .scaleCols
     val m1 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     val m2 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq,
@@ -385,6 +400,57 @@ class ZMatrixSpec extends AnyFunSuite {
     val means = scores.groupBy(col("j"))
       .agg(avg(col("v")).as("m")).collect().map(_.getDouble(1))
     assert(means.forall(m => math.abs(m) < 1e-3), means.mkString(","))
+  }
+
+  test("PCA: disjoint column supports get the dense co-moment (−μaμb), not 0") {
+    // columns 0 and 1 NEVER share a stored row: sparse fit must still treat
+    // the implicit zeros as zeros, i.e. cov(0,1) = E[x0·x1] − μ0μ1 = −μ0μ1,
+    // not the 0.0 a missing (a,b) group would silently default to. The
+    // dense twin stores the zeros explicitly, so its pair DOES co-occur —
+    // model equality proves the sparse path fills the missing pair right.
+    val cells = Seq((0L, 0L, 2.0), (1L, 1L, 3.0), (2L, 0L, 4.0), (3L, 1L, 5.0))
+    import spark.implicits._
+    val sparse = ZMatrix(cells.toDF("i", "j", "v"))
+    val denseM = ZMatrix.fromDense(spark,
+      Array(Array(2.0, 0.0), Array(0.0, 3.0), Array(4.0, 0.0), Array(0.0, 5.0)))
+    val sModel = graft.array.Pca.fit(sparse, nrows = 4, ncols = 2, k = 2)
+    val dModel = graft.array.Pca.fit(denseM, nrows = 4, ncols = 2, k = 2)
+    assert(sModel.components.map(_.toSeq).toSeq == dModel.components.map(_.toSeq).toSeq,
+      "sparse fit diverged from the dense twin on disjoint-support columns")
+    assert(sModel.eigenvalues.toSeq == dModel.eigenvalues.toSeq)
+    assert(sModel.offsets.toSeq == dModel.offsets.toSeq)
+    // and the covariance is genuinely non-diagonal: the top eigenvalue of
+    // [[3−2.25·?]] — sanity-pin that PC1 mixes both columns (a 0 co-moment
+    // would make the columns independent and the loadings axis-aligned)
+    assert(sModel.components(0).forall(_ != 0.0),
+      s"PC1 axis-aligned: ${sModel.components(0).toSeq} — cov(0,1) was dropped")
+  }
+
+  test("PCA: CoMomentAgg matches a driver-computed co-moment reference") {
+    // same 6dp rounding, same Jacobi — the distributed one-pass aggregate
+    // must reproduce the model bit-for-bit
+    val data = Array(
+      Array(2.5, 2.4, 0.5), Array(0.5, 0.7, 1.1), Array(2.2, 2.9, 0.3),
+      Array(1.9, 2.2, 0.6), Array(3.1, 3.0, 0.2), Array(2.3, 2.7, 0.5))
+    val n = data.length
+    val mm = ZMatrix.fromDense(spark, data)
+    val model = graft.array.Pca.fit(mm, nrows = n.toLong, ncols = 3, k = 3)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val mu = (0 until 3).map(j => r6(data.map(_(j)).sum / n)).toArray
+    val cov = Array.tabulate(3, 3) { (a, b) =>
+      r6(data.map(r => r(a) * r(b)).sum / n) - mu(a) * mu(b)
+    }
+    val (values, vectors) = graft.array.Pca.jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
+    for (c <- 0 until 3) {
+      assert(model.eigenvalues(c) == order(c)._1,
+        s"eigenvalue $c: ${model.eigenvalues(c)} vs ${order(c)._1}")
+      val w0 = (0 until 3).map(j => vectors(j)(order(c)._2)).toArray
+      val pivot = w0.indices.maxBy(j => (math.abs(w0(j)), -j))
+      val w = if (w0(pivot) < 0) w0.map(-_) else w0
+      assert(model.components(c).toSeq == w.toSeq, s"component $c differs")
+    }
   }
 
   test("PCA centering handles implicit zeros (sparse rows project correctly)") {
