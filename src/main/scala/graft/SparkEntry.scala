@@ -111,6 +111,16 @@ object SparkEntry {
   /** PCA model of the full scanpy chain's preprocessed matrix. */
   private val fullPcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
+
+  /** Dense row count (countDistinct i) of the lineitem matrix per sf dir —
+    * the shape parameter dense-semantics ops (hvg, PCA) need; computed once
+    * per dir, the model-cache pattern. */
+  private val matRowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def matNrows(s: SparkSession, d: String): Long =
+    matRowCounts.computeIfAbsent(d, { _ =>
+      mat(s, d).cells.select(countDistinct(col("i"))).head().getLong(0)
+    })
   private def pqModel(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqModels.computeIfAbsent(d, { _ =>
       Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16)
@@ -193,7 +203,7 @@ object SparkEntry {
     }),
     "arr_bool_cols" -> ((s, d) => mat(s, d).filterColsByMean(_ > 25).cells),
     // scanpy highly_variable_genes: top-3 columns by 6dp-rounded variance
-    "arr_hvg" -> ((s, d) => mat(s, d).filterColsTopVar(3).cells),
+    "arr_hvg" -> ((s, d) => mat(s, d).filterColsTopVar(3, matNrows(s, d)).cells),
     "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
     "arr_center_rows" -> ((s, d) => {
       val m = mat(s, d)
@@ -281,19 +291,19 @@ object SparkEntry {
       // where adata.X is materialized after preprocessing and pp.pca runs
       // on the stored matrix.
       val base = mat(s, d)
+      // dense-semantics row count comes from the PRE-filter matrix: hvg
+      // drops COLUMNS, and a row whose only cells sat in dropped columns
+      // is an all-zero row in dense terms, not a missing one — counting
+      // distinct i on the filtered cells would shrink n and skew μ/cov
+      // (the Pca.fit contract: n = nrows, not stored-cell counts)
+      val nrows = matNrows(s, d)
       val prepped = graft.array.ZMatrix(
         base.rowNormalize
           .mapValues(c => log1p(c * 10000))
-          .filterColsTopVar(5)
+          .filterColsTopVar(5, nrows)
           .scaleCols
           .cells.localCheckpoint())
       val model = fullPcaModels.computeIfAbsent(d, { _ =>
-        // dense-semantics row count comes from the PRE-filter matrix: hvg
-        // drops COLUMNS, and a row whose only cells sat in dropped columns
-        // is an all-zero row in dense terms, not a missing one — counting
-        // distinct i on the filtered cells would shrink n and skew μ/cov
-        // (the Pca.fit contract: n = nrows, not stored-cell counts)
-        val nrows = base.cells.select(countDistinct(col("i"))).head().getLong(0)
         graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
       })
       graft.array.Pca.transform(prepped, model).cells
@@ -309,12 +319,14 @@ object SparkEntry {
     // preservation, decorrelation, and sparse/dense equivalence are
     // scalatest-asserted (ZMatrixSpec; SURVEY §5).
     "arr_pca" -> ((s, d) => {
-      val mm = mat(s, d)
+      // materialize the matrix ONCE (the arr_recipe_full pattern): fit needs
+      // a row count + the co-moment pass and transform a third pass —
+      // uncheckpointed, each re-ran the whole lineitem aggregation lineage.
+      val mm = graft.array.ZMatrix(mat(s, d).cells.localCheckpoint())
       val model = pcaModels.computeIfAbsent(d, { _ =>
-        val nrows = mm.cells.select(countDistinct(col("i"))).head().getLong(0)
         // l_linenumber is 1-based: ncols=8 leaves column 0 implicit-zero
         // (zero variance — never enters the top-k components)
-        graft.array.Pca.fit(mm, nrows, ncols = 8, k = 3)
+        graft.array.Pca.fit(mm, matNrows(s, d), ncols = 8, k = 3)
       })
       graft.array.Pca.transform(mm, model).cells
     }),
@@ -337,6 +349,48 @@ object SparkEntry {
       val path = s"/root/repo/target/tmp/zarr_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // the roundtrip through BLOSC(lz4, byte-shuffle) frames — zarr-python's
+    // v2 DEFAULT compressor, i.e. the wire format most real community
+    // anndata/zarr stores are written in. Same cells, same oracle; the
+    // compressed representation is the thing under test.
+    "zarr_blosc_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrbl_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
+        comp = "blosc")
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // the same cells through a SMALL dtype (f2 half floats — quantities
+    // are integers 1..50, exact in a 10-bit mantissa): community stores
+    // routinely ship f2/u1/i2 and the engine must not widen-or-die
+    "zarr_f2_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrf2_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
+        dtype = "<f2")
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // rank-1 VLEN STRING roundtrip — the anndata obs/var INDEX shape
+    // (v2 "|O" dtype + numcodecs vlen-utf8, blosc-wrapped). c_custkey is
+    // dense 0-based in this testdata, so it IS the array index with no
+    // global window; the string content exercises real name text.
+    "zarr_string_roundtrip" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("i"), col("c_name").as("s"))
+      val n = c.agg(max(col("i"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/tmp/zarrstr_$sfName"
+      Zarr.writeStringVector(c, path, n, chunk = 1024, comp = "blosc")
+      // drop fill rows so key gaps (if any) can't desync from the oracle —
+      // the numeric roundtrips' =!= 0.0 rule, for strings
+      Zarr.readStringVector(s, path).filter(col("s") =!= "")
     }),
     // same roundtrip through the Zarr v3 layout (zarr.json, c/ci/cj keys,
     // gzip codec), SHARDED: each 1024-row shard object packs four 256-row
@@ -1117,6 +1171,16 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_blosc_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_string_roundtrip" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS i, c_name AS s FROM customer",
+    "zarr_f2_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
     "zarr_group_roundtrip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -1149,9 +1213,10 @@ object SparkEntry {
     "arr_hvg" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS nrows FROM m),
         |s AS (SELECT j,
-        |  round((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 6) + 0 AS var_v
-        |  FROM m GROUP BY 1),
+        |  round((sum(v * v) - sum(v) * sum(v) / n.nrows) / n.nrows, 6) + 0 AS var_v
+        |  FROM m CROSS JOIN n GROUP BY j, n.nrows),
         |k AS (SELECT j FROM s ORDER BY var_v DESC, j LIMIT 3)
         |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM k)""".stripMargin,
     "arr_scale" ->

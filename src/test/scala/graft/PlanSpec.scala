@@ -136,4 +136,14 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans(plan) == 1, s"corpus re-scan appeared in:\n$plan")
     assert(plan.contains("ExistingRDD"), s"bench checkpoint missing from:\n$plan")
   }
+
+  test("arr_pca: projection rides the checkpoint — zero parquet scans") {
+    // the matrix is localCheckpointed ONCE before fit; transform (the
+    // query's returned plan) projects off that RDD. A parquet scan here
+    // means the checkpoint was dropped and the whole lineitem aggregation
+    // lineage re-runs per pass — the r8-verdict 4×-evaluation regression.
+    val plan = executedPlan("arr_pca")
+    assert(parquetScans(plan) == 0, s"lineage re-evaluation reappeared in:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"checkpoint missing from:\n$plan")
+  }
 }
