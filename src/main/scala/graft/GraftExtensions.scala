@@ -43,33 +43,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intArg(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
-  private def longArg(e: Expression): Long = e.eval(null).asInstanceOf[Number].longValue()
+  /** Arity guard for a SQL builder: a wrong-arg-count call gets a clear
+    * analysis-time error naming the signature, not an
+    * IndexOutOfBoundsException from `args(n)`. */
+  private def arity(args: Seq[Expression], ok: Int => Boolean, sig: String): Unit =
+    if (!ok(args.length))
+      throw new IllegalArgumentException(
+        s"$sig — got ${args.length} argument(s)")
 
-  val dotBuilder: Seq[Expression] => Expression =
-    args => DotProduct(args(0), args(1))
+  /** Parameter arguments (sizes, counts) must be FOLDABLE: `eval(null)` on a
+    * column reference would NPE (or silently mis-size) at analysis time. */
+  private def foldableNum(e: Expression, fn: String, pos: Int): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a foldable literal, got: ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be numeric, got: $other")
+    }
+  }
+  private def intArg(e: Expression, fn: String, pos: Int): Int = foldableNum(e, fn, pos).intValue()
+  private def longArg(e: Expression, fn: String, pos: Int): Long = foldableNum(e, fn, pos).longValue()
 
-  val minhashBuilder: Seq[Expression] => Expression =
-    args => MinHashAgg(args(0), intArg(args(1)), intArg(args(2))).toAggregateExpression()
+  val dotBuilder: Seq[Expression] => Expression = args => {
+    arity(args, _ == 2, "graft_dot(a, b) takes 2 arguments")
+    DotProduct(args(0), args(1))
+  }
 
-  val fingerprintBuilder: Seq[Expression] => Expression =
-    args => Md5Fingerprint(args(0))
+  val minhashBuilder: Seq[Expression] => Expression = args => {
+    arity(args, _ == 3, "graft_minhash(shingles, numHashes, numTokens) takes 3 arguments")
+    MinHashAgg(args(0), intArg(args(1), "graft_minhash", 2),
+      intArg(args(2), "graft_minhash", 3)).toAggregateExpression()
+  }
+
+  val fingerprintBuilder: Seq[Expression] => Expression = args => {
+    arity(args, _ == 1, "graft_fingerprint(text) takes 1 argument")
+    Md5Fingerprint(args(0))
+  }
 
   /** `graft_bloom_agg(hash[, items[, bits]])` — Spark's internal
     * BloomFilterAggregate (otherwise reachable only through the runtime
     * join-filter optimizer rule) surfaced as a SQL aggregate. Child must be
     * a BIGINT hash (pair with xxhash64). */
   val bloomAggBuilder: Seq[Expression] => Expression = args => {
-    val items = if (args.length >= 2) longArg(args(1)) else 1000000L
-    val bits = if (args.length >= 3) longArg(args(2)) else items * 8L
+    arity(args, n => n >= 1 && n <= 3,
+      "graft_bloom_agg(hash[, items[, bits]]) takes 1-3 arguments")
+    val items = if (args.length >= 2) longArg(args(1), "graft_bloom_agg", 2) else 1000000L
+    val bits = if (args.length >= 3) longArg(args(2), "graft_bloom_agg", 3) else items * 8L
     new BloomFilterAggregate(args(0), Literal(items), Literal(bits))
       .toAggregateExpression()
   }
 
   /** `graft_might_contain(bloom, hash)` — codegen'd membership probe; the
     * bloom argument must be foldable (a literal or scalar subquery). */
-  val mightContainBuilder: Seq[Expression] => Expression =
-    args => BloomFilterMightContain(args(0), args(1))
+  val mightContainBuilder: Seq[Expression] => Expression = args => {
+    arity(args, _ == 2, "graft_might_contain(bloom, hash) takes 2 arguments")
+    BloomFilterMightContain(args(0), args(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", dotBuilder)

@@ -325,13 +325,17 @@ object Stream {
         col("cents"))
       .withColumn("band", expr(s"h div ${bandHours}L"))
 
-    // stage once per sf: partitioned by band, ONE file per band directory
-    val srcDir = s"target/tmp/zarr_ingest_src_$sfName"
-    if (!Zarr.exists(s"$srcDir/_SUCCESS"))
-      banded.repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(srcDir)
+    // stage UNCONDITIONALLY (overwrite): a _SUCCESS-keyed reuse served
+    // stale bands when the events data under the same sf dir changed
+    // (regenerated test data), while nHours was recomputed fresh — the
+    // rows==nHours require then failed confusingly or, worse, passed on
+    // stale cells. Absolute paths: the relative form depended on CWD,
+    // unlike SparkEntry's zarr queries.
+    val srcDir = s"/root/repo/target/tmp/zarr_ingest_src_$sfName"
+    banded.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(srcDir)
 
-    val store = s"target/tmp/zarr_ingest_store_$sfName"
+    val store = s"/root/repo/target/tmp/zarr_ingest_store_$sfName"
     Zarr.delete(store, recursive = true) // fresh build each run
     val stream = spark.readStream
       .schema("h LONG, t LONG, cents LONG, band LONG") // band = partition dir col
