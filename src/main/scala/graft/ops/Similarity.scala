@@ -148,55 +148,66 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----
 
-  /** Deterministic IVF training: seed centroids are the `nlist` vectors
-    * with the smallest xxhash64(id) (a fixed-seed sample that is stable
-    * across partitionings — TakeOrdered of nlist rows, never a full
-    * collect), refined by `iters` Lloyd steps. Each step is one
-    * assignment scan + a per-list average (map-side partial agg), with the
-    * new nlist centroids rounded to 6 dp so the tiny unordered-sum float
-    * noise can never flip a boundary assignment between runs. Returns the
-    * centroid matrix — O(nlist·dim) doubles, a model parameter. */
+  /** Deterministic IVF training, SAMPLE-BOUNDED: the training set is the
+    * `trainN` vectors with the smallest xxhash64(id) — a fixed-size,
+    * partition-order-independent sample materialized by ONE TakeOrdered
+    * job — so training cost is corpus-size-INDEPENDENT (at 100 TB the
+    * Lloyd loop still touches exactly trainN rows; only the one sampling
+    * scan sees the corpus). Seed centroids are the `nlist` smallest-hash
+    * vectors — a prefix of that same sample, so seeding is unchanged from
+    * full-corpus training, and a corpus smaller than trainN trains on
+    * every row (test corpora are bit-identical either way). Each Lloyd
+    * step is one assignment pass over the sample + a per-list average,
+    * with the new nlist centroids rounded to 6 dp so the tiny
+    * unordered-sum float noise can never flip a boundary assignment
+    * between runs. Returns the centroid matrix — O(nlist·dim) doubles, a
+    * model parameter. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int, iters: Int = 1): Array[Array[Double]] = {
+                   nlist: Int, iters: Int = 1,
+                   trainN: Int = 4096): Array[Array[Double]] = {
+    require(trainN >= nlist, s"trainN=$trainN must be >= nlist=$nlist")
     val v = col(vecCol).cast("array<double>")
-    var cents = emb.select(v.as("vec"), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(nlist)
-      .collect().map(_.getSeq[Double](0).toArray)
-    // fail degenerate corpora loudly: downstream treats list_id as an
-    // exactly-nlist-wide partition key, so a silently narrower model (or
-    // an AIOOBE from an empty seed set inside the Lloyd loop) is worse
-    // than a clear error here
-    require(cents.length == nlist,
-      s"IVF training needs >= nlist=$nlist vectors, corpus has ${cents.length}")
-    for (_ <- 0 until iters) {
-      val dim = cents(0).length
-      // per-list means via posexplode + one (list_id, dim) aggregate — a
-      // 2-column plan that codegen-compiles far faster than a dim-wide
-      // aggregate, and shuffles (nlist·dim) partial sums either way
-      // 6dp rounding makes cross-run flips from unordered-sum float noise
-      // vanishingly rare (a flip needs the true mean within ~1 ulp of a
-      // 0.5e-6 grid boundary); run-to-run equality is asserted by the
-      // twin-training test, and IVF rows are no_oracle by design
-      val assigned = withIvfList(emb.select(v.as("vec")), "vec", cents)
-        .select(col("list_id"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("list_id"), col("d"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .collect()
-      val byList = assigned.groupBy(_.getInt(0))
-      // a list that received no vectors keeps its previous centroid: the
-      // model stays exactly nlist wide and list ids never renumber
-      // mid-training (dropping the entry would shrink and shift both)
-      cents = cents.indices.toArray.map { l =>
-        byList.get(l) match {
-          case Some(ms) =>
-            val c = new Array[Double](dim)
-            ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-            c
-          case None => cents(l)
+    val sample = emb.select(v.as("vec"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(trainN).localCheckpoint()
+    try {
+      var cents = sample.orderBy(col("h")).limit(nlist)
+        .collect().map(_.getSeq[Double](0).toArray)
+      // fail degenerate corpora loudly: downstream treats list_id as an
+      // exactly-nlist-wide partition key, so a silently narrower model (or
+      // an AIOOBE from an empty seed set inside the Lloyd loop) is worse
+      // than a clear error here
+      require(cents.length == nlist,
+        s"IVF training needs >= nlist=$nlist vectors, corpus has ${cents.length}")
+      for (_ <- 0 until iters) {
+        val dim = cents(0).length
+        // per-list means via posexplode + one (list_id, dim) aggregate — a
+        // 2-column plan that codegen-compiles far faster than a dim-wide
+        // aggregate, and shuffles (nlist·dim) partial sums either way
+        // 6dp rounding makes cross-run flips from unordered-sum float noise
+        // vanishingly rare (a flip needs the true mean within ~1 ulp of a
+        // 0.5e-6 grid boundary); run-to-run equality is asserted by the
+        // twin-training test, and IVF rows are no_oracle by design
+        val assigned = withIvfList(sample.select(col("vec")), "vec", cents)
+          .select(col("list_id"), posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy(col("list_id"), col("d"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .collect()
+        val byList = assigned.groupBy(_.getInt(0))
+        // a list that received no vectors keeps its previous centroid: the
+        // model stays exactly nlist wide and list ids never renumber
+        // mid-training (dropping the entry would shrink and shift both)
+        cents = cents.indices.toArray.map { l =>
+          byList.get(l) match {
+            case Some(ms) =>
+              val c = new Array[Double](dim)
+              ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+              c
+            case None => cents(l)
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally sample.unpersist()
   }
 
   /** The (cosine-to-centroid, list) structs shared by every IVF consumer —
@@ -293,17 +304,27 @@ object Similarity {
     * each Lloyd iteration is ONE job assigning all m subspaces via an
     * exploded (sub, list, component) aggregate: 2 + iters tiny jobs total.
     * Seeds/assignment/6dp mean rounding follow the IVF determinism rules;
-    * empty clusters keep their previous centroid. At 100 TB training runs
-    * on a bounded sample upstream (the model is scan-independent). */
+    * empty clusters keep their previous centroid.
+    *
+    * SAMPLE-BOUNDED like [[ivfCentroids]]: the checkpointed training set
+    * is the `trainN` smallest-xxhash64(id) rows (one TakeOrdered job over
+    * the corpus), so codebook training cost is corpus-size-independent —
+    * at 100 TB only the sampling scan sees the data, and a corpus smaller
+    * than trainN trains on every row. Seeds are the ksub smallest-hash
+    * rows — a prefix of the sample, unchanged from full-corpus training. */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
-              m: Int = 8, ksub: Int = 16, iters: Int = 2): Array[Array[Array[Double]]] = {
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              trainN: Int = 4096): Array[Array[Array[Double]]] = {
+    require(trainN >= ksub, s"trainN=$trainN must be >= ksub=$ksub")
     val cached = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec")).localCheckpoint()
+        col(vecCol).cast("array<double>").as("vec"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(trainN).localCheckpoint()
     try {
       val dim = cached.select(size(col("vec"))).head().getInt(0)
       require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
       val sd = dim / m
-      val seedRows = cached.select(col("vec"), xxhash64(col("id")).as("h"))
+      val seedRows = cached.select(col("vec"), col("h"))
         .orderBy(col("h")).limit(ksub)
         .collect().map(_.getSeq[Double](0).toArray)
       require(seedRows.length == ksub,
