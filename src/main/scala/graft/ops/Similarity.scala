@@ -148,66 +148,92 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----
 
-  /** Deterministic IVF training, SAMPLE-BOUNDED: the training set is the
-    * `trainN` vectors with the smallest xxhash64(id) — a fixed-size,
-    * partition-order-independent sample materialized by ONE TakeOrdered
-    * job — so training cost is corpus-size-INDEPENDENT (at 100 TB the
-    * Lloyd loop still touches exactly trainN rows; only the one sampling
-    * scan sees the corpus). Seed centroids are the `nlist` smallest-hash
-    * vectors — a prefix of that same sample, so seeding is unchanged from
-    * full-corpus training, and a corpus smaller than trainN trains on
-    * every row (test corpora are bit-identical either way). Each Lloyd
-    * step is one assignment pass over the sample + a per-list average,
-    * with the new nlist centroids rounded to 6 dp so the tiny
-    * unordered-sum float noise can never flip a boundary assignment
-    * between runs. Returns the centroid matrix — O(nlist·dim) doubles, a
-    * model parameter. */
+  /** 6dp HALF_UP — the same grid Spark's `round(x, 6)` lands on, so
+    * driver-computed model parameters match what the old distributed
+    * aggregates produced. +0.0 collapses IEEE −0.0. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Left-to-right fold — the custom DotProduct expression's exact
+    * summation order, so driver-side training scores the same doubles the
+    * serving expressions compute. */
+  private def dotOrdered(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver twin of `greatest(centroidScores(...)).getField("l")`: argmax
+    * cosine (safe centroid norm), ties → LARGER list id (struct greatest
+    * compares (s, l) lexicographically). */
+  private def assignCosine(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity; var bestL = 0
+    var l = 0
+    while (l < cents.length) {
+      val cn = math.sqrt(cents(l).map(c => c * c).sum)
+      val s = dotOrdered(x, cents(l)) / (if (cn == 0.0) 1.0 else cn)
+      if (s >= best) { best = s; bestL = l }
+      l += 1
+    }
+    bestL
+  }
+
+  /** One deterministic Lloyd pass over in-memory rows: per-list per-dim
+    * mean (sample order — fixed, since rows arrive hash-sorted), r6 grid;
+    * empty lists keep their previous centroid so the model stays exactly
+    * k wide and ids never renumber mid-training. */
+  private def lloydStep(rows: Array[Array[Double]], cents: Array[Array[Double]],
+                        assign: Array[Double] => Int): Array[Array[Double]] = {
+    val dim = cents(0).length
+    val sums = Array.fill(cents.length)(new Array[Double](dim))
+    val counts = new Array[Long](cents.length)
+    rows.foreach { x =>
+      val l = assign(x)
+      counts(l) += 1
+      var d = 0
+      while (d < dim) { sums(l)(d) += x(d); d += 1 }
+    }
+    cents.indices.toArray.map { l =>
+      if (counts(l) == 0L) cents(l)
+      else sums(l).map(s => r6(s / counts(l)))
+    }
+  }
+
+  /** Deterministic IVF training, SAMPLE-BOUNDED and DRIVER-EXECUTED: the
+    * training set is the `trainN` vectors with the smallest xxhash64(id) —
+    * a fixed-size, partition-order-independent sample collected by ONE
+    * TakeOrdered job (trainN·dim doubles ≈ 2 MB — model-parameter-class
+    * driver traffic). That one sampling scan is the ONLY job training
+    * runs: the Lloyd loop itself is plain driver-side arithmetic. The
+    * distributed loop this replaces cost the same at sf0.01 and sf0.1 —
+    * its time was per-iteration Catalyst planning + codegen of
+    * nlist-wide greatest-of-structs expressions, a fixed overhead that
+    * sampling could never cut — while at 100 TB BOTH shapes scan the
+    * corpus once; this one just stops paying the fixed cost per
+    * iteration. Seeds are the nlist smallest-hash vectors (the sample's
+    * prefix — unchanged from full-corpus training); assignment replicates
+    * the serving expressions' exact math (ordered-fold dot, safe norms,
+    * ties → larger list id); means land on the r6 grid so the model is
+    * bit-stable across runs. Returns O(nlist·dim) doubles. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 1,
                    trainN: Int = 4096): Array[Array[Double]] = {
     require(trainN >= nlist, s"trainN=$trainN must be >= nlist=$nlist")
     val v = col(vecCol).cast("array<double>")
     val sample = emb.select(v.as("vec"), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(trainN).localCheckpoint()
-    try {
-      var cents = sample.orderBy(col("h")).limit(nlist)
-        .collect().map(_.getSeq[Double](0).toArray)
-      // fail degenerate corpora loudly: downstream treats list_id as an
-      // exactly-nlist-wide partition key, so a silently narrower model (or
-      // an AIOOBE from an empty seed set inside the Lloyd loop) is worse
-      // than a clear error here
-      require(cents.length == nlist,
-        s"IVF training needs >= nlist=$nlist vectors, corpus has ${cents.length}")
-      for (_ <- 0 until iters) {
-        val dim = cents(0).length
-        // per-list means via posexplode + one (list_id, dim) aggregate — a
-        // 2-column plan that codegen-compiles far faster than a dim-wide
-        // aggregate, and shuffles (nlist·dim) partial sums either way
-        // 6dp rounding makes cross-run flips from unordered-sum float noise
-        // vanishingly rare (a flip needs the true mean within ~1 ulp of a
-        // 0.5e-6 grid boundary); run-to-run equality is asserted by the
-        // twin-training test, and IVF rows are no_oracle by design
-        val assigned = withIvfList(sample.select(col("vec")), "vec", cents)
-          .select(col("list_id"), posexplode(col("vec")).as(Seq("d", "x")))
-          .groupBy(col("list_id"), col("d"))
-          .agg(round(avg(col("x")), 6).as("m"))
-          .collect()
-        val byList = assigned.groupBy(_.getInt(0))
-        // a list that received no vectors keeps its previous centroid: the
-        // model stays exactly nlist wide and list ids never renumber
-        // mid-training (dropping the entry would shrink and shift both)
-        cents = cents.indices.toArray.map { l =>
-          byList.get(l) match {
-            case Some(ms) =>
-              val c = new Array[Double](dim)
-              ms.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-              c
-            case None => cents(l)
-          }
-        }
-      }
-      cents
-    } finally sample.unpersist()
+      .orderBy(col("h")).limit(trainN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    // fail degenerate corpora loudly: downstream treats list_id as an
+    // exactly-nlist-wide partition key, so a silently narrower model (or
+    // an AIOOBE from an empty seed set inside the Lloyd loop) is worse
+    // than a clear error here
+    require(sample.length >= nlist,
+      s"IVF training needs >= nlist=$nlist vectors, corpus has ${sample.length}")
+    var cents = sample.take(nlist)
+    for (_ <- 0 until iters)
+      cents = lloydStep(sample, cents, assignCosine(_, cents))
+    cents
   }
 
   /** The (cosine-to-centroid, list) structs shared by every IVF consumer —
@@ -296,70 +322,53 @@ object Similarity {
     * semantics, train/encode over L2-NORMALIZED vectors so inner-product
     * ADC approximates cosine.
     *
-    * Job shape: a naive per-subspace loop costs m·(1+iters) corpus scans
-    * (and re-evaluates any upstream transform each time). Instead the
-    * input is localCheckpoint'ed ONCE, every subspace seeds from the same
-    * single job (the ksub smallest-xxhash64(id) rows — the hash ignores
-    * the subspace, so seed ROWS are shared and sliced driver-side), and
-    * each Lloyd iteration is ONE job assigning all m subspaces via an
-    * exploded (sub, list, component) aggregate: 2 + iters tiny jobs total.
-    * Seeds/assignment/6dp mean rounding follow the IVF determinism rules;
-    * empty clusters keep their previous centroid.
-    *
-    * SAMPLE-BOUNDED like [[ivfCentroids]]: the checkpointed training set
-    * is the `trainN` smallest-xxhash64(id) rows (one TakeOrdered job over
-    * the corpus), so codebook training cost is corpus-size-independent —
-    * at 100 TB only the sampling scan sees the data, and a corpus smaller
-    * than trainN trains on every row. Seeds are the ksub smallest-hash
-    * rows — a prefix of the sample, unchanged from full-corpus training. */
+    * SAMPLE-BOUNDED and DRIVER-EXECUTED like [[ivfCentroids]]: ONE
+    * TakeOrdered job collects the `trainN` smallest-xxhash64(id) rows
+    * (≈2 MB — model-parameter-class driver traffic), then every subspace's
+    * Lloyd loop is plain driver arithmetic. The distributed loop this
+    * replaces spent its time compiling the m·ksub greatest-of-structs
+    * assignment expression per iteration — a fixed planning/codegen cost
+    * identical at sf0.01 and sf0.1 that sampling could never cut. At
+    * 100 TB both shapes scan the corpus once (the sample); training is
+    * otherwise corpus-size-independent. Seeds are the ksub smallest-hash
+    * rows (the sample's prefix, shared across subspaces and sliced
+    * driver-side); assignment replicates [[pqEncode]]'s exact scoring
+    * (ordered-fold dot − ‖c‖²/2, ties → larger code); means land on the
+    * r6 grid; empty clusters keep their previous centroid. */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, iters: Int = 2,
               trainN: Int = 4096): Array[Array[Array[Double]]] = {
     require(trainN >= ksub, s"trainN=$trainN must be >= ksub=$ksub")
-    val cached = emb.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("vec"),
+    val rows = emb.select(col(vecCol).cast("array<double>").as("vec"),
         xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(trainN).localCheckpoint()
-    try {
-      val dim = cached.select(size(col("vec"))).head().getInt(0)
-      require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-      val sd = dim / m
-      val seedRows = cached.select(col("vec"), col("h"))
-        .orderBy(col("h")).limit(ksub)
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(seedRows.length == ksub,
-        s"PQ training needs >= ksub=$ksub vectors, corpus has ${seedRows.length}")
-      var books: Array[Array[Array[Double]]] =
-        (0 until m).toArray.map(j => seedRows.map(_.slice(j * sd, (j + 1) * sd)))
-      for (_ <- 0 until iters) {
-        val perSub = array((0 until m).map { j =>
-          val sv = slice(col("vec"), j * sd + 1, sd)
-          struct(lit(j).as("sub"),
-            greatest(l2Scores(sv, books(j)): _*).getField("l").as("list_id"),
-            sv.as("svec"))
-        }: _*)
-        val assigned = cached.select(explode(perSub).as("a"))
-          .select(col("a.sub").as("sub"), col("a.list_id").as("list_id"),
-            posexplode(col("a.svec")).as(Seq("d", "x")))
-          .groupBy(col("sub"), col("list_id"), col("d"))
-          .agg(round(avg(col("x")), 6).as("mean"))
-          .collect()
-        val bySub = assigned.groupBy(_.getInt(0))
-        books = books.indices.toArray.map { j =>
-          val byList = bySub.getOrElse(j, Array.empty).groupBy(_.getInt(1))
-          books(j).indices.toArray.map { l =>
-            byList.get(l) match {
-              case Some(ms) =>
-                val c = new Array[Double](sd)
-                ms.foreach(r => c(r.getInt(2)) = r.getDouble(3))
-                c
-              case None => books(j)(l)
-            }
-          }
-        }
-      }
-      books
-    } finally cached.unpersist()
+      .orderBy(col("h")).limit(trainN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length >= ksub,
+      s"PQ training needs >= ksub=$ksub vectors, corpus has ${rows.length}")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    (0 until m).toArray.map { j =>
+      val sub = rows.map(_.slice(j * sd, (j + 1) * sd))
+      var book = sub.take(ksub)
+      for (_ <- 0 until iters)
+        book = lloydStep(sub, book, assignL2(_, book))
+      book
+    }
+  }
+
+  /** Driver twin of `greatest(l2Scores(...)).getField("l")`: argmax of
+    * (dot − ‖c‖²/2) — the monotone L2-argmin transform — ties → larger
+    * code, matching struct-greatest lexicographic order. */
+  private def assignL2(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity; var bestL = 0
+    var l = 0
+    while (l < cents.length) {
+      val s = dotOrdered(x, cents(l)) - cents(l).map(c => c * c).sum / 2.0
+      if (s >= best) { best = s; bestL = l }
+      l += 1
+    }
+    bestL
   }
 
   /** Encode vectors to PQ codes: per subspace, the argmin-L2 codebook
