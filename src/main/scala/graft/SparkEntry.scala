@@ -202,6 +202,14 @@ object SparkEntry {
       m.broadcastOverCols(m.meanAxis0)((v, mv) => round(v - mv, 6) + 0.0).cells
     }),
     "arr_bool_cols" -> ((s, d) => mat(s, d).filterColsByMean(_ > 25).cells),
+    // numpy vstack / anndata concat along obs: the matrix stacked on
+    // itself — the second copy re-indexes by the matrix HEIGHT (max(i)+1,
+    // one tiny agg job), the union itself is shuffle-free
+    "arr_concat" -> ((s, d) => {
+      val m = mat(s, d)
+      val h = m.cells.agg(max(col("i"))).head().getLong(0) + 1
+      m.vstack(m, h).cells
+    }),
     // scanpy highly_variable_genes: top-3 columns by 6dp-rounded variance
     "arr_hvg" -> ((s, d) => mat(s, d).filterColsTopVar(3, matNrows(s, d)).cells),
     "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
@@ -1204,6 +1212,12 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m WHERE j IN (SELECT j FROM m GROUP BY 1 HAVING sum(v) / count(*) > 25)""".stripMargin,
+    "arr_concat" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT max(i) + 1 AS nr FROM m)
+        |SELECT i, j, v FROM m
+        |UNION ALL SELECT m.i + h.nr AS i, j, v FROM m CROSS JOIN h""".stripMargin,
     "arr_var_axis1" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

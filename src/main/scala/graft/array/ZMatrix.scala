@@ -244,6 +244,25 @@ final case class ZMatrix(cells: DataFrame) {
   def slice(i0: Long, i1: Long, j0: Long, j1: Long): ZMatrix =
     ZMatrix(cells.filter(col("i") >= i0 && col("i") < i1 && col("j") >= j0 && col("j") < j1))
 
+  /** Stack `other` BELOW this matrix — numpy vstack / anndata concat along
+    * the obs axis (combining two datasets into one training matrix).
+    * Coordinate form stores no shape, so the caller passes this matrix's
+    * HEIGHT (max row index + 1, not a stored-row count — gap rows still
+    * occupy index space); other's cells re-index to i + selfRows. The plan
+    * is a UNION of the two inputs — no shuffle, no driver data; downstream
+    * aggregates/joins repartition exactly as they would over either input,
+    * so at 100 TB this is free concatenation, not a copy. */
+  def vstack(other: ZMatrix, selfRows: Long): ZMatrix =
+    ZMatrix(cells.unionByName(other.cells.select(
+      (col("i") + selfRows).as("i"), col("j"), col("v"))))
+
+  /** Stack `other` RIGHT of this matrix — numpy hstack / concat along the
+    * var axis (joining two feature blocks for the same rows). `selfCols`
+    * is this matrix's WIDTH; same free-union contract as [[vstack]]. */
+  def hstack(other: ZMatrix, selfCols: Long): ZMatrix =
+    ZMatrix(cells.unionByName(other.cells.select(
+      col("i"), (col("j") + selfCols).as("j"), col("v"))))
+
   /** NumPy integer-array (fancy) row indexing `X[idx, :]`: output row p is
     * input row idx(p) — duplicates in `idx` repeat rows (gather semantics).
     * The index list is an O(k) parameter, so it joins as a broadcast local

@@ -19,6 +19,28 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(m, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("vstack/hstack concatenation matches the dense block layout") {
+    val other = Array(Array(10.0, 20.0, 30.0), Array(40.0, 50.0, 60.0))
+    val o = ZMatrix.fromDense(spark, other)
+    // vstack: other lands BELOW, re-indexed by this matrix's height (4)
+    val v = ZLocal.toDense(m.vstack(o, selfRows = 4), 6, 3)
+    assert(v.map(_.toSeq).toSeq == (dense ++ other).map(_.toSeq).toSeq)
+    // hstack: other lands RIGHT of a 2-row slice, re-indexed by width (3)
+    val left = ZMatrix.fromDense(spark, dense.take(2))
+    val h = ZLocal.toDense(left.hstack(o, selfCols = 3), 2, 6)
+    assert(h.map(_.toSeq).toSeq ==
+      dense.take(2).zip(other).map { case (a, b) => (a ++ b).toSeq }.toSeq)
+    // height is index space, not stored-row count: a gap row stays a gap
+    // and the stacked copy starts after it, exactly like dense vstack
+    import spark.implicits._
+    val gappy = ZMatrix(Seq((0L, 0L, 1.0), (2L, 0L, 3.0)).toDF("i", "j", "v"))
+    val g = ZLocal.toDense(gappy.vstack(gappy, selfRows = 3), 6, 1)
+    assert(g.map(_(0)).toSeq == Seq(1.0, 0.0, 3.0, 1.0, 0.0, 3.0))
+    // downstream reductions see one matrix: column sums double
+    val cs = m.vstack(m, 4).sumAxis0.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cs == Map(0L -> 24.0, 1L -> 32.0, 2L -> 40.0))
+  }
+
   test("elementwise ufuncs") {
     val got = ZLocal.toDense(m.log1p_, 4, 3)
     for (i <- 0 until 4; j <- 0 until 3)
