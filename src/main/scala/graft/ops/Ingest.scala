@@ -28,7 +28,20 @@ object Ingest {
     * values clustered AND lets AQE's skew splitter fan a hot value out
     * across tasks — a few files for the hot directory, one for the
     * rest. */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.hint("rebalance", partitionCol)
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+  /** `format`: "parquet" (default), "csv", or "json" — the same
+    * Hive-partitioned directory layout and rebalance clustering for every
+    * target, so a pipeline exporting curated text to line-JSON or CSV for
+    * a downstream consumer gets the identical small-files/skew story as
+    * the parquet fact tables. CSV writes a header and quotes/escapes so
+    * hostile text (embedded commas, quotes, newlines) survives — pair
+    * with the multiLine read option SourceParitySpec pins. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       format: String = "parquet"): Unit = {
+    require(Set("parquet", "csv", "json").contains(format),
+      s"unsupported export format '$format' (parquet, csv, json)")
+    val w = df.hint("rebalance", partitionCol)
+      .write.partitionBy(partitionCol).mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true").option("escape", "\"")
+     else w).save(path)
+  }
 }

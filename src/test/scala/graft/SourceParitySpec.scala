@@ -61,4 +61,39 @@ class SourceParitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaJson == direct)
   }
+
+  test("writePartitioned exports the Hive layout for csv and json targets") {
+    import spark.implicits._
+    // hostile text + a skewed partition column: the export twin of the
+    // parquet ingestion path (same rebalance clustering, same dir layout)
+    val docs = Seq(
+      (0L, "web", "comma, inside"),
+      (1L, "web", "a \"quoted\" phrase"),
+      (2L, "web", "unicode: 你好 ✓"),
+      (3L, "books", "line one\nline two"),
+      (4L, "books", "")).toDF("doc_id", "source", "text")
+    for (fmt <- Seq("csv", "json")) {
+      val path = s"target/tmp/export_part_$fmt"
+      graft.ops.Ingest.writePartitioned(docs, path, "source", fmt)
+      // Hive directory layout per partition value
+      val dirs = new java.io.File(path).list().filter(_.startsWith("source=")).sorted
+      assert(dirs.toSeq == Seq("source=books", "source=web"), dirs.toSeq)
+      val schema = "doc_id LONG, text STRING" // source comes from the dirs
+      val back = (if (fmt == "csv")
+        spark.read.schema(schema + ", source STRING")
+          .option("header", "true").option("multiLine", "true").option("escape", "\"")
+          .csv(path)
+      else spark.read.schema(schema + ", source STRING").json(path))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(2), Option(r.getString(1)).getOrElse("")))
+        .toSet
+      val expected = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(back == expected, s"$fmt roundtrip: $back")
+    }
+    // unsupported targets fail loudly, not with a half-written directory
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Ingest.writePartitioned(docs, "target/tmp/export_bad", "source", "orc"))
+    assert(e.getMessage.contains("orc"))
+  }
 }
