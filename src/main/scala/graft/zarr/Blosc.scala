@@ -157,20 +157,21 @@ object Blosc {
     var b = 0
     while (b < nblocks) {
       val bsize = math.min(blocksize, nbytes - b * blocksize) // leftover last
-      // compressed extent of this block = gap to the next block's start
-      // (blocks are laid out in order), last block runs to end of frame
-      val extent = (if (b + 1 < nblocks) bstarts(b + 1) else cbytes) - bstarts(b)
       val block = new Array[Byte](bsize)
       // splits per block are NOT in the frame: try typesize splits (what
       // c-blosc writes for fast codecs — version-dependent heuristic,
-      // shuffle not required), then 1
+      // shuffle not required), then 1. Each block's compressed extent is
+      // walked from its own split headers, bounded only by the frame end:
+      // MULTITHREADED c-blosc appends blocks in thread-COMPLETION order,
+      // so bstarts are not monotonic and "gap to the next bstart" would
+      // mis-slice valid community stores.
       val candidates =
         if (typesize > 1 && bsize % typesize == 0) Seq(typesize, 1) else Seq(1)
-      val ok = candidates.exists(ns => tryDecodeBlock(frame, bstarts(b), extent,
+      val ok = candidates.exists(ns => tryDecodeBlock(frame, bstarts(b), cbytes,
         block, ns, codec))
       if (!ok) throw new IllegalArgumentException(
         s"blosc block $b does not parse with ${candidates.mkString("/")} splits " +
-          s"(codec $codec, extent $extent, bsize $bsize)")
+          s"(codec $codec, bstart ${bstarts(b)}, bsize $bsize)")
       val plain = if ((flags & ByteShuffleFlag) != 0) unshuffle(block, typesize) else block
       System.arraycopy(plain, 0, out, b * blocksize, bsize)
       b += 1
@@ -178,21 +179,26 @@ object Blosc {
     out
   }
 
-  /** Attempt to parse one block as `nsplits` equal splits; true iff the
-    * parse consumes exactly `extent` compressed bytes and fills `block`. */
-  private def tryDecodeBlock(frame: Array[Byte], start: Int, extent: Int,
+  /** Attempt to parse one block as `nsplits` equal splits starting at
+    * `start`; true iff every split's declared size stays inside the frame
+    * (`limit` = cbytes) and decompresses to exactly its share of `block`.
+    * The parse is self-delimiting via the per-split `[int32 cbytes]`
+    * headers — block extents are NOT derivable from neighbor bstarts
+    * (multithreaded writers order blocks by completion). */
+  private def tryDecodeBlock(frame: Array[Byte], start: Int, limit: Int,
                              block: Array[Byte], nsplits: Int, codec: Int): Boolean = {
     if (block.length % nsplits != 0) return false
+    if (start < 16 || start > limit) return false
     val neblock = block.length / nsplits
     var pos = start
     var outPos = 0
     var s = 0
     try {
       while (s < nsplits) {
-        if (pos + 4 > start + extent) return false
+        if (pos + 4 > limit) return false
         val c = ByteBuffer.wrap(frame, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
         pos += 4
-        if (c < 0 || pos + c > start + extent) return false
+        if (c < 0 || pos + c > limit) return false
         if (c == neblock) { // raw split
           System.arraycopy(frame, pos, block, outPos, neblock)
         } else {
@@ -203,7 +209,7 @@ object Blosc {
         outPos += neblock
         s += 1
       }
-      pos - start == extent && outPos == block.length
+      outPos == block.length
     } catch {
       case _: Exception => false // corrupt under this split hypothesis
     }

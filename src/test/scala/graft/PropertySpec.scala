@@ -119,6 +119,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: blosc frames round-trip; foreign multi-block frames decode in any block order") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.zarr.Blosc
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    // a c-blosc-1.x-shaped frame: typesize splits per block, blocks laid
+    // out in an ARBITRARY permutation (multithreaded writers append by
+    // completion order), bstarts pointing wherever each block landed
+    def cblosc(raw: Array[Byte], typesize: Int, blocksize: Int,
+               order: Seq[Int]): Array[Byte] = {
+      val nblocks = (raw.length + blocksize - 1) / blocksize
+      val blocks = (0 until nblocks).map { b =>
+        val bsize = math.min(blocksize, raw.length - b * blocksize)
+        val blockRaw = java.util.Arrays.copyOfRange(raw, b * blocksize, b * blocksize + bsize)
+        val nsplits = if (typesize > 1 && bsize % typesize == 0) typesize else 1
+        val shuf = if (nsplits > 1) Blosc.shuffle(blockRaw, typesize) else blockRaw
+        val neblock = bsize / nsplits
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until nsplits).foreach { s0 =>
+          val split = java.util.Arrays.copyOfRange(shuf, s0 * neblock, (s0 + 1) * neblock)
+          val max = lz4.maxCompressedLength(neblock)
+          val tmp = new Array[Byte](max)
+          val n = lz4.compress(split, 0, neblock, tmp, 0, max)
+          val (payload, len) = if (n < neblock) (tmp, n) else (split, neblock)
+          val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(len).array()
+          out.write(hdr); out.write(payload, 0, len)
+        }
+        (b, out.toByteArray, nsplits)
+      }
+      // every block must agree on its split hypothesis for the shuffle flag
+      val shuffled = blocks.forall(_._3 > 1)
+      val bstart0 = 16 + 4 * nblocks
+      val bstarts = new Array[Int](nblocks)
+      var off = bstart0
+      order.foreach { b => bstarts(b) = off; off += blocks(b)._2.length }
+      val frame = ByteBuffer.allocate(off).order(ByteOrder.LITTLE_ENDIAN)
+      frame.put(2.toByte).put(1.toByte)
+        .put(((if (shuffled) 0x1 else 0x0) | (1 << 5)).toByte).put(typesize.toByte)
+      frame.putInt(raw.length).putInt(blocksize).putInt(off)
+      bstarts.foreach(frame.putInt)
+      order.foreach(b => frame.put(blocks(b)._2))
+      frame.array()
+    }
+    val caseGen = for {
+      typesize <- Gen.oneOf(1, 2, 4, 8)
+      nblocks <- Gen.choose(1, 4)
+      blockElems <- Gen.choose(2, 16)
+      compressible <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0, 10000)
+    } yield (typesize, nblocks, blockElems, compressible, seed)
+    forAll(caseGen, n = 12) { case (typesize, nblocks, blockElems, compressible, seed) =>
+      val blocksize = blockElems * typesize
+      val total = blocksize * nblocks
+      val rnd = new scala.util.Random(seed)
+      val raw = if (compressible) Array.tabulate(total)(i => (i / typesize % 5).toByte)
+                else Array.fill(total)(rnd.nextInt().toByte)
+      // our own writer round-trips...
+      assert(Blosc.decompress(Blosc.compress(raw, typesize), total).toSeq == raw.toSeq)
+      // ...and foreign frames decode under EVERY block permutation
+      val orders = if (nblocks == 1) Seq(Seq(0))
+        else Seq((0 until nblocks), (0 until nblocks).reverse,
+          rnd.shuffle((0 until nblocks).toVector))
+      orders.foreach { ord =>
+        val frame = cblosc(raw, typesize, blocksize, ord)
+        assert(Blosc.decompress(frame, total).toSeq == raw.toSeq,
+          s"typesize=$typesize nblocks=$nblocks order=$ord")
+      }
+    }
+  }
+
   test("property: minhash similarity tracks true Jaccard on perturbed docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

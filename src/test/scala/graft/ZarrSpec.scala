@@ -129,6 +129,25 @@ class ZarrSpec extends AnyFunSuite {
     val back = ZLocal.toDense(Zarr.read(spark, path), 16, 4)
     for (i <- 0 until 16; j <- 0 until 4)
       assert(back(i)(j) == d2(i)(j), s"cell ($i,$j)")
+    // MULTITHREADED c-blosc appends blocks in thread-completion order, so
+    // bstarts need not be monotonic: rebuild chunk 0 with its two blocks'
+    // payloads swapped in the file (bstarts still point correctly)
+    locally {
+      val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/0.0"))
+      val hdr = ByteBuffer.wrap(orig).order(ByteOrder.LITTLE_ENDIAN)
+      val b0 = hdr.getInt(16); val b1 = hdr.getInt(20) // two bstarts
+      val blk0 = java.util.Arrays.copyOfRange(orig, b0, b1)
+      val blk1 = java.util.Arrays.copyOfRange(orig, b1, orig.length)
+      val swapped = ByteBuffer.allocate(orig.length).order(ByteOrder.LITTLE_ENDIAN)
+      swapped.put(orig, 0, 16)
+      swapped.putInt(24 + blk1.length) // block 0 now AFTER block 1
+      swapped.putInt(24)               // block 1 first
+      swapped.put(blk1).put(blk0)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/0.0"), swapped.array())
+      val back2 = ZLocal.toDense(Zarr.read(spark, path), 16, 4)
+      for (i <- 0 until 16; j <- 0 until 4)
+        assert(back2(i)(j) == d2(i)(j), s"out-of-order blocks: cell ($i,$j)")
+    }
     // blosclz frames fail loudly, not silently
     val blPath = "/root/repo/target/tmp/zarr_test_blosclz"
     new java.io.File(blPath).mkdirs()
@@ -304,13 +323,18 @@ class ZarrSpec extends AnyFunSuite {
     val back = ZLocal.toDense(Zarr.read(spark, path), 2, 4)
     assert(back.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
     // unrepresentable values land on the NEAREST half (ties to even), and
-    // past-range magnitudes overflow to infinity — the NumPy cast table
+    // past-range magnitudes overflow to infinity — the NumPy cast table.
+    // 1 + 2^-11 + 2^-40 guards against DOUBLE ROUNDING: a float-first cast
+    // would collapse it onto the tie point and round down to 1.0; the
+    // single-step double→half cast sees it strictly above and rounds UP
     val cast: Array[Array[Double]] = Array(
-      Array(1.0 + math.pow(2, -11), 1.0 + 3 * math.pow(2, -11), 1e6, -1e6))
+      Array(1.0 + math.pow(2, -11), 1.0 + 3 * math.pow(2, -11),
+        1.0 + math.pow(2, -11) + math.pow(2, -40), 1e6, -1e6))
     val p2 = "/root/repo/target/tmp/zarr_test_f2_cast"
-    Zarr.write(ZMatrix.fromDense(spark, cast), p2, 1, 4, 1, 4, dtype = "<f2")
-    val b2 = ZLocal.toDense(Zarr.read(spark, p2), 1, 4)
+    Zarr.write(ZMatrix.fromDense(spark, cast), p2, 1, 5, 1, 5, dtype = "<f2")
+    val b2 = ZLocal.toDense(Zarr.read(spark, p2), 1, 5)
     assert(b2(0).toSeq == Seq(1.0, 1.0 + math.pow(2, -10) * 2, // ties → even mantissa
+      1.0 + math.pow(2, -10),
       Double.PositiveInfinity, Double.NegativeInfinity), b2(0).toSeq)
   }
 
