@@ -58,11 +58,10 @@ object Pca {
     // determinism (the IVF training rule, applied correctly): rounding must
     // happen at PARAMETER scale, not data-sum scale — a 6dp round of a
     // 1e12-magnitude sum cannot absorb partition-order float noise, but
-    // the same round of the n-normalized mean can. μ and G/n are rounded
-    // to 6dp; cov then derives EXACTLY from rounded inputs, so the eigen
-    // model is bit-stable across partition orders.
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // the same round of the n-normalized mean can. μ and G/n land on the
+    // shared [[graft.Num.r6]] grid; cov then derives EXACTLY from rounded
+    // inputs, so the eigen model is bit-stable across partition orders.
+    import graft.Num.r6
     val mu = Array.tabulate(ncols)(j => r6(packed(triLen + j) / n))
     // the dense accumulator covers EVERY (a,b) pair uniformly: a pair with
     // disjoint column supports has G = 0 exactly, so its covariance entry

@@ -148,11 +148,7 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----
 
-  /** 6dp HALF_UP — the same grid Spark's `round(x, 6)` lands on, so
-    * driver-computed model parameters match what the old distributed
-    * aggregates produced. +0.0 collapses IEEE −0.0. */
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+  import graft.Num.r6
 
   /** Left-to-right fold — the custom DotProduct expression's exact
     * summation order, so driver-side training scores the same doubles the
@@ -166,18 +162,30 @@ object Similarity {
 
   /** Driver twin of `greatest(centroidScores(...)).getField("l")`: argmax
     * cosine (safe centroid norm), ties → LARGER list id (struct greatest
-    * compares (s, l) lexicographically). */
-  private def assignCosine(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    * compares (s, l) lexicographically). `norms` are precomputed once per
+    * Lloyd step — centroids are fixed within a step, so per-row recompute
+    * would be pure waste, the same reason l2Scores bakes ‖c‖²/2 into the
+    * serving expression. */
+  private def assignCosine(x: Array[Double], cents: Array[Array[Double]],
+                           norms: Array[Double]): Int = {
     var best = Double.NegativeInfinity; var bestL = 0
     var l = 0
     while (l < cents.length) {
-      val cn = math.sqrt(cents(l).map(c => c * c).sum)
-      val s = dotOrdered(x, cents(l)) / (if (cn == 0.0) 1.0 else cn)
+      val s = dotOrdered(x, cents(l)) / norms(l)
       if (s >= best) { best = s; bestL = l }
       l += 1
     }
     bestL
   }
+
+  /** Safe cosine denominators for a centroid set: ‖c‖, with 1.0 for the
+    * all-zero centroid (its dot is 0 either way; dividing by 0 is the
+    * ANSI hazard the serving twin also guards). */
+  private def safeNorms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) 1.0 else n
+    }
 
   /** One deterministic Lloyd pass over in-memory rows: per-list per-dim
     * mean (sample order — fixed, since rows arrive hash-sorted), r6 grid;
@@ -231,8 +239,10 @@ object Similarity {
     require(sample.length >= nlist,
       s"IVF training needs >= nlist=$nlist vectors, corpus has ${sample.length}")
     var cents = sample.take(nlist)
-    for (_ <- 0 until iters)
-      cents = lloydStep(sample, cents, assignCosine(_, cents))
+    for (_ <- 0 until iters) {
+      val norms = safeNorms(cents)
+      cents = lloydStep(sample, cents, assignCosine(_, cents, norms))
+    }
     cents
   }
 
@@ -351,20 +361,24 @@ object Similarity {
     (0 until m).toArray.map { j =>
       val sub = rows.map(_.slice(j * sd, (j + 1) * sd))
       var book = sub.take(ksub)
-      for (_ <- 0 until iters)
-        book = lloydStep(sub, book, assignL2(_, book))
+      for (_ <- 0 until iters) {
+        val halves = book.map(c => c.map(x => x * x).sum / 2.0)
+        book = lloydStep(sub, book, assignL2(_, book, halves))
+      }
       book
     }
   }
 
   /** Driver twin of `greatest(l2Scores(...)).getField("l")`: argmax of
     * (dot − ‖c‖²/2) — the monotone L2-argmin transform — ties → larger
-    * code, matching struct-greatest lexicographic order. */
-  private def assignL2(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    * code, matching struct-greatest lexicographic order. `halves` are
+    * the per-centroid ‖c‖²/2, precomputed once per Lloyd step. */
+  private def assignL2(x: Array[Double], cents: Array[Array[Double]],
+                       halves: Array[Double]): Int = {
     var best = Double.NegativeInfinity; var bestL = 0
     var l = 0
     while (l < cents.length) {
-      val s = dotOrdered(x, cents(l)) - cents(l).map(c => c * c).sum / 2.0
+      val s = dotOrdered(x, cents(l)) - halves(l)
       if (s >= best) { best = s; bestL = l }
       l += 1
     }

@@ -126,27 +126,30 @@ object Zarr {
   }
 
   private[zarr] def doubleToHalf(d: Double): Short = {
-    val f = d.toFloat
-    val fbits = java.lang.Float.floatToIntBits(f)
-    val sign = (fbits >>> 16) & 0x8000
-    val mag = fbits & 0x7fffffff
-    if (mag >= 0x7f800000)        // Inf / NaN (NaN keeps the quiet bit)
-      (sign | 0x7c00 | (if (mag > 0x7f800000) 0x0200 else 0)).toShort
-    else if (mag >= 0x38800000) { // normal half range, exp >= -14
-      // drop 13 mantissa bits rounding to nearest (ties to even); a carry
-      // propagates into the exponent monotonically, so the subtraction
-      // rebias works unchanged and past-65504 magnitudes clamp to Inf
-      val h = ((mag + 0x0FFF + ((mag >>> 13) & 1)) >>> 13) - 0x1C000
-      (sign | math.min(h, 0x7c00)).toShort
+    // straight double→half, NOT double→float→half: the two-step cast
+    // double-rounds — a value just above a half-precision tie point can
+    // land exactly ON the tie after the float step and then round the
+    // other way, a 1-ulp divergence from the single-step NumPy cast
+    val bits = java.lang.Double.doubleToLongBits(d)
+    val sign = ((bits >>> 48) & 0x8000L).toInt
+    val mag = bits & 0x7fffffffffffffffL
+    if (mag >= 0x7ff0000000000000L) // Inf / NaN (NaN keeps the quiet bit)
+      (sign | 0x7c00 | (if (mag > 0x7ff0000000000000L) 0x0200 else 0)).toShort
+    else if (mag >= 0x3f10000000000000L) { // normal half range, exp >= -14
+      // drop 42 mantissa bits rounding to nearest (ties to even); a carry
+      // propagates into the exponent monotonically, so the rebias
+      // subtraction works unchanged and past-65504 magnitudes clamp to Inf
+      val h = ((mag + 0x1FFFFFFFFFFL + ((mag >>> 42) & 1L)) >>> 42) - (1008L << 10)
+      (sign | math.min(h, 0x7c00L).toInt).toShort
     } else {                      // subnormal half (or underflow to ±0)
-      val e = mag >>> 23
-      if (e < 101) sign.toShort   // below half the smallest subnormal
+      val e = (mag >>> 52).toInt  // biased double exponent
+      if (e < 998) sign.toShort   // below half the smallest subnormal
       else {
-        val m = (mag & 0x7fffff) | 0x800000
-        val shift = 126 - e       // 14..25 in this branch
-        val sub = m >>> shift
-        val rem = m & ((1 << shift) - 1)
-        val half = 1 << (shift - 1)
+        val m = (mag & 0xFFFFFFFFFFFFFL) | (1L << 52)
+        val shift = 1051 - e      // 43..53 in this branch
+        val sub = (m >>> shift).toInt
+        val rem = m & ((1L << shift) - 1L)
+        val half = 1L << (shift - 1)
         val up = if (rem > half || (rem == half && (sub & 1) == 1)) 1 else 0
         (sign | (sub + up)).toShort
       }
