@@ -229,6 +229,9 @@ object SparkEntry {
         .agg(count(when(col("v") === 1.0, 1)).as("n_hot"))),
     "arr_agg_axis0" -> ((s, d) => mat(s, d).aggAxis0),
     "arr_median_axis0" -> ((s, d) => mat(s, d).medianAxis0),
+    // numpy quantile(axis=0): quartiles of every column from ONE
+    // sort-per-group aggregate (percentile's array form)
+    "arr_quantile_axis0" -> ((s, d) => mat(s, d).quantileAxis0(Seq(0.25, 0.5, 0.75))),
     "arr_minmax_axis0" -> ((s, d) => {
       val m = mat(s, d)
       m.minAxis0.withColumnRenamed("v", "min_v")
@@ -1256,6 +1259,13 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT j, round(quantile_cont(v, 0.5), 4) AS v FROM m GROUP BY 1""".stripMargin,
+    "arr_quantile_axis0" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j, round(quantile_cont(v, 0.25), 4) + 0 AS q25,
+        |  round(quantile_cont(v, 0.5), 4) + 0 AS q50,
+        |  round(quantile_cont(v, 0.75), 4) + 0 AS q75
+        |FROM m GROUP BY 1""".stripMargin,
     "q20_above_avg" ->
       """WITH p AS (SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
         |b AS (SELECT p_brand AS bb, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS bn

@@ -115,6 +115,22 @@ final case class ZMatrix(cells: DataFrame) {
   def medianAxis0: DataFrame =
     cells.groupBy(col("j")).agg(round(expr("percentile(v, 0.5)"), 4).as("v"))
 
+  /** Exact q-quantiles per column — numpy quantile(axis=0) with linear
+    * interpolation (Spark `percentile` = DuckDB `quantile_cont`).
+    * Generalizes [[medianAxis0]]; ALL requested quantiles come from ONE
+    * aggregate pass (percentile's array form sorts each group once, not
+    * once per q). Output columns `q25`-style, 4dp-rounded for
+    * deterministic cross-engine ranking. */
+  def quantileAxis0(qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    val arr = qs.mkString("array(", ", ", ")")
+    cells.groupBy(col("j")).agg(expr(s"percentile(v, $arr)").as("_qs"))
+      .select(col("j") +: qs.zipWithIndex.map { case (q, ix) =>
+        (round(element_at(col("_qs"), ix + 1), 4) + 0.0).as(s"q${(q * 100).round}")
+      }: _*)
+  }
+
   /** NumPy argmax(axis=0) over STORED cells: per column, the row index of
     * the max value (ties → smallest i). One hash aggregate with map-side
     * combine — the max is taken over (v, −i) structs (Spark orders structs

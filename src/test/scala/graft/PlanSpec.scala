@@ -137,6 +137,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"bench checkpoint missing from:\n$plan")
   }
 
+  test("arr_concat: the union itself adds no exchange over its inputs") {
+    // each union branch is the lineitem cell aggregate (one hash exchange
+    // each — AQE may or may not reuse the stage); the CONCATENATION must
+    // contribute zero: more than the two input aggregates means vstack
+    // started shuffling what downstream operators would repartition anyway
+    val plan = executedPlan("arr_concat")
+    assert(exchanges(plan) <= 2, s"union grew its own shuffle in:\n$plan")
+    assert(plan.contains("Union"), s"no union in:\n$plan")
+  }
+
   test("arr_pca: projection rides the checkpoint — zero parquet scans") {
     // the matrix is localCheckpointed ONCE before fit; transform (the
     // query's returned plan) projects off that RDD. A parquet scan here

@@ -19,6 +19,28 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(m, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("quantileAxis0 matches local linear interpolation (numpy quantile)") {
+    // column 0 stored values: 1, 4, 7, 0 → sorted 0,1,4,7; q25 at rank
+    // 0.75 → 0.75, q50 → 2.5, q75 → 4.75 (linear interpolation)
+    val got = m.quantileAxis0(Seq(0.25, 0.5, 0.75)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def localQ(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      val v = if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    for (j <- 0 until 3) {
+      val colVals = dense.map(_(j)).toSeq
+      assert(got(j.toLong) ==
+        ((localQ(colVals, 0.25), localQ(colVals, 0.5), localQ(colVals, 0.75))),
+        s"column $j: ${got(j.toLong)}")
+    }
+    assert(got(0L) == ((0.75, 2.5, 4.75))) // the hand-computed pin
+  }
+
   test("vstack/hstack concatenation matches the dense block layout") {
     val other = Array(Array(10.0, 20.0, 30.0), Array(40.0, 50.0, 60.0))
     val o = ZMatrix.fromDense(spark, other)
