@@ -242,6 +242,10 @@ object Zarr {
     if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
   private def metaJson(m: Meta): String = {
+    // we READ foreign F-order v2 stores but WRITE C only (zarr-python's
+    // default); a v2 Meta carrying fOrder here would declare "C" over
+    // F-laid bytes — a silent data corruption, so refuse
+    require(!m.fOrder, "v2 writes are C-order only (fOrder Meta is read-side)")
     val comp =
       if (m.comp == "blosc")
         """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
@@ -645,12 +649,16 @@ object Zarr {
     val filters = root.path("filters")
     require(filters.isNull || filters.isMissingNode || filters.size() == 0,
       s"unsupported v2 filters $filters")
-    require(root.path("order").asText("C") == "C",
-      "unsupported v2 order (only C-order stores)")
+    // F-order v2 stores read through the same fromFOrder path the v3
+    // transpose codec uses (rank-1 chunks are order-agnostic); we WRITE
+    // C only, like zarr-python's default
+    val order = root.path("order").asText("C")
+    require(order == "C" || order == "F", s"unsupported v2 order '$order'")
     val fill = fillOf(root.path("fill_value"))
     val sep = root.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"unsupported dimension_separator '$sep'")
     Meta(shape(0), shape(1), chunks(0), chunks(1), zlib, fill, dtype,
+      fOrder = order == "F" && !rank1,
       keyEnc = if (sep == "/") "nested" else "flat", rank1 = rank1, comp = compName)
   }
 

@@ -486,10 +486,29 @@ class ZarrSpec extends AnyFunSuite {
          | "shape": [10, 5], "zarr_format": 2}""".stripMargin
     val e1 = intercept[IllegalArgumentException](withMeta(base("""{"id": "lzma"}""", "C")))
     assert(e1.getMessage.contains("lzma"))
-    val e2 = intercept[IllegalArgumentException](withMeta(base("null", "F")))
+    // "F" is VALID (read via the transpose path); only unknown orders error
+    assert(withMeta(base("null", "F")).fOrder)
+    val e2 = intercept[IllegalArgumentException](withMeta(base("null", "Z")))
     assert(e2.getMessage.contains("order"))
     // restore a valid store for any later test reusing the path
     assert(withMeta(base("null", "C")).fill == 0.0)
+  }
+
+  test("v2 F-order store (foreign column-major writer) reads back correctly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val path = "/root/repo/target/tmp/zarr_test_v2_forder"
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/.zarray"),
+      """{"chunks": [4, 3], "compressor": null, "dtype": "<f8",
+        |"fill_value": 0.0, "filters": null, "order": "F",
+        |"shape": [4, 3], "zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+    val d = Array.tabulate(4, 3)((i, j) => (i * 10 + j).toDouble)
+    // column-major (Fortran) byte layout: j outer, i inner
+    val buf = ByteBuffer.allocate(4 * 3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    for (j <- 0 until 3; i <- 0 until 4) buf.putDouble(d(i)(j))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/0.0"), buf.array())
+    val back = ZLocal.toDense(Zarr.read(spark, path), 4, 3)
+    assert(back.map(_.toSeq).toSeq == d.map(_.toSeq).toSeq)
   }
 
   test("v3 interop: '.'-separator and v2-style chunk key encodings read back") {
