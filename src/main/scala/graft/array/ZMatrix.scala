@@ -124,10 +124,18 @@ final case class ZMatrix(cells: DataFrame) {
   def quantileAxis0(qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1], got $qs")
+    // exact-decimal labels (q25, q12_5): a percent-ROUNDED label would
+    // collide for close quantiles (0.125 and 0.13 both "q13") and
+    // mislabel non-integer percents — duplicate columns break any
+    // downstream select/write with AMBIGUOUS_REFERENCE
+    val labels = qs.map(q => "q" + (BigDecimal(q.toString) * 100)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_"))
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantiles produce duplicate columns: $qs")
     val arr = qs.mkString("array(", ", ", ")")
     cells.groupBy(col("j")).agg(expr(s"percentile(v, $arr)").as("_qs"))
-      .select(col("j") +: qs.zipWithIndex.map { case (q, ix) =>
-        (round(element_at(col("_qs"), ix + 1), 4) + 0.0).as(s"q${(q * 100).round}")
+      .select(col("j") +: qs.zip(labels).zipWithIndex.map { case ((_, label), ix) =>
+        (round(element_at(col("_qs"), ix + 1), 4) + 0.0).as(label)
       }: _*)
   }
 

@@ -281,6 +281,11 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       "pick one of zlib / blosc, not both")
     val format = Option(opts.get("zarrFormat")).map(_.toInt).getOrElse(2)
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
+    // fail HERE, not at job commit: metaJson's backstop require fires only
+    // after overwrite has truncated the existing store and every task has
+    // run — an expensive way to learn the options were invalid
+    require(format == 3 || !Option(opts.get("fOrder")).exists(_.toBoolean),
+      "F-order writes are v3-only (the transpose codec); v2 stores are written C-order")
     val innerRows = Option(opts.get("innerRows")).map(_.toInt).getOrElse(0)
     val innerCols = Option(opts.get("innerCols")).map(_.toInt).getOrElse(0)
     val rank1 = Option(opts.get("rank1")).exists(_.toBoolean)

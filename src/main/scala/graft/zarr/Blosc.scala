@@ -153,6 +153,19 @@ object Blosc {
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val bb = ByteBuffer.wrap(frame, 16, 4 * nblocks).order(ByteOrder.LITTLE_ENDIAN)
     val bstarts = Array.fill(nblocks)(bb.getInt)
+    // MULTITHREADED c-blosc appends blocks in thread-COMPLETION order, so
+    // bstarts are not monotonic — but blocks are still CONTIGUOUS wherever
+    // they landed, so each block's compressed extent is the gap to the
+    // next-LARGER bstart (frame end for the last). Keeping the exact-
+    // extent check matters: it is the discriminator between the typesize-
+    // and 1-split hypotheses (a wrong hypothesis that happens to parse
+    // structurally still consumes the wrong byte count).
+    val sortedStarts = bstarts.sorted
+    def extentOf(start: Int): Int = {
+      val ix = java.util.Arrays.binarySearch(sortedStarts, start)
+      require(ix >= 0, s"blosc bstart $start missing from sorted starts")
+      (if (ix + 1 < sortedStarts.length) sortedStarts(ix + 1) else cbytes) - start
+    }
     val out = new Array[Byte](nbytes)
     var b = 0
     while (b < nblocks) {
@@ -160,18 +173,15 @@ object Blosc {
       val block = new Array[Byte](bsize)
       // splits per block are NOT in the frame: try typesize splits (what
       // c-blosc writes for fast codecs — version-dependent heuristic,
-      // shuffle not required), then 1. Each block's compressed extent is
-      // walked from its own split headers, bounded only by the frame end:
-      // MULTITHREADED c-blosc appends blocks in thread-COMPLETION order,
-      // so bstarts are not monotonic and "gap to the next bstart" would
-      // mis-slice valid community stores.
+      // shuffle not required), then 1
       val candidates =
         if (typesize > 1 && bsize % typesize == 0) Seq(typesize, 1) else Seq(1)
-      val ok = candidates.exists(ns => tryDecodeBlock(frame, bstarts(b), cbytes,
+      val extent = extentOf(bstarts(b))
+      val ok = candidates.exists(ns => tryDecodeBlock(frame, bstarts(b), extent,
         block, ns, codec))
       if (!ok) throw new IllegalArgumentException(
         s"blosc block $b does not parse with ${candidates.mkString("/")} splits " +
-          s"(codec $codec, bstart ${bstarts(b)}, bsize $bsize)")
+          s"(codec $codec, bstart ${bstarts(b)}, extent $extent, bsize $bsize)")
       val plain = if ((flags & ByteShuffleFlag) != 0) unshuffle(block, typesize) else block
       System.arraycopy(plain, 0, out, b * blocksize, bsize)
       b += 1
@@ -179,26 +189,24 @@ object Blosc {
     out
   }
 
-  /** Attempt to parse one block as `nsplits` equal splits starting at
-    * `start`; true iff every split's declared size stays inside the frame
-    * (`limit` = cbytes) and decompresses to exactly its share of `block`.
-    * The parse is self-delimiting via the per-split `[int32 cbytes]`
-    * headers — block extents are NOT derivable from neighbor bstarts
-    * (multithreaded writers order blocks by completion). */
-  private def tryDecodeBlock(frame: Array[Byte], start: Int, limit: Int,
+  /** Attempt to parse one block as `nsplits` equal splits; true iff the
+    * parse consumes exactly `extent` compressed bytes and fills `block`.
+    * The exact-consumption check is what rejects a structurally-plausible
+    * parse under the WRONG split-count hypothesis. */
+  private def tryDecodeBlock(frame: Array[Byte], start: Int, extent: Int,
                              block: Array[Byte], nsplits: Int, codec: Int): Boolean = {
     if (block.length % nsplits != 0) return false
-    if (start < 16 || start > limit) return false
+    if (start < 16 || start + extent > frame.length) return false
     val neblock = block.length / nsplits
     var pos = start
     var outPos = 0
     var s = 0
     try {
       while (s < nsplits) {
-        if (pos + 4 > limit) return false
+        if (pos + 4 > start + extent) return false
         val c = ByteBuffer.wrap(frame, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
         pos += 4
-        if (c < 0 || pos + c > limit) return false
+        if (c < 0 || pos + c > start + extent) return false
         if (c == neblock) { // raw split
           System.arraycopy(frame, pos, block, outPos, neblock)
         } else {
@@ -209,7 +217,7 @@ object Blosc {
         outPos += neblock
         s += 1
       }
-      outPos == block.length
+      pos - start == extent && outPos == block.length
     } catch {
       case _: Exception => false // corrupt under this split hypothesis
     }

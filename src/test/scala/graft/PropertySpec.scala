@@ -188,6 +188,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: vlen string vectors round-trip arbitrary unicode/gaps/chunkings") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.choose(1, 24)
+      chunk <- Gen.choose(1, 7)
+      comp <- Gen.oneOf("", "blosc", "zlib")
+      format <- Gen.oneOf(2, 3)
+      present <- Gen.listOfN(n, Gen.oneOf(true, false))
+      // strings across the hazard classes: empty, multi-byte unicode,
+      // separators, long runs
+      texts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.const(""), Gen.alphaNumStr.map(_.take(12)),
+        Gen.const("你好✓β"), Gen.const("a,b\"c\nd"),
+        Gen.choose(1, 50).map("x" * _)))
+    } yield (n, chunk, comp, format, present, texts)
+    forAll(caseGen, n = 10) { case (n, chunk, comp, format, present, texts) =>
+      val rows = (0 until n).filter(present(_)).map(i => (i.toLong, texts(i)))
+      val df = rows.toDF("i", "s")
+      val path = "/root/repo/target/tmp/zarr_prop_str"
+      Zarr.writeStringVector(df, path, n.toLong, chunk,
+        zlib = comp == "zlib", format = format,
+        comp = if (comp == "blosc") "blosc" else "")
+      val back = Zarr.readStringVector(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = (0 until n).map(i =>
+        i.toLong -> (if (present(i)) texts(i) else "")).toMap
+      assert(back == expect,
+        s"n=$n chunk=$chunk comp=$comp format=$format")
+    }
+  }
+
   test("property: minhash similarity tracks true Jaccard on perturbed docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

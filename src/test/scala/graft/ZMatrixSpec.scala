@@ -39,6 +39,10 @@ class ZMatrixSpec extends AnyFunSuite {
         s"column $j: ${got(j.toLong)}")
     }
     assert(got(0L) == ((0.75, 2.5, 4.75))) // the hand-computed pin
+    // non-integer percents keep exact labels; near-collisions stay distinct
+    assert(m.quantileAxis0(Seq(0.125, 0.13)).columns.toSeq == Seq("j", "q12_5", "q13"))
+    val dup = intercept[IllegalArgumentException](m.quantileAxis0(Seq(0.25, 0.25)))
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("vstack/hstack concatenation matches the dense block layout") {

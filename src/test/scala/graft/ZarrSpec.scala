@@ -509,6 +509,13 @@ class ZarrSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/0.0"), buf.array())
     val back = ZLocal.toDense(Zarr.read(spark, path), 4, 3)
     assert(back.map(_.toSeq).toSeq == d.map(_.toSeq).toSeq)
+    // the WRITE side refuses F-order for v2 BEFORE truncating anything:
+    // the pre-existing store must survive the failed attempt intact
+    val e = intercept[IllegalArgumentException](
+      Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, fOrder = true))
+    assert(e.getMessage.contains("v3-only"))
+    assert(ZLocal.toDense(Zarr.read(spark, path), 4, 3)
+      .map(_.toSeq).toSeq == d.map(_.toSeq).toSeq, "failed write damaged the store")
   }
 
   test("v3 interop: '.'-separator and v2-style chunk key encodings read back") {
