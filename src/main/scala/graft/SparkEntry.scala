@@ -210,6 +210,9 @@ object SparkEntry {
       val h = m.cells.agg(max(col("i"))).head().getLong(0) + 1
       m.vstack(m, h).cells
     }),
+    // the var-axis twin: hstack re-indexes columns by the matrix WIDTH
+    // (l_linenumber caps at 7, so width 8 — a constant of the schema)
+    "arr_concat_cols" -> ((s, d) => mat(s, d).hstack(mat(s, d), 8).cells),
     // scanpy highly_variable_genes: top-3 columns by 6dp-rounded variance
     "arr_hvg" -> ((s, d) => mat(s, d).filterColsTopVar(3, matNrows(s, d)).cells),
     "arr_scale" -> ((s, d) => mat(s, d).scaleCols.cells),
@@ -1221,6 +1224,11 @@ object SparkEntry {
         |h AS (SELECT max(i) + 1 AS nr FROM m)
         |SELECT i, j, v FROM m
         |UNION ALL SELECT m.i + h.nr AS i, j, v FROM m CROSS JOIN h""".stripMargin,
+    "arr_concat_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m
+        |UNION ALL SELECT i, j + 8 AS j, v FROM m""".stripMargin,
     "arr_var_axis1" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
