@@ -360,7 +360,7 @@ object SparkEntry {
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
       val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarr_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarr_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
@@ -373,7 +373,7 @@ object SparkEntry {
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
       val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrbl_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrbl_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         comp = "blosc")
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
@@ -386,7 +386,7 @@ object SparkEntry {
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
       val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrf2_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrf2_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         dtype = "<f2")
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
@@ -400,7 +400,7 @@ object SparkEntry {
         .select(col("c_custkey").cast("long").as("i"), col("c_name").as("s"))
       val n = c.agg(max(col("i"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrstr_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrstr_$sfName"
       Zarr.writeStringVector(c, path, n, chunk = 1024, comp = "blosc")
       // drop fill rows so key gaps (if any) can't desync from the oracle —
       // the numeric roundtrips' =!= 0.0 rule, for strings
@@ -415,7 +415,7 @@ object SparkEntry {
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
       val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarr3_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarr3_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         zlib = true, format = 3, innerRows = 256, innerCols = cols.toInt)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
@@ -428,7 +428,7 @@ object SparkEntry {
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
       val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrg_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrg_$sfName"
       Zarr.write(m, s"$path#X", rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path, "X").cells.filter(col("v") =!= 0.0)
     }),
@@ -440,7 +440,7 @@ object SparkEntry {
       val sums = mat(s, d).sumAxis1
       val n = sums.agg(max(col("i"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrv_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrv_$sfName"
       Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
       Zarr.readVector(s, path)
     }),
@@ -452,7 +452,7 @@ object SparkEntry {
         when(graft.ops.TextOps.nTokens(col("text")) >= 40, 1.0).otherwise(0.0).as("v"))
       val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrb_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrb_$sfName"
       Zarr.writeVector(mask, s"$path#obs/keep", n, chunk = 4096,
         dtype = "|b1", format = 3)
       Zarr.readVector(s, path, "obs/keep")
@@ -468,7 +468,7 @@ object SparkEntry {
         (array_position(typedlit(labels), col("source")) - 1).cast("double").as("v"))
       val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/tmp/zarrc_$sfName"
+      val path = s"${GraftPaths.tmpRoot}/zarrc_$sfName"
       Zarr.writeVector(codes, s"$path#obs/source", n, chunk = 4096, dtype = "<i4")
       // Jackson, not string concatenation: labels with quotes/backslashes
       // must escape correctly (the Verify.scala JSON rule)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.GraftPaths
 import graft.zarr.Zarr
 
 /** Structured Streaming operators.
@@ -331,11 +332,11 @@ object Stream {
     // rows==nHours require then failed confusingly or, worse, passed on
     // stale cells. Absolute paths: the relative form depended on CWD,
     // unlike SparkEntry's zarr queries.
-    val srcDir = s"/root/repo/target/tmp/zarr_ingest_src_$sfName"
+    val srcDir = s"${GraftPaths.tmpRoot}/zarr_ingest_src_$sfName"
     banded.repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(srcDir)
 
-    val store = s"/root/repo/target/tmp/zarr_ingest_store_$sfName"
+    val store = s"${GraftPaths.tmpRoot}/zarr_ingest_store_$sfName"
     Zarr.delete(store, recursive = true) // fresh build each run
     val stream = spark.readStream
       .schema("h LONG, t LONG, cents LONG, band LONG") // band = partition dir col

@@ -27,9 +27,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * operates per block over the elements it holds.
   *
   * Decode accepts any conforming frame (memcpy, 1-or-typesize splits,
-  * multi-block, leftover last block; inner codecs lz4 / zlib / snappy /
-  * zstd — all already on Spark's classpath; blosclz is the one loud
-  * rejection). The number of splits per block is not recorded in the
+  * multi-block, leftover last block; byte-shuffle or bit-shuffle; inner
+  * codecs lz4 / zlib / snappy / zstd — all already on Spark's classpath —
+  * plus blosclz re-implemented below from its public stream format).
+  * The number of splits per block is not recorded in the
   * frame — c-blosc recomputes it from a version-dependent heuristic — so
   * the decoder tries the two legal values (typesize, then 1) and accepts
   * the parse that consumes the block's exact compressed extent while
@@ -108,12 +109,22 @@ object Blosc {
     frame.array()
   }
 
+  /** Hard ceiling on a self-sized allocation: no legitimate vlen-string
+    * chunk approaches this, and it stops a corrupt/hostile header's
+    * claimed nbytes from forcing a ~2 GiB allocation before any
+    * structural validation runs. */
+  private val MaxSelfSizedBytes = 256 << 20
+
   /** Decode a frame whose uncompressed size is NOT derivable from store
-    * geometry (vlen string chunks): trust the header's own nbytes. */
+    * geometry (vlen string chunks): trust the header's own nbytes, but
+    * sanity-cap it (absolute cap + a generous 1024× ratio vs the frame)
+    * before allocating. */
   def decompressSelfSized(frame: Array[Byte]): Array[Byte] = {
     require(frame.length >= 16, s"blosc frame truncated: ${frame.length} bytes")
     val nbytes = ByteBuffer.wrap(frame, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
     require(nbytes >= 0, s"blosc header nbytes $nbytes invalid")
+    require(nbytes <= MaxSelfSizedBytes && nbytes.toLong <= frame.length.toLong * 1024,
+      s"blosc header nbytes $nbytes implausible for a ${frame.length}-byte frame")
     decompress(frame, nbytes)
   }
 
@@ -133,20 +144,16 @@ object Blosc {
       s"blosc nbytes $nbytes != expected $expectedNBytes (chunk shape × dtype mismatch)")
     require(cbytes == frame.length,
       s"blosc cbytes $cbytes != frame length ${frame.length} (truncated chunk file)")
-    if ((flags & BitShuffleFlag) != 0)
-      throw new IllegalArgumentException("unsupported blosc bit-shuffle frame")
     if ((flags & MemcpyFlag) != 0) {
       require(frame.length >= 16 + nbytes, "blosc memcpy frame truncated")
       return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
     }
     val codec = (flags >> 5) & 0x7
-    // reject unsupported codecs HERE, loudly — inside the split walker the
+    // reject unknown codecs HERE, loudly — inside the split walker the
     // per-hypothesis try/catch would fold the real cause into a generic
     // does-not-parse error
     codec match {
-      case 1 | 2 | 3 | 4 => ()
-      case 0 => throw new IllegalArgumentException(
-        "unsupported blosc inner codec blosclz — re-encode with cname lz4/zlib/zstd")
+      case 0 | 1 | 2 | 3 | 4 => ()
       case other => throw new IllegalArgumentException(s"unknown blosc codec id $other")
     }
     require(blocksize > 0, s"blosc blocksize $blocksize invalid")
@@ -182,7 +189,10 @@ object Blosc {
       if (!ok) throw new IllegalArgumentException(
         s"blosc block $b does not parse with ${candidates.mkString("/")} splits " +
           s"(codec $codec, bstart ${bstarts(b)}, extent $extent, bsize $bsize)")
-      val plain = if ((flags & ByteShuffleFlag) != 0) unshuffle(block, typesize) else block
+      val plain =
+        if ((flags & ByteShuffleFlag) != 0) unshuffle(block, typesize)
+        else if ((flags & BitShuffleFlag) != 0) bitunshuffle(block, typesize)
+        else block
       System.arraycopy(plain, 0, out, b * blocksize, bsize)
       b += 1
     }
@@ -230,15 +240,20 @@ object Blosc {
     case 1 => // lz4 / lz4hc (same block format)
       lz4.safeDecompressor().decompress(src, off, len, dst, dstOff, maxOut)
     case 3 => // zlib (standard zlib stream per split)
+      // finally: tryDecodeBlock drives this path with wrong-hypothesis
+      // (often throwing) parses — without end() each failure leaks the
+      // Inflater's native memory until finalization
       val inf = new java.util.zip.Inflater()
-      inf.setInput(src, off, len)
-      var out = 0
-      while (out < maxOut && !inf.finished()) {
-        val n = inf.inflate(dst, dstOff + out, maxOut - out)
-        if (n == 0 && !inf.finished()) throw new IllegalArgumentException("zlib stall")
-        out += n
-      }
-      inf.end(); out
+      try {
+        inf.setInput(src, off, len)
+        var out = 0
+        while (out < maxOut && !inf.finished()) {
+          val n = inf.inflate(dst, dstOff + out, maxOut - out)
+          if (n == 0 && !inf.finished()) throw new IllegalArgumentException("zlib stall")
+          out += n
+        }
+        out
+      } finally inf.end()
     case 2 => // snappy raw block
       val tmp = org.xerial.snappy.Snappy.uncompress(
         java.util.Arrays.copyOfRange(src, off, off + len))
@@ -250,8 +265,186 @@ object Blosc {
         tmp, 0, maxOut, src, off, len)
       System.arraycopy(tmp, 0, dst, dstOff, n.toInt)
       n.toInt
-    case 0 => throw new IllegalArgumentException(
-      "unsupported blosc inner codec blosclz — re-encode with cname lz4/zlib/zstd")
+    case 0 => // blosclz
+      blosclzDecompress(src, off, len, dst, dstOff, maxOut)
     case other => throw new IllegalArgumentException(s"unknown blosc codec id $other")
+  }
+
+  // ---------------------------------------------------------------- blosclz
+
+  private val MaxDistance = 8191 // blosclz/FastLZ near-match window
+
+  /** blosclz decompressor (c-blosc's native default codec, stream format
+    * version 1 — a FastLZ-derived LZ77), re-implemented from the public
+    * stream format: a control-byte stream where ctrl < 32 emits ctrl+1
+    * literal bytes, and ctrl >= 32 a match of length (ctrl>>5)+2 — a
+    * length field of 7 adds 255-terminated extension bytes — at distance
+    * ((ctrl&31)<<8)+code+1, where code is the next byte; code == 255 with
+    * a maxed offset field switches to a far match with an explicit
+    * big-endian 16-bit distance + 8192. The first control byte masks to
+    * its low 5 bits (always a literal run). Distance 1 against the byte
+    * just written is a run (RLE). Returns the decompressed length. */
+  private[graft] def blosclzDecompress(src: Array[Byte], off: Int, len: Int,
+                                       dst: Array[Byte], dstOff: Int, maxOut: Int): Int = {
+    val ipEnd = off + len
+    var ip = off
+    def nextByte(): Int = {
+      if (ip >= ipEnd) throw new IllegalArgumentException("blosclz stream truncated")
+      val v = src(ip) & 0xFF; ip += 1; v
+    }
+    var op = dstOff
+    val opEnd = dstOff + maxOut
+    var ctrl = nextByte() & 31
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var mlen = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        var ref = op - ofs
+        if (mlen == 6) { // maxed length field: 255-terminated extensions
+          var code = 0
+          do { code = nextByte(); mlen += code } while (code == 255)
+        }
+        val code = nextByte()
+        ref -= code
+        if (code == 255 && ofs == (31 << 8)) { // far match, explicit distance
+          val far = (nextByte() << 8) + nextByte()
+          ref = op - far - MaxDistance
+        }
+        if (ip < ipEnd) ctrl = nextByte() else loop = false
+        val total = mlen + 3
+        if (op + total > opEnd)
+          throw new IllegalArgumentException("blosclz output overruns expected size")
+        if (ref == op) { // distance-1 run of the previous byte
+          if (op - 1 < dstOff) throw new IllegalArgumentException("blosclz run before start")
+          java.util.Arrays.fill(dst, op, op + total, dst(op - 1))
+          op += total
+        } else {
+          ref -= 1 // stored distance is actual-1
+          if (ref < dstOff) throw new IllegalArgumentException("blosclz match before start")
+          var i = 0 // byte-by-byte: matches may overlap their own output
+          while (i < total) { dst(op) = dst(ref); op += 1; ref += 1; i += 1 }
+        }
+      } else {
+        val n = ctrl + 1
+        if (op + n > opEnd)
+          throw new IllegalArgumentException("blosclz output overruns expected size")
+        if (ip + n > ipEnd) throw new IllegalArgumentException("blosclz stream truncated")
+        System.arraycopy(src, ip, dst, op, n); ip += n; op += n
+        if (ip < ipEnd) ctrl = nextByte() else loop = false
+      }
+    }
+    op - dstOff
+  }
+
+  // ------------------------------------------------------------ bit-shuffle
+
+  /** 8×8 bit-matrix transpose of a 64-bit word (rows = bytes, bit j of
+    * byte i ↔ bit i of byte j) — the standard three-round mask-and-swap
+    * network; involutive, so the same function serves both directions. */
+  private def transpose8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** c-blosc bit-shuffle of one block (bitshuffle-library semantics):
+    * the leading m = (len/T − (len/T)%8) elements, viewed as an
+    * (elements × bits-per-element) bit matrix, are TRANSPOSED — output
+    * bit-plane b (b = 8·bytelane + bit-in-byte, i.e. memory bit order,
+    * LSB first) is m/8 contiguous bytes holding bit b of every element,
+    * packed by element index LSB-first. Tail bytes (elements beyond the
+    * multiple of 8, plus any sub-element remainder) copy verbatim.
+    * Implemented as the public algorithm's three scalar stages —
+    * byte-lane transpose; 8×8 bit transpose per byte-group scattered to
+    * 8 global bit-rows; plane permutation from (bit, lane) to memory
+    * bit order — and pinned in tests against an independent naive
+    * bit-matrix-transpose definition. */
+  private[graft] def bitshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val t = math.max(typesize, 1)
+    val m = { val n0 = in.length / t; n0 - (n0 % 8) }
+    val body = m * t
+    val out = new Array[Byte](in.length)
+    if (body > 0) {
+      val a = new Array[Byte](body) // stage 1: byte-lane transpose
+      var k = 0
+      while (k < t) {
+        var e = 0
+        while (e < m) { a(k * m + e) = in(e * t + k); e += 1 }
+        k += 1
+      }
+      val rowLen = body / 8 // stage 2: global bit-rows (bit kk of every byte)
+      val b = new Array[Byte](body)
+      var ii = 0
+      while (ii < body) {
+        var x = 0L
+        var p = 0
+        while (p < 8) { x |= (a(ii + p) & 0xFFL) << (8 * p); p += 1 }
+        x = transpose8x8(x)
+        var kk = 0
+        while (kk < 8) { b(kk * rowLen + (ii >> 3)) = (x >>> (8 * kk)).toByte; kk += 1 }
+        ii += 8
+      }
+      // stage 3: bit-row kk of stage 2 holds lane k's plane at offset
+      // k·(m/8); emit planes in element memory-bit order b = 8k + kk
+      val r = m / 8
+      k = 0
+      while (k < t) {
+        var kk = 0
+        while (kk < 8) {
+          System.arraycopy(b, kk * (t * r) + k * r, out, (8 * k + kk) * r, r)
+          kk += 1
+        }
+        k += 1
+      }
+    }
+    System.arraycopy(in, body, out, body, in.length - body)
+    out
+  }
+
+  /** Inverse of [[bitshuffle]]: the three stages inverted in reverse order. */
+  private[graft] def bitunshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val t = math.max(typesize, 1)
+    val m = { val n0 = in.length / t; n0 - (n0 % 8) }
+    val body = m * t
+    val out = new Array[Byte](in.length)
+    if (body > 0) {
+      val r = m / 8
+      val b = new Array[Byte](body) // stage 3 inverse: planes back to bit-rows
+      var k = 0
+      while (k < t) {
+        var kk = 0
+        while (kk < 8) {
+          System.arraycopy(in, (8 * k + kk) * r, b, kk * (t * r) + k * r, r)
+          kk += 1
+        }
+        k += 1
+      }
+      val rowLen = body / 8 // stage 2 inverse (transpose8x8 is involutive)
+      val a = new Array[Byte](body)
+      var ii = 0
+      while (ii < body) {
+        var x = 0L
+        var kk = 0
+        while (kk < 8) { x |= (b(kk * rowLen + (ii >> 3)) & 0xFFL) << (8 * kk); kk += 1 }
+        x = transpose8x8(x)
+        var p = 0
+        while (p < 8) { a(ii + p) = (x >>> (8 * p)).toByte; p += 1 }
+        ii += 8
+      }
+      k = 0 // stage 1 inverse
+      while (k < t) {
+        var e = 0
+        while (e < m) { out(e * t + k) = a(k * m + e); e += 1 }
+        k += 1
+      }
+    }
+    System.arraycopy(in, body, out, body, in.length - body)
+    out
   }
 }

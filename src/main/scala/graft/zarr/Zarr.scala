@@ -1169,11 +1169,16 @@ object Zarr {
     bb.array()
   }
 
-  private[graft] def vlenDecode(bytes: Array[Byte], expected: Int): Array[String] = {
+  /** `expectedAlt` tolerates a conforming-but-unpadded FINAL chunk: some
+    * foreign writers emit only the valid tail items rather than padding
+    * to the chunk shape. Interior chunks pass expectedAlt == expected,
+    * keeping the strict check. */
+  private[graft] def vlenDecode(bytes: Array[Byte], expected: Int,
+                                expectedAlt: Int = -1): Array[String] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.remaining() >= 4, "vlen-utf8 chunk truncated (no header)")
     val n = bb.getInt
-    require(n == expected,
+    require(n == expected || n == expectedAlt,
       s"vlen-utf8 chunk holds $n items, chunk shape says $expected")
     Array.fill(n) {
       require(bb.remaining() >= 4, "vlen-utf8 chunk truncated (item header)")
@@ -1376,7 +1381,7 @@ object Zarr {
             if (comp == "blosc") Blosc.decompressSelfSized(raw0)
             else if (zlib) inflateUnsized(raw0, gzipped = format == 3)
             else raw0
-          vlenDecode(raw, chunk)
+          vlenDecode(raw, chunk, expectedAlt = len)
         }
       (0 until len).iterator.map(k => (ci * chunk + k, items(k)))
     }.toDF("i", "s")

@@ -188,6 +188,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: bitshuffle matches the naive bit-matrix transpose and inverts") {
+    import graft.zarr.Blosc
+    // independent definition: transpose the (elements × bits-per-element)
+    // matrix; bit index within element = memory order (byte, then LSB-first
+    // bit); planes packed by element index LSB-first; tail copies verbatim
+    def naive(in: Array[Byte], t: Int): Array[Byte] = {
+      val m = { val n0 = in.length / t; n0 - (n0 % 8) }
+      val out = new Array[Byte](in.length)
+      val nbits = 8 * t
+      for (b <- 0 until nbits; e <- 0 until m) {
+        val bit = (in(e * t + b / 8) >> (b % 8)) & 1
+        if (bit == 1) {
+          val pos = b * m + e
+          out(pos / 8) = (out(pos / 8) | (1 << (pos % 8))).toByte
+        }
+      }
+      System.arraycopy(in, m * t, out, m * t, in.length - m * t)
+      out
+    }
+    val caseGen = for {
+      t <- Gen.oneOf(1, 2, 3, 4, 8)
+      elems <- Gen.choose(0, 40) // includes non-multiples of 8 → tail path
+      tail <- Gen.choose(0, 2) // sub-element remainder bytes
+      seed <- Gen.choose(0, 100000)
+    } yield (t, elems, tail, seed)
+    forAll(caseGen, n = 30) { case (t, elems, tail, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val in = Array.fill(elems * t + tail)(rnd.nextInt().toByte)
+      val shuf = Blosc.bitshuffle(in, t)
+      assert(shuf.toSeq == naive(in, t).toSeq,
+        s"staged != naive for t=$t elems=$elems tail=$tail")
+      assert(Blosc.bitunshuffle(shuf, t).toSeq == in.toSeq,
+        s"roundtrip failed for t=$t elems=$elems tail=$tail")
+    }
+  }
+
+  test("property: blosclz streams decode (hand-crafted + encoder roundtrip)") {
+    import graft.zarr.Blosc
+    def decode(stream: Array[Byte], outLen: Int): Array[Byte] = {
+      val dst = new Array[Byte](outLen)
+      val n = Blosc.blosclzDecompress(stream, 0, stream.length, dst, 0, outLen)
+      assert(n == outLen, s"decoded $n of $outLen")
+      dst
+    }
+    // overlapping near match: "abc" + match(distance 3, length 6)
+    val abc = decode(Array[Byte](2, 'a'.toByte, 'b'.toByte, 'c'.toByte,
+      (4 << 5).toByte, 2), 9)
+    assert(new String(abc, "ASCII") == "abcabcabc")
+    // distance-1 RLE run: 'x' then run of 7 → 8 x's
+    val xs = decode(Array[Byte](0, 'x'.toByte, (5 << 5).toByte, 0), 8)
+    assert(new String(xs, "ASCII") == "x" * 8)
+    // extended length: run of 13 via length-field 7 + extension byte 4
+    val ys = decode(Array[Byte](0, 'y'.toByte, (7 << 5).toByte, 4, 0), 14)
+    assert(new String(ys, "ASCII") == "y" * 14)
+    // far match: 8400 literals then a 5-byte match at distance 8300
+    locally {
+      val body = Array.tabulate(8400)(i => (i % 251).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < body.length) { // 32-literal runs
+        val n = math.min(32, body.length - i)
+        out.write(n - 1); out.write(body, i, n); i += n
+      }
+      out.write((3 << 5) | 31); out.write(255) // far-match escape
+      val far = 8300 - 8192
+      out.write(far >> 8); out.write(far & 0xFF)
+      val got = decode(out.toByteArray, 8405)
+      assert(got.slice(0, 8400).toSeq == body.toSeq)
+      assert(got.slice(8400, 8405).toSeq == body.slice(100, 105).toSeq,
+        "far match copied from the wrong offset")
+    }
+    // encoder (fixture helper) roundtrips arbitrary runs-heavy payloads
+    val caseGen = for {
+      n <- Gen.choose(1, 600)
+      runiness <- Gen.oneOf(1, 3, 17)
+      seed <- Gen.choose(0, 100000)
+    } yield (n, runiness, seed)
+    forAll(caseGen, n = 25) { case (n, runiness, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val raw = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val b = rnd.nextInt(4).toByte
+        val run = 1 + rnd.nextInt(runiness * 8)
+        var k = 0
+        while (k < run && i < n) { raw(i) = b; i += 1; k += 1 }
+      }
+      val enc = ZarrSpec.blosclzEncode(raw)
+      assert(decode(enc, n).toSeq == raw.toSeq, s"n=$n runiness=$runiness")
+    }
+  }
+
   test("property: vlen string vectors round-trip arbitrary unicode/gaps/chunkings") {
     import spark.implicits._
     val caseGen = for {

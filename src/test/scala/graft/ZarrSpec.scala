@@ -148,14 +148,14 @@ class ZarrSpec extends AnyFunSuite {
       for (i <- 0 until 16; j <- 0 until 4)
         assert(back2(i)(j) == d2(i)(j), s"out-of-order blocks: cell ($i,$j)")
     }
-    // blosclz frames fail loudly, not silently
-    val blPath = "/root/repo/target/tmp/zarr_test_blosclz"
+    // frames carrying a TRULY unknown codec id still fail loudly
+    val blPath = "/root/repo/target/tmp/zarr_test_badcodec"
     new java.io.File(blPath).mkdirs()
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$path/.zarray"),
       java.nio.file.Paths.get(s"$blPath/.zarray"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val bad = cblosc(new Array[Byte](8 * 4 * 8), 8, 128)
-    bad(2) = (bad(2) & 0x1F).toByte // codec bits → 0 = blosclz
+    bad(2) = ((bad(2) & 0x1F) | (6 << 5)).toByte // codec bits → 6 = unassigned
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$blPath/0.0"), bad)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$blPath/1.0"),
       cblosc({ val b = ByteBuffer.allocate(8 * 4 * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -166,8 +166,72 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.read(spark, blPath).cells
         .agg(org.apache.spark.sql.functions.sum("v")).head()
     }
-    assert(err.getMessage.contains("blosclz") ||
-      Option(err.getCause).exists(_.getMessage.contains("blosclz")))
+    assert(err.getMessage.contains("codec id 6") ||
+      Option(err.getCause).exists(_.getMessage.contains("codec id 6")))
+  }
+
+  test("blosc foreign-store interop: blosclz codec + bit-shuffle frames") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.zarr.Blosc
+    // a c-blosc frame with cname=blosclz (c-blosc's own default) and the
+    // bit-shuffle filter — the two read-side shapes our writer never emits
+    def frame(raw: Array[Byte], typesize: Int, blocksize: Int,
+              bitShuffle: Boolean): Array[Byte] = {
+      val nblocks = (raw.length + blocksize - 1) / blocksize
+      require(raw.length % blocksize == 0, "test fixture keeps whole blocks")
+      val blocks = (0 until nblocks).map { b =>
+        val blockRaw = java.util.Arrays.copyOfRange(raw, b * blocksize, (b + 1) * blocksize)
+        val shuf = if (bitShuffle) Blosc.bitshuffle(blockRaw, typesize)
+                   else Blosc.shuffle(blockRaw, typesize)
+        val neblock = blocksize / typesize
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until typesize).foreach { s0 =>
+          val split = java.util.Arrays.copyOfRange(shuf, s0 * neblock, (s0 + 1) * neblock)
+          val enc = ZarrSpec.blosclzEncode(split)
+          val (payload, len) = if (enc.length < neblock) (enc, enc.length)
+                               else (split, neblock)
+          val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(len).array()
+          out.write(hdr); out.write(payload, 0, len)
+        }
+        out.toByteArray
+      }
+      val bstart0 = 16 + 4 * nblocks
+      val bstarts = blocks.scanLeft(bstart0)(_ + _.length).init
+      val cbytes = bstart0 + blocks.map(_.length).sum
+      val buf = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      val shufFlag = if (bitShuffle) 0x4 else 0x1
+      buf.put(2.toByte).put(1.toByte)
+        .put((shufFlag | (0 << 5)).toByte).put(typesize.toByte) // codec 0 = blosclz
+      buf.putInt(raw.length).putInt(blocksize).putInt(cbytes)
+      bstarts.foreach(buf.putInt)
+      blocks.foreach(b => buf.put(b))
+      buf.array()
+    }
+    // repetitive doubles → shuffled lanes carry long runs → blosclz shrinks
+    val d2 = Array.tabulate(16, 4)((i, j) => ((i * 4 + j) % 5).toDouble)
+    for (bitShuffle <- Seq(false, true)) {
+      val path = s"/root/repo/target/tmp/zarr_test_blosclz_${if (bitShuffle) "bit" else "byte"}"
+      new java.io.File(path).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/.zarray"),
+        s"""{"chunks": [8, 4], "compressor": {"id": "blosc", "cname": "blosclz",
+           |"clevel": 5, "shuffle": ${if (bitShuffle) 2 else 1}, "blocksize": 0},
+           |"dtype": "<f8", "fill_value": 0.0, "filters": null, "order": "C",
+           |"shape": [16, 4], "zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+      (0 until 2).foreach { ci =>
+        val buf = ByteBuffer.allocate(8 * 4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+        for (i <- 0 until 8; j <- 0 until 4) buf.putDouble(d2(ci * 8 + i)(j))
+        val f = frame(buf.array(), typesize = 8, blocksize = 128, bitShuffle)
+        // the fixture must actually exercise the blosclz decoder, not the
+        // raw-split fallback: at least one split must have compressed
+        val bb = ByteBuffer.wrap(f).order(ByteOrder.LITTLE_ENDIAN)
+        val firstSplitLen = bb.getInt(bb.getInt(16)) // first block's first split
+        assert(firstSplitLen != 128 / 8, "fixture degenerated to all-raw splits")
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/$ci.0"), f)
+      }
+      val back = ZLocal.toDense(Zarr.read(spark, path), 16, 4)
+      for (i <- 0 until 16; j <- 0 until 4)
+        assert(back(i)(j) == d2(i)(j), s"bitShuffle=$bitShuffle cell ($i,$j)")
+    }
   }
 
   test("vlen string vectors: v2 |O+vlen-utf8 / v3 string, fill, compressors, groups") {
@@ -1036,5 +1100,37 @@ class ZarrSpec extends AnyFunSuite {
     // v3 group root read without a key errors with the key listing
     val e = intercept[IllegalArgumentException](Zarr.readMeta(path))
     assert(e.getMessage.contains("GROUP") && e.getMessage.contains("X"), e.getMessage)
+  }
+}
+
+object ZarrSpec {
+  /** Minimal valid blosclz encoder for fixtures: literal runs plus
+    * distance-1 RLE matches — enough to shrink repetitive lanes and
+    * exercise the decoder's literal, short-match, and extended-length
+    * paths. Not a fidelity goal: any conforming stream is valid input. */
+  def blosclzEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def literal(i: Int): Unit = { out.write(0); out.write(raw(i)) }
+    var i = 0
+    while (i < raw.length) {
+      if (i == 0) { literal(i); i += 1 }
+      else {
+        var r = i
+        while (r < raw.length && raw(r) == raw(i - 1)) r += 1
+        val run = r - i
+        if (run >= 3) {
+          if (run <= 8) { out.write((run - 2) << 5); out.write(0) }
+          else {
+            out.write(7 << 5)
+            var rem = run - 9
+            while (rem >= 255) { out.write(255); rem -= 255 }
+            out.write(rem)
+            out.write(0)
+          }
+          i = r
+        } else { literal(i); i += 1 }
+      }
+    }
+    out.toByteArray
   }
 }
