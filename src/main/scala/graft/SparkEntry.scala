@@ -432,6 +432,82 @@ object SparkEntry {
       Zarr.write(m, s"$path#X", rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
       Zarr.read(s, path, "X").cells.filter(col("v") =!= 0.0)
     }),
+    // the SPARSE X shape real anndata stores persist (csr_matrix group:
+    // data/indices/indptr + encoding attrs): the lineitem matrix written
+    // as CSR — distributed prefix-sum indptr, major/minor-ordered flat
+    // arrays — and re-expanded to coordinates by the span-join reader
+    "zarr_csr_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrcsr_$sfName"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeSparse(m, s"$path#X", rows, cols, chunk = 8192, comp = "blosc")
+      Zarr.readSparse(s, path, "X").cells
+    }),
+    // the same store in CSC orientation (anndata var-major layout) — the
+    // major/minor swap is the only difference, so a pass proves both
+    // orientations of the indptr expansion
+    "zarr_csc_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrcsc_$sfName"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeSparse(m, s"$path#X", rows, cols, chunk = 8192, csc = true,
+        format = 3)
+      Zarr.readSparse(s, path, "X").cells
+    }),
+    // the full anndata composition in ONE store: sparse CSR X + vlen
+    // string obs index + categorical obs column + dense 2-D obsm array,
+    // written, navigated back by key, and JOINED into a typed per-row
+    // analysis — proves the store pieces compose, not just exist
+    "anndata_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val m = mat(s, d)
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val nObs = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/anndata_$sfName"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeSparse(m, s"$path#X", nObs, 8, chunk = 8192, comp = "blosc")
+      val names = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("i"), col("c_name").as("s"))
+      Zarr.writeStringVector(names, s"$path#obs/index", nObs, chunk = 4096,
+        comp = "blosc")
+      val labels = orders.select(col("o_orderpriority")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // 5 labels — parameter-sized
+      val codes = orders.select(col("o_orderkey").as("i"),
+        (array_position(typedlit(labels), col("o_orderpriority")) - 1)
+          .cast("double").as("v"))
+      Zarr.writeVector(codes, s"$path#obs/priority", nObs, chunk = 8192,
+        dtype = "|i1")
+      Zarr.writeAttrs(s"$path#obs/priority",
+        s"""{"categories": [${labels.map(l => "\"" + l + "\"").mkString(",")}]}""")
+      val stats = m.cells.groupBy(col("i"))
+        .agg(sum(col("v")).as("qty"), count(lit(1)).cast("double").as("n"))
+        .select(col("i"), explode(array(
+          struct(lit(0L).as("j"), col("qty").as("v")),
+          struct(lit(1L).as("j"), col("n").as("v")))).as("e"))
+        .select(col("i"), col("e.j").as("j"), col("e.v").as("v"))
+      Zarr.write(ZMatrix(stats), s"$path#obsm/X_stats", nObs, 2,
+        chunkRows = 4096, chunkCols = 2)
+      // read EVERYTHING back from the store and compose
+      val rowSum = Zarr.readSparse(s, path, "X").cells
+        .groupBy(col("i")).agg(sum(col("v")).as("qty"))
+      val idx = Zarr.readStringVector(s, path, "obs/index")
+        .select(col("i"), col("s").as("name"))
+      val prio = Zarr.readCategorical(s, path, "obs/priority")
+        .select(col("i"), col("label").as("priority"))
+      val nLines = Zarr.read(s, path, "obsm/X_stats").cells
+        .filter(col("j") === 1 && col("v") =!= 0.0)
+        .select(col("i"), col("v").as("n_lines"))
+      idx.join(prio, "i").join(rowSum, "i").join(nLines, "i")
+        .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
+    }),
     // rank-1 store roundtrip (anndata obs-column shape): per-order quantity
     // totals written as a TRUE 1-D Zarr array (1-element shape/chunks,
     // bare chunk keys) and read back dense — absent chunks materialize as
@@ -1196,6 +1272,23 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
     "zarr_group_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "anndata_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |q AS (SELECT i, sum(v) AS qty, CAST(count(*) AS DOUBLE) AS n_lines
+        |  FROM m GROUP BY 1)
+        |SELECT q.i AS i, c.c_name AS name, o.o_orderpriority AS priority,
+        |  q.qty AS qty, q.n_lines AS n_lines
+        |FROM q JOIN orders o ON o.o_orderkey = q.i
+        |JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin,
+    "zarr_csr_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_csc_roundtrip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,

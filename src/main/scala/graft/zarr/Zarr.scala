@@ -1150,6 +1150,114 @@ object Zarr {
             col("v").cast("string")))).as("label"))
   }
 
+  // ---- AnnData sparse CSR/CSC matrix groups ----
+  // Real-world anndata stores overwhelmingly persist X as a SPARSE group
+  // (anndata on-disk spec: rank-1 `data`/`indices`/`indptr` arrays plus
+  // `encoding-type: csr_matrix|csc_matrix` and `shape` attributes), not a
+  // dense 2-D array. The (i, j, v) coordinate form is the natural target:
+  // expanding CSR is exactly COO conversion, and only STORED entries ever
+  // materialize — sparse stays sparse end to end.
+
+  /** Read an anndata-style sparse matrix group into coordinate form.
+    * Fully distributed: `indptr` expands into per-line (start, end) spans
+    * by joining CONSECUTIVE indptr entries (a shuffle join on the line
+    * id — never a driver collect, never a single-partition window), each
+    * span explodes into its flat positions, and positions join `indices`
+    * and `data` by position. Lines whose span is empty contribute no
+    * rows, so a 1%-dense 100 TB matrix costs nnz rows, not rows×cols.
+    * Pathological single lines holding billions of entries would need
+    * span splitting before the explode; anndata lines are cells/genes
+    * (thousands of entries), so spans stay partition-sized. */
+  def readSparse(spark: SparkSession, path: String, key: String = ""): ZMatrix = {
+    val (root, frag) = splitKey(path)
+    val rel = Some(key).filter(_.nonEmpty).orElse(frag)
+      .map(k => validKeySegments(k).mkString("/")).getOrElse("")
+    val node = if (rel.isEmpty) root else s"$root/$rel"
+    val attrs = readAttrs(root, rel)
+    val enc = attrs.path("encoding-type").asText("")
+    require(enc == "csr_matrix" || enc == "csc_matrix",
+      s"$node is not a sparse matrix group (encoding-type = '$enc'; " +
+        "expected csr_matrix or csc_matrix)")
+    val shape = attrs.path("shape")
+    require(shape.isArray && shape.size() == 2,
+      s"$node lacks the 2-element 'shape' attribute of a sparse group")
+    val csr = enc == "csr_matrix"
+    val ptr = readVector(spark, node, "indptr")
+      .select(col("i").as("p"), col("v").cast("long").as("off"))
+    val spans = ptr.as("a").join(ptr.as("b"), col("b.p") === col("a.p") + 1)
+      .select(col("a.p").as("major"), col("a.off").as("start"), col("b.off").as("end"))
+      .filter(col("end") > col("start"))
+    val positions = spans.select(col("major"),
+      explode(sequence(col("start"), col("end") - 1)).as("k"))
+    val idx = readVector(spark, node, "indices")
+      .select(col("i").as("k"), col("v").cast("long").as("minor"))
+    val dat = readVector(spark, node, "data")
+      .select(col("i").as("k"), col("v"))
+    val joined = positions.join(idx, "k").join(dat, "k")
+    ZMatrix(
+      if (csr) joined.select(col("major").as("i"), col("minor").as("j"), col("v"))
+      else joined.select(col("minor").as("i"), col("major").as("j"), col("v")))
+  }
+
+  /** Write coordinate-form cells as an anndata sparse group (the layout
+    * zarr-python + anndata emit for sparse X): `data` and `indices` in
+    * major-then-minor order, `indptr` covering EVERY line of the major
+    * dimension including empty ones. Flat positions come from a
+    * hierarchical prefix sum — per-block windows plus a broadcast
+    * block-offset table (the packSequences pattern) — and a per-line
+    * rank, so no stage sorts more than one block or one line. */
+  def writeSparse(m: ZMatrix, path: String, rows: Long, cols: Long,
+                  chunk: Int = 8192, csc: Boolean = false,
+                  format: Int = 2, comp: String = "",
+                  dataDtype: String = "<f8", indexDtype: String = "<i8"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = m.cells.sparkSession
+    val majorDim = if (csc) cols else rows
+    val cellsM =
+      if (csc) m.cells.select(col("j").as("major"), col("i").as("minor"), col("v"))
+      else m.cells.select(col("i").as("major"), col("j").as("minor"), col("v"))
+    val blockSize = 4096L
+    val perMajor = cellsM.groupBy(col("major")).agg(count(lit(1)).as("n"))
+    // dense major domain: empty lines must still advance nothing but
+    // OCCUPY an indptr slot (their entry repeats the running offset)
+    val dense = spark.range(majorDim).toDF("major")
+      .join(perMajor, Seq("major"), "left")
+      .select(col("major"), coalesce(col("n"), lit(0L)).as("n"),
+        (col("major") / blockSize).cast("long").as("_blk"))
+    val inBlock = Window.partitionBy(col("_blk")).orderBy(col("major"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = dense.withColumn("_loc", coalesce(sum(col("n")).over(inBlock), lit(0L)))
+    // block totals are O(majorDim / blockSize) rows — the one ordered
+    // window runs over that small table, not the data
+    val blockOffsets = dense.groupBy(col("_blk")).agg(sum(col("n")).as("_bt"))
+      .withColumn("_boff", coalesce(sum(col("_bt")).over(
+        Window.orderBy(col("_blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = withLocal
+      .join(broadcast(blockOffsets.select(col("_blk"), col("_boff"))), Seq("_blk"))
+      .select(col("major"), (col("_loc") + col("_boff")).as("start"), col("n"))
+    val total = perMajor.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val ptrVec = offsets.select(col("major").as("i"), col("start").cast("double").as("v"))
+      .union(spark.range(1).select(lit(majorDim).as("i"), lit(total.toDouble).as("v")))
+    val rankW = Window.partitionBy(col("major")).orderBy(col("minor"))
+    val withK = cellsM.withColumn("_r", row_number().over(rankW))
+      .join(offsets.select(col("major"), col("start")), Seq("major"))
+      .select((col("start") + col("_r") - 1).as("k"), col("minor"), col("v"))
+    val (root, frag) = splitKey(path)
+    val rel = frag.map(k => validKeySegments(k).mkString("/")).getOrElse("")
+    def child(name: String) =
+      if (rel.isEmpty) s"$root#$name" else s"$root#$rel/$name"
+    writeVector(withK.select(col("k").as("i"), col("v")), child("data"),
+      total, chunk, dtype = dataDtype, format = format, comp = comp)
+    writeVector(withK.select(col("k").as("i"), col("minor").cast("double").as("v")),
+      child("indices"), total, chunk, dtype = indexDtype, format = format, comp = comp)
+    writeVector(ptrVec, child("indptr"), majorDim + 1, chunk,
+      dtype = "<i8", format = format, comp = comp)
+    val node = if (rel.isEmpty) root else s"$root#$rel"
+    writeAttrs(node,
+      s"""{"encoding-type": "${if (csc) "csc_matrix" else "csr_matrix"}",
+         | "encoding-version": "0.1.0", "shape": [$rows, $cols]}""".stripMargin)
+  }
+
   // ---- variable-length string rank-1 arrays (anndata obs/var index) ----
   // A real anndata store's obs/var INDEX is a vlen string array — v2:
   // dtype "|O" + the numcodecs vlen-utf8 filter; v3: data_type "string" +

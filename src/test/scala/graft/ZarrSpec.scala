@@ -1101,6 +1101,87 @@ class ZarrSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Zarr.readMeta(path))
     assert(e.getMessage.contains("GROUP") && e.getMessage.contains("X"), e.getMessage)
   }
+
+  test("sparse CSR/CSC groups: write + read roundtrip with empty lines") {
+    import spark.implicits._
+    // 6x5 with empty row 1, empty FIRST column, empty LAST row — the
+    // indptr edge shapes (leading/interior/trailing runs of equal offsets)
+    val coo = Seq((0L, 1L, 2.0), (0L, 4L, 3.0), (2L, 1L, 5.0), (2L, 2L, 7.0),
+      (2L, 3L, 1.5), (3L, 4L, -2.0), (4L, 1L, 9.0))
+    val m = ZMatrix(coo.toDF("i", "j", "v"))
+    for (csc <- Seq(false, true); format <- Seq(2, 3)) {
+      val path = s"/root/repo/target/tmp/zarr_test_sparse_${if (csc) "csc" else "csr"}_v$format"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeSparse(m, s"$path#X", rows = 6, cols = 5, chunk = 3, csc = csc,
+        format = format, comp = if (format == 2) "blosc" else "")
+      val back = Zarr.readSparse(spark, path, "X")
+      assert(back.cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet == coo.toSet, s"csc=$csc format=$format")
+      // indptr covers every major line + 1 and is monotone
+      val ptr = Zarr.readVector(spark, path, "X/indptr")
+        .orderBy("i").collect().map(_.getDouble(1).toLong)
+      assert(ptr.length == (if (csc) 5 else 6) + 1 && ptr.head == 0 && ptr.last == 7)
+      assert(ptr.sliding(2).forall(p => p(0) <= p(1)), s"non-monotone indptr: ${ptr.toSeq}")
+    }
+    // a DENSE read of the same store must refuse, loudly
+    val err = intercept[IllegalArgumentException](
+      Zarr.readMeta("/root/repo/target/tmp/zarr_test_sparse_csr_v2/X"))
+    assert(err.getMessage.nonEmpty)
+  }
+
+  test("sparse foreign fixture: anndata-shaped v2 csr_matrix group reads") {
+    // hand-written AS ANNDATA EMITS IT (anndata on-disk spec v0.1.0):
+    // uncompressed v2 rank-1 arrays, data <f4, indices <i4, indptr <i8,
+    // encoding attrs on the group — none of it produced by our writer
+    import java.nio.{ByteBuffer, ByteOrder}
+    val root = "/root/repo/target/tmp/zarr_test_sparse_foreign"
+    Zarr.delete(root, recursive = true)
+    val x = s"$root/X"
+    new java.io.File(x).mkdirs()
+    def put(p: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+    put(s"$root/.zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
+    put(s"$x/.zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
+    put(s"$x/.zattrs",
+      """{"encoding-type": "csr_matrix", "encoding-version": "0.1.0",
+        |"shape": [4, 5]}""".stripMargin.getBytes("UTF-8"))
+    def zarray(dir: String, dtype: String, n: Int, chunk: Int): Unit = {
+      new java.io.File(dir).mkdirs()
+      put(s"$dir/.zarray",
+        s"""{"chunks": [$chunk], "compressor": null, "dtype": "$dtype",
+           |"fill_value": 0, "filters": null, "order": "C", "shape": [$n],
+           |"zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+    }
+    // rows: 0 → (1, 10f), (3, 11f); 1 → empty; 2 → (0, 12f), (2, 13f), (4, 14f); 3 → (2, 15f)
+    val data = Array(10f, 11f, 12f, 13f, 14f, 15f)
+    val indices = Array(1, 3, 0, 2, 4, 2)
+    val indptr = Array(0L, 2L, 2L, 5L, 6L)
+    zarray(s"$x/data", "<f4", 6, 4)
+    (0 until 2).foreach { ci =>
+      val vals = data.slice(ci * 4, math.min((ci + 1) * 4, 6)).padTo(4, 0f)
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putFloat); put(s"$x/data/$ci", bb.array())
+    }
+    zarray(s"$x/indices", "<i4", 6, 4)
+    (0 until 2).foreach { ci =>
+      val vals = indices.slice(ci * 4, math.min((ci + 1) * 4, 6)).padTo(4, 0)
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putInt); put(s"$x/indices/$ci", bb.array())
+    }
+    zarray(s"$x/indptr", "<i8", 5, 5)
+    locally {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      indptr.foreach(bb.putLong); put(s"$x/indptr/0", bb.array())
+    }
+    val got = Zarr.readSparse(spark, root, "X").cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Set((0L, 1L, 10.0), (0L, 3L, 11.0), (2L, 0L, 12.0),
+      (2L, 2L, 13.0), (2L, 4L, 14.0), (3L, 2L, 15.0))
+    assert(got == want)
+    // a non-sparse group refuses with the encoding-type message
+    val e = intercept[IllegalArgumentException](Zarr.readSparse(spark, root, ""))
+    assert(e.getMessage.contains("encoding-type"), e.getMessage)
+  }
 }
 
 object ZarrSpec {
