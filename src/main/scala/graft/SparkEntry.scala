@@ -520,6 +520,28 @@ object SparkEntry {
       Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
       Zarr.readVector(s, path)
     }),
+    // datetime64[ns] rank-1 array (anndata obs time column): event
+    // timestamps as epoch NANOS — values ~1.8e18 exceed double's 2^53
+    // exact range, so a hash-exact pass proves the typed long path never
+    // routes through the double substrate
+    "zarr_datetime_roundtrip" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+      val nanos =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) col("ts")
+        else unix_micros(col("ts")) * 1000L
+      val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrdt_$sfName"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeTimeVector(ev.select(col("event_id").as("i"), nanos.as("v")),
+        s"$path#obs/ts", n, chunk = 4096, comp = "blosc")
+      // the STORE holds full nanos (ZarrSpec proves bit-exactness past
+      // 2^53); the comparison surface truncates to micros because DuckDB
+      // 1.0 reads ns-parquet as micro TIMESTAMP — the magnitude (~1.7e18)
+      // still exceeds double range, so a double transit would corrupt it
+      Zarr.readTimeVector(s, path, "obs/ts")
+        .select(col("i"), (expr("v div 1000") * 1000).as("v"))
+    }),
     // anndata boolean mask column (|b1, one byte per element): a keep-mask
     // over documents stored as a rank-1 bool array and read back
     "zarr_bool_mask" -> ((s, d) => {
@@ -702,6 +724,12 @@ object SparkEntry {
     // the oracle predicts the decoder's output independently
     "multimodal_real_codec" -> ((s, d) =>
       Multimodal.realCodecFeatures(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))),
+    // JPEG through the SAME subprocess contract: ImageIO's JFIF bit
+    // parser this time; geometry (not pixels) is the lossless part a
+    // SQL oracle can predict end-to-end
+    "multimodal_jpeg_codec" -> ((s, d) =>
+      Multimodal.jpegCodecFeatures(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
 
     // ---- streaming ----
@@ -1299,6 +1327,8 @@ object SparkEntry {
         |  CASE WHEN length(string_split_regex(trim(text), '\s+')) >= 40
         |       THEN 1.0 ELSE 0.0 END AS v
         |FROM documents""".stripMargin,
+    "zarr_datetime_roundtrip" ->
+      "SELECT event_id AS i, CAST(epoch_ns(ts) AS BIGINT) AS v FROM events",
     "zarr_vector_roundtrip" ->
       """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
         |           FROM lineitem GROUP BY 1),
@@ -1483,6 +1513,11 @@ object SparkEntry {
     "multimodal_real_codec" ->
       """SELECT doc_id, CAST(1 + length(text) % 16 AS INTEGER) AS width,
         | CAST(1 + length(text) % 12 AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_jpeg_codec" ->
+      """SELECT doc_id, CAST(1 + length(text) % 13 AS INTEGER) AS width,
+        | CAST(1 + length(text) % 9 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
     "stream_dedup" ->

@@ -221,6 +221,17 @@ object Multimodal {
                         cmd: Seq[String] = pngCodecCmd): DataFrame =
     subprocessFeatures(asPngMedia(docs, idCol, textCol), cmd, childEmitsFeatures = true)
 
+  /** The JPEG twin of [[realCodecFeatures]]: payloads are actual JPEGs
+    * (ImageIO's real JFIF encoder — SOI/DQT/SOF0/entropy-coded scan), so
+    * the child exercises ImageIO's JPEG bit parser, not the PNG one.
+    * Lossy coding changes pixels, never geometry: width/height/channels
+    * stay an exact SQL-predictable function of the text length. Distinct
+    * moduli from the PNG path so a format mixup cannot pass both oracles. */
+  def jpegCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
+                        cmd: Seq[String] = pngCodecCmd): DataFrame =
+    subprocessFeatures(asImageMedia(docs, idCol, textCol, "jpg", "image/jpeg",
+      wMod = 13, hMod = 9), cmd, childEmitsFeatures = true)
+
   /** The codec command for THIS environment: a fresh JVM running
     * [[graft.tools.ArrowPngCodec]] off the same classpath (the sandbox
     * ships no native codec binary; a deployment substitutes its own
@@ -242,12 +253,21 @@ object Multimodal {
     * bytes (signature, IHDR, zlib'd IDAT), sized from the text length so
     * a SQL oracle can predict what a real decoder must report. Pixels are
     * a deterministic function of (doc_id, x, y). */
-  def asPngMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+  def asPngMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] =
+    asImageMedia(docs, idCol, textCol, "png", "image/png", wMod = 16, hMod = 12)
+
+  /** Deterministic real image payloads in any ImageIO-writable format:
+    * each doc becomes a (1+len%wMod) × (1+len%hMod) TYPE_3BYTE_BGR image
+    * encoded with ImageIO — genuine container bytes, sized from the text
+    * length so a SQL oracle can predict what a real decoder must report.
+    * Pixels are a deterministic function of (doc_id, x, y). */
+  def asImageMedia(docs: DataFrame, idCol: String, textCol: String,
+                   fmt: String, mime: String, wMod: Int, hMod: Int): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
-        (lit(1) + length(col(textCol)) % 16).as("w"),
-        (lit(1) + length(col(textCol)) % 12).as("h"))
+        (lit(1) + length(col(textCol)) % wMod).as("w"),
+        (lit(1) + length(col(textCol)) % hMod).as("h"))
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>
         val img = new java.awt.image.BufferedImage(
@@ -262,8 +282,8 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRow(id, bos.toByteArray, "image/png")
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        MediaRow(id, bos.toByteArray, mime)
       }
   }
 

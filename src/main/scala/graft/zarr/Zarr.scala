@@ -1494,4 +1494,217 @@ object Zarr {
       (0 until len).iterator.map(k => (ci * chunk + k, items(k)))
     }.toDF("i", "s")
   }
+
+  // ---- datetime64/timedelta64 rank-1 arrays (anndata obs time columns) ----
+  // NumPy datetime64[ns] is an 8-byte signed count of epoch NANOseconds
+  // (timedelta64[ns] the same thing relative; NaT = Long.MinValue).
+  // Nanos for current dates (~1.8e18) exceed double's 2^53 exact-integer
+  // range, so these arrays BYPASS the double substrate entirely: a
+  // dedicated (i, v: long) path keeps every value bit-exact end to end.
+  // v2 stores the literal "<M8[ns]" dtype zarr-python emits; v3 the
+  // zarr-python "numpy.datetime64" extension data_type.
+
+  private val TimeDtypes = Set("<M8[ns]", ">M8[ns]", "<m8[ns]", ">m8[ns]")
+
+  /** Write a rank-1 datetime64[ns]/timedelta64[ns] array from a long-form
+    * (i, v: epoch-nanos long) frame. Same distributed mechanics as
+    * [[writeStringVector]]: one write task per shuffle partition streams
+    * its chunks out speculation-safely; rows beyond [0, n) fail the task;
+    * missing positions take `fill` (0 = epoch; use Long.MinValue for
+    * NaT). */
+  def writeTimeVector(vec: DataFrame, path: String, n: Long, chunk: Int,
+                      dtype: String = "<M8[ns]", format: Int = 2,
+                      comp: String = "", zlib: Boolean = false,
+                      fill: Long = 0L): Unit = {
+    require(n > 0 && chunk > 0, s"need n > 0 and chunk > 0, got n=$n chunk=$chunk")
+    require(TimeDtypes.contains(dtype),
+      s"unsupported time dtype '$dtype' (one of ${TimeDtypes.mkString(", ")})")
+    require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
+    require(comp == "" || comp == "blosc", s"unsupported comp '$comp'")
+    require(!(zlib && comp == "blosc"), "pick one of zlib / blosc")
+    val (root, frag) = splitKey(path)
+    val segs = frag.map(validKeySegments).getOrElse(Nil)
+    val target = (root +: segs).mkString("/")
+    delete(target, recursive = true)
+    val keyEnc = writeKeyEnc(format)
+    val big = dtype.startsWith(">")
+    val spark = vec.sparkSession
+    import spark.implicits._
+    vec.select(col("i").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .sortWithinPartitions(col("i"))
+      .foreachPartition { (it: Iterator[(Long, Long)]) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var curCi = -1L
+        var buf: Array[Long] = null
+        def flush(): Unit = if (buf != null) {
+          val bb = ByteBuffer.allocate(buf.length * 8)
+            .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          buf.foreach(bb.putLong)
+          val raw = bb.array()
+          val bytes =
+            if (comp == "blosc") Blosc.compress(raw, 8)
+            else if (!zlib) raw
+            else if (format == 3) gzip(raw) else deflate(raw)
+          val f = chunkPath(target, curCi, 0, keyEnc, rank1 = true)
+          val tmp = s"$f.__tmp-$attempt"
+          writeBytes(tmp, bytes)
+          renameOver(tmp, f)
+          buf = null
+        }
+        it.foreach { case (i, v) =>
+          require(i >= 0 && i < n, s"time vector index $i outside [0, $n)")
+          val ci = i / chunk
+          if (ci != curCi) {
+            flush()
+            curCi = ci
+            buf = Array.fill(chunk)(fill) // tail chunks stay full-shape, fill-padded
+          }
+          buf((i - ci * chunk).toInt) = v
+        }
+        flush()
+      }
+    val unit = "ns"
+    val kind = if (dtype.charAt(1) == 'M') "datetime64" else "timedelta64"
+    val metaJson =
+      if (format == 3) {
+        val compCodec =
+          if (comp == "blosc")
+            """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "shuffle", "typesize": 8, "blocksize": 0}}"""
+          else if (zlib) """, {"name": "gzip", "configuration": {"level": 1}}"""
+          else ""
+        val endian = if (big) "big" else "little"
+        s"""{
+           |    "zarr_format": 3,
+           |    "node_type": "array",
+           |    "shape": [$n],
+           |    "data_type": {"name": "numpy.$kind", "configuration": {"unit": "$unit", "scale_factor": 1}},
+           |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunk]}},
+           |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |    "fill_value": $fill,
+           |    "codecs": [{"name": "bytes", "configuration": {"endian": "$endian"}}$compCodec],
+           |    "attributes": {}
+           |}""".stripMargin
+      } else {
+        val compJson =
+          if (comp == "blosc")
+            """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
+          else if (zlib) """{"id": "zlib", "level": 1}"""
+          else "null"
+        s"""{
+           |    "chunks": [$chunk],
+           |    "compressor": $compJson,
+           |    "dtype": "$dtype",
+           |    "fill_value": $fill,
+           |    "filters": null,
+           |    "order": "C",
+           |    "shape": [$n],
+           |    "zarr_format": 2
+           |}""".stripMargin
+      }
+    writeBytes(s"$target/${if (format == 3) "zarr.json" else ".zarray"}",
+      metaJson.getBytes("UTF-8"))
+    if (segs.nonEmpty) ensureGroupMeta(root, segs, format)
+    refreshConsolidatedAbove(target)
+  }
+
+  /** (n, chunk, big-endian, zlib, comp, format, keyEnc, fill) of a
+    * datetime64/timedelta64[ns] rank-1 array, v2 or v3. */
+  private def readTimeMeta(path: String): (Long, Int, Boolean, Boolean, String, Int, String, Long) =
+    if (exists(s"$path/zarr.json")) {
+      val root = mapper.readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
+      require(root.path("zarr_format").asInt() == 3 &&
+        root.path("node_type").asText("") == "array",
+        s"$path/zarr.json is not a v3 array")
+      val dt = root.path("data_type")
+      val name = dt.path("name").asText("")
+      require(name == "numpy.datetime64" || name == "numpy.timedelta64",
+        s"$path is not a datetime64/timedelta64 array (data_type $dt) — " +
+          "numeric arrays read through Zarr.read/readVector")
+      val cfg = dt.path("configuration")
+      require(cfg.path("unit").asText() == "ns" && cfg.path("scale_factor").asInt(1) == 1,
+        s"only ns-unit scale-1 time arrays are supported, got $cfg")
+      require(root.path("shape").size() == 1,
+        s"time arrays are rank-1 only, got shape ${root.path("shape")}")
+      val n = root.path("shape").get(0).asLong()
+      val chunk = chunkDim(
+        root.path("chunk_grid").path("configuration").path("chunk_shape").get(0).asLong(),
+        "chunk dim")
+      var zlib = false; var comp = ""; var big = false
+      root.path("codecs").forEach { c =>
+        c.path("name").asText() match {
+          case "bytes" => big = c.path("configuration").path("endian").asText("little") == "big"
+          case "gzip"  => zlib = true
+          case "blosc" => comp = "blosc"
+          case other =>
+            throw new IllegalArgumentException(s"unsupported time-array codec '$other'")
+        }
+      }
+      val keyEncNode = root.path("chunk_key_encoding")
+      val kname = keyEncNode.path("name").asText("default")
+      val sep = keyEncNode.path("configuration").path("separator")
+        .asText(if (kname == "v2") "." else "/")
+      val keyEnc = (kname, sep) match {
+        case ("default", "/") => "c/"
+        case ("default", ".") => "c."
+        case ("v2", "/")      => "nested"
+        case ("v2", ".")      => "flat"
+        case other => throw new IllegalArgumentException(s"unsupported chunk_key_encoding $other")
+      }
+      (n, chunk, big, zlib, comp, 3, keyEnc, root.path("fill_value").asLong(0L))
+    } else {
+      val root = mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
+      val dtype = root.path("dtype").asText()
+      require(TimeDtypes.contains(dtype),
+        s"$path is not a datetime64/timedelta64 array (dtype '$dtype') — " +
+          "numeric arrays read through Zarr.read/readVector")
+      require(root.path("shape").size() == 1,
+        s"time arrays are rank-1 only, got shape ${root.path("shape")}")
+      require(root.path("filters").isNull || root.path("filters").isMissingNode,
+        s"unsupported filters on time array: ${root.path("filters")}")
+      val compNode = root.path("compressor")
+      val (zlib, comp) =
+        if (compNode.isNull || compNode.isMissingNode) (false, "")
+        else compNode.path("id").asText() match {
+          case "zlib"  => (true, "")
+          case "blosc" => (false, "blosc")
+          case id => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
+        }
+      val n = root.path("shape").get(0).asLong()
+      val chunk = chunkDim(root.path("chunks").get(0).asLong(), "chunk dim")
+      val sep = root.path("dimension_separator").asText(".")
+      (n, chunk, dtype.startsWith(">"), zlib, comp, 2,
+        if (sep == "/") "nested" else "flat",
+        root.path("fill_value").asLong(0L))
+    }
+
+  /** Read a rank-1 datetime64/timedelta64[ns] array back as
+    * (i, v: epoch-nanos long) — bit-exact, never through double. Absent
+    * chunks materialize as the store's fill_value. */
+  def readTimeVector(spark: SparkSession, path: String, key: String = ""): DataFrame = {
+    val arr = resolveArray(path, Some(key).filter(_.nonEmpty))
+    val (n, chunk, big, zlib, comp, format, keyEnc, fill) = readTimeMeta(arr)
+    val nChunks = (n + chunk - 1) / chunk
+    import spark.implicits._
+    spark.range(nChunks).as[Long].flatMap { ci =>
+      val len = math.min(chunk.toLong, n - ci * chunk).toInt
+      val f = chunkPath(arr, ci, 0, keyEnc, rank1 = true)
+      val items: Array[Long] =
+        if (!exists(f)) Array.fill(len)(fill)
+        else {
+          val raw0 = readBytes(f)
+          val raw =
+            if (comp == "blosc") Blosc.decompress(raw0, chunk * 8)
+            else if (!zlib) raw0
+            else if (format == 3) gunzip(raw0, chunk * 8) else inflate(raw0, chunk * 8)
+          require(raw.length >= len * 8,
+            s"time chunk $f holds ${raw.length} bytes, need ${len * 8}")
+          val bb = ByteBuffer.wrap(raw)
+            .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          Array.fill(math.min(chunk, raw.length / 8))(bb.getLong)
+        }
+      (0 until len).iterator.map(k => (ci * chunk + k, items(k)))
+    }.toDF("i", "v")
+  }
 }

@@ -109,6 +109,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
 
+  test("REAL codec child decodes actual JPEG payloads; sizes match prediction") {
+    val docs = Seq((1L, "hello"), (2L, "a longer piece of text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.jpegCodecFeatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    def expect(len: Int) = (1 + len % 13, 1 + len % 9, 3)
+    assert(got(1L) == expect(5), got)
+    assert(got(2L) == expect(22), got)
+    assert(got(3L) == expect(0), got)
+    // the payload really is a JPEG: JFIF SOI marker, and a driver-side
+    // decode reproduces the geometry despite lossy pixel coding
+    val one = Multimodal.asImageMedia(docs, "doc_id", "text",
+        "jpg", "image/jpeg", 13, 9)
+      .filter(_.doc_id == 2L).collect().head
+    assert(one.payload.take(2).toSeq == Seq(0xFF.toByte, 0xD8.toByte), "missing SOI")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one.payload))
+    assert(img.getWidth == 1 + 22 % 13 && img.getHeight == 1 + 22 % 9)
+  }
+
   test("REAL codec child rejects a non-image payload with stderr attached") {
     val docs = Seq((1L, "not an image")).toDF("doc_id", "text")
     val e = intercept[Exception] {

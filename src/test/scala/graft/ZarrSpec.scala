@@ -1129,6 +1129,72 @@ class ZarrSpec extends AnyFunSuite {
     assert(err.getMessage.nonEmpty)
   }
 
+  test("datetime64[ns] vectors: bit-exact roundtrip beyond double precision") {
+    import spark.implicits._
+    // 9007199254740993 = 2^53 + 1 — the first long a double CANNOT hold;
+    // plus a real 2024 epoch-nano, NaT, and a negative (pre-epoch) value
+    val vals = Seq((0L, 1704067207179575001L), (1L, 9007199254740993L),
+      (2L, Long.MinValue), (4L, -86400000000000L))
+    val vec = vals.toDF("i", "v")
+    for ((dtype, format, comp) <- Seq(("<M8[ns]", 2, "blosc"), (">M8[ns]", 2, ""),
+        ("<m8[ns]", 3, ""), ("<M8[ns]", 3, "blosc"))) {
+      val safe = dtype.replaceAll("[^A-Za-z0-9]", "")
+      val path = s"/root/repo/target/tmp/zarr_test_dt_${safe}_v$format$comp"
+      Zarr.delete(path, recursive = true)
+      // n=6 > max index 4: position 3 is absent-in-data, 5 in an absent
+      // tail region — both must come back as the fill (7 here)
+      Zarr.writeTimeVector(vec, path, n = 6, chunk = 4, dtype = dtype,
+        format = format, comp = comp, fill = 7L)
+      val got = Zarr.readTimeVector(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (vals.toMap ++ Map(3L -> 7L, 5L -> 7L)),
+        s"$dtype v$format $comp: $got")
+      // double round-trip of the 2^53+1 probe would have lost the low bit
+      assert(got(1L) != got(1L).toDouble.toLong || got(1L) == 9007199254740993L)
+      assert(9007199254740993L.toDouble.toLong == 9007199254740992L,
+        "probe value must actually be double-unrepresentable")
+    }
+    // numeric reads refuse the time store, and vice versa
+    val p2 = "/root/repo/target/tmp/zarr_test_dt_M8ns_v2blosc"
+    val e = intercept[IllegalArgumentException](Zarr.readVector(spark, p2))
+    assert(e.getMessage.contains("M8[ns]") || e.getMessage.nonEmpty)
+    val pNum = "/root/repo/target/tmp/zarr_test_dt_numeric"
+    Zarr.delete(pNum, recursive = true)
+    Zarr.writeVector(Seq((0L, 1.0)).toDF("i", "v"), pNum, n = 1, chunk = 1)
+    val e2 = intercept[IllegalArgumentException](Zarr.readTimeVector(spark, pNum))
+    assert(e2.getMessage.contains("datetime64"), e2.getMessage)
+  }
+
+  test("datetime64 foreign fixture: zarr-python-shaped v2 <M8[ns] array reads") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // exactly what zarr-python emits for np.datetime64[ns] data: dtype
+    // "<M8[ns]", zlib compressor, flat keys — none of it our writer's work
+    val root = "/root/repo/target/tmp/zarr_test_dt_foreign"
+    Zarr.delete(root, recursive = true)
+    new java.io.File(root).mkdirs()
+    def put(p: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+    put(s"$root/.zarray",
+      """{"chunks": [3], "compressor": {"id": "zlib", "level": 1},
+        |"dtype": "<M8[ns]", "fill_value": 0, "filters": null, "order": "C",
+        |"shape": [5], "zarr_format": 2}""".stripMargin.getBytes("UTF-8"))
+    val vals = Array(1704067207179575001L, 9007199254740993L, -1L,
+      Long.MinValue, 42L)
+    def chunk(xs: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      xs.padTo(3, 0L).foreach(bb.putLong)
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(bb.array()); d.finish()
+      val out = new Array[Byte](64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    put(s"$root/0", chunk(vals.slice(0, 3)))
+    put(s"$root/1", chunk(vals.slice(3, 5)))
+    val got = Zarr.readTimeVector(spark, root).orderBy("i").collect().map(_.getLong(1))
+    assert(got.toSeq == vals.toSeq, got.toSeq)
+  }
+
   test("sparse foreign fixture: anndata-shaped v2 csr_matrix group reads") {
     // hand-written AS ANNDATA EMITS IT (anndata on-disk spec v0.1.0):
     // uncompressed v2 rank-1 arrays, data <f4, indices <i4, indptr <i8,
