@@ -74,7 +74,16 @@ object TextOps {
     * (measured: the curation pipeline fell back to interpreted execution).
     * With `greatest`, each regex appears exactly once; ties still resolve
     * to the earliest-listed language via the −index field. */
-  def langIdCol(raw: Column): Column = {
+  /** Language-ID, single-pass native kernel ([[graft.functions.LangIdScore]]):
+    * one byte scan scores all stopword lists + the CJK check together.
+    * Equal to [[langIdColRegex]] on the marker alphabet (differential
+    * spec); null → "und" like the regex form's when-chain. */
+  def langIdCol(raw: Column): Column =
+    coalesce(graft.functions.LangIdScore.langId(raw), lit("und"))
+
+  /** The original 33-regex column form, kept as the differential-test
+    * reference for the kernel (and as documentation of the semantics). */
+  def langIdColRegex(raw: Column): Column = {
     val t = lower(raw)
     val scored: Seq[Column] = langMarkers.zipWithIndex.map { case ((_, words), idx) =>
       struct(words.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _).as("s"),

@@ -37,6 +37,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(4L) == "de"); assert(got(5L) == "zh"); assert(got(6L) == "und")
   }
 
+  test("langid kernel equals the 33-regex reference form everywhere") {
+    import org.apache.spark.sql.functions.col
+    // edge shapes the byte scanner must get right: punctuation-adjacent
+    // markers, markers inside longer words (no match), accent-bounded
+    // markers (thé → the: non-ASCII IS a \b boundary), CJK dominance over
+    // stopwords, cross-language ties (en-vs-de "und" is impossible — 'und'
+    // is de-only — so tie via equal counts), case folding, empty/blank
+    val edge = Seq(
+      "The, and; of! is?", "THE AND OF IS", "theandofis otherwise",
+      "thé est dans la", "the 的 and 中文 that", "le la the and",
+      "das el", "", "   ", "_the_ the_", "und", "99 the_99 the 99",
+      "ein Haus mit nicht der die das und ist the and of is was that with for")
+    val docs = Tables.documents(spark, TestSpark.sf).select(col("text"))
+      .collect().map(_.getString(0)).toSeq ++ edge
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        TextOps.langIdCol(col("text")).as("fast"),
+        TextOps.langIdColRegex(col("text")).as("ref"))
+      .collect()
+    val diffs = both.filter(r => r.getString(1) != r.getString(2))
+    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+    // null text: both forms give "und"
+    val nulls = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TextOps.langIdCol(col("text")), TextOps.langIdColRegex(col("text"))).head()
+    assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(df, "doc_id", "text").collect()
