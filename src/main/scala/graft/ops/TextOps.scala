@@ -21,18 +21,20 @@ object TextOps {
   def nTokens(c: Column): Column = size(split(trim(c), "\\s+"))
   def nChars(c: Column): Column = length(c)
 
-  /** Per-doc stats: whitespace tokens, chars, mean token length, punct ratio. */
+  /** Per-doc stats: whitespace tokens, chars, mean token length, punct ratio.
+    * All four signals come off ONE [[graft.functions.TextStats]] kernel
+    * scan (the SQL forms each re-scanned or re-tokenized the text). */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val s = graft.functions.TextStats.stats(col(textCol))
     docs.select(col(idCol).as("doc_id"),
-      nTokens(t).cast("long").as("n_tok"),
-      nChars(t).cast("long").as("n_chars"),
-      round(try_divide(length(regexp_replace(t, "\\s", "")).cast("double"),
-        nTokens(t)), 4).as("avg_tok_len"),
+      s.getField("n_tok").cast("long").as("n_tok"),
+      s.getField("n_chars").cast("long").as("n_chars"),
+      round(try_divide(s.getField("n_nonws").cast("double"),
+        s.getField("n_tok")), 4).as("avg_tok_len"),
       // try_divide: empty text has 0 chars — null ratio (= DuckDB's x/0),
       // not an ANSI divide error
-      round(try_divide(length(regexp_replace(t, nonPunctPat, "")).cast("double"),
-        nChars(t)), 4).as("punct_ratio"))
+      round(try_divide(s.getField("n_punct").cast("double"),
+        s.getField("n_chars")), 4).as("punct_ratio"))
   }
 
   /** Regex token count (BPE-style pre-tokenization granularity). */
@@ -42,14 +44,27 @@ object TextOps {
       nTokens(col(textCol)).cast("long").as("n_ws"))
 
   /** Quality score as a pure column expression — composable into a single
-    * scan alongside other per-row signals (see pipeline_curate). */
+    * scan alongside other per-row signals (see pipeline_curate). Counts
+    * come off the one-pass [[graft.functions.TextStats]] kernel; the
+    * formula math stays in Catalyst so rounding/null behavior is
+    * unchanged ([[qualityColRef]] is the original form, spec-pinned). */
   def qualityCol(t: Column): Column = {
-    val ntok = nTokens(t)
-    val avgWl = length(regexp_replace(t, "\\s", "")).cast("double") / ntok
-    val punct = try_divide(length(regexp_replace(t, nonPunctPat, "")).cast("double"), nChars(t))
+    val s = graft.functions.TextStats.stats(t)
+    qualityFormula(s.getField("n_tok"),
+      s.getField("n_nonws").cast("double") / s.getField("n_tok"),
+      try_divide(s.getField("n_punct").cast("double"), s.getField("n_chars")))
+  }
+
+  /** The original regex/split column form of [[qualityCol]] — differential
+    * test reference. */
+  def qualityColRef(t: Column): Column =
+    qualityFormula(nTokens(t),
+      length(regexp_replace(t, "\\s", "")).cast("double") / nTokens(t),
+      try_divide(length(regexp_replace(t, nonPunctPat, "")).cast("double"), nChars(t)))
+
+  private def qualityFormula(ntok: Column, avgWl: Column, punct: Column): Column =
     round(least(lit(1.0), ntok / lit(100.0)) * (lit(1.0) - least(lit(1.0), punct * 5)) *
       when(avgWl.between(2.0, 12.0), 1.0).otherwise(0.5), 4)
-  }
 
   /** Heuristic quality score in [0,1]: length saturation × punctuation
     * sanity × word-length sanity. Deterministic integer/ratio math. */
@@ -128,8 +143,26 @@ object TextOps {
     * native shifted-`slice` + `arrays_zip` trick as MinHash shingles (no
     * interpreted lambda), distinct-counted via `array_distinct` — a single
     * scan, no shuffle, no UDF. */
-  /** (dup_word_ratio, dup_bigram_ratio) as column expressions. */
+  /** (dup_word_ratio, dup_bigram_ratio) as column expressions — counts off
+    * the one-pass [[graft.functions.TextStats]] kernel (the array form
+    * allocated a token array, two distinct-sets and a zipped struct array
+    * per row); ratio/rounding math unchanged. */
   def repetitionRatioCols(t: Column): (Column, Column) = {
+    val s = graft.functions.TextStats.stats(t)
+    val n = s.getField("n_tok")
+    val n2 = greatest(n - 1, lit(0))
+    val dupW = when(n > 0,
+      round(lit(1.0) - s.getField("d_tok").cast("double") / n, 4) + 0.0)
+      .otherwise(0.0)
+    val dupB = when(n > 1,
+      round(lit(1.0) - s.getField("d_big").cast("double") / n2, 4) + 0.0)
+      .otherwise(0.0)
+    (dupW, dupB)
+  }
+
+  /** The original array-ops form of [[repetitionRatioCols]] — differential
+    * test reference. */
+  def repetitionRatioColsRef(t: Column): (Column, Column) = {
     val toks = split(trim(t), "\\s+")
     val n = size(toks)
     val n2 = greatest(n - 1, lit(0))

@@ -64,6 +64,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
   }
 
+  test("text-stats kernel equals the split/regex reference forms everywhere") {
+    import org.apache.spark.sql.functions._
+    // the tokenizer edge shapes Pattern.split(-1) semantics demand: empty,
+    // spaces-only (trim eats them all), tab-leading (leading "" token),
+    // whitespace-trailing (trailing "" token kept), interior runs, dup
+    // tokens/bigrams, CJK, an astral emoji (surrogate pair = ONE code
+    // point for length), punctuation clusters
+    val edge = Seq("", " ", "   ", "\ta b", "a b\t", "a  b\n\nc", "a a a",
+      "x y x y x", "中文 没有 空格", "🎉🎉 done!?", "a.b,c!d?e;f:g",
+      " padded  out ", "\u000Bvt\u000B", "one", "\r\na b\r\n")
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0)).toSeq ++ edge
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t = col("text")
+    val (dw, db) = TextOps.repetitionRatioCols(t)
+    val (dwR, dbR) = TextOps.repetitionRatioColsRef(t)
+    val s = graft.functions.TextStats.stats(t)
+    val rows = df.select(col("doc_id"),
+        TextOps.qualityCol(t).as("q"), TextOps.qualityColRef(t).as("qr"),
+        dw.as("dw"), dwR.as("dwr"), db.as("db"), dbR.as("dbr"),
+        s.getField("n_tok").as("nt"), TextOps.nTokens(t).as("ntr"),
+        s.getField("n_chars").as("nc"), length(t).as("ncr"),
+        s.getField("n_nonws").as("nw"),
+        length(regexp_replace(t, "\\s", "")).as("nwr"))
+      .collect()
+    val bad = rows.filter { r =>
+      r.getAs[Any]("q") != r.getAs[Any]("qr") ||
+        r.getDouble(3) != r.getDouble(4) || r.getDouble(5) != r.getDouble(6) ||
+        r.getInt(7) != r.getInt(8) || r.getInt(9) != r.getInt(10) ||
+        r.getInt(11) != r.getInt(12)
+    }
+    assert(bad.isEmpty, bad.take(3).map(_.toString).mkString("; "))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(df, "doc_id", "text").collect()
