@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst aggregate: MinHash signature in ONE pass.
   *
@@ -100,4 +101,104 @@ object MinHashAgg {
     GraftSqlBridge.column(
       MinHashAgg(GraftSqlBridge.expression(shingleStructs), numHashes, numTokens)
         .toAggregateExpression())
+}
+
+/** Single-pass per-ROW MinHash signature kernel for [[MinHashSig]].
+  *
+  * Produces bit-identical signatures to {tokensOf → shingleZip →
+  * groupBy(doc).agg([[MinHashAgg]])} (differential spec), but as a SCALAR:
+  * no token array, no k `slice`s, no zipped struct array, and — because
+  * doc ids are unique — no hash-aggregate Exchange at all; the signature
+  * column is computed inside the scan's codegen stage.
+  *
+  * Zero-copy tokenization: tokens are byte slices [t0, t1) of the doc's
+  * own UTF8String (whitespace is ASCII, so slicing is UTF-8-safe), hashed
+  * in place with `XXH64.hashUnsafeBytes` — the same bytes+seed chain the
+  * aggregate's `hashUTF8String` walk produces. Tokens follow the shared
+  * Pattern.split(-1) rule (leading empty on a non-space-whitespace start,
+  * trailing empty kept, '' → ['']). A rolling k-window of (offset, len)
+  * pairs replaces the shingle structs; each complete window chains its k
+  * slices from seed 42, then remixes into all `numHashes` minima. Docs
+  * with < k tokens return the all-MaxValue sentinel, as the aggregate's
+  * untouched buffer does. */
+object MinHashSigUtil {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def signature(text: UTF8String, numHashes: Int, k: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    // SQL trim: ASCII spaces only
+    var start = 0
+    var end = n
+    while (start < end && text.getByte(start) == ' ') start += 1
+    while (end > start && text.getByte(end - 1) == ' ') end -= 1
+
+    val winOff = new Array[Int](k)
+    val winLen = new Array[Int](k)
+    var filled = 0 // tokens seen so far (window holds min(filled, k))
+    def emit(t0: Int, len: Int): Unit = {
+      val slot = filled % k
+      winOff(slot) = t0; winLen(slot) = len
+      filled += 1
+      if (filled >= k) {
+        var h = 42L
+        var f = 0
+        while (f < k) { // oldest-first = (filled - k) .. (filled - 1)
+          val s = (filled - k + f) % k
+          h = XXH64.hashUnsafeBytes(base, off + winOff(s), winLen(s), h)
+          f += 1
+        }
+        var kh = 0
+        while (kh < numHashes) {
+          val mixed = XXH64.hashLong(h, kh)
+          if (mixed < sig(kh)) sig(kh) = mixed
+          kh += 1
+        }
+      }
+    }
+    if (start == end) emit(start, 0) // empty input → one empty token
+    else {
+      var p = start
+      if (isWs(text.getByte(p))) emit(p, 0) // leading separator → leading empty
+      while (p < end) {
+        while (p < end && isWs(text.getByte(p))) p += 1
+        if (p < end) {
+          val t0 = p
+          while (p < end && !isWs(text.getByte(p))) p += 1
+          emit(t0, p - t0)
+        } else emit(p, 0) // trailing separator run → trailing empty
+      }
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** MinHash signature as a native scalar expression (see [[MinHashSigUtil]]). */
+case class MinHashSig(child: Expression, numHashes: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.signature(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSigUtil.signature($c, $numHashes, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSig {
+  def minhash(text: Column, numHashes: Int, k: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSig(GraftSqlBridge.expression(text.cast("string")), numHashes, k))
 }

@@ -143,7 +143,20 @@ object Dedup {
     * no explode, so the aggregate's input is |docs| rows, not
     * |docs|·|shingles|, and the shuffle ships `numHashes` longs per doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingle: Int): DataFrame = {
+                        numHashes: Int, shingle: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSig.minhash(col(textCol), numHashes, shingle).as("sig"))
+
+  /** The aggregate form of [[minhashSignatures]] (shingle structs →
+    * [[graft.functions.MinHashAgg]] under a doc-id groupBy). Signature
+    * values are bit-identical (differential spec); the scalar kernel
+    * additionally removes the hash-aggregate Exchange that the unique-key
+    * groupBy forced — the signature now computes inside the scan stage.
+    * Kept as the differential-test reference and for TRUE aggregation
+    * shapes (many shingle rows per key), where an aggregate is the right
+    * operator. */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, shingle: Int): DataFrame = {
     docs.select(col(idCol).as("doc_id"),
         shingleZip(tokensOf(col(textCol)), shingle).as("shingles"))
       .groupBy(col("doc_id"))

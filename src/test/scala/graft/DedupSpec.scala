@@ -137,4 +137,27 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("scalar minhash kernel is bit-identical to the shingle aggregate") {
+    import org.apache.spark.sql.functions.col
+    // edges: short docs (< k tokens → MaxValue sentinel), exactly k,
+    // leading/trailing whitespace (empty tokens enter shingles), repeats,
+    // multi-byte tokens (byte-slice hashing must cover full UTF-8 runs)
+    val edge = Seq("", " ", "a", "a b", "a b c", "a b c d e f g",
+      "\ta b c", "a b c ", "x x x x x", "é ü 中文 ok done",
+      "one  two   three four")
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0)).toSeq ++ edge
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((nh, k) <- Seq((8, 3), (32, 3), (16, 2), (4, 1))) {
+      val fast = Dedup.minhashSignatures(df, "doc_id", "text", nh, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val agg = Dedup.minhashSignaturesAgg(df, "doc_id", "text", nh, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fast.keySet == agg.keySet, s"nh=$nh k=$k")
+      val diff = fast.keys.filter(id => fast(id) != agg(id)).toSeq
+      assert(diff.isEmpty, s"nh=$nh k=$k diff ids=${diff.take(3)}: " +
+        diff.take(1).map(id => s"${fast(id)} vs ${agg(id)}").mkString)
+    }
+  }
 }

@@ -48,6 +48,10 @@ class PlanSpec extends AnyFunSuite {
     // candidate localCheckpoint the LSH pipeline re-ran once per use of
     // the pairs — 3 live scans and triple the exchanges.
     assert(parquetScans(plan) <= 1, s"extra corpus scan in:\n$plan")
+    // the scalar MinHashSig kernel computes signatures inside the scan
+    // stage (no sig-aggregate exchange); the 3 remaining exchanges are
+    // banding's bucket agg and the verify stage's per-side shingle-set
+    // aggregations — all candidate-bounded
     assert(exchanges(plan) <= 3, s"added exchange in:\n$plan")
   }
 
