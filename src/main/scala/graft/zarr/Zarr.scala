@@ -1024,11 +1024,23 @@ object Zarr {
     * (e.g. `adata.zarr#X`, `adata.zarr#obsm/X_pca`) — the zappy/scanpy
     * from_zarr(store, key) entry shape. */
   def read(spark: SparkSession, path: String): ZMatrix =
-    ZMatrix(spark.read.format("zarr").load(path))
+    if (isSparseGroup(readAttrs(path))) readSparse(spark, path)
+    else ZMatrix(spark.read.format("zarr").load(path))
 
-  /** from_zarr(store, key): read array `key` out of a group store. */
+  /** from_zarr(store, key): read array `key` out of a group store. AnnData
+    * SPARSE matrix groups (`encoding-type: csr_matrix|csc_matrix`)
+    * dispatch to [[readSparse]] transparently, so the one entry point
+    * opens any real-world X — dense 2-D array or sparse group alike. The
+    * probe is a single driver-side attrs read (answered from consolidated
+    * metadata when present). */
   def read(spark: SparkSession, path: String, key: String): ZMatrix =
-    ZMatrix(spark.read.format("zarr").option("key", key).load(path))
+    if (isSparseGroup(readAttrs(path, key))) readSparse(spark, path, key)
+    else ZMatrix(spark.read.format("zarr").option("key", key).load(path))
+
+  private def isSparseGroup(attrs: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    val e = attrs.path("encoding-type").asText("")
+    e == "csr_matrix" || e == "csc_matrix"
+  }
 
   // ---- node attributes (.zattrs / v3 `attributes`) ----
   // AnnData keeps its semantics in attributes: categorical columns are an

@@ -1117,6 +1117,10 @@ class ZarrSpec extends AnyFunSuite {
       val back = Zarr.readSparse(spark, path, "X")
       assert(back.cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet == coo.toSet, s"csc=$csc format=$format")
+      // the ONE entry point auto-dispatches on the encoding-type attrs
+      assert(Zarr.read(spark, path, "X").cells.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet == coo.toSet, s"read() dispatch: csc=$csc format=$format")
       // indptr covers every major line + 1 and is monotone
       val ptr = Zarr.readVector(spark, path, "X/indptr")
         .orderBy("i").collect().map(_.getDouble(1).toLong)
