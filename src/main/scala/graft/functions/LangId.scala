@@ -14,16 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * data; each regex re-scans the full text).
   *
   * Semantics match the regex form exactly on the marker alphabet: a token
-  * is a maximal run of ASCII word chars `[A-Za-z0-9_]` (precisely Java's
-  * and RE2's default `\b` boundary rule — both engines' `\w` is ASCII
-  * unless Unicode flags are set, so every non-ASCII byte is a boundary),
-  * lowercased ASCII-wise; marker words are pure lowercase ASCII so token
-  * equality equals `\bword\b` match count. CJK dominance is the same
-  * `[一-鿿]` test, detected inline from 3-byte UTF-8 lead
-  * sequences. Known divergence from `lower()`+regex: exotic code points
-  * whose Unicode lowercase MAPS INTO ASCII (U+0130, U+212A) would count
-  * under the old form and not here — impossible on the marker languages'
-  * real text, and the differential spec pins equality on the testdata.
+  * is a maximal run of WORD characters under Java's `\b` rule — which,
+  * with `\w` left ASCII, is `'_' || Character.isLetterOrDigit(cp)`; i.e.
+  * a non-ASCII LETTER extends the run (so "théof" contains no `\bof\b` —
+  * the property test caught the naive ASCII-boundary reading), while
+  * marks/symbols/emoji break it. Runs containing any non-ASCII word char
+  * can never equal the pure-ASCII markers, so they only need poisoning,
+  * not accumulation. ASCII chars lowercase bytewise; token equality then
+  * equals `\bword\b` match count. CJK dominance is the same `[一-鿿]`
+  * test on the decoded code point. Known divergence from `lower()`+regex:
+  * the handful of code points whose Unicode lowercase maps INTO ASCII
+  * (U+0130, U+212A, U+017F) could form a marker under the old form only —
+  * impossible on the marker languages' real text, and the differential +
+  * property specs pin equality on testdata and adversarial strings.
   *
   * Tie-break replicates the `greatest((score, −index))` rule: earliest
   * listed language wins ties; score 0 and no CJK → "und".
@@ -54,38 +57,54 @@ object LangIdUtil {
     val counts = new Array[Int](nLangs)
     var zh = false
     var tok = 0L
-    var tlen = 0
+    var tlen = 0 // 0 = no open token; > maxLen = open but can't be a marker
     var i = 0
-    while (i < n) {
-      val b = text.getByte(i) & 0xFF
-      var isWord = false
-      if (b < 0x80) {
-        val lc = if (b >= 'A' && b <= 'Z') b | 0x20 else b
-        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_') {
-          isWord = true
-          if (tlen < 8) tok = (tok << 8) | lc
-          tlen += 1
-        }
-      } else if (!zh && b >= 0xE4 && b <= 0xE9 && i + 2 < n) {
-        // 3-byte lead E4..E9 spans U+4000..U+9FFF; continuation bytes are
-        // 0x80..0xBF so they can never false-trigger this branch
-        val cp = ((b & 0x0F) << 12) |
-          ((text.getByte(i + 1) & 0x3F) << 6) | (text.getByte(i + 2) & 0x3F)
-        if (cp >= 0x4E00 && cp <= 0x9FFF) zh = true
-      }
-      if (!isWord && tlen > 0) {
+    def endToken(): Unit = {
+      if (tlen > 0) {
         if (tlen <= maxLen) {
           val k = java.util.Arrays.binarySearch(keys, tok)
           if (k >= 0) counts(vals(k)) += 1
         }
         tok = 0L; tlen = 0
       }
-      i += 1
     }
-    if (tlen > 0 && tlen <= maxLen) {
-      val k = java.util.Arrays.binarySearch(keys, tok)
-      if (k >= 0) counts(vals(k)) += 1
+    while (i < n) {
+      val b = text.getByte(i) & 0xFF
+      if (b < 0x80) {
+        val lc = if (b >= 'A' && b <= 'Z') b | 0x20 else b
+        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_') {
+          if (tlen < 8) tok = (tok << 8) | lc
+          tlen += 1
+        } else endToken()
+        i += 1
+      } else {
+        // decode the full code point: Java's \b word set (with \w left
+        // ASCII) is `'_' || Character.isLetterOrDigit` — a NON-ASCII
+        // letter/digit EXTENDS the current word run (so "théof" holds no
+        // \bof\b), while marks/symbols/emoji end it
+        val seqLen =
+          if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4
+        var cp =
+          if (b < 0xE0) b & 0x1F else if (b < 0xF0) b & 0x0F else b & 0x07
+        var ok = i + seqLen <= n
+        var s = 1
+        while (ok && s < seqLen) {
+          val cb = text.getByte(i + s) & 0xFF
+          if ((cb & 0xC0) != 0x80) ok = false else cp = (cp << 6) | (cb & 0x3F)
+          s += 1
+        }
+        if (!ok) { endToken(); i += 1 } // malformed byte: boundary, resync
+        else {
+          if (cp >= 0x4E00 && cp <= 0x9FFF) zh = true
+          if (Character.isLetterOrDigit(cp)) {
+            // wordy but non-ASCII: the run can never equal a marker
+            tlen = maxLen + 1
+          } else endToken()
+          i += seqLen
+        }
+      }
     }
+    endToken()
     if (zh) return ZH
     var best = -1
     var bestScore = 0

@@ -393,4 +393,45 @@ class PropertySpec extends AnyFunSuite {
       assert(a.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
     }
   }
+
+  /** Adversarial text: whitespace variants (incl. VT/FF/CR), marker words,
+    * fragments that embed markers, punctuation, unicode (accents, CJK, an
+    * astral emoji), underscores and digits — concatenated WITHOUT
+    * guaranteed separators so tokens fuse across piece boundaries. */
+  private val textGen: Gen[String] = {
+    val pieces = Gen.oneOf(
+      " ", "\t", "\n", "\u000B", "\f", "\r", "  ", "the", "and", "la",
+      "und", "est", "el", "mit", "thé", "_x", "99", "a", "bb", "The",
+      "AND", ".,!?;:", "..", "中文", "🎉", "é", "x_y", "theand", "of!")
+    Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, pieces).map(_.mkString))
+  }
+
+  test("property: text kernels equal their regex/array reference forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.TextOps
+    forAll(Gen.listOfN(40, textGen), n = 3) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = col("text")
+      val (dw, db) = TextOps.repetitionRatioCols(t)
+      val (dwR, dbR) = TextOps.repetitionRatioColsRef(t)
+      val rows = df.select(
+          TextOps.langIdCol(t), TextOps.langIdColRegex(t),
+          TextOps.qualityCol(t), TextOps.qualityColRef(t),
+          dw, dwR, db, dbR).collect()
+      rows.zip(texts).foreach { case (r, txt) =>
+        assert(r.getString(0) == r.getString(1), s"langid on ${txt.take(40)}")
+        assert(r.getAs[Any](2) == r.getAs[Any](3), s"quality on ${txt.take(40)}")
+        assert(r.getDouble(4) == r.getDouble(5), s"dup_word on ${txt.take(40)}")
+        assert(r.getDouble(6) == r.getDouble(7), s"dup_bigram on ${txt.take(40)}")
+      }
+      val fast = graft.ops.Dedup.minhashSignatures(df, "doc_id", "text", 8, 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = graft.ops.Dedup.minhashSignaturesAgg(df, "doc_id", "text", 8, 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      for (id <- fast.keys)
+        assert(fast(id) == ref(id), s"minhash on ${texts(id.toInt).take(40)}")
+    }
+  }
 }
