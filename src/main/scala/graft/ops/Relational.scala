@@ -311,16 +311,18 @@ object Relational {
     * The only floats are the FINAL casts of exact decimals — deterministic
     * nearest-double in both engines, so the 6dp rounding is bit-stable. */
   def q29ExactStats(s: SparkSession, d: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val li = lineitem(s, d).select(col("l_returnflag"),
       round(col("l_quantity") * 100).cast("long").as("x"),
       round(col("l_extendedprice") * 100).cast("long").as("y"))
-    val m = li.groupBy(col("l_returnflag")).agg(
-      dec(count(lit(1))).as("n"),
-      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
-      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
-      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
-      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    // ONE primitive-128-bit aggregate for all six exact sums
+    // (graft.functions.ExactMomentsAgg) instead of six decimal(38,0)
+    // `sum`s — bit-identical values ([[q29ExactStatsDecimal]] is the
+    // spec-pinned reference), no per-row Decimal allocation
+    val m = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.ExactMomentsAgg.moments(col("x"), col("y")).as("m"))
+      .select(col("l_returnflag"), col("m.n").as("n"),
+        col("m.sx").as("sx"), col("m.sy").as("sy"), col("m.sxy").as("sxy"),
+        col("m.sxx").as("sxx"), col("m.syy").as("syy"))
     val cov  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -329,6 +331,22 @@ object Relational {
       (round(cov / sqrt(varx * vary), 6) + 0.0).as("corr_qty_price"),
       (round(cov / nn1 / 10000.0, 4) + 0.0).as("covar_qty_price"),
       (round(sqrt(varx / nn1) / 100.0, 4) + 0.0).as("stddev_qty"))
+  }
+
+  /** The six-decimal-`sum` form of [[q29ExactStats]]'s moment stage —
+    * differential-test reference (both are exact, so the sums must be
+    * bit-identical). */
+  def q29ExactMomentsDecimal(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    li.groupBy(col("l_returnflag")).agg(
+      dec(count(lit(1))).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
   }
 
   /** R30: EXCEPT (set difference with distinct semantics) — parts shipped

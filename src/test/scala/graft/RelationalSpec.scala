@@ -224,4 +224,43 @@ class RelationalSpec extends AnyFunSuite {
       assert(c >= -1.0 && c <= 1.0)
     }
   }
+
+  test("128-bit moments aggregate is bit-identical to the decimal-sum form") {
+    import spark.implicits._
+    // testdata moments: the same cent-scaled projection through both aggs
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val fast = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.ExactMomentsAgg.moments(col("x"), col("y")).as("m"))
+      .select(col("l_returnflag"), col("m.n"), col("m.sx"), col("m.sy"),
+        col("m.sxy"), col("m.sxx"), col("m.syy"))
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDecimal).toSeq).toMap
+    val ref = Relational.q29ExactMomentsDecimal(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getDecimal).toSeq).toMap
+    assert(fast.keySet == ref.keySet && fast.keySet.nonEmpty)
+    fast.foreach { case (k, v) => assert(v == ref(k), s"group $k") }
+    // signed + carry coverage the money columns can't reach: negatives,
+    // and y = 3e9 (y² ≈ 9.0e18 — two rows overflow a plain long, so the
+    // low-word carry into the high word MUST fire to get this right)
+    val big = 3000000000L
+    // |x|,|y| ≤ 3e9 keeps every product inside a long — the kernel's
+    // documented input contract (cent-scaled money is orders of magnitude
+    // below it); x = -3e9 makes x² = 9e18, just under Long.Max, so the
+    // SUM of two such squares must carry into the high word
+    val hard = Seq(("a", -5L, big), ("a", 7L, big), ("a", -3L, -big),
+      ("b", 0L, 0L), ("b", -big, big), ("b", big, -big)).toDF("g", "x", "y")
+    val got = hard.groupBy(col("g"))
+      .agg(graft.functions.ExactMomentsAgg.moments(col("x"), col("y")).as("m"))
+      .select(col("g"), col("m.sx"), col("m.sy"), col("m.sxy"), col("m.sxx"), col("m.syy"))
+      .collect().map(r => r.getString(0) -> (1 to 5).map(i =>
+        BigInt(r.getDecimal(i).toBigInteger)).toSeq).toMap
+    def bi(xs: Seq[(Long, Long)]) = Seq(
+      xs.map(p => BigInt(p._1)).sum, xs.map(p => BigInt(p._2)).sum,
+      xs.map(p => BigInt(p._1) * BigInt(p._2)).sum,
+      xs.map(p => BigInt(p._1) * BigInt(p._1)).sum,
+      xs.map(p => BigInt(p._2) * BigInt(p._2)).sum)
+    assert(got("a") == bi(Seq((-5L, big), (7L, big), (-3L, -big))), got("a"))
+    assert(got("b") == bi(Seq((0L, 0L), (-big, big), (big, -big))), got("b"))
+  }
 }
