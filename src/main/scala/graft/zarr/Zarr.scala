@@ -1170,16 +1170,28 @@ object Zarr {
   // expanding CSR is exactly COO conversion, and only STORED entries ever
   // materialize — sparse stays sparse end to end.
 
+  /** Flat-position threshold under which `indptr` (majorDim+1 longs)
+    * ships as a broadcast instead of joining: 8M entries = 64 MB, the
+    * same class of executor traffic as a broadcast join side. AnnData
+    * obs/var counts sit far below it. */
+  private val IndptrBroadcastMax = 8L << 20
+
   /** Read an anndata-style sparse matrix group into coordinate form.
-    * Fully distributed: `indptr` expands into per-line (start, end) spans
-    * by joining CONSECUTIVE indptr entries (a shuffle join on the line
-    * id — never a driver collect, never a single-partition window), each
-    * span explodes into its flat positions, and positions join `indices`
-    * and `data` by position. Lines whose span is empty contribute no
-    * rows, so a 1%-dense 100 TB matrix costs nnz rows, not rows×cols.
-    * Pathological single lines holding billions of entries would need
-    * span splitting before the explode; anndata lines are cells/genes
-    * (thousands of entries), so spans stay partition-sized. */
+    * Only STORED entries ever materialize — a 1%-dense 100 TB matrix
+    * costs nnz rows, not rows×cols. Two plans:
+    *
+    * FAST PATH (the common store: `data` and `indices` chunked alike,
+    * indptr ≤ [[IndptrBroadcastMax]]): ONE zero-shuffle scan. Each task
+    * decodes its aligned data+indices chunks and assigns majors by
+    * WALKING a broadcast indptr (binary-search the chunk's first flat
+    * position, then advance — O(1) amortized per entry). No joins, no
+    * exchanges; the coordinate stream feeds downstream group-bys at scan
+    * parallelism.
+    *
+    * FALLBACK (mismatched chunking or an indptr too large to broadcast):
+    * fully distributed joins — indptr expands into per-line spans by
+    * joining consecutive entries, spans explode into flat positions, and
+    * positions join `indices` and `data` by position. */
   def readSparse(spark: SparkSession, path: String, key: String = ""): ZMatrix = {
     val (root, frag) = splitKey(path)
     val rel = Some(key).filter(_.nonEmpty).orElse(frag)
@@ -1194,6 +1206,146 @@ object Zarr {
     require(shape.isArray && shape.size() == 2,
       s"$node lacks the 2-element 'shape' attribute of a sparse group")
     val csr = enc == "csr_matrix"
+    val datArr = resolveArray(s"$node/data")
+    val idxArr = resolveArray(s"$node/indices")
+    val datMeta = readMeta(datArr)
+    val idxMeta = readMeta(idxArr)
+    val ptrMeta = readMeta(resolveArray(s"$node/indptr"))
+    require(datMeta.rank1 && idxMeta.rank1 && ptrMeta.rank1,
+      s"$node sparse components must be rank-1 arrays")
+    if (datMeta.chunkRows == idxMeta.chunkRows && datMeta.rows == idxMeta.rows &&
+        ptrMeta.rows <= IndptrBroadcastMax)
+      readSparseAligned(spark, node, csr, datArr, idxArr, datMeta, idxMeta)
+    else readSparseJoin(spark, node, csr)
+  }
+
+  /** Fast path: aligned chunk scan + broadcast indptr walk (see
+    * [[readSparse]]). */
+  private def readSparseAligned(spark: SparkSession, node: String, csr: Boolean,
+                                datArr: String, idxArr: String,
+                                datMeta: Meta, idxMeta: Meta): ZMatrix = {
+    // driver-side indptr read: majorDim+1 longs, chunk loop off the store
+    val ptrArr = resolveArray(s"$node/indptr")
+    val pm = readMeta(ptrArr)
+    val indptr = new Array[Long](pm.rows.toInt)
+    var ci = 0L
+    var outPos = 0
+    while (outPos < indptr.length) {
+      val len = math.min(pm.chunkRows.toLong, pm.rows - ci * pm.chunkRows).toInt
+      val f = chunkPath(ptrArr, ci, 0, pm.keyEnc, rank1 = true)
+      val vals =
+        if (!exists(f)) Array.fill(len)(pm.fill)
+        else decodeChunk(readBytes(f), pm.chunkRows, pm.zlib, pm.dtype, pm.format, pm.comp)
+      var e = 0
+      while (e < len) { indptr(outPos) = vals(e).toLong; outPos += 1; e += 1 }
+      ci += 1
+    }
+    require(indptr.length >= 1 && indptr.head == 0L,
+      s"$node indptr must start at 0, got ${indptr.headOption}")
+    val nnz = indptr.last
+    require(nnz == datMeta.rows,
+      s"$node indptr covers $nnz entries but data holds ${datMeta.rows}")
+    val bptr = spark.sparkContext.broadcast(indptr)
+    val chunk = datMeta.chunkRows
+    val nChunks = (datMeta.rows + chunk - 1) / chunk
+    import spark.implicits._
+    val cells = spark.range(nChunks).as[Long].flatMap { c =>
+      val base = c * chunk
+      val len = math.min(chunk.toLong, nnz - base).toInt
+      def chunkOf(arr: String, m: Meta): Array[Double] = {
+        val f = chunkPath(arr, c, 0, m.keyEnc, rank1 = true)
+        if (!exists(f)) Array.fill(m.chunkRows)(m.fill)
+        else decodeChunk(readBytes(f), m.chunkRows, m.zlib, m.dtype, m.format, m.comp)
+      }
+      val dat = chunkOf(datArr, datMeta)
+      val idx = chunkOf(idxArr, idxMeta)
+      val ptr = bptr.value
+      // binary-search the first major whose span contains `base`, then
+      // walk — indptr is monotone, so the walk is O(1) amortized
+      var major = {
+        var lo = 0; var hi = ptr.length - 2
+        while (lo < hi) {
+          val mid = (lo + hi + 1) >>> 1
+          if (ptr(mid) <= base) lo = mid else hi = mid - 1
+        }
+        lo
+      }
+      (0 until len).iterator.map { e =>
+        val k = base + e
+        while (ptr(major + 1) <= k) major += 1
+        (major.toLong, idx(e).toLong, dat(e))
+      }
+    }.toDF("major", "minor", "v")
+    ZMatrix(
+      if (csr) cells.select(col("major").as("i"), col("minor").as("j"), col("v"))
+      else cells.select(col("minor").as("i"), col("major").as("j"), col("v")))
+  }
+
+  /** Write TWO position-aligned rank-1 arrays from one (i, v1, v2) frame
+    * in a single repartition-by-chunk pass — the sparse group's
+    * data+indices shape. Same distributed mechanics as
+    * [[writeStringVector]] (speculation-safe temp+rename per chunk, rows
+    * beyond [0, n) fail the task, missing positions fill 0). */
+  private def writeVectorPair(vec: DataFrame, pathA: String, pathB: String,
+                              n: Long, chunk: Int, dtypeA: String, dtypeB: String,
+                              format: Int, comp: String): Unit = {
+    require(n > 0 && chunk > 0, s"need n > 0 and chunk > 0, got n=$n chunk=$chunk")
+    def target(p: String): String = {
+      val (r, f) = splitKey(p)
+      (r +: f.map(validKeySegments).getOrElse(Nil)).mkString("/")
+    }
+    val (tA, tB) = (target(pathA), target(pathB))
+    delete(tA, recursive = true); delete(tB, recursive = true)
+    val keyEnc = writeKeyEnc(format)
+    val spark = vec.sparkSession
+    import spark.implicits._
+    vec.select(col("i").cast("long"), col("v1").cast("double"), col("v2").cast("double"))
+      .as[(Long, Double, Double)]
+      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .sortWithinPartitions(col("i"))
+      .foreachPartition { (it: Iterator[(Long, Double, Double)]) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var curCi = -1L
+        var bufA: Array[Double] = null
+        var bufB: Array[Double] = null
+        def flushOne(buf: Array[Double], dtype: String, t: String): Unit = {
+          val bytes = encodeChunk(buf, dtype, zlib = false, format, comp)
+          val f = chunkPath(t, curCi, 0, keyEnc, rank1 = true)
+          val tmp = s"$f.__tmp-$attempt"
+          writeBytes(tmp, bytes)
+          renameOver(tmp, f)
+        }
+        def flush(): Unit = if (bufA != null) {
+          flushOne(bufA, dtypeA, tA); flushOne(bufB, dtypeB, tB)
+          bufA = null; bufB = null
+        }
+        it.foreach { case (i, a, b) =>
+          require(i >= 0 && i < n, s"vector-pair index $i outside [0, $n)")
+          val ci = i / chunk
+          if (ci != curCi) {
+            flush()
+            curCi = ci
+            bufA = new Array[Double](chunk) // tail chunks full-shape, 0-filled
+            bufB = new Array[Double](chunk)
+          }
+          val at = (i - ci * chunk).toInt
+          bufA(at) = a; bufB(at) = b
+        }
+        flush()
+      }
+    for ((t, p, dtype) <- Seq((tA, pathA, dtypeA), (tB, pathB, dtypeB))) {
+      writeMetaFile(t, Meta(n, 1, chunk, 1, zlib = false, fill = 0.0,
+        dtype = dtype, format = format, keyEnc = keyEnc, rank1 = true, comp = comp))
+      val (root, frag) = splitKey(p)
+      val segs = frag.map(validKeySegments).getOrElse(Nil)
+      if (segs.nonEmpty) ensureGroupMeta(root, segs, format)
+      refreshConsolidatedAbove(t)
+    }
+  }
+
+  /** Fallback: the fully distributed join plan (see [[readSparse]]). */
+  private def readSparseJoin(spark: SparkSession, node: String, csr: Boolean): ZMatrix = {
     val ptr = readVector(spark, node, "indptr")
       .select(col("i").as("p"), col("v").cast("long").as("off"))
     val spans = ptr.as("a").join(ptr.as("b"), col("b.p") === col("a.p") + 1)
@@ -1244,24 +1396,33 @@ object Zarr {
     val blockOffsets = dense.groupBy(col("_blk")).agg(sum(col("n")).as("_bt"))
       .withColumn("_boff", coalesce(sum(col("_bt")).over(
         Window.orderBy(col("_blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // offsets feeds indptr AND both flat-array writes; withK feeds data
+    // AND indices. Without the checkpoints each consumer re-runs the
+    // whole upstream (per-major agg + two windows + join) — measured 3×
+    // the work at sf1. localCheckpoint truncates the lineage once.
     val offsets = withLocal
       .join(broadcast(blockOffsets.select(col("_blk"), col("_boff"))), Seq("_blk"))
       .select(col("major"), (col("_loc") + col("_boff")).as("start"), col("n"))
-    val total = perMajor.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      .localCheckpoint()
+    val total = offsets.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val ptrVec = offsets.select(col("major").as("i"), col("start").cast("double").as("v"))
       .union(spark.range(1).select(lit(majorDim).as("i"), lit(total.toDouble).as("v")))
     val rankW = Window.partitionBy(col("major")).orderBy(col("minor"))
     val withK = cellsM.withColumn("_r", row_number().over(rankW))
       .join(offsets.select(col("major"), col("start")), Seq("major"))
       .select((col("start") + col("_r") - 1).as("k"), col("minor"), col("v"))
+      .localCheckpoint()
     val (root, frag) = splitKey(path)
     val rel = frag.map(k => validKeySegments(k).mkString("/")).getOrElse("")
     def child(name: String) =
       if (rel.isEmpty) s"$root#$name" else s"$root#$rel/$name"
-    writeVector(withK.select(col("k").as("i"), col("v")), child("data"),
-      total, chunk, dtype = dataDtype, format = format, comp = comp)
-    writeVector(withK.select(col("k").as("i"), col("minor").cast("double").as("v")),
-      child("indices"), total, chunk, dtype = indexDtype, format = format, comp = comp)
+    // data and indices are position-aligned by construction — one
+    // repartition-by-chunk pass writes BOTH arrays (two writeVector calls
+    // would shuffle and scan withK twice)
+    writeVectorPair(withK.select(col("k").as("i"), col("v").as("v1"),
+        col("minor").cast("double").as("v2")),
+      child("data"), child("indices"), total, chunk,
+      dtypeA = dataDtype, dtypeB = indexDtype, format = format, comp = comp)
     writeVector(ptrVec, child("indptr"), majorDim + 1, chunk,
       dtype = "<i8", format = format, comp = comp)
     val node = if (rel.isEmpty) root else s"$root#$rel"

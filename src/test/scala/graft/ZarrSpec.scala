@@ -1133,6 +1133,33 @@ class ZarrSpec extends AnyFunSuite {
     assert(err.getMessage.nonEmpty)
   }
 
+  test("sparse fast path plans ZERO shuffles; mismatched chunking falls back to joins") {
+    import spark.implicits._
+    val coo = Seq((0L, 1L, 2.0), (1L, 0L, 1.0), (3L, 2L, 4.5))
+    val m = ZMatrix(coo.toDF("i", "j", "v"))
+    val path = "/root/repo/target/tmp/zarr_test_sparse_fastpath"
+    Zarr.delete(path, recursive = true)
+    Zarr.writeSparse(m, s"$path#X", rows = 4, cols = 3, chunk = 2)
+    // aligned chunks + small indptr → the one-scan plan: no Exchange at all
+    val fast = Zarr.readSparse(spark, path, "X")
+    val plan = fast.cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sparse fast path shuffled:\n$plan")
+    assert(fast.cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == coo.toSet)
+    // re-chunk `indices` only (chunk 3 vs data's 2): reader must take the
+    // join fallback and still produce the same cells
+    val idx = Zarr.readVector(spark, s"$path/X", "indices")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Zarr.writeVector(idx.toDF("i", "v"), s"$path#X/indices",
+      n = 3, chunk = 3, dtype = "<i8")
+    val fb = Zarr.readSparse(spark, path, "X")
+    val fbPlan = fb.cells.queryExecution.executedPlan.toString
+    assert(fbPlan.contains("Exchange") || fbPlan.contains("Join"),
+      s"expected the join fallback:\n$fbPlan")
+    assert(fb.cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == coo.toSet)
+  }
+
   test("datetime64[ns] vectors: bit-exact roundtrip beyond double precision") {
     import spark.implicits._
     // 9007199254740993 = 2^53 + 1 — the first long a double CANNOT hold;
