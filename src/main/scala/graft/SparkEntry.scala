@@ -248,6 +248,9 @@ object SparkEntry {
     "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
     "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
+    // numpy.histogram of the stored values: 8 width-7 bins on [0, 56] —
+    // integral width, so the floor edge math is engine-bit-identical
+    "arr_histogram" -> ((s, d) => mat(s, d).histogram(0.0, 56.0, 8)),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
     "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
     // NumPy fancy indexing X[[7,3,11,3,42,999], :][:, [5,1,3,1]] — gather
@@ -583,6 +586,12 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    // cross-document duplicated 8-gram spans: the per-doc duplicated
+    // fraction (filter signal) and the keep-first span removal rewrite
+    "text_dupspan_score" -> ((s, d) =>
+      Dedup.dupSpanScore(Tables.documents(s, d), "doc_id", "text")),
+    "text_dupspan_strip" -> ((s, d) =>
+      Dedup.dupSpanStrip(Tables.documents(s, d), "doc_id", "text")),
     // Components over the simhash near-dup graph (hamming ≤ 3): every stage
     // (exact pre-pass, fingerprint, pigeonhole pairs, min-label propagation)
     // has a DuckDB twin, so keeper selection is oracle-checked end-to-end.
@@ -872,6 +881,46 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
+    // duplicated 8-gram spans: the oracle groups the gram STRINGS
+    // (chr(1)-joined, mirroring the Spark side's shifted-slice
+    // construction hashed with xxhash64 — counts agree absent 64-bit
+    // collisions, the minhash family's documented envelope)
+    "text_dupspan_score" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], chr(1)) AS gram
+        |      FROM d, unnest(range(1, greatest(len(w) - 7, 0) + 1)) t(i)),
+        |c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |pd AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN c USING (gram)
+        |       WHERE c.c > 1 GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+        |  round(coalesce(pd.n_dup, 0) / greatest(len(w) - 7, 0), 6) AS dup_frac
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // keep-first rule: rn = 1 in (doc_id, pos) order is exactly the Spark
+    // side's min(struct(doc_id, pos)); the coverage test replays each
+    // doc's removal starts over its positions
+    "text_dupspan_strip" ->
+      """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], chr(1)) AS gram
+        |      FROM d, unnest(range(1, greatest(len(w) - 7, 0) + 1)) t(i)),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |        count(*) OVER (PARTITION BY gram) AS c FROM g),
+        |s AS (SELECT doc_id, list(pos) AS starts FROM r
+        |      WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+        |k AS (SELECT d.doc_id, d.text, d.w, s.starts,
+        |  list_filter(list_transform(range(1, len(d.w) + 1),
+        |    i -> CASE WHEN len(list_filter(s.starts,
+        |                 s0 -> i - 1 >= s0 AND i - 1 < s0 + 8)) = 0
+        |         THEN d.w[i] END),
+        |    x -> x IS NOT NULL) AS kept
+        |  FROM d LEFT JOIN s USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN starts IS NULL THEN text
+        |       ELSE coalesce(array_to_string(kept, ' '), '') END AS text_clean,
+        |  CAST(CASE WHEN starts IS NULL THEN 0
+        |            ELSE len(w) - len(kept) END AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
     // Connected components as a recursive CTE: the all-pairs hamming join is
     // oracle-side only (fine at sf0.01); graft's pigeonhole+cap generates the
     // identical pair set because ≤3 differing bits leave ≥1 of 4 blocks equal.
@@ -1222,6 +1271,13 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT sum(v) AS sum_v, count(*) AS n, round(sum(v) / count(*), 6) AS mean_v FROM m""".stripMargin,
+    "arr_histogram" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT least(CAST(floor((v - 0.0) / 7.0) AS BIGINT), 7) AS bin, count(*) AS n
+        |      FROM m WHERE v >= 0.0 AND v <= 56.0 GROUP BY 1)
+        |SELECT r.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM range(0, 8) r(bin) LEFT JOIN c USING (bin)""".stripMargin,
     "arr_bool_rows" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -199,6 +199,24 @@ final case class ZMatrix(cells: DataFrame) {
     cells.agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
       .select(col("sum_v"), col("n"), round(col("sum_v") / col("n"), 6).as("mean_v"))
 
+  /** numpy.histogram over the STORED values: `nbins` uniform bins on
+    * [lo, hi], values outside the range excluded, last bin right-INCLUSIVE
+    * (the numpy edge rule). One map-side-combined aggregate; empty bins
+    * materialize via a left join from the parameter-sized bin range.
+    * Callers should pick lo/hi/nbins so the bin width is exactly
+    * representable (e.g. integral) — the floor((v-lo)/width) edge math is
+    * then bit-identical across engines. */
+  def histogram(lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, s"need nbins > 0 and hi > lo, got [$lo, $hi] x $nbins")
+    val width = (hi - lo) / nbins
+    val counts = cells.filter(col("v") >= lo && col("v") <= hi)
+      .groupBy(least(floor((col("v") - lo) / width).cast("long"), lit(nbins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("_n"))
+    cells.sparkSession.range(nbins).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_n"), lit(0L)).as("n"))
+  }
+
   // ---- indexing (zappy X[mask, :], slices) ----
   /** Boolean row indexing where the mask is derived from a row aggregate
     * (scanpy filter_cells): left-semi join against the qualifying row ids. */

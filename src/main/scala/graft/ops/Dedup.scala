@@ -384,4 +384,85 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- cross-document duplicated n-gram spans ----
+  //
+  // The inter-document exact-substring dedup signal at n-gram granularity
+  // (the "Deduplicating Training Data Makes Language Models Better" /
+  // RefinedWeb cleaning step): an n-gram that occurs at 2+ positions
+  // anywhere in the corpus marks every occurrence but the first as a
+  // duplicated span. [[dupSpanScore]] emits the per-doc duplicated-gram
+  // fraction (a filter signal); [[dupSpanStrip]] rewrites docs with the
+  // covered words removed (keep-first rule).
+
+  /** One row per n-gram position: (doc_id, pos, g) with g = the
+    * codegen'd n-argument xxhash64 of the gram's tokens — same shifted
+    * slice construction as [[shingleHashExplode]], plus the 0-based start
+    * position. Spark-only hash path (the oracle groups the gram STRINGS;
+    * counts agree absent 64-bit collisions — ~2^-64 per gram pair, the
+    * same envelope the minhash family documents). */
+  private def dupSpanOccurrences(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
+    val zipped = shingleZip(tokensOf(col(textCol)), n)
+    docs.select(col(idCol).as("doc_id"), posexplode(zipped).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until n).map(i => col(s"sh.$i")): _*).as("g"))
+  }
+
+  /** Per-document duplicated n-gram fraction: the share of a doc's n-gram
+    * positions whose gram occurs 2+ times corpus-wide. Three key-hashed
+    * shuffles (gram count, count join-back, per-doc agg), all linear in
+    * the gram stream — no pairs, no windows. Docs with fewer than n
+    * tokens report 0 grams and a NULL fraction (DuckDB's x/0). */
+  def dupSpanScore(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val occ = dupSpanOccurrences(docs, idCol, textCol, n)
+    val dupCnt = occ.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val perDoc = occ.join(dupCnt, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_nd"))
+    docs.select(col(idCol).as("doc_id"),
+        greatest(size(tokensOf(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("_nd"), lit(0L)).as("n_dup"),
+        round(try_divide(coalesce(col("_nd"), lit(0L)).cast("double"),
+          col("n_grams")), 6).as("dup_frac"))
+  }
+
+  /** Remove duplicated spans, keeping the FIRST occurrence of each
+    * corpus-duplicated n-gram (first = min (doc_id, pos), one aggregate —
+    * no window over the gram stream). A word survives iff no removed
+    * occurrence's [start, start+n) interval covers its position; docs
+    * with no removals pass through byte-identical. The per-doc removal
+    * start list is doc-sized (bounded by the doc's own gram count), so
+    * the coverage test is in-memory array work after one doc-keyed join —
+    * the token stream itself never re-shuffles for reassembly.
+    * Returns (doc_id, text_clean, n_removed). */
+  def dupSpanStrip(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val occ = dupSpanOccurrences(docs, idCol, textCol, n)
+    val firsts = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("c") > 1)
+    val removals = occ.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"))
+      .withColumnRenamed("doc_id", "_rid")
+    val toks = tokensOf(col(textCol))
+    // the interval test runs only on docs that HAVE removals (the `when`
+    // guards the interpreted lambda off the common no-removal row)
+    val kept = filter(toks, (_, i) =>
+      not(exists(col("_starts"), s => i >= s && i < s + n)))
+    docs.join(removals, col(idCol) === col("_rid"), "left")
+      .withColumn("_kept", when(col("_starts").isNotNull, kept))
+      .select(col(idCol).as("doc_id"),
+        when(col("_starts").isNull, col(textCol))
+          .otherwise(concat_ws(" ", col("_kept"))).as("text_clean"),
+        when(col("_starts").isNull, lit(0L))
+          .otherwise((size(toks) - size(col("_kept"))).cast("long")).as("n_removed"))
+  }
 }

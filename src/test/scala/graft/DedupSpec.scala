@@ -160,4 +160,59 @@ class DedupSpec extends AnyFunSuite {
         diff.take(1).map(id => s"${fast(id)} vs ${agg(id)}").mkString)
     }
   }
+
+  test("dupspan score: planted shared span raises only the sharing docs") {
+    // docs 0 and 1 share an exact 8-word run; 2 is unrelated; 3 is short
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (0L, s"unique lead in words here $span trailing tail words"),
+      (1L, s"other framing text $span different ending entirely now"),
+      (2L, "totally disjoint content with no shared octogram anywhere at all today"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val r = Dedup.dupSpanScore(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(r(0L)._2 == 1L && r(1L)._2 == 1L) // exactly the one shared 8-gram each
+    assert(r(2L)._2 == 0L)
+    assert(r(3L) == ((0L, 0L, None))) // 2 tokens -> 0 grams, NULL fraction
+    assert(r(0L)._3.contains(BigDecimal(1.0 / r(0L)._1.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("dupspan strip: keep-first removes the span from the later doc only") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val t0 = s"unique lead in words here $span trailing tail words"
+    val t1 = s"other framing text $span different ending entirely now"
+    val t2 = "totally disjoint content with no shared octogram anywhere at all today"
+    val d = Seq((0L, t0), (1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStrip(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(0L) == ((t0, 0L)), "first occurrence untouched")
+    assert(r(1L) == (("other framing text different ending entirely now", 8L)))
+    assert(r(2L) == ((t2, 0L)))
+  }
+
+  test("dupspan strip: overlapping duplicated grams remove the union of spans") {
+    // 9 shared words = two overlapping 8-grams in doc 1; the covered
+    // union is 9 words, not 16
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      (0L, s"first doc context $span end padding words"),
+      (1L, s"second doc begins $span closing remark here")).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStrip(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("second doc begins closing remark here", 9L)))
+    val score = Dedup.dupSpanScore(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(score(0L) == 2L && score(1L) == 2L)
+  }
+
+  test("dupspan: a doc duplicated wholesale strips to empty") {
+    val text = "one two three four five six seven eight nine ten"
+    val d = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStrip(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(0L) == ((text, 0L)))
+    assert(r(1L) == (("", 10L)))
+  }
 }

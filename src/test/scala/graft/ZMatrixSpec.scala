@@ -518,4 +518,21 @@ class ZMatrixSpec extends AnyFunSuite {
     for (i <- 0 until 3; c <- 0 until 2)
       assert(math.abs(proj(i)(c) - dProj(i)(c)) < 1e-9, s"cell ($i,$c)")
   }
+
+  test("histogram matches numpy bin semantics (last bin inclusive, empties kept)") {
+    import spark.implicits._
+    // values 0..9 stored; bins [0,2) [2,4) [4,6) [6,8) [8,10] on [0,10]
+    val hm = ZMatrix.fromDense(spark,
+      Array(Array(0.0, 1.0, 2.0, 3.0, 4.0), Array(5.0, 6.0, 7.0, 8.0, 9.0)))
+    val h = hm.histogram(0.0, 10.0, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fromDense drops NOTHING here (all cells stored, incl. the 0.0)
+    assert(h == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // right edge lands IN the last bin; out-of-range values are excluded
+    val edge = ZMatrix(Seq((0L, 0L, 10.0), (0L, 1L, 10.5), (0L, 2L, -0.1))
+      .toDF("i", "j", "v"))
+    val he = edge.histogram(0.0, 10.0, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(he == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
 }
