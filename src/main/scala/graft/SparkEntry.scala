@@ -740,6 +740,17 @@ object SparkEntry {
     "multimodal_jpeg_codec" -> ((s, d) =>
       Multimodal.jpegCodecFeatures(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
+    // REAL resize: the child decodes each PNG and nearest-neighbor
+    // resamples it to 5×4; the red-channel sum over the RESIZED raster is
+    // integer math over the known source pixels, so the oracle reproduces
+    // the whole decode→resize kernel from the text length alone
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeReal(Tables.documents(s, d), "doc_id", "text", 5, 4)),
+    // REAL frame sampling: animated-GIF payloads, every 2nd frame
+    // extracted by a real multi-frame ImageIO reader — one doc fans out
+    // to ceil(n_frames/2) frame rows with exact palette colors
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.framesReal(Tables.documents(s, d), "doc_id", "text", stride = 2)),
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
@@ -1576,6 +1587,33 @@ object SparkEntry {
         | CAST(1 + length(text) % 9 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    // the resize kernel's exact integer semantics, reproduced: source
+    // pixel R = (id + 31x + 7y) % 255, NN sample (x,y) -> ((x*w)//5,
+    // (y*h)//4), summed over the 5x4 output grid
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, 1 + length(text) % 16 AS src_w,
+        |   1 + length(text) % 12 AS src_h FROM documents),
+        |g AS (SELECT x, y FROM (SELECT unnest([0,1,2,3,4]) AS x),
+        |   (SELECT unnest([0,1,2,3]) AS y))
+        |SELECT doc_id, CAST(src_w AS INTEGER) AS src_w,
+        | CAST(src_h AS INTEGER) AS src_h,
+        | CAST(5 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+        | CAST(SUM((doc_id + 31 * ((x * src_w) // 5)
+        |           + 7 * ((y * src_h) // 4)) % 255) AS BIGINT) AS r_sum
+        |FROM d, g GROUP BY doc_id, src_w, src_h""".stripMargin,
+    // frame f of doc d is solid palette color (d+f)%4; stride-2 sampling
+    // keeps frames 0,2,4 of the 2+len%4 total
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + length(text) % 4 AS n_frames,
+        |   1 + length(text) % 7 AS width, 1 + length(text) % 5 AS height
+        |   FROM documents),
+        |s AS (SELECT unnest([0,2,4]) AS f)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        | CAST(n_frames AS INTEGER) AS n_frames,
+        | CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        | CAST(list_extract([40,90,160,230],
+        |      CAST((doc_id + f) % 4 AS INTEGER) + 1) AS INTEGER) AS r
+        |FROM d, s WHERE f < n_frames""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         | CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hs

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * per-partition pipeline (the Scala analogue of `mapInPandas` — fixed
   * batch shape, columnar-friendly, no per-row closure dispatch).
   *
-  * The actual codec is STUBBED (this container has no image/audio libs):
-  * `stubDecode` derives deterministic fake dimensions from the payload
-  * bytes. The Spark-side plumbing — schema, batching, partitioning — is
-  * real and is what the operator contributes at 100 TB: payload bytes never
+  * Two codec tiers coexist: a STUB decode (`stubDecode`, deterministic
+  * fake dimensions from payload bytes) that exercises the plumbing alone,
+  * and REAL out-of-JVM kernels — PNG/JPEG decode, nearest-neighbor
+  * resize, animated-GIF frame sampling — running genuine ImageIO bit
+  * parsing in a subprocess behind the Arrow IPC contract
+  * ([[featuresSubprocess]]/[[resizeReal]]/[[framesReal]]). The Spark-side
+  * shape is what the operator contributes at 100 TB: payload bytes never
   * shuffle (features are extracted before any wide op), and batch size
   * bounds per-task peak memory.
   */
@@ -292,9 +295,34 @@ object Multimodal {
     * child returns FEATURE batches directly and no JVM kernel runs. */
   private def subprocessFeatures(media: Dataset[MediaRow], cmd: Seq[String],
                                  childEmitsFeatures: Boolean): DataFrame = {
-    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
     val spark = media.sparkSession
     import spark.implicits._
+    subprocessRows[MediaFeatures](media, cmd,
+      useStubKernel = !childEmitsFeatures, readFeatureBatch).toDF()
+  }
+
+  private def readFeatureBatch(feat: VectorSchemaRoot): Iterator[MediaFeatures] = {
+    val oId = feat.getVector("doc_id").asInstanceOf[BigIntVector]
+    val oBytes = feat.getVector("n_bytes").asInstanceOf[BigIntVector]
+    val oW = feat.getVector("width").asInstanceOf[IntVector]
+    val oH = feat.getVector("height").asInstanceOf[IntVector]
+    val oC = feat.getVector("channels").asInstanceOf[IntVector]
+    // materialize before the next batch reuses the buffers
+    (0 until feat.getRowCount).map(i => MediaFeatures(
+      oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i))).iterator
+  }
+
+  /** The generic subprocess harness behind every codec-shaped operator:
+    * streams media batches to `cmd` over Arrow IPC and parses whatever
+    * row type the child's mode emits via `read` (which MUST copy values
+    * out — the next batch reuses the Arrow buffers). `useStubKernel`
+    * keeps the passthrough-child path: the child echoes media batches and
+    * [[stubArrowKernel]] runs JVM-side on what survived the pipe. */
+  private def subprocessRows[T](media: Dataset[MediaRow], cmd: Seq[String],
+                                useStubKernel: Boolean,
+                                read: VectorSchemaRoot => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
     media.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
@@ -374,8 +402,8 @@ object Multimodal {
         def feedFailure(): Exception =
           new RuntimeException("codec subprocess feed failed", feedErr.get)
 
-        new Iterator[MediaFeatures] {
-          private var cur: Iterator[MediaFeatures] = Iterator.empty
+        new Iterator[T] {
+          private var cur: Iterator[T] = Iterator.empty
           private var done = false
           override def hasNext: Boolean = {
             while (!cur.hasNext && !done) {
@@ -391,20 +419,13 @@ object Multimodal {
                 }
               if (more) {
                 val feat =
-                  if (childEmitsFeatures) reader.getVectorSchemaRoot
+                  if (!useStubKernel) reader.getVectorSchemaRoot
                   else {
                     out.allocateNew()
                     stubArrowKernel(reader.getVectorSchemaRoot, out)
                     out
                   }
-                val oId = feat.getVector("doc_id").asInstanceOf[BigIntVector]
-                val oBytes = feat.getVector("n_bytes").asInstanceOf[BigIntVector]
-                val oW = feat.getVector("width").asInstanceOf[IntVector]
-                val oH = feat.getVector("height").asInstanceOf[IntVector]
-                val oC = feat.getVector("channels").asInstanceOf[IntVector]
-                // materialize before the next batch reuses the buffers
-                cur = (0 until feat.getRowCount).map(i => MediaFeatures(
-                  oId.get(i), oBytes.get(i), oW.get(i), oH.get(i), oC.get(i))).iterator
+                cur = read(feat)
               } else {
                 done = true
                 reader.close(); out.close()
@@ -416,45 +437,133 @@ object Multimodal {
             }
             cur.hasNext
           }
-          override def next(): MediaFeatures = { hasNext; cur.next() }
+          override def next(): T = { hasNext; cur.next() }
         }
       }
-    }.toDF()
+    }
   }
 
-  // ---- further stubbed media kernels (same batched plumbing) ----
+  // ---- real resize + frame-sample kernels (same subprocess plumbing) ----
 
-  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
-  final case class FrameSample(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+  final case class ResizedFeatures(doc_id: Long, src_w: Int, src_h: Int,
+                                   out_w: Int, out_h: Int, r_sum: Long)
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                                 width: Int, height: Int, r: Int)
 
-  /** STUB resize: deterministic payload downsample standing in for an image
-    * scaler; real part is the schema + bounded batch memory. */
-  def resizeStub(r: MediaRow, w: Int, h: Int): ResizedMedia = {
-    val target = math.max(1, math.min(r.payload.length, w * h))
-    val step = math.max(1, r.payload.length / target)
-    ResizedMedia(r.doc_id, w, h, r.payload.grouped(step).map(_.head).toArray)
-  }
+  val resizedArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("src_w", new ArrowType.Int(32, true)),
+    arrowField("src_h", new ArrowType.Int(32, true)),
+    arrowField("out_w", new ArrowType.Int(32, true)),
+    arrowField("out_h", new ArrowType.Int(32, true)),
+    arrowField("r_sum", new ArrowType.Int(64, true))).asJava)
 
-  /** STUB frame sampling: every `stride`-th payload window as a "frame" —
-    * stands in for video frame extraction; one input row fans out to many
-    * frame rows (the shape that matters for partition sizing at scale). */
-  def frameSampleStub(r: MediaRow, frameBytes: Int, stride: Int): Iterator[FrameSample] =
-    r.payload.grouped(frameBytes).zipWithIndex
-      .filter { case (_, idx) => idx % stride == 0 }
-      .map { case (bytes, idx) => FrameSample(r.doc_id, idx, bytes) }
+  val framesArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("frame_idx", new ArrowType.Int(32, true)),
+    arrowField("n_frames", new ArrowType.Int(32, true)),
+    arrowField("width", new ArrowType.Int(32, true)),
+    arrowField("height", new ArrowType.Int(32, true)),
+    arrowField("r", new ArrowType.Int(32, true))).asJava)
 
-  def resized(docs: DataFrame, idCol: String, textCol: String, w: Int, h: Int): DataFrame = {
+  /** 4-color palette of the GIF frame payloads: frame f of doc d is SOLID
+    * palette color (d + f) % 4 — exact through GIF's indexed coding, so a
+    * SQL oracle can predict what real frame extraction must report. */
+  val GifPaletteR: Array[Int] = Array(40, 90, 160, 230)
+  val GifPaletteG: Array[Int] = Array(10, 60, 200, 140)
+  val GifPaletteB: Array[Int] = Array(200, 30, 120, 5)
+
+  /** Deterministic REAL multi-frame payloads: each doc becomes an animated
+    * GIF (genuine GIF89a container, one image descriptor per frame) with
+    * 2+len%4 frames of (1+len%7) × (1+len%5), each frame solid palette
+    * color (id+f)%4 — indexed color, so the round trip is pixel-exact. */
+  def asGifMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asMedia(docs, idCol, textCol)
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeStub(_, w, h)))).toDF()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        (lit(2) + length(col(textCol)) % 4).as("nf"),
+        (lit(1) + length(col(textCol)) % 7).as("w"),
+        (lit(1) + length(col(textCol)) % 5).as("h"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, nf, w, h) => MediaRow(id, encodeGif(id, nf, w, h), "image/gif") }
   }
 
-  def frames(docs: DataFrame, idCol: String, textCol: String,
-             frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+  def encodeGif(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val icm = new java.awt.image.IndexColorModel(8, GifPaletteR.length,
+      GifPaletteR.map(_.toByte), GifPaletteG.map(_.toByte), GifPaletteB.map(_.toByte))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val idx = ((id + f) % GifPaletteR.length).toInt
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, idx); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL image resize out-of-JVM: actual PNG payloads decoded AND
+    * nearest-neighbor resampled to outW×outH by the codec child, which
+    * returns per-image geometry + the red-channel sum over the RESIZED
+    * pixels. Integer NN sampling ((x·srcW)/outW) over the deterministic
+    * source pixels keeps the whole kernel SQL-predictable end-to-end. */
+  def resizeReal(docs: DataFrame, idCol: String, textCol: String,
+                 outW: Int, outH: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asMedia(docs, idCol, textCol)
-      .mapPartitions(_.flatMap(frameSampleStub(_, frameBytes, stride))).toDF()
+    subprocessRows[ResizedFeatures](asPngMedia(docs, idCol, textCol),
+      pngCodecCmd ++ Seq("resize", outW.toString, outH.toString),
+      useStubKernel = false, readResizedBatch).toDF()
+  }
+
+  /** REAL frame sampling out-of-JVM: animated-GIF payloads ([[asGifMedia]])
+    * frame-extracted by the codec child with a real ImageIO GIF reader —
+    * every `stride`-th frame becomes an output row (one media row fans out
+    * to many frame rows, the partition-sizing shape that matters at scale),
+    * carrying the frame's geometry and its solid color's red channel. */
+  def framesReal(docs: DataFrame, idCol: String, textCol: String,
+                 stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subprocessRows[FrameFeatures](asGifMedia(docs, idCol, textCol),
+      pngCodecCmd ++ Seq("frames", stride.toString),
+      useStubKernel = false, readFramesBatch).toDF()
+  }
+
+  private def readResizedBatch(root: VectorSchemaRoot): Iterator[ResizedFeatures] = {
+    val oId = root.getVector("doc_id").asInstanceOf[BigIntVector]
+    val sw = root.getVector("src_w").asInstanceOf[IntVector]
+    val sh = root.getVector("src_h").asInstanceOf[IntVector]
+    val ow = root.getVector("out_w").asInstanceOf[IntVector]
+    val oh = root.getVector("out_h").asInstanceOf[IntVector]
+    val rs = root.getVector("r_sum").asInstanceOf[BigIntVector]
+    (0 until root.getRowCount).map(i => ResizedFeatures(
+      oId.get(i), sw.get(i), sh.get(i), ow.get(i), oh.get(i), rs.get(i))).iterator
+  }
+
+  private def readFramesBatch(root: VectorSchemaRoot): Iterator[FrameFeatures] = {
+    val oId = root.getVector("doc_id").asInstanceOf[BigIntVector]
+    val fi = root.getVector("frame_idx").asInstanceOf[IntVector]
+    val nf = root.getVector("n_frames").asInstanceOf[IntVector]
+    val w = root.getVector("width").asInstanceOf[IntVector]
+    val h = root.getVector("height").asInstanceOf[IntVector]
+    val r = root.getVector("r").asInstanceOf[IntVector]
+    (0 until root.getRowCount).map(i => FrameFeatures(
+      oId.get(i), fi.get(i), nf.get(i), w.get(i), h.get(i), r.get(i))).iterator
   }
 }

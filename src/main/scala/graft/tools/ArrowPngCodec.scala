@@ -14,8 +14,18 @@ import graft.ops.Multimodal
   * ([[graft.ops.Multimodal.featuresSubprocess]]): reads media batches
   * (doc_id, payload) as an Arrow IPC stream on STDIN, decodes every payload
   * as an actual image with the JDK's ImageIO (real PNG/JPEG/GIF/BMP bit
-  * parsing — not a stub), and writes feature batches (doc_id, n_bytes,
-  * width, height, channels) as an Arrow IPC stream on STDOUT.
+  * parsing — not a stub), and writes result batches as an Arrow IPC stream
+  * on STDOUT. Three modes, selected by argv:
+  *
+  *  - (no args) `features`: per image (doc_id, n_bytes, width, height,
+  *    channels)
+  *  - `resize <outW> <outH>`: decode + nearest-neighbor resample —
+  *    output pixel (x,y) reads source pixel ((x·srcW)/outW, (y·srcH)/outH),
+  *    integer floor division — and return the red-channel sum over the
+  *    RESIZED raster (doc_id, src_w, src_h, out_w, out_h, r_sum)
+  *  - `frames <stride>`: open a real multi-frame ImageIO reader (animated
+  *    GIF), emit every stride-th frame as its own row (doc_id, frame_idx,
+  *    n_frames, width, height, r) — r is pixel (0,0)'s red channel
   *
   * This runs OUT OF the Spark executor JVM — its own process, own heap,
   * own crash domain — exactly where a production deployment puts a codec
@@ -30,9 +40,16 @@ import graft.ops.Multimodal
   */
 object ArrowPngCodec {
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("features")
+    val outSchema = mode match {
+      case "features" => Multimodal.featureArrowSchema
+      case "resize"   => Multimodal.resizedArrowSchema
+      case "frames"   => Multimodal.framesArrowSchema
+      case other => System.err.println(s"unknown mode $other"); sys.exit(2); null
+    }
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(new BufferedInputStream(System.in), alloc)
-    val out = VectorSchemaRoot.create(Multimodal.featureArrowSchema, alloc)
+    val out = VectorSchemaRoot.create(outSchema, alloc)
     val stdout = new BufferedOutputStream(System.out)
     val writer = new ArrowStreamWriter(out, null,
       java.nio.channels.Channels.newChannel(stdout))
@@ -40,31 +57,13 @@ object ArrowPngCodec {
       writer.start()
       while (reader.loadNextBatch()) {
         val in = reader.getVectorSchemaRoot
-        val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
-        val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
         out.allocateNew()
-        val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
-        val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
-        val oW = out.getVector("width").asInstanceOf[IntVector]
-        val oH = out.getVector("height").asInstanceOf[IntVector]
-        val oC = out.getVector("channels").asInstanceOf[IntVector]
-        val n = in.getRowCount
-        var i = 0
-        while (i < n) {
-          val bytes = payload.get(i)
-          // the actual decode: ImageIO parses the image container for real
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          if (img == null)
-            throw new IllegalArgumentException(
-              s"payload for doc ${docId.get(i)} (${bytes.length} bytes) is not a decodable image")
-          oId.setSafe(i, docId.get(i))
-          oBytes.setSafe(i, bytes.length.toLong)
-          oW.setSafe(i, img.getWidth)
-          oH.setSafe(i, img.getHeight)
-          oC.setSafe(i, img.getRaster.getNumBands)
-          i += 1
+        val rows = mode match {
+          case "features" => featureBatch(in, out)
+          case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
+          case "frames"   => framesBatch(in, out, args(1).toInt)
         }
-        out.setRowCount(n)
+        out.setRowCount(rows)
         writer.writeBatch()
       }
       writer.end(); writer.close(); stdout.flush()
@@ -74,5 +73,122 @@ object ArrowPngCodec {
         System.err.println(s"ArrowPngCodec failed: $t")
         sys.exit(3)
     }
+  }
+
+  /** The actual decode: ImageIO parses the image container for real. */
+  private def decode(bytes: Array[Byte], docId: Long): java.awt.image.BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"payload for doc $docId (${bytes.length} bytes) is not a decodable image")
+    img
+  }
+
+  private def featureBatch(in: VectorSchemaRoot, out: VectorSchemaRoot): Int = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val oBytes = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+    val oW = out.getVector("width").asInstanceOf[IntVector]
+    val oH = out.getVector("height").asInstanceOf[IntVector]
+    val oC = out.getVector("channels").asInstanceOf[IntVector]
+    val n = in.getRowCount
+    var i = 0
+    while (i < n) {
+      val bytes = payload.get(i)
+      val img = decode(bytes, docId.get(i))
+      oId.setSafe(i, docId.get(i))
+      oBytes.setSafe(i, bytes.length.toLong)
+      oW.setSafe(i, img.getWidth)
+      oH.setSafe(i, img.getHeight)
+      oC.setSafe(i, img.getRaster.getNumBands)
+      i += 1
+    }
+    n
+  }
+
+  private def resizeBatch(in: VectorSchemaRoot, out: VectorSchemaRoot,
+                          outW: Int, outH: Int): Int = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val sw = out.getVector("src_w").asInstanceOf[IntVector]
+    val sh = out.getVector("src_h").asInstanceOf[IntVector]
+    val ow = out.getVector("out_w").asInstanceOf[IntVector]
+    val oh = out.getVector("out_h").asInstanceOf[IntVector]
+    val rs = out.getVector("r_sum").asInstanceOf[BigIntVector]
+    val n = in.getRowCount
+    var i = 0
+    while (i < n) {
+      val img = decode(payload.get(i), docId.get(i))
+      val srcW = img.getWidth
+      val srcH = img.getHeight
+      // nearest-neighbor resample over the really-decoded raster
+      var rSum = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * srcH / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * srcW / outW
+          rSum += (img.getRGB(sx, sy) >>> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      oId.setSafe(i, docId.get(i))
+      sw.setSafe(i, srcW); sh.setSafe(i, srcH)
+      ow.setSafe(i, outW); oh.setSafe(i, outH)
+      rs.setSafe(i, rSum)
+      i += 1
+    }
+    n
+  }
+
+  private def framesBatch(in: VectorSchemaRoot, out: VectorSchemaRoot,
+                          stride: Int): Int = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val fi = out.getVector("frame_idx").asInstanceOf[IntVector]
+    val nf = out.getVector("n_frames").asInstanceOf[IntVector]
+    val w = out.getVector("width").asInstanceOf[IntVector]
+    val h = out.getVector("height").asInstanceOf[IntVector]
+    val r = out.getVector("r").asInstanceOf[IntVector]
+    val n = in.getRowCount
+    var row = 0
+    var i = 0
+    while (i < n) {
+      val id = docId.get(i)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload.get(i)))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(s"payload for doc $id is not a decodable image")
+        val rd = readers.next()
+        try {
+          rd.setInput(iis)
+          // a REAL multi-frame container walk: every image descriptor in
+          // the GIF is its own frame
+          val total = rd.getNumImages(true)
+          var f = 0
+          while (f < total) {
+            if (f % stride == 0) {
+              val img = rd.read(f)
+              oId.setSafe(row, id)
+              fi.setSafe(row, f)
+              nf.setSafe(row, total)
+              w.setSafe(row, img.getWidth)
+              h.setSafe(row, img.getHeight)
+              r.setSafe(row, (img.getRGB(0, 0) >>> 16) & 0xff)
+              row += 1
+            }
+            f += 1
+          }
+        } finally rd.dispose()
+      } finally iis.close()
+      i += 1
+    }
+    row
   }
 }

@@ -29,15 +29,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaArrow.size > Multimodal.BatchSize)
   }
 
-  test("resize and frame-sample stubs: schema, fan-out, determinism") {
-    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
-    val rz = Multimodal.resized(docs, "doc_id", "text", 8, 8)
-    assert(rz.columns.toSeq == Seq("doc_id", "width", "height", "payload"))
-    assert(rz.head().getInt(1) == 8)
-    val fr = Multimodal.frames(docs, "doc_id", "text", frameBytes = 64, stride = 2)
-    assert(fr.columns.toSeq == Seq("doc_id", "frame_idx", "payload"))
-    // 300 bytes -> frames 0..4, stride 2 keeps 0,2,4
-    assert(fr.select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2, 4))
+  test("REAL resize: decoded PNGs NN-resampled by the child match exact pixel math") {
+    // len 5 -> src 6x6; len 22 -> src 7x11; len 0 -> 1x1
+    val docs = Seq((1L, "hello"), (9L, "a longer piece of text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.resizeReal(docs, "doc_id", "text", 5, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    def expect(id: Long, len: Int) = {
+      val (w, h) = (1 + len % 16, 1 + len % 12)
+      val rSum = (for (y <- 0 until 4; x <- 0 until 5)
+        yield (id + 31L * (x * w / 5) + 7L * (y * h / 4)) % 255).sum
+      (w, h, 5, 4, rSum)
+    }
+    assert(got(1L) == expect(1L, 5), got)
+    assert(got(9L) == expect(9L, 22), got)
+    assert(got(3L) == expect(3L, 0), got)
+  }
+
+  test("REAL frame sampling: animated GIF payloads, stride-2 extraction, exact palette") {
+    // len 5 -> 3 frames of 6x1; len 22 -> 4 frames of 2x3; len 0 -> 2 frames of 1x1
+    val docs = Seq((1L, "hello"), (9L, "a longer piece of text"), (3L, ""))
+      .toDF("doc_id", "text")
+    // payload really is an animated GIF: header + a driver-side reader
+    // counts the frames independently
+    val one = Multimodal.asGifMedia(docs, "doc_id", "text")
+      .filter(_.doc_id == 9L).collect().head
+    assert(new String(one.payload.take(6), "US-ASCII").startsWith("GIF8"))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(one.payload))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    assert(rd.getNumImages(true) == 2 + 22 % 4)
+    rd.dispose(); iis.close()
+
+    val got = Multimodal.framesReal(docs, "doc_id", "text", stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    def expect(id: Long, len: Int): Map[(Long, Int), (Int, Int, Int, Int)] = {
+      val nf = 2 + len % 4
+      (0 until nf by 2).map(f => (id, f) ->
+        ((nf, 1 + len % 7, 1 + len % 5, Multimodal.GifPaletteR(((id + f) % 4).toInt)))).toMap
+    }
+    assert(got == expect(1L, 5) ++ expect(9L, 22) ++ expect(3L, 0), got)
   }
 
   test("stub decode is pure and batch-size independent") {
