@@ -139,6 +139,14 @@ object SparkEntry {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** The kNN-graph node shard for graph_knn: vectors 0..63 as queries. */
+  private def graphBatch(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -638,6 +646,21 @@ object SparkEntry {
     "ann_batch_topk" -> ((s, d) =>
       Similarity.batchTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryBatch(s, d), 10)),
+    // kNN GRAPH, exact shard: each of 64 nodes' 5 nearest neighbors
+    // (self excluded — a node is not its own neighbor) in ONE corpus
+    // scan. The serving primitive for incremental graph maintenance at
+    // 100 TB: new nodes arrive in batches, each batch is one scan.
+    "graph_knn" -> ((s, d) =>
+      Similarity.batchTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        graphBatch(s, d), 5, excludeSelf = true)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))),
+    // kNN GRAPH, full corpus: every node's top-5 via top-2-probed IVF
+    // lists — candidates bounded per list, never N². No oracle: IVF
+    // training isn't SQL — recall vs the exact graph_knn edges is
+    // scalatest-asserted (SimilaritySpec; SURVEY §5).
+    "graph_knn_ivf" -> ((s, d) =>
+      Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        ivfModel(s, d, 16), k = 5)),
     // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
     // top-10 over the m-byte codes only (32× compression — THE in-memory
     // serving path at 100 TB). No oracle: k-means training isn't SQL —
@@ -1539,6 +1562,19 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored) WHERE rk <= 10""".stripMargin,
+    "graph_knn" ->
+      """WITH scored AS (SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64) q
+        | CROSS JOIN range(64) r(i)
+        | WHERE e.vec_id <> q.vec_id
+        | GROUP BY q.vec_id, e.vec_id)
+        |SELECT src, dst, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

@@ -99,9 +99,13 @@ object Similarity {
     * the global merge ranks only the B × partitions × k partials with a
     * window. Scoring matches [[bruteForceTopK]] exactly: f64
     * left-to-right dot, HALF_UP 4dp rounding (+0.0 collapses -0.0),
-    * zero-norm rows dropped, ties ranked by id. */
+    * zero-norm rows dropped, ties ranked by id. `excludeSelf` drops the
+    * corpus row whose id equals the query's own id — the kNN-GRAPH
+    * convention (scanpy pp.neighbors), where a node is not its own
+    * neighbor. */
   def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
-                queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+                queries: Seq[(Long, Array[Double])], k: Int,
+                excludeSelf: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, q) =>
@@ -120,8 +124,8 @@ object Similarity {
           var i = 0
           while (i < v.length) { n2 += v(i) * v(i); i += 1 }
           val nrm = math.sqrt(n2)
-          if (nrm > 0.0) qs.zip(heaps).foreach { case ((_, q, qn), heap) =>
-            if (qn > 0.0 && q.length == v.length) {
+          if (nrm > 0.0) qs.zip(heaps).foreach { case ((qid, q, qn), heap) =>
+            if (qn > 0.0 && q.length == v.length && !(excludeSelf && id == qid)) {
               var d = 0.0
               var j = 0
               while (j < v.length) { d += v(j) * q(j); j += 1 } // left-to-right, = dot Expression
@@ -479,6 +483,50 @@ object Similarity {
           col("l.nrm") * col("r.nrm")).as("cos")) // null for zero-norm rows
       .filter(col("cos") >= minCos)
       .groupBy(col("id1"), col("id2")).agg(round(max(col("cos")), 4).as("cos"))
+  }
+
+  /** Full-corpus kNN GRAPH (the scanpy `pp.neighbors` shape): every node's
+    * k nearest neighbors by cosine, excluding itself. Exact kNN for N nodes
+    * is an N×N problem; candidates are bounded to the node's top-2 IVF
+    * lists — the same multi-probe+capped-list shape as [[nearDupPairsIvf]]
+    * (one corpus scan, no self-join, per-list cap keeps a hot list from
+    * going quadratic), but emitting DIRECTED edges: (src, dst) and
+    * (dst, src) are both candidates, each ranked within its own src
+    * partition. Cross-probe duplicates collapse in a (src, dst) max-agg
+    * before the per-src window ranks the k best. At 100 TB: list_id is the
+    * storage partition key, candidate generation co-locates with the
+    * store, and the final rank is a window over ≤ maxList·2 candidates per
+    * node — never the corpus. Rows-only entry (IVF training loop is not
+    * SQL); recall vs the exact graph is scalatest-asserted, and the exact
+    * twin `graph_knn` (batchTopK + excludeSelf) is the oracle-checked
+    * path. */
+  def knnGraphIvf(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]], k: Int,
+                  maxList: Int = 1000): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val probed = withIvfTop2(emb, vecCol, centroids)
+      .select(col(idCol).as("doc_id"), v.as("vec"), norm2(v).as("nrm"),
+        explode(array_distinct(array(col("list_id"), col("list2_id")))).as("probe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxList)
+    probed.groupBy(col("probe"))
+      .agg(collect_list(struct(col("doc_id"), col("vec"), col("nrm"))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(col("es")).as("l"), col("es"))
+      .select(col("l"), explode(col("es")).as("r"))
+      .filter(col("l.doc_id") =!= col("r.doc_id")) // directed; no self-loop
+      .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"),
+        try_divide(dot(col("l.vec"), col("r.vec")),
+          col("l.nrm") * col("r.nrm")).as("cos")) // null for zero-norm rows
+      .filter(col("cos").isNotNull)
+      // a pair sharing BOTH probe lists is generated twice — collapse
+      // before ranking so it can't occupy two of src's k slots
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to

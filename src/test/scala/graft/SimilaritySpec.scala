@@ -225,6 +225,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.contains(1L), "query's own vector missing from PQ top-10")
   }
 
+  test("batchTopK excludeSelf drops exactly the query's own row") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val batch = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val withSelf = Similarity.batchTopK(emb, "vec_id", "embedding", batch, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val noSelf = Similarity.batchTopK(emb, "vec_id", "embedding", batch, k = 5,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(noSelf.forall { case (q, v, _) => q != v }, "self edge survived")
+    // per query: the excludeSelf top-5 == the k=6 list minus the self row
+    batch.foreach { case (qid, _) =>
+      val expect = withSelf.filter(_._1 == qid).filter(_._2 != qid)
+        .sortBy { case (_, v, c) => (-c, v) }.take(5).toSeq
+      val got = noSelf.filter(_._1 == qid)
+        .sortBy { case (_, v, c) => (-c, v) }.toSeq
+      assert(got == expect, s"query $qid mismatch")
+    }
+  }
+
+  test("IVF kNN graph: k edges per node, no self loops, recall >= 0.8 on clustered data") {
+    val rnd = new scala.util.Random(31L)
+    val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)
+    val raw = (0 until 180).map { id =>
+      val c = centers(id % 6)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 6)
+    val got = Similarity.knnGraphIvf(vecs, "vec_id", "embedding", cents, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.size == 180, s"nodes missing: ${180 - bySrc.size}")
+    assert(bySrc.values.forall(_.size == 3), "a node has != k edges")
+    assert(got.forall { case (s0, d0) => s0 != d0 }, "self loop")
+    // exact graph driver-side: with 30 near-identical points per cluster,
+    // every true neighbor shares the node's primary list except at
+    // boundaries — top-2 probing must recover >= 80% of exact edges
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((s, x, y), i) =>
+        (s + a(i).toDouble * b(i), x + a(i).toDouble * a(i), y + b(i).toDouble * b(i))
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = raw.flatMap { case (i, vi) =>
+      raw.filter(_._1 != i).map { case (j, vj) => (i, j, cos(vi, vj)) }
+        .sortBy { case (_, j, c) => (-c, j) }.take(3).map { case (_, j, _) => (i, j) }
+    }.toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"kNN graph recall $recall")
+  }
+
   test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
     val vecs = Seq(
       (0L, Array(0.0f, 7.0f, -2.0f)),
