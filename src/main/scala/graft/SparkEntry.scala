@@ -661,6 +661,22 @@ object SparkEntry {
     "graph_knn_ivf" -> ((s, d) =>
       Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         ivfModel(s, d, 16), k = 5)),
+    // neighbors → clusters (the scanpy step after pp.neighbors): kNN
+    // (k=3) among the 64-node shard, MUTUAL-restricted (the scanpy/UMAP
+    // symmetrization), connected components as cluster labels. Nodes
+    // with no mutual edge (singletons) are absent by definition. Fixed k
+    // + recursive reach make this fully SQL-expressible, so the whole
+    // chain — scoring, ranking, symmetrization, components — is
+    // oracle-checked end-to-end.
+    "graph_clusters" -> ((s, d) => {
+      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
+      val edges = Similarity.batchTopK(shard, "vec_id", "embedding",
+        graphBatch(s, d), 3, excludeSelf = true)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      Dedup.connectedComponents(Similarity.mutualEdges(edges))
+        .select(col("doc_id").cast("long").as("node"),
+          col("component").cast("long").as("cluster"))
+    }),
     // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
     // top-10 over the m-byte codes only (32× compression — THE in-memory
     // serving path at 100 TB). No oracle: k-means training isn't SQL —
@@ -1575,6 +1591,29 @@ object SparkEntry {
         |SELECT src, dst, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "graph_clusters" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
+        | WHERE a.vec_id <> b.vec_id
+        | GROUP BY a.vec_id, b.vec_id),
+        |knn AS (SELECT src, dst FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        |  FROM scored) WHERE rk <= 3),
+        |mut AS (SELECT a.src AS id1, a.dst AS id2 FROM knn a
+        |        JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        |        WHERE a.src < a.dst),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM mut
+        |          UNION ALL SELECT id2, id1 FROM mut),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS node, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

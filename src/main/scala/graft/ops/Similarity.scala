@@ -529,6 +529,21 @@ object Similarity {
       .select(col("src"), col("dst"), (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
+  /** Mutual-kNN restriction of a directed kNN edge set: keep (a, b) only
+    * when b ∈ kNN(a) AND a ∈ kNN(b) — the symmetrization scanpy/UMAP
+    * apply before clustering, which drops hub-pointing asymmetric edges.
+    * One self-join of the edge set against its own transpose (edges are
+    * corpus·k rows — graph-sized, not corpus²-sized), emitted as
+    * unordered (id1 < id2) pairs ready for
+    * [[graft.ops.Dedup.connectedComponents]]. */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id1"), col("dst").as("id2"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
     * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
     * each unordered pair is still generated once per shared probe). */

@@ -278,6 +278,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"kNN graph recall $recall")
   }
 
+  test("mutualEdges keeps only reciprocated pairs, unordered, once") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),  // mutual
+      (1L, 3L),            // asymmetric: 3 does not point back
+      (4L, 5L), (5L, 4L),  // mutual
+      (3L, 1L)             // now (1,3) IS mutual — listed out of order
+    ).toDF("src", "dst")
+    val got = Similarity.mutualEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
   test("int8 quantization: endpoints map to 0/255, constant dims to 0, order preserved") {
     val vecs = Seq(
       (0L, Array(0.0f, 7.0f, -2.0f)),
