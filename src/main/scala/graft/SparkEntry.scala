@@ -361,6 +361,21 @@ object SparkEntry {
       ZMatrix(cells.select(col("i"), col("j").cast("long").as("j"), col("v")))
         .gram.mapValues(c => round(c, 4) + 0.0).cells
     }),
+    // pseudobulk: aggregate matrix rows by the order's priority label
+    // (scanpy sc.get.aggregate — dense means, group sizes from the obs index)
+    "arr_groupby_rows" -> ((s, d) => {
+      val labels = Tables.orders(s, d)
+        .select(col("o_orderkey").as("i"), col("o_orderpriority").as("g"))
+      mat(s, d).groupRowsBy(labels)
+    }),
+    "arr_corr_cols" -> ((s, d) => mat(s, d).corrCols(matNrows(s, d))),
+    // rank_genes_groups: urgent orders vs rest, per linenumber-gene
+    "arr_rank_genes" -> ((s, d) => {
+      val groups = Tables.orders(s, d)
+        .select(col("o_orderkey").as("i"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"))
+      mat(s, d).rankGenesWilcoxon(groups)
+    }),
     "q22_sql_surface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
@@ -1528,6 +1543,50 @@ object SparkEntry {
         |           FROM embeddings CROSS JOIN range(64) r(i))
         |SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) + 0 AS v
         |FROM m a JOIN m b ON a.i = b.i GROUP BY 1, 2""".stripMargin,
+    "arr_groupby_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |lab AS (SELECT CAST(o_orderkey AS BIGINT) AS i, o_orderpriority AS g FROM orders),
+        |sz AS (SELECT g, count(*) AS n_rows FROM lab GROUP BY 1)
+        |SELECT lab.g, m.j, sum(m.v) AS sum_v, sz.n_rows,
+        |  round(sum(m.v) / sz.n_rows, 6) + 0 AS mean_v
+        |FROM m JOIN lab USING (i) JOIN sz ON sz.g = lab.g
+        |GROUP BY lab.g, m.j, sz.n_rows""".stripMargin,
+    "arr_corr_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS n FROM m),
+        |marg AS (SELECT j, sum(v) AS s, sum(v * v) AS ss FROM m GROUP BY 1),
+        |crs AS (SELECT x.j AS a, y.j AS b, sum(x.v * y.v) AS sab
+        |        FROM m x JOIN m y USING (i) WHERE x.j < y.j GROUP BY 1, 2)
+        |SELECT ma.j AS a, mb.j AS b,
+        |  round((coalesce(crs.sab, 0) - ma.s * mb.s / nn.n) /
+        |    (sqrt(ma.ss - ma.s * ma.s / nn.n) * sqrt(mb.ss - mb.s * mb.s / nn.n)), 6) + 0 AS corr
+        |FROM marg ma CROSS JOIN marg mb CROSS JOIN nn
+        |LEFT JOIN crs ON crs.a = ma.j AND crs.b = mb.j
+        |WHERE ma.j < mb.j""".stripMargin,
+    "arr_rank_genes" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |rws AS (SELECT CAST(o_orderkey AS BIGINT) AS i,
+        |        o_orderpriority = '1-URGENT' AS in_a FROM orders),
+        |cols AS (SELECT DISTINCT j FROM m),
+        |dense AS (SELECT r.i, c.j, r.in_a, coalesce(m.v, 0) AS v
+        |          FROM rws r CROSS JOIN cols c
+        |          LEFT JOIN m ON m.i = r.i AND m.j = c.j),
+        |rk AS (SELECT j, in_a,
+        |         rank() OVER (PARTITION BY j ORDER BY v) AS rmin,
+        |         count(*) OVER (PARTITION BY j, v) AS cnt FROM dense),
+        |r2 AS (SELECT j, sum(CASE WHEN in_a THEN 2 * rmin + cnt - 1 ELSE 0 END) AS r2a
+        |       FROM rk GROUP BY 1),
+        |tie AS (SELECT j, sum(cnt * cnt * cnt - cnt) AS tsum
+        |        FROM (SELECT j, v, count(*) AS cnt FROM dense GROUP BY 1, 2) GROUP BY 1),
+        |p AS (SELECT count(*) AS n, count(*) FILTER (WHERE in_a) AS na FROM rws)
+        |SELECT r2.j,
+        |  round((CAST(r2.r2a AS DOUBLE) / 2.0 - CAST(p.na AS DOUBLE) * (p.n + 1) / 2.0) /
+        |    sqrt(CAST(p.na AS DOUBLE) * (p.n - p.na) / 12.0 *
+        |      ((p.n + 1) - CAST(tie.tsum AS DOUBLE) / (CAST(p.n AS DOUBLE) * (p.n - 1)))), 6) + 0 AS z
+        |FROM r2 JOIN tie USING (j) CROSS JOIN p""".stripMargin,
     "q22_sql_surface" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,

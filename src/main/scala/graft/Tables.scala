@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata star schema (TESTDATA.md).
   * One parquet file per table; filters/projections applied by callers are
@@ -33,7 +33,12 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      // naive timestamp[us] parquet reads as TIMESTAMP_NTZ, which streaming
+      // watermarks reject; the session tz is pinned UTC everywhere, so the
+      // cast to instant TIMESTAMP is value-preserving (and matches the
+      // DuckDB oracle, which reads the same bytes as naive-UTC)
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

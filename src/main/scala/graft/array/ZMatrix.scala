@@ -260,6 +260,115 @@ final case class ZMatrix(cells: DataFrame) {
     ZMatrix(cells.join(broadcast(keep), Seq("j"), "left_semi"))
   }
 
+  /** scanpy `sc.get.aggregate` / pseudobulk: aggregate rows by an obs
+    * label. `labels` is `(i: Long, g)` — one row per matrix row, the obs
+    * index — so group sizes (and therefore the DENSE mean, where implicit
+    * zeros count) come from the labels table, not from stored-cell counts.
+    * Shape: one shuffle join on i (both sides fact-sized; co-partitioning
+    * on i makes it a single co-located exchange) + one hash aggregate on
+    * (g, j) with map-side combine + a groups×1 broadcast join for the
+    * sizes. Output `(g, j, sum_v, n_rows, mean_v)`; `n_rows` is the group
+    * height, `mean_v = sum_v / n_rows` (missing coordinates are zeros —
+    * the scanpy contract, same as [[filterColsTopVar]]). */
+  def groupRowsBy(labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("i"), col("g"))
+    val sizes = lab.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+    cells.join(lab, Seq("i"))
+      .groupBy(col("g"), col("j")).agg(sum(col("v")).as("sum_v"))
+      .join(broadcast(sizes), Seq("g"))
+      .select(col("g"), col("j"), col("sum_v"), col("n_rows"),
+        (round(col("sum_v") / col("n_rows"), 6) + 0.0).as("mean_v"))
+  }
+
+  /** Dense Pearson correlation between every column pair a < b (the
+    * gene–gene correlation matrix). Implicit zeros are VALUES (dense
+    * semantics), which is exactly what makes this cheap sparse-side: the
+    * cross-moment Σᵢ x_a x_b only collects where BOTH columns store a
+    * cell (a zero factor kills the product), so it is the [[gram]]
+    * self-join on i; the marginal moments take `nrows` as the dense
+    * height. The output is inherently ncols²-sized, so the pair frame and
+    * both marginal joins are broadcast-scale; the fact-side cost is one
+    * scan + one i-keyed self-join, the same shape as matmul. A pair with
+    * no co-occurring rows still appears (Σ x_a x_b = 0). Zero-variance
+    * columns yield null (0/0), the SQL corr() convention. */
+  def corrCols(nrows: Long): DataFrame = {
+    val n = lit(nrows.toDouble)
+    val marg = cells.groupBy(col("j")).agg(
+      sum(col("v")).as("_s"), sum(col("v") * col("v")).as("_ss"))
+    val a = cells.select(col("i"), col("j").as("a"), col("v").as("av"))
+    val b = cells.select(col("i"), col("j").as("b"), col("v").as("bv"))
+    val cross = a.join(b, Seq("i")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("av") * col("bv")).as("_sab"))
+    val pairs = marg.select(col("j").as("a"), col("_s").as("_sa"), col("_ss").as("_ssa"))
+      .crossJoin(broadcast(marg.select(col("j").as("b"), col("_s").as("_sb"), col("_ss").as("_ssb"))))
+      .filter(col("a") < col("b"))
+    pairs.join(broadcast(cross), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (round((coalesce(col("_sab"), lit(0.0)) - col("_sa") * col("_sb") / n) /
+          (sqrt(col("_ssa") - col("_sa") * col("_sa") / n) *
+           sqrt(col("_ssb") - col("_sb") * col("_sb") / n)), 6) + 0.0).as("corr"))
+  }
+
+  /** scanpy `rank_genes_groups(method="wilcoxon")`: per-column two-sample
+    * Mann–Whitney rank-sum z-score (group A vs rest) with tie correction,
+    * DENSE semantics — each column's `height − m_j` implicit zeros join
+    * the zero tie block, so results match scipy on the densified matrix
+    * without ever densifying. `groups` is `(i: Long, in_a)` covering every
+    * row (the obs index — it DEFINES the dense height, the
+    * [[groupRowsBy]] contract).
+    *
+    * Shape: one i-join of cells×labels, one hash aggregate to the
+    * DISTINCT-(j, value) tie table (≪ cells), a per-column cumulative
+    * window over that tie table (parallelism = ncols, but on tie-table
+    * rows, not cells), and an ncols-row finish. Rank sums accumulate as
+    * LONGS (2·rank is integral even for .5 average ranks) so every
+    * pre-division quantity is exact and order-independent; z is the only
+    * float, computed by the same expression shape as the SQL oracle.
+    * A constant column (one dense tie block) has σ = 0 → z = NaN, the
+    * scipy behavior. */
+  def rankGenesWilcoxon(groups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groups.select(col("i"), col("in_a").cast("long").as("_a"))
+    val hdr = g.agg(count(lit(1)).as("n"), sum(col("_a")).as("na")).head()
+    val n = hdr.getLong(0); val na = hdr.getLong(1)
+    require(na > 0 && na < n, s"group A must be a proper nonempty subset (na=$na, n=$n)")
+    // tie table: one row per distinct (column, value) among STORED cells
+    val ties = cells.join(g, Seq("i"))
+      .groupBy(col("j"), col("v"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_a")).as("_cntA"))
+    val w = Window.partitionBy(col("j")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ties.withColumn("_sless", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+    // per-column marginals + dense-adjusted rank-sum pieces, all integral
+    val perCol = ranked.groupBy(col("j")).agg(
+      sum(col("_cnt")).as("_m"),
+      sum(when(col("v") === 0.0, col("_cnt")).otherwise(0L)).as("_zs"),
+      sum(when(col("v") < 0.0, col("_cnt")).otherwise(0L)).as("_neg"),
+      sum(col("_cntA")).as("_ma"),
+      sum(when(col("v") =!= 0.0, col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt"))
+        .otherwise(0L)).as("_t3nz"),
+      // Σ_stored cntA·(2·dense_less + dense_eq + 1); dense_less adds the
+      // n0 implicit zeros below positives, dense_eq adds them at v = 0
+      sum(col("_cntA") * (lit(2L) * (col("_sless") +
+          when(col("v") > 0.0, lit(n) - sum(col("_cnt")).over(Window.partitionBy(col("j")))).otherwise(0L)) +
+        col("_cnt") +
+          when(col("v") === 0.0, lit(n) - sum(col("_cnt")).over(Window.partitionBy(col("j")))).otherwise(0L) +
+        lit(1L))).as("_r2aStored"))
+    perCol.select(col("j"),
+        (col("_r2aStored") +
+          (lit(na) - col("_ma")) * (lit(2L) * col("_neg") +
+            (lit(n) - col("_m") + col("_zs")) + lit(1L))).as("_r2a"),
+        (col("_t3nz") +
+          ((lit(n) - col("_m") + col("_zs")) * (lit(n) - col("_m") + col("_zs")) *
+             (lit(n) - col("_m") + col("_zs")) -
+           (lit(n) - col("_m") + col("_zs")))).as("_tsum"))
+      .select(col("j"),
+        (round((col("_r2a").cast("double") / 2.0 - lit(na.toDouble * (n + 1).toDouble / 2.0)) /
+          sqrt(lit(na.toDouble * (n - na).toDouble / 12.0) *
+            (lit((n + 1).toDouble) - col("_tsum").cast("double") /
+              lit(n.toDouble * (n - 1).toDouble))), 6) + 0.0).as("z"))
+  }
+
   /** scanpy scale: per-column standardization (x−μ_j)/σ_j. Moments come
     * from one aggregate over exact sums (bit-deterministic), the ncols-row
     * stats vector broadcasts back onto the cells. `+0.0` collapses IEEE
