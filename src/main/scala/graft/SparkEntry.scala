@@ -552,9 +552,17 @@ object SparkEntry {
     // routes through the double substrate
     "zarr_datetime_roundtrip" -> ((s, d) => {
       val ev = Tables.table(s, d, "events")
-      val nanos =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) col("ts")
-        else unix_micros(col("ts")) * 1000L
+      val nanos = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        // TIMESTAMP_NTZ (what the parquet now carries): unix_micros only
+        // accepts TIMESTAMP, so cast first — session tz is pinned UTC, so
+        // the NTZ wall-clock IS the UTC instant, matching DuckDB epoch_ns
+        // on its naive TIMESTAMP. This type mismatch silently dropped Z22
+        // from CORRECTNESS_r10 (Verify caught the AnalysisException).
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col("ts").cast("timestamp")) * 1000L
+        case _ => unix_micros(col("ts")) * 1000L
+      }
       val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"${GraftPaths.tmpRoot}/zarrdt_$sfName"
@@ -691,6 +699,24 @@ object SparkEntry {
       Dedup.connectedComponents(Similarity.mutualEdges(edges))
         .select(col("doc_id").cast("long").as("node"),
           col("component").cast("long").as("cluster"))
+    }),
+    // Leiden-quality clustering (the r10 verdict gap): same mutual-kNN
+    // edge set as graph_clusters, but labels from 10 synchronous rounds
+    // of WEIGHTED label propagation — a bridge edge between two dense
+    // communities no longer merges them the way connected components do.
+    // Integer weights (4dp cosine × 10⁴) keep every neighbor-weight sum
+    // exact, so the fixed-round result is deterministic and the whole
+    // chain is oracle-checked against a DuckDB recursive CTE.
+    "graph_labelprop" -> ((s, d) => {
+      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
+      val dir = Similarity.batchTopK(shard, "vec_id", "embedding",
+        graphBatch(s, d), 3, excludeSelf = true)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          round(col("cos") * 10000).cast("long").as("w"))
+      Similarity.labelPropagate(
+          Similarity.mutualEdgesWeighted(dir, "w"), rounds = 10)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
     }),
     // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
     // top-10 over the m-byte codes only (32× compression — THE in-memory
@@ -1581,12 +1607,21 @@ object SparkEntry {
         |       FROM rk GROUP BY 1),
         |tie AS (SELECT j, sum(cnt * cnt * cnt - cnt) AS tsum
         |        FROM (SELECT j, v, count(*) AS cnt FROM dense GROUP BY 1, 2) GROUP BY 1),
+        |mn AS (SELECT j,
+        |         sum(CASE WHEN in_a THEN v ELSE 0 END) AS sumA, sum(v) AS sumT,
+        |         count(*) FILTER (WHERE in_a AND v <> 0) AS nzA,
+        |         count(*) FILTER (WHERE v <> 0) AS nz
+        |       FROM dense GROUP BY 1),
         |p AS (SELECT count(*) AS n, count(*) FILTER (WHERE in_a) AS na FROM rws)
         |SELECT r2.j,
         |  round((CAST(r2.r2a AS DOUBLE) / 2.0 - CAST(p.na AS DOUBLE) * (p.n + 1) / 2.0) /
         |    sqrt(CAST(p.na AS DOUBLE) * (p.n - p.na) / 12.0 *
-        |      ((p.n + 1) - CAST(tie.tsum AS DOUBLE) / (CAST(p.n AS DOUBLE) * (p.n - 1)))), 6) + 0 AS z
-        |FROM r2 JOIN tie USING (j) CROSS JOIN p""".stripMargin,
+        |      ((p.n + 1) - CAST(tie.tsum AS DOUBLE) / (CAST(p.n AS DOUBLE) * (p.n - 1)))), 6) + 0 AS z,
+        |  round(log2((CAST(mn.sumA AS DOUBLE) / p.na + 1e-9) /
+        |    (CAST(mn.sumT - mn.sumA AS DOUBLE) / (p.n - p.na) + 1e-9)), 6) + 0 AS lfc,
+        |  round(CAST(mn.nzA AS DOUBLE) / p.na, 6) + 0 AS pts,
+        |  round(CAST(mn.nz - mn.nzA AS DOUBLE) / (p.n - p.na), 6) + 0 AS pts_rest
+        |FROM r2 JOIN tie USING (j) JOIN mn USING (j) CROSS JOIN p""".stripMargin,
     "q22_sql_surface" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
@@ -1673,6 +1708,36 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS node, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
+    "graph_labelprop" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
+        | WHERE a.vec_id <> b.vec_id
+        | GROUP BY a.vec_id, b.vec_id),
+        |knn AS (SELECT src, dst, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        |  FROM scored) WHERE rk <= 3),
+        |mut AS (SELECT a.src AS id1, a.dst AS id2,
+        |          CAST(round(a.cos * 10000) AS BIGINT) AS w
+        |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        |        WHERE a.src < a.dst),
+        |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
+        |          UNION ALL SELECT id2, id1, w FROM mut),
+        |lp(node, label, it) AS (
+        |  SELECT DISTINCT src, src, 0 FROM edges
+        |  UNION ALL
+        |  SELECT src AS node, label, it + 1 FROM (
+        |    SELECT e.src, l.label, l.it,
+        |      row_number() OVER (PARTITION BY e.src, l.it
+        |        ORDER BY sum(e.w) DESC, l.label) AS rk
+        |    FROM lp l JOIN edges e ON e.dst = l.node
+        |    WHERE l.it < 10
+        |    GROUP BY e.src, l.label, l.it) WHERE rk = 1)
+        |SELECT node, label AS cluster FROM lp WHERE it = 10""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

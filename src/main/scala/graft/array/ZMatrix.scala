@@ -325,7 +325,10 @@ final case class ZMatrix(cells: DataFrame) {
     * pre-division quantity is exact and order-independent; z is the only
     * float, computed by the same expression shape as the SQL oracle.
     * A constant column (one dense tie block) has σ = 0 → z = NaN, the
-    * scipy behavior. */
+    * scipy behavior. Alongside z it emits scanpy's companion columns —
+    * `lfc` (log2 fold-change of dense group means, 1e-9 pseudocount),
+    * `pts` / `pts_rest` (fraction of group rows with a nonzero stored
+    * value) — all from the same tie table, no extra pass over cells. */
   def rankGenesWilcoxon(groups: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groups.select(col("i"), col("in_a").cast("long").as("_a"))
@@ -338,35 +341,67 @@ final case class ZMatrix(cells: DataFrame) {
       .agg(count(lit(1)).as("_cnt"), sum(col("_a")).as("_cntA"))
     val w = Window.partitionBy(col("j")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = ties.withColumn("_sless", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+    // _mtot (per-column stored-cell total) must be MATERIALIZED as a column
+    // before the groupBy — a window function inside agg() is an
+    // AnalysisException (the r10 bug that left arr_rank_genes with no
+    // correctness row at all).
+    val ranked = ties
+      .withColumn("_sless", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .withColumn("_mtot", sum(col("_cnt")).over(Window.partitionBy(col("j"))))
+    // Tie cubes in decimal(38,0): cnt³ overflows Long once a dense column
+    // exceeds ~2.09M rows; decimal sums stay exact AND order-deterministic
+    // (a double sum would be neither once partials pass 2^53).
+    val dec = "decimal(38,0)"
     // per-column marginals + dense-adjusted rank-sum pieces, all integral
     val perCol = ranked.groupBy(col("j")).agg(
       sum(col("_cnt")).as("_m"),
       sum(when(col("v") === 0.0, col("_cnt")).otherwise(0L)).as("_zs"),
       sum(when(col("v") < 0.0, col("_cnt")).otherwise(0L)).as("_neg"),
       sum(col("_cntA")).as("_ma"),
-      sum(when(col("v") =!= 0.0, col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt"))
-        .otherwise(0L)).as("_t3nz"),
+      sum(when(col("v") =!= 0.0,
+          col("_cnt").cast(dec) * col("_cnt").cast(dec) * col("_cnt").cast(dec) -
+            col("_cnt").cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("_t3nz"),
       // Σ_stored cntA·(2·dense_less + dense_eq + 1); dense_less adds the
       // n0 implicit zeros below positives, dense_eq adds them at v = 0
       sum(col("_cntA") * (lit(2L) * (col("_sless") +
-          when(col("v") > 0.0, lit(n) - sum(col("_cnt")).over(Window.partitionBy(col("j")))).otherwise(0L)) +
+          when(col("v") > 0.0, lit(n) - col("_mtot")).otherwise(0L)) +
         col("_cnt") +
-          when(col("v") === 0.0, lit(n) - sum(col("_cnt")).over(Window.partitionBy(col("j")))).otherwise(0L) +
-        lit(1L))).as("_r2aStored"))
+          when(col("v") === 0.0, lit(n) - col("_mtot")).otherwise(0L) +
+        lit(1L))).as("_r2aStored"),
+      // scanpy's companion columns, off the same tie table: group/rest
+      // dense means (implicit zeros contribute nothing to the sums) and
+      // fraction-expressing counts (stored nonzero cells)
+      sum(col("v") * col("_cntA")).as("_sumA"),
+      sum(col("v") * col("_cnt")).as("_sumT"),
+      sum(when(col("v") =!= 0.0, col("_cntA")).otherwise(0L)).as("_nzA"),
+      sum(when(col("v") =!= 0.0, col("_cnt")).otherwise(0L)).as("_nz"))
+    val zb = (lit(n) - col("_m") + col("_zs")).cast(dec)
+    val muA = col("_sumA") / lit(na.toDouble)
+    val muR = (col("_sumT") - col("_sumA")) / lit((n - na).toDouble)
     perCol.select(col("j"),
         (col("_r2aStored") +
           (lit(na) - col("_ma")) * (lit(2L) * col("_neg") +
             (lit(n) - col("_m") + col("_zs")) + lit(1L))).as("_r2a"),
-        (col("_t3nz") +
-          ((lit(n) - col("_m") + col("_zs")) * (lit(n) - col("_m") + col("_zs")) *
-             (lit(n) - col("_m") + col("_zs")) -
-           (lit(n) - col("_m") + col("_zs")))).as("_tsum"))
+        (col("_t3nz") + (zb * zb * zb - zb)).as("_tsum"),
+        col("_sumA"), col("_sumT"), col("_nzA"), col("_nz"))
+      .withColumn("_num",
+        col("_r2a").cast("double") / 2.0 - lit(na.toDouble * (n + 1).toDouble / 2.0))
+      .withColumn("_den",
+        sqrt(lit(na.toDouble * (n - na).toDouble / 12.0) *
+          (lit((n + 1).toDouble) - col("_tsum").cast("double") /
+            lit(n.toDouble * (n - 1).toDouble))))
       .select(col("j"),
-        (round((col("_r2a").cast("double") / 2.0 - lit(na.toDouble * (n + 1).toDouble / 2.0)) /
-          sqrt(lit(na.toDouble * (n - na).toDouble / 12.0) *
-            (lit((n + 1).toDouble) - col("_tsum").cast("double") /
-              lit(n.toDouble * (n - 1).toDouble))), 6) + 0.0).as("z"))
+        // constant column → σ = 0: pin the scipy NaN instead of dividing —
+        // ANSI mode throws DIVIDE_BY_ZERO even for doubles
+        when(col("_den") === 0.0, lit(Double.NaN))
+          .otherwise(round(col("_num") / col("_den"), 6) + 0.0).as("z"),
+        // scanpy logfoldchanges on dense means (1e-9 pseudocount, scanpy's
+        // own guard against empty groups)
+        (round(log2((muA + 1e-9) / (muR + 1e-9)), 6) + 0.0).as("lfc"),
+        (round(col("_nzA").cast("double") / lit(na.toDouble), 6) + 0.0).as("pts"),
+        (round((col("_nz") - col("_nzA")).cast("double") / lit((n - na).toDouble), 6) + 0.0)
+          .as("pts_rest"))
   }
 
   /** scanpy scale: per-column standardization (x−μ_j)/σ_j. Moments come

@@ -453,10 +453,11 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("_starts"))
       .withColumnRenamed("doc_id", "_rid")
     val toks = tokensOf(col(textCol))
-    // the interval test runs only on docs that HAVE removals (the `when`
-    // guards the interpreted lambda off the common no-removal row)
-    val kept = filter(toks, (_, i) =>
-      not(exists(col("_starts"), s => i >= s && i < s + n)))
+    // linear two-pointer coverage walk over the SORTED start list (native
+    // kernel, stays in codegen) — the exists()-in-filter() form it
+    // replaces was O(tokens × removals) interpreted per doc; the `when`
+    // below still guards it off the common no-removal row
+    val kept = graft.functions.SpanStrip.strip(toks, col("_starts"), n)
     docs.join(removals, col(idCol) === col("_rid"), "left")
       .withColumn("_kept", when(col("_starts").isNotNull, kept))
       .select(col(idCol).as("doc_id"),

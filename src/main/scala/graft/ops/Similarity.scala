@@ -544,6 +544,54 @@ object Similarity {
       .select(col("src").as("id1"), col("dst").as("id2"))
   }
 
+  /** Weighted [[mutualEdges]]: keep the forward edge's weight column on
+    * the surviving mutual pairs (cosine is symmetric and both directions
+    * carry the same 4dp-rounded value, so forward's is THE weight). */
+  def mutualEdgesWeighted(edges: DataFrame, wCol: String): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"), col(wCol).as("_w"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id1"), col("dst").as("id2"), col("_w").as("w"))
+  }
+
+  /** Community detection by synchronous weighted label propagation
+    * (Raghavan et al. 2007) over an unordered mutual edge set `(id1, id2,
+    * w: LONG)` — the Leiden-quality upgrade over connected components: a
+    * single bridge edge between two dense communities no longer merges
+    * them, because each node adopts the label carrying the LARGEST total
+    * neighbor weight (tie → smallest label), and one bridge vote loses to
+    * the in-community majority.
+    *
+    * Determinism contract: weights are INTEGERS (callers pass 4dp cosine
+    * × 10⁴), so neighbor-weight sums are exact longs — no float-sum order
+    * sensitivity — and the (Σw desc, label asc) argmax is a total order.
+    * Synchronous rounds with a FIXED count make the output a pure
+    * function of the edge set (matching the DuckDB recursive-CTE oracle
+    * round for round) even on graphs where LPA oscillates.
+    *
+    * Shape per round (a Pregel superstep in DataFrame form): one shuffle
+    * join on dst + a (src, label) partial-combined sum + a src-keyed
+    * min(struct) argmax — both aggregates land on the same src hash
+    * partitioning, no window sort. Edges are corpus·k rows; nothing is
+    * ever corpus²-sized. The `rounds` plans are unrolled into one lazy
+    * lineage (fine at 10); a 1000-executor run at higher round counts
+    * would checkpoint every few supersteps to cap lineage depth. */
+  def labelPropagate(mut: DataFrame, rounds: Int = 10): DataFrame = {
+    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("_lbl")), Seq("dst"))
+        .groupBy(col("src"), col("_lbl")).agg(sum(col("w")).as("_ws"))
+        .groupBy(col("src")).agg(min(struct(-col("_ws"), col("_lbl"))).as("_top"))
+        .select(col("src").as("node"), col("_top._lbl").as("label"))
+    }
+    labels
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to
     * same-bucket (multi-probe Hamming-1 via probe explosion on ONE side so
     * each unordered pair is still generated once per shared probe). */

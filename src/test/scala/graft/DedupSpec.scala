@@ -215,4 +215,27 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0L) == ((text, 0L)))
     assert(r(1L) == (("", 10L)))
   }
+
+  test("SpanStrip kernel equals the exists()-filter form on random span sets") {
+    import org.apache.spark.sql.functions._
+    // property check of the two-pointer walk vs the reference lambda it
+    // replaced, over adversarial shapes: nested, abutting, overlapping,
+    // boundary-clipped, empty, and all-covering start lists
+    val n = 3
+    val rnd = new scala.util.Random(42)
+    val cases = (Seq(Seq.empty[Int], Seq(0), Seq(7), Seq(0, 1, 2, 3, 4, 5, 6, 7)) ++
+      (1 to 20).map(_ => (0 until rnd.nextInt(8)).map(_ => rnd.nextInt(10)).distinct.sorted))
+      .zipWithIndex
+    val df = cases.map { case (starts, id) =>
+      (id.toLong, (0 until 10).map(i => s"t$i").toArray, starts.toArray) }
+      .toDF("id", "toks", "starts")
+    val got = df.select(col("id"),
+        graft.functions.SpanStrip.strip(col("toks"), col("starts"), n).as("kept"),
+        filter(col("toks"), (_, i) =>
+          not(exists(col("starts"), s => i >= s && i < s + n))).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getLong(0)}")
+    }
+  }
 }

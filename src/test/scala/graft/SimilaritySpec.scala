@@ -302,4 +302,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L).forall(id => q((id, 1L)) == 0L)) // constant dim
     assert(q((0L, 2L)) < q((1L, 2L)) && q((1L, 2L)) < q((2L, 2L))) // monotone
   }
+
+  test("label propagation splits bridged communities that CC merges (modularity up)") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {3,4,5} joined by one weak bridge 2–3:
+    // connected components can only report ONE cluster; weighted LPA must
+    // keep the triangles apart (the in-community majority outvotes the
+    // single bridge edge) — the scanpy-leiden quality property
+    val mut = Seq((0L, 1L, 10L), (0L, 2L, 10L), (1L, 2L, 10L),
+      (3L, 4L, 10L), (3L, 5L, 10L), (4L, 5L, 10L), (2L, 3L, 1L))
+      .toDF("id1", "id2", "w")
+    val lpa = Similarity.labelPropagate(mut, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Set(lpa(0L), lpa(1L), lpa(2L)).size == 1)
+    assert(Set(lpa(3L), lpa(4L), lpa(5L)).size == 1)
+    assert(lpa(0L) != lpa(3L), "bridge edge must not merge the triangles")
+
+    val cc = graft.ops.Dedup.connectedComponents(mut.select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size == 1) // CC merges everything — the gap
+
+    // weighted modularity Q = Σ_c (in_c/m − (tot_c/2m)²) over undirected
+    // weight m = Σw; LPA's 2-community labeling must strictly beat CC's
+    def modularity(lab: Map[Long, Long]): Double = {
+      val es = mut.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+      val m = es.map(_._3).sum
+      val deg = es.flatMap { case (a, b, w) => Seq(a -> w, b -> w) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      lab.values.toSet.toSeq.map { (c: Long) =>
+        val inC = es.filter { case (a, b, _) => lab(a) == c && lab(b) == c }.map(_._3).sum
+        val totC = deg.filter { case (k, _) => lab(k) == c }.values.sum
+        inC / m - math.pow(totC / (2 * m), 2)
+      }.sum
+    }
+    assert(modularity(lpa) > modularity(cc) + 0.2,
+      s"Q(lpa)=${modularity(lpa)} vs Q(cc)=${modularity(cc)}")
+  }
 }

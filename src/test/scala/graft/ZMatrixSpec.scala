@@ -535,4 +535,88 @@ class ZMatrixSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(he == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
+
+  // rank_genes_groups fixture: 6 rows × 3 cols, group A = rows 0-2.
+  // Column 0 mixes ties and zeros, column 1 is one big tie block (five 5s
+  // + a zero), column 2 is CONSTANT (σ = 0 → z NaN, the scipy behavior).
+  // Expected values derived from a numpy dense Mann–Whitney with tie
+  // correction (average ranks, tsum = Σ cnt³−cnt), scanpy's z formula.
+  val rgDense: Array[Array[Double]] = Array(
+    Array(1.0, 5.0, 2.0),
+    Array(0.0, 5.0, 2.0),
+    Array(3.0, 5.0, 2.0),
+    Array(0.0, 5.0, 2.0),
+    Array(2.0, 5.0, 2.0),
+    Array(0.0, 0.0, 2.0))
+
+  def rgGroups = {
+    import spark.implicits._
+    (0L to 5L).map(i => (i, i < 3)).toDF("i", "in_a")
+  }
+
+  test("rankGenesWilcoxon matches dense Mann–Whitney fixture (ties + zeros + lfc/pts)") {
+    val got = ZMatrix.fromDense(spark, rgDense).rankGenesWilcoxon(rgGroups)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((0.695608, 1.0, 0.666667, 0.333333)))
+    assert(got(1L) == ((1.0, 0.584963, 1.0, 0.666667)))
+    // constant column: z = NaN (zero variance), lfc = 0, all rows express
+    val (z2, lfc2, pts2, ptsr2) = got(2L)
+    assert(z2.isNaN && lfc2 == 0.0 && pts2 == 1.0 && ptsr2 == 1.0)
+  }
+
+  test("rankGenesWilcoxon: implicit zeros equal explicit stored zeros") {
+    // the dense-adjustment algebra (zero tie block from n − m + zs) must
+    // give the SAME answer whether zeros are stored cells or index gaps
+    val stored = ZMatrix.fromDense(spark, rgDense)
+    val sparse = ZMatrix(stored.cells.filter(col("v") =!= 0.0))
+    val a = stored.rankGenesWilcoxon(rgGroups).collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toString, r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val b = sparse.rankGenesWilcoxon(rgGroups).collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toString, r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(a == b)
+  }
+
+  test("groupRowsBy: dense means count implicit zeros via the labels height") {
+    import spark.implicits._
+    // rows 0,2 → g=x; rows 1,3 → g=y; column 0 stores only (0,0)=4.0 for x
+    val mm = ZMatrix(Seq((0L, 0L, 4.0), (1L, 0L, 6.0), (3L, 1L, 8.0))
+      .toDF("i", "j", "v"))
+    val labels = Seq((0L, "x"), (1L, "y"), (2L, "x"), (3L, "y")).toDF("i", "g")
+    val got = mm.groupRowsBy(labels).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // x group has 2 rows; only one stores col 0 → dense mean 4/2, not 4/1
+    assert(got(("x", 0L)) == ((4.0, 2L, 2.0)))
+    assert(got(("y", 0L)) == ((6.0, 2L, 3.0)))
+    assert(got(("y", 1L)) == ((8.0, 2L, 4.0)))
+    // (x, 1) has no stored cells → absent (sum would be 0): sparse output
+    assert(!got.contains(("x", 1L)))
+  }
+
+  test("corrCols matches local Pearson incl. a disjoint-support pair") {
+    // cols 0 and 2 NEVER co-occur on a row (the X5 bug class): the cross
+    // moment is 0, but the pair row must still appear with the dense corr
+    val dense = Array(
+      Array(1.0, 2.0, 0.0),
+      Array(3.0, 1.0, 0.0),
+      Array(0.0, 4.0, 5.0),
+      Array(0.0, 3.0, 7.0))
+    val sparse = ZMatrix(ZMatrix.fromDense(spark, dense).cells.filter(col("v") =!= 0.0))
+    val got = sparse.corrCols(nrows = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def localCorr(a: Int, b: Int): Double = {
+      val n = dense.length
+      val (xs, ys) = (dense.map(_(a)), dense.map(_(b)))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      val r = (sxy - sx * sy / n) /
+        (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    for (((a, b), v) <- got)
+      assert(math.abs(v - localCorr(a.toInt, b.toInt)) < 1e-9, s"pair ($a,$b)")
+  }
 }
