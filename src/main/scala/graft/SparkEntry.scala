@@ -376,6 +376,12 @@ object SparkEntry {
           (col("o_orderpriority") === "1-URGENT").as("in_a"))
       mat(s, d).rankGenesWilcoxon(groups)
     }),
+    // the scanpy DEFAULT form: every priority label vs rest in one pass
+    "arr_rank_genes_groups" -> ((s, d) => {
+      val labels = Tables.orders(s, d)
+        .select(col("o_orderkey").as("i"), col("o_orderpriority").as("g"))
+      mat(s, d).rankGenesGroups(labels)
+    }),
     "q22_sql_surface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
@@ -699,6 +705,21 @@ object SparkEntry {
       Dedup.connectedComponents(Similarity.mutualEdges(edges))
         .select(col("doc_id").cast("long").as("node"),
           col("component").cast("long").as("cluster"))
+    }),
+    // full-corpus clustering scale path (the L6c/L7e shard/full pattern):
+    // IVF-bucketed kNN edges over EVERY vector → mutual restriction →
+    // label propagation. No oracle (IVF training isn't SQL) — determinism
+    // and labeling invariants are scalatest-asserted; the oracle-checked
+    // twin is graph_labelprop on the exact-kNN shard.
+    "graph_labelprop_full" -> ((s, d) => {
+      val dir = Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id",
+          "embedding", ivfModel(s, d, 16), k = 5)
+        .select(col("src"), col("dst"),
+          round(col("cos") * 10000).cast("long").as("w"))
+      Similarity.labelPropagate(
+          Similarity.mutualEdgesWeighted(dir, "w"), rounds = 10)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
     }),
     // Leiden-quality clustering (the r10 verdict gap): same mutual-kNN
     // edge set as graph_clusters, but labels from 10 synchronous rounds
@@ -1622,6 +1643,36 @@ object SparkEntry {
         |  round(CAST(mn.nzA AS DOUBLE) / p.na, 6) + 0 AS pts,
         |  round(CAST(mn.nz - mn.nzA AS DOUBLE) / (p.n - p.na), 6) + 0 AS pts_rest
         |FROM r2 JOIN tie USING (j) JOIN mn USING (j) CROSS JOIN p""".stripMargin,
+    "arr_rank_genes_groups" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |rws AS (SELECT CAST(o_orderkey AS BIGINT) AS i, o_orderpriority AS g FROM orders),
+        |cols AS (SELECT DISTINCT j FROM m),
+        |dense AS (SELECT r.i, c.j, r.g, coalesce(m.v, 0) AS v
+        |          FROM rws r CROSS JOIN cols c
+        |          LEFT JOIN m ON m.i = r.i AND m.j = c.j),
+        |rk AS (SELECT j, g,
+        |         rank() OVER (PARTITION BY j ORDER BY v) AS rmin,
+        |         count(*) OVER (PARTITION BY j, v) AS cnt FROM dense),
+        |r2 AS (SELECT j, g, sum(2 * rmin + cnt - 1) AS r2a FROM rk GROUP BY 1, 2),
+        |tie AS (SELECT j, sum(cnt * cnt * cnt - cnt) AS tsum
+        |        FROM (SELECT j, v, count(*) AS cnt FROM dense GROUP BY 1, 2) GROUP BY 1),
+        |tot AS (SELECT j, sum(v) AS sumT, count(*) FILTER (WHERE v <> 0) AS nz
+        |        FROM dense GROUP BY 1),
+        |mn AS (SELECT j, g, sum(v) AS sumG, count(*) FILTER (WHERE v <> 0) AS nzG
+        |       FROM dense GROUP BY 1, 2),
+        |p AS (SELECT count(*) AS n FROM rws),
+        |pg AS (SELECT g, count(*) AS ng FROM rws GROUP BY 1)
+        |SELECT r2.g, r2.j,
+        |  round((CAST(r2.r2a AS DOUBLE) / 2.0 - CAST(pg.ng AS DOUBLE) * (p.n + 1) / 2.0) /
+        |    sqrt(CAST(pg.ng AS DOUBLE) * (p.n - pg.ng) / 12.0 *
+        |      ((p.n + 1) - CAST(tie.tsum AS DOUBLE) / (CAST(p.n AS DOUBLE) * (p.n - 1)))), 6) + 0 AS z,
+        |  round(log2((CAST(mn.sumG AS DOUBLE) / pg.ng + 1e-9) /
+        |    (CAST(tot.sumT - mn.sumG AS DOUBLE) / (p.n - pg.ng) + 1e-9)), 6) + 0 AS lfc,
+        |  round(CAST(mn.nzG AS DOUBLE) / pg.ng, 6) + 0 AS pts,
+        |  round(CAST(tot.nz - mn.nzG AS DOUBLE) / (p.n - pg.ng), 6) + 0 AS pts_rest
+        |FROM r2 JOIN tie USING (j) JOIN tot USING (j) JOIN mn USING (j, g)
+        |JOIN pg USING (g) CROSS JOIN p""".stripMargin,
     "q22_sql_surface" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,

@@ -160,4 +160,22 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans(plan) == 0, s"lineage re-evaluation reappeared in:\n$plan")
     assert(plan.contains("ExistingRDD"), s"checkpoint missing from:\n$plan")
   }
+
+  test("arr_corr_cols: all three consumers ride ONE cell materialization") {
+    // marginals + both self-join sides read the localCheckpoint — a
+    // parquet scan means a consumer fell back to replaying the lineitem
+    // aggregation lineage (the 10.5→5.6 s sf1 regression shape)
+    val plan = executedPlan("arr_corr_cols")
+    assert(parquetScans(plan) == 0, s"lineage re-evaluation reappeared in:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"checkpoint missing from:\n$plan")
+  }
+
+  test("text_dupspan_strip: SpanStrip kernel in-plan, no interpreted lambda") {
+    // the two-pointer kernel must appear in the executed plan instead of
+    // the O(tokens × removals) exists()-inside-filter() lambda pair
+    val plan = executedPlan("text_dupspan_strip")
+    assert(plan.contains("spanstrip") || plan.contains("SpanStrip"),
+      s"SpanStrip kernel missing from:\n$plan")
+    assert(!plan.contains("ArrayExists"), s"interpreted exists() lambda back in:\n$plan")
+  }
 }

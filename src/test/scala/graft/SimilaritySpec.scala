@@ -339,4 +339,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(modularity(lpa) > modularity(cc) + 0.2,
       s"Q(lpa)=${modularity(lpa)} vs Q(cc)=${modularity(cc)}")
   }
+
+  test("graph_labelprop_full: deterministic, one label per node, labels are node ids") {
+    // the rows-only full-corpus clustering path (IVF edges aren't SQL):
+    // pin the invariants the oracle can't — bit-stable across runs,
+    // every edge-bearing node labeled exactly once, labels drawn from
+    // the node-id space (a propagation artifact would break this)
+    def run() = SparkEntry.queries("graph_labelprop_full")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "label propagation must be deterministic across runs")
+    val nodes = a.map(_._1)
+    assert(nodes.distinct.size == nodes.size, "one label per node")
+    assert(a.nonEmpty)
+    val nodeSet = nodes.toSet
+    assert(a.forall { case (_, lbl) => nodeSet.contains(lbl) },
+      "labels must be ids of nodes in the graph")
+  }
 }

@@ -577,6 +577,33 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rankGenesGroups: two-label case equals the one-group form and its negation") {
+    import spark.implicits._
+    // rows 0-2 labeled "A", rows 3-5 "B": group A's test IS the in_a form;
+    // group B vs rest is the same two-sample test flipped, so z_B = −z_A
+    // while lfc/pts swap roles — all checkable against rankGenesWilcoxon
+    val labels = (0L to 5L).map(i => (i, if (i < 3) "A" else "B")).toDF("i", "g")
+    val m = ZMatrix.fromDense(spark, rgDense)
+    val all = m.rankGenesGroups(labels).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(all.size == 6) // 2 groups × 3 columns, incl. the constant column
+    val one = m.rankGenesWilcoxon(rgGroups).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def eqNaN(a: (Double, Double, Double, Double), b: (Double, Double, Double, Double)) =
+      a.productIterator.zip(b.productIterator).forall { case (x: Double, y: Double) =>
+        x == y || (x.isNaN && y.isNaN) }
+    for (j <- 0L to 2L) {
+      val (za, lfca, ptsa, ptsra) = one(j)
+      assert(eqNaN(all(("A", j)), (za, lfca, ptsa, ptsra)), s"group A col $j")
+      val (zb, lfcb, ptsb, ptsrb) = all(("B", j))
+      if (za.isNaN) assert(zb.isNaN) else assert(zb == -za || (za == 0.0 && zb == 0.0), s"col $j: $zb vs -$za")
+      assert(lfcb == -lfca || (lfca == 0.0 && lfcb == 0.0), s"col $j lfc")
+      assert(ptsb == ptsra && ptsrb == ptsa, s"col $j pts swap")
+    }
+  }
+
   test("groupRowsBy: dense means count implicit zeros via the labels height") {
     import spark.implicits._
     // rows 0,2 → g=x; rows 1,3 → g=y; column 0 stores only (0,0)=4.0 for x
