@@ -706,6 +706,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("node"),
           col("component").cast("long").as("cluster"))
     }),
+    // clustering QUALITY metric: weighted modularity of the label-prop
+    // labeling on the shard graph — one exact-integer fraction, so the
+    // whole edges→labels→Q chain is oracle-checked end-to-end
+    "graph_modularity" -> ((s, d) => {
+      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
+      val dir = Similarity.batchTopK(shard, "vec_id", "embedding",
+        graphBatch(s, d), 3, excludeSelf = true)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          round(col("cos") * 10000).cast("long").as("w"))
+      val mut = Similarity.mutualEdgesWeighted(dir, "w")
+      Similarity.modularity(mut, Similarity.labelPropagate(mut, rounds = 10))
+    }),
     // full-corpus clustering scale path (the L6c/L7e shard/full pattern):
     // IVF-bucketed kNN edges over EVERY vector → mutual restriction →
     // label propagation. No oracle (IVF training isn't SQL) — determinism
@@ -1789,6 +1801,48 @@ object SparkEntry {
         |    WHERE l.it < 10
         |    GROUP BY e.src, l.label, l.it) WHERE rk = 1)
         |SELECT node, label AS cluster FROM lp WHERE it = 10""".stripMargin,
+    "graph_modularity" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
+        | WHERE a.vec_id <> b.vec_id
+        | GROUP BY a.vec_id, b.vec_id),
+        |knn AS (SELECT src, dst, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        |  FROM scored) WHERE rk <= 3),
+        |mut AS (SELECT a.src AS id1, a.dst AS id2,
+        |          CAST(round(a.cos * 10000) AS BIGINT) AS w
+        |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        |        WHERE a.src < a.dst),
+        |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
+        |          UNION ALL SELECT id2, id1, w FROM mut),
+        |lp(node, label, it) AS (
+        |  SELECT DISTINCT src, src, 0 FROM edges
+        |  UNION ALL
+        |  SELECT src AS node, label, it + 1 FROM (
+        |    SELECT e.src, l.label, l.it,
+        |      row_number() OVER (PARTITION BY e.src, l.it
+        |        ORDER BY sum(e.w) DESC, l.label) AS rk
+        |    FROM lp l JOIN edges e ON e.dst = l.node
+        |    WHERE l.it < 10
+        |    GROUP BY e.src, l.label, l.it) WHERE rk = 1),
+        |lab AS (SELECT node, label FROM lp WHERE it = 10),
+        |inw AS (SELECT coalesce(sum(mut.w), 0) AS inw FROM mut
+        |        JOIN lab a ON a.node = mut.id1 JOIN lab b ON b.node = mut.id2
+        |        WHERE a.label = b.label),
+        |deg AS (SELECT node, sum(w) AS d FROM (
+        |          SELECT id1 AS node, w FROM mut
+        |          UNION ALL SELECT id2, w FROM mut) GROUP BY 1),
+        |tot AS (SELECT a.label, sum(d.d) AS t FROM deg d JOIN lab a USING (node) GROUP BY 1),
+        |t2 AS (SELECT sum(t * t) AS t2 FROM tot),
+        |mm AS (SELECT sum(w) AS m FROM mut)
+        |SELECT round(CAST(4 * mm.m * inw.inw - t2.t2 AS DOUBLE) /
+        |             CAST(4 * mm.m * mm.m AS DOUBLE), 6) + 0 AS q_mod
+        |FROM inw CROSS JOIN t2 CROSS JOIN mm""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

@@ -580,16 +580,56 @@ object Similarity {
   def labelPropagate(mut: DataFrame, rounds: Int = 10): DataFrame = {
     val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+      // both the node seed and every superstep join read the edge set —
+      // materialize it once instead of replaying its upstream lineage
+      // (kNN scoring or an IVF pipeline) 2·rounds+1 times
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       labels = edges
         .join(labels.select(col("node").as("dst"), col("label").as("_lbl")), Seq("dst"))
         .groupBy(col("src"), col("_lbl")).agg(sum(col("w")).as("_ws"))
         .groupBy(col("src")).agg(min(struct(-col("_ws"), col("_lbl"))).as("_top"))
         .select(col("src").as("node"), col("_top._lbl").as("label"))
+      // bound lineage depth: without a periodic cut, Catalyst re-analyzes
+      // a plan that doubles in operator count every few supersteps, and
+      // at cluster scale a lost executor would recompute the whole chain.
+      // The label frame is (node, label) — the cheapest thing to pin.
+      if (r % 5 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** Weighted modularity Q of a labeling over an unordered edge set
+    * `(id1, id2, w: LONG)` — the quality number that separates a real
+    * community structure from a connected-components blob. Computed as
+    * ONE exact integer fraction, Q = (4m·Σin_c − Σtot_c²) / 4m², in
+    * decimal(38,0) (tot_c² reaches ~1e28 at a 10¹⁴ total weight — far
+    * past Long) with a single double division at the end, so the result
+    * is bit-deterministic and matches the DuckDB hugeint oracle exactly.
+    * Shape: two label joins on the edge set + one degree aggregate —
+    * graph-sized, one output row `(q_mod)`. */
+  def modularity(mut: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab1 = labels.select(col("node").as("id1"), col("label").as("_c1"))
+    val lab2 = labels.select(col("node").as("id2"), col("label").as("_c2"))
+    val inSum = mut.join(lab1, Seq("id1")).join(lab2, Seq("id2"))
+      .filter(col("_c1") === col("_c2"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("_in"))
+    val deg = mut.select(col("id1").as("node"), col("w"))
+      .unionByName(mut.select(col("id2").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("_d"))
+    val totSq = deg.join(labels, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("_d")).as("_t"))
+      .agg(sum(col("_t").cast(dec) * col("_t").cast(dec)).as("_t2"))
+    val mTot = mut.agg(sum(col("w")).as("_m"))
+    inSum.crossJoin(totSq).crossJoin(mTot)
+      .select((round(
+        (lit(4).cast(dec) * col("_m").cast(dec) * col("_in").cast(dec) - col("_t2"))
+          .cast("double") /
+        (lit(4).cast(dec) * col("_m").cast(dec) * col("_m").cast(dec)).cast("double"),
+        6) + 0.0).as("q_mod"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ minCos, candidates bounded to

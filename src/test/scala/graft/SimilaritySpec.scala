@@ -338,6 +338,14 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(modularity(lpa) > modularity(cc) + 0.2,
       s"Q(lpa)=${modularity(lpa)} vs Q(cc)=${modularity(cc)}")
+
+    // the distributed exact-integer modularity must match the local
+    // double-arithmetic formula on both labelings
+    for (lab <- Seq(lpa, cc)) {
+      val labDf = lab.toSeq.toDF("node", "label")
+      val qSpark = Similarity.modularity(mut, labDf).head().getDouble(0)
+      assert(math.abs(qSpark - modularity(lab)) < 1e-6, s"Q=$qSpark for $lab")
+    }
   }
 
   test("graph_labelprop_full: deterministic, one label per node, labels are node ids") {
