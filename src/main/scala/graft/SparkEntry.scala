@@ -147,6 +147,17 @@ object SparkEntry {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** The ONE weighted shard kNN edge construction behind graph_clusters /
+    * graph_labelprop / graph_modularity (k=3, integer 4dp-cos×10⁴
+    * weights): a parameter change here must stay in lockstep with the
+    * shared SQL prefix [[graphEdgesSqlPrefix]] both oracles interpolate. */
+  private def shardKnnEdges(s: SparkSession, d: String) =
+    Similarity.batchTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") < 64),
+        "vec_id", "embedding", graphBatch(s, d), 3, excludeSelf = true)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        round(col("cos") * 10000).cast("long").as("w"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -698,11 +709,7 @@ object SparkEntry {
     // chain — scoring, ranking, symmetrization, components — is
     // oracle-checked end-to-end.
     "graph_clusters" -> ((s, d) => {
-      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
-      val edges = Similarity.batchTopK(shard, "vec_id", "embedding",
-        graphBatch(s, d), 3, excludeSelf = true)
-        .select(col("query_id").as("src"), col("vec_id").as("dst"))
-      Dedup.connectedComponents(Similarity.mutualEdges(edges))
+      Dedup.connectedComponents(Similarity.mutualEdges(shardKnnEdges(s, d)))
         .select(col("doc_id").cast("long").as("node"),
           col("component").cast("long").as("cluster"))
     }),
@@ -710,12 +717,11 @@ object SparkEntry {
     // labeling on the shard graph — one exact-integer fraction, so the
     // whole edges→labels→Q chain is oracle-checked end-to-end
     "graph_modularity" -> ((s, d) => {
-      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
-      val dir = Similarity.batchTopK(shard, "vec_id", "embedding",
-        graphBatch(s, d), 3, excludeSelf = true)
-        .select(col("query_id").as("src"), col("vec_id").as("dst"),
-          round(col("cos") * 10000).cast("long").as("w"))
-      val mut = Similarity.mutualEdgesWeighted(dir, "w")
+      // checkpoint the mutual edge set: labelPropagate + the three
+      // modularity aggregates would otherwise each replay the kNN
+      // scoring lineage (the corrCols multi-consumer pattern)
+      val mut = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+        .localCheckpoint()
       Similarity.modularity(mut, Similarity.labelPropagate(mut, rounds = 10))
     }),
     // full-corpus clustering scale path (the L6c/L7e shard/full pattern):
@@ -741,13 +747,8 @@ object SparkEntry {
     // exact, so the fixed-round result is deterministic and the whole
     // chain is oracle-checked against a DuckDB recursive CTE.
     "graph_labelprop" -> ((s, d) => {
-      val shard = Tables.embeddings(s, d).filter(col("vec_id") < 64)
-      val dir = Similarity.batchTopK(shard, "vec_id", "embedding",
-        graphBatch(s, d), 3, excludeSelf = true)
-        .select(col("query_id").as("src"), col("vec_id").as("dst"),
-          round(col("cos") * 10000).cast("long").as("w"))
       Similarity.labelPropagate(
-          Similarity.mutualEdgesWeighted(dir, "w"), rounds = 10)
+          Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), rounds = 10)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
@@ -1001,6 +1002,43 @@ object SparkEntry {
        |  FROM b a JOIN b c ON a.doc_id < c.doc_id
        |   AND bit_count(xor(a.bucket::BIGINT, c.bucket::BIGINT)) <= 1)
        |SELECT id1, id2, round(cos, 4) AS cos FROM p WHERE cos >= 0.3""".stripMargin
+
+  /** Shared oracle prefix for the three shard-graph queries — the SQL
+    * twin of [[shardKnnEdges]] (+ mutual restriction): 64-node shard,
+    * k=3, integer 4dp-cos×10⁴ weights. One definition so a parameter
+    * change can't silently diverge between the Scala and SQL sides. */
+  private val graphEdgesSqlPrefix: String =
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+      |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
+      |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+      | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
+      | WHERE a.vec_id <> b.vec_id
+      | GROUP BY a.vec_id, b.vec_id),
+      |knn AS (SELECT src, dst, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |  FROM scored) WHERE rk <= 3),
+      |mut AS (SELECT a.src AS id1, a.dst AS id2,
+      |          CAST(round(a.cos * 10000) AS BIGINT) AS w
+      |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+      |        WHERE a.src < a.dst),
+      |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
+      |          UNION ALL SELECT id2, id1, w FROM mut)""".stripMargin
+
+  /** [[graphEdgesSqlPrefix]] + the 10-round label-propagation CTE. */
+  private val graphLpaSqlPrefix: String = graphEdgesSqlPrefix + ",\n" +
+    """lp(node, label, it) AS (
+      |  SELECT DISTINCT src, src, 0 FROM edges
+      |  UNION ALL
+      |  SELECT src AS node, label, it + 1 FROM (
+      |    SELECT e.src, l.label, l.it,
+      |      row_number() OVER (PARTITION BY e.src, l.it
+      |        ORDER BY sum(e.w) DESC, l.label) AS rk
+      |    FROM lp l JOIN edges e ON e.dst = l.node
+      |    WHERE l.it < 10
+      |    GROUP BY e.src, l.label, l.it) WHERE rk = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" ->
@@ -1748,89 +1786,16 @@ object SparkEntry {
         |SELECT src, dst, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
-    "graph_clusters" ->
-      """WITH RECURSIVE
-        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
-        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
-        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
-        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
-        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
-        | WHERE a.vec_id <> b.vec_id
-        | GROUP BY a.vec_id, b.vec_id),
-        |knn AS (SELECT src, dst FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-        |  FROM scored) WHERE rk <= 3),
-        |mut AS (SELECT a.src AS id1, a.dst AS id2 FROM knn a
-        |        JOIN knn b ON a.src = b.dst AND a.dst = b.src
-        |        WHERE a.src < a.dst),
-        |edges AS (SELECT id1 AS src, id2 AS dst FROM mut
-        |          UNION ALL SELECT id2, id1 FROM mut),
-        |reach(id, lab) AS (
+    "graph_clusters" -> (graphEdgesSqlPrefix + ",\n" +
+      """reach(id, lab) AS (
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id AS node, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
-    "graph_labelprop" ->
-      """WITH RECURSIVE
-        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
-        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
-        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
-        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
-        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
-        | WHERE a.vec_id <> b.vec_id
-        | GROUP BY a.vec_id, b.vec_id),
-        |knn AS (SELECT src, dst, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-        |  FROM scored) WHERE rk <= 3),
-        |mut AS (SELECT a.src AS id1, a.dst AS id2,
-        |          CAST(round(a.cos * 10000) AS BIGINT) AS w
-        |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
-        |        WHERE a.src < a.dst),
-        |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
-        |          UNION ALL SELECT id2, id1, w FROM mut),
-        |lp(node, label, it) AS (
-        |  SELECT DISTINCT src, src, 0 FROM edges
-        |  UNION ALL
-        |  SELECT src AS node, label, it + 1 FROM (
-        |    SELECT e.src, l.label, l.it,
-        |      row_number() OVER (PARTITION BY e.src, l.it
-        |        ORDER BY sum(e.w) DESC, l.label) AS rk
-        |    FROM lp l JOIN edges e ON e.dst = l.node
-        |    WHERE l.it < 10
-        |    GROUP BY e.src, l.label, l.it) WHERE rk = 1)
-        |SELECT node, label AS cluster FROM lp WHERE it = 10""".stripMargin,
-    "graph_modularity" ->
-      """WITH RECURSIVE
-        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
-        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE))
-        |    / (sqrt(SUM(CAST(b.embedding[r.i + 1] AS DOUBLE) * CAST(b.embedding[r.i + 1] AS DOUBLE)))
-        |       * sqrt(SUM(CAST(a.embedding[r.i + 1] AS DOUBLE) * CAST(a.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
-        | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
-        | WHERE a.vec_id <> b.vec_id
-        | GROUP BY a.vec_id, b.vec_id),
-        |knn AS (SELECT src, dst, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-        |  FROM scored) WHERE rk <= 3),
-        |mut AS (SELECT a.src AS id1, a.dst AS id2,
-        |          CAST(round(a.cos * 10000) AS BIGINT) AS w
-        |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
-        |        WHERE a.src < a.dst),
-        |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
-        |          UNION ALL SELECT id2, id1, w FROM mut),
-        |lp(node, label, it) AS (
-        |  SELECT DISTINCT src, src, 0 FROM edges
-        |  UNION ALL
-        |  SELECT src AS node, label, it + 1 FROM (
-        |    SELECT e.src, l.label, l.it,
-        |      row_number() OVER (PARTITION BY e.src, l.it
-        |        ORDER BY sum(e.w) DESC, l.label) AS rk
-        |    FROM lp l JOIN edges e ON e.dst = l.node
-        |    WHERE l.it < 10
-        |    GROUP BY e.src, l.label, l.it) WHERE rk = 1),
-        |lab AS (SELECT node, label FROM lp WHERE it = 10),
+        |SELECT id AS node, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin),
+    "graph_labelprop" -> (graphLpaSqlPrefix + "\n" +
+      "SELECT node, label AS cluster FROM lp WHERE it = 10"),
+    "graph_modularity" -> (graphLpaSqlPrefix + ",\n" +
+      """lab AS (SELECT node, label FROM lp WHERE it = 10),
         |inw AS (SELECT coalesce(sum(mut.w), 0) AS inw FROM mut
         |        JOIN lab a ON a.node = mut.id1 JOIN lab b ON b.node = mut.id2
         |        WHERE a.label = b.label),
@@ -1842,7 +1807,7 @@ object SparkEntry {
         |mm AS (SELECT sum(w) AS m FROM mut)
         |SELECT round(CAST(4 * mm.m * inw.inw - t2.t2 AS DOUBLE) /
         |             CAST(4 * mm.m * mm.m AS DOUBLE), 6) + 0 AS q_mod
-        |FROM inw CROSS JOIN t2 CROSS JOIN mm""".stripMargin,
+        |FROM inw CROSS JOIN t2 CROSS JOIN mm""".stripMargin),
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

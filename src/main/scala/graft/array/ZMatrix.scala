@@ -324,108 +324,55 @@ final case class ZMatrix(cells: DataFrame) {
     * row (the obs index — it DEFINES the dense height, the
     * [[groupRowsBy]] contract).
     *
-    * Shape: one i-join of cells×labels, one hash aggregate to the
-    * DISTINCT-(j, value) tie table (≪ cells), a per-column cumulative
-    * window over that tie table (parallelism = ncols, but on tie-table
-    * rows, not cells), and an ncols-row finish. Rank sums accumulate as
-    * LONGS (2·rank is integral even for .5 average ranks) so every
-    * pre-division quantity is exact and order-independent; z is the only
-    * float, computed by the same expression shape as the SQL oracle.
-    * A constant column (one dense tie block) has σ = 0 → z = NaN, the
-    * scipy behavior. Alongside z it emits scanpy's companion columns —
-    * `lfc` (log2 fold-change of dense group means, 1e-9 pseudocount),
-    * `pts` / `pts_rest` (fraction of group rows with a nonzero stored
-    * value) — all from the same tie table, no extra pass over cells. */
+    * A thin wrapper over [[rankGenesGroups]] (A = in_a, B = rest; keep
+    * group A's rows) so the tie/rank machinery lives once — see there for
+    * the plan shape, determinism, and edge rules (constant column → z
+    * NaN; lfc/pts companions). Keeps the one-group proper-subset
+    * `require` for the precise error message. */
   def rankGenesWilcoxon(groups: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = groups.select(col("i"), col("in_a").cast("long").as("_a"))
-    val hdr = g.agg(count(lit(1)).as("n"), sum(col("_a")).as("na")).head()
+    val g = groups.select(col("i"), col("in_a").cast("boolean").as("_a"))
+    val hdr = g.agg(count(lit(1)).as("n"),
+      sum(col("_a").cast("long")).as("na")).head()
     val n = hdr.getLong(0); val na = hdr.getLong(1)
     require(na > 0 && na < n, s"group A must be a proper nonempty subset (na=$na, n=$n)")
-    // tie table: one row per distinct (column, value) among STORED cells
-    val ties = cells.join(g, Seq("i"))
-      .groupBy(col("j"), col("v"))
-      .agg(count(lit(1)).as("_cnt"), sum(col("_a")).as("_cntA"))
-    val w = Window.partitionBy(col("j")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // _mtot (per-column stored-cell total) must be MATERIALIZED as a column
-    // before the groupBy — a window function inside agg() is an
-    // AnalysisException (the r10 bug that left arr_rank_genes with no
-    // correctness row at all).
-    val ranked = ties
-      .withColumn("_sless", coalesce(sum(col("_cnt")).over(w), lit(0L)))
-      .withColumn("_mtot", sum(col("_cnt")).over(Window.partitionBy(col("j"))))
-    // Tie cubes in decimal(38,0): cnt³ overflows Long once a dense column
-    // exceeds ~2.09M rows; decimal sums stay exact AND order-deterministic
-    // (a double sum would be neither once partials pass 2^53).
-    val dec = "decimal(38,0)"
-    // per-column marginals + dense-adjusted rank-sum pieces, all integral
-    val perCol = ranked.groupBy(col("j")).agg(
-      sum(col("_cnt")).as("_m"),
-      sum(when(col("v") === 0.0, col("_cnt")).otherwise(0L)).as("_zs"),
-      sum(when(col("v") < 0.0, col("_cnt")).otherwise(0L)).as("_neg"),
-      sum(col("_cntA")).as("_ma"),
-      sum(when(col("v") =!= 0.0,
-          col("_cnt").cast(dec) * col("_cnt").cast(dec) * col("_cnt").cast(dec) -
-            col("_cnt").cast(dec))
-        .otherwise(lit(0L).cast(dec))).as("_t3nz"),
-      // Σ_stored cntA·(2·dense_less + dense_eq + 1); dense_less adds the
-      // n0 implicit zeros below positives, dense_eq adds them at v = 0
-      sum(col("_cntA") * (lit(2L) * (col("_sless") +
-          when(col("v") > 0.0, lit(n) - col("_mtot")).otherwise(0L)) +
-        col("_cnt") +
-          when(col("v") === 0.0, lit(n) - col("_mtot")).otherwise(0L) +
-        lit(1L))).as("_r2aStored"),
-      // scanpy's companion columns, off the same tie table: group/rest
-      // dense means (implicit zeros contribute nothing to the sums) and
-      // fraction-expressing counts (stored nonzero cells)
-      sum(col("v") * col("_cntA")).as("_sumA"),
-      sum(col("v") * col("_cnt")).as("_sumT"),
-      sum(when(col("v") =!= 0.0, col("_cntA")).otherwise(0L)).as("_nzA"),
-      sum(when(col("v") =!= 0.0, col("_cnt")).otherwise(0L)).as("_nz"))
-    val zb = (lit(n) - col("_m") + col("_zs")).cast(dec)
-    val muA = col("_sumA") / lit(na.toDouble)
-    val muR = (col("_sumT") - col("_sumA")) / lit((n - na).toDouble)
-    perCol.select(col("j"),
-        (col("_r2aStored") +
-          (lit(na) - col("_ma")) * (lit(2L) * col("_neg") +
-            (lit(n) - col("_m") + col("_zs")) + lit(1L))).as("_r2a"),
-        (col("_t3nz") + (zb * zb * zb - zb)).as("_tsum"),
-        col("_sumA"), col("_sumT"), col("_nzA"), col("_nz"))
-      .withColumn("_num",
-        col("_r2a").cast("double") / 2.0 - lit(na.toDouble * (n + 1).toDouble / 2.0))
-      .withColumn("_den",
-        sqrt(lit(na.toDouble * (n - na).toDouble / 12.0) *
-          (lit((n + 1).toDouble) - col("_tsum").cast("double") /
-            lit(n.toDouble * (n - 1).toDouble))))
-      .select(col("j"),
-        // constant column → σ = 0: pin the scipy NaN instead of dividing —
-        // ANSI mode throws DIVIDE_BY_ZERO even for doubles
-        when(col("_den") === 0.0, lit(Double.NaN))
-          .otherwise(round(col("_num") / col("_den"), 6) + 0.0).as("z"),
-        // scanpy logfoldchanges on dense means (1e-9 pseudocount, scanpy's
-        // own guard against empty groups)
-        (round(log2((muA + 1e-9) / (muR + 1e-9)), 6) + 0.0).as("lfc"),
-        (round(col("_nzA").cast("double") / lit(na.toDouble), 6) + 0.0).as("pts"),
-        (round((col("_nz") - col("_nzA")).cast("double") / lit((n - na).toDouble), 6) + 0.0)
-          .as("pts_rest"))
+    // thin wrapper over the all-groups form (A = in_a, B = rest), keeping
+    // only group A's row per column — the two-label equality is pinned in
+    // ZMatrixSpec, so the tie/rank machinery lives in ONE place
+    rankGenesGroups(g.select(col("i"),
+        when(col("_a"), lit("A")).otherwise(lit("B")).as("g")))
+      .filter(col("g") === "A")
+      .select(col("j"), col("z"), col("lfc"), col("pts"), col("pts_rest"))
   }
 
   /** scanpy `rank_genes_groups` over ALL groups (the scanpy default:
-    * every label vs rest), generalizing [[rankGenesWilcoxon]]: one
+    * every label vs rest; [[rankGenesWilcoxon]] is its two-label special
+    * case): per-column dense Mann–Whitney z with tie correction —
+    * implicit zeros enter as one tie block via `n − m_j + zs_j`, so
+    * results match scipy on the densified matrix without densifying. One
     * (j, v, g) stored-cell count table feeds BOTH the shared per-column
-    * tie/rank machinery (its (j, v) roll-up) and the per-(column, group)
-    * rank-sum pieces — each row belongs to exactly one group, so group
-    * rank sums need no per-group pass over the cells. A (ncols × groups)
-    * frame (broadcast-scale) left-joins the per-group pieces so a group
-    * with NO stored cells in a column still gets its dense z (all-zeros
-    * member). Output `(g, j, z, lfc, pts, pts_rest)`, one row per
-    * (group, column), same formulas/edge rules as the one-group form. */
+    * tie/rank machinery (its (j, v) roll-up, a cumulative window over
+    * tie-table rows ≪ cells) and the per-(column, group) rank-sum
+    * pieces — each row belongs to exactly one group, so group rank sums
+    * need no per-group pass over the cells. Rank sums accumulate as
+    * LONGS (2·rank is integral even for .5 average ranks) and tie cubes
+    * as decimal(38,0), so every pre-division quantity is exact and
+    * order-independent; z is the only float. A (ncols × groups) frame
+    * (broadcast-scale) left-joins the per-group pieces so a group with
+    * NO stored cells in a column still gets its dense z (all-zeros
+    * member). Constant column → σ = 0 → z = NaN (scipy); `lfc` = log2
+    * fold-change of dense means (1e-9 pseudocount), `pts`/`pts_rest` =
+    * fraction of group rows with a nonzero stored value. Output
+    * `(g, j, z, lfc, pts, pts_rest)`, one row per (group, column). */
   def rankGenesGroups(labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lab = labels.select(col("i"), col("g"))
     val sizes = lab.groupBy(col("g")).agg(count(lit(1)).as("_ng"))
     val n = lab.count()
+    // a single distinct label makes every group the whole population
+    // (nr = 0 → silent ±Inf/NaN lfc and pts_rest); with 2+ groups every
+    // group is automatically a proper nonempty subset
+    require(sizes.count() >= 2,
+      "rank_genes_groups needs at least 2 distinct labels (one group = no rest to test against)")
     val tg = cells.join(lab, Seq("i"))
       .groupBy(col("j"), col("v"), col("g")).agg(count(lit(1)).as("_cg"))
     val tieTab = tg.groupBy(col("j"), col("v")).agg(sum(col("_cg")).as("_cnt"))
@@ -450,6 +397,10 @@ final case class ZMatrix(cells: DataFrame) {
         sum(col("_cg")).as("_mg"),
         sum(col("v") * col("_cg")).as("_sumG"),
         sum(when(col("v") =!= 0.0, col("_cg")).otherwise(0L)).as("_nzG"),
+        // rank sums stay LONG (unlike the decimal tie cubes): the total is
+        // ≤ 2·n·m_g ≤ 2n², inside Long to n ≈ 2.1e9 rows — beyond any
+        // obs-axis height this serves — and ANSI sum overflow fails loudly
+        // rather than wrapping if that bound is ever crossed
         sum(col("_cg") * (lit(2L) * (col("_sless") +
             when(col("v") > 0.0, lit(n) - col("_mtot")).otherwise(0L)) +
           col("_cnt") +

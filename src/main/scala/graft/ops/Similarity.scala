@@ -536,13 +536,9 @@ object Similarity {
     * corpus·k rows — graph-sized, not corpus²-sized), emitted as
     * unordered (id1 < id2) pairs ready for
     * [[graft.ops.Dedup.connectedComponents]]. */
-  def mutualEdges(edges: DataFrame): DataFrame = {
-    val fwd = edges.select(col("src"), col("dst"))
-    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
-    fwd.join(rev, Seq("src", "dst"))
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("id1"), col("dst").as("id2"))
-  }
+  def mutualEdges(edges: DataFrame): DataFrame =
+    mutualEdgesWeighted(edges.withColumn("_w1", lit(1L)), "_w1")
+      .select(col("id1"), col("id2"))
 
   /** Weighted [[mutualEdges]]: keep the forward edge's weight column on
     * the surviving mutual pairs (cosine is symmetric and both directions
