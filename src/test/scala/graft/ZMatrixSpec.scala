@@ -604,6 +604,66 @@ class ZMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("rankGenesGroups matches a local dense Mann–Whitney on random matrices") {
+    import spark.implicits._
+    // differential fuzz beyond the fixed fixture: random shapes with
+    // ties, zeros, negatives, and unbalanced groups — the local reference
+    // computes dense average ranks directly, no shared algebra
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nR = 6 + rnd.nextInt(5)
+      val dense = Array.fill(nR, 3)(
+        if (rnd.nextBoolean()) 0.0 else (rnd.nextInt(7) - 2).toDouble)
+      val raw = Array.fill(nR)(if (rnd.nextInt(3) == 0) "A" else "B")
+      val labels = if (raw.distinct.length < 2) { raw(0) = "A"; raw(1) = "B"; raw } else raw
+      val labDf = labels.zipWithIndex.toSeq.map { case (g, i) => (i.toLong, g) }.toDF("i", "g")
+      val got = ZMatrix.fromDense(spark, dense).rankGenesGroups(labDf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2),
+            // negatives are in-domain for z but not for lfc (scanpy input
+            // is non-negative expression): log2 of a negative mean ratio
+            // is NULL — surface it as NaN for the comparison below
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)))).toMap
+      val n = nR
+      for (g <- labels.distinct; j <- 0 until 3) {
+        val v = dense.map(_(j))
+        val ing = labels.map(_ == g)
+        val ng = ing.count(identity)
+        // dense average ranks
+        val sorted = v.zipWithIndex.sortBy(_._1)
+        val ranks = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var k = i
+          while (k + 1 < n && sorted(k + 1)._1 == sorted(i)._1) k += 1
+          val avg = (i + 1 + k + 1) / 2.0
+          (i to k).foreach(t => ranks(sorted(t)._2) = avg)
+          i = k + 1
+        }
+        val ra = v.indices.filter(ing(_)).map(ranks(_)).sum
+        val tsum = v.groupBy(identity).values.map(_.length.toDouble)
+          .map(c => c * c * c - c).sum
+        val mu = ng * (n + 1) / 2.0
+        val sig = math.sqrt(ng.toDouble * (n - ng) / 12.0 *
+          ((n + 1) - tsum / (n.toDouble * (n - 1))))
+        val zLoc = if (sig == 0.0) Double.NaN else (ra - mu) / sig
+        val muG = v.indices.filter(ing(_)).map(v(_)).sum / ng
+        val muR = v.indices.filterNot(ing(_)).map(v(_)).sum / (n - ng)
+        val lfcLoc = math.log((muG + 1e-9) / (muR + 1e-9)) / math.log(2)
+        val ptsLoc = v.indices.count(x => ing(x) && v(x) != 0.0).toDouble / ng
+        val ptsrLoc = v.indices.count(x => !ing(x) && v(x) != 0.0).toDouble / (n - ng)
+        val (z, lfc, pts, ptsr) = got((g, j.toLong))
+        if (zLoc.isNaN) assert(z.isNaN, s"trial $trial ($g,$j)")
+        else assert(math.abs(z - zLoc) < 1e-6, s"trial $trial ($g,$j): $z vs $zLoc")
+        if (lfcLoc.isNaN) assert(lfc.isNaN, s"trial $trial ($g,$j) lfc domain")
+        else assert(math.abs(lfc - lfcLoc) < 1e-6, s"trial $trial ($g,$j) lfc")
+        assert(math.abs(pts - ptsLoc) < 1e-6 && math.abs(ptsr - ptsrLoc) < 1e-6,
+          s"trial $trial ($g,$j) pts")
+      }
+    }
+  }
+
   test("groupRowsBy: dense means count implicit zeros via the labels height") {
     import spark.implicits._
     // rows 0,2 → g=x; rows 1,3 → g=y; column 0 stores only (0,0)=4.0 for x
