@@ -393,6 +393,17 @@ object SparkEntry {
         .select(col("o_orderkey").as("i"), col("o_orderpriority").as("g"))
       mat(s, d).rankGenesGroups(labels)
     }),
+    // scanpy regress_out(total_counts): per-column dense OLS residuals
+    // against the row totals, closed form — one co-keyed fact join + a
+    // broadcast-scale fit table (see ZMatrix.regressOut)
+    "arr_regress_out" -> ((s, d) => {
+      val m = mat(s, d)
+      m.regressOut(m.sumAxis1.select(col("i"), col("v").as("x")), matNrows(s, d)).cells
+    }),
+    // scanpy score_genes: gene set {1,3} vs expression-bin-matched
+    // controls (deterministic whole-bin variant, 2 rank bins)
+    "arr_score_genes" -> ((s, d) =>
+      mat(s, d).scoreGenes(Seq(1L, 3L), matNrows(s, d), nBins = 2)),
     "q22_sql_surface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
@@ -420,6 +431,29 @@ object SparkEntry {
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         comp = "blosc")
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // MISSING-CHUNK fill_value semantics: only the rows below a
+    // chunk-aligned cut are written, so every chunk above it has NO file
+    // in the store — the zarr spec says such chunks read as fill_value
+    // (-1 here, distinguishable from data and from written-chunk zeros...
+    // which are ALSO fill in a fresh store: the writer initializes chunk
+    // buffers to fill, so the dense contract is uniform and the oracle
+    // can predict every grid cell). ZarrSpec asserts the files above the
+    // cut genuinely don't exist — this query proves reading them back
+    // dense yields exactly the predicted fill/data split per column.
+    "zarr_fillvalue" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val cut = rows / 2 / 1024 * 1024
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrfill_$sfName"
+      Zarr.write(ZMatrix(m.cells.filter(col("i") < cut)), path, rows, cols,
+        chunkRows = 1024, chunkCols = cols.toInt, fill = -1.0)
+      Zarr.read(s, path).cells.groupBy(col("j")).agg(
+        count(when(col("v") === -1.0, 1)).as("n_fill"),
+        count(when(col("v") =!= -1.0, 1)).as("n_dense"),
+        sum(when(col("v") =!= -1.0, col("v"))).as("sum_v"))
     }),
     // the same cells through a SMALL dtype (f2 half floats — quantities
     // are integers 1..50, exact in a 10-bit mantissa): community stores
@@ -664,6 +698,13 @@ object SparkEntry {
     "emb_neardup_ivf" -> ((s, d) =>
       Similarity.nearDupPairsIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         ivfModel(s, d, 16), minCos = 0.3)),
+    // SemDeDup: cluster-then-prune semantic deduplication — IVF-bucketed
+    // near-dup pairs → connected components → min-id keeper per group.
+    // No oracle (centroid training isn't SQL); planted-duplicate recall,
+    // keeper rules, and determinism are scalatest-asserted (SURVEY §5).
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        ivfModel(s, d, 16), minCos = 0.3)),
 
     // ---- LLM-pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -752,6 +793,12 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // kNN label transfer: queries 0..7 classified by majority label of
+    // their 5 nearest labeled training vectors (vec_id ≥ 8) — one
+    // training-corpus scan for the whole batch, vote fully SQL-checked
+    "ann_classify" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d).filter(col("vec_id") >= 8),
+        "vec_id", "embedding", "label", queryBatch(s, d), 5)),
     // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
     // top-10 over the m-byte codes only (32× compression — THE in-memory
     // serving path at 100 TB). No oracle: k-means training isn't SQL —
@@ -811,6 +858,9 @@ object SparkEntry {
         .select(col("doc_id"), col("group_key"), col("quality"))
     }),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
+    // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
+    // own add-one unigram model (integer-snapped log-probs → exact sums)
+    "text_ppl" -> ((s, d) => TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
 
@@ -1752,6 +1802,87 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    // closed-form OLS twin: identical moment sums (exact integer-valued
+    // doubles) and identical expression order, so b/a/residual are
+    // bit-stable across engines before the 6dp round
+    "arr_regress_out" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |x AS (SELECT i, sum(v) AS x FROM m GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM x),
+        |g AS (SELECT sum(x) AS sx, sum(x * x) AS sxx FROM x),
+        |st AS (SELECT j, sum(m.v) AS sy, sum(x.x * m.v) AS sxy
+        |       FROM m JOIN x USING (i) GROUP BY 1),
+        |fit AS (SELECT j, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b, sy
+        |        FROM st CROSS JOIN g CROSS JOIN nn),
+        |ab AS (SELECT j, b, (sy - b * sx) / n AS a
+        |       FROM fit CROSS JOIN g CROSS JOIN nn)
+        |SELECT m.i, m.j, round(m.v - a - b * x.x, 6) + 0 AS v
+        |FROM m JOIN x USING (i) JOIN ab USING (j)""".stripMargin,
+    // binning twin: ranks over the same 6dp-rounded means, same integer
+    // bin arithmetic, same literal gene set {1,3}
+    "arr_score_genes" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |nn AS (SELECT count(DISTINCT i) AS n FROM m),
+        |mu AS (SELECT j, round(sum(v) / n, 6) + 0 AS mu FROM m CROSS JOIN nn GROUP BY j, n),
+        |rk AS (SELECT j, row_number() OVER (ORDER BY mu, j) - 1 AS rk,
+        |       count(*) OVER () AS ncols FROM mu),
+        |bn AS (SELECT j, (rk * 2) // ncols AS bin FROM rk),
+        |ctl AS (SELECT j FROM bn
+        |        WHERE bin IN (SELECT DISTINCT bin FROM bn WHERE j IN (1, 3))
+        |          AND j NOT IN (1, 3)),
+        |nc AS (SELECT count(*) AS k FROM ctl)
+        |SELECT i, round(coalesce(sum(CASE WHEN j IN (1, 3) THEN v END), 0) / 2 -
+        |  coalesce(sum(CASE WHEN j IN (SELECT j FROM ctl) THEN v END), 0) / k, 6) + 0 AS score
+        |FROM m CROSS JOIN nc GROUP BY i, k""".stripMargin,
+    "ann_classify" ->
+      """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  CAST(any_value(e.label) AS BIGINT) AS label,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        | CROSS JOIN range(64) r(i)
+        | WHERE e.vec_id >= 8
+        | GROUP BY q.vec_id, e.vec_id),
+        |nn AS (SELECT query_id, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 5),
+        |votes AS (SELECT query_id, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+        |  FROM votes) WHERE rk = 1""".stripMargin,
+    // integer-snapped log-probs (round(ln p · 1e6) :: BIGINT) make the
+    // per-doc sum exact in both engines; ln agrees bit-for-bit on this
+    // data (the text_tfidf precedent) and a 1-ulp disagreement would
+    // need the scaled value within 2e-9 of a .5 to flip the snap
+    "text_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |g AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt),
+        |lm AS (SELECT token, CAST(round(ln((c + 1.0) / denom) * 1000000.0) AS BIGINT) AS lnq
+        |       FROM cnt CROSS JOIN g),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, sum(tf) AS n_tok,
+        |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll
+        |FROM tf JOIN lm USING (token) GROUP BY doc_id""".stripMargin,
+    // dense-grid twin: with a fresh store every grid cell is either a
+    // stored value (i < cut) or the fill — written-chunk gaps and absent
+    // chunks alike — so the per-column split is fully predictable
+    "zarr_fillvalue" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |dims AS (SELECT max(i) + 1 AS h FROM m),
+        |cut AS (SELECT h // 2 // 1024 * 1024 AS cut FROM dims),
+        |cols AS (SELECT unnest(range((SELECT max(j) + 1 FROM m))) AS j),
+        |st AS (SELECT j, count(*) AS nd, sum(v) AS sv
+        |       FROM m CROSS JOIN cut WHERE i < cut GROUP BY 1)
+        |SELECT c.j, h - coalesce(nd, 0) AS n_fill, coalesce(nd, 0) AS n_dense,
+        |  sv AS sum_v
+        |FROM cols c LEFT JOIN st USING (j) CROSS JOIN dims""".stripMargin,
     "ann_cosine_topk" ->
       """SELECT e.vec_id,
         | round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))

@@ -565,6 +565,85 @@ final case class ZMatrix(cells: DataFrame) {
   def rechunk(blockRows: Long): ZMatrix =
     ZMatrix(cells.repartition((col("i") / blockRows).cast("long")))
 
+  /** scanpy `sc.pp.regress_out` (single covariate, closed form): replace
+    * each column with the residual of its DENSE per-column OLS fit on a
+    * per-row covariate x — scanpy's canonical use regresses out
+    * `total_counts`, i.e. the row sums. `covariate` is `(i, x)`, one row
+    * per matrix row with a stored cell (rows absent from it contribute
+    * x = 0 exactly as dense zeros would). Closed form:
+    * b_j = (n·Σxv − Σx·Σv_j) / (n·Σx² − (Σx)²), a_j = (Σv_j − b_j·Σx)/n
+    * with n = `nrows` (the dense height — implicit zeros are values, the
+    * [[filterColsTopVar]] contract; a zero cell contributes 0 to every
+    * cross-moment, so all sums collect from stored cells only).
+    *
+    * Residuals are emitted AT THE STORED COORDINATES (the coordinate-form
+    * contract: densifying is a materialization choice — the residual at
+    * an implicit zero is −(a_j + b_j·x_i), derivable from the same
+    * broadcast fit table). A CONSTANT covariate makes the denominator 0
+    * and every residual NaN (0/0 — scipy's behavior for a rank-deficient
+    * single-covariate fit).
+    *
+    * Plan shape: the covariate's two global moments are one tiny agg
+    * collected as literals (parameter-sized, the [[graft.array.Pca]]
+    * model pattern); cells join the covariate co-keyed on i (ONE fact
+    * shuffle, checkpointed for its two consumers); per-column stats are
+    * an ncols-row aggregate that re-joins as a broadcast. All sums are
+    * integer-valued doubles on this data — exact under any partition
+    * order — and the residual rounds to 6dp, so output is deterministic. */
+  def regressOut(covariate: DataFrame, nrows: Long): ZMatrix = {
+    val n = lit(nrows.toDouble)
+    val x = covariate.select(col("i"), col("x").cast("double").as("x"))
+    val g = x.agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx")).head()
+    val sx = lit(g.getDouble(0)); val sxx = lit(g.getDouble(1))
+    // two consumers of the joined frame (per-column stats + residual
+    // output) — checkpoint once, the corrCols multi-consumer pattern
+    val cx = cells.join(x, Seq("i")).localCheckpoint()
+    val fit = cx.groupBy(col("j"))
+      .agg(sum(col("v")).as("_sy"), sum(col("x") * col("v")).as("_sxy"))
+      .select(col("j"),
+        ((n * col("_sxy") - sx * col("_sy")) / (n * sxx - sx * sx)).as("_b"),
+        col("_sy"))
+      .select(col("j"), col("_b"), ((col("_sy") - col("_b") * sx) / n).as("_a"))
+    ZMatrix(cx.join(broadcast(fit), Seq("j"))
+      .select(col("i"), col("j"),
+        (round(col("v") - col("_a") - col("_b") * col("x"), 6) + 0.0).as("v")))
+  }
+
+  /** scanpy `sc.tl.score_genes`, deterministic variant: per-row mean
+    * dense expression over a gene set minus the mean over a CONTROL set
+    * drawn from matched expression bins. Binning follows scanpy: columns
+    * ranked by average expression (6dp-rounded dense mean, ties → smaller
+    * j, so float noise can never flip a bin edge), cut into `nBins` rank
+    * bins — bin(rk) = rk·nBins ÷ ncols; the controls are ALL genes of
+    * every bin containing a set gene, minus the set itself (scanpy
+    * samples `ctrl_size` genes per bin — taking the whole bin is that
+    * sample's deterministic limit). Returns `(i, score)` for every row
+    * with a stored cell; a row with no stored cell in either gene set
+    * scores 0 − 0 (dense semantics, zeros everywhere).
+    *
+    * Plan shape: the column-mean table is ncols rows — collected as a
+    * model parameter (the [[graft.array.Pca]] pattern), binned driver
+    * side; the score is then ONE conditional aggregate over the cells
+    * with both gene lists as literal IN-filters. One scan, one shuffle. */
+  def scoreGenes(geneSet: Seq[Long], nrows: Long, nBins: Int = 4): DataFrame = {
+    val n = lit(nrows.toDouble)
+    val means = cells.groupBy(col("j"))
+      .agg((round(sum(col("v")) / n, 6) + 0.0).as("_mu"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ncols = means.length
+    val bin = means.sortBy { case (j, mu) => (mu, j) }.zipWithIndex
+      .map { case ((j, _), rk) => j -> rk * nBins / ncols }.toMap
+    val setBins = geneSet.map(bin).toSet
+    val ctrl = bin.keys.filter(j => setBins(bin(j)) && !geneSet.contains(j)).toSeq.sorted
+    require(ctrl.nonEmpty,
+      s"control set is empty — the gene-set bins hold no other genes (set=$geneSet)")
+    val inSet = col("j").isin(geneSet: _*)
+    val inCtrl = col("j").isin(ctrl: _*)
+    cells.groupBy(col("i")).agg(
+      (round(coalesce(sum(when(inSet, col("v"))), lit(0.0)) / geneSet.size -
+        coalesce(sum(when(inCtrl, col("v"))), lit(0.0)) / ctrl.size, 6) + 0.0).as("score"))
+  }
+
   /** scanpy normalize_per_cell: each row scaled by its own sum. One shuffle
     * on i shared by the aggregate and the re-join (AQE reuses exchange). */
   def rowNormalize: ZMatrix = {

@@ -150,6 +150,50 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
   }
 
+  /** kNN label transfer (the classic "classify by nearest labeled
+    * examples" serving path): each query vector takes the MAJORITY label
+    * among its k nearest training vectors by cosine, ties → smaller
+    * label. Returns `(query_id, pred_label, votes)`, one row per query.
+    *
+    * Plan shape: neighbor search is [[batchTopK]] — ONE training-corpus
+    * scan for the whole batch, bounded per-partition partial top-k — and
+    * the B·k winner set then re-joins the label table with the TINY side
+    * broadcast, so the corpus is never shuffled; the vote itself is a
+    * B·k-row aggregate + window argmax. At 100 TB the cost is exactly one
+    * labeled-corpus scan per serving batch. */
+  def knnClassify(train: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                  queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val nn = batchTopK(train, idCol, vecCol, queries, k)
+    val votes = train.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"))
+      .join(broadcast(nn.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
+    votes.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by
+    * cluster-then-prune. Embeddings are bucketed by their IVF centroid
+    * assignment, near-duplicate pairs (cos ≥ `minCos`) are generated only
+    * WITHIN buckets (candidate generation is centroid-bounded, never
+    * all-pairs — [[nearDupPairsIvf]], per-list cap included), duplicates
+    * are grouped by connected components, and each group keeps its
+    * smallest id. Returns `(vec_id, keep_id, kept)` for every vector in
+    * a near-dup group (`kept` marks the survivor); vectors with no
+    * semantic duplicate are implicitly all keepers and not listed —
+    * exactly [[graft.ops.Dedup.exact]]'s keeper contract, lifted from
+    * byte equality to embedding-space similarity. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    val pairs = nearDupPairsIvf(emb, idCol, vecCol, centroids, minCos)
+    Dedup.connectedComponents(pairs)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id").as("vec_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   // ---- IVF (inverted-file) ANN ----
 
   import graft.Num.r6

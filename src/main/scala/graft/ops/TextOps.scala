@@ -242,6 +242,39 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** CCNet-style language-model quality signal: per-document mean
+    * negative log-likelihood under an add-one-smoothed UNIGRAM model of
+    * the corpus itself (CCNet buckets documents by KenLM perplexity; the
+    * unigram LM is that filter's simplest self-trained form — boilerplate
+    * and keyword-stuffed pages score low-surprise, gibberish scores
+    * high). Returns `(doc_id, n_tok, nll)` with
+    * nll = −Σ_t ln((c_t+1)/(N+V)) / n_tok.
+    *
+    * Determinism: each token's log-probability is scaled and SNAPPED to
+    * an integer (round(ln p · 10⁶) as a long), so the per-document sum is
+    * exact integer arithmetic — order-free under any partition layout —
+    * and only the final per-document division is float. The model table
+    * (vocab, counts) stays DISTRIBUTED and joins on token: at 100 TB the
+    * vocabulary is itself large, so nothing here assumes it fits anywhere
+    * — Spark broadcasts it only if the optimizer sees it's small. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // N + V (corpus tokens + vocab size): one 2-long aggregate, a model
+    // parameter (the ivfModel pattern), entering the plan as a literal
+    val g = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    val denom = lit((g.getLong(0) + g.getLong(1)).toDouble)
+    val lm = cnt.select(col("token"),
+      round(log((col("c") + 1.0) / denom) * 1e6).cast("long").as("_lnq"))
+    toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .join(lm, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("_lnq")).as("_s"))
+      .select(col("doc_id"), col("n_tok"),
+        (round(-col("_s") / 1e6 / col("n_tok"), 6) + 0.0).as("nll"))
+  }
+
   /** Per-source dataset card (the report a curation pipeline publishes with
     * a training mix): doc/token counts, quality mass, language diversity.
     * Composes [[quality]] and [[langId]] relationally (joins on doc_id) and

@@ -364,4 +364,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.forall { case (_, lbl) => nodeSet.contains(lbl) },
       "labels must be ids of nodes in the graph")
   }
+
+  test("knnClassify takes the majority label of the k nearest") {
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f), 1),
+      (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.8f, 0.2f), 1),
+      (13L, Array(0.95f, 0.05f), 1),
+      (14L, Array(0.0f, 1.0f), 2),
+      (15L, Array(0.1f, 0.9f), 2),
+      (16L, Array(0.2f, 0.8f), 2),
+      (17L, Array(-1.0f, 0.0f), 9)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(train, "vec_id", "embedding", "label",
+      Seq((0L, Array(1.0, 0.0))), 5).collect()
+    // top-5 of +x: 10,13,11,12 (label 1) and 16 (label 2) → 4:1 for 1
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 0L && got.head.getLong(1) == 1L &&
+      got.head.getLong(2) == 4L)
+  }
+
+  test("knnClassify vote tie goes to the smaller label") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), 5),
+      (2L, Array(0.9f, 0.1f), 5),
+      (3L, Array(0.8f, 0.2f), 3),
+      (4L, Array(0.7f, 0.3f), 3)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(train, "vec_id", "embedding", "label",
+      Seq((0L, Array(1.0, 0.0))), 4).collect()
+    assert(got.head.getLong(1) == 3L && got.head.getLong(2) == 2L)
+  }
+
+  test("semanticDedup groups planted duplicates under the smallest-id keeper") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val v5 = emb.filter(col("vec_id") === 5)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val planted = Seq((100000L, v5), (100001L, v5)).toDF("vec_id", "embedding")
+    val all = emb.unionByName(planted)
+    val cents = Similarity.ivfCentroids(all, "vec_id", "embedding", 8)
+    val out = Similarity.semanticDedup(all, "vec_id", "embedding", cents, 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // both copies and the original are in one group under one keeper
+    assert(out.contains(100000L) && out.contains(100001L) && out.contains(5L))
+    val keeper = out(100000L)._1
+    assert(out(100001L)._1 == keeper && out(5L)._1 == keeper)
+    // the keeper is the smallest member id, is itself listed, and is the
+    // ONLY member flagged kept
+    val members = out.filter(_._2._1 == keeper)
+    assert(keeper == members.keys.min)
+    assert(out(keeper)._2)
+    assert(members.count(_._2._2) == 1)
+    // deterministic across re-evaluation
+    val again = Similarity.semanticDedup(all, "vec_id", "embedding", cents, 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(again == out)
+  }
 }

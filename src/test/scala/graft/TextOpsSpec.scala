@@ -178,4 +178,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t((1L, "b")) == math.rint(idfB * 1e6) / 1e6)
     assert(t((1L, "b")) > t((2L, "a"))) // rare beats common
   }
+
+  test("unigramNll matches the hand-computed add-one unigram model") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts a:2 b:1 c:1, N=4, V=3 → denom 7; log-probs snapped to 1e-6
+    def lnq(c: Long): Long = math.round(math.log((c + 1.0) / 7.0) * 1e6)
+    def nll(s: Long, ntok: Long): Double =
+      BigDecimal(-s.toDouble / 1e6 / ntok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(got(1L) == ((3L, nll(2 * lnq(2) + lnq(1), 3))))
+    assert(got(2L) == ((1L, nll(lnq(1), 1))))
+    // the common-token doc is less surprising than the rare-token doc
+    assert(got(1L)._2 < got(2L)._2)
+  }
 }

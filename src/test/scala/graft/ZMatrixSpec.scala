@@ -706,4 +706,69 @@ class ZMatrixSpec extends AnyFunSuite {
     for (((a, b), v) <- got)
       assert(math.abs(v - localCorr(a.toInt, b.toInt)) < 1e-9, s"pair ($a,$b)")
   }
+
+  test("regressOut matches the local closed-form OLS residual per column") {
+    val d2 = Array(
+      Array(1.0, 2.0),
+      Array(3.0, 5.0),
+      Array(2.0, 9.0))
+    val mm = ZMatrix.fromDense(spark, d2)
+    val x = d2.map(_.sum) // row totals, the scanpy total_counts covariate
+    val n = 3.0; val sx = x.sum; val sxx = x.map(t => t * t).sum
+    def fit(vs: Array[Double]): (Double, Double) = {
+      val sy = vs.sum
+      val sxy = vs.zip(x).map { case (v, xi) => xi * v }.sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (b, (sy - b * sx) / n)
+    }
+    val cov = mm.sumAxis1.select(col("i"), col("v").as("x"))
+    val got = mm.regressOut(cov, 3).cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (i <- 0 until 3; j <- 0 until 2) {
+      val (b, a) = fit(d2.map(_(j)))
+      val want = BigDecimal(d2(i)(j) - a - b * x(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
+    }
+    // the fitted residuals of each column sum to ~0 (OLS normal equation)
+    for (j <- 0 until 2)
+      assert(math.abs((0 until 3).map(i => got((i.toLong, j.toLong))).sum) < 1e-5)
+  }
+
+  test("regressOut on a perfectly collinear column leaves zero residuals") {
+    // every column is an exact linear function of the row total, so the
+    // fit absorbs everything — residuals are identically 0 (and the 6dp
+    // round emits +0.0, not -0.0)
+    val lin = Array(Array(1.0, 2.0), Array(2.0, 4.0), Array(5.0, 10.0))
+    val mm = ZMatrix.fromDense(spark, lin)
+    val cov = mm.sumAxis1.select(col("i"), col("v").as("x"))
+    val rs = mm.regressOut(cov, 3).cells.collect().map(_.getDouble(2))
+    assert(rs.length == 6 && rs.forall(v => v == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(v) == 0L))
+  }
+
+  test("scoreGenes: set mean minus bin-matched control mean (scanpy score_genes)") {
+    // dense column means: j0=2, j1=4, j2=1, j3=3 → rank asc j2,j0,j3,j1;
+    // nBins=2 → bin0={j2,j0}, bin1={j3,j1}. geneSet={0} → ctrl={2}.
+    val d = Array(
+      Array(1.0, 3.0, 1.0, 2.0),
+      Array(2.0, 4.0, 1.0, 3.0),
+      Array(3.0, 5.0, 1.0, 4.0))
+    val got = ZMatrix.fromDense(spark, d).scoreGenes(Seq(0L), 3, nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("scoreGenes rejects a gene set that exhausts its own bins") {
+    // geneSet={0,2} is ALL of bin0 — no control genes remain
+    val d = Array(
+      Array(1.0, 3.0, 1.0, 2.0),
+      Array(2.0, 4.0, 1.0, 3.0),
+      Array(3.0, 5.0, 1.0, 4.0))
+    val ex = intercept[IllegalArgumentException] {
+      ZMatrix.fromDense(spark, d).scoreGenes(Seq(0L, 2L), 3, nBins = 2)
+    }
+    assert(ex.getMessage.contains("control set is empty"))
+  }
 }

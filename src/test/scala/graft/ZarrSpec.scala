@@ -323,6 +323,23 @@ class ZarrSpec extends AnyFunSuite {
     assert(back(3)(1) == dense(3)(1))
   }
 
+  test("missing chunks have no files and read back as the store's fill_value") {
+    val path = "/root/repo/target/tmp/zarr_test_missing"
+    // write only rows < 4 of a 10-row array (4-row chunks): row-chunks 1
+    // and 2 get NO file at all — the zarr absent-chunk contract — and a
+    // non-zero fill (-1) distinguishes synthesized cells from data zeros
+    import org.apache.spark.sql.functions.col
+    val part = ZMatrix(ZMatrix.fromDense(spark, dense).cells.filter(col("i") < 4))
+    Zarr.write(part, path, 10, 5, chunkRows = 4, chunkCols = 3, fill = -1.0)
+    val files = new java.io.File(path).list().filterNot(_.startsWith(".")).toSet
+    assert(files == Set("0.0", "0.1"), s"unexpected chunk files: $files")
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    for (i <- 4 until 10; j <- 0 until 5)
+      assert(back(i)(j) == -1.0, s"absent-chunk cell ($i,$j) must be fill")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(back(i)(j) == dense(i)(j))
+  }
+
   test("DSv2 writer API: df.write.format(\"zarr\") round-trips, shape inferred") {
     import org.apache.spark.sql.functions.col
     val path = "/root/repo/target/tmp/zarr_test_writer_api"
