@@ -915,6 +915,11 @@ object SparkEntry {
     // to ceil(n_frames/2) frame rows with exact palette colors
     "multimodal_frames" -> ((s, d) =>
       Multimodal.framesReal(Tables.documents(s, d), "doc_id", "text", stride = 2)),
+    // REAL audio decode: WAV/PCM payloads parsed by javax.sound in the
+    // child process — geometry + exact integer Σ|sample| per clip; the
+    // oracle reproduces the whole decode from the construction rule
+    "multimodal_audio" -> ((s, d) =>
+      Multimodal.audioReal(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- streaming ----
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
@@ -2014,6 +2019,16 @@ object SparkEntry {
         | CAST(list_extract([40,90,160,230],
         |      CAST((doc_id + f) % 4 AS INTEGER) + 1) AS INTEGER) AS r
         |FROM d, s WHERE f < n_frames""".stripMargin,
+    // the construction rule IS the oracle: mono PCM16@8k with
+    // 100+len%200 frames of ((id·31+t·7) mod 2000) − 1000 — what a real
+    // RIFF parser must hand back, bit for bit
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, 100 + length(text) % 200 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS t FROM d)
+        |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_frames,
+        | 1 AS channels, 8000 AS sample_rate,
+        | CAST(sum(abs((doc_id * 31 + t * 7) % 2000 - 1000)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         | CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hs

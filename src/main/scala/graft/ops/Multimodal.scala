@@ -566,4 +566,76 @@ object Multimodal {
     (0 until root.getRowCount).map(i => FrameFeatures(
       oId.get(i), fi.get(i), nf.get(i), w.get(i), h.get(i), r.get(i))).iterator
   }
+
+  // ---- real audio decode (same subprocess plumbing, WAV/PCM) ----
+
+  final case class AudioFeatures(doc_id: Long, n_frames: Long, channels: Int,
+                                 sample_rate: Int, sum_abs: Long)
+
+  val audioArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("n_frames", new ArrowType.Int(64, true)),
+    arrowField("channels", new ArrowType.Int(32, true)),
+    arrowField("sample_rate", new ArrowType.Int(32, true)),
+    arrowField("sum_abs", new ArrowType.Int(64, true))).asJava)
+
+  /** Deterministic REAL WAV payloads: each doc becomes a mono 16-bit PCM
+    * clip at 8 kHz with 100 + len%200 frames; sample t is
+    * ((id·31 + t·7) mod 2000) − 1000 — integer PCM round-trips the
+    * container losslessly, so a SQL oracle predicts the decoder's exact
+    * output. The RIFF container is hand-assembled (the canonical 44-byte
+    * header); the DECODE side is the JDK's real javax.sound WAV parser in
+    * the child process — same construct-simple / decode-real split as the
+    * PNG path. */
+  def asWavMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        (lit(100) + length(col(textCol)) % 200).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) => MediaRow(id, encodeWav(id, n), "audio/wav") }
+  }
+
+  def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)              // PCM fmt chunk length
+      .putShort(1)             // audio format: PCM
+      .putShort(1)             // channels: mono
+      .putInt(8000)            // sample rate
+      .putInt(16000)           // byte rate = rate * block align
+      .putShort(2)             // block align = channels * 2
+      .putShort(16)            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var t = 0
+    while (t < n) {
+      bb.putShort(((id * 31 + t * 7) % 2000 - 1000).toShort)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode out-of-JVM: WAV payloads ([[asWavMedia]]) parsed by
+    * the codec child with javax.sound's actual RIFF/PCM reader, returning
+    * per-clip geometry (frames, channels, rate) and the exact integer
+    * sum of |samples| over the decoded PCM. */
+  def audioReal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subprocessRows[AudioFeatures](asWavMedia(docs, idCol, textCol),
+      pngCodecCmd ++ Seq("audio"), useStubKernel = false, readAudioBatch).toDF()
+  }
+
+  private def readAudioBatch(root: VectorSchemaRoot): Iterator[AudioFeatures] = {
+    val oId = root.getVector("doc_id").asInstanceOf[BigIntVector]
+    val nf = root.getVector("n_frames").asInstanceOf[BigIntVector]
+    val ch = root.getVector("channels").asInstanceOf[IntVector]
+    val sr = root.getVector("sample_rate").asInstanceOf[IntVector]
+    val sa = root.getVector("sum_abs").asInstanceOf[BigIntVector]
+    (0 until root.getRowCount).map(i => AudioFeatures(
+      oId.get(i), nf.get(i), ch.get(i), sr.get(i), sa.get(i))).iterator
+  }
 }

@@ -45,6 +45,7 @@ object ArrowPngCodec {
       case "features" => Multimodal.featureArrowSchema
       case "resize"   => Multimodal.resizedArrowSchema
       case "frames"   => Multimodal.framesArrowSchema
+      case "audio"    => Multimodal.audioArrowSchema
       case other => System.err.println(s"unknown mode $other"); sys.exit(2); null
     }
     val alloc = new RootAllocator()
@@ -62,6 +63,7 @@ object ArrowPngCodec {
           case "features" => featureBatch(in, out)
           case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
           case "frames"   => framesBatch(in, out, args(1).toInt)
+          case "audio"    => audioBatch(in, out)
         }
         out.setRowCount(rows)
         writer.writeBatch()
@@ -140,6 +142,48 @@ object ArrowPngCodec {
       sw.setSafe(i, srcW); sh.setSafe(i, srcH)
       ow.setSafe(i, outW); oh.setSafe(i, outH)
       rs.setSafe(i, rSum)
+      i += 1
+    }
+    n
+  }
+
+  /** Real audio decode: javax.sound parses the RIFF/WAVE container and
+    * hands back PCM frames; per clip we report geometry + the exact
+    * integer Σ|sample| (16-bit signed, mono or interleaved). */
+  private def audioBatch(in: VectorSchemaRoot, out: VectorSchemaRoot): Int = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val nf = out.getVector("n_frames").asInstanceOf[BigIntVector]
+    val ch = out.getVector("channels").asInstanceOf[IntVector]
+    val sr = out.getVector("sample_rate").asInstanceOf[IntVector]
+    val sa = out.getVector("sum_abs").asInstanceOf[BigIntVector]
+    val n = in.getRowCount
+    var i = 0
+    while (i < n) {
+      val id = docId.get(i)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload.get(i)))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+          throw new IllegalArgumentException(
+            s"payload for doc $id: unsupported audio format $fmt")
+        val data = ais.readAllBytes()
+        var sum = 0L
+        var p = 0
+        while (p + 1 < data.length) {
+          val s = ((data(p + 1).toInt << 8) | (data(p) & 0xff)).toShort
+          sum += math.abs(s.toLong)
+          p += 2
+        }
+        oId.setSafe(i, id)
+        nf.setSafe(i, data.length.toLong / fmt.getFrameSize)
+        ch.setSafe(i, fmt.getChannels)
+        sr.setSafe(i, fmt.getSampleRate.toInt)
+        sa.setSafe(i, sum)
+      } finally ais.close()
       i += 1
     }
     n

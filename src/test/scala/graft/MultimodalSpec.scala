@@ -174,4 +174,33 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("exited 3") || chain.contains("not a decodable image"), chain)
   }
+
+  test("REAL audio decode: WAV payloads parsed by javax.sound match exact PCM math") {
+    val docs = Seq((1L, "hello"), (2L, "a longer piece of text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioReal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    def expect(id: Long, len: Int) = {
+      val n = 100 + len % 200
+      val sum = (0 until n).map(t => math.abs((id * 31 + t * 7) % 2000 - 1000)).sum
+      (n.toLong, 1, 8000, sum)
+    }
+    assert(got(1L) == expect(1L, 5), got)
+    assert(got(2L) == expect(2L, 22), got)
+    assert(got(3L) == expect(3L, 0), got)
+    // the payload really is a WAV: RIFF/WAVE magic, and the JVM-side
+    // javax.sound parser agrees with the child's geometry
+    val one = Multimodal.asWavMedia(docs, "doc_id", "text")
+      .filter(_.doc_id == 2L).collect().head
+    assert(new String(one.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(one.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(one.payload))
+    try {
+      assert(ais.getFormat.getChannels == 1)
+      assert(ais.getFormat.getSampleRate == 8000f)
+      assert(ais.getFrameLength == 100 + 22 % 200)
+    } finally ais.close()
+  }
 }
