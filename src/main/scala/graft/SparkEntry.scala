@@ -936,6 +936,10 @@ object SparkEntry {
     // micro-batches append chunk-aligned slabs via the DSv2 append mode;
     // the final store reads back dense against a DuckDB grid twin
     "stream_zarr_ingest" -> ((s, d) => Stream.zarrIngestStream(s, d)),
+    // streaming per-key admission control: first 5 events per user in
+    // event-time order, one counter of state per key — the ingest-edge
+    // quota of a continuous training-data pipeline
+    "stream_quota" -> ((s, d) => Stream.quotaStream(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----
@@ -2033,6 +2037,12 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
         | CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hs
         |FROM events""".stripMargin,
+    "stream_quota" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |r AS (SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) AS rk FROM e)
+        |SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
     "stream_contamination" ->
       """WITH bench AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 50)
         |SELECT doc_id, (md5(text) IN (SELECT fp FROM bench)) AS contaminated

@@ -256,6 +256,56 @@ object Stream {
     out.reverseIterator
   }
 
+  final case class QuotaState(admitted: Long)
+  final case class QuotaOut(user_id: Long, event_id: Long, rk: Long)
+
+  /** Streaming per-key ADMISSION CONTROL (quota / rate limiting at the
+    * ingest edge — the streaming face of [[graft.ops.Sampling.quotaSample]]'s
+    * per-source cap): admit only the first `n` events per key, then drop.
+    * State is ONE counter per key — bounded by key cardinality, never by
+    * stream length — and an admitted row carries its admission rank.
+    * Within each micro-batch the group sorts by (event time, id), so for
+    * a finite single-batch input the admitted set is EXACTLY the batch
+    * `row_number() ≤ n` in event-time order (the oracle); under continuous
+    * ingest which n win depends on batch arrival, the standard streaming
+    * admission semantics. */
+  def quotaFn(n: Long)(userId: Long, evs: Iterator[Ev],
+                       state: GroupState[QuotaState]): Iterator[QuotaOut] = {
+    val sorted = evs.toSeq.sortBy(e => (e.es, e.event_id))
+    var c = state.getOption.map(_.admitted).getOrElse(0L)
+    var out = List.empty[QuotaOut]
+    sorted.foreach { e =>
+      if (c < n) { c += 1; out ::= QuotaOut(userId, e.event_id, c) }
+    }
+    state.update(QuotaState(c))
+    out.reverseIterator
+  }
+
+  /** Per-key quota over a stream of Ev (MemoryStream-testable twin). */
+  def quota(evs: org.apache.spark.sql.Dataset[Ev], n: Long): org.apache.spark.sql.Dataset[QuotaOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(quotaFn(n))
+  }
+
+  /** Streaming quota driven over the events file stream: first 5 events
+    * per user in event-time order (single finite batch → deterministic,
+    * oracle-checked against the batch window rank). */
+  def quotaStream(spark: SparkSession, sfDir: String, n: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val evs = src.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("es")).as[Ev]
+    val qn = s"stream_quota_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = quota(evs, n).writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** Streaming sessionization over a stream of Ev. Used with MemoryStream
     * in tests; semantics match Relational.q13Sessionize for closed sessions. */
   def sessionize(evs: org.apache.spark.sql.Dataset[Ev]): org.apache.spark.sql.Dataset[SessOut] = {

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.Stream
-import graft.streaming.Stream.{Ev, SessOut}
+import graft.streaming.Stream.{Ev, QuotaOut, SessOut}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -53,6 +53,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains(SessOut(1L, 1L, 2L, 100L)))  // events 1,2
       assert(out.contains(SessOut(1L, 2L, 1L, 0L)))    // event 3
       assert(out.contains(SessOut(2L, 1L, 1L, 0L)))    // event 4
+    } finally q.stop()
+  }
+
+  test("streaming quota admits first n per key and persists the counter across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Stream.quota(input.toDS(), n = 2).writeStream
+      .format("memory").queryName("quota_test").outputMode("append").start()
+    try {
+      // batch 1: user 1 sends three events (out of event-time order — the
+      // in-batch sort admits the two EARLIEST); user 2 sends one
+      input.addData(Ev(1L, 3L, 300L), Ev(1L, 1L, 100L), Ev(1L, 2L, 200L),
+        Ev(2L, 4L, 100L))
+      q.processAllAvailable()
+      // batch 2: user 1 is already over quota — nothing admitted; user 2's
+      // counter carried over in state, one slot left
+      input.addData(Ev(1L, 5L, 50L), Ev(2L, 6L, 200L), Ev(2L, 7L, 300L))
+      q.processAllAvailable()
+      val out = spark.table("quota_test").as[QuotaOut].collect().toSet
+      assert(out == Set(
+        QuotaOut(1L, 1L, 1L), QuotaOut(1L, 2L, 2L),
+        QuotaOut(2L, 4L, 1L), QuotaOut(2L, 6L, 2L)))
     } finally q.stop()
   }
 
