@@ -194,6 +194,8 @@ object SparkEntry {
     "q30_except" -> Relational.q30Except _,
     "q31_retention" -> Relational.q31Retention _,
     "q32_ntile" -> Relational.q32Ntile _,
+    "q33_streaks" -> Relational.q33Streaks _,
+    "q34_moving_window" -> Relational.q34MovingWindow _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -1263,6 +1265,28 @@ object SparkEntry {
         |SELECT f.cohort_day, (e.day - f.cohort_day) // 7 AS week_offset,
         |  count(DISTINCT e.user_id) AS active_users
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q33_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |i AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |      FROM g GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, start_day,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk,
+        |  count(*) OVER (PARTITION BY user_id) AS n_streaks FROM i)
+        |SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+        |  len AS max_streak, start_day AS streak_start
+        |FROM r WHERE rk = 1""".stripMargin,
+    "q34_moving_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+        |  count(*) OVER w AS n_7d
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),

@@ -392,6 +392,47 @@ object Relational {
       .agg(count_distinct(col("user_id")).as("active_users"))
   }
 
+  /** Gaps-and-islands: each user's runs of CONSECUTIVE active days — the
+    * classic streak detection (engagement streaks, continuous-coverage
+    * audits). `day − row_number-by-day` is constant within a run, so one
+    * distinct + one window + two aggregates find every island with NO
+    * self-join; every shuffle is keyed on user_id (AQE reuses the
+    * exchange across the window and both aggregates). Longest-streak
+    * tie → earliest start (a struct max with negated start, total
+    * order). Returns (user_id, n_streaks, max_streak, streak_start). */
+  def q33Streaks(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day")).distinct()
+    val islands = days
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .groupBy(col("user_id"), (col("day") - col("_rk")).as("_grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("_ns"))).as("_top"))
+      .select(col("user_id"), col("n_streaks"),
+        col("_top.len").as("max_streak"), (-col("_top._ns")).as("streak_start"))
+  }
+
+  /** Event-time RANGE window frame: every purchase's trailing-7-day
+    * per-user revenue and order count — `rangeBetween` over epoch
+    * seconds, the moving-aggregate shape (rolling spend, rolling error
+    * rates) that ROWS frames get wrong whenever timestamps are uneven.
+    * One user-keyed shuffle; exact integer cents keep the unordered sums
+    * bit-stable. */
+  def q34MovingWindow(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_timestamp(ts)").as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-7L * 86400, 0L)
+    e.select(col("user_id"), col("event_id"),
+      sum(col("cents")).over(w).as("cents_7d"),
+      count(lit(1)).over(w).as("n_7d"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

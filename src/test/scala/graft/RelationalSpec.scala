@@ -263,4 +263,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("a") == bi(Seq((-5L, big), (7L, big), (-3L, -big))), got("a"))
     assert(got("b") == bi(Seq((0L, 0L), (-big, big), (big, -big))), got("b"))
   }
+
+  test("q33 streak islands: consecutive-day runs, longest-tie -> earliest start") {
+    import spark.implicits._
+    // user 1: days 10,11,12 | 20 | 30,31 → 3 streaks, longest 3 @ 10
+    // user 2: 5,6 | 9,10 → tie of length 2, earliest start 5 wins
+    val days = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 20L), (1L, 30L), (1L, 31L),
+      (2L, 5L), (2L, 6L), (2L, 9L), (2L, 10L))
+    // one event per (user, day) at noon; duplicate one day to prove the
+    // distinct collapses repeated activity
+    val ts = (days :+ (1L, 10L)).zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, new java.sql.Timestamp(day * 86400000L + 43200000L), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("streaks").toString
+    ts.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.q33Streaks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 10L)), got)
+    assert(got(2L) == ((2L, 2L, 5L)), got)
+  }
+
+  test("q34 RANGE frame: trailing-7-day sums include peers, exclude older rows") {
+    import spark.implicits._
+    val day = 86400L
+    // user 1 purchases: day 0 (100), day 3 (200), day 8 (400): the day-8
+    // row sees days 1..8 → itself + day 3; day-3 row sees 0 and 3
+    val rows = Seq((1L, 0L * day, 1.0), (2L, 3L * day, 2.0), (3L, 8L * day, 4.0),
+      // user 2: two purchases at the SAME instant — RANGE peers, both
+      // rows must see BOTH (a ROWS frame would disagree)
+      (4L, 5L * day, 8.0), (5L, 5L * day, 16.0))
+    val ts = rows.map { case (eid, es, v) =>
+      (eid, new java.sql.Timestamp(es * 1000L), if (eid <= 3) 1L else 2L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("moving").toString
+    ts.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.q34MovingWindow(spark, tmp).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((100L, 1L)))
+    assert(got(2L) == ((300L, 2L)))  // days 0 and 3
+    assert(got(3L) == ((600L, 2L)))  // day 0 aged out, 3 and 8 remain
+    assert(got(4L) == ((2400L, 2L))) // same-instant peers both included
+    assert(got(5L) == ((2400L, 2L)))
+  }
 }
