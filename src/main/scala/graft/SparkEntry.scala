@@ -406,6 +406,20 @@ object SparkEntry {
     // controls (deterministic whole-bin variant, 2 rank bins)
     "arr_score_genes" -> ((s, d) =>
       mat(s, d).scoreGenes(Seq(1L, 3L), matNrows(s, d), nBins = 2)),
+    // scanpy sc.tl.dendrogram's DISTRIBUTED half: correlation between the
+    // per-group pseudobulk expression profiles (exactly the matrix scanpy
+    // hands scipy linkage). Profiles scale to exact integers (×1e6 of the
+    // 6dp pseudobulk mean — correlation is scale-invariant) so every
+    // moment sum is order-free; the driver-side UPGMA over this
+    // parameter-sized matrix is array.Linkage (scalatest-pinned).
+    "arr_group_corr" -> ((s, d) => {
+      val labels = Tables.orders(s, d)
+        .select(col("o_orderkey").as("i"), col("o_orderpriority").as("g"))
+      val prof = mat(s, d).groupRowsBy(labels)
+        .select(substring(col("g"), 1, 1).cast("long").as("i"), col("j"),
+          round(col("mean_v") * 1e6).as("v"))
+      ZMatrix(prof).transpose.corrCols(8)
+    }),
     "q22_sql_surface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
@@ -884,6 +898,16 @@ object SparkEntry {
     }),
     "sample_pack" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d), "doc_id", "text", budget = 512)),
+    // class-balanced sampling: every label downsampled to the SMALLEST
+    // class size with the deterministic hash-rank rule (quotaSample) —
+    // the class-rebalancing step before training on labeled data
+    "sample_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val nMin = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).head().getLong(0)
+      Sampling.quotaSample(emb, "label", "vec_id", nMin.toInt)
+    }),
 
     // ---- LLM-pipeline: multimodal ----
     // runs through the Arrow columnar-batch kernel interface (the
@@ -1732,6 +1756,38 @@ object SparkEntry {
         |  round(sum(m.v) / sz.n_rows, 6) + 0 AS mean_v
         |FROM m JOIN lab USING (i) JOIN sz ON sz.g = lab.g
         |GROUP BY lab.g, m.j, sz.n_rows""".stripMargin,
+    // the corrCols twin over the ×1e6-scaled pseudobulk profiles,
+    // transposed (rows = line dims, cols = group index), dense n = 8
+    "arr_group_corr" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |lab AS (SELECT CAST(o_orderkey AS BIGINT) AS i, o_orderpriority AS g FROM orders),
+        |sz AS (SELECT g, count(*) AS n_rows FROM lab GROUP BY 1),
+        |pb AS (SELECT lab.g, m.j, round(sum(m.v) / sz.n_rows, 6) + 0 AS mean_v
+        |       FROM m JOIN lab USING (i) JOIN sz ON sz.g = lab.g
+        |       GROUP BY lab.g, m.j, sz.n_rows),
+        |prof AS (SELECT CAST(substring(g, 1, 1) AS BIGINT) AS gi, j,
+        |         round(mean_v * 1000000.0) AS v FROM pb),
+        |nn AS (SELECT CAST(8 AS DOUBLE) AS n),
+        |marg AS (SELECT gi, sum(v) AS s, sum(v * v) AS ss FROM prof GROUP BY 1),
+        |crs AS (SELECT x.gi AS a, y.gi AS b, sum(x.v * y.v) AS sab
+        |        FROM prof x JOIN prof y USING (j) WHERE x.gi < y.gi GROUP BY 1, 2)
+        |SELECT ma.gi AS a, mb.gi AS b,
+        |  round((coalesce(crs.sab, 0) - ma.s * mb.s / nn.n) /
+        |    (sqrt(ma.ss - ma.s * ma.s / nn.n) * sqrt(mb.ss - mb.s * mb.s / nn.n)), 6) + 0 AS corr
+        |FROM marg ma CROSS JOIN marg mb CROSS JOIN nn
+        |LEFT JOIN crs ON crs.a = ma.gi AND crs.b = mb.gi
+        |WHERE ma.gi < mb.gi""".stripMargin,
+    "sample_balance" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+        |           FROM embeddings GROUP BY 1),
+        |nmin AS (SELECT min(n) AS n FROM c),
+        |r AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS group_key,
+        |  ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM embeddings),
+        |k AS (SELECT doc_id, group_key,
+        |  row_number() OVER (PARTITION BY group_key ORDER BY hk, doc_id) AS rk FROM r)
+        |SELECT doc_id, group_key, rk FROM k CROSS JOIN nmin WHERE rk <= n""".stripMargin,
     "arr_corr_cols" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),

@@ -760,6 +760,38 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0))
   }
 
+  test("Linkage.average matches hand-computed UPGMA with scipy's id contract") {
+    import graft.array.Linkage
+    val dist = Map((0, 1) -> 1.0, (0, 2) -> 4.0, (0, 3) -> 5.0,
+      (1, 2) -> 4.0, (1, 3) -> 5.0, (2, 3) -> 2.0)
+    val merges = Linkage.average(4, dist)
+    // (0,1)@1 -> cluster 4; (2,3)@2 -> cluster 5; then
+    // d(4,5) = (d(0,2)+d(0,3)+d(1,2)+d(1,3))/4 = 4.5
+    assert(merges == Seq(
+      Linkage.Merge(0, 1, 1.0, 2),
+      Linkage.Merge(2, 3, 2.0, 2),
+      Linkage.Merge(4, 5, 4.5, 4)))
+  }
+
+  test("dendrogram end-to-end: group-corr matrix feeds driver-side linkage") {
+    import graft.array.Linkage
+    // the scanpy sc.tl.dendrogram composition on real testdata: the
+    // distributed pseudobulk correlation (arr_group_corr's body) collects
+    // to a groups² parameter, 1 - corr feeds UPGMA
+    val corr = SparkEntry.queries("arr_group_corr")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(corr.size == 10) // C(5,2) priority pairs
+    val ids = corr.keySet.flatMap(p => Set(p._1, p._2)).toSeq.sorted
+    assert(ids == Seq(1, 2, 3, 4, 5))
+    val dist = corr.map { case ((a, b), c) => (a - 1, b - 1) -> (1.0 - c) }
+    val merges = Linkage.average(5, dist)
+    assert(merges.length == 4 && merges.last.size == 5)
+    // deterministic across re-evaluation of the distributed half
+    val corr2 = SparkEntry.queries("arr_group_corr")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(corr2 == corr)
+  }
+
   test("scoreGenes rejects a gene set that exhausts its own bins") {
     // geneSet={0,2} is ALL of bin0 — no control genes remain
     val d = Array(
