@@ -406,6 +406,11 @@ object SparkEntry {
     // controls (deterministic whole-bin variant, 2 rank bins)
     "arr_score_genes" -> ((s, d) =>
       mat(s, d).scoreGenes(Seq(1L, 3L), matNrows(s, d), nBins = 2)),
+    // scanpy normalize_pearson_residuals (analytic NB residuals,
+    // θ=100, clip ±sqrt(n)) — the modern normalization replacing
+    // normalize+log1p+scale in current scanpy workflows
+    "arr_pearson_residuals" -> ((s, d) =>
+      mat(s, d).pearsonResiduals(matNrows(s, d)).cells),
     // scanpy sc.tl.dendrogram's DISTRIBUTED half: correlation between the
     // per-group pseudobulk expression profiles (exactly the matrix scanpy
     // hands scipy linkage). Profiles scale to exact integers (×1e6 of the
@@ -1756,6 +1761,20 @@ object SparkEntry {
         |  round(sum(m.v) / sz.n_rows, 6) + 0 AS mean_v
         |FROM m JOIN lab USING (i) JOIN sz ON sz.g = lab.g
         |GROUP BY lab.g, m.j, sz.n_rows""".stripMargin,
+    // identical marginals (exact integer-valued sums) + identical
+    // expression order for mu/sigma/clip, so the 6dp round is bit-stable
+    "arr_pearson_residuals" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |rs AS (SELECT i, sum(v) AS rs FROM m GROUP BY 1),
+        |cs AS (SELECT j, sum(v) AS cs FROM m GROUP BY 1),
+        |t AS (SELECT sum(v) AS total FROM m),
+        |nn AS (SELECT sqrt(CAST(count(DISTINCT i) AS DOUBLE)) AS clip FROM m),
+        |e AS (SELECT m.i, m.j, m.v, rs.rs * cs.cs / t.total AS mu
+        |      FROM m JOIN rs USING (i) JOIN cs USING (j) CROSS JOIN t)
+        |SELECT i, j, round(least(greatest(
+        |  (v - mu) / sqrt(mu + mu * mu / 100.0), -clip), clip), 6) + 0 AS v
+        |FROM e CROSS JOIN nn""".stripMargin,
     // the corrCols twin over the ×1e6-scaled pseudobulk profiles,
     // transposed (rows = line dims, cols = group index), dense n = 8
     "arr_group_corr" ->

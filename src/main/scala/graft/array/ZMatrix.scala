@@ -644,6 +644,32 @@ final case class ZMatrix(cells: DataFrame) {
         coalesce(sum(when(inCtrl, col("v"))), lit(0.0)) / ctrl.size, 6) + 0.0).as("score"))
   }
 
+  /** scanpy `sc.experimental.pp.normalize_pearson_residuals` (analytic
+    * Pearson residuals, Lause/Berens/Kobak 2021): under the NB model with
+    * μ_ij = rs_i·cs_j / T (row sums × column sums over the grand total)
+    * the residual is (x − μ) / sqrt(μ + μ²/θ), clipped to ±sqrt(n).
+    * θ = 100 (scanpy's default), n = `nrows` (the dense height).
+    * Residuals are emitted at the stored coordinates (the [[regressOut]]
+    * coordinate-form contract; at an implicit zero the residual is
+    * −μ/sqrt(μ+μ²/θ), derivable from the same marginals).
+    *
+    * Plan shape: row sums co-key with the cells on i (ONE fact shuffle);
+    * column sums are an ncols-row broadcast; the grand total and the clip
+    * bound enter as literals. Every marginal is an exact integer-valued
+    * double on this data, and μ/σ/residual use one fixed expression order
+    * shared with the SQL twin, so the 6dp output is bit-stable. */
+  def pearsonResiduals(nrows: Long, theta: Double = 100.0): ZMatrix = {
+    val rs = cells.groupBy(col("i")).agg(sum(col("v")).as("_rs"))
+    val cs = cells.groupBy(col("j")).agg(sum(col("v")).as("_cs"))
+    val total = lit(cells.agg(sum(col("v"))).head().getDouble(0))
+    val clip = lit(math.sqrt(nrows.toDouble))
+    val mu = col("_rs") * col("_cs") / total
+    val r = (col("v") - mu) / sqrt(mu + mu * mu / theta)
+    ZMatrix(cells.join(rs, Seq("i")).join(broadcast(cs), Seq("j"))
+      .select(col("i"), col("j"),
+        (round(least(greatest(r, -clip), clip), 6) + 0.0).as("v")))
+  }
+
   /** scanpy normalize_per_cell: each row scaled by its own sum. One shuffle
     * on i shared by the aggregate and the re-join (AQE reuses exchange). */
   def rowNormalize: ZMatrix = {

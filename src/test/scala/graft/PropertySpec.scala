@@ -434,4 +434,58 @@ class PropertySpec extends AnyFunSuite {
         assert(fast(id) == ref(id), s"minhash on ${texts(id.toInt).take(40)}")
     }
   }
+
+  test("property: regressOut equals the local closed-form OLS on random matrices") {
+    import org.apache.spark.sql.functions.col
+    // integer-valued cells keep the moment sums exact — the operator's
+    // own determinism precondition, so the property tests the real contract
+    forAll(matrixGen) { (dense: Array[Array[Double]]) =>
+      val rows = dense.length
+      val x = dense.map(_.sum)
+      val n = rows.toDouble; val sx = x.sum; val sxx = x.map(t => t * t).sum
+      val den = n * sxx - sx * sx
+      if (den != 0.0) { // constant covariate → NaN, tested in ZMatrixSpec
+        val m = ZMatrix.fromDense(spark, dense)
+        val cov = m.sumAxis1.select(col("i"), col("v").as("x"))
+        val got = m.regressOut(cov, rows).cells.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        for (i <- dense.indices; j <- dense(i).indices) {
+          val vs = dense.map(_(j))
+          val sy = vs.sum
+          val sxy = vs.zip(x).map { case (v, xi) => xi * v }.sum
+          val b = (n * sxy - sx * sy) / den
+          val a = (sy - b * sx) / n
+          val want = BigDecimal(dense(i)(j) - a - b * x(i))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+          assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
+        }
+      }
+    }
+  }
+
+  test("property: unigramNll equals the local add-one model on random corpora") {
+    import graft.ops.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    val corpusGen: Gen[List[String]] = Gen.choose(2, 8).flatMap { nd =>
+      Gen.listOfN(nd, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "cc", "dd", "e")).map(_.mkString(" "))))
+    }
+    forAll(corpusGen) { (texts: List[String]) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.unigramNll(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val toks = texts.map(_.trim.split("\\s+").toSeq)
+      val cnt = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val denom = (cnt.values.sum + cnt.size).toDouble
+      def lnq(c: Long): Long = math.round(math.log((c + 1.0) / denom) * 1e6)
+      texts.indices.foreach { i =>
+        val s = toks(i).map(t => lnq(cnt(t))).sum
+        val want = BigDecimal(-s.toDouble / 1e6 / toks(i).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(got(i.toLong) == ((toks(i).size.toLong, want)), s"doc $i: '${texts(i)}'")
+      }
+    }
+  }
 }

@@ -365,6 +365,31 @@ class SimilaritySpec extends AnyFunSuite {
       "labels must be ids of nodes in the graph")
   }
 
+  test("IVF model persists through a Zarr store bit-exactly (index artifact storage)") {
+    import graft.array.{ZLocal, ZMatrix}
+    import graft.zarr.Zarr
+    // the production shape for index artifacts: the trained centroid
+    // matrix lives IN the array store next to the data it indexes
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val cells = for { l <- cents.indices; d <- cents(l).indices }
+      yield (l.toLong, d.toLong, cents(l)(d))
+    val path = "/root/repo/target/tmp/ivf_model_zarr"
+    Zarr.write(ZMatrix(cells.toDF("i", "j", "v")), path,
+      cents.length, cents(0).length, chunkRows = 4, chunkCols = cents(0).length)
+    val back = ZLocal.toDense(Zarr.read(spark, path), cents.length, cents(0).length)
+    for (l <- cents.indices; d <- cents(l).indices)
+      assert(java.lang.Double.doubleToRawLongBits(back(l)(d)) ==
+        java.lang.Double.doubleToRawLongBits(cents(l)(d)),
+        s"centroid ($l,$d) must round-trip bit-exactly")
+    // bit-equal model → identical serving results by construction
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val a = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, cents, nprobe = 2).collect()
+    val b = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, back, nprobe = 2).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("knnClassify takes the majority label of the k nearest") {
     val train = Seq(
       (10L, Array(1.0f, 0.0f), 1),

@@ -760,6 +760,33 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0))
   }
 
+  test("pearsonResiduals matches the local analytic NB formula with clipping") {
+    val d2 = Array(
+      Array(1.0, 2.0),
+      Array(3.0, 5.0),
+      Array(2.0, 9.0))
+    val got = ZMatrix.fromDense(spark, d2).pearsonResiduals(3, theta = 100.0)
+      .cells.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rs = d2.map(_.sum); val cs = (0 until 2).map(j => d2.map(_(j)).sum)
+    val total = rs.sum; val clip = math.sqrt(3.0)
+    for (i <- 0 until 3; j <- 0 until 2) {
+      val mu = rs(i) * cs(j) / total
+      val r = (d2(i)(j) - mu) / math.sqrt(mu + mu * mu / 100.0)
+      val want = BigDecimal(math.min(math.max(r, -clip), clip))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
+    }
+    // a wildly overdispersed cell actually clips: one huge value
+    val d3 = Array(Array(1.0, 1.0), Array(1.0, 1000.0))
+    val got3 = ZMatrix.fromDense(spark, d3).pearsonResiduals(2)
+      .cells.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c2 = BigDecimal(math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    // (0,0): mu ≈ 0.004, x = 1 → raw residual ≈ +15.8, clips to +sqrt(2)
+    assert(got3((0L, 0L)) == c2, "the rare-cell residual must clip to +sqrt(n)")
+    assert(got3.values.forall(v => math.abs(v) <= c2))
+  }
+
   test("Linkage.average matches hand-computed UPGMA with scipy's id contract") {
     import graft.array.Linkage
     val dist = Map((0, 1) -> 1.0, (0, 2) -> 4.0, (0, 3) -> 5.0,
