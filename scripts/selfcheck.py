@@ -12,7 +12,11 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # testdata ships single-file tables; replicas (ScaleUp) are Spark
+    # parquet DIRECTORIES — glob the data files in that case
+    p = f"{sf_dir}/{t}.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}

@@ -23,20 +23,34 @@ object Stream {
   private val schemas = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   private def linkedTableDir(sfDir: String, sfName: String, table: String): String = {
-    import java.nio.file.{Files, LinkOption, Paths}
+    import java.nio.file.{Files, LinkOption, Path, Paths}
     val dir = Paths.get(s"target/tmp/stream_src_${table}_$sfName")
     Files.createDirectories(dir)
-    val link = dir.resolve(s"$table.parquet")
     val target = Paths.get(sfDir, s"$table.parquet").toAbsolutePath
-    // NOFOLLOW: a dangling link from a prior run (moved/regenerated
-    // testdata) must read as PRESENT so it can be replaced — the default
-    // exists() follows the link and would report false, and the create
-    // below would then throw FileAlreadyExistsException forever
-    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
-      Files.delete(link)
-    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-      try Files.createSymbolicLink(link, target)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () } // lost a benign race
+    def linkOne(link: Path, to: Path): Unit = {
+      // NOFOLLOW: a dangling link from a prior run (moved/regenerated
+      // testdata) must read as PRESENT so it can be replaced — the default
+      // exists() follows the link and would report false, and the create
+      // below would then throw FileAlreadyExistsException forever
+      if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != to)
+        Files.delete(link)
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+        try Files.createSymbolicLink(link, to)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // lost a benign race
+    }
+    if (Files.isDirectory(target)) {
+      // directory-shaped table (a Spark parquet write, the production
+      // layout): link each DATA FILE into the stream dir. The file-stream
+      // source lists files and does NOT recurse into subdirectories, so
+      // linking the directory itself would silently stream ZERO rows —
+      // the empty-result failure mode the sf1 replica exposed.
+      val it = Files.list(target).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          linkOne(dir.resolve(s"${table}_${p.getFileName}"), p.toAbsolutePath)
+      }
+    } else linkOne(dir.resolve(s"$table.parquet"), target)
     dir.toString
   }
 
