@@ -126,6 +126,18 @@ object SparkEntry {
       Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16)
     })
 
+  /** IVF-PQ composite model per sf dir: coarse centroids over the
+    * NORMALIZED corpus + residual codebooks (trained once, shared). */
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  private def ivfPqModel(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqModels.computeIfAbsent(d, { _ =>
+      val cents = Similarity.ivfCentroids(normEmb(s, d), "vec_id", "nvec", nlist = 16)
+      (cents, Similarity.ivfPqTrain(normEmb(s, d), "vec_id", "nvec", cents))
+    })
+
   private def queryVec(s: SparkSession, d: String): Array[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -451,6 +463,20 @@ object SparkEntry {
       val path = s"${GraftPaths.tmpRoot}/zarrbl_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         comp = "blosc")
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // the v3 + standalone-zstd combination — zarr-python's v3 DEFAULT wire
+    // format (zstd frames via the zstd-jni already on Spark's classpath),
+    // so a store written here opens in stock zarr-python v3 with no codec
+    // configuration at all. Same cells, same oracle as the other roundtrips.
+    "zarr_zstd_roundtrip" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrzs_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
+        format = 3, comp = "zstd")
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
     // MISSING-CHUNK fill_value semantics: only the rows below a
@@ -814,6 +840,21 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // Louvain phase-1 local moves from the classic singleton seed: exact
+    // integer ΔQ-argmax per node per round (4 semi-synchronous rounds on
+    // the parity schedule), the modularity-optimizing upgrade over pure
+    // label propagation. The oracle is the same math unrolled
+    // round-by-round in SQL over the shared edge prefix — hugeint there,
+    // decimal(38,0) here, bit-equal.
+    "graph_louvain" -> ((s, d) => {
+      val mutE = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+      val seed = mutE.select(col("id1").as("node"))
+        .unionByName(mutE.select(col("id2").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      Similarity.louvainRefine(mutE, seed, rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
+    }),
     // kNN label transfer: queries 0..7 classified by majority label of
     // their 5 nearest labeled training vectors (vec_id ≥ 8) — one
     // training-corpus scan for the whole batch, vote fully SQL-checked
@@ -831,6 +872,19 @@ object SparkEntry {
       val qn = math.sqrt(q.map(x => x * x).sum)
       Similarity.pqTopK(Similarity.pqEncode(normEmb(s, d), "vec_id", "nvec", model),
         model, q.map(_ / qn), 10)
+    }),
+    // the FAISS IVFx,PQy composite: coarse lists prune the scan (nprobe/nlist
+    // of the corpus), residual PQ codes carry the in-list geometry — the
+    // architecture that actually serves 100 TB ANN. rows-only like its
+    // ann_ivf/ann_pq parents (k-means training is not SQL); recall and
+    // residual-error invariants live in SimilaritySpec.
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val (cents, books) = ivfPqModel(s, d)
+      val q = queryVec(s, d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      Similarity.ivfPqTopK(
+        Similarity.ivfPqEncode(normEmb(s, d), "vec_id", "nvec", cents, books),
+        cents, books, q.map(_ / qn), 10, nprobe = 4)
     }),
 
     // ---- LLM-pipeline: text analysis ----
@@ -1130,7 +1184,42 @@ object SparkEntry {
       |    WHERE l.it < 10
       |    GROUP BY e.src, l.label, l.it) WHERE rk = 1)""".stripMargin
 
+  /** [[graphEdgesSqlPrefix]] + 4 unrolled Louvain local-move rounds from
+    * the singleton seed — one (tot, cand, argmax) CTE triple per round,
+    * replicating [[Similarity.louvainRefine]]'s exact integer score
+    * 2m·S − k·(T − [c=cur]·k) in hugeint and its semi-synchronous parity
+    * schedule (round i moves only node % 2 = i % 2). Generated, so the
+    * round count and score expression cannot drift from the Scala side. */
+  private val graphLouvainSql: String = {
+    val rounds = 4
+    val body = (0 until rounds).map { i =>
+      s"""tot$i AS (SELECT l.label AS c, SUM(d.k) AS t FROM lab$i l
+         |  JOIN deg d USING (node) GROUP BY l.label),
+         |cand$i AS (SELECT e.src AS node, l.label AS c, SUM(e.w) AS s
+         |  FROM edges e JOIN lab$i l ON l.node = e.dst GROUP BY e.src, l.label
+         |  UNION ALL SELECT node, label, 0 FROM lab$i),
+         |cand2_$i AS (SELECT node, c, SUM(s) AS s FROM cand$i GROUP BY node, c),
+         |lab${i + 1} AS (SELECT node,
+         |  CASE WHEN node % 2 = ${i % 2} THEN c ELSE a END AS label FROM (
+         |  SELECT c2.node, c2.c, l.label AS a,
+         |    row_number() OVER (PARTITION BY c2.node ORDER BY
+         |      CAST(mm.m2 AS HUGEINT) * c2.s -
+         |      CAST(d.k AS HUGEINT) * (t.t - CASE WHEN c2.c = l.label THEN d.k ELSE 0 END) DESC,
+         |      c2.c) AS rk
+         |  FROM cand2_$i c2
+         |    JOIN lab$i l USING (node) JOIN deg d USING (node)
+         |    JOIN tot$i t ON t.c = c2.c
+         |    CROSS JOIN mm) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    graphEdgesSqlPrefix + ",\n" +
+      """deg AS (SELECT src AS node, SUM(w) AS k FROM edges GROUP BY src),
+        |mm AS (SELECT SUM(w) AS m2 FROM edges),
+        |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin +
+      ",\n" + body + s"\nSELECT node, label AS cluster FROM lab$rounds"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_louvain" -> graphLouvainSql,
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
     // duplicated 8-gram spans: the oracle groups the gram STRINGS
@@ -1620,6 +1709,10 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
     "zarr_blosc_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_zstd_roundtrip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,

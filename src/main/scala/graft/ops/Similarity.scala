@@ -403,6 +403,13 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     require(rows.length >= ksub,
       s"PQ training needs >= ksub=$ksub vectors, corpus has ${rows.length}")
+    pqTrainRows(rows, m, ksub, iters)
+  }
+
+  /** The driver-side per-subspace Lloyd core shared by [[pqTrain]] (raw
+    * vectors) and [[ivfPqTrain]] (IVF residuals). */
+  private def pqTrainRows(rows: Array[Array[Double]], m: Int, ksub: Int,
+                          iters: Int): Array[Array[Array[Double]]] = {
     val dim = rows(0).length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val sd = dim / m
@@ -465,6 +472,95 @@ object Similarity {
       element_at(typedlit(lut), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     codes.select(col("vec_id"), (round(score, 4) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------- IVF-PQ composite index
+  // The production ANN architecture (FAISS `IVFx,PQy`): a coarse IVF
+  // quantizer routes each vector to a list, PQ encodes the RESIDUAL
+  // vec − centroid[list] — residuals are tighter-distributed than raw
+  // vectors, so the same m bytes/vector quantize less error — and queries
+  // ADC-scan only the probed lists. Over L2-normalized vectors with
+  // inner-product ADC (the same cosine contract as [[pqTopK]]):
+  //   score(v) = ⟨q, c_l⟩ + Σ_j LUT_j[code_j]   where LUT_j[k] = ⟨q_j, cb_j[k]⟩
+  // — the list term is one literal-array pick, the residual term is the
+  // plain PQ LUT sum, and neither reads the vector column at query time.
+  // At 100 TB: list_id is the storage partition key (unprobed lists are
+  // never scanned), codes are m bytes/vector, and training is one
+  // TakeOrdered sample + driver Lloyd — corpus-size-independent.
+
+  /** Train residual PQ codebooks against an existing IVF model. The same
+    * `trainN`-row sample as [[pqTrain]]; each sample vector is assigned
+    * driver-side with [[assignCosine]] (exact parity with
+    * [[withIvfList]]'s greatest-of-structs rule, ties → larger list) and
+    * its residual feeds the shared per-subspace Lloyd core. */
+  def ivfPqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]],
+                 m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                 trainN: Int = 4096): Array[Array[Array[Double]]] = {
+    require(trainN >= ksub, s"trainN=$trainN must be >= ksub=$ksub")
+    val rows = emb.select(col(vecCol).cast("array<double>").as("vec"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(trainN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length >= ksub,
+      s"IVF-PQ training needs >= ksub=$ksub vectors, corpus has ${rows.length}")
+    val norms = safeNorms(centroids)
+    val residuals = rows.map { x =>
+      val c = centroids(assignCosine(x, centroids, norms))
+      Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    pqTrainRows(residuals, m, ksub, iters)
+  }
+
+  /** Encode vectors as (vec_id, list_id, codes): one scan, no join — the
+    * centroid matrix and codebooks enter the plan as literals, the
+    * residual is an in-plan `transform`, and each subspace's code is the
+    * same greatest-of-structs argmin as [[pqEncode]]. The output IS the
+    * compressed store schema, partitionable by `list_id`. */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val sd = codebooks(0)(0).length
+    val listed = withIvfList(emb, vecCol, centroids)
+    val resid = transform(v,
+      (x, i) => x - element_at(element_at(centsLit, col("list_id") + 1), i + 1))
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      greatest(l2Scores(slice(col("_resid"), j * sd + 1, sd), cb): _*).getField("l")
+    }: _*)
+    listed.withColumn("_resid", resid)
+      .select(col(idCol).as("vec_id"), col("list_id"), codes.as("codes"))
+  }
+
+  /** IVF-PQ ADC top-k over the probed lists only. Probe ranking replicates
+    * [[ivfTopK]] (cosine to centroid, ties → larger list); the per-list
+    * inner-product constant and the residual LUTs are exact driver
+    * arithmetic entering codegen as array literals. The scan reads only
+    * (list_id, codes) — never a vector — and the `isin` probe filter is a
+    * partition-pruning predicate when the codes table is stored
+    * partitioned by list_id. Deterministic: round(·,4) + id tiebreak. */
+  def ivfPqTopK(codes: DataFrame, centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                q: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = centroids.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (c.zip(q).map { case (a, b) => a * b }.sum / ((if (cn == 0.0) 1.0 else cn) * qn), l)
+    }.sortBy { case (cos, l) => (-cos, -l) }.take(nprobe).map(_._2)
+    val ipConsts: Seq[Double] = centroids.map(c => dotOrdered(q, c)).toSeq
+    val sd = codebooks(0)(0).length
+    val luts: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(j * sd + i) }.sum).toSeq
+    }
+    val residScore = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedlit(lut), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val score = element_at(typedlit(ipConsts), col("list_id") + 1) + residScore
+    codes.filter(col("list_id").isin(probes.toSeq: _*))
+      .select(col("vec_id"), (round(score, 4) + 0.0).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -637,6 +733,78 @@ object Similarity {
       // at cluster scale a lost executor would recompute the whole chain.
       // The label frame is (node, label) — the cheapest thing to pin.
       if (r % 5 == 0 && r < rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** Louvain-style synchronous local-move refinement (Blondel et al.
+    * 2008, phase 1) over an unordered mutual edge set `(id1, id2, w:
+    * LONG)`: each round, every node considers moving to a neighboring
+    * community (or staying) and takes the modularity-argmax. The
+    * per-node gain comparison is computed as ONE exact integer score —
+    * for node u with degree k_u and candidate community c with total
+    * degree T_c and u→c edge weight S_{u,c}:
+    *
+    *   score(c) = 2m·S_{u,c} − k_u·(T_c − [c = cur]·k_u)
+    *
+    * which is the standard ΔQ scaled by the positive constant 2m² and
+    * shifted by the (candidate-independent) current-community terms, so
+    * argmax(score) = argmax(ΔQ) with "stay" naturally included.
+    * decimal(38,0) keeps the products exact at any graph weight the
+    * 4dp-integer convention can produce (2m·S ≈ 1e28 at a 10¹⁴ total
+    * weight), matching the DuckDB hugeint oracle bit for bit; ties break
+    * to the smallest label.
+    *
+    * Moves are SEMI-synchronous on a fixed parity schedule: round r only
+    * lets nodes with `node % 2 == r % 2` move. Fully synchronous local
+    * moves oscillate — two singleton neighbors each jump into the
+    * other's community and swap labels forever (observed on the bridged-
+    * triangle fixture) — while the alternating half-steps break every
+    * symmetric swap deterministically, the standard semi-synchronous LPA
+    * remedy (Cordasco & Gargano 2010) with no RNG. Fixed rounds keep the
+    * output a pure function of (edge set, seed labeling).
+    *
+    * Shape per round: one community-degree aggregate + one neighbor-
+    * community aggregate + a node-keyed argmax — the same
+    * Pregel-superstep cost as [[labelPropagate]], graph-sized, never
+    * corpus². The only driver traffic is the scalar 2m. Seed from
+    * singletons (classic Louvain) or from [[labelPropagate]] output to
+    * refine. */
+  def louvainRefine(mut: DataFrame, labels0: DataFrame, rounds: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
+    val m2 = deg.agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0) // = 2m
+    var labels = labels0.select(col("node"), col("label"))
+    for (r <- 1 to rounds) {
+      val tot = labels.join(deg, Seq("node"))
+        .groupBy(col("label").as("_c")).agg(sum(col("k")).as("_t"))
+      val kuc = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("_c")), Seq("dst"))
+        .groupBy(col("src"), col("_c")).agg(sum(col("w")).as("_s"))
+      // the "stay" candidate must exist even when u has no neighbor left
+      // in its own community (S = 0)
+      val stay = labels.select(col("node").as("src"), col("label").as("_c"),
+        lit(0L).as("_s"))
+      val cand = kuc.unionByName(stay)
+        .groupBy(col("src"), col("_c")).agg(sum(col("_s")).as("_s"))
+      val scored = cand
+        .join(labels.select(col("node").as("src"), col("label").as("_a")), Seq("src"))
+        .join(deg.select(col("node").as("src"), col("k")), Seq("src"))
+        .join(tot, Seq("_c"))
+        .withColumn("_score",
+          lit(m2).cast(dec) * col("_s").cast(dec) -
+            col("k").cast(dec) * (col("_t").cast(dec) -
+              when(col("_c") === col("_a"), col("k")).otherwise(lit(0L)).cast(dec)))
+      labels = scored.groupBy(col("src"))
+        .agg(min(struct((col("_score") * -1).as("_n"), col("_c"))).as("_top"),
+          max(col("_a")).as("_old")) // _a is constant per src
+        .select(col("src").as("node"),
+          when(pmod(col("src"), lit(2)) === lit((r - 1) % 2), col("_top._c"))
+            .otherwise(col("_old")).as("label"))
+      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels
   }

@@ -53,7 +53,10 @@ object Zarr {
   /** `comp`: "" = the format-default framing selected by `zlib` (v2 zlib /
     * v3 gzip, or none); "blosc" = blosc(lz4, byte-shuffle) frames — the
     * zarr-python v2 DEFAULT compressor, so most community stores need it
-    * (see [[Blosc]]; read accepts any conforming inner codec). */
+    * (see [[Blosc]]; read accepts any conforming inner codec); "zstd" =
+    * bare zstd frames — numcodecs Zstd in v2 and the standalone `zstd`
+    * codec that is zarr-python's v3 DEFAULT, via the zstd-jni already on
+    * Spark's classpath. */
   final case class Meta(rows: Long, cols: Long, chunkRows: Int, chunkCols: Int,
                         zlib: Boolean, fill: Double, dtype: String = "<f8",
                         format: Int = 2, innerRows: Int = 0, innerCols: Int = 0,
@@ -249,6 +252,7 @@ object Zarr {
     val comp =
       if (m.comp == "blosc")
         """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
+      else if (m.comp == "zstd") """{"id": "zstd", "level": 1}"""
       else if (m.zlib) """{"id": "zlib", "level": 1}"""
       else "null"
     val chunks = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
@@ -298,6 +302,8 @@ object Zarr {
     val inner =
       if (m.comp == "blosc")
         s"""[$transpose$bytesCodec, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "shuffle", "typesize": ${elemSize(m.dtype)}, "blocksize": 0}}]"""
+      else if (m.comp == "zstd")
+        s"""[$transpose$bytesCodec, {"name": "zstd", "configuration": {"level": 1, "checksum": false}}]"""
       else if (m.zlib)
         s"""[$transpose$bytesCodec, {"name": "gzip", "configuration": {"level": 1}}]"""
       else s"""[$transpose$bytesCodec]"""
@@ -637,6 +643,7 @@ object Zarr {
       else compNode.path("id").asText() match {
         case "zlib"  => (true, "")
         case "blosc" => (false, "blosc")
+        case "zstd"  => (false, "zstd") // numcodecs Zstd: bare zstd frames
         case id      => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
       }
     // dtype before filters: a string store ("|O" + vlen-utf8) should point
@@ -716,6 +723,7 @@ object Zarr {
       codecs.forEach { c =>
         c.path("name").asText() match {
           case "gzip"  => zlib = true
+          case "zstd"  => comp = "zstd" // zarr-python's v3 DEFAULT codec
           case "blosc" =>
             // shuffle mode / cname live in the self-describing frame too;
             // only bitshuffle is beyond the decoder, and IT fails loudly
@@ -758,6 +766,17 @@ object Zarr {
       dtypeStr, format = 3,
       innerRows = inner(0).toInt, innerCols = inner(1).toInt, fOrder = fOrder,
       keyEnc = keyEnc, rank1 = rank1, comp = compName)
+  }
+
+  /** Decompress a zstd frame whose length is only known from the frame
+    * header (vlen-string / time chunks). Simple-API writers (numcodecs
+    * Zstd, our own chunks) always stamp the content size; streaming
+    * writers that omit it are rejected loudly rather than guessed at. */
+  private[zarr] def zstdDecompressSelfSized(b: Array[Byte]): Array[Byte] = {
+    val n = com.github.luben.zstd.Zstd.getFrameContentSize(b)
+    require(n >= 0 && n <= Int.MaxValue,
+      s"zstd frame lacks a usable content size (got $n)")
+    com.github.luben.zstd.Zstd.decompress(b, n.toInt)
   }
 
   private[zarr] def deflate(b: Array[Byte]): Array[Byte] = {
@@ -811,6 +830,7 @@ object Zarr {
     }
     val raw = bb.array()
     if (comp == "blosc") Blosc.compress(raw, elemSize(dtype))
+    else if (comp == "zstd") com.github.luben.zstd.Zstd.compress(raw, 1)
     else if (!zlib) raw else if (format == 3) gzip(raw) else deflate(raw)
   }
 
@@ -821,6 +841,13 @@ object Zarr {
     val outLen = nElems * elemSize(dtype)
     val bytes =
       if (comp == "blosc") Blosc.decompress(bytes0, outLen)
+      else if (comp == "zstd") {
+        val out = new Array[Byte](outLen)
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, outLen, bytes0, 0, bytes0.length)
+        require(n == outLen, s"zstd chunk decoded $n of $outLen bytes")
+        out
+      }
       else if (!zlib) bytes0
       else if (format == 3) gunzip(bytes0, outLen) else inflate(bytes0, outLen)
     val bb = ByteBuffer.wrap(bytes).order(byteOrder(dtype))
@@ -1505,6 +1532,7 @@ object Zarr {
         c.path("name").asText() match {
           case "vlen-utf8" => sawVlen = true
           case "gzip"      => zlib = true
+          case "zstd"      => comp = "zstd"
           case "blosc"     => comp = "blosc"
           case other =>
             throw new IllegalArgumentException(s"unsupported string-array codec '$other'")
@@ -1539,6 +1567,7 @@ object Zarr {
         if (compNode.isNull || compNode.isMissingNode) (false, "")
         else compNode.path("id").asText() match {
           case "zlib"  => (true, "")
+          case "zstd"  => (false, "zstd")
           case "blosc" => (false, "blosc")
           case id => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
         }
@@ -1560,8 +1589,9 @@ object Zarr {
                         comp: String = ""): Unit = {
     require(n > 0 && chunk > 0, s"need n > 0 and chunk > 0, got n=$n chunk=$chunk")
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
-    require(comp == "" || comp == "blosc", s"unsupported comp '$comp'")
-    require(!(zlib && comp == "blosc"), "pick one of zlib / blosc")
+    require(comp == "" || comp == "blosc" || comp == "zstd",
+      s"unsupported comp '$comp'")
+    require(!(zlib && comp != ""), "pick one of zlib / blosc / zstd")
     val (root, frag) = splitKey(path)
     val segs = frag.map(validKeySegments).getOrElse(Nil)
     val target = (root +: segs).mkString("/")
@@ -1581,6 +1611,7 @@ object Zarr {
           val raw = vlenEncode(buf)
           val bytes =
             if (comp == "blosc") Blosc.compress(raw, 1)
+            else if (comp == "zstd") com.github.luben.zstd.Zstd.compress(raw, 1)
             else if (!zlib) raw
             else if (format == 3) gzip(raw) else deflate(raw)
           val f = chunkPath(target, curCi, 0, keyEnc, rank1 = true)
@@ -1607,6 +1638,8 @@ object Zarr {
         val compCodec =
           if (comp == "blosc")
             """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "noshuffle", "typesize": 1, "blocksize": 0}}"""
+          else if (comp == "zstd")
+            """, {"name": "zstd", "configuration": {"level": 1, "checksum": false}}"""
           else if (zlib) """, {"name": "gzip", "configuration": {"level": 1}}"""
           else ""
         s"""{
@@ -1624,6 +1657,7 @@ object Zarr {
         val compJson =
           if (comp == "blosc")
             """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 0, "blocksize": 0}"""
+          else if (comp == "zstd") """{"id": "zstd", "level": 1}"""
           else if (zlib) """{"id": "zlib", "level": 1}"""
           else "null"
         s"""{
@@ -1660,6 +1694,7 @@ object Zarr {
           val raw0 = readBytes(f)
           val raw =
             if (comp == "blosc") Blosc.decompressSelfSized(raw0)
+            else if (comp == "zstd") zstdDecompressSelfSized(raw0)
             else if (zlib) inflateUnsized(raw0, gzipped = format == 3)
             else raw0
           vlenDecode(raw, chunk, expectedAlt = len)
@@ -1693,8 +1728,9 @@ object Zarr {
     require(TimeDtypes.contains(dtype),
       s"unsupported time dtype '$dtype' (one of ${TimeDtypes.mkString(", ")})")
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
-    require(comp == "" || comp == "blosc", s"unsupported comp '$comp'")
-    require(!(zlib && comp == "blosc"), "pick one of zlib / blosc")
+    require(comp == "" || comp == "blosc" || comp == "zstd",
+      s"unsupported comp '$comp'")
+    require(!(zlib && comp != ""), "pick one of zlib / blosc / zstd")
     val (root, frag) = splitKey(path)
     val segs = frag.map(validKeySegments).getOrElse(Nil)
     val target = (root +: segs).mkString("/")
@@ -1718,6 +1754,7 @@ object Zarr {
           val raw = bb.array()
           val bytes =
             if (comp == "blosc") Blosc.compress(raw, 8)
+            else if (comp == "zstd") com.github.luben.zstd.Zstd.compress(raw, 1)
             else if (!zlib) raw
             else if (format == 3) gzip(raw) else deflate(raw)
           val f = chunkPath(target, curCi, 0, keyEnc, rank1 = true)
@@ -1745,6 +1782,8 @@ object Zarr {
         val compCodec =
           if (comp == "blosc")
             """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "shuffle", "typesize": 8, "blocksize": 0}}"""
+          else if (comp == "zstd")
+            """, {"name": "zstd", "configuration": {"level": 1, "checksum": false}}"""
           else if (zlib) """, {"name": "gzip", "configuration": {"level": 1}}"""
           else ""
         val endian = if (big) "big" else "little"
@@ -1763,6 +1802,7 @@ object Zarr {
         val compJson =
           if (comp == "blosc")
             """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
+          else if (comp == "zstd") """{"id": "zstd", "level": 1}"""
           else if (zlib) """{"id": "zlib", "level": 1}"""
           else "null"
         s"""{
@@ -1809,6 +1849,7 @@ object Zarr {
         c.path("name").asText() match {
           case "bytes" => big = c.path("configuration").path("endian").asText("little") == "big"
           case "gzip"  => zlib = true
+          case "zstd"  => comp = "zstd"
           case "blosc" => comp = "blosc"
           case other =>
             throw new IllegalArgumentException(s"unsupported time-array codec '$other'")
@@ -1841,6 +1882,7 @@ object Zarr {
         if (compNode.isNull || compNode.isMissingNode) (false, "")
         else compNode.path("id").asText() match {
           case "zlib"  => (true, "")
+          case "zstd"  => (false, "zstd")
           case "blosc" => (false, "blosc")
           case id => throw new IllegalArgumentException(s"unsupported v2 compressor '$id'")
         }
@@ -1869,6 +1911,7 @@ object Zarr {
           val raw0 = readBytes(f)
           val raw =
             if (comp == "blosc") Blosc.decompress(raw0, chunk * 8)
+            else if (comp == "zstd") zstdDecompressSelfSized(raw0)
             else if (!zlib) raw0
             else if (format == 3) gunzip(raw0, chunk * 8) else inflate(raw0, chunk * 8)
           require(raw.length >= len * 8,

@@ -71,6 +71,62 @@ class ZarrSpec extends AnyFunSuite {
       .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("zstd v2 roundtrip: numcodecs Zstd compressor reads and writes") {
+    val path = "/root/repo/target/tmp/zarr_test_zstd"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, comp = "zstd")
+    val meta = Zarr.readMeta(path)
+    assert(meta.comp == "zstd" && !meta.zlib)
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/.zarray")), "UTF-8")
+    assert(zarray.contains("\"id\": \"zstd\""))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("zstd v3 roundtrip: zarr-python's v3 DEFAULT codec, incl. sharded") {
+    val p3 = "/root/repo/target/tmp/zarr_test_zstd_v3"
+    Zarr.write(ZMatrix.fromDense(spark, dense), p3, 10, 5, 4, 3,
+      format = 3, comp = "zstd")
+    assert(Zarr.readMeta(p3).comp == "zstd")
+    val zj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$p3/zarr.json")), "UTF-8")
+    assert(zj.contains("\"name\": \"zstd\""))
+    assert(ZLocal.toDense(Zarr.read(spark, p3), 10, 5)
+      .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    val ps = "/root/repo/target/tmp/zarr_test_zstd_shard"
+    Zarr.write(ZMatrix.fromDense(spark, dense), ps, 10, 5, 4, 4,
+      format = 3, innerRows = 2, innerCols = 4, comp = "zstd")
+    assert(ZLocal.toDense(Zarr.read(spark, ps), 10, 5)
+      .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+  }
+
+  test("zstd foreign fixture: hand-built v3 store with library zstd frames") {
+    // simulate a zarr-python v3 writer: metadata JSON written by hand (not
+    // by our writer) and chunk bytes compressed directly with zstd-jni at
+    // a level we never use (3), so nothing round-trips through our encoder
+    val path = "/root/repo/target/tmp/zarr_test_zstd_foreign"
+    Zarr.delete(path, recursive = true)
+    Zarr.writeBytes(s"$path/zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 3],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 0.0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |  {"name": "zstd", "configuration": {"level": 3, "checksum": false}}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val vals = Array.tabulate(4, 3)((i, j) => i * 10.0 + j)
+    for (ci <- 0 until 2) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 3 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (li <- 0 until 2; j <- 0 until 3) bb.putDouble(vals(ci * 2 + li)(j))
+      Zarr.writeBytes(s"$path/c/$ci/0",
+        com.github.luben.zstd.Zstd.compress(bb.array(), 3))
+    }
+    assert(ZLocal.toDense(Zarr.read(spark, path), 4, 3)
+      .map(_.toSeq).toSeq == vals.map(_.toSeq).toSeq)
+  }
+
   test("blosc foreign-store interop: c-blosc typesize-split multi-block frames") {
     // construct what c-blosc 1.x actually emits for lz4 + byte-shuffle:
     // MULTI-block frames whose blocks hold TYPESIZE splits (one lz4 stream
@@ -243,7 +299,8 @@ class ZarrSpec extends AnyFunSuite {
     val expect = Seq((0L, "alpha"), (1L, "β-ünïcode✓"), (2L, ""),
       (3L, "delta,with,commas"), (4L, ""))
     for ((format, comp, zlib) <- Seq((2, "", false), (2, "blosc", false),
-        (2, "", true), (3, "", false), (3, "blosc", false), (3, "", true))) {
+        (2, "", true), (3, "", false), (3, "blosc", false), (3, "", true),
+        (2, "zstd", false), (3, "zstd", false))) {
       val path = s"/root/repo/target/tmp/zarr_test_str_${format}_${comp}_$zlib"
       Zarr.writeStringVector(df, path, n = 5, chunk = 2,
         zlib = zlib, format = format, comp = comp)
@@ -1185,7 +1242,7 @@ class ZarrSpec extends AnyFunSuite {
       (2L, Long.MinValue), (4L, -86400000000000L))
     val vec = vals.toDF("i", "v")
     for ((dtype, format, comp) <- Seq(("<M8[ns]", 2, "blosc"), (">M8[ns]", 2, ""),
-        ("<m8[ns]", 3, ""), ("<M8[ns]", 3, "blosc"))) {
+        ("<m8[ns]", 3, ""), ("<M8[ns]", 3, "blosc"), ("<M8[ns]", 3, "zstd"))) {
       val safe = dtype.replaceAll("[^A-Za-z0-9]", "")
       val path = s"/root/repo/target/tmp/zarr_test_dt_${safe}_v$format$comp"
       Zarr.delete(path, recursive = true)
