@@ -1025,6 +1025,11 @@ object SparkEntry {
     // event-time order, one counter of state per key — the ingest-edge
     // quota of a continuous training-data pipeline
     "stream_quota" -> ((s, d) => Stream.quotaStream(s, d)),
+    // near-dup ADMISSION at ingest: incoming docs (the %5 stream) minhash-
+    // signed in the stream scan, banded against a static corpus LSH index
+    // (stateless stream-static join), exact-Jaccard verify post-ingest.
+    // rows-only (minhash is Spark-only); stream==batch pinned in spec.
+    "stream_neardup" -> ((s, d) => Stream.nearDupStream(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----

@@ -243,6 +243,57 @@ object Stream {
     spark.table(qn)
   }
 
+  /** Streaming near-dup ADMISSION — the dedup-at-ingest shape of a
+    * training-data pipeline: each incoming document (here the doc_id % 5
+    * == 0 fifth of the corpus, arriving as a stream) is MinHash-signed by
+    * the scalar [[graft.functions.MinHashSig]] kernel INSIDE the stream
+    * scan (one pass, no aggregate state), banded, and joined against a
+    * static LSH band index of the resident corpus — a stateless
+    * stream-static join, so the only streaming state is the source
+    * bookkeeping, and the index is a batch relation the planner may
+    * broadcast or shuffle per micro-batch as its size dictates.
+    * Candidates stream out append-mode; the exact-Jaccard verify runs
+    * once on the candidate-bounded set after ingest (batch post-pass, as
+    * production would verify asynchronously) and keeps pairs ≥ minJ.
+    * Output: (in_id, corpus_id, jaccard) — the incoming docs to reject.
+    * rows-only (xxhash64/minhash is Spark-only); StreamingSpec pins
+    * stream candidates == the batch pipeline's on the same split. */
+  def nearDupStream(spark: SparkSession, sfDir: String,
+                    bandsN: Int = 16, rowsPerBand: Int = 8,
+                    minJ: Double = 0.8): DataFrame = {
+    import graft.ops.Dedup
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+      .filter(col("doc_id") % 5 === 0)
+    val banded = Dedup.bands(
+      Dedup.minhashSignatures(src, "doc_id", "text", bandsN * rowsPerBand, 5),
+      bandsN, rowsPerBand)
+      .withColumnRenamed("doc_id", "in_id")
+    val resident = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 0)
+    val idx = Dedup.bands(
+      Dedup.minhashSignatures(resident, "doc_id", "text", bandsN * rowsPerBand, 5),
+      bandsN, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val cands = banded.join(idx, Seq("band", "bucket"))
+      .select(col("in_id"), col("corpus_id"))
+    val qn = s"stream_neardup_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = cands.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val pairs = spark.table(qn).distinct()
+      .select(col("in_id").as("id1"), col("corpus_id").as("id2"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 5)
+      .filter(col("jaccard") >= minJ)
+      .select(col("id1").as("in_id"), col("id2").as("corpus_id"), col("jaccard"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

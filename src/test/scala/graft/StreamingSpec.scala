@@ -108,6 +108,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(!_))
   }
 
+  test("streaming near-dup admission equals the batch pipeline on the same split") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val streamed = graft.streaming.Stream.nearDupStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: same split, same band index, same verify threshold
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val resident = docs.filter(col("doc_id") % 5 =!= 0)
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bands(Dedup.minhashSignatures(df, "doc_id", "text", 128, 5), 16, 8)
+    val pairs = banded(incoming).withColumnRenamed("doc_id", "id1")
+      .join(banded(resident).withColumnRenamed("doc_id", "id2"), Seq("band", "bucket"))
+      .select(col("id1"), col("id2")).distinct()
+    val batch = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 5)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // every admitted pair crosses the split in the right direction
+    assert(streamed.forall { case (in, corp, j) =>
+      in % 5 == 0 && corp % 5 != 0 && j >= 0.8 })
+  }
+
   test("streaming zarr ingestion: multi-batch chunk-aligned appends, equals batch grid") {
     import org.apache.spark.sql.functions._
     val cells = graft.streaming.Stream.zarrIngestStream(spark, TestSpark.sf)
