@@ -855,6 +855,15 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // spectral embedding of the mutual-kNN graph (the diffmap/Laplacian-
+    // eigenmap coordinate): v2/v3 of the random-walk matrix by exact
+    // fixed-point power iteration — every reduction an integer sum, so
+    // the unrolled DuckDB oracle matches hash-exactly (see spectralEmbed)
+    "graph_spectral" -> ((s, d) => {
+      Similarity.spectralEmbed(
+          Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), iters = 12)
+        .select(col("node").cast("long").as("node"), col("e1_q"), col("e2_q"))
+    }),
     // kNN label transfer: queries 0..7 classified by majority label of
     // their 5 nearest labeled training vectors (vec_id ≥ 8) — one
     // training-corpus scan for the whole batch, vote fully SQL-checked
@@ -1166,14 +1175,14 @@ object SparkEntry {
       | FROM q a CROSS JOIN q b CROSS JOIN range(64) r(i)
       | WHERE a.vec_id <> b.vec_id
       | GROUP BY a.vec_id, b.vec_id),
-      |knn AS (SELECT src, dst, cos FROM (
+      |knn AS MATERIALIZED (SELECT src, dst, cos FROM (
       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
       |  FROM scored) WHERE rk <= 3),
-      |mut AS (SELECT a.src AS id1, a.dst AS id2,
+      |mut AS MATERIALIZED (SELECT a.src AS id1, a.dst AS id2,
       |          CAST(round(a.cos * 10000) AS BIGINT) AS w
       |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
       |        WHERE a.src < a.dst),
-      |edges AS (SELECT id1 AS src, id2 AS dst, w FROM mut
+      |edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst, w FROM mut
       |          UNION ALL SELECT id2, id1, w FROM mut)""".stripMargin
 
   /** [[graphEdgesSqlPrefix]] + the 10-round label-propagation CTE. */
@@ -1223,7 +1232,57 @@ object SparkEntry {
       ",\n" + body + s"\nSELECT node, label AS cluster FROM lab$rounds"
   }
 
+  /** [[graphEdgesSqlPrefix]] + the spectral power iteration unrolled —
+    * per iteration one hugeint matvec, the exact deflation/norm
+    * aggregates, and the correctly-rounded double rescale, exactly the
+    * arithmetic of [[Similarity.spectralEmbed]] (which see for why the
+    * fixed-point contract makes the two engines bit-equal). */
+  private val graphSpectralSql: String = {
+    val iters = 12
+    def sweep(p: String, init: String, prev: Option[String]): String = {
+      val x0 = s"${p}x0 AS MATERIALIZED (SELECT node, CAST($init AS BIGINT) AS xq FROM deg)"
+      val its = (1 to iters).map { t =>
+        val base =
+          s"""${p}y$t AS (SELECT e.src AS node, SUM(CAST(e.w AS HUGEINT) * x.xq) AS y
+             |  FROM edges e JOIN ${p}x${t - 1} x ON x.node = e.dst GROUP BY e.src),
+             |${p}z$t AS MATERIALIZED (SELECT y.node, d.d,
+             |  CAST(round(CAST(y.y AS DOUBLE) / CAST(d.d AS DOUBLE)) AS BIGINT) AS zq
+             |  FROM ${p}y$t y JOIN deg d USING (node)),
+             |${p}a$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq) AS DOUBLE) /
+             |  (SELECT CAST(sumd AS DOUBLE) FROM sd) AS alpha FROM ${p}z$t)""".stripMargin
+        val defl = prev match {
+          case None =>
+            s"""${p}w$t AS MATERIALIZED (SELECT z.node, z.d,
+               |  CAST(round(z.zq - c.alpha) AS BIGINT) AS xq1
+               |  FROM ${p}z$t z CROSS JOIN ${p}a$t c)""".stripMargin
+          case Some(pv) =>
+            s"""${p}j$t AS MATERIALIZED (SELECT z.node, z.d, z.zq, p.xq AS pq
+               |  FROM ${p}z$t z JOIN $pv p USING (node)),
+               |${p}b$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq * pq) AS DOUBLE) /
+               |  CAST(SUM(CAST(d AS HUGEINT) * pq * pq) AS DOUBLE) AS beta FROM ${p}j$t),
+               |${p}w$t AS MATERIALIZED (SELECT j.node, j.d,
+               |  CAST(round(j.zq - a.alpha - b.beta * j.pq) AS BIGINT) AS xq1
+               |  FROM ${p}j$t j CROSS JOIN ${p}a$t a CROSS JOIN ${p}b$t b)""".stripMargin
+        }
+        val tail =
+          s"""${p}n$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * xq1 * xq1) AS DOUBLE) AS n2 FROM ${p}w$t),
+             |${p}x$t AS MATERIALIZED (SELECT w.node,
+             |  CAST(round(w.xq1 * (1000000 * sqrt((SELECT CAST(sumd AS DOUBLE) FROM sd) / n.n2))) AS BIGINT) AS xq
+             |  FROM ${p}w$t w CROSS JOIN ${p}n$t n)""".stripMargin
+        s"$base,\n$defl,\n$tail"
+      }.mkString(",\n")
+      s"$x0,\n$its"
+    }
+    graphEdgesSqlPrefix + ",\n" +
+      """deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS d FROM edges GROUP BY src),
+        |sd AS MATERIALIZED (SELECT SUM(d) AS sumd FROM deg)""".stripMargin + ",\n" +
+      sweep("a", "(node % 7 - 3) * 333333", None) + ",\n" +
+      sweep("b", "(node % 5 - 2) * 500000", Some(s"ax$iters")) + "\n" +
+      s"SELECT v2.node, v2.xq AS e1_q, v3.xq AS e2_q FROM ax$iters v2 JOIN bx$iters v3 USING (node)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",

@@ -809,6 +809,93 @@ object Similarity {
     labels
   }
 
+  /** Spectral embedding of a weighted graph — scanpy's diffusion-map/
+    * Laplacian-eigenmap coordinate family — by power iteration on the
+    * random-walk matrix W = D⁻¹A over an unordered mutual edge set
+    * `(id1, id2, w: LONG)`. Returns the 2nd and 3rd eigenvector
+    * coordinates (the 1st is the constant vector, deflated away) as
+    * FIXED-POINT integers in units of 10⁻⁶ (`e1_q`, `e2_q`).
+    *
+    * The whole iteration is bit-replicable across engines: the vector
+    * lives in integer units, every reduction (matvec Σw·x, deflation
+    * numerators Σd·x / Σd·x·p, D-norm Σd·x²) is an EXACT decimal(38,0)
+    * sum of integer products — no float-sum order sensitivity — and the
+    * only floating-point steps are correctly-rounded scalar double ops
+    * (divide, sqrt, multiply) on identical inputs followed by an
+    * immediate round-back to integer units. The DuckDB oracle unrolls
+    * the same iterations in hugeint and matches hash-exactly.
+    *
+    * Shape per iteration: one edge join + aggregate (the matvec — the
+    * only edge-sized work) + three node-sized aggregates; vectors are
+    * (node, xq) frames, localCheckpoint'd to bound lineage. The driver
+    * sees only exact integer scalars — O(1) traffic. At cluster scale
+    * this is textbook Pregel PageRank cost per iteration. Fixed `iters`
+    * keeps the output a pure function of the edge set whether or not
+    * the iteration has converged (eigen-quality is asserted in tests,
+    * parity by the oracle). */
+  def spectralEmbed(mut: DataFrame, iters: Int = 12): DataFrame = {
+    val S = 1000000L
+    val dec = "decimal(38,0)"
+    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
+      .localCheckpoint()
+    val sumd = deg.agg(sum(col("d"))).head().getLong(0)
+    require(sumd > 0, "spectral embedding needs a non-empty graph")
+
+    // one deflated power-iteration sweep; `prev` adds the second
+    // deflation direction (v2) for the v3 sweep
+    def sweep(x0: DataFrame, prev: Option[DataFrame]): DataFrame = {
+      var x = x0 // (node, xq: long)
+      for (_ <- 1 to iters) {
+        val y = edges
+          .join(x.select(col("node").as("dst"), col("xq")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("w").cast(dec) * col("xq").cast(dec)).as("y"))
+        val z = y.join(deg, Seq("node"))
+          .select(col("node"), col("d"),
+            round(col("y").cast("double") / col("d").cast("double"))
+              .cast("long").as("zq"))
+          .localCheckpoint() // feeds 2-3 aggregates + the update below
+        val alpha = z.agg(sum(col("d").cast(dec) * col("zq").cast(dec))
+          .cast("double")).head().getDouble(0) / sumd.toDouble
+        val defl = prev match {
+          case Some(p) =>
+            val j = z.join(p.select(col("node"), col("xq").as("pq")), Seq("node"))
+              .localCheckpoint()
+            val num = j.agg(sum(col("d").cast(dec) * col("zq").cast(dec) *
+              col("pq").cast(dec)).cast("double")).head().getDouble(0)
+            val den = j.agg(sum(col("d").cast(dec) * col("pq").cast(dec) *
+              col("pq").cast(dec)).cast("double")).head().getDouble(0)
+            val beta = num / den
+            j.select(col("node"), col("d"),
+              round(col("zq") - lit(alpha) - lit(beta) * col("pq"))
+                .cast("long").as("xq1"))
+          case None =>
+            z.select(col("node"), col("d"),
+              round(col("zq") - lit(alpha)).cast("long").as("xq1"))
+        }
+        val w = defl.localCheckpoint()
+        val n2 = w.agg(sum(col("d").cast(dec) * col("xq1").cast(dec) *
+          col("xq1").cast(dec)).cast("double")).head().getDouble(0)
+        val f = S * math.sqrt(sumd.toDouble / n2)
+        x = w.select(col("node"), round(col("xq1") * lit(f)).cast("long").as("xq"))
+      }
+      x.localCheckpoint()
+    }
+
+    val nodes = deg.select(col("node"))
+    val v2 = sweep(
+      nodes.select(col("node"), ((col("node") % 7 - 3) * lit(S / 3))
+        .cast("long").as("xq")), None)
+    val v3 = sweep(
+      nodes.select(col("node"), ((col("node") % 5 - 2) * lit(S / 2))
+        .cast("long").as("xq")), Some(v2))
+    v2.select(col("node"), col("xq").as("e1_q"))
+      .join(v3.select(col("node"), col("xq").as("e2_q")), Seq("node"))
+  }
+
   /** Weighted modularity Q of a labeling over an unordered edge set
     * `(id1, id2, w: LONG)` — the quality number that separates a real
     * community structure from a connected-components blob. Computed as

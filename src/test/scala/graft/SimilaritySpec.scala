@@ -367,6 +367,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qLou >= qLpa - 1e-9, s"Q(louvain)=$qLou < Q(lpa)=$qLpa")
   }
 
+  test("spectral embedding: v2 separates weakly-bridged cliques, D-orthogonal, deterministic") {
+    // two 4-cliques (heavy internal weights) joined by one light bridge:
+    // the classic Fiedler setup — the 2nd random-walk eigenvector must be
+    // one sign on clique A and the other on clique B
+    val heavy = 10000L; val light = 100L
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j, heavy)
+    val cliqueB = for (i <- 4L to 7L; j <- 4L to 7L if i < j) yield (i, j, heavy)
+    val mut = (cliqueA ++ cliqueB :+ ((3L, 4L, light))).toDF("id1", "id2", "w")
+    val emb = Similarity.spectralEmbed(mut, iters = 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(emb.size == 8)
+    val signsA = (0L to 3L).map(emb(_)._1.sign).toSet
+    val signsB = (4L to 7L).map(emb(_)._1.sign).toSet
+    assert(signsA.size == 1 && signsB.size == 1 && signsA != signsB,
+      s"v2 does not separate the cliques: $emb")
+    // D-orthogonality to the constant vector: |sum d*x| small relative to
+    // sum d*|x| (quantization leaves sub-unit residue per node)
+    val deg = (0L to 7L).map { n =>
+      n -> (cliqueA ++ cliqueB ++ Seq((3L, 4L, light)))
+        .collect { case (a, b, w) if a == n || b == n => w }.sum
+    }.toMap
+    for (k <- Seq[((Long, Long)) => Long](_._1, _._2)) {
+      val dot = emb.map { case (n, e) => deg(n) * k(e) }.sum.toDouble
+      val mass = emb.map { case (n, e) => deg(n) * math.abs(k(e)) }.sum.toDouble
+      assert(math.abs(dot) / mass < 1e-3, s"not D-orthogonal to 1: $dot vs $mass")
+    }
+    // v2 ⊥_D v3
+    val cross = emb.map { case (n, (a, b)) => BigInt(deg(n)) * a * b }.sum
+    val crossMass = emb.map { case (n, (a, b)) =>
+      BigInt(deg(n)) * a.abs.max(1L) * b.abs.max(1L) }.sum
+    assert((BigDecimal(cross) / BigDecimal(crossMass)).abs < 1e-3,
+      s"v2 not D-orthogonal to v3: $cross")
+    val emb2 = Similarity.spectralEmbed(mut, iters = 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(emb == emb2, "spectral embedding not deterministic")
+  }
+
   test("batchTopK excludeSelf drops exactly the query's own row") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val batch = emb.filter(col("vec_id") < 4)
