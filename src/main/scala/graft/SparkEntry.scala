@@ -897,6 +897,10 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: text analysis ----
+    // BPE tokenizer induction: corpus scanned ONCE for word counts, then 8
+    // merge rounds on the vocabulary-sized table; oracle unrolls the same
+    // rounds (exact integer counts, lexicographic ties, greedy-left merge)
+    "text_bpe" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), "doc_id", "text", 8)),
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
@@ -1281,7 +1285,48 @@ object SparkEntry {
       s"SELECT v2.node, v2.xq AS e1_q, v3.xq AS e2_q FROM ax$iters v2 JOIN bx$iters v3 USING (node)"
   }
 
+  /** The BPE induction rounds unrolled in DuckDB — per round the pair
+    * count + argmax + positional leftmost-nonoverlap merge application,
+    * exactly [[TextOps.bpeTrain]]'s arithmetic (integer counts, lexico
+    * tie-break, odd-position-within-run greedy rule). */
+  private val textBpeSql: String = {
+    val merges = 8
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT word, cnt, i, t,
+         |    lead(t) OVER (PARTITION BY word ORDER BY i) AS tn
+         |  FROM (SELECT word, cnt, u.i AS i, toks[u.i] AS t
+         |        FROM v${r - 1}, unnest(range(1, len(toks) + 1)) u(i))),
+         |top$r AS MATERIALIZED (SELECT t AS a, tn AS b, SUM(cnt) AS n FROM p$r
+         |  WHERE tn IS NOT NULL GROUP BY t, tn ORDER BY n DESC, a, b LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT p.word, p.i,
+         |    row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS rn
+         |  FROM p$r p JOIN top$r tp ON p.t = tp.a AND p.tn = tp.b),
+         |k$r AS MATERIALIZED (SELECT word, i FROM (
+         |  SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS ii
+         |  FROM m$r) WHERE ii % 2 = 1),
+         |v$r AS MATERIALIZED (SELECT word, cnt, list(tok ORDER BY i) AS toks FROM (
+         |  SELECT p.word, p.cnt, p.i,
+         |    CASE WHEN k.i IS NOT NULL THEN (SELECT a || b FROM top$r) ELSE p.t END AS tok
+         |  FROM p$r p
+         |    LEFT JOIN k$r k ON k.word = p.word AND k.i = p.i
+         |    LEFT JOIN k$r kd ON kd.word = p.word AND kd.i = p.i - 1
+         |  WHERE kd.i IS NULL) GROUP BY word, cnt)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to merges).map(r =>
+      s"SELECT $r AS merge_rank, a AS mleft, b AS mright, CAST(n AS BIGINT) AS pair_n FROM top$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, cnt,
+       |  list_append(list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)), '</w>') AS toks FROM w),
+       |$rounds
+       |$finals""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_bpe" -> textBpeSql,
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "dedup_simhash" ->

