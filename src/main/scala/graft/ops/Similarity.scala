@@ -804,7 +804,12 @@ object Similarity {
         .select(col("src").as("node"),
           when(pmod(col("src"), lit(2)) === lit((r - 1) % 2), col("_top._c"))
             .otherwise(col("_old")).as("label"))
-      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint()
+      // the label frame feeds THREE consumers next round (community
+      // degrees, neighbor labels, current labels): without a per-round
+      // cut the lazy plan triples each superstep — 3^rounds analysis and
+      // recompute — so pin the (node, label) frame, the cheapest thing
+      // in the loop, every round
+      if (r < rounds) labels = labels.localCheckpoint()
     }
     labels
   }
