@@ -901,6 +901,9 @@ object SparkEntry {
     // merge rounds on the vocabulary-sized table; oracle unrolls the same
     // rounds (exact integer counts, lexicographic ties, greedy-left merge)
     "text_bpe" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), "doc_id", "text", 8)),
+    // ...and the trained tokenizer APPLIED: per-doc token counts under the
+    // final segmentation (the pretraining-budget question)
+    "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.documents(s, d), "doc_id", "text", 8)),
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
@@ -1325,8 +1328,24 @@ object SparkEntry {
        |$finals""".stripMargin
   }
 
+  /** [[textBpeSql]]'s merge rounds, then the per-document token count
+    * under the final segmentation — [[TextOps.bpeTokens]]'s twin. */
+  private val textBpeTokensSql: String = {
+    val upToFinals = textBpeSql.substring(0, textBpeSql.indexOf("\nSELECT 1 AS merge_rank"))
+    upToFinals +
+      """
+        |SELECT d.doc_id, CAST(coalesce(SUM(len(v.toks)), 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents) WHERE word <> '') dw ON dw.doc_id = d.doc_id
+        |LEFT JOIN v8 v ON v.word = dw.word
+        |GROUP BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
+    "text_bpe_tokens" -> textBpeTokensSql,
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "dedup_simhash" ->

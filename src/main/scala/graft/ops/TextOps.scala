@@ -298,8 +298,39 @@ object TextOps {
     * pair_n) — the ordered merge table that IS the tokenizer model. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                merges: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(docs, textCol, merges)._1
+      .toDF("merge_rank", "mleft", "mright", "pair_n")
+  }
+
+  /** Token count per document under the LEARNED BPE segmentation — the
+    * "how many tokens is my corpus" question every pretraining budget
+    * starts with. The merge loop runs on the vocabulary table exactly as
+    * in [[bpeTrain]]; the per-document count is then ONE join of the
+    * exploded word stream against the vocab's final segment lengths plus
+    * a doc-keyed sum (wordless documents count 0). */
+  def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int = 8): DataFrame = {
+    val vocab = bpeLoop(docs, textCol, merges)._2
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val perDoc = words
+      .join(vocab.select(col("word"), size(col("toks")).as("ntok")), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("ntok")).cast("long").as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The shared BPE merge loop: returns (ordered merge list, final vocab
+    * (word, cnt, toks) frame). See [[bpeTrain]] for the algorithm and
+    * parity contract. */
+  private def bpeLoop(docs: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val words = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
@@ -347,8 +378,7 @@ object TextOps {
       }
       r += 1
     }
-    import spark.implicits._
-    found.toSeq.toDF("merge_rank", "mleft", "mright", "pair_n")
+    (found.toSeq, vocab)
   }
 
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,

@@ -55,6 +55,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.size == 8 && got.map(_._4).zip(got.tail.map(_._4)).forall { case (x, y) => x >= y || true })
   }
 
+  test("BPE token counts: merges shrink counts, wordless docs count 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "aaaa aaaa"), (2L, "aaaa b"), (3L, "   ")).toDF("doc_id", "text")
+    val got = ops.TextOps.bpeTokens(docs, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 merges (a,a): aaaa → [aa, aa, </w>]; round 2 merges the
+    // count-3 tie (aa, </w>) (lexicographic) → [aa, aa</w>]: 2 tokens/word
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 0L), s"$got")
+    // zero merges = chars + marker: aaaa→5, b→2
+    val got0 = ops.TextOps.bpeTokens(docs, "doc_id", "text", 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == Map(1L -> 10L, 2L -> 7L, 3L -> 0L), s"$got0")
+  }
+
   test("BPE greedy-left rule on repeated-character runs (a = b islands)") {
     import spark.implicits._
     // 'aaaa' has three (a,a) sites; greedy keeps positions 1 and 3 →
