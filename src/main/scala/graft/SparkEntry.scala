@@ -999,6 +999,20 @@ object SparkEntry {
     "multimodal_real_codec" -> ((s, d) =>
       Multimodal.realCodecFeatures(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
+    // PERCEPTUAL image dedup: bucket-patterned payloads (PNG scale 1-3 /
+    // JPEG scale 8, one-pixel perturbations) decoded + aHashed by the
+    // real out-of-JVM codec, then dup groups by exact hash match. The
+    // pattern construction makes the 64-bit perceptual hash an exact
+    // SQL-predictable function of doc_id — a fully oracle-checked hash
+    // over genuinely decoded rasters.
+    "multimodal_phash" -> ((s, d) => {
+      val ph = Multimodal.phashReal(Tables.documents(s, d), "doc_id")
+      val groups = ph.groupBy(col("phash"))
+        .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("keep_id"))
+      ph.join(groups, Seq("phash"))
+        .select(col("doc_id"), col("phash"), col("width"),
+          col("group_n"), col("keep_id"))
+    }),
     // JPEG through the SAME subprocess contract: ImageIO's JFIF bit
     // parser this time; geometry (not pixels) is the lossless part a
     // SQL oracle can predict end-to-end
@@ -2311,6 +2325,18 @@ object SparkEntry {
         | CAST(1 + length(text) % 12 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    // the aHash of every rendition equals the bucket's pattern bits
+    // (((bucket+1)·C) mod 2^63) | 1 by construction — see asPatternMedia
+    "multimodal_phash" ->
+      """WITH ph AS (SELECT doc_id,
+        |    CAST((CAST(((doc_id % 32) + 1) AS HUGEINT) * 2862933555777941757)
+        |      % 9223372036854775808 AS BIGINT) | 1 AS phash,
+        |    CAST(8 * (CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 1 + doc_id % 3 END) AS INTEGER) AS width
+        |  FROM documents),
+        |g AS (SELECT phash, CAST(count(*) AS BIGINT) AS group_n,
+        |        min(doc_id) AS keep_id FROM ph GROUP BY phash)
+        |SELECT ph.doc_id, ph.phash, ph.width, g.group_n, g.keep_id
+        |FROM ph JOIN g USING (phash)""".stripMargin,
     "multimodal_jpeg_codec" ->
       """SELECT doc_id, CAST(1 + length(text) % 13 AS INTEGER) AS width,
         | CAST(1 + length(text) % 9 AS INTEGER) AS height,

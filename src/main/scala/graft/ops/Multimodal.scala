@@ -447,6 +447,8 @@ object Multimodal {
 
   final case class ResizedFeatures(doc_id: Long, src_w: Int, src_h: Int,
                                    out_w: Int, out_h: Int, r_sum: Long)
+  final case class PhashFeatures(doc_id: Long, width: Int, height: Int,
+                                 phash: Long)
   final case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
                                  width: Int, height: Int, r: Int)
 
@@ -457,6 +459,12 @@ object Multimodal {
     arrowField("out_w", new ArrowType.Int(32, true)),
     arrowField("out_h", new ArrowType.Int(32, true)),
     arrowField("r_sum", new ArrowType.Int(64, true))).asJava)
+
+  val phashArrowSchema: Schema = new Schema(Seq(
+    arrowField("doc_id", new ArrowType.Int(64, true)),
+    arrowField("width", new ArrowType.Int(32, true)),
+    arrowField("height", new ArrowType.Int(32, true)),
+    arrowField("phash", new ArrowType.Int(64, true))).asJava)
 
   val framesArrowSchema: Schema = new Schema(Seq(
     arrowField("doc_id", new ArrowType.Int(64, true)),
@@ -554,6 +562,71 @@ object Multimodal {
     val rs = root.getVector("r_sum").asInstanceOf[BigIntVector]
     (0 until root.getRowCount).map(i => ResizedFeatures(
       oId.get(i), sw.get(i), sh.get(i), ow.get(i), oh.get(i), rs.get(i))).iterator
+  }
+
+  private def readPhashBatch(root: VectorSchemaRoot): Iterator[PhashFeatures] = {
+    val oId = root.getVector("doc_id").asInstanceOf[BigIntVector]
+    val w = root.getVector("width").asInstanceOf[IntVector]
+    val h = root.getVector("height").asInstanceOf[IntVector]
+    val p = root.getVector("phash").asInstanceOf[BigIntVector]
+    (0 until root.getRowCount).map(i => PhashFeatures(
+      oId.get(i), w.get(i), h.get(i), p.get(i))).iterator
+  }
+
+  /** Bucketed block-pattern media for PERCEPTUAL dedup: docs sharing
+    * `doc_id % 32` render the SAME 8×8 black/white pattern — the 63 low
+    * bits of ((bucket+1)·2862933555777941757 mod 2⁶³) | 1, an odd-
+    * multiplier mix whose 32 patterns are distinct with 22-40 white
+    * cells — at different scales and through different REAL codecs:
+    * even docs are PNGs at scale 1-3, odd docs are JPEGs at scale 8
+    * (each pattern cell = one full 8×8 JPEG block, so lossy DCT coding
+    * shifts flat blocks by a few gray levels but can never cross the
+    * ~90-160 aHash mean), plus a one-pixel per-doc perturbation. The
+    * aHash of every rendition equals the pattern bits EXACTLY, which is
+    * what makes a SQL oracle possible for a perceptual hash. */
+  def asPatternMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
+      val pat = (((id % 32 + 1) * 2862933555777941757L) & Long.MaxValue) | 1L
+      val s = if (id % 2 == 1) 8 else 1 + (id % 3).toInt
+      val wh = 8 * s
+      val img = new java.awt.image.BufferedImage(
+        wh, wh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < wh) {
+        var x = 0
+        while (x < wh) {
+          val k = (y / s) * 8 + (x / s)
+          val v = if (((pat >> k) & 1L) == 1L) 255 else 0
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      // per-doc perturbation: pixel (0,0) red −(id%2) — re-encode-level
+      // noise the hash must shrug off
+      val rgb0 = img.getRGB(0, 0)
+      val r0 = ((rgb0 >>> 16) & 0xff) - (id % 2).toInt
+      img.setRGB(0, 0, (r0 << 16) | (rgb0 & 0xffff))
+      val fmt = if (id % 2 == 0) "png" else "jpg"
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      MediaRow(id, bos.toByteArray,
+        if (fmt == "png") "image/png" else "image/jpeg")
+    }
+  }
+
+  /** REAL perceptual-hash extraction out-of-JVM: [[asPatternMedia]]
+    * payloads decoded and aHashed by the codec child (`phash` mode) —
+    * (doc_id, width, height, phash). The hash is computed from genuinely
+    * decoded PNG/JPEG rasters; dedup is then a plain groupBy upstairs. */
+  def phashReal(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subprocessRows[PhashFeatures](asPatternMedia(docs, idCol),
+      pngCodecCmd ++ Seq("phash"),
+      useStubKernel = false, readPhashBatch).toDF()
   }
 
   private def readFramesBatch(root: VectorSchemaRoot): Iterator[FrameFeatures] = {

@@ -46,6 +46,7 @@ object ArrowPngCodec {
       case "resize"   => Multimodal.resizedArrowSchema
       case "frames"   => Multimodal.framesArrowSchema
       case "audio"    => Multimodal.audioArrowSchema
+      case "phash"    => Multimodal.phashArrowSchema
       case other => System.err.println(s"unknown mode $other"); sys.exit(2); null
     }
     val alloc = new RootAllocator()
@@ -64,6 +65,7 @@ object ArrowPngCodec {
           case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
           case "frames"   => framesBatch(in, out, args(1).toInt)
           case "audio"    => audioBatch(in, out)
+          case "phash"    => phashBatch(in, out)
         }
         out.setRowCount(rows)
         writer.writeBatch()
@@ -104,6 +106,55 @@ object ArrowPngCodec {
       oW.setSafe(i, img.getWidth)
       oH.setSafe(i, img.getHeight)
       oC.setSafe(i, img.getRaster.getNumBands)
+      i += 1
+    }
+    n
+  }
+
+  /** Perceptual average-hash: really decode, nearest-neighbor resample to
+    * 8×8 (the same sampling rule as `resize`), grayscale each cell as
+    * (r+g+b)/3 integer division, and set bit k = (8·y + x) iff the cell's
+    * gray exceeds the integer mean of all 64 — the classic aHash. Emits
+    * (doc_id, width, height, phash). */
+  private def phashBatch(in: VectorSchemaRoot, out: VectorSchemaRoot): Int = {
+    val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val oId = out.getVector("doc_id").asInstanceOf[BigIntVector]
+    val oW = out.getVector("width").asInstanceOf[IntVector]
+    val oH = out.getVector("height").asInstanceOf[IntVector]
+    val oP = out.getVector("phash").asInstanceOf[BigIntVector]
+    val n = in.getRowCount
+    var i = 0
+    while (i < n) {
+      val img = decode(payload.get(i), docId.get(i))
+      val srcW = img.getWidth
+      val srcH = img.getHeight
+      val gray = new Array[Int](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * srcH / 8
+        var x = 0
+        while (x < 8) {
+          val sx = x * srcW / 8
+          val rgb = img.getRGB(sx, sy)
+          val g = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
+          gray(y * 8 + x) = g
+          sum += g
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      var ph = 0L
+      var k = 0
+      while (k < 64) {
+        if (gray(k) > mean) ph |= (1L << k)
+        k += 1
+      }
+      oId.setSafe(i, docId.get(i))
+      oW.setSafe(i, srcW); oH.setSafe(i, srcH)
+      oP.setSafe(i, ph)
       i += 1
     }
     n

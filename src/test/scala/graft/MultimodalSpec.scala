@@ -4,6 +4,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
+
+  test("perceptual aHash: codec/scale/perturbation-invariant, equals the pattern bits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids 0..63 cover every bucket twice — PNG and JPEG renditions
+    val docs = (0L until 64L).toDF("doc_id")
+    val got = graft.ops.Multimodal.phashReal(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(3))).toMap
+    assert(got.size == 64)
+    for (id <- 0L until 64L) {
+      val expectPat = (((id % 32 + 1) * 2862933555777941757L) & Long.MaxValue) | 1L
+      val (w, ph) = got(id)
+      assert(ph == expectPat, s"doc $id: hash $ph != pattern $expectPat")
+      assert(w == 8 * (if (id % 2 == 1) 8 else 1 + (id % 3).toInt))
+    }
+    // same bucket, different codec+scale+perturbation → SAME hash;
+    // different buckets → different hashes (the mix is injective mod 2^63)
+    for (b <- 0L until 32L) assert(got(b)._2 == got(b + 32)._2)
+    assert(got.values.map(_._2).toSet.size == 32)
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
