@@ -208,6 +208,7 @@ object SparkEntry {
     "q32_ntile" -> Relational.q32Ntile _,
     "q33_streaks" -> Relational.q33Streaks _,
     "q34_moving_window" -> Relational.q34MovingWindow _,
+    "q35_min_cost_supplier" -> Relational.q35MinCostSupplier _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -1547,6 +1548,20 @@ object SparkEntry {
         |  count(*) OVER w AS n_7d
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
         |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q35_min_cost_supplier" ->
+      """WITH c AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |u AS (SELECT l_partkey, l_suppkey,
+        |    round(CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE), 4) AS unit FROM c),
+        |b AS (SELECT l_partkey AS p_key, unit AS unit_cost, l_suppkey AS s_key
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY unit, l_suppkey) AS rk FROM u) WHERE rk = 1)
+        |SELECT b.p_key, b.s_key, s.s_name, n.n_name AS nation,
+        |  b.unit_cost + 0.0 AS unit_cost
+        |FROM b JOIN supplier s ON b.s_key = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),

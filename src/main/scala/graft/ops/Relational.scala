@@ -433,6 +433,33 @@ object Relational {
       count(lit(1)).over(w).as("n_7d"))
   }
 
+  /** R37 (TPC-H Q2 flavor): cheapest supplier per part, derived from the
+    * fact table — per (part, supplier) the exact unit cost
+    * Σcents/Σquantity (both sums exact integers, ONE deterministic double
+    * division), then a per-part struct-min argmin with supplier-key ties,
+    * decorated with the supplier's nation through broadcast dims. Shape:
+    * one fact shuffle on (partkey, suppkey) + a part-keyed argmin +
+    * broadcast joins — the correlated-subquery pattern flattened to two
+    * aggregates, no per-part subquery execution. */
+  def q35MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val costs = lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("_cents"),
+        sum(col("l_quantity").cast("long")).as("_qty"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("_cents").cast("double") / col("_qty").cast("double"), 4)
+          .as("_unit"))
+    val best = costs.groupBy(col("l_partkey"))
+      .agg(min(struct(col("_unit"), col("l_suppkey"))).as("_b"))
+      .select(col("l_partkey").as("p_key"), col("_b._unit").as("unit_cost"),
+        col("_b.l_suppkey").as("s_key"))
+    best
+      .join(broadcast(supplier(s, d)), col("s_key") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_key"), col("s_key"), col("s_name"),
+        col("n_name").as("nation"), (col("unit_cost") + 0.0).as("unit_cost"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -305,4 +305,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(4L) == ((2400L, 2L))) // same-instant peers both included
     assert(got(5L) == ((2400L, 2L)))
   }
+
+  test("q35 min-cost supplier: one row per part, true per-part minimum") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Relational.q35MinCostSupplier(spark, TestSpark.sf)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "a part appears twice")
+    // recompute the per-(part,supplier) unit costs and check the argmin
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getLong(2).toDouble / r.getLong(3)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val best = li.groupBy(_._1).map { case (p, xs) =>
+      p -> xs.map(x => (x._3, x._2)).min }
+    rows.foreach { r =>
+      val (u, sk) = best(r.getLong(0))
+      assert(r.getLong(1) == sk && math.abs(r.getDouble(4) - u) < 1e-9,
+        s"part ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getDouble(4)}) want ($sk, $u)")
+    }
+  }
 }
