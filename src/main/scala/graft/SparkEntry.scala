@@ -76,6 +76,13 @@ object SparkEntry {
     * the index model is trained once and reused across queries. */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+  /** Chunk-aligned [quarter, half) row band for the pushdown-read query —
+    * shared with PlanSpec's partition-count pin. */
+  private[graft] def pushdownCuts(rows: Long): (Long, Long) = {
+    val cut1 = rows / 4 / 1024 * 1024
+    (cut1, math.max(rows / 2 / 1024 * 1024, cut1 + 1024))
+  }
+
   private def ivfModel(s: SparkSession, d: String, nlist: Int): Array[Array[Double]] =
     ivfModels.computeIfAbsent((d, nlist), { _ =>
       Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", nlist)
@@ -465,6 +472,24 @@ object SparkEntry {
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt,
         comp = "blosc")
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // DSv2 range-pushdown read: the i-range predicate prunes whole CHUNK
+    // partitions at planning (SupportsPushDownFilters → chunk-grid
+    // intersection), so at 100 TB the unprobed bands are never opened —
+    // the Zarr twin of q26's Hive-partition pruning. Oracle filters the
+    // same range on the base cells.
+    "zarr_pushdown_read" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrpd_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      // chunk-aligned quarter..half band, scale-adaptive (≥1 band at any sf)
+      val (cut1, cut2) = pushdownCuts(rows)
+      s.read.format("zarr").load(path)
+        .filter(col("i") >= cut1 && col("i") < cut2 && col("v") =!= 0.0)
+        .select(col("i"), col("j"), col("v"))
     }),
     // the v3 + standalone-zstd combination — zarr-python's v3 DEFAULT wire
     // format (zstd frames via the zstd-jni already on Spark's classpath),
@@ -1873,6 +1898,13 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_pushdown_read" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |d AS (SELECT max(i) + 1 AS n FROM m),
+        |c AS (SELECT n // 4 // 1024 * 1024 AS cut1,
+        |  greatest(n // 2 // 1024 * 1024, n // 4 // 1024 * 1024 + 1024) AS cut2 FROM d)
+        |SELECT i, j, v FROM m, c WHERE i >= cut1 AND i < cut2 AND v <> 0""".stripMargin,
     "zarr_string_roundtrip" ->
       "SELECT CAST(c_custkey AS BIGINT) AS i, c_name AS s FROM customer",
     "zarr_f2_roundtrip" ->

@@ -89,6 +89,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(plan) <= 5, s"added exchange in:\n$plan")
   }
 
+  test("zarr_pushdown_read: the i-range prunes to exactly the covered chunk bands") {
+    import org.apache.spark.sql.functions.col
+    // run the query (writes the store), then re-read with the same filter
+    // and count scan partitions: rows 2048..4095 at chunkRows=1024 = 2
+    // chunk bands — any more means pushdown stopped pruning
+    SparkEntry.queries("zarr_pushdown_read")(spark, TestSpark.sf).collect()
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${graft.GraftPaths.tmpRoot}/zarrpd_$sfName"
+    val rows = graft.zarr.Zarr.readMeta(path).rows
+    val (cut1, cut2) = SparkEntry.pushdownCuts(rows)
+    val expected = ((cut2 - cut1) / 1024).toInt
+    val pruned = spark.read.format("zarr").load(path)
+      .filter(col("i") >= cut1 && col("i") < cut2)
+    assert(pruned.rdd.getNumPartitions == expected && expected >= 1,
+      s"expected $expected pruned chunk partitions, got ${pruned.rdd.getNumPartitions}")
+  }
+
   test("q26_partition_pruning: the year predicate prunes partition directories") {
     val plan = executedPlan("q26_partition_pruning")
     assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
