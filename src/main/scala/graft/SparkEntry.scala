@@ -974,6 +974,44 @@ object SparkEntry {
         .join(keepers, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("group_key"), col("quality"))
     }),
+    // ONE-PASS data-quality accounting via Dataset.observe: the per-rule
+    // rejection counters (low quality, repetition, language, mix-rate,
+    // dedup) ride the SAME plan as the curation itself — no second
+    // metrics scan, which at 100 TB is the difference between "free
+    // pipeline telemetry" and "double the cluster bill". The action is a
+    // noop sink; the observed row becomes the query result.
+    "pipeline_curate_obs" -> ((s, d) => {
+      import org.apache.spark.sql.Observation
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(1).as("_kpf"))
+      val staged = docs.select(col("doc_id"), col("source"),
+          TextOps.qualityCol(col("text")).as("quality"),
+          TextOps.repetitionKeepCol(col("text"), maxDupWord = 0.6).as("_rk"),
+          TextOps.langIdCol(col("text")).as("_lang"),
+          Sampling.mixPredicate(col("doc_id"), col("source"), mixRates).as("_mix"))
+        .join(keepers, Seq("doc_id"), "left_outer")
+        .withColumn("_kp", col("_kpf").isNotNull)
+      val obs = Observation()
+      val observed = staged.observe(obs,
+        count(lit(1)).as("n_total"),
+        sum(when(col("quality") < 0.3, 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(!col("_rk"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("_lang") === "und", 1L).otherwise(0L)).as("n_und"),
+        sum(when(!col("_mix"), 1L).otherwise(0L)).as("n_mix_dropped"),
+        sum(when(!col("_kp"), 1L).otherwise(0L)).as("n_dup_dropped"),
+        sum(when(col("quality") >= 0.3 && col("_rk") && col("_lang") =!= "und" &&
+          col("_mix") && col("_kp"), 1L).otherwise(0L)).as("n_kept"))
+      observed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_total").asInstanceOf[Long], m("n_lowq").asInstanceOf[Long],
+        m("n_repetitive").asInstanceOf[Long], m("n_und").asInstanceOf[Long],
+        m("n_mix_dropped").asInstanceOf[Long], m("n_dup_dropped").asInstanceOf[Long],
+        m("n_kept").asInstanceOf[Long]))
+        .toDF("n_total", "n_lowq", "n_repetitive", "n_und",
+          "n_mix_dropped", "n_dup_dropped", "n_kept")
+    }),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
@@ -1631,6 +1669,23 @@ object SparkEntry {
          |        AND d.doc_id IN (SELECT doc_id FROM ke))
          |SELECT doc_id, source AS group_key, quality FROM f
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    "pipeline_curate_obs" ->
+      s"""WITH q AS ($qualitySql), rep AS (${repetitionSql(0.6, 0.2)}), g AS ($langidSql),
+         |ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |j AS (SELECT d.doc_id, d.source, q.quality, rep.keep AS rkeep, g.pred_lang,
+         |        (d.doc_id IN (SELECT doc_id FROM ke)) AS is_keeper,
+         |        (${mixPredicateSql("d.doc_id", "d.source")}) AS mix_keep
+         |      FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+         |                       JOIN g USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN quality < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+         |  CAST(sum(CASE WHEN NOT rkeep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+         |  CAST(sum(CASE WHEN NOT mix_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_mix_dropped,
+         |  CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+         |  CAST(sum(CASE WHEN quality >= 0.3 AND rkeep AND pred_lang <> 'und'
+         |    AND mix_keep AND is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM j""".stripMargin,
     // sampling twins share one hash construction with Sampling.hashKey:
     // ('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT — md5 of the
     // id's decimal string, 60-bit positive prefix, identical in both engines

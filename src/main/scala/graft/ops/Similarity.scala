@@ -863,21 +863,26 @@ object Similarity {
             round(col("y").cast("double") / col("d").cast("double"))
               .cast("long").as("zq"))
           .localCheckpoint() // feeds 2-3 aggregates + the update below
-        val alpha = z.agg(sum(col("d").cast(dec) * col("zq").cast(dec))
-          .cast("double")).head().getDouble(0) / sumd.toDouble
         val defl = prev match {
           case Some(p) =>
             val j = z.join(p.select(col("node"), col("xq").as("pq")), Seq("node"))
               .localCheckpoint()
-            val num = j.agg(sum(col("d").cast(dec) * col("zq").cast(dec) *
-              col("pq").cast(dec)).cast("double")).head().getDouble(0)
-            val den = j.agg(sum(col("d").cast(dec) * col("pq").cast(dec) *
-              col("pq").cast(dec)).cast("double")).head().getDouble(0)
-            val beta = num / den
+            // one job for all three exact scalars (identical values to
+            // separate aggregates — each is its own exact decimal sum)
+            val sc3 = j.agg(
+              sum(col("d").cast(dec) * col("zq").cast(dec)).cast("double"),
+              sum(col("d").cast(dec) * col("zq").cast(dec) *
+                col("pq").cast(dec)).cast("double"),
+              sum(col("d").cast(dec) * col("pq").cast(dec) *
+                col("pq").cast(dec)).cast("double")).head()
+            val alpha = sc3.getDouble(0) / sumd.toDouble
+            val beta = sc3.getDouble(1) / sc3.getDouble(2)
             j.select(col("node"), col("d"),
               round(col("zq") - lit(alpha) - lit(beta) * col("pq"))
                 .cast("long").as("xq1"))
           case None =>
+            val alpha = z.agg(sum(col("d").cast(dec) * col("zq").cast(dec))
+              .cast("double")).head().getDouble(0) / sumd.toDouble
             z.select(col("node"), col("d"),
               round(col("zq") - lit(alpha)).cast("long").as("xq1"))
         }

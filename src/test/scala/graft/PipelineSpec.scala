@@ -18,4 +18,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly the keeper semi-join, got $joins joins")
     assert(df.count() > 0)
   }
+
+  test("pipeline_curate_obs: observed counters reconcile with the curation itself") {
+    val m = SparkEntry.queries("pipeline_curate_obs")(spark, TestSpark.sf).head()
+    val total = m.getLong(0)
+    val kept = m.getLong(6)
+    assert(total == Tables.documents(spark, TestSpark.sf).count())
+    assert(kept == SparkEntry.queries("pipeline_curate")(spark, TestSpark.sf).count(),
+      "n_kept must equal the curation query's own row count")
+    // every rejection counter bounded by total; kept + any counter <= total
+    val counters = (1 to 5).map(m.getLong)
+    assert(counters.forall(c => c >= 0 && c <= total))
+    assert(counters.forall(c => kept + c <= total))
+  }
 }
