@@ -316,6 +316,9 @@ object SparkEntry {
     }),
     "arr_rechunk" -> ((s, d) => mat(s, d).rechunk(64).cells),
     "arr_row_normalize" -> ((s, d) => mat(s, d).rowNormalize.cells),
+    // scanpy pp.downsample_counts, deterministic: exact-integer floor
+    // shares + md5-ranked remainder units (no RNG), rows <= target pass
+    "arr_downsample" -> ((s, d) => mat(s, d).downsampleCounts(50).cells),
     // The scanpy preprocessing recipe as ONE composed plan:
     // normalize_per_cell → log1p (scaled counts) → per-gene standardize.
     // Final rounding at 4dp: the scale stage's column moments come from
@@ -1953,6 +1956,22 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "arr_downsample" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  CAST(sum(l_quantity) AS BIGINT) AS vi FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT i, j, vi,
+        |  sum(vi) OVER (PARTITION BY i) AS s,
+        |  (vi * 50) // sum(vi) OVER (PARTITION BY i) AS base,
+        |  row_number() OVER (PARTITION BY i ORDER BY
+        |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT,
+        |    j) AS rk FROM m),
+        |w2 AS (SELECT i, j, vi, s, base, rk,
+        |  sum(base) OVER (PARTITION BY i) AS bsum FROM w)
+        |SELECT i, j, CAST(CASE WHEN s <= 50 THEN vi
+        |  ELSE base + (CASE WHEN rk <= 50 - bsum THEN 1 ELSE 0 END) END AS DOUBLE) AS v
+        |FROM w2
+        |WHERE (CASE WHEN s <= 50 THEN vi
+        |  ELSE base + (CASE WHEN rk <= 50 - bsum THEN 1 ELSE 0 END) END) <> 0""".stripMargin,
     "zarr_pushdown_read" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),

@@ -437,6 +437,34 @@ final case class ZMatrix(cells: DataFrame) {
     * from one aggregate over exact sums (bit-deterministic), the ncols-row
     * stats vector broadcasts back onto the cells. `+0.0` collapses IEEE
     * −0.0 so rounded output matches the SQL oracle byte-for-byte. */
+  /** scanpy `pp.downsample_counts`, DETERMINISTIC: rows whose integer
+    * count total exceeds `target` are downsampled to exactly `target` —
+    * each cell keeps floor(v·target/rowsum) and the remainder goes one
+    * unit apiece to the cells ranked first by (md5-hash(i:j), j), the
+    * same 60-bit md5 ordering the sampling family uses, so both engines
+    * allocate the identical units with no RNG. Rows at or under `target`
+    * pass through; zero results drop out of the coordinate form. One
+    * row-keyed shuffle (window over i); all arithmetic exact integers. */
+  def downsampleCounts(target: Long): ZMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    require(target > 0, s"target must be positive, got $target")
+    val c = cells.select(col("i"), col("j"), col("v").cast("long").as("_vi"))
+    val wI = Window.partitionBy(col("i"))
+    val hk = graft.ops.Dedup.mdHash60(
+      concat(col("i").cast("string"), lit(":"), col("j").cast("string")))
+    val staged = c
+      .withColumn("_s", sum(col("_vi")).over(wI))
+      .withColumn("_base", expr(s"(_vi * $target) div _s"))
+      .withColumn("_bsum", sum(col("_base")).over(wI))
+      .withColumn("_rk", row_number().over(wI.orderBy(hk, col("j"))))
+    ZMatrix(staged.select(col("i"), col("j"),
+        when(col("_s") <= target, col("_vi"))
+          .otherwise(col("_base") +
+            when(col("_rk") <= lit(target) - col("_bsum"), 1L).otherwise(0L))
+          .cast("double").as("v"))
+      .filter(col("v") =!= 0.0))
+  }
+
   def scaleCols: ZMatrix = {
     val stats = cells.groupBy(col("j")).agg(
         sum(col("v")).as("_s"), count(lit(1)).as("_n"),

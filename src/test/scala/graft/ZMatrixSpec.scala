@@ -830,4 +830,34 @@ class ZMatrixSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("control set is empty"))
   }
+
+  test("downsampleCounts: heavy rows hit the target exactly, light rows pass through") {
+    import org.apache.spark.sql.functions._
+    val m = graft.array.ZMatrix.fromLineitem(spark, TestSpark.sf)
+    val target = 50L
+    val before = m.cells.groupBy("i")
+      .agg(sum(col("v").cast("long")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val down = m.downsampleCounts(target)
+    val after = down.cells.groupBy("i")
+      .agg(sum(col("v").cast("long")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.keySet == after.keySet)
+    before.foreach { case (i, s) =>
+      if (s <= target) assert(after(i) == s, s"light row $i changed: $s -> ${after(i)}")
+      else assert(after(i) == target, s"row $i: ${after(i)} != $target")
+    }
+    assert(before.values.exists(_ > target), "fixture has no heavy rows")
+    assert(before.values.exists(_ <= target) ||
+      after.values.forall(_ == target))
+    // no cell grows, all positive integers
+    val joined = m.cells.select(col("i"), col("j"), col("v").cast("long").as("a"))
+      .join(down.cells.select(col("i"), col("j"), col("v").cast("long").as("b")),
+        Seq("i", "j"))
+      .collect()
+    assert(joined.forall(r => r.getLong(3) <= r.getLong(2) && r.getLong(3) > 0))
+    // deterministic
+    val twice = m.downsampleCounts(target).cells.collect().map(_.toString).sorted
+    assert(twice.sameElements(down.cells.collect().map(_.toString).sorted))
+  }
 }
