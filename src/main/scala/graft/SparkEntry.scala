@@ -893,6 +893,25 @@ object SparkEntry {
           Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), iters = 12)
         .select(col("node").cast("long").as("node"), col("e1_q"), col("e2_q"))
     }),
+    // SQL-surface RECURSIVE CTE (Spark 4's UnionLoop): bounded-depth BFS
+    // reachability with hop counts over the mutual-kNN edges, the same
+    // statement text both engines run — proof the spark.sql surface
+    // covers WITH RECURSIVE, not just the DataFrame API
+    "graph_reach_sql" -> ((s, d) => {
+      val mutE = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+      mutE.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(mutE.select(col("id2").as("src"), col("id1").as("dst")))
+        .createOrReplaceTempView("graft_reach_edges")
+      s.sql(
+        """WITH RECURSIVE r(node, d) AS (
+          |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+          |  UNION ALL
+          |  SELECT e.dst AS node, r.d + 1 AS d
+          |  FROM r JOIN graft_reach_edges e ON e.src = r.node WHERE r.d < 3
+          |)
+          |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY node
+          |""".stripMargin)
+    }),
     // kNN label transfer: queries 0..7 classified by majority label of
     // their 5 nearest labeled training vectors (vec_id ≥ 8) — one
     // training-corpus scan for the whole batch, vote fully SQL-checked
@@ -1425,6 +1444,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "graph_reach_sql" -> (graphEdgesSqlPrefix + ",\n" +
+      """r0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.d + 1 AS d
+        |  FROM r0 r JOIN edges e ON e.src = r.node WHERE r.d < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM r0 GROUP BY node""".stripMargin),
     "text_bpe" -> textBpeSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "graph_spectral" -> graphSpectralSql,

@@ -329,4 +329,22 @@ class RelationalSpec extends AnyFunSuite {
         s"part ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getDouble(4)}) want ($sk, $u)")
     }
   }
+
+  test("recursive CTE (UnionLoop): BFS hop counts on a path-with-shortcut graph") {
+    import spark.implicits._
+    // 0-1-2-3-4 path plus shortcut 0-3: min-hops must prefer the shortcut
+    val edges = Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L),(0L,3L))
+    (edges ++ edges.map(e => (e._2, e._1))).toDF("src", "dst")
+      .createOrReplaceTempView("graft_reach_edges")
+    val got = spark.sql(
+      """WITH RECURSIVE r(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.d + 1 AS d
+        |  FROM r JOIN graft_reach_edges e ON e.src = r.node WHERE r.d < 3
+        |)
+        |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY node
+        |""".stripMargin).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L), s"$got")
+  }
 }
