@@ -1146,6 +1146,10 @@ object SparkEntry {
     // (stateless stream-static join), exact-Jaccard verify post-ingest.
     // rows-only (minhash is Spark-only); stream==batch pinned in spec.
     "stream_neardup" -> ((s, d) => Stream.nearDupStream(s, d)),
+    // perceptual admission at ingest: incoming images decoded + aHashed by
+    // the real codec child inside the stream, matched against the resident
+    // hash index — fully oracle-checked (the hash is SQL-predictable)
+    "stream_phash" -> ((s, d) => Stream.phashStream(s, d)),
   )
 
   // ---- generated DuckDB oracle SQL for hash/vector operators ----
@@ -2471,6 +2475,16 @@ object SparkEntry {
         | CAST(1 + length(text) % 12 AS INTEGER) AS height,
         | CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    "stream_phash" ->
+      """WITH ph AS (SELECT doc_id,
+        |    CAST((CAST(((doc_id % 32) + 1) AS HUGEINT) * 2862933555777941757)
+        |      % 9223372036854775808 AS BIGINT) | 1 AS phash
+        |  FROM documents),
+        |inc AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 0),
+        |res AS (SELECT phash, min(doc_id) AS dup_of FROM ph
+        |        WHERE doc_id % 5 <> 0 GROUP BY phash)
+        |SELECT inc.doc_id, inc.phash, res.dup_of
+        |FROM inc LEFT JOIN res USING (phash)""".stripMargin,
     // the aHash of every rendition equals the bucket's pattern bits
     // (((bucket+1)·C) mod 2^63) | 1 by construction — see asPatternMedia
     "multimodal_phash" ->

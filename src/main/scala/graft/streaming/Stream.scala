@@ -294,6 +294,40 @@ object Stream {
       .select(col("id1").as("in_id"), col("id2").as("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming PERCEPTUAL admission — the multimodal face of
+    * [[nearDupStream]]: each incoming document's image payload (the
+    * bucket-pattern media) is decoded and aHashed by the REAL out-of-JVM
+    * codec child INSIDE the stream's mapPartitions (one child per
+    * micro-batch partition — the amortization contract unchanged), then
+    * joined stateless against the resident corpus's hash index; a match
+    * marks the incoming image a perceptual duplicate of `dup_of`. The
+    * pattern construction keeps the hash SQL-predictable, so unlike the
+    * minhash twin this streaming admission is fully ORACLE-CHECKED. */
+  def phashStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+      .filter(col("doc_id") % 5 === 0)
+    val ph = Multimodal.phashReal(src, "doc_id") // typed map + mapPartitions: streaming-safe
+    val residentIdx = Multimodal.phashReal(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 5 =!= 0), "doc_id")
+      .groupBy(col("phash")).agg(min(col("doc_id")).as("dup_of"))
+    val flagged = ph
+      .join(broadcast(residentIdx), Seq("phash"), "left_outer")
+      .select(col("doc_id"), col("phash"), col("dup_of"))
+    val qn = s"stream_phash_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = flagged.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

@@ -131,6 +131,24 @@ class StreamingSpec extends AnyFunSuite {
       in % 5 == 0 && corp % 5 != 0 && j >= 0.8 })
   }
 
+  test("streaming perceptual admission equals the batch hash join on the same split") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Stream.phashStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val all = graft.ops.Multimodal.phashReal(docs, "doc_id")
+      .select(col("doc_id"), col("phash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resident = all.filter(_._1 % 5 != 0).groupBy(_._2)
+      .map { case (h, xs) => h -> xs.keys.min }
+    val batch = all.filter(_._1 % 5 == 0).map { case (id, h) =>
+      (id, h, resident.getOrElse(h, -1L)) }.toSet
+    assert(streamed == batch)
+    // every incoming image has a resident perceptual twin on this corpus
+    assert(streamed.nonEmpty && streamed.forall(_._3 >= 0))
+  }
+
   test("streaming zarr ingestion: multi-batch chunk-aligned appends, equals batch grid") {
     import org.apache.spark.sql.functions._
     val cells = graft.streaming.Stream.zarrIngestStream(spark, TestSpark.sf)
