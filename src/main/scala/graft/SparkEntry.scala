@@ -145,6 +145,26 @@ object SparkEntry {
       (cents, Similarity.ivfPqTrain(normEmb(s, d), "vec_id", "nvec", cents))
     })
 
+  /** The IVF-PQ codes STORED as a parquet table partitioned by list_id —
+    * the production serving layout: a probe's `list_id IN (...)` filter
+    * prunes whole partition directories at planning, so unprobed lists
+    * are never opened (asserted on inputFiles in PlanSpec). Staged once
+    * per sf dir. */
+  private val ivfPqStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfPqCodesTable(s: SparkSession, d: String): DataFrame = {
+    val path = ivfPqStaged.computeIfAbsent(d, { _ =>
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"target/tmp/ivfpq_codes_$sfName"
+      val (cents, books) = ivfPqModel(s, d)
+      graft.ops.Ingest.writePartitioned(
+        Similarity.ivfPqEncode(normEmb(s, d), "vec_id", "nvec", cents, books), p, "list_id")
+      p
+    })
+    // explicit schema: inference would read every partition's footer at
+    // analysis time — exactly the I/O the layout exists to avoid
+    s.read.schema("vec_id LONG, codes ARRAY<INT>, list_id INT").parquet(path)
+  }
+
   private def queryVec(s: SparkSession, d: String): Array[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -941,6 +961,18 @@ object SparkEntry {
       val qn = math.sqrt(q.map(x => x * x).sum)
       Similarity.ivfPqTopK(
         Similarity.ivfPqEncode(normEmb(s, d), "vec_id", "nvec", cents, books),
+        cents, books, q.map(_ / qn), 10, nprobe = 4)
+    }),
+    // ...and the same ADC over the list_id-PARTITIONED codes store: the
+    // probe filter prunes partition directories at planning, so the scan
+    // never opens an unprobed list — the serving I/O contract at 100 TB.
+    // Equality with the in-memory form and the pruning itself are pinned
+    // in SimilaritySpec/PlanSpec; rows-only like its parent.
+    "ann_ivfpq_pruned" -> ((s, d) => {
+      val (cents, books) = ivfPqModel(s, d)
+      val q = queryVec(s, d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      Similarity.ivfPqTopK(ivfPqCodesTable(s, d),
         cents, books, q.map(_ / qn), 10, nprobe = 4)
     }),
 

@@ -106,6 +106,39 @@ class PlanSpec extends AnyFunSuite {
       s"expected $expected pruned chunk partitions, got ${pruned.rdd.getNumPartitions}")
   }
 
+  test("ann_ivfpq_pruned: equals the in-memory form; scan opens ONLY probed list dirs") {
+    val mem = SparkEntry.queries("ann_ivfpq_topk")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val df = SparkEntry.queries("ann_ivfpq_pruned")(spark, TestSpark.sf)
+    val pruned = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned == mem, s"partitioned-store ADC diverged:\n$pruned\nvs\n$mem")
+    // inputFiles lists the whole FileIndex (same caveat as q26), so prove
+    // pruning behaviorally: the plan's partition filter names the probed
+    // lists; corrupt a parquet file in an UNPROBED list's directory and
+    // the query must still succeed — touching it would throw a footer
+    // error
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*list_id[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(pf.isDefined, s"no list_id IN partition filter in:\n$plan")
+    val probed = pf.get.group(1).split(",").map(_.trim.toInt).toSet
+    assert(probed.size <= 4, s"probe set too wide: $probed")
+    val unprobed = (0 until 16).find(!probed.contains(_)).get
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val victimDir = new java.io.File(s"target/tmp/ivfpq_codes_$sfName/list_id=$unprobed")
+    val victims = victimDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty, s"fixture: no parquet in $victimDir")
+    val saved = victims.map(f => f -> java.nio.file.Files.readAllBytes(f.toPath))
+    try {
+      victims.foreach(f => java.nio.file.Files.write(f.toPath,
+        "this is not a parquet file".getBytes("UTF-8")))
+      val again = SparkEntry.queries("ann_ivfpq_pruned")(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(again == mem, "pruned query changed after corrupting an unprobed list")
+    } finally saved.foreach { case (f, b) => java.nio.file.Files.write(f.toPath, b) }
+  }
+
   test("q26_partition_pruning: the year predicate prunes partition directories") {
     val plan = executedPlan("q26_partition_pruning")
     assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
