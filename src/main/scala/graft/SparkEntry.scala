@@ -975,6 +975,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(ivfPqCodesTable(s, d),
         cents, books, q.map(_ / qn), 10, nprobe = 4)
     }),
+    // ...and the full two-stage serving stack: ADC top-100 candidates from
+    // the partitioned codes, exact-cosine re-rank of just those vectors —
+    // recall provably >= ADC-only (pinned in SimilaritySpec). rows-only.
+    "ann_ivfpq_refined" -> ((s, d) => {
+      val (cents, books) = ivfPqModel(s, d)
+      val q = queryVec(s, d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      Similarity.ivfPqTopKRefined(ivfPqCodesTable(s, d), normEmb(s, d),
+        "vec_id", "nvec", cents, books, q.map(_ / qn), 10, nprobe = 4)
+    }),
 
     // ---- LLM-pipeline: text analysis ----
     // BPE tokenizer induction: corpus scanned ONCE for word counts, then 8

@@ -565,6 +565,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** The production TWO-STAGE serving shape: ADC over the codes picks
+    * `refineK` candidates (reading only probed lists, m bytes/vector),
+    * then ONLY those rows' full vectors are fetched (left-semi join) and
+    * re-ranked by exact cosine. Refinement recall is provably >= the
+    * ADC-only top-k's: every true neighbor the ADC top-k caught is in
+    * the candidate set, and exact scoring cannot rank it below a
+    * non-neighbor. At 100 TB the vector fetch is refineK point lookups,
+    * not a scan. */
+  def ivfPqTopKRefined(codes: DataFrame, emb: DataFrame, idCol: String,
+                       vecCol: String, centroids: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       q: Array[Double], k: Int, nprobe: Int = 4,
+                       refineK: Int = 100): DataFrame = {
+    val cand = ivfPqTopK(codes, centroids, codebooks, q, refineK, nprobe)
+      .select(col("vec_id").as("_cand_id"))
+    val sub = emb.join(cand, emb(idCol) === col("_cand_id"), "left_semi")
+    bruteForceTopK(sub, idCol, vecCol, q, k)
+  }
+
   /** Top-2 IVF lists per vector (primary + runner-up) via one array_sort
     * over the shared [[centroidScores]] structs — O(nlist log nlist) per
     * row on a parameter-sized array, no join. */

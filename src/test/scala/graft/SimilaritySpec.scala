@@ -322,6 +322,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ routed outside the query cluster: $got")
   }
 
+  test("IVF-PQ refine: recall >= ADC-only, candidates exactly re-ranked") {
+    import graft.functions.VectorExprs.norm2
+    val v = col("embedding").cast("array<double>")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val norm = emb.select(col("vec_id"), v.as("vv"), norm2(v).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("vv"), x => x / col("nrm")).as("nvec"))
+    val cents = Similarity.ivfCentroids(norm, "vec_id", "nvec", nlist = 16)
+    val books = Similarity.ivfPqTrain(norm, "vec_id", "nvec", cents)
+    val codes = Similarity.ivfPqEncode(norm, "vec_id", "nvec", cents, books)
+    val q = emb.filter(col("vec_id") === 1).select(v).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val adc = Similarity.ivfPqTopK(codes, cents, books, q.map(_ / qn), 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val refined = Similarity.ivfPqTopKRefined(codes, norm, "vec_id", "nvec",
+      cents, books, q.map(_ / qn), 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(refined.size == 10)
+    assert(exact.intersect(refined).size >= exact.intersect(adc).size,
+      s"refine lost recall: ${exact.intersect(refined).size} < ${exact.intersect(adc).size}")
+    assert(refined.contains(1L), "query's own vector missing after refine")
+  }
+
   test("Louvain refinement: bridged triangles split, beats the CC blob, deterministic") {
     // two triangles joined by one bridge — the exact graph where connected
     // components collapse to one blob and modularity says they shouldn't
