@@ -1099,6 +1099,11 @@ object SparkEntry {
         when(ntok < 40, "short").when(ntok < 80, "medium").otherwise("long"))
       Sampling.temperatureSample(banded, "band", "doc_id", alpha = 0.5)
     }),
+    // curriculum phasing: quality-quartile phases via one exact-percentile
+    // aggregate (no global ntile window — scan-local at any scale) + a
+    // deterministic md5 within-phase shuffle key
+    "sample_curriculum" -> ((s, d) =>
+      Sampling.curriculum(Tables.documents(s, d), "doc_id", "text")),
     "sample_pack" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d), "doc_id", "text", budget = 512)),
     // class-balanced sampling: every label downsampled to the SMALLEST
@@ -1782,6 +1787,17 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    "sample_curriculum" ->
+      s"""WITH q AS ($qualitySql),
+         |c AS (SELECT quantile_cont(quality, 0.25) AS c25,
+         |  quantile_cont(quality, 0.5) AS c50,
+         |  quantile_cont(quality, 0.75) AS c75 FROM q)
+         |SELECT doc_id, quality,
+         |  1 + (CASE WHEN quality < c75 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN quality < c50 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN quality < c25 THEN 1 ELSE 0 END) AS phase,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+         |FROM q, c""".stripMargin,
     // α=0.5 temperature rates via sqrt of an exact-integer ratio: both
     // engines compute the identical double, so the 6dp rounding and the
     // hash-keep threshold agree bit-for-bit

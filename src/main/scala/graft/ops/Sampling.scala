@@ -74,6 +74,27 @@ object Sampling {
     * pipeline ("keep 25% of the low-quality crawl, all of the curated
     * sources") with resharding-stable membership; changing a rate only
     * adds/removes rows at the margin, it never reshuffles survivors. */
+  /** Curriculum phasing: assign each document a training phase 1..4 by
+    * quality quartile (phase 1 = top quartile — the easy/clean opener)
+    * plus a deterministic md5 shuffle key for within-phase ordering at
+    * read time. SCALABLE form deliberately: thresholds come from ONE
+    * exact-percentile aggregate (3 doubles to the driver) and phases are
+    * scan-local comparisons — no global ntile window, whose single-task
+    * sort would be the bottleneck at corpus scale. Ties sit with the
+    * higher phase on the boundary value, identically in both engines. */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"),
+      TextOps.qualityCol(col(textCol)).as("quality"))
+    val cuts = q.agg(expr("percentile(quality, 0.25)"),
+      expr("percentile(quality, 0.5)"), expr("percentile(quality, 0.75)")).head()
+    val (c25, c50, c75) = (cuts.getDouble(0), cuts.getDouble(1), cuts.getDouble(2))
+    q.select(col("doc_id"), col("quality"),
+      (lit(1) + when(col("quality") < c75, 1).otherwise(0)
+        + when(col("quality") < c50, 1).otherwise(0)
+        + when(col("quality") < c25, 1).otherwise(0)).as("phase"),
+      hashKey(col("doc_id")).as("shuffle_key"))
+  }
+
   def mixSample(docs: DataFrame, groupCol: String, idCol: String,
                 rates: Map[String, Double]): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))

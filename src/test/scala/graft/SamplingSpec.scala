@@ -119,4 +119,27 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(r.map(_.getLong(2)).max == (cum - r.last.getLong(1)) / 64)
   }
+
+  test("curriculum: phases partition by quality quartile, boundaries consistent") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Sampling.curriculum(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == Tables.documents(spark, TestSpark.sf).count())
+    assert(got.map(_._3).toSet.subsetOf(Set(1, 2, 3, 4)))
+    // monotone: any phase-1 doc has quality >= any phase-4 doc
+    val byPhase = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (a <- byPhase.keys; b <- byPhase.keys if a < b)
+      assert(byPhase(a).min >= byPhase(b).max - 1e-12,
+        s"phase $a min ${byPhase(a).min} < phase $b max ${byPhase(b).max}")
+    // quartile-ish sizes: each phase holds >= 10% of docs on this corpus
+    byPhase.values.foreach(v => assert(v.length >= got.length / 10))
+    // deterministic shuffle key = the shared md5 rule
+    got.take(20).foreach { case (id, _, _, k) =>
+      val ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      assert(k == java.lang.Long.parseLong(ref, 16))
+    }
+  }
 }
