@@ -236,6 +236,7 @@ object SparkEntry {
     "q33_streaks" -> Relational.q33Streaks _,
     "q34_moving_window" -> Relational.q34MovingWindow _,
     "q35_min_cost_supplier" -> Relational.q35MinCostSupplier _,
+    "q37_unpivot" -> Relational.q37Unpivot _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -1704,6 +1705,12 @@ object SparkEntry {
         |  b.unit_cost + 0.0 AS unit_cost
         |FROM b JOIN supplier s ON b.s_key = s.s_suppkey
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "q37_unpivot" ->
+      """WITH w AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents,
+        |  CAST(p_size AS BIGINT) AS size FROM part)
+        |SELECT p_partkey, attr, val FROM w
+        |UNPIVOT (val FOR attr IN (retail_cents, size))""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),

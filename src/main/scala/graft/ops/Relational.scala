@@ -460,6 +460,18 @@ object Relational {
         col("n_name").as("nation"), (col("unit_cost") + 0.0).as("unit_cost"))
   }
 
+  /** R39: UNPIVOT / melt — the wide-to-long reshape (Spark's native
+    * `unpivot`, a single-pass generate, not a self-union that would scan
+    * the table once per measure). Part measures to (attr, val) rows;
+    * exact integer cents/sizes so the long form hashes identically. */
+  def q37Unpivot(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"),
+        col("p_size").cast("long").as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retail_cents"), col("size")), "attr", "val")
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -347,4 +347,17 @@ class RelationalSpec extends AnyFunSuite {
         |""".stripMargin).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L), s"$got")
   }
+
+  test("q37 unpivot: two rows per part, values preserved") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Relational.q37Unpivot(spark, TestSpark.sf)
+    val n = Tables.part(spark, TestSpark.sf).count()
+    assert(got.count() == 2 * n)
+    val one = got.filter(col("p_partkey") === 1).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val src = Tables.part(spark, TestSpark.sf).filter(col("p_partkey") === 1)
+      .select(round(col("p_retailprice") * 100).cast("long"), col("p_size").cast("long"))
+      .head()
+    assert(one == Map("retail_cents" -> src.getLong(0), "size" -> src.getLong(1)))
+  }
 }
