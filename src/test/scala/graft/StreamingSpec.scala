@@ -149,6 +149,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.forall(_._3 >= 0))
   }
 
+  test("streaming observe: per-batch input accounting rides the micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // the same zero-extra-pass telemetry as pipeline_curate_obs, streaming
+    // flavor: observed metrics surface per micro-batch in the progress
+    // events, summing to exactly the rows ingested
+    val q = input.toDS()
+      .observe("ingest", count(lit(1)).as("n"),
+        sum(col("es")).as("es_sum"))
+      .writeStream.format("memory").queryName("obs_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, 1L, 10L), Ev(1L, 2L, 20L))
+      q.processAllAvailable()
+      input.addData(Ev(2L, 3L, 30L))
+      q.processAllAvailable()
+      val rows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+      assert(rows.map(_.getLong(0)).sum == 3L,
+        s"observed ${rows.map(_.getLong(0)).sum} rows, expected 3")
+      assert(rows.map(_.getLong(1)).sum == 60L)
+      assert(spark.table("obs_test").count() == 3L)
+    } finally q.stop()
+  }
+
   test("streaming zarr ingestion: multi-batch chunk-aligned appends, equals batch grid") {
     import org.apache.spark.sql.functions._
     val cells = graft.streaming.Stream.zarrIngestStream(spark, TestSpark.sf)
