@@ -1081,6 +1081,9 @@ object SparkEntry {
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
     "text_ppl" -> ((s, d) => TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),
+    // the next-order LM signal: add-one bigram NLL, same integer-snapped
+    // exactness contract as the unigram form
+    "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
 
@@ -2427,6 +2430,23 @@ object SparkEntry {
         |SELECT doc_id, sum(tf) AS n_tok,
         |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll
         |FROM tf JOIN lm USING (token) GROUP BY doc_id""".stripMargin,
+    "text_ppl_bigram" ->
+      """WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |    unnest(range(1, len(w) + 1)) u(p)),
+        |big AS (SELECT doc_id, token AS w1,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+        |b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
+        |vs AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok),
+        |lm AS (SELECT w1, w2,
+        |    CAST(round(ln((c + 1.0) / (cw + v)) * 1000000.0) AS BIGINT) AS lnq
+        |  FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, sum(tf) AS n_bigrams,
+        |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll2
+        |FROM tf JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
     // dense-grid twin: with a fresh store every grid cell is either a
     // stored value (i < cut) or the fill — written-chunk gaps and absent
     // chunks alike — so the per-column split is fully predictable

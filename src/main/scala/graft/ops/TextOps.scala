@@ -381,6 +381,39 @@ object TextOps {
     (found.toSeq, vocab)
   }
 
+  /** Bigram-LM quality scoring — the next-order CCNet-style signal over
+    * [[unigramNll]]: per-document mean NLL under the corpus's own
+    * add-one bigram model P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). Same
+    * exactness contract: log-probs snap to integer micro-nats so the
+    * per-doc sums are order-free and the oracle matches bit-for-bit.
+    * Shapes: one bigram explode (lead over doc position), two counting
+    * aggregates for the model, one join back — all key-hashed, nothing
+    * corpus². Docs with fewer than two tokens have no bigrams and drop
+    * out (the oracle agrees). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "token")))
+    val big = toks
+      .withColumn("w2", lead(col("token"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("token").as("w1"), col("w2"))
+    val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    // V = vocab size: one scalar, a model parameter entering as a literal
+    val v = toks.select(col("token")).distinct().count()
+    val lm = cnt.join(ctx, Seq("w1")).select(col("w1"), col("w2"),
+      round(log((col("c") + 1.0) / (col("cw") + v.toDouble)) * 1e6)
+        .cast("long").as("_lnq"))
+    big.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("_lnq")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(-col("_s") / 1e6 / col("n_bigrams"), 6) + 0.0).as("nll2"))
+  }
+
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String): DataFrame = {
     // ONE scan, zero joins: the per-doc formulas compose as columns (the

@@ -277,4 +277,36 @@ class TextOpsSpec extends AnyFunSuite {
     // the common-token doc is less surprising than the rare-token doc
     assert(got(1L)._2 < got(2L)._2)
   }
+
+  test("bigram NLL: differential vs a local reference model") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = TextOps.bigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val bigrams = texts.toSeq.flatMap { case (id, w) => w.zip(w.tail).map(b => (id, b)) }
+    val cnt = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ctx = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = texts.values.flatten.toSet.size.toDouble
+    def lnq(b: (String, String)): Long =
+      math.round(math.log((cnt(b) + 1.0) / (ctx(b._1) + v)) * 1e6)
+    texts.foreach { case (id, w) =>
+      val bs = w.zip(w.tail)
+      if (bs.nonEmpty) {
+        val s = bs.map(lnq).sum
+        val expect = BigDecimal(-s / 1e6 / bs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (n, nll) = got(id)
+        assert(n == bs.size && math.abs(nll - expect) < 1e-9,
+          s"doc $id: got ($n, $nll) want (${bs.size}, $expect)")
+      } else assert(!got.contains(id))
+    }
+    // bigram model is sharper than unigram on average for this corpus
+    val uni = TextOps.unigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pairs = got.keys.toSeq.map(id => (got(id)._2, uni(id)))
+    assert(pairs.count { case (b, u) => b < u } > pairs.size / 2,
+      "bigram NLL not lower than unigram for most docs")
+  }
 }
