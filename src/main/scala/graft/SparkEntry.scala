@@ -1086,6 +1086,11 @@ object SparkEntry {
     "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // PCA-whitening of the embedding space (decorrelate + unit variances —
+    // retrieval preprocessing); rows-only: eigendecomposition is not SQL.
+    // Covariance-of-output ≈ I pinned in SimilaritySpec.
+    "emb_whiten" -> ((s, d) =>
+      Similarity.whiten(Tables.embeddings(s, d), "vec_id", "embedding", dim = 64)),
 
     // ---- LLM-pipeline: sampling / splitting / packing ----
     "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id")),

@@ -565,6 +565,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** PCA-whitening of an embedding column — the standard retrieval
+    * preprocessing (decorrelate + equalize variances so cosine/IP
+    * geometry stops being dominated by a few high-variance directions).
+    * Rides the exact-PCA machinery end to end: one CoMomentAgg pass for
+    * the covariance, driver Jacobi eigen (dim×dim — parameter-sized),
+    * components rescaled by 1/√(λ+ε), then ONE projection scan with
+    * literal accumulators. Output long form (vec_id, comp, v) — the
+    * whitened coordinates, population covariance ≈ I (tested). Not
+    * SQL-expressible (eigendecomposition) → rows-only. */
+  def whiten(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+             eps: Double = 1e-9): DataFrame = {
+    import graft.array.{Pca, ZMatrix}
+    val cells = emb.select(col(idCol).cast("long").as("i"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "v")))
+      .select(col("i"), col("j").cast("long").as("j"), col("v"))
+    val n = emb.count()
+    val model = Pca.fit(ZMatrix(cells), n, dim, dim)
+    val scales = model.eigenvalues.map(l => 1.0 / math.sqrt(l + eps))
+    val white = Pca.Model(
+      model.components.zip(scales).map { case (w, s) => w.map(_ * s) },
+      model.eigenvalues,
+      model.offsets.zip(scales).map { case (o, s) => o * s })
+    Pca.transform(ZMatrix(cells), white).cells
+      .select(col("i").as("vec_id"), col("j").as("comp"), col("v"))
+  }
+
   /** The production TWO-STAGE serving shape: ADC over the codes picks
     * `refineK` candidates (reading only probed lists, m bytes/vector),
     * then ONLY those rows' full vectors are fetched (left-semi join) and

@@ -322,6 +322,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ routed outside the query cluster: $got")
   }
 
+  test("whitening: output covariance is the identity, deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val got = Similarity.whiten(emb, "vec_id", "embedding", dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = emb.count().toInt
+    assert(got.length == n * 64)
+    // population covariance of the whitened coordinates ≈ I
+    val byVec = got.groupBy(_._1).view.mapValues(
+      rs => rs.sortBy(_._2).map(_._3)).toMap
+    val dims = 64
+    val mean = Array.tabulate(dims)(c => byVec.values.map(_(c)).sum / n)
+    assert(mean.forall(m => math.abs(m) < 1e-3), s"means not ~0: ${mean.max}")
+    var maxDiagErr = 0.0; var maxOff = 0.0
+    for (a <- 0 until dims; b <- a until dims) {
+      val cov = byVec.values.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum / n
+      if (a == b) maxDiagErr = math.max(maxDiagErr, math.abs(cov - 1.0))
+      else maxOff = math.max(maxOff, math.abs(cov))
+    }
+    assert(maxDiagErr < 0.01, s"diagonal off unit: $maxDiagErr")
+    assert(maxOff < 0.01, s"off-diagonal correlation survived: $maxOff")
+    val got2 = Similarity.whiten(emb, "vec_id", "embedding", dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(t => (t._1, t._2)).sameElements(got2.sortBy(t => (t._1, t._2))))
+  }
+
   test("IVF-PQ refine: recall >= ADC-only, candidates exactly re-ranked") {
     import graft.functions.VectorExprs.norm2
     val v = col("embedding").cast("array<double>")
