@@ -1077,6 +1077,10 @@ object SparkEntry {
         .toDF("n_total", "n_lowq", "n_repetitive", "n_und",
           "n_mix_dropped", "n_dup_dropped", "n_kept")
     }),
+    // PSI drift monitor: curated half (src00-09) as reference vs crawl
+    // half (src10-19) as current, over quality-score bins
+    "report_drift" -> ((s, d) =>
+      TextOps.driftReport(Tables.documents(s, d), "text", col("source") >= "src10")),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
@@ -2435,6 +2439,25 @@ object SparkEntry {
         |SELECT doc_id, sum(tf) AS n_tok,
         |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll
         |FROM tf JOIN lm USING (token) GROUP BY doc_id""".stripMargin,
+    "report_drift" ->
+      s"""WITH q AS ($qualitySql),
+         |d AS (SELECT doc_id, source FROM documents),
+         |b AS (SELECT (d.source >= 'src10') AS is_cur,
+         |    CAST(least(4, floor(q.quality * 5)) AS INT) AS bin
+         |  FROM q JOIN d USING (doc_id)),
+         |c AS (SELECT bin,
+         |    CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         |    CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+         |  FROM b GROUP BY bin),
+         |f AS (SELECT CAST(r.x AS INT) AS bin,
+         |    coalesce(c.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n
+         |  FROM range(5) r(x) LEFT JOIN c ON c.bin = r.x),
+         |t AS (SELECT CAST(sum(ref_n) AS DOUBLE) + 5 AS rt,
+         |    CAST(sum(cur_n) AS DOUBLE) + 5 AS ct FROM f)
+         |SELECT bin, ref_n, cur_n,
+         |  round(((ref_n + 1.0) / rt - (cur_n + 1.0) / ct)
+         |    * ln(((ref_n + 1.0) / rt) / ((cur_n + 1.0) / ct)), 6) + 0 AS psi_term
+         |FROM f CROSS JOIN t""".stripMargin,
     "text_ppl_bigram" ->
       """WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -414,6 +414,36 @@ object TextOps {
         (round(-col("_s") / 1e6 / col("n_bigrams"), 6) + 0.0).as("nll2"))
   }
 
+  /** Population-stability-index drift report between two corpus slices —
+    * the data-ops monitor that catches a crawl distribution shifting
+    * under a trained filter. Quality scores bin into 5 fixed [0,1)
+    * buckets; per bin, Laplace-smoothed shares p (reference slice) and q
+    * (current slice) give the PSI term (p−q)·ln(p/q). Everything derives
+    * from exact integer counts + deterministic double ops, so the oracle
+    * matches bit-for-bit. One scan + one conditional aggregate; the
+    * 5-row output is a dashboard, not data. */
+  def driftReport(docs: DataFrame, textCol: String, curPredicate: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = docs.select(curPredicate.as("is_cur"),
+      qualityCol(col(textCol)).as("quality"))
+    val counts = q.select(col("is_cur"),
+        least(lit(4), floor(col("quality") * 5)).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_n"))
+    val bins = spark.range(5).select(col("id").cast("int").as("bin"))
+    val full = bins.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = full.agg(sum(col("ref_n")), sum(col("cur_n"))).head()
+    val (rt, ct) = (tot.getLong(0).toDouble + 5, tot.getLong(1).toDouble + 5)
+    val p = (col("ref_n") + 1.0) / rt
+    val qq = (col("cur_n") + 1.0) / ct
+    full.select(col("bin"), col("ref_n"), col("cur_n"),
+      (round((p - qq) * log(p / qq), 6) + 0.0).as("psi_term"))
+  }
+
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String): DataFrame = {
     // ONE scan, zero joins: the per-doc formulas compose as columns (the

@@ -309,4 +309,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.count { case (b, u) => b < u } > pairs.size / 2,
       "bigram NLL not lower than unigram for most docs")
   }
+
+  test("PSI drift report: identical slices give ~zero PSI, shifted slices do not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // identical halves: every psi term ~0 (Laplace totals differ only by
+    // slice sizes, which are equal here)
+    val sym = (0L until 200L).map(i => (i, "w " * (i / 2 % 50 + 1).toInt, i % 2 == 0))
+      .toDF("doc_id", "text", "cur")
+    val zero = TextOps.driftReport(sym, "text", col("cur")).collect()
+    assert(zero.map(r => math.abs(r.getDouble(3))).max < 1e-6, zero.mkString(";"))
+    // shifted: current slice much shorter docs → mass moves down-bin,
+    // PSI total positive
+    val shifted = ((1L to 100L).map(i => (i, "w " * 120, false)) ++
+      (101L to 200L).map(i => (i, "w w w", true)))
+      .toDF("doc_id", "text", "cur")
+    val drift = TextOps.driftReport(shifted, "text", col("cur")).collect()
+    assert(drift.map(_.getDouble(3)).sum > 0.5,
+      s"PSI too small for a gross shift: ${drift.mkString(";")}")
+    assert(drift.length == 5 && drift.map(_.getInt(0)).toSeq == (0 until 5))
+  }
 }
