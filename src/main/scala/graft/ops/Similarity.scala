@@ -903,11 +903,14 @@ object Similarity {
           .join(x.select(col("node").as("dst"), col("xq")), Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("w").cast(dec) * col("xq").cast(dec)).as("y"))
+        // not checkpointed: the matvec recomputes once more per consumer,
+        // but the PREVIOUS x is pinned so the plan stays one join deep —
+        // and dropping the cut saves a whole job per iteration (these
+        // ~100 tiny jobs are the query's entire local cost)
         val z = y.join(deg, Seq("node"))
           .select(col("node"), col("d"),
             round(col("y").cast("double") / col("d").cast("double"))
               .cast("long").as("zq"))
-          .localCheckpoint() // feeds 2-3 aggregates + the update below
         val defl = prev match {
           case Some(p) =>
             val j = z.join(p.select(col("node"), col("xq").as("pq")), Seq("node"))

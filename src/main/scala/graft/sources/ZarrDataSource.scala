@@ -246,7 +246,12 @@ case class ZarrWriteConf(path: String, chunkRows: Int, chunkCols: Int,
                          // root/seg1/…; commit() writes group metadata at
                          // the root and intermediate levels
                          groupRoot: String = "", keySegs: Seq[String] = Nil,
-                         rank1: Boolean = false, comp: String = "")
+                         rank1: Boolean = false, comp: String = "",
+                         keyEnc: String = "") {
+  /** "" (a directly-constructed conf) = the format default. */
+  def keyEncResolved: String =
+    if (keyEnc.isEmpty) Zarr.writeKeyEnc(format) else keyEnc
+}
 
 /** `mode("overwrite")` truncates then rebuilds the store; `mode("append")`
   * adds this job's chunks to an existing store — the incremental-ingestion
@@ -282,6 +287,14 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       "pick one of zlib / blosc / zstd, not both")
     val format = Option(opts.get("zarrFormat")).map(_.toInt).getOrElse(2)
     require(format == 2 || format == 3, s"zarrFormat must be 2 or 3, got $format")
+    // chunk-key layout: the format default unless overridden — v2 may also
+    // write the nested ("/"-separated) tree, v3 any of its four encodings
+    val keyEnc = Option(opts.get("keyEnc")).filter(_.nonEmpty)
+      .getOrElse(Zarr.writeKeyEnc(format))
+    val allowedKeyEnc = if (format == 2) Set("flat", "nested")
+                        else Set("c/", "c.", "nested", "flat")
+    require(allowedKeyEnc.contains(keyEnc),
+      s"keyEnc '$keyEnc' not writable for zarrFormat=$format (one of $allowedKeyEnc)")
     // fail HERE, not at job commit: metaJson's backstop require fires only
     // after overwrite has truncated the existing store and every task has
     // run — an expensive way to learn the options were invalid
@@ -329,7 +342,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       idxOf("v", Set[DataType](DoubleType, FloatType, LongType, IntegerType)),
       format, innerRows, innerCols,
       Option(opts.get("fOrder")).exists(_.toBoolean),
-      groupRoot, keySegs, rank1, comp)
+      groupRoot, keySegs, rank1, comp, keyEnc)
     new ZarrWrite(conf, schema(conf.vIdx).dataType, doTruncate)
   }
 }
@@ -397,9 +410,9 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
             s"dtype ${conf.dtype}, zlib ${conf.zlib}, comp '${conf.comp}', format ${conf.format}, " +
             s"inner ${conf.innerRows}x${conf.innerCols}, fOrder ${conf.fOrder}, " +
             s"fill ${conf.fill})")
-        require(m.keyEnc == Zarr.writeKeyEnc(conf.format),
-          s"append to a '${m.keyEnc}'-keyed store is not supported " +
-            s"(this writer emits '${Zarr.writeKeyEnc(conf.format)}' keys)")
+        require(m.keyEnc == conf.keyEncResolved,
+          s"append to a '${m.keyEnc}'-keyed store with '${conf.keyEncResolved}' keys " +
+            "would interleave two chunk layouts")
       }
       // orphan attempt temps from hard-crashed prior jobs never get
       // truncated away on this path — sweep them here
@@ -424,7 +437,7 @@ class ZarrBatchWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
     Zarr.writeMetaFile(conf.path,
       Zarr.Meta(rows, cols, conf.chunkRows, conf.chunkCols, conf.zlib, conf.fill,
         conf.dtype, conf.format, conf.innerRows, conf.innerCols, conf.fOrder,
-        rank1 = conf.rank1, comp = conf.comp))
+        keyEnc = conf.keyEncResolved, rank1 = conf.rank1, comp = conf.comp))
     // a consolidated store must not go stale: re-consolidate after the new
     // array's metadata lands (same contract as zarr-python — consolidation
     // reflects the hierarchy at write time). Keyless writes refresh too —
@@ -476,7 +489,7 @@ class ZarrDataWriter(conf: ZarrWriteConf, vType: DataType, taskId: Long)
     else Zarr.encodeChunk(
       if (conf.fOrder) Zarr.toFOrder(buf, conf.chunkRows, conf.chunkCols) else buf,
       conf.dtype, conf.zlib, conf.format, conf.comp)
-    val f = Zarr.chunkPath(conf.path, curCi, curCj, Zarr.writeKeyEnc(conf.format),
+    val f = Zarr.chunkPath(conf.path, curCi, curCj, conf.keyEncResolved,
       conf.rank1)
     val tmp = s"$f.__tmp-$taskId"
     Zarr.writeBytes(tmp, bytes) // FS.create makes parent dirs (v3's c/<ci>/)

@@ -257,8 +257,16 @@ object Zarr {
       else "null"
     val chunks = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
     val shape = if (m.rank1) s"[${m.rows}]" else s"[${m.rows}, ${m.cols}]"
+    // dimension_separator "/" = the v2 NESTED layout (zarr-python
+    // DirectoryStoreV2 nested mode); absent = the "." default
+    val sep = m.keyEnc match {
+      case "nested" => "\n    \"dimension_separator\": \"/\","
+      case "flat"   => ""
+      case other =>
+        throw new IllegalArgumentException(s"v2 write cannot emit keyEnc '$other'")
+    }
     s"""{
-       |    "chunks": $chunks,
+       |    "chunks": $chunks,$sep
        |    "compressor": $comp,
        |    "dtype": "${m.dtype}",
        |    "fill_value": ${fillLiteral(m)},
@@ -316,13 +324,24 @@ object Zarr {
     else inner
     val shape = if (m.rank1) s"[${m.rows}]" else s"[${m.rows}, ${m.cols}]"
     val chunkShape = if (m.rank1) s"[${m.chunkRows}]" else s"[${m.chunkRows}, ${m.chunkCols}]"
+    // any of the four key layouts is writable; metadata must declare the
+    // one the chunk files actually use ("flat"/"nested" = the v2-style
+    // encodings a v3 store may carry for migrated-in-place v2 trees)
+    val keyEncJson = m.keyEnc match {
+      case "c/" => """{"name": "default", "configuration": {"separator": "/"}}"""
+      case "c." => """{"name": "default", "configuration": {"separator": "."}}"""
+      case "nested" => """{"name": "v2", "configuration": {"separator": "/"}}"""
+      case "flat" => """{"name": "v2", "configuration": {"separator": "."}}"""
+      case other =>
+        throw new IllegalArgumentException(s"v3 write cannot emit keyEnc '$other'")
+    }
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
        |    "shape": $shape,
        |    "data_type": "${v3Names(m.dtype.substring(1))}",
        |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": $chunkShape}},
-       |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+       |    "chunk_key_encoding": $keyEncJson,
        |    "fill_value": ${fillLiteral(m)},
        |    "codecs": $codecs,
        |    "attributes": {}
@@ -1024,7 +1043,7 @@ object Zarr {
             chunkRows: Int, chunkCols: Int, zlib: Boolean = false,
             fill: Double = 0.0, dtype: String = "<f8", format: Int = 2,
             innerRows: Int = 0, innerCols: Int = 0, fOrder: Boolean = false,
-            comp: String = ""): Unit =
+            comp: String = "", keyEnc: String = ""): Unit =
     m.cells.select(
         (col("i") / chunkRows).cast("long").as("ci"),
         (col("j") / chunkCols).cast("long").as("cj"),
@@ -1037,6 +1056,7 @@ object Zarr {
       .option("zarrFormat", format.toString)
       .option("innerRows", innerRows.toString).option("innerCols", innerCols.toString)
       .option("fOrder", fOrder.toString).option("comp", comp)
+      .option("keyEnc", keyEnc)
       .mode("overwrite").save(path)
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)

@@ -71,6 +71,35 @@ class ZarrSpec extends AnyFunSuite {
       .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("configurable chunk-key encodings write + roundtrip in both formats") {
+    import java.io.File
+    for ((format, keyEnc, probe) <- Seq(
+        (2, "nested", (p: String) => new File(s"$p/0/0").isFile),
+        (2, "flat", (p: String) => new File(s"$p/0.0").isFile),
+        (3, "c.", (p: String) => new File(s"$p/c.0.0").isFile),
+        (3, "nested", (p: String) => new File(s"$p/0/0").isFile),
+        (3, "flat", (p: String) => new File(s"$p/0.0").isFile),
+        (3, "c/", (p: String) => new File(s"$p/c/0/0").isFile))) {
+      val path = s"/root/repo/target/tmp/zarr_test_keyenc_${format}_" +
+        keyEnc.replaceAll("[^A-Za-z0-9]", "_")
+      Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3,
+        format = format, keyEnc = keyEnc)
+      assert(probe(path), s"format=$format keyEnc=$keyEnc: chunk layout wrong")
+      val meta = Zarr.readMeta(path)
+      assert(meta.keyEnc == keyEnc, s"meta declares ${meta.keyEnc}, wrote $keyEnc")
+      assert(ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+        .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq,
+        s"format=$format keyEnc=$keyEnc roundtrip")
+    }
+    // invalid combos fail at option validation, not at commit
+    val bad = intercept[IllegalArgumentException] {
+      Zarr.write(ZMatrix.fromDense(spark, dense),
+        "/root/repo/target/tmp/zarr_test_keyenc_bad", 10, 5, 4, 3,
+        format = 2, keyEnc = "c/")
+    }
+    assert(bad.getMessage.contains("keyEnc"))
+  }
+
   test("zstd v2 roundtrip: numcodecs Zstd compressor reads and writes") {
     val path = "/root/repo/target/tmp/zarr_test_zstd"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, comp = "zstd")
