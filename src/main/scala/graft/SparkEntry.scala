@@ -1119,6 +1119,37 @@ object SparkEntry {
       Sampling.curriculum(Tables.documents(s, d), "doc_id", "text")),
     "sample_pack" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d), "doc_id", "text", budget = 512)),
+    // ...and the packed TRAINING ARTIFACT itself: token ids (frequency-rank
+    // vocab) laid out at their packed (sequence, offset) coordinates and
+    // ROUND-TRIPPED through a v3+zstd uint16 Zarr store — the
+    // (n_sequences × seq_len) token matrix a loader memory-maps. Rows
+    // here are sequences, columns offsets; u2 holds any vocab < 65536.
+    "sample_pack_store" -> ((s, d) => {
+      val budget = 512
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "token")))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .select(col("token"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("token"))).as("tid"))
+      val packed = Sampling.packSequences(Tables.documents(s, d),
+          "doc_id", "text", budget = budget)
+        .select(col("doc_id"),
+          (col("pack_id") * budget + col("pack_offset")).as("_start"))
+      val cells = toks.join(packed, Seq("doc_id")).join(vocab, Seq("token"))
+        .select(((col("_start") + col("p")) / budget).cast("long").as("i"),
+          pmod(col("_start") + col("p"), lit(budget.toLong)).as("j"),
+          col("tid").cast("double").as("v"))
+      val dims = cells.agg(max(col("i")), max(col("v").cast("long"))).head()
+      val (rows, maxTid) = (dims.getLong(0) + 1, dims.getLong(1))
+      require(maxTid < 65536, s"vocab rank $maxTid overflows uint16")
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/packstore_$sfName"
+      Zarr.write(ZMatrix(cells), path, rows, budget.toLong,
+        chunkRows = 64, chunkCols = budget, dtype = "<u2",
+        format = 3, comp = "zstd")
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
     // class-balanced sampling: every label downsampled to the SMALLEST
     // class size with the deterministic hash-rank rule (quotaSample) —
     // the class-rebalancing step before training on labeled data
@@ -1806,6 +1837,20 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    "sample_pack_store" ->
+      """WITH t AS (SELECT doc_id, u.p - 1 AS p, w[u.p] AS token FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |    unnest(range(1, len(w) + 1)) u(p)),
+        |vocab AS (SELECT token,
+        |    row_number() OVER (ORDER BY count(*) DESC, token) AS tid
+        |  FROM t GROUP BY token),
+        |n AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id),
+        |st AS (SELECT doc_id, coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM n)
+        |SELECT CAST((st.s + t.p) // 512 AS BIGINT) AS i,
+        |  CAST((st.s + t.p) % 512 AS BIGINT) AS j,
+        |  CAST(v.tid AS DOUBLE) AS v
+        |FROM t JOIN st USING (doc_id) JOIN vocab v USING (token)""".stripMargin,
     "sample_curriculum" ->
       s"""WITH q AS ($qualitySql),
          |c AS (SELECT quantile_cont(quality, 0.25) AS c25,

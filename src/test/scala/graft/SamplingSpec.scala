@@ -142,4 +142,25 @@ class SamplingSpec extends AnyFunSuite {
       assert(k == java.lang.Long.parseLong(ref, 16))
     }
   }
+
+  test("pack store: full sequences hold exactly the budget, u2+zstd on disk") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("sample_pack_store")(spark, TestSpark.sf)
+    val perSeq = cells.groupBy("i").agg(count(lit(1)).as("n"), max(col("j")).as("mj"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxSeq = perSeq.map(_._1).max
+    perSeq.foreach { case (i, n, mj) =>
+      if (i < maxSeq) assert(n == 512 && mj == 511, s"seq $i holds $n tokens")
+      else assert(n <= 512)
+    }
+    // the artifact on disk really is a v3 uint16 zstd store
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val meta = graft.zarr.Zarr.readMeta(s"${graft.GraftPaths.tmpRoot}/packstore_$sfName")
+    assert(meta.dtype == "<u2" && meta.format == 3 && meta.comp == "zstd")
+    // token ids are the frequency-rank vocab: 1..V
+    val ids = cells.select(col("v").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.head == 1L && ids.last == ids.length,
+      s"vocab ids not dense 1..V: ${ids.take(5).mkString(",")}..${ids.last}")
+  }
 }
