@@ -2482,7 +2482,7 @@ object SparkEntry {
         |       FROM cnt CROSS JOIN g),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
         |SELECT doc_id, sum(tf) AS n_tok,
-        |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll
+        |  CAST((-sum(tf * lnq)) // sum(tf) AS BIGINT) AS nll_micro
         |FROM tf JOIN lm USING (token) GROUP BY doc_id""".stripMargin,
     "report_drift" ->
       s"""WITH q AS ($qualitySql),
@@ -2518,7 +2518,7 @@ object SparkEntry {
         |  FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
         |SELECT doc_id, sum(tf) AS n_bigrams,
-        |  round(-sum(tf * lnq) / 1000000.0 / sum(tf), 6) + 0 AS nll2
+        |  CAST((-sum(tf * lnq)) // sum(tf) AS BIGINT) AS nll2_micro
         |FROM tf JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
     // dense-grid twin: with a fresh store every grid cell is either a
     // stored value (i < cut) or the fill — written-chunk gaps and absent

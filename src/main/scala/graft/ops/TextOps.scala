@@ -271,8 +271,12 @@ object TextOps {
       .join(lm, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("_lnq")).as("_s"))
+      // mean NLL in integer MICRO-NATS per token, by exact floor division
+      // (both operands positive): a 6dp float round here once landed on a
+      // half-ulp boundary at sf0.1 and split the engines by exactly 1e-6 —
+      // integer output has no boundary to land on
       .select(col("doc_id"), col("n_tok"),
-        (round(-col("_s") / 1e6 / col("n_tok"), 6) + 0.0).as("nll"))
+        expr("(-_s) div n_tok").as("nll_micro"))
   }
 
   /** Per-source dataset card (the report a curation pipeline publishes with
@@ -410,8 +414,10 @@ object TextOps {
       .join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("_lnq")).as("_s"))
+      // integer micro-nats per bigram — see [[unigramNll]] for why not a
+      // rounded float ratio
       .select(col("doc_id"), col("n_bigrams"),
-        (round(-col("_s") / 1e6 / col("n_bigrams"), 6) + 0.0).as("nll2"))
+        expr("(-_s) div n_bigrams").as("nll2_micro"))
   }
 
   /** Population-stability-index drift report between two corpus slices —

@@ -475,15 +475,14 @@ class PropertySpec extends AnyFunSuite {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val got = TextOps.unigramNll(docs, "doc_id", "text").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val toks = texts.map(_.trim.split("\\s+").toSeq)
       val cnt = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
       val denom = (cnt.values.sum + cnt.size).toDouble
       def lnq(c: Long): Long = math.round(math.log((c + 1.0) / denom) * 1e6)
       texts.indices.foreach { i =>
         val s = toks(i).map(t => lnq(cnt(t))).sum
-        val want = BigDecimal(-s.toDouble / 1e6 / toks(i).size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        val want = (-s) / toks(i).size
         assert(got(i.toLong) == ((toks(i).size.toLong, want)), s"doc $i: '${texts(i)}'")
       }
     }

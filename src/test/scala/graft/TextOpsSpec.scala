@@ -266,12 +266,11 @@ class TextOpsSpec extends AnyFunSuite {
   test("unigramNll matches the hand-computed add-one unigram model") {
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     val got = TextOps.unigramNll(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // counts a:2 b:1 c:1, N=4, V=3 → denom 7; log-probs snapped to 1e-6
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts a:2 b:1 c:1, N=4, V=3 → denom 7; log-probs snapped to 1e-6,
+    // mean NLL as exact integer micro-nats per token (floor division)
     def lnq(c: Long): Long = math.round(math.log((c + 1.0) / 7.0) * 1e6)
-    def nll(s: Long, ntok: Long): Double =
-      BigDecimal(-s.toDouble / 1e6 / ntok)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def nll(s: Long, ntok: Long): Long = (-s) / ntok
     assert(got(1L) == ((3L, nll(2 * lnq(2) + lnq(1), 3))))
     assert(got(2L) == ((1L, nll(lnq(1), 1))))
     // the common-token doc is less surprising than the rare-token doc
@@ -282,7 +281,7 @@ class TextOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf)
     val got = TextOps.bigramNll(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val texts = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
     val bigrams = texts.toSeq.flatMap { case (id, w) => w.zip(w.tail).map(b => (id, b)) }
@@ -295,16 +294,15 @@ class TextOpsSpec extends AnyFunSuite {
       val bs = w.zip(w.tail)
       if (bs.nonEmpty) {
         val s = bs.map(lnq).sum
-        val expect = BigDecimal(-s / 1e6 / bs.size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expect = (-s) / bs.size
         val (n, nll) = got(id)
-        assert(n == bs.size && math.abs(nll - expect) < 1e-9,
+        assert(n == bs.size && nll == expect,
           s"doc $id: got ($n, $nll) want (${bs.size}, $expect)")
       } else assert(!got.contains(id))
     }
     // bigram model is sharper than unigram on average for this corpus
     val uni = TextOps.unigramNll(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val pairs = got.keys.toSeq.map(id => (got(id)._2, uni(id)))
     assert(pairs.count { case (b, u) => b < u } > pairs.size / 2,
       "bigram NLL not lower than unigram for most docs")
