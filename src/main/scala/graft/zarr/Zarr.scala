@@ -628,20 +628,53 @@ object Zarr {
         }
       }
 
-  /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). */
+  /** Reads `zarr.json` (v3) when present, else `.zarray` (v2). When the
+    * array carries NO per-node metadata at all, falls back to a
+    * CONSOLIDATED map on an ancestor group — the cloud-store layout where
+    * one `.zmetadata` (or v3 inline map) object replaces thousands of
+    * per-array metadata GETs, and per-array docs may be absent entirely. */
   def readMeta(path: String): Meta =
     if (exists(s"$path/zarr.json")) readMetaV3(path)
     else if (exists(s"$path/.zarray")) readMetaV2(path)
-    else if (exists(s"$path/.zgroup")) throw new IllegalArgumentException(
-      s"$path is a Zarr v2 GROUP, not an array — select an array with " +
-        s"'$path#<key>' or .option(\"key\", <key>); available keys: " +
-        groupKeys(path).mkString(", "))
-    else throw new IllegalArgumentException(
-      s"$path is not a Zarr store (no zarr.json / .zarray / .zgroup)")
+    else consolidatedMeta(path).getOrElse {
+      if (exists(s"$path/.zgroup")) throw new IllegalArgumentException(
+        s"$path is a Zarr v2 GROUP, not an array — select an array with " +
+          s"'$path#<key>' or .option(\"key\", <key>); available keys: " +
+          groupKeys(path).mkString(", "))
+      else throw new IllegalArgumentException(
+        s"$path is not a Zarr store (no zarr.json / .zarray / .zgroup, " +
+          "and no ancestor consolidated metadata covers it)")
+    }
 
-  private def readMetaV2(path: String): Meta = {
+  /** Resolve an array's Meta purely from an ancestor's consolidated map
+    * (walks up a bounded number of levels accumulating the relative key). */
+  private def consolidatedMeta(path: String): Option[Meta] = {
+    var p = new HPath(path)
+    var rel = List.empty[String]
+    var depth = 0
+    while (p != null && !p.isRoot && depth < 16) {
+      readConsolidated(p.toString) match {
+        case Some(m) if rel.nonEmpty =>
+          val r = rel.mkString("/")
+          m.get(s"$r/zarr.json").map(parseMetaV3(_, path))
+            .orElse(m.get(s"$r/.zarray").map(parseMetaV2(_, path)))
+            .foreach(meta => return Some(meta))
+          return None // a consolidated root exists but doesn't know this array
+        case _ => ()
+      }
+      rel = p.getName :: rel
+      p = p.getParent
+      depth += 1
+    }
+    None
+  }
+
+  private def readMetaV2(path: String): Meta =
+    parseMetaV2(mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8")), path)
+
+  private def parseMetaV2(root: com.fasterxml.jackson.databind.JsonNode,
+                          path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
-    val root = mapper.readTree(new String(readBytes(s"$path/.zarray"), "UTF-8"))
     // rank 1 or 2; a 1-D shape pads to the (n, 1) column form
     val rank1 = root.path("shape").size() == 1
     def longsOf(n: JsonNode, what: String): Array[Long] = {
@@ -695,9 +728,12 @@ object Zarr {
     * a hard error (decoding its bytes would be wrong), while crc32c and
     * the index machinery of sharding_indexed are handled in the shard
     * decoder itself. */
-  private def readMetaV3(path: String): Meta = {
+  private def readMetaV3(path: String): Meta =
+    parseMetaV3(mapper.readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8")), path)
+
+  private def parseMetaV3(root: com.fasterxml.jackson.databind.JsonNode,
+                          path: String): Meta = {
     import com.fasterxml.jackson.databind.JsonNode
-    val root = mapper.readTree(new String(readBytes(s"$path/zarr.json"), "UTF-8"))
     require(root.path("zarr_format").asInt() == 3,
       s"zarr.json is not a v3 array: zarr_format=${root.path("zarr_format")}")
     if (root.path("node_type").asText("") == "group")

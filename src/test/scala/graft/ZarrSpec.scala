@@ -100,6 +100,34 @@ class ZarrSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("keyEnc"))
   }
 
+  test("metadata-light reads: array meta resolves from consolidated map alone") {
+    // the cloud layout: one consolidated object instead of per-array
+    // metadata GETs — and here the per-array docs are DELETED entirely,
+    // so only the consolidated map can describe the array
+    for (format <- Seq(2, 3)) {
+      val g = s"/root/repo/target/tmp/zarr_test_consol_only_v$format"
+      Zarr.delete(g, recursive = true)
+      Zarr.write(ZMatrix.fromDense(spark, dense), s"$g#X", 10, 5, 4, 3,
+        format = format)
+      if (format == 2) Zarr.consolidateMetadata(g)
+      else Zarr.consolidateMetadataV3(g)
+      val metaFile = if (format == 3) s"$g/X/zarr.json" else s"$g/X/.zarray"
+      assert(new java.io.File(metaFile).exists())
+      Zarr.delete(metaFile)
+      val meta = Zarr.readMeta(s"$g/X")
+      assert(meta.rows == 10 && meta.cols == 5 && meta.format == format)
+      assert(ZLocal.toDense(Zarr.read(spark, g, "X"), 10, 5)
+        .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq,
+        s"v$format consolidated-only read")
+    }
+    // no consolidated ancestor → the error still names every option
+    val lone = "/root/repo/target/tmp/zarr_test_consol_missing"
+    Zarr.delete(lone, recursive = true)
+    new java.io.File(lone).mkdirs()
+    val e = intercept[IllegalArgumentException](Zarr.readMeta(lone))
+    assert(e.getMessage.contains("consolidated"))
+  }
+
   test("zstd v2 roundtrip: numcodecs Zstd compressor reads and writes") {
     val path = "/root/repo/target/tmp/zarr_test_zstd"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, comp = "zstd")
