@@ -59,7 +59,7 @@ object SparkEntry {
   private[graft] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
     val path = ordersPartStaged.computeIfAbsent(d, { _ =>
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"target/tmp/orders_byyear_$sfName"
+      val p = s"${GraftPaths.tmpRoot}/orders_byyear_$sfName"
       Ingest.writePartitioned(
         Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))), p, "o_year")
       p
@@ -154,7 +154,7 @@ object SparkEntry {
   private[graft] def ivfPqCodesTable(s: SparkSession, d: String): DataFrame = {
     val path = ivfPqStaged.computeIfAbsent(d, { _ =>
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"target/tmp/ivfpq_codes_$sfName"
+      val p = s"${GraftPaths.tmpRoot}/ivfpq_codes_$sfName"
       val (cents, books) = ivfPqModel(s, d)
       graft.ops.Ingest.writePartitioned(
         Similarity.ivfPqEncode(normEmb(s, d), "vec_id", "nvec", cents, books), p, "list_id")
@@ -196,6 +196,21 @@ object SparkEntry {
         "vec_id", "embedding", graphBatch(s, d), 3, excludeSelf = true)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         round(col("cos") * 10000).cast("long").as("w"))
+
+  /** The shared FULL-CORPUS graph construction behind the three _full
+    * clustering paths (labelprop / louvain / spectral): IVF-bucketed kNN
+    * edges over every vector (top-2 list probe, per-list cap — see
+    * knnGraphIvf), mutual-restricted, integer 4dp-cos×10⁴ weights.
+    * Checkpointed because every consumer reads the edge set several
+    * times per round (degrees, neighbor joins, seeds) — without the cut
+    * each superstep would replay the whole IVF scoring lineage. */
+  private[graft] def ivfMutualEdges(s: SparkSession, d: String): DataFrame =
+    Similarity.mutualEdgesWeighted(
+        Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+            ivfModel(s, d, 16), k = 5)
+          .select(col("src"), col("dst"),
+            round(col("cos") * 10000).cast("long").as("w")), "w")
+      .localCheckpoint()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
@@ -868,14 +883,36 @@ object SparkEntry {
     // and labeling invariants are scalatest-asserted; the oracle-checked
     // twin is graph_labelprop on the exact-kNN shard.
     "graph_labelprop_full" -> ((s, d) => {
-      val dir = Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id",
-          "embedding", ivfModel(s, d, 16), k = 5)
-        .select(col("src"), col("dst"),
-          round(col("cos") * 10000).cast("long").as("w"))
-      Similarity.labelPropagate(
-          Similarity.mutualEdgesWeighted(dir, "w"), rounds = 10)
+      Similarity.labelPropagate(ivfMutualEdges(s, d), rounds = 10)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
+    }),
+    // full-corpus LOUVAIN (the same L6f scale path applied to
+    // graph_louvain): IVF-bucketed kNN edges over EVERY vector → mutual
+    // restriction → exact-integer ΔQ local moves from the singleton
+    // seed. Rows-only (IVF training isn't SQL); the oracle-checked twin
+    // is graph_louvain on the exact-kNN shard, and the scalatest
+    // contract pins determinism, one-label coverage, and
+    // modularity(louvain) >= modularity(label propagation) on the SAME
+    // full-corpus edge set.
+    "graph_louvain_full" -> ((s, d) => {
+      val mut = ivfMutualEdges(s, d)
+      val seed = mut.select(col("id1").as("node"))
+        .unionByName(mut.select(col("id2").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      Similarity.louvainRefine(mut, seed, rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
+    }),
+    // full-corpus SPECTRAL twin: v2/v3 of the random-walk matrix over
+    // the IVF mutual-kNN graph of every vector — the diffmap coordinate
+    // at corpus scale. Per-iteration cost is one edge matvec + node-
+    // sized exact aggregates (Pregel shape); rows-only like the other
+    // _full paths, with clique-separation asserted on planted clusters
+    // in the scalatest.
+    "graph_spectral_full" -> ((s, d) => {
+      Similarity.spectralEmbed(ivfMutualEdges(s, d), iters = 12)
+        .select(col("node").cast("long").as("node"), col("e1_q"), col("e2_q"))
     }),
     // Leiden-quality clustering (the r10 verdict gap): same mutual-kNN
     // edge set as graph_clusters, but labels from 10 synchronous rounds
@@ -1449,9 +1486,9 @@ object SparkEntry {
       val its = (1 to iters).map { t =>
         val base =
           s"""${p}y$t AS (SELECT e.src AS node, SUM(CAST(e.w AS HUGEINT) * x.xq) AS y
-             |  FROM edges e JOIN ${p}x${t - 1} x ON x.node = e.dst GROUP BY e.src),
+             |  FROM edgesl e JOIN ${p}x${t - 1} x ON x.node = e.dst GROUP BY e.src),
              |${p}z$t AS MATERIALIZED (SELECT y.node, d.d,
-             |  CAST(round(CAST(y.y AS DOUBLE) / CAST(d.d AS DOUBLE)) AS BIGINT) AS zq
+             |  CAST(round(CAST(y.y AS DOUBLE) / (CAST(d.d AS DOUBLE) * 2.0)) AS BIGINT) AS zq
              |  FROM ${p}y$t y JOIN deg d USING (node)),
              |${p}a$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq) AS DOUBLE) /
              |  (SELECT CAST(sumd AS DOUBLE) FROM sd) AS alpha FROM ${p}z$t)""".stripMargin
@@ -1480,7 +1517,9 @@ object SparkEntry {
     }
     graphEdgesSqlPrefix + ",\n" +
       """deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS d FROM edges GROUP BY src),
-        |sd AS MATERIALIZED (SELECT SUM(d) AS sumd FROM deg)""".stripMargin + ",\n" +
+        |sd AS MATERIALIZED (SELECT SUM(d) AS sumd FROM deg),
+        |edgesl AS MATERIALIZED (SELECT src, dst, w FROM edges
+        |  UNION ALL SELECT node AS src, node AS dst, d AS w FROM deg)""".stripMargin + ",\n" +
       sweep("a", "(node % 7 - 3) * 333333", None) + ",\n" +
       sweep("b", "(node % 5 - 2) * 500000", Some(s"ax$iters")) + "\n" +
       s"SELECT v2.node, v2.xq AS e1_q, v3.xq AS e2_q FROM ax$iters v2 JOIN bx$iters v3 USING (node)"
@@ -2472,21 +2511,22 @@ object SparkEntry {
         |SELECT query_id, label AS pred_label, votes FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
         |  FROM votes) WHERE rk = 1""".stripMargin,
-    // integer-snapped log-probs (round(ln p · 1e6) :: BIGINT) make the
-    // per-doc sum exact in both engines; ln agrees bit-for-bit on this
-    // data (the text_tfidf precedent) and a 1-ulp disagreement would
-    // need the scaled value within 2e-9 of a .5 to flip the snap
+    // log-prob snap via graft.functions.LnFix: the SAME fixed-point
+    // integer series the Spark plan runs (one generator emits both
+    // dialects), so no libm is involved on either side — the r11 red
+    // rows were Spark's StrictMath and DuckDB's libm snapping a
+    // micro-nat apart on this data
     "text_ppl" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
         |            FROM documents),
         |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
-        |g AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt),
-        |lm AS (SELECT token, CAST(round(ln((c + 1.0) / denom) * 1000000.0) AS BIGINT) AS lnq
-        |       FROM cnt CROSS JOIN g),
+        |g AS (SELECT sum(c) + count(*) AS den FROM cnt),
+        |lmsrc AS (SELECT token, c, den FROM cnt CROSS JOIN g),
+        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("token"), "c + 1", "den", "lnq")},
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
         |SELECT doc_id, sum(tf) AS n_tok,
-        |  CAST((-sum(tf * lnq)) // sum(tf) AS BIGINT) AS nll_micro
-        |FROM tf JOIN lm USING (token) GROUP BY doc_id""".stripMargin,
+        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll_micro
+        |FROM tf JOIN lmf USING (token) GROUP BY doc_id""".stripMargin,
     "report_drift" ->
       s"""WITH q AS ($qualitySql),
          |d AS (SELECT doc_id, source FROM documents),
@@ -2507,22 +2547,21 @@ object SparkEntry {
          |    * ln(((ref_n + 1.0) / rt) / ((cur_n + 1.0) / ct)), 6) + 0 AS psi_term
          |FROM f CROSS JOIN t""".stripMargin,
     "text_ppl_bigram" ->
-      """WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
-        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      s"""WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
         |    unnest(range(1, len(w) + 1)) u(p)),
         |big AS (SELECT doc_id, token AS w1,
         |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
         |b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
         |cnt AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
         |ctx AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
-        |vs AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok),
-        |lm AS (SELECT w1, w2,
-        |    CAST(round(ln((c + 1.0) / (cw + v)) * 1000000.0) AS BIGINT) AS lnq
-        |  FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
+        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |lmsrc AS (SELECT w1, w2, c, cw, v FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("w1", "w2"), "c + 1", "cw + v", "lnq")},
         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
         |SELECT doc_id, sum(tf) AS n_bigrams,
-        |  CAST((-sum(tf * lnq)) // sum(tf) AS BIGINT) AS nll2_micro
-        |FROM tf JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll2_micro
+        |FROM tf JOIN lmf USING (w1, w2) GROUP BY doc_id""".stripMargin,
     // dense-grid twin: with a fresh store every grid cell is either a
     // stored value (i < cut) or the fill — written-chunk gaps and absent
     // chunks alike — so the per-column split is fully predictable

@@ -325,6 +325,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Double],
               k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val qn = math.sqrt(q.map(x => x * x).sum)
+    // a zero-norm query has no cosine: NaN probe scores would silently
+    // pick an arbitrary probe set (the centroid side is guarded below) —
+    // fail loudly instead, matching cosineToQuery's null-out contract
+    require(qn > 0, "ivfTopK: query vector has zero norm — cosine undefined")
     // ties rank the LARGER list id first, matching the assignment rule
     // (greatest over (s, l) structs): with duplicated centroids — which
     // empty-list preservation makes legitimate — vectors live in the
@@ -546,6 +550,9 @@ object Similarity {
                 codebooks: Array[Array[Array[Double]]],
                 q: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
     val qn = math.sqrt(q.map(x => x * x).sum)
+    // same zero-norm guard as ivfTopK: NaN probe cosines AND NaN LUT
+    // entries would return an arbitrary ranking with no error
+    require(qn > 0, "ivfPqTopK: query vector has zero norm — cosine undefined")
     val probes = centroids.zipWithIndex.map { case (c, l) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       (c.zip(q).map { case (a, b) => a * b }.sum / ((if (cn == 0.0) 1.0 else cn) * qn), l)
@@ -824,8 +831,13 @@ object Similarity {
     val m2 = deg.agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0) // = 2m
     var labels = labels0.select(col("node"), col("label"))
     for (r <- 1 to rounds) {
-      val tot = labels.join(deg, Seq("node"))
-        .groupBy(col("label").as("_c")).agg(sum(col("k")).as("_t"))
+      // left joins with a 0-degree default: an ISOLATED seed node (label
+      // present in labels0, no incident edge) must flow through every
+      // round keeping its seed label — inner joins through `deg` (built
+      // only from edges) silently dropped it from the output labeling
+      val tot = labels.join(deg, Seq("node"), "left_outer")
+        .groupBy(col("label").as("_c"))
+        .agg(sum(coalesce(col("k"), lit(0L))).as("_t"))
       val kuc = edges
         .join(labels.select(col("node").as("dst"), col("label").as("_c")), Seq("dst"))
         .groupBy(col("src"), col("_c")).agg(sum(col("w")).as("_s"))
@@ -837,7 +849,8 @@ object Similarity {
         .groupBy(col("src"), col("_c")).agg(sum(col("_s")).as("_s"))
       val scored = cand
         .join(labels.select(col("node").as("src"), col("label").as("_a")), Seq("src"))
-        .join(deg.select(col("node").as("src"), col("k")), Seq("src"))
+        .join(deg.select(col("node").as("src"), col("k")), Seq("src"), "left_outer")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
         .join(tot, Seq("_c"))
         .withColumn("_score",
           lit(m2).cast(dec) * col("_s").cast(dec) -
@@ -861,8 +874,12 @@ object Similarity {
 
   /** Spectral embedding of a weighted graph — scanpy's diffusion-map/
     * Laplacian-eigenmap coordinate family — by power iteration on the
-    * random-walk matrix W = D⁻¹A over an unordered mutual edge set
-    * `(id1, id2, w: LONG)`. Returns the 2nd and 3rd eigenvector
+    * LAZY random-walk matrix (I + D⁻¹A)/2 over an unordered mutual edge
+    * set `(id1, id2, w: LONG)`. The lazy walk has the same eigenvectors
+    * as D⁻¹A with eigenvalues mapped to [0,1], so power iteration cannot
+    * latch onto a (near-)bipartite component's −1 mode — a path-shaped
+    * kNN cluster does exhibit exactly that failure under the plain walk.
+    * Returns the 2nd and 3rd eigenvector
     * coordinates (the 1st is the constant vector, deflated away) as
     * FIXED-POINT integers in units of 10⁻⁶ (`e1_q`, `e2_q`).
     *
@@ -886,10 +903,20 @@ object Similarity {
   def spectralEmbed(mut: DataFrame, iters: Int = 12): DataFrame = {
     val S = 1000000L
     val dec = "decimal(38,0)"
-    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+    val edges0 = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
+    val deg = edges0.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
+      .localCheckpoint()
+    // LAZY-walk edge set: the lazy matrix (P+I)/2 = (2D)⁻¹(A+D) IS the
+    // plain random walk over the graph augmented with one self-loop of
+    // weight d per node — so the augmentation happens HERE, once, and
+    // each iteration keeps the original single-join matvec shape. (The
+    // alternative — joining x a second time per iteration to add xq/2 —
+    // doubles the stats-estimation BigInt bit-length per iteration via
+    // LogicalRDD origin stats and grinds the driver to a halt.)
+    val edges = edges0.unionByName(deg.select(col("node").as("src"),
+        col("node").as("dst"), col("d").as("w")))
       .localCheckpoint()
     val sumd = deg.agg(sum(col("d"))).head().getLong(0)
     require(sumd > 0, "spectral embedding needs a non-empty graph")
@@ -906,10 +933,17 @@ object Similarity {
         // not checkpointed: the matvec recomputes once more per consumer,
         // but the PREVIOUS x is pinned so the plan stays one join deep —
         // and dropping the cut saves a whole job per iteration (these
-        // ~100 tiny jobs are the query's entire local cost)
+        // ~100 tiny jobs are the query's entire local cost).
+        // The matvec ran over the self-loop-augmented edges, so y =
+        // (A+D)x and z = y/(2d) applies the LAZY walk (P+I)/2: same
+        // eigenvectors as P, eigenvalues shifted to [0,1] — a (near-)
+        // bipartite component has a P-eigenvalue near −1 that plain
+        // power iteration latches onto (observed: a path-shaped
+        // mutual-kNN cluster), while the lazy walk provably converges
+        // to the top nontrivial mode
         val z = y.join(deg, Seq("node"))
           .select(col("node"), col("d"),
-            round(col("y").cast("double") / col("d").cast("double"))
+            round(col("y").cast("double") / (col("d").cast("double") * 2.0))
               .cast("long").as("zq"))
         val defl = prev match {
           case Some(p) =>

@@ -247,16 +247,20 @@ object TextOps {
     * the corpus itself (CCNet buckets documents by KenLM perplexity; the
     * unigram LM is that filter's simplest self-trained form — boilerplate
     * and keyword-stuffed pages score low-surprise, gibberish scores
-    * high). Returns `(doc_id, n_tok, nll)` with
-    * nll = −Σ_t ln((c_t+1)/(N+V)) / n_tok.
+    * high). Returns `(doc_id, n_tok, nll_micro)` with nll_micro =
+    * floor(Σ_t tf·L_t / n_tok) where L_t is the token's snapped
+    * −ln((c_t+1)/(N+V)) in integer MICRO-NATS.
     *
-    * Determinism: each token's log-probability is scaled and SNAPPED to
-    * an integer (round(ln p · 10⁶) as a long), so the per-document sum is
-    * exact integer arithmetic — order-free under any partition layout —
-    * and only the final per-document division is float. The model table
-    * (vocab, counts) stays DISTRIBUTED and joins on token: at 100 TB the
-    * vocabulary is itself large, so nothing here assumes it fits anywhere
-    * — Spark broadcasts it only if the optimizer sees it's small. */
+    * Determinism: the log-probability snap is [[graft.functions.LnFix]] —
+    * a fixed-point integer series with NO libm call, so every engine
+    * produces the same L_t bit-for-bit (a libm ln snapped one micro-nat
+    * apart between Spark and DuckDB at sf0.1 — the r11 red rows). The
+    * per-document sum is then exact integer arithmetic, order-free under
+    * any partition layout, and the final division is an integer floor.
+    * The model table (vocab, counts) stays DISTRIBUTED and joins on
+    * token: at 100 TB the vocabulary is itself large, so nothing here
+    * assumes it fits anywhere — Spark broadcasts it only if the
+    * optimizer sees it's small. */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
@@ -264,19 +268,20 @@ object TextOps {
     // N + V (corpus tokens + vocab size): one 2-long aggregate, a model
     // parameter (the ivfModel pattern), entering the plan as a literal
     val g = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
-    val denom = lit((g.getLong(0) + g.getLong(1)).toDouble)
-    val lm = cnt.select(col("token"),
-      round(log((col("c") + 1.0) / denom) * 1e6).cast("long").as("_lnq"))
+    val denom = g.getLong(0) + g.getLong(1)
+    val lm = graft.functions.LnFix.withNegLnMicro(
+      cnt.select(col("token"), col("c")), "c + 1", denom.toString, "_lnq")
+      .select(col("token"), col("_lnq"))
     toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .join(lm, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("_lnq")).as("_s"))
       // mean NLL in integer MICRO-NATS per token, by exact floor division
-      // (both operands positive): a 6dp float round here once landed on a
-      // half-ulp boundary at sf0.1 and split the engines by exactly 1e-6 —
-      // integer output has no boundary to land on
+      // (both operands nonnegative, so div == //): a 6dp float round here
+      // once landed on a half-ulp boundary at sf0.1 and split the engines
+      // by exactly 1e-6 — integer output has no boundary to land on
       .select(col("doc_id"), col("n_tok"),
-        expr("(-_s) div n_tok").as("nll_micro"))
+        expr("_s div n_tok").as("nll_micro"))
   }
 
   /** Per-source dataset card (the report a curation pipeline publishes with
@@ -388,7 +393,8 @@ object TextOps {
   /** Bigram-LM quality scoring — the next-order CCNet-style signal over
     * [[unigramNll]]: per-document mean NLL under the corpus's own
     * add-one bigram model P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). Same
-    * exactness contract: log-probs snap to integer micro-nats so the
+    * exactness contract: log-probs snap to integer micro-nats via the
+    * libm-free [[graft.functions.LnFix]] fixed-point series, so the
     * per-doc sums are order-free and the oracle matches bit-for-bit.
     * Shapes: one bigram explode (lead over doc position), two counting
     * aggregates for the model, one join back — all key-hashed, nothing
@@ -407,9 +413,10 @@ object TextOps {
     val ctx = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
     // V = vocab size: one scalar, a model parameter entering as a literal
     val v = toks.select(col("token")).distinct().count()
-    val lm = cnt.join(ctx, Seq("w1")).select(col("w1"), col("w2"),
-      round(log((col("c") + 1.0) / (col("cw") + v.toDouble)) * 1e6)
-        .cast("long").as("_lnq"))
+    val lm = graft.functions.LnFix.withNegLnMicro(
+      cnt.join(ctx, Seq("w1")).select(col("w1"), col("w2"), col("c"), col("cw")),
+      "c + 1", s"cw + $v", "_lnq")
+      .select(col("w1"), col("w2"), col("_lnq"))
     big.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
       .join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -417,7 +424,7 @@ object TextOps {
       // integer micro-nats per bigram — see [[unigramNll]] for why not a
       // rounded float ratio
       .select(col("doc_id"), col("n_bigrams"),
-        expr("(-_s) div n_bigrams").as("nll2_micro"))
+        expr("_s div n_bigrams").as("nll2_micro"))
   }
 
   /** Population-stability-index drift report between two corpus slices —

@@ -647,7 +647,12 @@ object Zarr {
     }
 
   /** Resolve an array's Meta purely from an ancestor's consolidated map
-    * (walks up a bounded number of levels accumulating the relative key). */
+    * (walks up a bounded number of levels accumulating the relative key).
+    * A nested group may carry its own PARTIAL consolidated map (e.g. one
+    * consolidated subtree inside a larger consolidated root): when an
+    * ancestor's map doesn't list the array, the walk CONTINUES upward
+    * rather than stopping — the nearest map shadows higher ones only for
+    * the keys it actually contains. */
   private def consolidatedMeta(path: String): Option[Meta] = {
     var p = new HPath(path)
     var rel = List.empty[String]
@@ -659,7 +664,6 @@ object Zarr {
           m.get(s"$r/zarr.json").map(parseMetaV3(_, path))
             .orElse(m.get(s"$r/.zarray").map(parseMetaV2(_, path)))
             .foreach(meta => return Some(meta))
-          return None // a consolidated root exists but doesn't know this array
         case _ => ()
       }
       rel = p.getName :: rel

@@ -126,7 +126,7 @@ class PlanSpec extends AnyFunSuite {
     assert(probed.size <= 4, s"probe set too wide: $probed")
     val unprobed = (0 until 16).find(!probed.contains(_)).get
     val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
-    val victimDir = new java.io.File(s"target/tmp/ivfpq_codes_$sfName/list_id=$unprobed")
+    val victimDir = new java.io.File(s"${GraftPaths.tmpRoot}/ivfpq_codes_$sfName/list_id=$unprobed")
     val victims = victimDir.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(victims.nonEmpty, s"fixture: no parquet in $victimDir")
     val saved = victims.map(f => f -> java.nio.file.Files.readAllBytes(f.toPath))

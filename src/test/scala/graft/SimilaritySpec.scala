@@ -396,6 +396,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qLou > 0.3, s"bridged-triangle Q suspiciously low: $qLou")
   }
 
+  test("Louvain keeps isolated seed nodes (seed label, not dropped)") {
+    // node 9 appears in the seed labeling but touches no edge: it must
+    // survive every round with its seed label (inner joins through the
+    // edge-derived degree table used to silently drop it)
+    val mut = Seq((0L, 1L, 10000L), (0L, 2L, 10000L), (1L, 2L, 10000L))
+      .toDF("id1", "id2", "w")
+    val seed = (Seq(0L, 1L, 2L, 9L)).map(n => (n, n + 100L)).toDF("node", "label")
+    val got = Similarity.louvainRefine(mut, seed, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 9L), s"nodes lost: ${got.keySet}")
+    assert(got(9L) == 109L, s"isolated node moved label: ${got(9L)}")
+    assert(Set(got(0L), got(1L), got(2L)).size == 1, "triangle not merged")
+  }
+
+  test("IVF and IVF-PQ reject a zero-norm query loudly") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val books = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val emb = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val codes = Seq((0L, Seq(0), 0)).toDF("vec_id", "codes", "list_id")
+    val z = Array(0.0, 0.0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", z, 1, cents)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(codes, cents, books, z, 1)
+    }
+  }
+
   test("Louvain on the real shard graph: modularity >= label propagation's") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val batch = emb.filter(col("vec_id") < 64)
@@ -592,6 +620,63 @@ class SimilaritySpec extends AnyFunSuite {
     val nodeSet = nodes.toSet
     assert(a.forall { case (_, lbl) => nodeSet.contains(lbl) },
       "labels must be ids of nodes in the graph")
+  }
+
+  test("graph_louvain_full: deterministic, one label per node, Q >= labelprop's on same edges") {
+    // the rows-only full-corpus Louvain (IVF edges aren't SQL): pin the
+    // invariants the oracle can't, matching graph_labelprop_full's
+    // contract, PLUS modularity dominance over plain label propagation
+    // on the SAME full-corpus edge set — the property Louvain exists for
+    def run() = SparkEntry.queries("graph_louvain_full")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "full-corpus Louvain must be deterministic across runs")
+    val nodes = a.map(_._1)
+    assert(nodes.distinct.size == nodes.size, "one label per node")
+    assert(a.nonEmpty)
+    val nodeSet = nodes.toSet
+    assert(a.forall { case (_, lbl) => nodeSet.contains(lbl) },
+      "labels must be ids of nodes in the graph")
+    val mut = SparkEntry.ivfMutualEdges(spark, TestSpark.sf)
+    val louDf = a.toDF("node", "label")
+    val lpa = Similarity.labelPropagate(mut, rounds = 10)
+    val qLou = Similarity.modularity(mut, louDf).head().getDouble(0)
+    val qLpa = Similarity.modularity(mut, lpa).head().getDouble(0)
+    assert(qLou >= qLpa - 1e-9, s"Q(louvain)=$qLou < Q(lpa)=$qLpa")
+  }
+
+  test("graph_spectral_full: deterministic; planted clusters separate through the full pipeline") {
+    def run() = SparkEntry.queries("graph_spectral_full")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "full-corpus spectral embedding must be deterministic")
+    assert(a.nonEmpty && a.map(_._1).distinct.size == a.size)
+    // planted clusters: two blobs with DISJOINT support in R^6 (cross
+    // cosine exactly 0), each jittered in two dims so its mutual-kNN
+    // graph is a connected expander-ish cloud — a line-shaped blob
+    // makes a PATH whose within-component Fiedler mode decays like
+    // (1+cos(π/n))/2 per lazy-walk step and swamps 12 iterations; a
+    // repeated-vector blob fragments into identical-vector cliques.
+    // Sizes differ so the symmetric-tie degenerate case can't mask a
+    // bug. The WHOLE scale pipeline runs — IVF training, bucketed kNN,
+    // mutual restriction, spectral — and v2's sign must split the blobs.
+    def jit(i: Int, m: Int): Double = ((i * m) % 97) / 323.0 // [0, 0.3)
+    val vecs = ((0 until 12).map { i =>
+      (i.toLong, Seq(1.0, jit(i, 37), jit(i, 53), 0.0, 0.0, 0.0))
+    } ++ (0 until 10).map { i =>
+      (100L + i, Seq(0.0, 0.0, 0.0, 1.0, jit(i, 41), jit(i, 67)))
+    }).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 2)
+    val dir = Similarity.knnGraphIvf(vecs, "vec_id", "embedding", cents, k = 4)
+      .select(col("src"), col("dst"),
+        round(col("cos") * 10000).cast("long").as("w"))
+    val emb = Similarity.spectralEmbed(
+        Similarity.mutualEdgesWeighted(dir, "w"), iters = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sA = emb.filter(_._1 < 100).values.map(math.signum(_)).toSet
+    val sB = emb.filter(_._1 >= 100).values.map(math.signum(_)).toSet
+    assert(sA.size == 1 && sB.size == 1 && sA != sB,
+      s"planted clusters not sign-separated by v2: A=$sA B=$sB ($emb)")
   }
 
   test("IVF model persists through a Zarr store bit-exactly (index artifact storage)") {

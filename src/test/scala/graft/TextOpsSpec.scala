@@ -267,10 +267,11 @@ class TextOpsSpec extends AnyFunSuite {
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     val got = TextOps.unigramNll(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // counts a:2 b:1 c:1, N=4, V=3 → denom 7; log-probs snapped to 1e-6,
-    // mean NLL as exact integer micro-nats per token (floor division)
-    def lnq(c: Long): Long = math.round(math.log((c + 1.0) / 7.0) * 1e6)
-    def nll(s: Long, ntok: Long): Long = (-s) / ntok
+    // counts a:2 b:1 c:1, N=4, V=3 → denom 7; log-probs snapped to
+    // positive micro-nats by the LnFix fixed-point series, mean NLL as
+    // exact integer micro-nats per token (floor division)
+    def lnq(c: Long): Long = graft.functions.LnFix.referenceNegLnMicro(c + 1, 7)
+    def nll(s: Long, ntok: Long): Long = s / ntok
     assert(got(1L) == ((3L, nll(2 * lnq(2) + lnq(1), 3))))
     assert(got(2L) == ((1L, nll(lnq(1), 1))))
     // the common-token doc is less surprising than the rare-token doc
@@ -287,14 +288,14 @@ class TextOpsSpec extends AnyFunSuite {
     val bigrams = texts.toSeq.flatMap { case (id, w) => w.zip(w.tail).map(b => (id, b)) }
     val cnt = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val ctx = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
-    val v = texts.values.flatten.toSet.size.toDouble
+    val v = texts.values.flatten.toSet.size.toLong
     def lnq(b: (String, String)): Long =
-      math.round(math.log((cnt(b) + 1.0) / (ctx(b._1) + v)) * 1e6)
+      graft.functions.LnFix.referenceNegLnMicro(cnt(b) + 1, ctx(b._1) + v)
     texts.foreach { case (id, w) =>
       val bs = w.zip(w.tail)
       if (bs.nonEmpty) {
         val s = bs.map(lnq).sum
-        val expect = (-s) / bs.size
+        val expect = s / bs.size
         val (n, nll) = got(id)
         assert(n == bs.size && nll == expect,
           s"doc $id: got ($n, $nll) want (${bs.size}, $expect)")
