@@ -145,6 +145,20 @@ object SparkEntry {
       (cents, Similarity.ivfPqTrain(normEmb(s, d), "vec_id", "nvec", cents))
     })
 
+  /** IVF-OPQ model per sf dir (rotation + rotated-residual codebooks;
+    * fit once, reused — the ivfModel pattern). Shares the IVF centroids
+    * with [[ivfPqModel]], so the two stacks differ ONLY by the rotation:
+    * the recall-dominance contract is apples-to-apples at equal bytes. */
+  private val opqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  private def opqModel(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqModels.computeIfAbsent(d, { _ =>
+      val (cents, _) = ivfPqModel(s, d)
+      Similarity.ivfOpqTrain(normEmb(s, d), "vec_id", "nvec", cents)
+    })
+
   /** The IVF-PQ codes STORED as a parquet table partitioned by list_id —
     * the production serving layout: a probe's `list_id IN (...)` filter
     * prunes whole partition directories at planning, so unprobed lists
@@ -1000,6 +1014,21 @@ object SparkEntry {
       Similarity.ivfPqTopK(
         Similarity.ivfPqEncode(normEmb(s, d), "vec_id", "nvec", cents, books),
         cents, books, q.map(_ / qn), 10, nprobe = 4)
+    }),
+    // IVF-OPQ (FAISS OPQx,IVFy,PQz): the same IVF coarse stage and the
+    // same m bytes/vector, with the residual space PCA-rotated and
+    // eigenvalue-allocated across subspaces before encoding — recall
+    // dominance over plain IVF-PQ at equal bytes is scalatest-pinned.
+    // Rows-only like the rest of the PQ family (k-means + eigensolve
+    // aren't SQL).
+    "ann_opq_topk" -> ((s, d) => {
+      val (cents, _) = ivfPqModel(s, d)
+      val (rot, books) = opqModel(s, d)
+      val q = queryVec(s, d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      Similarity.ivfOpqTopK(
+        Similarity.ivfOpqEncode(normEmb(s, d), "vec_id", "nvec", cents, rot, books),
+        cents, rot, books, q.map(_ / qn), 10, nprobe = 4)
     }),
     // ...and the same ADC over the list_id-PARTITIONED codes store: the
     // probe filter prunes partition directories at planning, so the scan

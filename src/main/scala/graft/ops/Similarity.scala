@@ -548,11 +548,22 @@ object Similarity {
     * partitioned by list_id. Deterministic: round(·,4) + id tiebreak. */
   def ivfPqTopK(codes: DataFrame, centroids: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]],
-                q: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+                q: Array[Double], k: Int, nprobe: Int = 4): DataFrame =
+    ivfAdcTopK(codes, centroids, codebooks, q, q, k, nprobe, "ivfPqTopK")
+
+  /** Shared IVF ADC core: probes + per-list inner-product constants use
+    * the RAW query (the coarse quantizer lives in the original space);
+    * the residual LUTs use `lutQ` — the raw query for plain IVF-PQ, the
+    * ROTATED query for IVF-OPQ (codes live in the rotated residual
+    * space; R orthonormal ⇒ ⟨q, v−c⟩ = ⟨Rq, R(v−c)⟩). */
+  private def ivfAdcTopK(codes: DataFrame, centroids: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]],
+                         q: Array[Double], lutQ: Array[Double], k: Int,
+                         nprobe: Int, who: String): DataFrame = {
     val qn = math.sqrt(q.map(x => x * x).sum)
     // same zero-norm guard as ivfTopK: NaN probe cosines AND NaN LUT
     // entries would return an arbitrary ranking with no error
-    require(qn > 0, "ivfPqTopK: query vector has zero norm — cosine undefined")
+    require(qn > 0, s"$who: query vector has zero norm — cosine undefined")
     val probes = centroids.zipWithIndex.map { case (c, l) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       (c.zip(q).map { case (a, b) => a * b }.sum / ((if (cn == 0.0) 1.0 else cn) * qn), l)
@@ -560,7 +571,7 @@ object Similarity {
     val ipConsts: Seq[Double] = centroids.map(c => dotOrdered(q, c)).toSeq
     val sd = codebooks(0)(0).length
     val luts: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
-      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(j * sd + i) }.sum).toSeq
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * lutQ(j * sd + i) }.sum).toSeq
     }
     val residScore = luts.zipWithIndex.map { case (lut, j) =>
       element_at(typedlit(lut), element_at(col("codes"), j + 1) + 1)
@@ -615,6 +626,102 @@ object Similarity {
       .select(col("vec_id").as("_cand_id"))
     val sub = emb.join(cand, emb(idCol) === col("_cand_id"), "left_semi")
     bruteForceTopK(sub, idCol, vecCol, q, k)
+  }
+
+  // --------------------------------------------------- IVF-OPQ rotation
+  /** OPQ rotation for the IVF-PQ stack (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the parametric / eigenvalue-allocation
+    * variant): PCA-rotate the IVF residual space and hand principal
+    * directions to the m code subspaces by EIGENVALUE ALLOCATION (the
+    * next-largest eigenvalue goes to the subspace with the smallest
+    * variance product), so every subspace quantizes a balanced share of
+    * residual variance instead of whatever the raw coordinate order put
+    * there — the standard recall lever at FIXED code size.
+    *
+    * Training is driver-side on the same trainN sample as [[ivfPqTrain]]:
+    * one dim² second-moment pass (NOT mean-centered — ADC is a pure inner
+    * product about the origin, so the map must stay purely linear) and a
+    * Jacobi eigendecomposition (the emb_whiten machinery). R is
+    * orthonormal, so ⟨q, v−c⟩ = ⟨Rq, R(v−c)⟩ exactly — query-side ADC
+    * just builds its LUTs from the rotated query. Corpus-size-independent.
+    *
+    * Returns (R row-major — rotated(i) = Σ_k R(i)(k)·x(k) — and the
+    * codebooks trained on rotated residuals). */
+  def ivfOpqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                  trainN: Int = 4096)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(trainN >= ksub, s"trainN=$trainN must be >= ksub=$ksub")
+    val rows = emb.select(col(vecCol).cast("array<double>").as("vec"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(trainN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length >= ksub,
+      s"IVF-OPQ training needs >= ksub=$ksub vectors, corpus has ${rows.length}")
+    val norms = safeNorms(centroids)
+    val residuals = rows.map { x =>
+      val c = centroids(assignCosine(x, centroids, norms))
+      Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    val dim = residuals(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val mom = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < residuals.length) { s += residuals(r)(i) * residuals(r)(j); r += 1 }
+      s / residuals.length
+    }
+    val (evals, evecs) = graft.array.Pca.jacobiEigen(mom) // vectors in COLUMNS
+    val order = evals.indices.sortBy(i => -evals(i))
+    val sd = dim / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val logp = Array.fill(m)(0.0)
+    for (e <- order) {
+      val b = (0 until m).filter(buckets(_).size < sd).minBy(b => (logp(b), b))
+      buckets(b) += e
+      logp(b) += math.log(math.max(evals(e), 1e-12))
+    }
+    val rot = Array.tabulate(dim, dim) { (out, k) =>
+      evecs(k)(buckets(out / sd)(out % sd))
+    }
+    val rotated = residuals.map(r => Array.tabulate(dim)(i => dotOrdered(rot(i), r)))
+    (rot, pqTrainRows(rotated, m, ksub, iters))
+  }
+
+  /** Encode (vec_id, list_id, codes) over ROTATED residuals — the same
+    * one-scan / no-join shape as [[ivfPqEncode]]; the rotation is dim²
+    * literal multiply-adds fused into the same projection (staging-time
+    * cost — queries still scan only the m-byte codes column). */
+  def ivfOpqEncode(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Double]],
+                   rotation: Array[Array[Double]],
+                   codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val sd = codebooks(0)(0).length
+    val listed = withIvfList(emb, vecCol, centroids)
+    val resid = transform(v,
+      (x, i) => x - element_at(element_at(centsLit, col("list_id") + 1), i + 1))
+    // the rotation is ONE codegen'd MatVec (X-pattern kernel) — dim²
+    // literal-term expressions fall out of whole-stage codegen and run
+    // interpreted (measured ~7 s extra on the sf0.1 encode)
+    val rotCol = graft.functions.VectorExprs.matVec(col("_resid"), rotation)
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      greatest(l2Scores(slice(col("_rot"), j * sd + 1, sd), cb): _*).getField("l")
+    }: _*)
+    listed.withColumn("_resid", resid).withColumn("_rot", rotCol)
+      .select(col(idCol).as("vec_id"), col("list_id"), codes.as("codes"))
+  }
+
+  /** IVF-OPQ ADC top-k: identical plan shape and cost to [[ivfPqTopK]]
+    * (same probes, same m LUT picks per row, same partition-pruning
+    * `isin` filter) — only the LUTs are built from the rotated query. */
+  def ivfOpqTopK(codes: DataFrame, centroids: Array[Array[Double]],
+                 rotation: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 q: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val rq = Array.tabulate(rotation.length)(i => dotOrdered(rotation(i), q))
+    ivfAdcTopK(codes, centroids, codebooks, q, rq, k, nprobe, "ivfOpqTopK")
   }
 
   /** Top-2 IVF lists per vector (primary + runner-up) via one array_sort
@@ -968,7 +1075,12 @@ object Similarity {
             z.select(col("node"), col("d"),
               round(col("zq") - lit(alpha)).cast("long").as("xq1"))
         }
-        val w = defl.localCheckpoint()
+        // the v3 branch's defl is a PROJECTION over the just-checkpointed
+        // j — re-checkpointing it would spend one whole materialization
+        // job per iteration to replace a leaf-backed plan with another
+        // leaf; only the v2 branch (defl over the live z join) needs the
+        // lineage cut
+        val w = if (prev.isDefined) defl else defl.localCheckpoint()
         val n2 = w.agg(sum(col("d").cast(dec) * col("xq1").cast(dec) *
           col("xq1").cast(dec)).cast("double")).head().getDouble(0)
         val f = S * math.sqrt(sumd.toDouble / n2)
