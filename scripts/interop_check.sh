@@ -1,0 +1,21 @@
+#!/bin/bash
+# Third-engine interop gate: after `sbt "runMain graft.Verify <sf> <out>"`
+# has staged the zarr stores, read each store FAMILY back with the
+# independent numpy reader (scripts/zarr_pyread.py — public-spec
+# reimplementation, zero shared code with graft) and compare
+# cell-for-cell against a DuckDB recomputation of the same query.
+#
+#   v2 + zlib          (zarr_*)   — .zarray, flat keys
+#   v3 + sharding+gzip (zarr3_*)  — zarr.json, sharding_indexed, crc32c
+#   v2 + blosc-lz4     (zarrbl_*) — c-blosc frames, pure-python LZ4
+#
+# Usage: interop_check.sh [sf_dir]     (default /root/testdata/sf0.01)
+set -e
+SF=${1:-/root/testdata/sf0.01}
+SFNAME=$(echo "$SF" | sed 's/[^A-Za-z0-9]/_/g')
+TMP=${SPARK_GRAFT_TMP:-$(pwd)/target/tmp}
+for store in "zarr_" "zarr3_" "zarrbl_"; do
+  echo "== ${store}${SFNAME}"
+  python3 "$(dirname "$0")/zarr_pyread.py" "$TMP/${store}${SFNAME}" "$SF"
+done
+echo "interop: 3/3 store families read by the independent engine"

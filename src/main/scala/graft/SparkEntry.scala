@@ -708,7 +708,14 @@ object SparkEntry {
       val nLines = Zarr.read(s, path, "obsm/X_stats").cells
         .filter(col("j") === 1 && col("v") =!= 0.0)
         .select(col("i"), col("v").as("n_lines"))
-      idx.join(prio, "i").join(rowSum, "i").join(nLines, "i")
+      // all four compose inputs are data-proportional zarr reads whose
+      // plans descend from range().flatMap leaves — Catalyst's size
+      // estimate for those is near zero, so the unhinted planner
+      // BROADCASTS a corpus-sized side (OOM at the sf10 gate: ~15M obs
+      // rows ≈ 0.5 GB build). Merge hints pin sort-merge — the only
+      // sane plan for large-large equi-joins at 100 TB.
+      idx.join(prio.hint("merge"), "i").join(rowSum.hint("merge"), "i")
+        .join(nLines.hint("merge"), "i")
         .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
     }),
     // rank-1 store roundtrip (anndata obs-column shape): per-order quantity
@@ -1518,29 +1525,43 @@ object SparkEntry {
              |  FROM edgesl e JOIN ${p}x${t - 1} x ON x.node = e.dst GROUP BY e.src),
              |${p}z$t AS MATERIALIZED (SELECT y.node, d.d,
              |  CAST(round(CAST(y.y AS DOUBLE) / (CAST(d.d AS DOUBLE) * 2.0)) AS BIGINT) AS zq
-             |  FROM ${p}y$t y JOIN deg d USING (node)),
-             |${p}a$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq) AS DOUBLE) /
-             |  (SELECT CAST(sumd AS DOUBLE) FROM sd) AS alpha FROM ${p}z$t)""".stripMargin
+             |  FROM ${p}y$t y JOIN deg d USING (node))""".stripMargin
+        // ONE sum bundle per iteration; alpha/beta/n2 derive from it with
+        // the SAME scalar algebra (term order and all) as spectralEmbed —
+        // n2 is the algebraic expansion of Σd(z−α−βp)² over pre-round
+        // values, matching the Spark side exactly
         val defl = prev match {
           case None =>
-            s"""${p}w$t AS MATERIALIZED (SELECT z.node, z.d,
-               |  CAST(round(z.zq - c.alpha) AS BIGINT) AS xq1
-               |  FROM ${p}z$t z CROSS JOIN ${p}a$t c)""".stripMargin
+            s"""${p}s$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq) AS DOUBLE) AS s1,
+               |  CAST(SUM(CAST(d AS HUGEINT) * zq * zq) AS DOUBLE) AS s2 FROM ${p}z$t),
+               |${p}c$t AS (SELECT s1 / sumd AS alpha,
+               |  (s2 - 2.0 * (s1 / sumd) * s1 + (s1 / sumd) * (s1 / sumd) * sumd) AS n2, sumd
+               |  FROM ${p}s$t CROSS JOIN (SELECT CAST(sumd AS DOUBLE) AS sumd FROM sd) sdd),
+               |${p}x$t AS MATERIALIZED (SELECT z.node,
+               |  CAST(round(CAST(round(z.zq - c.alpha) AS BIGINT)
+               |    * (1000000 * sqrt(c.sumd / c.n2))) AS BIGINT) AS xq
+               |  FROM ${p}z$t z CROSS JOIN ${p}c$t c)""".stripMargin
           case Some(pv) =>
             s"""${p}j$t AS MATERIALIZED (SELECT z.node, z.d, z.zq, p.xq AS pq
                |  FROM ${p}z$t z JOIN $pv p USING (node)),
-               |${p}b$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * zq * pq) AS DOUBLE) /
-               |  CAST(SUM(CAST(d AS HUGEINT) * pq * pq) AS DOUBLE) AS beta FROM ${p}j$t),
-               |${p}w$t AS MATERIALIZED (SELECT j.node, j.d,
-               |  CAST(round(j.zq - a.alpha - b.beta * j.pq) AS BIGINT) AS xq1
-               |  FROM ${p}j$t j CROSS JOIN ${p}a$t a CROSS JOIN ${p}b$t b)""".stripMargin
+               |${p}s$t AS (SELECT
+               |  CAST(SUM(CAST(d AS HUGEINT) * zq) AS DOUBLE) AS t1,
+               |  CAST(SUM(CAST(d AS HUGEINT) * zq * zq) AS DOUBLE) AS t2,
+               |  CAST(SUM(CAST(d AS HUGEINT) * zq * pq) AS DOUBLE) AS t3,
+               |  CAST(SUM(CAST(d AS HUGEINT) * pq) AS DOUBLE) AS t4,
+               |  CAST(SUM(CAST(d AS HUGEINT) * pq * pq) AS DOUBLE) AS t5 FROM ${p}j$t),
+               |${p}c$t AS (SELECT t1 / sumd AS alpha, t3 / t5 AS beta,
+               |  (t2 - 2.0 * (t1 / sumd) * t1 - 2.0 * (t3 / t5) * t3
+               |   + (t1 / sumd) * (t1 / sumd) * sumd
+               |   + 2.0 * (t1 / sumd) * (t3 / t5) * t4
+               |   + (t3 / t5) * (t3 / t5) * t5) AS n2, sumd
+               |  FROM ${p}s$t CROSS JOIN (SELECT CAST(sumd AS DOUBLE) AS sumd FROM sd) sdd),
+               |${p}x$t AS MATERIALIZED (SELECT j.node,
+               |  CAST(round(CAST(round(j.zq - c.alpha - c.beta * j.pq) AS BIGINT)
+               |    * (1000000 * sqrt(c.sumd / c.n2))) AS BIGINT) AS xq
+               |  FROM ${p}j$t j CROSS JOIN ${p}c$t c)""".stripMargin
         }
-        val tail =
-          s"""${p}n$t AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * xq1 * xq1) AS DOUBLE) AS n2 FROM ${p}w$t),
-             |${p}x$t AS MATERIALIZED (SELECT w.node,
-             |  CAST(round(w.xq1 * (1000000 * sqrt((SELECT CAST(sumd AS DOUBLE) FROM sd) / n.n2))) AS BIGINT) AS xq
-             |  FROM ${p}w$t w CROSS JOIN ${p}n$t n)""".stripMargin
-        s"$base,\n$defl,\n$tail"
+        s"$base,\n$defl"
       }.mkString(",\n")
       s"$x0,\n$its"
     }

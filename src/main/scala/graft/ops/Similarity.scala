@@ -1052,41 +1052,57 @@ object Similarity {
           .select(col("node"), col("d"),
             round(col("y").cast("double") / (col("d").cast("double") * 2.0))
               .cast("long").as("zq"))
-        val defl = prev match {
+        // ONE exact-decimal aggregate per iteration yields EVERY scalar
+        // the deflation + normalization need: the D-norm n2 is derived
+        // from the same sums by expanding Σd·(z−α−βp)² algebraically
+        // (pre-round values — the ≤0.5 rounding of each deflated entry
+        // shifts the norm by ~1e-7 relative, irrelevant for a
+        // normalization factor). This halves the per-iteration job
+        // count (agg + checkpoint, down from agg + agg + checkpoint).
+        // The oracle mirrors the identical scalar algebra term-for-term,
+        // so the engines stay bit-equal.
+        x = prev match {
           case Some(p) =>
             val j = z.join(p.select(col("node"), col("xq").as("pq")), Seq("node"))
               .localCheckpoint()
-            // one job for all three exact scalars (identical values to
-            // separate aggregates — each is its own exact decimal sum)
-            val sc3 = j.agg(
+            val t = j.agg(
               sum(col("d").cast(dec) * col("zq").cast(dec)).cast("double"),
               sum(col("d").cast(dec) * col("zq").cast(dec) *
+                col("zq").cast(dec)).cast("double"),
+              sum(col("d").cast(dec) * col("zq").cast(dec) *
                 col("pq").cast(dec)).cast("double"),
+              sum(col("d").cast(dec) * col("pq").cast(dec)).cast("double"),
               sum(col("d").cast(dec) * col("pq").cast(dec) *
                 col("pq").cast(dec)).cast("double")).head()
-            val alpha = sc3.getDouble(0) / sumd.toDouble
-            val beta = sc3.getDouble(1) / sc3.getDouble(2)
-            j.select(col("node"), col("d"),
-              round(col("zq") - lit(alpha) - lit(beta) * col("pq"))
-                .cast("long").as("xq1"))
+            val (t1, t2, t3, t4, t5) = (t.getDouble(0), t.getDouble(1),
+              t.getDouble(2), t.getDouble(3), t.getDouble(4))
+            val alpha = t1 / sumd.toDouble
+            val beta = t3 / t5
+            val n2 = t2 - 2.0 * alpha * t1 - 2.0 * beta * t3 +
+              alpha * alpha * sumd.toDouble + 2.0 * alpha * beta * t4 +
+              beta * beta * t5
+            val f = S * math.sqrt(sumd.toDouble / n2)
+            // x rides the j checkpoint — no per-iteration cut needed here
+            j.select(col("node"),
+              round(round(col("zq") - lit(alpha) - lit(beta) * col("pq"))
+                .cast("long") * lit(f)).cast("long").as("xq"))
           case None =>
-            val alpha = z.agg(sum(col("d").cast(dec) * col("zq").cast(dec))
-              .cast("double")).head().getDouble(0) / sumd.toDouble
-            z.select(col("node"), col("d"),
-              round(col("zq") - lit(alpha)).cast("long").as("xq1"))
+            val s = z.agg(
+              sum(col("d").cast(dec) * col("zq").cast(dec)).cast("double"),
+              sum(col("d").cast(dec) * col("zq").cast(dec) *
+                col("zq").cast(dec)).cast("double")).head()
+            val (s1, s2) = (s.getDouble(0), s.getDouble(1))
+            val alpha = s1 / sumd.toDouble
+            val n2 = s2 - 2.0 * alpha * s1 + alpha * alpha * sumd.toDouble
+            val f = S * math.sqrt(sumd.toDouble / n2)
+            // the v2 sweep's x is read by every v3 iteration — pin it
+            z.select(col("node"),
+              round(round(col("zq") - lit(alpha)).cast("long") * lit(f))
+                .cast("long").as("xq"))
+              .localCheckpoint()
         }
-        // the v3 branch's defl is a PROJECTION over the just-checkpointed
-        // j — re-checkpointing it would spend one whole materialization
-        // job per iteration to replace a leaf-backed plan with another
-        // leaf; only the v2 branch (defl over the live z join) needs the
-        // lineage cut
-        val w = if (prev.isDefined) defl else defl.localCheckpoint()
-        val n2 = w.agg(sum(col("d").cast(dec) * col("xq1").cast(dec) *
-          col("xq1").cast(dec)).cast("double")).head().getDouble(0)
-        val f = S * math.sqrt(sumd.toDouble / n2)
-        x = w.select(col("node"), round(col("xq1") * lit(f)).cast("long").as("xq"))
       }
-      x.localCheckpoint()
+      x
     }
 
     val nodes = deg.select(col("node"))

@@ -360,6 +360,11 @@ class ZarrWrite(conf: ZarrWriteConf, vType: DataType, truncate: Boolean)
   override def requiredOrdering(): Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("ci"), SortDirection.ASCENDING),
     Expressions.sort(Expressions.column("cj"), SortDirection.ASCENDING))
+  // let AQE SIZE the exchange by bytes instead of inheriting the session
+  // shuffle parallelism: with a fixed task count, per-task sort memory
+  // grows with the store (the sf10-gate UNABLE_TO_ACQUIRE_MEMORY class) —
+  // a 64 MiB advisory keeps per-task state constant at any scale
+  override def advisoryPartitionSizeInBytes(): Long = 64L << 20
   override def toBatch: BatchWrite = new ZarrBatchWrite(conf, vType, truncate)
 }
 

@@ -1199,6 +1199,20 @@ object Zarr {
     * shape/chunks, single-component chunk keys — which zarr-python reads as
     * an ordinary 1-D dataset. Group addressing (`root#obs/ids`) works as
     * for matrices. */
+  /** Partition count for the chunk-clustered vector writes: one task per
+    * ~8 chunk groups, never below the session's shuffle parallelism. The
+    * unbounded form (hash over ci into numShufflePartitions tasks) gave
+    * each task an n/32-row sort whose memory grew WITH THE STORE — at
+    * the sf10 gate 32 concurrent ~470k-row sorts exhausted the Tungsten
+    * execution pool (UNABLE_TO_ACQUIRE_MEMORY). Scaling the task count
+    * with the chunk count pins per-task sort size to ~8 chunks no matter
+    * how large the array grows; small stores still use the full pool. */
+  private def vectorWriteParts(spark: SparkSession, n: Long, chunk: Int): Int = {
+    val nChunks = (n + chunk - 1) / chunk
+    val base = spark.sessionState.conf.numShufflePartitions
+    math.max(base, math.min((nChunks + 7) / 8, 65536L).toInt)
+  }
+
   def writeVector(vec: DataFrame, path: String, n: Long, chunk: Int,
                   zlib: Boolean = false, fill: Double = 0.0,
                   dtype: String = "<f8", format: Int = 2,
@@ -1388,7 +1402,8 @@ object Zarr {
     import spark.implicits._
     vec.select(col("i").cast("long"), col("v1").cast("double"), col("v2").cast("double"))
       .as[(Long, Double, Double)]
-      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .repartition(vectorWriteParts(spark, n, chunk),
+        (col("i").cast("long") / chunk).cast("long"))
       .sortWithinPartitions(col("i"))
       .foreachPartition { (it: Iterator[(Long, Double, Double)]) =>
         val attempt = Option(org.apache.spark.TaskContext.get())
@@ -1433,9 +1448,17 @@ object Zarr {
 
   /** Fallback: the fully distributed join plan (see [[readSparse]]). */
   private def readSparseJoin(spark: SparkSession, node: String, csr: Boolean): ZMatrix = {
+    // every frame here is DATA-PROPORTIONAL but descends from a
+    // range().flatMap leaf whose Catalyst size estimate is near zero —
+    // unhinted, the planner picks broadcast-hash for these joins and the
+    // build side OOMs a task at scale (observed at the sf10 gate: a 15M-
+    // entry indptr side). The merge hints pin sort-merge, the only plan
+    // that survives arbitrary majorDim — this path IS the big-store path
+    // (the aligned broadcast fast path handles indptr ≤ 8M).
     val ptr = readVector(spark, node, "indptr")
       .select(col("i").as("p"), col("v").cast("long").as("off"))
-    val spans = ptr.as("a").join(ptr.as("b"), col("b.p") === col("a.p") + 1)
+    val spans = ptr.as("a").hint("merge")
+      .join(ptr.as("b").hint("merge"), col("b.p") === col("a.p") + 1)
       .select(col("a.p").as("major"), col("a.off").as("start"), col("b.off").as("end"))
       .filter(col("end") > col("start"))
     val positions = spans.select(col("major"),
@@ -1444,7 +1467,7 @@ object Zarr {
       .select(col("i").as("k"), col("v").cast("long").as("minor"))
     val dat = readVector(spark, node, "data")
       .select(col("i").as("k"), col("v"))
-    val joined = positions.join(idx, "k").join(dat, "k")
+    val joined = positions.join(idx.hint("merge"), "k").join(dat.hint("merge"), "k")
     ZMatrix(
       if (csr) joined.select(col("major").as("i"), col("minor").as("j"), col("v"))
       else joined.select(col("minor").as("i"), col("major").as("j"), col("v")))
@@ -1471,8 +1494,13 @@ object Zarr {
     val perMajor = cellsM.groupBy(col("major")).agg(count(lit(1)).as("n"))
     // dense major domain: empty lines must still advance nothing but
     // OCCUPY an indptr slot (their entry repeats the running offset)
+    // merge hints on the majorDim-sized joins: the range leaf and the
+    // checkpointed offsets frame both carry near-zero size estimates, so
+    // the unhinted planner can elect a corpus-sized broadcast build
+    // (the readSparseJoin OOM class) — sort-merge is the plan that
+    // survives any majorDim
     val dense = spark.range(majorDim).toDF("major")
-      .join(perMajor, Seq("major"), "left")
+      .join(perMajor.hint("merge"), Seq("major"), "left")
       .select(col("major"), coalesce(col("n"), lit(0L)).as("n"),
         (col("major") / blockSize).cast("long").as("_blk"))
     val inBlock = Window.partitionBy(col("_blk")).orderBy(col("major"))
@@ -1496,7 +1524,7 @@ object Zarr {
       .union(spark.range(1).select(lit(majorDim).as("i"), lit(total.toDouble).as("v")))
     val rankW = Window.partitionBy(col("major")).orderBy(col("minor"))
     val withK = cellsM.withColumn("_r", row_number().over(rankW))
-      .join(offsets.select(col("major"), col("start")), Seq("major"))
+      .join(offsets.select(col("major"), col("start")).hint("merge"), Seq("major"))
       .select((col("start") + col("_r") - 1).as("k"), col("minor"), col("v"))
       .localCheckpoint()
     val (root, frag) = splitKey(path)
@@ -1660,7 +1688,8 @@ object Zarr {
     val spark = vec.sparkSession
     import spark.implicits._
     vec.select(col("i").cast("long"), col("s").cast("string")).as[(Long, String)]
-      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .repartition(vectorWriteParts(spark, n, chunk),
+        (col("i").cast("long") / chunk).cast("long"))
       .sortWithinPartitions(col("i"))
       .foreachPartition { (it: Iterator[(Long, String)]) =>
         val attempt = Option(org.apache.spark.TaskContext.get())
@@ -1800,7 +1829,8 @@ object Zarr {
     val spark = vec.sparkSession
     import spark.implicits._
     vec.select(col("i").cast("long"), col("v").cast("long")).as[(Long, Long)]
-      .repartition((col("i").cast("long") / chunk).cast("long"))
+      .repartition(vectorWriteParts(spark, n, chunk),
+        (col("i").cast("long") / chunk).cast("long"))
       .sortWithinPartitions(col("i"))
       .foreachPartition { (it: Iterator[(Long, Long)]) =>
         val attempt = Option(org.apache.spark.TaskContext.get())
