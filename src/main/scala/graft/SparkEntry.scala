@@ -710,12 +710,14 @@ object SparkEntry {
         .select(col("i"), col("v").as("n_lines"))
       // all four compose inputs are data-proportional zarr reads whose
       // plans descend from range().flatMap leaves — Catalyst's size
-      // estimate for those is near zero, so the unhinted planner
-      // BROADCASTS a corpus-sized side (OOM at the sf10 gate: ~15M obs
-      // rows ≈ 0.5 GB build). Merge hints pin sort-merge — the only
-      // sane plan for large-large equi-joins at 100 TB.
-      idx.join(prio.hint("merge"), "i").join(rowSum.hint("merge"), "i")
-        .join(nLines.hint("merge"), "i")
+      // estimate for those is near zero, so above the broadcast-safe
+      // size the unhinted planner BROADCASTS a corpus-sized side (OOM at
+      // the sf10 gate: ~15M obs rows ≈ 0.5 GB build). nObs is a driver
+      // scalar, so the merge pin is conditional: small stores keep the
+      // (faster, safe) broadcast plan.
+      def mh(df: DataFrame): DataFrame =
+        if (nObs > (4L << 20)) df.hint("merge") else df
+      idx.join(mh(prio), "i").join(mh(rowSum), "i").join(mh(nLines), "i")
         .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
     }),
     // rank-1 store roundtrip (anndata obs-column shape): per-order quantity

@@ -1199,6 +1199,18 @@ object Zarr {
     * shape/chunks, single-component chunk keys — which zarr-python reads as
     * an ordinary 1-D dataset. Group addressing (`root#obs/ids`) works as
     * for matrices. */
+  /** A side of roughly this many rows (~120 MB at 30 B/row) is the
+    * largest build a broadcast-hash join should ever attempt; above it,
+    * estimate-less frames (range().flatMap lineage) must be pinned to
+    * sort-merge or the planner's near-zero size guess OOMs the build
+    * (the sf10-gate defect class). */
+  private val MergeHintMajors = 4L << 20
+
+  /** Conditionally pin a join side to sort-merge (see callers): hint only
+    * when the driver-known row count says broadcast would be unsafe. */
+  private def mergeHintIfBig(majorDim: Long)(df: DataFrame): DataFrame =
+    if (majorDim > MergeHintMajors) df.hint("merge") else df
+
   /** Partition count for the chunk-clustered vector writes: one task per
     * ~8 chunk groups, never below the session's shuffle parallelism. The
     * unbounded form (hash over ci into numShufflePartitions tasks) gave
@@ -1317,7 +1329,7 @@ object Zarr {
     if (datMeta.chunkRows == idxMeta.chunkRows && datMeta.rows == idxMeta.rows &&
         ptrMeta.rows <= IndptrBroadcastMax)
       readSparseAligned(spark, node, csr, datArr, idxArr, datMeta, idxMeta)
-    else readSparseJoin(spark, node, csr)
+    else readSparseJoin(spark, node, csr, ptrMeta.rows - 1)
   }
 
   /** Fast path: aligned chunk scan + broadcast indptr walk (see
@@ -1447,18 +1459,22 @@ object Zarr {
   }
 
   /** Fallback: the fully distributed join plan (see [[readSparse]]). */
-  private def readSparseJoin(spark: SparkSession, node: String, csr: Boolean): ZMatrix = {
+  private def readSparseJoin(spark: SparkSession, node: String, csr: Boolean,
+                             majorDim: Long): ZMatrix = {
     // every frame here is DATA-PROPORTIONAL but descends from a
     // range().flatMap leaf whose Catalyst size estimate is near zero —
     // unhinted, the planner picks broadcast-hash for these joins and the
     // build side OOMs a task at scale (observed at the sf10 gate: a 15M-
-    // entry indptr side). The merge hints pin sort-merge, the only plan
-    // that survives arbitrary majorDim — this path IS the big-store path
-    // (the aligned broadcast fast path handles indptr ≤ 8M).
+    // entry indptr side). Above the broadcast-safe size the merge hints
+    // pin sort-merge, the only plan that survives arbitrary majorDim;
+    // below it the planner's broadcast choice is both safe and faster,
+    // so the hint stays off (majorDim is a driver-known scalar — the
+    // decision costs nothing).
+    val mh = mergeHintIfBig(majorDim) _
     val ptr = readVector(spark, node, "indptr")
       .select(col("i").as("p"), col("v").cast("long").as("off"))
-    val spans = ptr.as("a").hint("merge")
-      .join(ptr.as("b").hint("merge"), col("b.p") === col("a.p") + 1)
+    val spans = mh(ptr.as("a"))
+      .join(mh(ptr.as("b")), col("b.p") === col("a.p") + 1)
       .select(col("a.p").as("major"), col("a.off").as("start"), col("b.off").as("end"))
       .filter(col("end") > col("start"))
     val positions = spans.select(col("major"),
@@ -1467,7 +1483,7 @@ object Zarr {
       .select(col("i").as("k"), col("v").cast("long").as("minor"))
     val dat = readVector(spark, node, "data")
       .select(col("i").as("k"), col("v"))
-    val joined = positions.join(idx.hint("merge"), "k").join(dat.hint("merge"), "k")
+    val joined = positions.join(mh(idx), "k").join(mh(dat), "k")
     ZMatrix(
       if (csr) joined.select(col("major").as("i"), col("minor").as("j"), col("v"))
       else joined.select(col("minor").as("i"), col("major").as("j"), col("v")))
@@ -1494,13 +1510,14 @@ object Zarr {
     val perMajor = cellsM.groupBy(col("major")).agg(count(lit(1)).as("n"))
     // dense major domain: empty lines must still advance nothing but
     // OCCUPY an indptr slot (their entry repeats the running offset)
-    // merge hints on the majorDim-sized joins: the range leaf and the
-    // checkpointed offsets frame both carry near-zero size estimates, so
-    // the unhinted planner can elect a corpus-sized broadcast build
-    // (the readSparseJoin OOM class) — sort-merge is the plan that
-    // survives any majorDim
+    // conditional merge hints on the majorDim-sized joins: the range
+    // leaf and the checkpointed offsets frame both carry near-zero size
+    // estimates, so above the broadcast-safe size the unhinted planner
+    // can elect a corpus-sized broadcast build (the readSparseJoin OOM
+    // class); below it broadcast stays allowed (it's faster there)
+    val mh = mergeHintIfBig(majorDim) _
     val dense = spark.range(majorDim).toDF("major")
-      .join(perMajor.hint("merge"), Seq("major"), "left")
+      .join(mh(perMajor), Seq("major"), "left")
       .select(col("major"), coalesce(col("n"), lit(0L)).as("n"),
         (col("major") / blockSize).cast("long").as("_blk"))
     val inBlock = Window.partitionBy(col("_blk")).orderBy(col("major"))
@@ -1524,7 +1541,7 @@ object Zarr {
       .union(spark.range(1).select(lit(majorDim).as("i"), lit(total.toDouble).as("v")))
     val rankW = Window.partitionBy(col("major")).orderBy(col("minor"))
     val withK = cellsM.withColumn("_r", row_number().over(rankW))
-      .join(offsets.select(col("major"), col("start")).hint("merge"), Seq("major"))
+      .join(mh(offsets.select(col("major"), col("start"))), Seq("major"))
       .select((col("start") + col("_r") - 1).as("k"), col("minor"), col("v"))
       .localCheckpoint()
     val (root, frag) = splitKey(path)
