@@ -266,6 +266,11 @@ object SparkEntry {
     "q34_moving_window" -> Relational.q34MovingWindow _,
     "q35_min_cost_supplier" -> Relational.q35MinCostSupplier _,
     "q37_unpivot" -> Relational.q37Unpivot _,
+    "q38_market_share" -> Relational.q38MarketShare _,
+    "q39_profit" -> Relational.q39Profit _,
+    "q40_waiting_suppliers" -> Relational.q40WaitingSuppliers _,
+    "q41_sales_opportunity" -> Relational.q41SalesOpportunity _,
+    "q42_order_dist" -> Relational.q42OrderDist _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -1848,6 +1853,70 @@ object SparkEntry {
         |  CAST(p_size AS BIGINT) AS size FROM part)
         |SELECT p_partkey, attr, val FROM w
         |UNPIVOT (val FOR attr IN (retail_cents, size))""".stripMargin,
+    "q38_market_share" ->
+      """WITH ac AS (SELECT c_custkey FROM customer c
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    WHERE r.r_name = 'ASIA'),
+        |rev AS (SELECT year(o.o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN ac ON o.o_custkey = ac.c_custkey)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+        |                      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share
+        |FROM rev GROUP BY 1""".stripMargin,
+    "q39_profit" ->
+      """SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) -
+        |    40 * CAST(round(p.p_retailprice * 100) AS BIGINT) *
+        |      CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q40_waiting_suppliers" ->
+      """WITH l AS (SELECT li.l_orderkey, li.l_suppkey,
+        |    li.l_shipdate > o.o_orderdate + INTERVAL 45 DAY AS late
+        |  FROM lineitem li
+        |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |po AS (SELECT l_orderkey FROM l GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2
+        |     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+        |w AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN po USING (l_orderkey) WHERE l.late)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q41_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS n
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) AS n_cust, CAST(sum(c.bal_cents) AS BIGINT) AS total_cents
+        |FROM c, t
+        |WHERE c.bal_cents * t.n > t.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "q42_order_dist" ->
+      """WITH pc AS (SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS n_custs FROM pc GROUP BY 1""".stripMargin,
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),

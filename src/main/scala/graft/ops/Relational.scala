@@ -472,6 +472,152 @@ object Relational {
       .unpivot(Array(col("p_partkey")),
         Array(col("retail_cents"), col("size")), "attr", "val")
 
+  /** R40 (TPC-H Q8 flavor): national market share — for the ASIA market
+    * (customer's region) and ECONOMY-type parts, the fraction of each
+    * order-year's revenue supplied by NATION_5 suppliers. The classic
+    * conditional-aggregate-over-deep-join: ONE pass computes numerator
+    * and denominator together (sum(cond·rev) / sum(rev)), no self-join.
+    * Revenue is exact 1e-4-dollar integers (cents × (100−disc%)), so the
+    * share is one BIGINT÷BIGINT double division + round — bit-stable in
+    * both engines (PARITY class 2). Fixed dims broadcast; the fact side
+    * shuffles once on orderkey. */
+  def q38MarketShare(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val asiaCust = customer(s, d)
+      .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNation = supplier(s, d)
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val eco = part(s, d).filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    l.join(eco, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("rev_e4")).otherwise(0L))
+          .as("_num"),
+        sum(col("rev_e4")).as("_den"))
+      .select(col("o_year").cast("long").as("o_year"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  /** R41 (TPC-H Q9 flavor): profit by supplier nation × order year over
+    * 'widget' parts, with 40% of retail price as the unit-cost stand-in
+    * (this schema has no partsupp). Profit stays an exact 1e-4-dollar
+    * BIGINT end to end — revenue cents×(100−d%) minus cost
+    * 40×retail_cents×qty — so the unordered sum needs no float snap at
+    * all. One fact shuffle on orderkey; part/supplier/nation reach the
+    * probe side without touching the fact layout. */
+  def q39Profit(s: SparkSession, d: String): DataFrame = {
+    val widget = part(s, d).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    val supNation = supplier(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("ep_cents"),
+        round(col("l_discount") * 100).cast("long").as("d_pct"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(widget, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("ep_cents") * (lit(100L) - col("d_pct")) -
+        lit(40L) * col("retail_cents") * col("qty")).as("profit_e4"))
+      .select(col("nation"), col("o_year").cast("long").as("o_year"),
+        col("profit_e4"))
+  }
+
+  /** R42 (TPC-H Q21 flavor): suppliers who kept orders waiting — for
+    * finished ('F') multi-supplier orders, the suppliers who were the
+    * ONLY late shipper (l_shipdate > o_orderdate + 45 days). The textbook
+    * EXISTS + NOT-EXISTS double correlation, decorrelated into ONE
+    * per-order aggregate: distinct-supplier count and late-supplier
+    * count side by side, then the late flag restricted to orders with
+    * ≥2 suppliers and exactly 1 late one. The fact shuffles once on
+    * orderkey (join + both counts reuse it); no per-order subquery. */
+  def q40WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("l_orderkey").as("ok"))
+    l.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+  }
+
+  /** R43 (TPC-H Q22 flavor): global sales opportunity — per nation, the
+    * count and balance mass of above-average-balance customers who never
+    * ordered urgently. The scalar-subquery threshold (avg positive
+    * balance) is kept EXACT by cross-multiplying integers —
+    * cents·n > Σcents — instead of dividing to a float mean; the
+    * never-ordered-urgent test is a LEFT ANTI join on custkey (every
+    * customer here has SOME order, so the classic no-orders predicate is
+    * restricted to the 1-URGENT slice to stay non-degenerate). The 1-row
+    * global aggregate broadcasts to the scan. */
+  def q41SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val thresh = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("_sum"), count(lit(1)).as("_n"))
+    val rich = c.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") * col("_n") > col("_sum"))
+    val noOrders = rich.join(orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    noOrders.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_cents"))
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("n_cust"), col("total_cents"))
+  }
+
+  /** R44 (TPC-H Q13 flavor): customer order-count distribution — how many
+    * customers placed exactly k non-urgent orders, INCLUDING k=0 (the
+    * left join that inner-join rewrites silently get wrong). Two hash
+    * aggregates: per-customer count after a custkey-keyed left join, then
+    * the count-of-counts (tiny domain). */
+  def q42OrderDist(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    val perCust = customer(s, d).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -360,4 +360,103 @@ class RelationalSpec extends AnyFunSuite {
       .head()
     assert(one == Map("retail_cents" -> src.getLong(0), "size" -> src.getLong(1)))
   }
+
+  test("q38 market share: shares in [0,1], denominator covers the numerator") {
+    val rows = Relational.q38MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"year ${r.getLong(0)}: share $share")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q39 profit: exact-integer recompute of one (nation, year) cell") {
+    val rows = Relational.q39Profit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (nat, yr, got) = (rows.head.getString(0), rows.head.getLong(1), rows.head.getLong(2))
+    // independent recompute through plain collections on the small SF
+    val parts = Tables.part(spark, sf).collect()
+      .filter(_.getAs[String]("p_name").contains("widget"))
+      .map(r => r.getAs[Long]("p_partkey") ->
+        math.round(r.getAs[Double]("p_retailprice") * 100)).toMap
+    val supNat = {
+      val nm = Tables.nation(spark, sf).collect()
+        .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+      Tables.supplier(spark, sf).collect()
+        .map(r => r.getAs[Long]("s_suppkey") -> nm(r.getAs[Int]("s_nationkey"))).toMap
+    }
+    val ordYear = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate").getYear.toLong).toMap
+    val exp = Tables.lineitem(spark, sf).collect().iterator.flatMap { r =>
+      val pk = r.getAs[Long]("l_partkey")
+      parts.get(pk).flatMap { rc =>
+        val sn = supNat(r.getAs[Long]("l_suppkey"))
+        val y = ordYear(r.getAs[Long]("l_orderkey"))
+        if (sn == nat && y == yr) {
+          val ep = math.round(r.getAs[Double]("l_extendedprice") * 100)
+          val dp = math.round(r.getAs[Double]("l_discount") * 100)
+          val q = r.getAs[Double]("l_quantity").toLong
+          Some(ep * (100 - dp) - 40 * rc * q)
+        } else None
+      }
+    }.sum
+    assert(got == exp, s"($nat,$yr): got $got want $exp")
+  }
+
+  test("q40 waiting suppliers: each hit is the sole late supplier of a multi-supplier F order") {
+    val rows = Relational.q40WaitingSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // full driver-side recompute at the small SF
+    val ord = Tables.orders(spark, sf).collect()
+      .filter(_.getAs[String]("o_orderstatus") == "F")
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate")).toMap
+    val lines = Tables.lineitem(spark, sf).collect().flatMap { r =>
+      ord.get(r.getAs[Long]("l_orderkey")).map { od =>
+        (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+          r.getAs[java.time.LocalDateTime]("l_shipdate").isAfter(od.plusDays(45)))
+      }
+    }
+    val byOrder = lines.groupBy(_._1)
+    val waiting = byOrder.valuesIterator.flatMap { ls =>
+      val supps = ls.map(_._2).distinct
+      val late = ls.filter(_._3).map(_._2).distinct
+      if (supps.length >= 2 && late.length == 1) late else Nil
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val names = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("s_suppkey")).toMap
+    val expTop = waiting.toSeq.map { case (sk, n) =>
+      (names.find(_._2 == sk).get._1, n) }
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == expTop)
+  }
+
+  test("q41 sales opportunity: threshold is exact, hits never ordered urgent") {
+    val custs = Tables.customer(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("c_nationkey").toLong,
+        math.round(r.getAs[Double]("c_acctbal") * 100)))
+    val pos = custs.map(_._3).filter(_ > 0)
+    val (s0, n0) = (pos.sum, pos.length.toLong)
+    val urgent = Tables.orders(spark, sf).collect()
+      .filter(_.getAs[String]("o_orderpriority") == "1-URGENT")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    val exp = custs.filter(c => c._3 * n0 > s0 && !urgent.contains(c._1))
+      .groupBy(_._2).map { case (nk, xs) => (nk, xs.length.toLong, xs.map(_._3).sum) }
+      .toSet
+    val got = Relational.q41SalesOpportunity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
+  test("q42 order distribution: counts-of-counts partition the customer set") {
+    val rows = Relational.q42OrderDist(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "distribution must cover every customer")
+    val nonUrgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nonUrgent,
+      "k-weighted counts must cover every non-urgent order")
+  }
 }
