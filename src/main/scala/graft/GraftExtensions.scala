@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       mightContainBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "graft_cms_estimate"),
+      cmsEstimateBuilder))
   }
 }
 
@@ -102,11 +106,20 @@ object GraftExtensions {
     BloomFilterMightContain(args(0), args(1))
   }
 
+  /** `graft_cms_estimate(sketch, item)` — point-estimate probe for the
+    * built-in `count_min_sketch` aggregate's serialized bytes (which have
+    * no reader on the stock SQL surface). Sketch must be foldable. */
+  val cmsEstimateBuilder: Seq[Expression] => Expression = args => {
+    arity(args, _ == 2, "graft_cms_estimate(sketch, item) takes 2 arguments")
+    graft.functions.CmsEstimate(args(0), args(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", dotBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_fingerprint", fingerprintBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_bloom_agg", bloomAggBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_might_contain", mightContainBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_cms_estimate", cmsEstimateBuilder)
   }
 }

@@ -955,6 +955,14 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // PageRank in exact fixed-point integers (1e-12 mass units): the node
+    // centrality primitive over the same mutual-kNN edge set, 10 rounds,
+    // hash-exact vs the unrolled all-integer DuckDB twin (graphPagerankSql)
+    "graph_pagerank" -> ((s, d) => {
+      Similarity.pageRank(
+          Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("rank_e12"))
+    }),
     // Louvain phase-1 local moves from the classic singleton seed: exact
     // integer ΔQ-argmax per node per round (4 semi-synchronous rounds on
     // the parity schedule), the modularity-optimizing upgrade over pure
@@ -1094,6 +1102,11 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
     "text_vocab" -> ((s, d) => TextOps.vocab(Tables.documents(s, d), "doc_id", "text", minCount = 5)),
+    // CMS-prefiltered exact heavy hitters: the sketch probe (X12) prunes
+    // the token shuffle map-side; output provably equals the plain
+    // HAVING oracle because CMS never undercounts
+    "text_heavy_hitters" -> ((s, d) =>
+      TextOps.heavyHitters(Tables.documents(s, d), "text", minCount = 50)),
     "text_chunk" -> ((s, d) =>
       TextOps.chunk(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
     "report_sources" -> ((s, d) =>
@@ -1297,6 +1310,9 @@ object SparkEntry {
     "stream_window_agg" -> ((s, d) => Stream.windowAgg(s, d)),
     "stream_join" -> ((s, d) => Stream.streamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => Stream.sessionizeStream(s, d)),
+    // native merging session_window aggregation (S13) — exact-micros gap
+    // math, append-mode emission mirrored by the oracle's ms-floored cutoff
+    "stream_session_window" -> ((s, d) => Stream.sessionWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => Stream.streamDedup(s, d)),
     // rows-only (centroid training isn't SQL-expressible); stream-vs-batch
     // assignment equality is asserted in StreamingSpec
@@ -1517,6 +1533,30 @@ object SparkEntry {
       ",\n" + body + s"\nSELECT node, label AS cluster FROM lab$rounds"
   }
 
+  /** [[graphEdgesSqlPrefix]] + 10 unrolled PageRank rounds in pure
+    * nonneg-BIGINT arithmetic — every division a floor div (`//` there,
+    * `div` on the Spark side), replicating [[Similarity.pageRank]]'s
+    * fixed-point update r' = (15·S)//(100·N) + (85·Σ(r//k))//100
+    * round for round. Generated, so the round count and the update
+    * expression cannot drift from the Scala side. */
+  private val graphPagerankSql: String = {
+    val rounds = 10
+    val body = (0 until rounds).map { i =>
+      s"""pr${i + 1} AS (SELECT e.src AS node,
+         |  (15 * 1000000000000) // (100 * nn.n) +
+         |    (85 * SUM(p.r // d.k)) // 100 AS r
+         |  FROM pr$i p JOIN deg d ON d.node = p.node
+         |    JOIN edges e ON e.dst = p.node CROSS JOIN nn
+         |  GROUP BY e.src, nn.n)""".stripMargin
+    }.mkString(",\n")
+    graphEdgesSqlPrefix + ",\n" +
+      """deg AS (SELECT src AS node, count(*) AS k FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT d.node, 1000000000000 // nn.n AS r FROM deg d CROSS JOIN nn)""".stripMargin +
+      ",\n" + body +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM pr$rounds"
+  }
+
   /** [[graphEdgesSqlPrefix]] + the spectral power iteration unrolled —
     * per iteration one hugeint matvec, the exact deflation/norm
     * aggregates, and the correctly-rounded double rescale, exactly the
@@ -1648,6 +1688,7 @@ object SparkEntry {
     "text_bpe_tokens" -> textBpeTokensSql,
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
+    "graph_pagerank" -> graphPagerankSql,
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
     // duplicated 8-gram spans: the oracle groups the gram STRINGS
@@ -1936,6 +1977,11 @@ object SparkEntry {
         |            FROM documents)
         |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents)
+        |SELECT token, count(*) AS n
+        |FROM tok GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents),
@@ -2417,6 +2463,21 @@ object SparkEntry {
         |      max(es) - min(es) AS dur_secs FROM g GROUP BY 1, 2)
         |SELECT user_id, session_id, n_events, dur_secs FROM s
         |WHERE session_id < (SELECT max(session_id) FROM s s2 WHERE s2.user_id = s.user_id)""".stripMargin,
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, us,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f),
+        |s AS (SELECT user_id, min(us) AS ss_us, max(us) + 1800000000 AS se_us,
+        |      count(*) AS n_events FROM g GROUP BY user_id, sid),
+        |m AS (SELECT (max(us) // 1000) * 1000 AS wm FROM e)
+        |SELECT user_id, ss_us, se_us, n_events FROM s, m WHERE se_us <= wm""".stripMargin,
     "arr_gram_embeddings" ->
       """WITH m AS (SELECT vec_id AS i, r.i AS j, CAST(embedding[r.i + 1] AS DOUBLE) AS v
         |           FROM embeddings CROSS JOIN range(64) r(i))

@@ -896,6 +896,47 @@ object Similarity {
     labels
   }
 
+  /** PageRank (Page et al. 1999) over an unordered mutual edge set
+    * `(id1, id2, w)` treated as an unweighted undirected graph (each
+    * mutual pair = two directed edges), in EXACT fixed-point integer
+    * arithmetic so the unrolled DuckDB oracle matches hash-exactly:
+    * ranks live in 1e-12 units of probability mass, every per-edge share
+    * is a nonneg BIGINT floor division (`div` here ≡ `//` there), and
+    * the damping step is `base + (85·Σshares) div 100` with
+    * base = (15·SCALE) div (100·N). Floors leak a few units of mass per
+    * round — identically in both engines, so determinism is preserved
+    * where float PageRank would drift by summation order.
+    *
+    * Shape per round (Pregel superstep): one dst-keyed shuffle join of
+    * the node-sized rank frame into the edge set + one src-keyed sum —
+    * edge-set-sized work, never corpus². Rank frame checkpointed every 5
+    * rounds to cap lineage depth (same policy as [[labelPropagate]]).
+    * The only driver traffic is the scalar N. Mutual-kNN graphs have no
+    * dangling nodes (every node has degree ≥ 1 by construction), so no
+    * dangling-mass redistribution term is needed. */
+  def pageRank(mut: DataFrame, rounds: Int = 10,
+               scale: Long = 1000000000000L): DataFrame = {
+    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
+      .select(col("src").as("node"), col("k"))
+    val n = deg.count() // node-count scalar: the one driver action
+    require(n > 0, "pageRank: empty graph")
+    val base = (15L * scale) / (100L * n)
+    var ranks = deg.select(col("node"), lit(scale / n).as("r"))
+    for (i <- 1 to rounds) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(col("node").as("dst"), expr("r div k").as("_c"))
+      ranks = edges.join(contrib, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("_c")).as("_s"))
+        .select(col("src").as("node"),
+          (lit(base) + expr("(85 * _s) div 100")).as("r"))
+      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_e12"))
+  }
+
   /** Louvain-style synchronous local-move refinement (Blondel et al.
     * 2008, phase 1) over an unordered mutual edge set `(id1, id2, w:
     * LONG)`: each round, every node considers moving to a neighboring

@@ -226,6 +226,31 @@ object TextOps {
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n") >= minCount)
 
+  /** L26: exact heavy hitters with a Count-Min-sketch pre-filter — the
+    * two-pass frequent-items pattern for corpora whose token vocabulary is
+    * shuffle-dominating (the 100 TB regime: billions of distinct tokens,
+    * almost all below any interesting threshold). Pass 1 builds ONE
+    * merged CMS (Spark's built-in `count_min_sketch` aggregate; the
+    * serialized sketch is a few hundred KB — parameter-sized driver
+    * traffic, independent of corpus size). Pass 2 probes the sketch
+    * BEFORE the groupBy shuffle via [[graft.functions.CmsEstimate]]
+    * (codegen'd, one deserialized sketch per executor): since CMS
+    * estimates never undercount, `est ≥ minCount` keeps every true heavy
+    * hitter while dropping the singleton long tail map-side — the shuffle
+    * then carries only candidate tokens. The exact count + final filter
+    * on the survivors makes the output EXACT (false positives die on the
+    * true count), so the DuckDB oracle is the plain HAVING query. */
+  def heavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+                   eps: Double = 1e-4, conf: Double = 0.99): DataFrame = {
+    val tok = docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val sketch = tok
+      .agg(expr(s"count_min_sketch(token, ${eps}d, ${conf}d, 1)"))
+      .head().getAs[Array[Byte]](0)
+    tok.filter(graft.functions.CmsEstimate.estimate(sketch, col("token")) >= minCount)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Smoothed TF-IDF over (doc, token) pairs: tf = in-doc count,
     * idf = ln((N+1)/(df+1)) + 1. Two aggregates share the exploded-token
     * shuffle lineage; the document-frequency table is vocabulary-sized and

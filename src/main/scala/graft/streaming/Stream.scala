@@ -479,6 +479,40 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S13: NATIVE session windows — Spark's built-in merging
+    * `session_window` aggregation (the state-store mechanism, distinct
+    * from [[sessionize]]'s hand-rolled flatMapGroupsWithState path): per
+    * user, events within ≤ 30 min of the running window MERGE into one
+    * window [first, last + gap) — the boundary is INCLUSIVE (an event at
+    * exactly prev + gap merges; pinned by the StreamingSpec boundary
+    * test, which fixes the oracle's break rule to STRICT diff > gap).
+    * All arithmetic stays in exact MICROSECONDS
+    * (every event here carries sub-second components; a floor-to-seconds
+    * oracle would merge differently), and the append-mode emission rule
+    * is mirrored exactly: watermark delay 0 → watermark = the max event
+    * time FLOORED TO MILLISECONDS (Spark tracks event-time stats in ms),
+    * and a session emits iff its end ≤ that watermark — so each user's
+    * tail session stays open in state, exactly like production. The
+    * oracle recomputes gaps-and-islands in BIGINT micros and applies the
+    * same ms-floored cutoff. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stream, sfName) = eventsStream(spark, sfDir)
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val qn = s"sess_win_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn).select(col("user_id"),
+      unix_micros(col("session_window.start").cast("timestamp")).as("ss_us"),
+      unix_micros(col("session_window.end").cast("timestamp")).as("se_us"),
+      col("n_events"))
+  }
+
   /** The fixed event-type alphabet (q23's pivot list) as column indices. */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 

@@ -60,4 +60,43 @@ class ExtensionsSpec extends AnyFunSuite {
     val fp = probe.filter(col("v") >= 1000 && col("hit")).count()
     assert(fp < 100, s"false-positive count $fp out of 1000 is implausible")
   }
+
+  test("graft_cms_estimate: never undercounts, exact on a skewed fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // skewed multiset: token t_i appears i times, i in 1..50
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"t_$i"))
+    rows.toDF("token").createOrReplaceTempView("cms_in")
+    val sk = spark.sql(
+      "SELECT count_min_sketch(token, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 1) AS s FROM cms_in")
+      .head().getAs[Array[Byte]]("s")
+    val est = spark.table("cms_in").distinct()
+      .withColumn("est", graft.functions.CmsEstimate.estimate(sk, col("token")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 50).foreach { i =>
+      val e = est(s"t_$i")
+      assert(e >= i, s"CMS undercounted t_$i: $e < $i")
+      // eps=1e-4 over N=1275 insertions: overcount beyond +1 is implausible
+      assert(e <= i + 1, s"CMS wildly overcounted t_$i: $e vs $i")
+    }
+    // SQL-surface registration path: re-enter the sketch as a foldable
+    // unhex() literal and probe from plain SQL text
+    val hexStr = sk.map(b => f"${b & 0xff}%02x").mkString
+    val viaSql = spark.sql(
+      s"SELECT graft_cms_estimate(unhex('$hexStr'), 't_50') AS e")
+      .head().getLong(0)
+    assert(viaSql == est("t_50"), "SQL surface must match the Column API")
+  }
+
+  test("heavyHitters: CMS two-pass equals the exact HAVING computation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = graft.ops.TextOps.heavyHitters(docs, "text", minCount = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n")).filter(col("n") >= 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
 }

@@ -901,4 +901,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(again == out)
   }
+
+  test("pageRank: exact fixed-point recompute on a star-with-tail fixture") {
+    import spark.implicits._
+    // star 0-{1,2,3} plus tail 3-4: center 0 must out-rank every leaf,
+    // and every value must equal the plain-Scala integer recompute
+    val mut = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("id1", "id2", "w")
+    val got = Similarity.pageRank(mut, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent recompute: same update, plain collections
+    val adj = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L, 4L), 4L -> Seq(3L))
+    val scale = 1000000000000L; val n = adj.size
+    val base = (15L * scale) / (100L * n)
+    var r = adj.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = r.map { case (u, ru) => u -> ru / adj(u).size }
+      r = adj.map { case (v, _) =>
+        val s = adj(v).map(contrib).sum // undirected: in-neighbors = out
+        v -> (base + (85L * s) / 100L)
+      }
+    }
+    assert(got == r, s"got $got want $r")
+    assert(got(0L) > got(1L) && got(0L) > got(4L), "center must dominate")
+    // mass approximately conserved (floor leaks only): within n units/round
+    val total = got.values.sum
+    assert(total <= scale && total > scale - 100L * n)
+  }
 }

@@ -220,4 +220,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == meta.rows * 5)
     got.foreach { case (k, v) => assert(v == batch.getOrElse(k, 0.0), s"cell $k") }
   }
+
+  test("native session_window stream equals the batch twin below the watermark cutoff") {
+    val got = graft.streaming.Stream.sessionWindowAgg(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch-mode session_window over the same events (same merge engine),
+    // filtered by the append-mode emission rule: end ≤ ms-floored max ts
+    val ev = Tables.events(spark, TestSpark.sf)
+    val batchAll = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start").cast("timestamp")).as("ss_us"),
+        unix_micros(col("session_window.end").cast("timestamp")).as("se_us"),
+        col("n_events"))
+    val wm = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000 * 1000
+    val exp = batchAll.filter(col("se_us") <= wm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp)
+    // the withheld tails are real: at least one session stayed open
+    assert(batchAll.count() > exp.size)
+  }
+
+  test("session_window merge boundary: the exact-gap pair MERGES (inclusive end)") {
+    import spark.implicits._
+    // Spark's session merge is boundary-INCLUSIVE: a window [t, t+gap]
+    // absorbs an event at exactly t+gap (verified here — this pins the
+    // oracle's break condition to STRICT `diff > gap`); one microsecond
+    // beyond breaks.
+    val base = 1700000000000000L // epoch micros
+    val rows = Seq(
+      (1L, base), (1L, base + 1800000000L),      // exact gap: merge
+      (2L, base), (2L, base + 1800000001L))      // gap + 1 us: break
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val sess = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(sess(1L) == Seq(2L), "exact-gap pair must merge (inclusive boundary)")
+    assert(sess(2L) == Seq(1L, 1L), "gap+1us pair must split into two sessions")
+  }
 }
