@@ -460,6 +460,12 @@ object SparkEntry {
       mat(s, d).groupRowsBy(labels)
     }),
     "arr_corr_cols" -> ((s, d) => mat(s, d).corrCols(matNrows(s, d))),
+    // ComBat-lite batch correction: order status as the batch covariate
+    "arr_combat" -> ((s, d) => {
+      val batches = Tables.orders(s, d)
+        .select(col("o_orderkey").as("i"), col("o_orderstatus").as("b"))
+      mat(s, d).combat(batches).cells
+    }),
     // rank_genes_groups: urgent orders vs rest, per linenumber-gene
     "arr_rank_genes" -> ((s, d) => {
       val groups = Tables.orders(s, d)
@@ -2483,6 +2489,27 @@ object SparkEntry {
         |           FROM embeddings CROSS JOIN range(64) r(i))
         |SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) + 0 AS v
         |FROM m a JOIN m b ON a.i = b.i GROUP BY 1, 2""".stripMargin,
+    // identical exact integer moments + ONE shared op order for the
+    // standardize/re-anchor chain (see ZMatrix.combat), so 6dp is stable
+    "arr_combat" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |lab AS (SELECT CAST(o_orderkey AS BIGINT) AS i, o_orderstatus AS b FROM orders),
+        |cb AS (SELECT m.i, m.j, m.v, lab.b FROM m JOIN lab USING (i)),
+        |bs AS (SELECT j, b, CAST(count(*) AS DOUBLE) AS nb,
+        |  sum(v) AS s1b, sum(v*v) AS s2b FROM cb GROUP BY 1, 2),
+        |bs2 AS (SELECT j, b, s1b/nb AS mb,
+        |  CASE WHEN nb > 1 THEN sqrt((nb*s2b - s1b*s1b)/(nb*(nb-1)))
+        |       ELSE 0.0 END AS sb FROM bs),
+        |gs AS (SELECT j, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(v) AS s1, sum(v*v) AS s2 FROM cb GROUP BY 1),
+        |gs2 AS (SELECT j, s1/n AS gm,
+        |  CASE WHEN n > 1 THEN sqrt((n*s2 - s1*s1)/(n*(n-1)))
+        |       ELSE 0.0 END AS gs FROM gs)
+        |SELECT cb.i, cb.j,
+        |  CASE WHEN sb > 0 THEN round((cb.v - mb)/sb*gs + gm, 6)
+        |       ELSE round(cb.v, 6) END + 0 AS v
+        |FROM cb JOIN bs2 USING (j, b) JOIN gs2 USING (j)""".stripMargin,
     "arr_groupby_rows" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),

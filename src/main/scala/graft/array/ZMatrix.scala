@@ -637,6 +637,51 @@ final case class ZMatrix(cells: DataFrame) {
         (round(col("v") - col("_a") - col("_b") * col("x"), 6) + 0.0).as("v")))
   }
 
+  /** scanpy `sc.pp.combat`, location/scale form WITHOUT the empirical-
+    * Bayes shrinkage (the parametric limit as the prior widens): per
+    * (gene j, batch b) the stored cells standardize by the batch's
+    * mean/sd and re-anchor at the gene's grand mean / pooled sd:
+    *
+    *   x' = (x − m_jb)/s_jb · s_j + m_j
+    *
+    * Exactness contract: cell values here are integer-valued doubles, so
+    * every count/Σv/Σv² is exact; mean and variance are single
+    * correctly-rounded divisions of exact integers, sd one IEEE sqrt,
+    * and the residual chain uses ONE fixed op order shared with the SQL
+    * twin — the 6dp round is bit-stable (PARITY class 2, no libm, no
+    * unordered float sums). A zero-variance (or singleton) batch-gene
+    * passes through uncorrected, matching the oracle's CASE. Moments are
+    * over STORED cells (the [[regressOut]] coordinate-form contract).
+    *
+    * Plan: one (j,b)-keyed aggregate + one j-keyed aggregate — both
+    * gene-sized outputs broadcast back onto the cells — so the fact
+    * table shuffles once for the batch stats and streams through the
+    * correction join. `batches` is rows-sized `(i, b)`; at 100 TB it
+    * joins on the cells' i the same way every row-vector broadcast does. */
+  def combat(batches: DataFrame): ZMatrix = {
+    val cb = cells.join(batches.select(col("i"), col("b")), Seq("i"))
+      .localCheckpoint() // three consumers: batch stats, gene stats, output
+    val bs = cb.groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).cast("double").as("_nb"),
+        sum(col("v")).as("_s1b"), sum(col("v") * col("v")).as("_s2b"))
+      .select(col("j"), col("b"), (col("_s1b") / col("_nb")).as("_mb"),
+        when(col("_nb") > 1,
+          sqrt((col("_nb") * col("_s2b") - col("_s1b") * col("_s1b")) /
+            (col("_nb") * (col("_nb") - 1)))).otherwise(lit(0.0)).as("_sb"))
+    val gs = cb.groupBy(col("j"))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("v")).as("_s1"), sum(col("v") * col("v")).as("_s2"))
+      .select(col("j"), (col("_s1") / col("_n")).as("_gm"),
+        when(col("_n") > 1,
+          sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1")) /
+            (col("_n") * (col("_n") - 1)))).otherwise(lit(0.0)).as("_gs"))
+    ZMatrix(cb.join(broadcast(bs), Seq("j", "b")).join(broadcast(gs), Seq("j"))
+      .select(col("i"), col("j"),
+        (when(col("_sb") > 0,
+          round((col("v") - col("_mb")) / col("_sb") * col("_gs") + col("_gm"), 6))
+          .otherwise(round(col("v"), 6)) + 0.0).as("v")))
+  }
+
   /** scanpy `sc.tl.score_genes`, deterministic variant: per-row mean
     * dense expression over a gene set minus the mean over a CONTROL set
     * drawn from matched expression bins. Binning follows scanpy: columns

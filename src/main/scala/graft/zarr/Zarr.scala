@@ -1194,6 +1194,27 @@ object Zarr {
     refreshConsolidatedAbove(node)
   }
 
+  /** xarray's Zarr encoding convention (public spec — "Zarr Encoding
+    * Specification" in the xarray docs): an array advertises its named
+    * dimensions in the `_ARRAY_DIMENSIONS` attribute; that is the ONLY
+    * thing xarray needs to open a plain Zarr store as a labeled Dataset.
+    * This MERGES into the node's existing attributes (writeAttrs replaces
+    * wholesale; dimension naming must not clobber user attrs). */
+  def writeXarrayDims(path: String, dims: Seq[String]): Unit = {
+    val attrs = readAttrs(path).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val arr = mapper.createArrayNode()
+    dims.foreach(arr.add)
+    attrs.set[com.fasterxml.jackson.databind.JsonNode]("_ARRAY_DIMENSIONS", arr)
+    writeAttrs(path, mapper.writeValueAsString(attrs))
+  }
+
+  /** Read the xarray dimension names back (empty if not annotated). */
+  def readXarrayDims(path: String): Seq[String] = {
+    val node = readAttrs(path).path("_ARRAY_DIMENSIONS")
+    if (!node.isArray) Seq.empty
+    else (0 until node.size()).map(node.get(_).asText())
+  }
+
   /** Write a 1-D array (anndata obs/var column, zappy 1-D ndarray) from a
     * long-form (i, v) frame. Stored as a true rank-1 Zarr array — 1-element
     * shape/chunks, single-component chunk keys — which zarr-python reads as

@@ -860,4 +860,33 @@ class ZMatrixSpec extends AnyFunSuite {
     val twice = m.downsampleCounts(target).cells.collect().map(_.toString).sorted
     assert(twice.sameElements(down.cells.collect().map(_.toString).sorted))
   }
+
+  test("combat: batch means/sds align to the gene anchor; zero-variance passes through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // gene 0: batch A cells {10,20,30}, batch B cells {100,110,120} —
+    // a pure location/scale batch effect; gene 1: batch A constant {5,5}
+    // (zero variance → pass-through), batch B {7,9}
+    val cells = Seq(
+      (0L, 0L, 10.0), (1L, 0L, 20.0), (2L, 0L, 30.0),
+      (3L, 0L, 100.0), (4L, 0L, 110.0), (5L, 0L, 120.0),
+      (0L, 1L, 5.0), (1L, 1L, 5.0), (3L, 1L, 7.0), (4L, 1L, 9.0)
+    ).toDF("i", "j", "v")
+    val batches = Seq((0L, "A"), (1L, "A"), (2L, "A"),
+      (3L, "B"), (4L, "B"), (5L, "B")).toDF("i", "b")
+    val out = graft.array.ZMatrix(cells).combat(batches).cells
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // gene 0: both batches map onto the same anchor — corrected values of
+    // A and B coincide pointwise (same z-scores within each batch)
+    assert(math.abs(out((0L, 0L)) - out((3L, 0L))) < 1e-9)
+    assert(math.abs(out((1L, 0L)) - out((4L, 0L))) < 1e-9)
+    assert(math.abs(out((2L, 0L)) - out((5L, 0L))) < 1e-9)
+    // the anchor is the gene's grand mean: middle cells sit exactly there
+    val grandMean0 = (10.0 + 20 + 30 + 100 + 110 + 120) / 6
+    assert(math.abs(out((1L, 0L)) - grandMean0) < 1e-6)
+    // gene 1 batch A had zero variance → uncorrected
+    assert(out((0L, 1L)) == 5.0 && out((1L, 1L)) == 5.0)
+    // gene 1 batch B corrected toward gene-1 grand stats, order preserved
+    assert(out((3L, 1L)) < out((4L, 1L)))
+  }
 }

@@ -1410,6 +1410,36 @@ class ZarrSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Zarr.readSparse(spark, root, ""))
     assert(e.getMessage.contains("encoding-type"), e.getMessage)
   }
+
+  test("xarray _ARRAY_DIMENSIONS convention: merge-write, readback, both formats") {
+    import spark.implicits._
+    val m = ZMatrix.fromDense(spark, Array.tabulate(6, 4)((i, j) => (i * 4 + j).toDouble))
+    // v2: dims merge into EXISTING attrs without clobbering them
+    val p2 = "/root/repo/target/tmp/zarr_test_xdims_v2"
+    Zarr.delete(p2, recursive = true)
+    Zarr.write(m, p2, 6, 4, 3, 2)
+    Zarr.writeAttrs(p2, """{"units": "counts"}""")
+    Zarr.writeXarrayDims(p2, Seq("obs", "var"))
+    assert(Zarr.readXarrayDims(p2) == Seq("obs", "var"))
+    assert(Zarr.readAttrs(p2).path("units").asText() == "counts",
+      "dimension naming must not clobber user attrs")
+    // the on-disk form is the exact xarray convention: .zattrs JSON array
+    val zattrs = new String(Zarr.readBytes(s"$p2/.zattrs"), "UTF-8")
+    assert(zattrs.contains("_ARRAY_DIMENSIONS"))
+    // v3: dims land INSIDE zarr.json attributes
+    val p3 = "/root/repo/target/tmp/zarr_test_xdims_v3"
+    Zarr.delete(p3, recursive = true)
+    Zarr.write(m, p3, 6, 4, 3, 2, format = 3)
+    Zarr.writeXarrayDims(p3, Seq("y", "x"))
+    assert(Zarr.readXarrayDims(p3) == Seq("y", "x"))
+    val zjson = new String(Zarr.readBytes(s"$p3/zarr.json"), "UTF-8")
+    assert(zjson.contains("_ARRAY_DIMENSIONS"))
+    // un-annotated array reads as empty, not an error
+    val pNone = "/root/repo/target/tmp/zarr_test_xdims_none"
+    Zarr.delete(pNone, recursive = true)
+    Zarr.write(m, pNone, 6, 4, 3, 2)
+    assert(Zarr.readXarrayDims(pNone).isEmpty)
+  }
 }
 
 object ZarrSpec {
@@ -1442,4 +1472,5 @@ object ZarrSpec {
     }
     out.toByteArray
   }
+
 }
