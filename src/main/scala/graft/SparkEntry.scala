@@ -486,6 +486,15 @@ object SparkEntry {
       val m = mat(s, d)
       m.regressOut(m.sumAxis1.select(col("i"), col("v").as("x")), matNrows(s, d)).cells
     }),
+    // multi-covariate regress_out: order total (kilodollar integers) +
+    // order year as the two covariates, closed-form 3×3 solve in
+    // lockstep arithmetic with the oracle
+    "arr_regress_multi" -> ((s, d) => {
+      val covs = Tables.orders(s, d).select(col("o_orderkey").as("i"),
+        round(col("o_totalprice") / 1000).cast("double").as("x1"),
+        (year(col("o_orderdate")) - 1995).cast("double").as("x2"))
+      mat(s, d).regressOutMulti(covs).cells
+    }),
     // scanpy score_genes: gene set {1,3} vs expression-bin-matched
     // controls (deterministic whole-bin variant, 2 rank bins)
     "arr_score_genes" -> ((s, d) =>
@@ -810,6 +819,10 @@ object SparkEntry {
 
     // ---- LLM-pipeline: dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+    // normalize-then-match dedup: case/punct/whitespace variants collapse;
+    // md5(canon) grouping keeps the shuffle digest-sized
+    "dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
@@ -2668,6 +2681,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_canonical" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS canon FROM documents),
+        |f AS (SELECT doc_id, md5(canon) AS h FROM c WHERE canon <> ''),
+        |k AS (SELECT h, min(doc_id) AS keeper, count(*) AS n_members
+        |      FROM f GROUP BY 1)
+        |SELECT f.doc_id, k.keeper, f.doc_id <> k.keeper AS is_dup, k.n_members
+        |FROM f JOIN k USING (h)""".stripMargin,
     // closed-form OLS twin: identical moment sums (exact integer-valued
     // doubles) and identical expression order, so b/a/residual are
     // bit-stable across engines before the 6dp round
@@ -2685,6 +2707,30 @@ object SparkEntry {
         |       FROM fit CROSS JOIN g CROSS JOIN nn)
         |SELECT m.i, m.j, round(m.v - a - b * x.x, 6) + 0 AS v
         |FROM m JOIN x USING (i) JOIN ab USING (j)""".stripMargin,
+    // same moments, same adjugate op order, same residual chain — every
+    // scalar an exact integer in double, so 6dp is bit-stable (class 2)
+    "arr_regress_multi" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT DISTINCT i FROM m),
+        |x AS (SELECT o.i, o.x1, o.x2 FROM (SELECT CAST(o_orderkey AS BIGINT) AS i,
+        |    CAST(round(o_totalprice / 1000) AS DOUBLE) AS x1,
+        |    CAST(year(o_orderdate) - 1995 AS DOUBLE) AS x2 FROM orders) o
+        |  JOIN r USING (i)),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |  sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22 FROM x),
+        |c AS (SELECT n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+        |  AS det, n, s1, s2, s11, s12, s22 FROM g),
+        |ci AS (SELECT (s11*s22 - s12*s12)/det AS c00, (s2*s12 - s1*s22)/det AS c01,
+        |  (s1*s12 - s2*s11)/det AS c02, (n*s22 - s2*s2)/det AS c11,
+        |  (s2*s1 - n*s12)/det AS c12, (n*s11 - s1*s1)/det AS c22 FROM c),
+        |bt AS (SELECT j, sum(m.v) AS b0, sum(x.x1*m.v) AS b1, sum(x.x2*m.v) AS b2
+        |  FROM m JOIN x USING (i) GROUP BY 1),
+        |fit AS (SELECT j, c00*b0 + c01*b1 + c02*b2 AS a,
+        |  c01*b0 + c11*b1 + c12*b2 AS w1, c02*b0 + c12*b1 + c22*b2 AS w2
+        |  FROM bt CROSS JOIN ci)
+        |SELECT m.i, m.j, round(m.v - a - w1*x.x1 - w2*x.x2, 6) + 0 AS v
+        |FROM m JOIN x USING (i) JOIN fit USING (j)""".stripMargin,
     // binning twin: ranks over the same 6dp-rounded means, same integer
     // bin arithmetic, same literal gene set {1,3}
     "arr_score_genes" ->

@@ -637,6 +637,63 @@ final case class ZMatrix(cells: DataFrame) {
         (round(col("v") - col("_a") - col("_b") * col("x"), 6) + 0.0).as("v")))
   }
 
+  /** scanpy `sc.pp.regress_out` with TWO covariates (the multi-covariate
+    * form [[regressOut]] generalizes): per gene j, OLS residuals of
+    * y_j ~ 1 + x1 + x2, solved in closed form through the ADJUGATE of the
+    * global 3×3 normal-equation matrix A = [[n,S1,S2],[S1,S11,S12],
+    * [S2,S12,S22]] — six moment scalars collected once (parameter-sized
+    * driver traffic, the Pca pattern), inverse entries computed in ONE
+    * fixed op order shared verbatim with the SQL twin, then β_j = A⁻¹·b_j
+    * as three literal-weighted dot products over the per-gene aggregates
+    * b_j = (Σv, Σx1·v, Σx2·v). Covariates must be integer-valued (the
+    * caller scales them) so every moment is an exact integer in double;
+    * the adjugate/β/residual chain is then correctly-rounded ops on
+    * bit-identical operands in both engines (PARITY class 2) and the 6dp
+    * round is stable.
+    *
+    * Plan: one j-keyed aggregate over the covariate-joined cells (ONE
+    * fact shuffle) + a gene-sized broadcast back. The covariate frame
+    * `(i, x1, x2)` is rows-sized and joins the cells on i; rows absent
+    * from the cell table contribute nothing (coordinate-form contract —
+    * moments are over rows WITH stored cells, like [[regressOut]]). */
+  def regressOutMulti(covs: DataFrame): ZMatrix = {
+    val rows = cells.select(col("i")).distinct()
+    val x = covs.join(rows, Seq("i"))
+      .select(col("i"), col("x1").cast("double").as("x1"),
+        col("x2").cast("double").as("x2"))
+      .localCheckpoint() // consumers: global moments, cell join
+    val g = x.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22")).head()
+    val (n, s1, s2) = (g.getDouble(0), g.getDouble(1), g.getDouble(2))
+    val (s11, s12, s22) = (g.getDouble(3), g.getDouble(4), g.getDouble(5))
+    // determinant + adjugate in the EXACT op order of the SQL twin
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    require(det != 0.0, "regressOutMulti: singular normal equations " +
+      "(collinear covariates)")
+    val c00 = (s11 * s22 - s12 * s12) / det
+    val c01 = (s2 * s12 - s1 * s22) / det
+    val c02 = (s1 * s12 - s2 * s11) / det
+    val c11 = (n * s22 - s2 * s2) / det
+    val c12 = (s2 * s1 - n * s12) / det
+    val c22 = (n * s11 - s1 * s1) / det
+    val cx = cells.join(x, Seq("i")).localCheckpoint()
+    val fit = cx.groupBy(col("j")).agg(sum(col("v")).as("_b0"),
+        sum(col("x1") * col("v")).as("_b1"),
+        sum(col("x2") * col("v")).as("_b2"))
+      .select(col("j"),
+        (lit(c00) * col("_b0") + lit(c01) * col("_b1") + lit(c02) * col("_b2")).as("_a"),
+        (lit(c01) * col("_b0") + lit(c11) * col("_b1") + lit(c12) * col("_b2")).as("_w1"),
+        (lit(c02) * col("_b0") + lit(c12) * col("_b1") + lit(c22) * col("_b2")).as("_w2"))
+    ZMatrix(cx.join(broadcast(fit), Seq("j"))
+      .select(col("i"), col("j"),
+        (round(col("v") - col("_a") - col("_w1") * col("x1") -
+          col("_w2") * col("x2"), 6) + 0.0).as("v")))
+  }
+
   /** scanpy `sc.pp.combat`, location/scale form WITHOUT the empirical-
     * Bayes shrinkage (the parametric limit as the prior widens): per
     * (gene j, batch b) the stored cells standardize by the batch's

@@ -137,6 +137,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** L27: CANONICALIZATION dedup — the normalize-then-exact-match stage
+    * real curation pipelines run between exact and fuzzy dedup (case /
+    * punctuation / whitespace variants of the same document collapse).
+    * Canonical form: lowercase → strip non-[a-z0-9 whitespace] → collapse
+    * runs of whitespace to one space → trim; empty canonicals are dropped
+    * (punctuation-only docs match nothing, not each other). Grouping goes
+    * through md5(canon) so the shuffle carries a 32-char digest instead
+    * of whole normalized documents — at 100 TB that is the difference
+    * between shipping hashes and shipping the corpus (md5 exists in both
+    * engines, so the oracle groups identically; a digest collision is the
+    * minhash family's documented 2⁻¹²⁸ envelope). Returns every surviving
+    * doc with its group keeper (min doc_id) and membership size. */
+  def canonicalDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val c = docs.select(col(idCol).as("doc_id"), md5(canon.cast("binary")).as("h"),
+        (canon =!= "").as("_keep"))
+      .filter(col("_keep")).drop("_keep")
+    val keep = c.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_members"))
+    c.join(keep, Seq("h"))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_members"))
+  }
+
   /** MinHash signatures → (doc_id, sig: array<bigint>) via the custom
     * one-pass MinHashAgg aggregate (graft.functions.MinHashAgg): shingle
     * structs are built with native array ops and consumed per-document —

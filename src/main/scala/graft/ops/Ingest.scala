@@ -44,4 +44,25 @@ object Ingest {
     (if (format == "csv") w.option("header", "true").option("escape", "\"")
      else w).save(path)
   }
+
+  /** Stage a table SORT-CLUSTERED on a predicate column, with bounded
+    * parquet row groups — the zone-map layout. Sorting makes each row
+    * group's min/max stats on `sortCol` a tight range, so a selective
+    * filter prunes whole row groups at scan time (Spark pushes the
+    * predicate to parquet; with record-level filtering off — the default
+    * — the scan emits ONLY surviving groups' rows, which is the metric
+    * IngestSpec asserts). `blockBytes` bounds the row-group size: the
+    * skipping granularity at 100 TB, where the default 128 MB groups are
+    * right but a test needs several groups per small file.
+    *
+    * `repartitionByRange` + in-partition sort gives globally
+    * NON-OVERLAPPING file ranges, so file-level stats prune whole FILES
+    * the same way — the two-level zone map production layouts rely on. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  blockBytes: Long = 128L << 20, files: Int = 4): Unit =
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockBytes)
+      .parquet(path)
 }

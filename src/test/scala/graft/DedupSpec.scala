@@ -238,4 +238,23 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getLong(0)}")
     }
   }
+
+  test("canonicalDedup: case/punct/whitespace variants collapse; distinct texts survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO\tWORLD."),
+      (4L, "a different doc"),
+      (5L, "!!! ..."), // canonical-empty: dropped, matches nothing
+      (6L, "?!?")      // also canonical-empty: must NOT group with 5
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.canonicalDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "empty canonicals must be dropped")
+    assert(out(1L) == ((1L, false, 3L)))
+    assert(out(2L) == ((1L, true, 3L)))
+    assert(out(3L) == ((1L, true, 3L)))
+    assert(out(4L) == ((4L, false, 1L)))
+  }
 }

@@ -228,4 +228,52 @@ class PlanSpec extends AnyFunSuite {
       s"SpanStrip kernel missing from:\n$plan")
     assert(!plan.contains("ArrayExists"), s"interpreted exists() lambda back in:\n$plan")
   }
+
+  test("sort-clustered layout: row-group zone maps skip most of the scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val spark = TestSpark.spark
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val total = orders.count()
+    // threshold selecting the top ~5% by totalprice
+    val thr = orders.stat.approxQuantile("o_totalprice", Array(0.95), 0.01)(0)
+
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves) ++
+          other.subqueries.flatMap(leaves)
+      }
+      leaves(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    // sorted layout: 4 range files × ~16 KB row groups → tight zone maps
+    val sortedPath = "target/tmp/zonemap_sorted"
+    graft.ops.Ingest.writeSorted(orders, sortedPath, "o_totalprice",
+      blockBytes = 16L << 10, files = 4)
+    val sortedScan = scanOutputRows(
+      spark.read.parquet(sortedPath).filter(col("o_totalprice") > thr))
+
+    // control: same data, same block size, no clustering — stats overlap,
+    // nothing skips
+    val unsortedPath = "target/tmp/zonemap_unsorted"
+    orders.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", 16L << 10).parquet(unsortedPath)
+    val unsortedScan = scanOutputRows(
+      spark.read.parquet(unsortedPath).filter(col("o_totalprice") > thr))
+
+    // same answer either way
+    assert(spark.read.parquet(sortedPath).filter(col("o_totalprice") > thr).count() ==
+      spark.read.parquet(unsortedPath).filter(col("o_totalprice") > thr).count())
+    // the sorted layout's scan must emit far fewer rows than the control
+    // (row groups whose max < thr never decode); control reads ~everything
+    assert(sortedScan < total / 2,
+      s"zone maps did not skip: scanned $sortedScan of $total")
+    assert(sortedScan * 3 < unsortedScan,
+      s"sorted scan $sortedScan not ≪ unsorted scan $unsortedScan")
+  }
 }

@@ -861,6 +861,32 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(twice.sameElements(down.cells.collect().map(_.toString).sorted))
   }
 
+  test("regressOutMulti: exact fit zeroes out; residuals orthogonal to covariates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // rows i=0..5 with covariates x1 = i, x2 = i*i mod 5 (not collinear);
+    // gene 0 is EXACTLY linear in them → residuals must be 0 at 6dp
+    val covs = (0L to 5L).map(i => (i, i.toDouble, (i * i % 5).toDouble))
+      .toDF("i", "x1", "x2")
+    val lin = (0L to 5L).map(i => (i, 0L, 2.0 + 3.0 * i - 1.0 * (i * i % 5)))
+    // gene 1 carries a nonlinear signal → nonzero residuals, but they must
+    // be orthogonal to (1, x1, x2)
+    val nl = (0L to 5L).map(i => (i, 1L, (i * i * i % 7).toDouble))
+    val m = graft.array.ZMatrix((lin ++ nl).toDF("i", "j", "v"))
+    val out = m.regressOutMulti(covs).cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0L to 5L).foreach { i =>
+      assert(math.abs(out((i, 0L))) < 1e-6, s"exact fit must vanish at row $i")
+    }
+    val x = (0L to 5L).map(i => i -> (i.toDouble, (i * i % 5).toDouble)).toMap
+    val r1 = (0L to 5L).map(i => out((i, 1L)))
+    def dot(f: Long => Double) = (0L to 5L).map(i => out((i, 1L)) * f(i)).sum
+    assert(math.abs(dot(_ => 1.0)) < 1e-4, "residuals must sum to ~0")
+    assert(math.abs(dot(i => x(i)._1)) < 1e-3, "residuals ⊥ x1")
+    assert(math.abs(dot(i => x(i)._2)) < 1e-3, "residuals ⊥ x2")
+    assert(r1.exists(math.abs(_) > 1e-3), "nonlinear gene must keep signal")
+  }
+
   test("combat: batch means/sds align to the gene anchor; zero-variance passes through") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
