@@ -934,6 +934,15 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // full-corpus PAGERANK (the L6f scale path applied to
+    // graph_pagerank): IVF mutual edges over every vector → the same
+    // exact fixed-point update. Rows-only (IVF training isn't SQL); the
+    // hash-exact twin is graph_pagerank on the exact-kNN shard, and the
+    // scalatest contract pins determinism + mass conservation here.
+    "graph_pagerank_full" -> ((s, d) => {
+      Similarity.pageRank(ivfMutualEdges(s, d), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("rank_e12"))
+    }),
     // full-corpus LOUVAIN (the same L6f scale path applied to
     // graph_louvain): IVF-bucketed kNN edges over EVERY vector → mutual
     // restriction → exact-integer ΔQ local moves from the singleton
@@ -1126,6 +1135,12 @@ object SparkEntry {
     // HAVING oracle because CMS never undercounts
     "text_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitters(Tables.documents(s, d), "text", minCount = 50)),
+    // unigram-LM (SentencePiece-family) tokenizer: model + per-doc counts.
+    // Rows-only (hard EM isn't SQL); invariants in TextOpsSpec
+    "text_unigram" -> ((s, d) =>
+      TextOps.unigramTrain(Tables.documents(s, d), "doc_id", "text")),
+    "text_unigram_tokens" -> ((s, d) =>
+      TextOps.unigramTokens(Tables.documents(s, d), "doc_id", "text")),
     "text_chunk" -> ((s, d) =>
       TextOps.chunk(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
     "report_sources" -> ((s, d) =>

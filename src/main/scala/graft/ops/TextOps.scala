@@ -330,6 +330,149 @@ object TextOps {
     * All counts are exact integers, so the DuckDB oracle unrolls the same
     * rounds and matches hash-exactly. Returns (rank, mleft, mright,
     * pair_n) — the ordered merge table that IS the tokenizer model. */
+  /** Deterministic Viterbi segmentation under integer micro-nat piece
+    * costs: min total cost over all segmentations; on cost ties the DP
+    * prefers the LONGER last piece (smaller back-pointer), making the
+    * path a pure function of (word, cost table). Single-character pieces
+    * are guaranteed present by the trainer, so every word segments. */
+  private[graft] def viterbiSegment(word: String, cost: collection.Map[String, Long],
+                                    maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    val back = Array.fill(n + 1)(Int.MaxValue)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val c = cost.getOrElse(word.substring(i - l, i), INF)
+        if (c < INF && best(i - l) < INF) {
+          val cand = best(i - l) + c
+          if (cand < best(i) || (cand == best(i) && (i - l) < back(i))) {
+            best(i) = cand; back(i) = i - l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    require(best(n) < INF, s"unsegmentable word '$word' — missing single chars")
+    val out = collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) { out.prepend(word.substring(back(p), p)); p = back(p) }
+    out.toSeq
+  }
+
+  /** L28: unigram-LM tokenizer induction (Kudo 2018, the SentencePiece
+    * model family) — DETERMINISTIC hard-EM variant with exact integer
+    * arithmetic so the model is a pure function of the corpus:
+    *
+    *  1. ONE corpus scan builds the (word, count) table; every later
+    *     stage runs on that vocabulary-sized frame (the bpeTrain
+    *     contract — the 100 TB scan happens once).
+    *  2. Seed vocabulary: every single character (coverage guarantee —
+    *     all words stay segmentable) plus the top multi-char substrings
+    *     (length ≤ maxPieceLen) by occurrence-count·(len−1), ties to the
+    *     lexicographically smaller piece.
+    *  3. `emIters` rounds of hard EM: piece costs are EXACT micro-nat
+    *     NLLs −ln(cnt/total) from the shared LnFix fixed-point series
+    *     (no libm anywhere); the E-step Viterbi-segments each DISTINCT
+    *     word under the broadcast cost table ([[viterbiSegment]],
+    *     imperative DP on the vocab-sized frame — the documented
+    *     mapPartitions niche); the M-step re-counts pieces weighted by
+    *     word frequency with add-one smoothing (keeps every piece in
+    *     domain, deterministic).
+    *
+    * Returns (piece, cnt, nll_micro) — the tokenizer model. Rows-only at
+    * the driver gate (EM training is not SQL-expressible; the k-means/IVF
+    * precedent): determinism, coverage, concatenation, and
+    * planted-structure invariants live in TextOpsSpec. */
+  def unigramTrain(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 120, maxPieceLen: Int = 5,
+                   emIters: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONE corpus scan; the word table stays DISTRIBUTED (it is
+    // corpus-vocabulary-sized — only the ≤vocabSize model ever collects)
+    val wordsDs = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].localCheckpoint() // EM re-reads it every round
+
+    // seed counts: substring occurrences weighted by word frequency —
+    // a distributed flatMap + aggregate; only the alphabet and the
+    // top-k multi-char pieces (both parameter-sized) reach the driver
+    val subCounts = wordsDs.flatMap { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(maxPieceLen, w.length - i))
+        yield (w.substring(i, i + l), c)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .toDF("piece", "c")
+    val singles = subCounts.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(singles.nonEmpty, "unigramTrain: empty corpus")
+    val multis = subCounts.filter(length(col("piece")) > 1)
+      .select(col("piece"), col("c"),
+        (col("c") * (length(col("piece")) - 1)).as("_score"))
+      .orderBy(col("_score").desc, col("piece"))
+      .limit(math.max(0, vocabSize - singles.length))
+      .select(col("piece"), col("c")).as[(String, Long)].collect()
+    var counts: Map[String, Long] = (singles ++ multis).toMap
+
+    def costsOf(cnts: Map[String, Long]): Map[String, Long] = {
+      val total = cnts.values.sum
+      cnts.map { case (p, c) =>
+        p -> graft.functions.LnFix.referenceNegLnMicro(c, total) }
+    }
+    val sc = spark.sparkContext
+    for (_ <- 1 to emIters) {
+      val bcCost = sc.broadcast(costsOf(counts))
+      val segCounts = wordsDs.flatMap { case (w, c) =>
+        viterbiSegment(w, bcCost.value, maxPieceLen).map(_ -> c) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      bcCost.destroy()
+      // M-step with add-one smoothing: every piece stays in the LnFix
+      // domain (cnt >= 1) and the vocabulary never shrinks mid-EM
+      counts = counts.map { case (p, _) => p -> (segCounts.getOrElse(p, 0L) + 1L) }
+    }
+    val fin = costsOf(counts)
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, fin(p)) }
+      .toDF("piece", "cnt", "nll_micro")
+  }
+
+  /** Per-document token counts under the learned unigram-LM model (the
+    * [[bpeTokens]] question for the SentencePiece family): each DISTINCT
+    * word Viterbi-segments once under the final cost table; the
+    * per-document count is then ONE join of the exploded word stream
+    * against the vocab-sized (word → n_pieces) frame plus a doc-keyed
+    * sum. Wordless documents count 0. */
+  def unigramTokens(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 120, maxPieceLen: Int = 5,
+                    emIters: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = unigramTrain(docs, idCol, textCol, vocabSize, maxPieceLen, emIters)
+      .as[(String, Long, Long)].collect()
+      .map { case (p, _, nll) => p -> nll }.toMap
+    val bcCost = spark.sparkContext.broadcast(model)
+    val wordStream = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val wordNtok = wordStream.select(col("word")).distinct().as[String]
+      .map(w => w -> viterbiSegment(w, bcCost.value, maxPieceLen).size.toLong)
+      .toDF("word", "ntok")
+    val perDoc = wordStream.join(wordNtok, Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("ntok")).as("n_unigram_tokens"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"))
+  }
+
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                merges: Int = 8): DataFrame = {
     val spark = docs.sparkSession

@@ -765,6 +765,21 @@ class SimilaritySpec extends AnyFunSuite {
       "labels must be ids of nodes in the graph")
   }
 
+  test("graph_pagerank_full: deterministic, one rank per node, mass conserved within floors") {
+    def run() = SparkEntry.queries("graph_pagerank_full")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "fixed-point PageRank must be bit-stable across runs")
+    val nodes = a.map(_._1)
+    assert(nodes.distinct.size == nodes.size && a.nonEmpty, "one rank per node")
+    assert(a.forall(_._2 > 0), "every edge-bearing node keeps positive mass")
+    // floor leaks only: total within rounds·(base-floor + per-node unit)
+    val total = a.map(_._2).sum
+    val scale = 1000000000000L
+    assert(total <= scale && total > scale - 200L * nodes.size,
+      s"mass $total out of envelope for ${nodes.size} nodes")
+  }
+
   test("graph_louvain_full: deterministic, one label per node, Q >= labelprop's on same edges") {
     // the rows-only full-corpus Louvain (IVF edges aren't SQL): pin the
     // invariants the oracle can't, matching graph_labelprop_full's

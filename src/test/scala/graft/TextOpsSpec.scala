@@ -328,4 +328,49 @@ class TextOpsSpec extends AnyFunSuite {
       s"PSI too small for a gross shift: ${drift.mkString(";")}")
     assert(drift.length == 5 && drift.map(_.getInt(0)).toSeq == (0 until 5))
   }
+
+  test("unigram LM: deterministic, single-char coverage, planted pieces learned") {
+    import spark.implicits._
+    // a corpus where 'abab' and 'cd' dominate: the seed scorer must pick
+    // multi-char pieces covering them, and segmentation must compress
+    val docs = Seq(
+      (1L, "abab abab abab cd cd"),
+      (2L, "abab cd abab cd"),
+      (3L, "xyz abab"),
+      (4L, "cd cd cd")
+    ).toDF("doc_id", "text")
+    def run() = ops.TextOps.unigramTrain(docs, "doc_id", "text",
+      vocabSize = 12, maxPieceLen = 4, emIters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "training must be deterministic")
+    val pieces = a.map(_._1).toSet
+    // coverage: every character of the corpus is a piece
+    assert(Set("a", "b", "c", "d", "x", "y", "z").subsetOf(pieces))
+    // planted multi-char structure survives selection
+    assert(pieces.exists(p => p.length > 1 && "ababcd".contains(p)),
+      s"no planted multi-char piece in $pieces")
+    // costs are valid micro-nat NLLs: positive, higher count → lower cost
+    val byCnt = a.sortBy(-_._2)
+    assert(a.forall(_._3 > 0))
+    assert(byCnt.head._3 <= byCnt.last._3)
+
+    // segmentation concatenates back to the word; counts compress chars
+    val model = a.map(t => t._1 -> t._3).toMap
+    Seq("abab", "ababcd", "xyzcd", "a").foreach { w =>
+      val seg = ops.TextOps.viterbiSegment(w, model, 4)
+      assert(seg.mkString == w, s"segmentation of '$w' must concatenate back")
+    }
+    assert(ops.TextOps.viterbiSegment("abab", model, 4).size < 4,
+      "frequent word must compress below characters")
+
+    // per-doc token counts: bounded by chars, 0 only for wordless docs
+    val toks = ops.TextOps.unigramTokens(docs, "doc_id", "text",
+      vocabSize = 12, maxPieceLen = 4, emIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks.keySet == Set(1L, 2L, 3L, 4L))
+    assert(toks.values.forall(_ > 0))
+    val chars1 = "abababababcdcd".length // doc 1 without spaces
+    assert(toks(1L) <= chars1 && toks(1L) >= 5, s"doc1 count ${toks(1L)}")
+  }
 }
