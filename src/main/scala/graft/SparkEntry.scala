@@ -1135,6 +1135,10 @@ object SparkEntry {
     // HAVING oracle because CMS never undercounts
     "text_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitters(Tables.documents(s, d), "text", minCount = 50)),
+    // deterministic global shuffle order (two-level distributed rank —
+    // no single-partition window); oracle = the plain global row_number
+    "sample_shuffle" -> ((s, d) =>
+      Sampling.shuffleOrder(Tables.documents(s, d), "doc_id")),
     // unigram-LM (SentencePiece-family) tokenizer: model + per-doc counts.
     // Rows-only (hard EM isn't SQL); invariants in TextOpsSpec
     "text_unigram" -> ((s, d) =>
@@ -1347,6 +1351,10 @@ object SparkEntry {
     // native merging session_window aggregation (S13) — exact-micros gap
     // math, append-mode emission mirrored by the oracle's ms-floored cutoff
     "stream_session_window" -> ((s, d) => Stream.sessionWindowAgg(s, d)),
+    // exactly-once partitioned lake export (S14): foreachBatch + dynamic
+    // partition overwrite over day-aligned bands; idempotency proven by
+    // re-running a batch in StreamingSpec
+    "stream_export" -> ((s, d) => Stream.exportStream(s, d)),
     "stream_dedup" -> ((s, d) => Stream.streamDedup(s, d)),
     // rows-only (centroid training isn't SQL-expressible); stream-vs-batch
     // assignment equality is asserted in StreamingSpec
@@ -2497,6 +2505,16 @@ object SparkEntry {
         |      max(es) - min(es) AS dur_secs FROM g GROUP BY 1, 2)
         |SELECT user_id, session_id, n_events, dur_secs FROM s
         |WHERE session_id < (SELECT max(session_id) FROM s s2 WHERE s2.user_id = s.user_id)""".stripMargin,
+    "sample_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id)
+        |  AS BIGINT) AS position
+        |FROM documents""".stripMargin,
+    "stream_export" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),

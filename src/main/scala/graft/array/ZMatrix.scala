@@ -680,7 +680,17 @@ final case class ZMatrix(cells: DataFrame) {
     val c11 = (n * s22 - s2 * s2) / det
     val c12 = (s2 * s1 - n * s12) / det
     val c22 = (n * s11 - s1 * s1) / det
-    val cx = cells.join(x, Seq("i")).localCheckpoint()
+    // the covariate frame is a checkpointed LogicalRDD (estimate-less);
+    // n is driver-known from the moment pass, so pin the join to
+    // sort-merge once the frame is too big for a safe broadcast build
+    // (the sf10-gate defect class — see Zarr.mergeHintIfBig).
+    // The joined cells frame is FACT-sized and deliberately NOT cached:
+    // at the sf10 gate a cached copy plus 32 concurrent hash aggregates
+    // exhausted the unified pool (UNABLE_TO_ACQUIRE_MEMORY) — its two
+    // consumers recompute one extra lineitem pass instead, the
+    // recompute-over-cache rule every fact-sized intermediate follows.
+    val xSafe = if (n > 4e6) x.hint("merge") else x
+    val cx = cells.join(xSafe, Seq("i"))
     val fit = cx.groupBy(col("j")).agg(sum(col("v")).as("_b0"),
         sum(col("x1") * col("v")).as("_b1"),
         sum(col("x2") * col("v")).as("_b2"))

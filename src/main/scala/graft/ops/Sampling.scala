@@ -174,4 +174,36 @@ object Sampling {
         expr(s"_start div ${budget.toLong}L").as("pack_id"),
         pmod(col("_start"), lit(budget.toLong)).as("pack_offset"))
   }
+
+  /** L29: deterministic GLOBAL training-order shuffle — the "shuffle the
+    * corpus before each epoch" step, as a pure function of (id, salt):
+    * position = global rank by md5(id‖salt). No RNG, resharding-stable,
+    * and a new salt is a new epoch order.
+    *
+    * The global rank is computed WITHOUT a global sort: documents bucket
+    * on the hash's first byte-pair (256 ranges that are PREFIXES of the
+    * global order), per-bucket counts collect once (256 longs — the
+    * driver's entire traffic), and position = bucket offset + the
+    * bucket-local row_number. Each window sorts 1/256th of the corpus —
+    * the two-level rank every distributed ORDER BY row_number needs at
+    * 100 TB, where a single-partition global window is the classic
+    * anti-pattern. The DuckDB oracle is the plain global row_number. */
+  def shuffleOrder(docs: DataFrame, idCol: String,
+                   salt: String = "epoch0"): DataFrame = {
+    val spark = docs.sparkSession
+    val h = md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary"))
+    val d = docs.select(col(idCol).as("doc_id"), h.as("_h"),
+      substring(h, 1, 2).as("_b"))
+    val counts = d.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) =>
+      (b, acc + n) }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }
+      .toSeq
+    val offDf = broadcast(spark.createDataFrame(offsets).toDF("_b", "_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_h"), col("doc_id"))
+    d.join(offDf, Seq("_b"))
+      .select(col("doc_id"),
+        (col("_off") + row_number().over(w)).as("position"))
+  }
 }

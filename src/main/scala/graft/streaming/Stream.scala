@@ -513,6 +513,60 @@ object Stream {
       col("n_events"))
   }
 
+  /** S14: exactly-once partitioned EXPORT from a stream — foreachBatch +
+    * DYNAMIC partition overwrite, the production pattern for streaming
+    * into a Hive-layout lake table. The source is staged one file per
+    * DAY-ALIGNED 10-day band and read one file per micro-batch, so each
+    * batch owns whole day-partitions; the batch write overwrites exactly
+    * the partitions it touches (`partitionOverwriteMode=dynamic`).
+    * REPROCESSING a batch (the failure/retry path) therefore converges
+    * to byte-identical partitions instead of duplicating rows — the
+    * idempotency StreamingSpec re-runs a batch to prove. Money is exact
+    * integer cents; the read-back aggregate oracle-checks against the
+    * raw events. */
+  def exportStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = graft.Tables.events(spark, sfDir).select(
+      to_date(col("ts")).as("day"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val banded = ev.withColumn("band",
+      expr("datediff(day, DATE'1970-01-01') div 10"))
+    val srcDir = s"${GraftPaths.tmpRoot}/export_stream_src_$sfName"
+    banded.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(srcDir)
+
+    val outDir = s"${GraftPaths.tmpRoot}/export_stream_out_$sfName"
+    graft.zarr.Zarr.delete(outDir, recursive = true) // fresh build each run
+    val stream = spark.readStream
+      .schema("day DATE, event_type STRING, cents LONG, band LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream.foreachBatch(exportBatch(outDir) _).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    readExport(spark, outDir)
+  }
+
+  /** The per-batch export body, factored out so the idempotency test can
+    * re-run a batch through the EXACT code path the stream uses. */
+  def exportBatch(outDir: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    batch.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(outDir)
+    ()
+  }
+
+  /** Read the exported lake table back in oracle-comparable form. */
+  def readExport(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("n"), col("cents"))
+
   /** The fixed event-type alphabet (q23's pivot list) as column indices. */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 

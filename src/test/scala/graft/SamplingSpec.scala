@@ -163,4 +163,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids.head == 1L && ids.last == ids.length,
       s"vocab ids not dense 1..V: ${ids.take(5).mkString(",")}..${ids.last}")
   }
+
+  test("shuffleOrder: a permutation of 1..N, deterministic, salt changes the order") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    def run(salt: String) = ops.Sampling.shuffleOrder(docs, "doc_id", salt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run("epoch0")
+    assert(a.size == n, "every document gets a position")
+    assert(a.values.toSeq.sorted == (1L to n).toSeq, "positions are exactly 1..N")
+    assert(a == run("epoch0"), "same salt → same order (resharding-stable)")
+    val b = run("epoch1")
+    assert(b.values.toSeq.sorted == (1L to n).toSeq)
+    assert(a != b, "a new salt must give a new epoch order")
+  }
 }

@@ -242,6 +242,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAll.count() > exp.size)
   }
 
+  test("exactly-once export: re-running a batch leaves the lake table unchanged") {
+    val first = graft.streaming.Stream.exportStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // equals the batch aggregate over the raw events
+    val exp = Tables.events(spark, TestSpark.sf)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(first == exp)
+    // the retry path: re-run ONE band through the exact batch body —
+    // dynamic overwrite must converge, not duplicate
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"${graft.GraftPaths.tmpRoot}/export_stream_src_$sfName"
+    val outDir = s"${graft.GraftPaths.tmpRoot}/export_stream_out_$sfName"
+    val band0 = spark.read.parquet(srcDir)
+      .filter(col("band") === spark.read.parquet(srcDir)
+        .agg(min(col("band").cast("long"))).head().getLong(0))
+    graft.streaming.Stream.exportBatch(outDir)(band0, 9999L)
+    val second = graft.streaming.Stream.readExport(spark, outDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(second == first, "replaying a batch must be a no-op on the table")
+  }
+
   test("session_window merge boundary: the exact-gap pair MERGES (inclusive end)") {
     import spark.implicits._
     // Spark's session merge is boundary-INCLUSIVE: a window [t, t+gap]
