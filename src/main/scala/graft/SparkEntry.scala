@@ -271,6 +271,7 @@ object SparkEntry {
     "q40_waiting_suppliers" -> Relational.q40WaitingSuppliers _,
     "q41_sales_opportunity" -> Relational.q41SalesOpportunity _,
     "q42_order_dist" -> Relational.q42OrderDist _,
+    "q43_window_family" -> Relational.q43WindowFamily _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -1993,6 +1994,18 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    "q43_window_family" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(first_value(cents) OVER wr AS BIGINT) AS first_cents,
+        |  CAST(nth_value(cents, 2) OVER wr AS BIGINT) AS second_cents
+        |FROM o WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey),
+        |  wr AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q42_order_dist" ->
       """WITH pc AS (SELECT c.c_custkey, count(o.o_custkey) AS c_count
         |  FROM customer c

@@ -618,6 +618,26 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"))
   }
 
+  /** R46: the analytic-window family beyond rank/lag (R10) — percent_rank,
+    * cume_dist, first_value / nth_value over an EXPLICIT running ROWS
+    * frame (the default RANGE frame differs subtly between engines on
+    * ties; a unique (cents, key) order + explicit frame removes the
+    * ambiguity). Ratios are single divisions of exact integers
+    * (PARITY class 2), rounded at 6dp in lockstep with the oracle. One
+    * priority-keyed shuffle, no self-joins. */
+  def q43WindowFamily(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"),
+      first(col("cents")).over(running).as("first_cents"),
+      nth_value(col("cents"), 2).over(running).as("second_cents"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -450,6 +450,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("q43 window family: pr/cd in [0,1], first_cents is the partition minimum") {
+    val rows = Relational.q43WindowFamily(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, pr, cd, _, _) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // first_value over the running frame is constant per partition = min
+    val byPart = rows.groupBy(_._1)
+    byPart.foreach { case (p, xs) =>
+      assert(xs.map(_._4).distinct.length == 1, s"first_cents varies in $p")
+    }
+    // nth_value(2) is null exactly for each partition's first row
+    assert(rows.count(_._5.isEmpty) == byPart.size)
+  }
+
   test("q42 order distribution: counts-of-counts partition the customer set") {
     val rows = Relational.q42OrderDist(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()

@@ -242,6 +242,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAll.count() > exp.size)
   }
 
+  test("checkpointed restart: the resumed query skips committed batches (file-sink exactly-once)") {
+    import spark.implicits._
+    val root = s"${graft.GraftPaths.tmpRoot}/restart_test"
+    graft.zarr.Zarr.delete(root, recursive = true)
+    val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    // stage file A, run to completion against a persistent checkpoint
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterA = spark.read.parquet(outDir).count()
+    assert(afterA == 2, s"first run must commit file A's rows, got $afterA")
+    // add file B, RESTART from the same checkpoint: A's batch is in the
+    // commit log and must not reprocess; the file sink's _spark_metadata
+    // keeps the output exactly-once
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"restart must process ONLY the new file, exactly once: $rows")
+  }
+
   test("exactly-once export: re-running a batch leaves the lake table unchanged") {
     val first = graft.streaming.Stream.exportStream(spark, TestSpark.sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
