@@ -272,6 +272,7 @@ object SparkEntry {
     "q41_sales_opportunity" -> Relational.q41SalesOpportunity _,
     "q42_order_dist" -> Relational.q42OrderDist _,
     "q43_window_family" -> Relational.q43WindowFamily _,
+    "q44_important_parts" -> Relational.q44ImportantParts _,
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -348,6 +349,8 @@ object SparkEntry {
     // numpy.histogram of the stored values: 8 width-7 bins on [0, 56] —
     // integral width, so the floor edge math is engine-bit-identical
     "arr_histogram" -> ((s, d) => mat(s, d).histogram(0.0, 56.0, 8)),
+    // np.digitize with uniform edges 10,20,30,40 (right=False)
+    "arr_digitize" -> ((s, d) => mat(s, d).digitize(10.0, 10.0, 4)),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
     "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
     // NumPy fancy indexing X[[7,3,11,3,42,999], :][:, [5,1,3,1]] — gather
@@ -2006,6 +2009,14 @@ object SparkEntry {
         |  w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey),
         |  wr AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q44_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot FROM v)
+        |SELECT v.l_partkey, v.value_cents FROM v, t
+        |WHERE v.value_cents * 4000 > t.tot""".stripMargin,
     "q42_order_dist" ->
       """WITH pc AS (SELECT c.c_custkey, count(o.o_custkey) AS c_count
         |  FROM customer c
@@ -2296,6 +2307,12 @@ object SparkEntry {
         |      FROM m WHERE v >= 0.0 AND v <= 56.0 GROUP BY 1)
         |SELECT r.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM range(0, 8) r(bin) LEFT JOIN c USING (bin)""".stripMargin,
+    "arr_digitize" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, CASE WHEN v < 10.0 THEN 0
+        |  ELSE least(4, CAST(floor((v - 10.0) / 10.0) AS BIGINT) + 1) END AS bin
+        |FROM m""".stripMargin,
     "arr_bool_rows" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

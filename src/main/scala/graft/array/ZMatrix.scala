@@ -217,6 +217,19 @@ final case class ZMatrix(cells: DataFrame) {
       .select(col("bin"), coalesce(col("_n"), lit(0L)).as("n"))
   }
 
+  /** numpy `digitize(x, edges)` for UNIFORM edges lo + k·w (right=False):
+    * per stored cell, the index of the bin x falls in — 0 below the first
+    * edge, nEdges at/above the last, else floor((x−lo)/w)+1. With
+    * integer-valued cells and integer lo/w every step is exact (PARITY
+    * class 1/2); a pure map over one scan, no shuffle. */
+  def digitize(lo: Double, w: Double, nEdges: Int): DataFrame = {
+    require(nEdges > 0 && w > 0, s"need nEdges > 0 and w > 0, got $nEdges/$w")
+    cells.select(col("i"), col("j"),
+      when(col("v") < lo, 0L)
+        .otherwise(least(lit(nEdges.toLong),
+          floor((col("v") - lo) / w).cast("long") + 1L)).as("bin"))
+  }
+
   // ---- indexing (zappy X[mask, :], slices) ----
   /** Boolean row indexing where the mask is derived from a row aggregate
     * (scanpy filter_cells): left-semi join against the qualifying row ids. */

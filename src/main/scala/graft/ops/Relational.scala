@@ -638,6 +638,22 @@ object Relational {
       nth_value(col("cents"), 2).over(running).as("second_cents"))
   }
 
+  /** R47 (TPC-H Q11 flavor): important parts — parts whose revenue mass
+    * exceeds 1/4000 of the global total. The fraction threshold is the
+    * q41 integer cross-multiply (cents·4000 > Σcents — no float
+    * division anywhere), the global total a 1-row broadcast. One
+    * partkey-keyed aggregate; the HAVING-against-global-scalar pattern
+    * without a second scan. */
+  def q44ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val v = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+    val tot = v.agg(sum(col("value_cents")).as("_tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * 4000L > col("_tot"))
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

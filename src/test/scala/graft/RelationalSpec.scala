@@ -467,6 +467,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.count(_._5.isEmpty) == byPart.size)
   }
 
+  test("q44 important parts: exactly the parts above the exact integer threshold") {
+    val all = Tables.lineitem(spark, sf).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        math.round(r.getAs[Double]("l_extendedprice") * 100))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val tot = all.values.sum
+    val exp = all.filter { case (_, c) => c * 4000L > tot }.toSet
+    val got = Relational.q44ImportantParts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("q42 order distribution: counts-of-counts partition the customer set") {
     val rows = Relational.q42OrderDist(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()

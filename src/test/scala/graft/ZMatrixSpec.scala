@@ -861,6 +861,19 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(twice.sameElements(down.cells.collect().map(_.toString).sorted))
   }
 
+  test("digitize: numpy right=False semantics on a hand-checked fixture") {
+    import spark.implicits._
+    // edges 10,20,30,40: below-first → 0, [10,20) → 1, at-edge → next bin,
+    // at/above last edge → 4
+    val cells = Seq((0L, 0L, 5.0), (0L, 1L, 10.0), (0L, 2L, 19.0),
+      (0L, 3L, 20.0), (0L, 4L, 39.0), (0L, 5L, 40.0), (0L, 6L, 99.0))
+      .toDF("i", "j", "v")
+    val got = graft.array.ZMatrix(cells).digitize(10.0, 10.0, 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+  }
+
   test("regressOutMulti: exact fit zeroes out; residuals orthogonal to covariates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
