@@ -344,6 +344,7 @@ object SparkEntry {
     "arr_argmin_axis0" -> ((s, d) => mat(s, d).argminAxis0),
     "arr_argmax_rows" -> ((s, d) => mat(s, d).argmaxAxis1),
     "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
+    "arr_cumsum_cols" -> ((s, d) => mat(s, d).cumsumAxis0.cells),
     "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     // numpy.histogram of the stored values: 8 width-7 bins on [0, 56] —
@@ -572,6 +573,22 @@ object SparkEntry {
     // format (zstd frames via the zstd-jni already on Spark's classpath),
     // so a store written here opens in stock zarr-python v3 with no codec
     // configuration at all. Same cells, same oracle as the other roundtrips.
+    // on-disk rechunk (Z30): v2/zlib (1024×3 grid) → v3/zstd (4096×cols)
+    // in one distributed pass; the destination store's cells must equal
+    // the matrix exactly — format AND layout conversion, oracle-checked
+    "zarr_rechunk_store" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = s"${GraftPaths.tmpRoot}/zarrrc_src_$sfName"
+      val dst = s"${GraftPaths.tmpRoot}/zarrrc_dst_$sfName"
+      Zarr.write(m, src, rows, cols, chunkRows = 1024, chunkCols = 3,
+        zlib = true)
+      Zarr.rechunkStore(s, src, dst, chunkRows = 4096,
+        chunkCols = cols.toInt, format = 3, comp = "zstd")
+      Zarr.read(s, dst).cells.filter(col("v") =!= 0.0)
+    }),
     "zarr_zstd_roundtrip" -> ((s, d) => {
       val m = mat(s, d)
       val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
@@ -1355,6 +1372,10 @@ object SparkEntry {
     // native merging session_window aggregation (S13) — exact-micros gap
     // math, append-mode emission mirrored by the oracle's ms-floored cutoff
     "stream_session_window" -> ((s, d) => Stream.sessionWindowAgg(s, d)),
+    // stream-stream LEFT OUTER time-range join (S16): unmatched purchases
+    // emit null-view rows on watermark expiry (-1 sentinel; raw nulls
+    // would be ambiguous in the sorted hash compare)
+    "stream_left_join" -> ((s, d) => Stream.streamLeftJoin(s, d)),
     // exactly-once partitioned lake export (S14): foreachBatch + dynamic
     // partition overwrite over day-aligned bands; idempotency proven by
     // re-running a batch in StreamingSpec
@@ -2347,6 +2368,11 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, sum(v) OVER (PARTITION BY i ORDER BY j
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM m""".stripMargin,
+    "arr_cumsum_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, sum(v) OVER (PARTITION BY j ORDER BY i
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM m""".stripMargin,
     "arr_clip" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
@@ -2385,6 +2411,10 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
     "zarr_zstd_roundtrip" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_rechunk_store" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
@@ -2540,6 +2570,27 @@ object SparkEntry {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id)
         |  AS BIGINT) AS position
         |FROM documents""".stripMargin,
+    // matched rows = the inner join; null rows (−1 sentinel) = unmatched
+    // purchases whose event time is below the GLOBAL watermark — the min
+    // over both sides of (ms-floored max event time − the 65 min delay),
+    // exactly Spark's multi-source watermark rule (pinned empirically
+    // and by the StreamingSpec equality test)
+    "stream_left_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS vid, user_id, ts FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events WHERE event_type = 'purchase'),
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events WHERE event_type = 'view'))
+        |  - 3900000000 AS w)
+        |SELECT p.pid AS purchase_id, v.vid AS view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |UNION ALL
+        |SELECT p.pid, CAST(-1 AS BIGINT) FROM p, wm
+        |WHERE p.us < wm.w AND NOT EXISTS (SELECT 1 FROM v
+        |  WHERE v.user_id = p.user_id AND v.ts < p.ts
+        |    AND v.ts >= p.ts - INTERVAL 1 HOUR)""".stripMargin,
     "stream_export" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n,

@@ -180,6 +180,16 @@ final case class ZMatrix(cells: DataFrame) {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
   }
 
+  /** cumsum(axis=0): the column-direction twin of [[cumsumAxis1]] — one
+    * j-keyed shuffle, sequential in-frame addition so the double sum
+    * order matches the oracle exactly. */
+  def cumsumAxis0: ZMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    ZMatrix(cells.select(col("i"), col("j"),
+      sum(col("v")).over(Window.partitionBy(col("j")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
+  }
+
   def aggAxis1: DataFrame =
     cells.groupBy(col("i")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
 

@@ -158,6 +158,38 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S16: stream-stream LEFT OUTER time-range join — the semantics corner
+    * beyond [[streamJoin]]'s inner: purchases with NO qualifying view in
+    * the preceding hour must still emit, null-matched, once the watermark
+    * proves no future view can arrive for them. Matched rows emit as
+    * found (inner behavior); the null rows emit on state expiry, so the
+    * emission cutoff is mirrored in the oracle exactly like
+    * [[sessionWindowAgg]]'s: a purchase row's join window is closed once
+    * the final watermark (max event time floored to ms, minus the 65 min
+    * delay) has passed its own event time. */
+  def streamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "65 minutes")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "65 minutes")
+    val joined = purchases.join(views,
+      purchases("user_id") === views("user_id") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"))
+    val qn = s"stream_ljoin_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn).select(col("purchase_id"),
+      coalesce(col("view_id"), lit(-1L)).as("view_id"))
+  }
+
   /** Streaming dedup: at most one event per (user, type, hour) — the
     * streaming face of exact dedup in a training-data pipeline.
     * `dropDuplicatesWithinWatermark` keeps dedup state only for the

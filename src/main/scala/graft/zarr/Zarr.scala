@@ -1194,6 +1194,24 @@ object Zarr {
     refreshConsolidatedAbove(node)
   }
 
+  /** Z30: on-disk RECHUNK between stores — the standalone-rechunker tool
+    * shape (pangeo's rechunker does exactly this for zarr stores that
+    * outgrew their original grid). One distributed pass: partition-per-
+    * source-chunk read → chunk-clustered write under the DESTINATION
+    * grid, any (format, codec) on either side — so one call converts
+    * layout AND wire format (v2/zlib → v3/zstd sharded, …). The
+    * destination inherits the source's dtype and fill unless overridden;
+    * shape carries over exactly. Never materializes the array anywhere:
+    * peak state is one source chunk + one destination chunk per task. */
+  def rechunkStore(spark: SparkSession, src: String, dst: String,
+                   chunkRows: Int, chunkCols: Int, format: Int = 2,
+                   comp: String = "", zlib: Boolean = false): Unit = {
+    val m = readMeta(src)
+    write(read(spark, src), dst, m.rows, m.cols, chunkRows, chunkCols,
+      zlib = zlib, fill = m.fill, dtype = m.dtype, format = format,
+      comp = comp)
+  }
+
   /** xarray's Zarr encoding convention (public spec — "Zarr Encoding
     * Specification" in the xarray docs): an array advertises its named
     * dimensions in the `_ARRAY_DIMENSIONS` attribute; that is the ONLY

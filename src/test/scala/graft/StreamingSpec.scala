@@ -242,6 +242,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAll.count() > exp.size)
   }
 
+  test("stream-stream LEFT OUTER join: matched rows + watermark-expired null rows, batch-equal") {
+    val got = graft.streaming.Stream.streamLeftJoin(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, TestSpark.sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+    val inner = p.join(v, col("pu") === col("vu") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("pid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the global watermark: min over both sides of ms-floored max − 65 min
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000 * 1000
+    val wm = math.min(side("purchase"), side("view")) - 3900L * 1000000
+    val expiredUnmatched = p.join(v, col("pu") === col("vu") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"),
+        "left_anti")
+      .filter(unix_micros(col("pts")) < wm)
+      .select(col("pid")).collect().map(r => (r.getLong(0), -1L)).toSet
+    assert(got == (inner ++ expiredUnmatched))
+    assert(expiredUnmatched.nonEmpty && inner.nonEmpty, "both row kinds must occur")
+  }
+
   test("checkpointed restart: the resumed query skips committed batches (file-sink exactly-once)") {
     import spark.implicits._
     val root = s"${graft.GraftPaths.tmpRoot}/restart_test"
