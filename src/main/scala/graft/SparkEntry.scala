@@ -273,6 +273,11 @@ object SparkEntry {
     "q42_order_dist" -> Relational.q42OrderDist _,
     "q43_window_family" -> Relational.q43WindowFamily _,
     "q44_important_parts" -> Relational.q44ImportantParts _,
+    "q45_small_qty_revenue" -> Relational.q45SmallQtyRevenue _,
+    // quantile sketch (R49): rows-only — sketch internals aren't SQL;
+    // RelationalSpec bounds it against q15's exact percentiles
+    "q46_approx_percentile" -> Relational.q46ApproxPercentile _,
+    "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -2030,6 +2035,20 @@ object SparkEntry {
         |  w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey),
         |  wr AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "arr_rank_cols" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
+        |  AS BIGINT) AS rk FROM m""".stripMargin,
+    "q45_small_qty_revenue" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq, count(*) AS n
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(sum(l.cents) AS BIGINT) AS small_qty_cents,
+        |  count(*) AS n_lines
+        |FROM l JOIN pp USING (l_partkey)
+        |WHERE l.qty * 5 * pp.n < pp.sq""".stripMargin,
     "q44_important_parts" ->
       """WITH v AS (SELECT l_partkey,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -180,6 +180,17 @@ final case class ZMatrix(cells: DataFrame) {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
   }
 
+  /** np.argsort-order RANK along axis 0: each stored cell's 1-based rank
+    * within its column under the total order (v, i) — ties to the
+    * smaller row, so the rank is exact and engine-stable. One j-keyed
+    * window sort (scanpy's rank-based statistics building block). */
+  def rankAxis0: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cells.select(col("i"), col("j"),
+      row_number().over(Window.partitionBy(col("j"))
+        .orderBy(col("v"), col("i"))).cast("long").as("rk"))
+  }
+
   /** cumsum(axis=0): the column-direction twin of [[cumsumAxis1]] — one
     * j-keyed shuffle, sequential in-frame addition so the double sum
     * order matches the oracle exactly. */

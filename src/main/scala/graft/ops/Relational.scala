@@ -654,6 +654,41 @@ object Relational {
       .select(col("l_partkey"), col("value_cents"))
   }
 
+  /** R48 (TPC-H Q17 flavor): small-quantity-order revenue — lineitems
+    * whose quantity is below 20% of their part's average quantity. The
+    * correlated aggregate subquery decorrelates to ONE per-part
+    * (Σqty, n) aggregate joined back; the 0.2·avg comparison is the
+    * exact integer cross-multiply 5·qty·n < Σqty (never a float mean).
+    * Output is the exact cents total. One fact shuffle on partkey. */
+  def q45SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("_sq"), count(lit(1)).as("_n"))
+    l.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * 5L * col("_n") < col("_sq"))
+      .agg(sum(col("cents")).as("small_qty_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** R49: quantile SKETCH aggregate — `approx_percentile`
+    * (Greenwald-Khanna relative-error summaries), completing the sketch
+    * family next to HLL (R21), Bloom (L12e) and Count-Min (L26). One
+    * map-side-combined aggregate whose state is accuracy-bounded, not
+    * data-bounded — the 100 TB percentile answer when q15's exact sort
+    * is too expensive. Rows-only at the driver (sketch internals aren't
+    * SQL); RelationalSpec bounds it against the exact percentiles. */
+  def q46ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("approx_pcts"))
+      .select(col("l_returnflag"),
+        col("approx_pcts")(0).as("p25"),
+        col("approx_pcts")(1).as("p50"),
+        col("approx_pcts")(2).as("p75"))
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -479,6 +479,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("q45 small-quantity revenue: exact recompute of the cross-multiplied threshold") {
+    val lines = Tables.lineitem(spark, sf).collect().map(r =>
+      (r.getAs[Long]("l_partkey"), r.getAs[Double]("l_quantity").toLong,
+        math.round(r.getAs[Double]("l_extendedprice") * 100)))
+    val pp = lines.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).sum, xs.length.toLong) }
+    val small = lines.filter { case (p, q, _) =>
+      val (sq, n) = pp(p); q * 5 * n < sq }
+    val row = Relational.q45SmallQtyRevenue(spark, sf).head()
+    assert(row.getLong(0) == small.map(_._3).sum)
+    assert(row.getLong(1) == small.length.toLong && small.nonEmpty)
+  }
+
+  test("q46 approx percentiles: each estimate lies within the ±1% exact-rank band") {
+    val rows = Relational.q46ApproxPercentile(spark, sf).collect()
+    assert(rows.length == 3)
+    val byFlag = Tables.lineitem(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("l_extendedprice"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val xs = byFlag(r.getString(0)); val n = xs.length
+      for ((q, idx) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
+        val got = r.getDouble(idx)
+        val lo = xs(math.max(0, ((q - 0.01) * (n - 1)).toInt))
+        val hi = xs(math.min(n - 1, math.ceil((q + 0.01) * (n - 1)).toInt))
+        assert(got >= lo && got <= hi,
+          s"flag ${r.getString(0)} q=$q: $got outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("q42 order distribution: counts-of-counts partition the customer set") {
     val rows = Relational.q42OrderDist(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()
