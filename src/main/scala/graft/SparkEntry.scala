@@ -277,7 +277,7 @@ object SparkEntry {
     // quantile sketch (R49): rows-only — sketch internals aren't SQL;
     // RelationalSpec bounds it against q15's exact percentiles
     "q46_approx_percentile" -> Relational.q46ApproxPercentile _,
-    "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0),
+    "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -349,7 +349,7 @@ object SparkEntry {
     "arr_argmin_axis0" -> ((s, d) => mat(s, d).argminAxis0),
     "arr_argmax_rows" -> ((s, d) => mat(s, d).argmaxAxis1),
     "arr_cumsum_rows" -> ((s, d) => mat(s, d).cumsumAxis1.cells),
-    "arr_cumsum_cols" -> ((s, d) => mat(s, d).cumsumAxis0.cells),
+    "arr_cumsum_cols" -> ((s, d) => mat(s, d).cumsumAxis0().cells),
     "arr_clip" -> ((s, d) => mat(s, d).clip(5.0, 30.0).cells),
     "arr_agg_full" -> ((s, d) => mat(s, d).aggFull),
     // numpy.histogram of the stored values: 8 width-7 bins on [0, 56] —

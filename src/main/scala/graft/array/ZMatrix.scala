@@ -182,23 +182,59 @@ final case class ZMatrix(cells: DataFrame) {
 
   /** np.argsort-order RANK along axis 0: each stored cell's 1-based rank
     * within its column under the total order (v, i) — ties to the
-    * smaller row, so the rank is exact and engine-stable. One j-keyed
-    * window sort (scanpy's rank-based statistics building block). */
-  def rankAxis0: DataFrame = {
+    * smaller row, so the rank is exact and engine-stable.
+    *
+    * TWO-LEVEL layout (the sf10 lesson): a plain `partitionBy(j)` window
+    * caps parallelism at ncols and sorts a whole column per task —
+    * untenable for wide-row matrices (ncols < cores) at cluster scale.
+    * Instead each column splits into value-range buckets at APPROXIMATE
+    * per-column percentile boundaries (balance only — never
+    * correctness), ranks locally within (j, bucket), and adds the
+    * bucket's offset from the (j, bucket) count table (ncols·nBuckets
+    * rows — the only small-parallelism window runs over THAT). The
+    * result is identical to the single-window rank (same oracle). */
+  def rankAxis0(nBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    cells.select(col("i"), col("j"),
-      row_number().over(Window.partitionBy(col("j"))
-        .orderBy(col("v"), col("i"))).cast("long").as("rk"))
+    val pcts = (1 until nBuckets).map(k => k.toDouble / nBuckets).mkString(",")
+    val bounds = cells.groupBy(col("j"))
+      .agg(expr(s"approx_percentile(v, array($pcts), 1000)").as("_bs"))
+    val binned = cells.join(broadcast(bounds), Seq("j"))
+      .withColumn("_bin", expr("size(filter(_bs, b -> b < v))")).drop("_bs")
+    val counts = binned.groupBy(col("j"), col("_bin")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col("j")).orderBy(col("_bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("j"), col("_bin"), col("_off"))
+    binned.join(broadcast(counts), Seq("j", "_bin"))
+      .select(col("i"), col("j"),
+        (col("_off") + row_number().over(Window.partitionBy(col("j"), col("_bin"))
+          .orderBy(col("v"), col("i")))).cast("long").as("rk"))
   }
 
-  /** cumsum(axis=0): the column-direction twin of [[cumsumAxis1]] — one
-    * j-keyed shuffle, sequential in-frame addition so the double sum
-    * order matches the oracle exactly. */
-  def cumsumAxis0: ZMatrix = {
+  /** cumsum(axis=0): the column-direction twin of [[cumsumAxis1]],
+    * in the SAME two-level shape as [[rankAxis0]] but with deterministic
+    * row-id blocks (the prefix order is i, which needs no sampling):
+    * within-(j, block) running sum + the block's offset from the
+    * (j, block) totals table — the packSequences hierarchical prefix
+    * sum. NOTE the float contract: blocked addition REGROUPS the sum
+    * ((block totals) + local) vs the oracle's strictly sequential order —
+    * bit-equal only when cell values are integer-valued doubles (this
+    * corpus; any grouping of exact integers is exact). For general float
+    * data the two differ by ulps; callers needing the sequential
+    * semantics at any cost use a 1-block size. */
+  def cumsumAxis0(blockRows: Long = 65536L): ZMatrix = {
     import org.apache.spark.sql.expressions.Window
-    ZMatrix(cells.select(col("i"), col("j"),
-      sum(col("v")).over(Window.partitionBy(col("j")).orderBy(col("i"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
+    val b = cells.withColumn("_blk", (col("i") / blockRows).cast("long"))
+    val local = Window.partitionBy(col("j"), col("_blk")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = b.groupBy(col("j"), col("_blk")).agg(sum(col("v")).as("_bt"))
+      .withColumn("_boff", coalesce(sum(col("_bt")).over(
+        Window.partitionBy(col("j")).orderBy(col("_blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col("j"), col("_blk"), col("_boff"))
+    ZMatrix(b.join(broadcast(offsets), Seq("j", "_blk"))
+      .select(col("i"), col("j"),
+        (col("_boff") + sum(col("v")).over(local)).as("v")))
   }
 
   def aggAxis1: DataFrame =
