@@ -628,14 +628,48 @@ object Relational {
   def q43WindowFamily(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("cents"), col("o_orderkey"))
-    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.select(col("o_orderkey"), col("o_orderpriority"),
-      round(percent_rank().over(w), 6).as("pr"),
-      round(cume_dist().over(w), 6).as("cd"),
-      first(col("cents")).over(running).as("first_cents"),
-      nth_value(col("cents"), 2).over(running).as("second_cents"))
+    // TWO-LEVEL global rank per priority (the arr_rank_cols shape): a
+    // plain partitionBy(priority) window is 5 tasks each sorting 1/5 of
+    // the fact table — untenable at cluster scale. Value-range buckets
+    // at approximate percentile boundaries (balance only) + offsets from
+    // the tiny (priority, bucket) count table; with the UNIQUE
+    // (cents, orderkey) order the analytics are pure functions of
+    // (rk, n): percent_rank = (rk−1)/(n−1), cume_dist = rk/n — the same
+    // single correctly-rounded divisions the oracle's window functions
+    // compute (hash-equal). first/nth_value over the running frame
+    // reconstruct from the rank-1 and rank-2 rows (a 5-row broadcast).
+    val nBuckets = 32
+    val pcts = (1 until nBuckets).map(k => k.toDouble / nBuckets).mkString(",")
+    val bounds = o.groupBy(col("o_orderpriority"))
+      .agg(expr(s"approx_percentile(cents, array($pcts), 1000)").as("_bs"))
+    val binned = o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("_bin", expr("size(filter(_bs, b -> b < cents))")).drop("_bs")
+    val counts = binned.groupBy(col("o_orderpriority"), col("_bin"))
+      .agg(count(lit(1)).as("_n"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("_bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("o_orderpriority"), col("_bin"), col("_off"))
+    val totals = counts.groupBy(col("o_orderpriority"))
+      .agg(sum(col("_n")).as("_tot"))
+    val ranked = binned.join(broadcast(offs), Seq("o_orderpriority", "_bin"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        (col("_off") + row_number().over(
+          Window.partitionBy(col("o_orderpriority"), col("_bin"))
+            .orderBy(col("cents"), col("o_orderkey")))).as("_rk"))
+    val heads = ranked.filter(col("_rk") <= 2)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(when(col("_rk") === 1, col("cents"))).as("_first"),
+        min(when(col("_rk") === 2, col("cents"))).as("_second"))
+    ranked.join(broadcast(totals), Seq("o_orderpriority"))
+      .join(broadcast(heads), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round((col("_rk") - 1).cast("double") /
+          (col("_tot") - 1).cast("double"), 6).as("pr"),
+        round(col("_rk").cast("double") / col("_tot").cast("double"), 6).as("cd"),
+        col("_first").as("first_cents"),
+        when(col("_rk") >= 2, col("_second")).as("second_cents"))
   }
 
   /** R47 (TPC-H Q11 flavor): important parts — parts whose revenue mass
