@@ -625,19 +625,43 @@ object Relational {
     * ambiguity). Ratios are single divisions of exact integers
     * (PARITY class 2), rounded at 6dp in lockstep with the oracle. One
     * priority-keyed shuffle, no self-joins. */
-  def q43WindowFamily(s: SparkSession, d: String): DataFrame = {
+  def q43WindowFamily(s: SparkSession, d: String): DataFrame =
+    q43WindowFamily(s, d, twoLevelBound = 64L << 20)
+
+  /** `twoLevelBound` exposed so the spec can force the two-level branch
+    * at test scale and pin it row-equal to the plain-window branch. */
+  def q43WindowFamily(s: SparkSession, d: String,
+                      twoLevelBound: Long): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
-    // TWO-LEVEL global rank per priority (the arr_rank_cols shape): a
-    // plain partitionBy(priority) window is 5 tasks each sorting 1/5 of
-    // the fact table — untenable at cluster scale. Value-range buckets
-    // at approximate percentile boundaries (balance only) + offsets from
-    // the tiny (priority, bucket) count table; with the UNIQUE
-    // (cents, orderkey) order the analytics are pure functions of
-    // (rk, n): percent_rank = (rk−1)/(n−1), cume_dist = rk/n — the same
-    // single correctly-rounded divisions the oracle's window functions
-    // compute (hash-equal). first/nth_value over the running frame
-    // reconstruct from the rank-1 and rank-2 rows (a 5-row broadcast).
+    // SIZE-CONDITIONAL layout (the mergeHintIfBig rule): below the bound
+    // a plain partitionBy(priority) window is the cheapest plan (one
+    // sort per priority — measured 7× faster than the multi-pass form at
+    // sf10 local); above it, one task sorting a whole priority partition
+    // is untenable, so the two-level rank takes over. The deciding
+    // number (max rows in one priority) is one cheap 5-row aggregate.
+    val maxPart = o.groupBy(col("o_orderpriority")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxPart <= twoLevelBound) {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return o.select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("cents")).over(running).as("first_cents"),
+        nth_value(col("cents"), 2).over(running).as("second_cents"))
+    }
+    // TWO-LEVEL global rank per priority (the arr_rank_cols shape):
+    // value-range buckets at approximate percentile boundaries (balance
+    // only) + offsets from the tiny (priority, bucket) count table; with
+    // the UNIQUE (cents, orderkey) order the analytics are pure
+    // functions of (rk, n): percent_rank = (rk−1)/(n−1), cume_dist =
+    // rk/n — the same single correctly-rounded divisions the oracle's
+    // window functions compute (hash-equal — RelationalSpec pins the two
+    // paths equal on the same data). first/nth_value over the running
+    // frame reconstruct from the rank-1 and rank-2 rows (a 5-row
+    // broadcast).
     val nBuckets = 32
     val pcts = (1 until nBuckets).map(k => k.toDouble / nBuckets).mkString(",")
     val bounds = o.groupBy(col("o_orderpriority"))

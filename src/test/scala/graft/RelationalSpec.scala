@@ -467,6 +467,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.count(_._5.isEmpty) == byPart.size)
   }
 
+  test("q43 two-level branch is row-equal to the plain-window branch") {
+    def rows(bound: Long) = Relational.q43WindowFamily(spark, sf, bound)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    assert(rows(0L) == rows(Long.MaxValue),
+      "the scale path must produce exactly the small-path result")
+  }
+
   test("q44 important parts: exactly the parts above the exact integer threshold") {
     val all = Tables.lineitem(spark, sf).collect()
       .map(r => r.getAs[Long]("l_partkey") ->
