@@ -193,8 +193,19 @@ final case class ZMatrix(cells: DataFrame) {
     * bucket's offset from the (j, bucket) count table (ncols·nBuckets
     * rows — the only small-parallelism window runs over THAT). The
     * result is identical to the single-window rank (same oracle). */
-  def rankAxis0(nBuckets: Int = 32): DataFrame = {
+  def rankAxis0(nBuckets: Int = 32,
+                twoLevelBound: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // SIZE-CONDITIONAL (the q43 rule): with many small columns the plain
+    // per-column window is already parallel and cheapest; the two-level
+    // form pays off only once one column's cells exceed a task-sized
+    // bound. The decider is one ncols-row aggregate.
+    val maxCol = cells.groupBy(col("j")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxCol <= twoLevelBound)
+      return cells.select(col("i"), col("j"),
+        row_number().over(Window.partitionBy(col("j"))
+          .orderBy(col("v"), col("i"))).cast("long").as("rk"))
     val pcts = (1 until nBuckets).map(k => k.toDouble / nBuckets).mkString(",")
     val bounds = cells.groupBy(col("j"))
       .agg(expr(s"approx_percentile(v, array($pcts), 1000)").as("_bs"))
@@ -222,8 +233,15 @@ final case class ZMatrix(cells: DataFrame) {
     * corpus; any grouping of exact integers is exact). For general float
     * data the two differ by ulps; callers needing the sequential
     * semantics at any cost use a 1-block size. */
-  def cumsumAxis0(blockRows: Long = 65536L): ZMatrix = {
+  def cumsumAxis0(blockRows: Long = 65536L,
+                  twoLevelBound: Long = 64L << 20): ZMatrix = {
     import org.apache.spark.sql.expressions.Window
+    val maxCol = cells.groupBy(col("j")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxCol <= twoLevelBound)
+      return ZMatrix(cells.select(col("i"), col("j"),
+        sum(col("v")).over(Window.partitionBy(col("j")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
     val b = cells.withColumn("_blk", (col("i") / blockRows).cast("long"))
     val local = Window.partitionBy(col("j"), col("_blk")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -861,6 +861,18 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(twice.sameElements(down.cells.collect().map(_.toString).sorted))
   }
 
+  test("rank/cumsum axis-0 two-level branches equal the plain-window branches") {
+    val m = graft.array.ZMatrix.fromLineitem(spark, TestSpark.sf)
+    def keyRk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(keyRk(m.rankAxis0(twoLevelBound = 0L)) ==
+      keyRk(m.rankAxis0(twoLevelBound = Long.MaxValue)))
+    def keyV(z: graft.array.ZMatrix) = z.cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(keyV(m.cumsumAxis0(twoLevelBound = 0L)) ==
+      keyV(m.cumsumAxis0(twoLevelBound = Long.MaxValue)))
+  }
+
   test("digitize: numpy right=False semantics on a hand-checked fixture") {
     import spark.implicits._
     // edges 10,20,30,40: below-first → 0, [10,20) → 1, at-edge → next bin,
