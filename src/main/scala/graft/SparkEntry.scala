@@ -849,6 +849,10 @@ object SparkEntry {
     // md5(canon) grouping keeps the shuffle digest-sized
     "dedup_canonical" -> ((s, d) =>
       Dedup.canonicalDedup(Tables.documents(s, d), "doc_id", "text")),
+    // staged cascade with reason codes (L30): exact → canonical →
+    // simhash-identical, each stage over the previous stage's survivors
+    "dedup_cascade" -> ((s, d) =>
+      Dedup.dedupCascade(Tables.documents(s, d), "doc_id", "text")),
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
@@ -2814,6 +2818,34 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_cascade" ->
+      (s"WITH ${simhashFpCtes()},\n" +
+      """e AS (SELECT doc_id, md5(text) AS h1,
+        |  CASE WHEN trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) <> ''
+        |  THEN md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) END AS h2
+        |  FROM documents),
+        |k1 AS (SELECT h1, min(doc_id) AS kk1 FROM e GROUP BY 1),
+        |s1 AS (SELECT e.doc_id, e.h2, e.doc_id <> k1.kk1 AS d1
+        |       FROM e JOIN k1 USING (h1)),
+        |k2 AS (SELECT h2, min(doc_id) AS kk2 FROM s1
+        |       WHERE NOT d1 AND h2 IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT s1.doc_id, s1.d1,
+        |  coalesce(NOT s1.d1 AND s1.h2 IS NOT NULL AND s1.doc_id <> k2.kk2,
+        |           false) AS d2
+        |  FROM s1 LEFT JOIN k2 USING (h2)),
+        |s2f AS (SELECT s2.*, fp.simhash FROM s2 LEFT JOIN fp USING (doc_id)),
+        |k3 AS (SELECT simhash, min(doc_id) AS kk3 FROM s2f
+        |       WHERE NOT d1 AND NOT d2 AND simhash IS NOT NULL GROUP BY 1),
+        |s3 AS (SELECT s2f.doc_id, s2f.d1, s2f.d2,
+        |  coalesce(NOT s2f.d1 AND NOT s2f.d2 AND s2f.simhash IS NOT NULL
+        |    AND s2f.doc_id <> k3.kk3, false) AS d3
+        |  FROM s2f LEFT JOIN k3 USING (simhash))
+        |SELECT doc_id, NOT (d1 OR d2 OR d3) AS kept,
+        |  CASE WHEN d1 THEN 'exact' WHEN d2 THEN 'canonical'
+        |       WHEN d3 THEN 'near' ELSE 'kept' END AS reason
+        |FROM s3""".stripMargin),
     "dedup_canonical" ->
       """WITH c AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),

@@ -378,6 +378,45 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** L30: the staged dedup CASCADE with per-document reason codes — the
+    * keep/drop decision table a curation pipeline actually ships:
+    * stage 1 exact (md5 of the raw text), stage 2 canonicalization
+    * (case/punct/whitespace collapse, empty canonicals exempt), stage 3
+    * simhash-identical (Hamming 0 — the SQL-expressible slice of the
+    * near-dup family; banded Hamming ≤ 3 stays in [[simhashPairs]]).
+    * Each stage sees only the previous stage's SURVIVORS (a doc dropped
+    * as `exact` never contests a canonical group), keeper = min doc_id.
+    * Returns (doc_id, kept, reason ∈ kept|exact|canonical|near). Three
+    * digest-keyed aggregates — shuffles carry hashes, not documents. */
+  def dedupCascade(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("_text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val e = base.withColumn("_h1", md5(col("_text").cast("binary")))
+      .withColumn("_h2", when(canon =!= "", md5(canon.cast("binary"))))
+      .drop("_text")
+    val k1 = e.groupBy(col("_h1")).agg(min(col("doc_id")).as("_k1"))
+    val s1 = e.join(k1, Seq("_h1"))
+      .withColumn("_d1", col("doc_id") =!= col("_k1"))
+    val k2 = s1.filter(!col("_d1") && col("_h2").isNotNull)
+      .groupBy(col("_h2")).agg(min(col("doc_id")).as("_k2"))
+    val s2 = s1.join(k2, Seq("_h2"), "left")
+      .withColumn("_d2", coalesce(!col("_d1") && col("_h2").isNotNull &&
+        col("doc_id") =!= col("_k2"), lit(false)))
+    val fp = simhash(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"))
+    val s2f = s2.join(fp, Seq("doc_id"), "left")
+    val k3 = s2f.filter(!col("_d1") && !col("_d2") && col("simhash").isNotNull)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("_k3"))
+    s2f.join(k3, Seq("simhash"), "left")
+      .withColumn("_d3", coalesce(!col("_d1") && !col("_d2") &&
+        col("simhash").isNotNull && col("doc_id") =!= col("_k3"), lit(false)))
+      .select(col("doc_id"),
+        (!(col("_d1") || col("_d2") || col("_d3"))).as("kept"),
+        when(col("_d1"), "exact").when(col("_d2"), "canonical")
+          .when(col("_d3"), "near").otherwise("kept").as("reason"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3):
     * pigeonhole on 4×15-bit blocks — a pair within distance 3 must agree on
     * at least one block, so the bucket join covers all such pairs.

@@ -239,6 +239,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupCascade: stage precedence and reason codes on a planted fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),      // keeper of the exact group {1,2}
+      (2L, "alpha beta gamma"),      // exact dup of 1
+      (3L, "Alpha,  BETA gamma!"),   // canonical dup of 1 (survives exact)
+      (4L, "totally different words here"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "unique snowflake content")
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.dedupCascade(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((true, "kept")))
+    assert(out(2L) == ((false, "exact")), "exact wins over canonical")
+    assert(out(3L) == ((false, "canonical")), "canonical stage sees exact survivors")
+    assert(out(4L)._1 && out(6L)._1)
+    // every doc classified exactly once; reasons drawn from the code set
+    assert(out.size == 6)
+    assert(out.values.map(_._2).forall(Set("kept", "exact", "canonical", "near")))
+    // determinism
+    val again = ops.Dedup.dedupCascade(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(again == out)
+  }
+
   test("canonicalDedup: case/punct/whitespace variants collapse; distinct texts survive") {
     import spark.implicits._
     val docs = Seq(
