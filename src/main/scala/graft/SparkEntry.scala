@@ -277,6 +277,9 @@ object SparkEntry {
     // quantile sketch (R49): rows-only — sketch internals aren't SQL;
     // RelationalSpec bounds it against q15's exact percentiles
     "q46_approx_percentile" -> Relational.q46ApproxPercentile _,
+    // R50: dense daily regrid per event_type with integer linear
+    // interpolation of the gap days — all-BIGINT, class-1 parity
+    "q47_resample" -> Relational.q47Resample _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -954,6 +957,17 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.modularity(mut, Similarity.labelPropagate(mut, rounds = 10))
     }),
+    // per-node triangle counts on the shard's mutual-kNN graph (the
+    // local-clustering-coefficient numerator): degree-ordered
+    // orientation, each triangle enumerated once — oracle-checked
+    // end-to-end against the canonical three-way mut self-join
+    "graph_triangles" -> ((s, d) => {
+      // the edge set feeds degree, orientation AND the closing-edge
+      // probe — checkpoint so the kNN scoring lineage runs once
+      Similarity.triangleCounts(
+        Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+          .localCheckpoint())
+    }),
     // full-corpus clustering scale path (the L6c/L7e shard/full pattern):
     // IVF-bucketed kNN edges over EVERY vector → mutual restriction →
     // label propagation. No oracle (IVF training isn't SQL) — determinism
@@ -1249,6 +1263,11 @@ object SparkEntry {
     // the next-order LM signal: add-one bigram NLL, same integer-snapped
     // exactness contract as the unigram form
     "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
+    // L31: one-pass Naive Bayes classifier (the fastText-filter family's
+    // closed-form member) — supervised langid over the corpus's own
+    // labels, every log-prob an exact LnFix micro-nat integer
+    "text_classify" -> ((s, d) =>
+      TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     // PCA-whitening of the embedding space (decorrelate + unit variances —
@@ -2044,6 +2063,37 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
         |  AS BIGINT) AS rk FROM m""".stripMargin,
+    // dense per-type day grid via a recursive CTE (this DuckDB build has
+    // no lateral generate_series); value domain is strictly positive so
+    // Spark `div` and DuckDB `//` agree on the interpolation quotient
+    "q47_resample" ->
+      """WITH RECURSIVE
+        |p AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM p GROUP BY 1),
+        |grid(event_type, day) AS (
+        |  SELECT event_type, lo FROM sp
+        |  UNION ALL
+        |  SELECT g.event_type, g.day + 1 FROM grid g JOIN sp USING (event_type)
+        |  WHERE g.day < sp.hi),
+        |j AS (SELECT g.event_type, g.day, p.v
+        |      FROM grid g LEFT JOIN p USING (event_type, day)),
+        |w AS (SELECT event_type, day, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CAST(coalesce(v, (pv * (nd - day) + nv * (day - pd)) // (nd - pd))
+        |    AS BIGINT) AS cents,
+        |  (v IS NULL) AS filled
+        |FROM w""".stripMargin,
     "q45_small_qty_revenue" ->
       """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
@@ -2947,6 +2997,38 @@ object SparkEntry {
         |SELECT doc_id, sum(tf) AS n_tok,
         |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll_micro
         |FROM tf JOIN lmf USING (token) GROUP BY doc_id""".stripMargin,
+    // L31 Naive Bayes: three LnFix chains (per-(label,token) cost,
+    // per-label unseen fallback, per-label prior), argmin with the
+    // (score, label) tie-break mirrored by ORDER BY score, label
+    "text_classify" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |            FROM documents),
+        |lab AS (SELECT doc_id, lang AS label FROM documents),
+        |ltok AS (SELECT t.doc_id, l.label, t.token FROM tok t JOIN lab l USING (doc_id)),
+        |cnt AS (SELECT label, token, count(*) AS c FROM ltok GROUP BY 1, 2),
+        |tot AS (SELECT label, sum(c) AS t FROM cnt GROUP BY 1),
+        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |csrc AS (SELECT label, token, c, t, v FROM cnt JOIN tot USING (label) CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("nb", "csrc", Seq("label", "token"), "c + 1", "t + v", "cost")},
+        |fsrc AS (SELECT label, t, v FROM tot CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("fb", "fsrc", Seq("label"), "1", "t + v", "fbc")},
+        |psrc AS (SELECT label, count(*) AS dn,
+        |         (SELECT count(*) FROM documents) AS dt FROM lab GROUP BY 1),
+        |${graft.functions.LnFix.oracleCtes("pr", "psrc", Seq("label"), "dn", "dt", "prior")},
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cand AS (SELECT tf.doc_id, p.label, tf.token, tf.tf
+        |         FROM tf CROSS JOIN (SELECT label FROM prf) p),
+        |sc AS (SELECT cand.doc_id, cand.label,
+        |         sum(cand.tf * coalesce(n.cost, f.fbc)) AS s
+        |       FROM cand LEFT JOIN nbf n
+        |         ON n.label = cand.label AND n.token = cand.token
+        |       JOIN fbf f ON f.label = cand.label GROUP BY 1, 2),
+        |fin AS (SELECT sc.doc_id, sc.label, sc.s + p.prior AS score,
+        |        row_number() OVER (PARTITION BY sc.doc_id
+        |          ORDER BY sc.s + p.prior, sc.label) AS rk
+        |        FROM sc JOIN prf p USING (label))
+        |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
+        |FROM fin WHERE rk = 1""".stripMargin,
     "report_drift" ->
       s"""WITH q AS ($qualitySql),
          |d AS (SELECT doc_id, source FROM documents),
@@ -3052,6 +3134,19 @@ object SparkEntry {
         |SELECT round(CAST(4 * mm.m * inw.inw - t2.t2 AS DOUBLE) /
         |             CAST(4 * mm.m * mm.m AS DOUBLE), 6) + 0 AS q_mod
         |FROM inw CROSS JOIN t2 CROSS JOIN mm""".stripMargin),
+    // triangles enumerated once each from the canonical id1<id2 edge
+    // form (a<b<c by construction); per-node count = 3-way unnest
+    "graph_triangles" -> (graphEdgesSqlPrefix + ",\n" +
+      """tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+        |  FROM mut e1 JOIN mut e2 ON e2.id1 = e1.id2
+        |  JOIN mut e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+        |tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |       UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, count(*) AS t FROM tn GROUP BY 1),
+        |dg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1)
+        |SELECT dg.node, CAST(dg.dg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.t, 0) AS BIGINT) AS tri
+        |FROM dg LEFT JOIN tc USING (node)""".stripMargin),
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

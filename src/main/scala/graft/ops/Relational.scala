@@ -747,6 +747,49 @@ object Relational {
         col("approx_pcts")(1).as("p50"),
         col("approx_pcts")(2).as("p75"))
 
+  /** R50/q47: time-series RESAMPLE with gap interpolation — the
+    * regularization step every downstream forecaster/monitor needs: per
+    * event_type, the daily cents total on a DENSE day grid spanning that
+    * type's [min_day, max_day], absent days filled by LINEAR
+    * interpolation between the nearest present neighbors. All-integer
+    * arithmetic (PARITY class 1): days are epoch//86400, values exact
+    * cents, and the interpolation (v_prev·(next−d) + v_next·(d−prev))
+    * div (next−prev) is one BIGINT floor division. Shapes: one fact
+    * aggregate, a per-type 2-long span aggregate whose `sequence()`
+    * explode materializes only grid rows (span-sized, not fact-sized),
+    * and two windows over the grid (prev/next non-null carry via
+    * last/first ignoreNulls) — per-type partitions, no driver loop.
+    * Endpoints are always present (the span is defined BY present
+    * days), so interpolation never extrapolates. */
+  def q47Resample(s: SparkSession, d: String): DataFrame = {
+    val present = events(s, d)
+      .select(expr("unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400").as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_cents")).as("_v"))
+    val grid = present.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(col("event_type"),
+        explode(sequence(col("_lo"), col("_hi"))).as("day"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(present, Seq("event_type", "day"), "left_outer")
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pd", last(when(col("_v").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nd", first(when(col("_v").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("day"),
+        coalesce(col("_v"),
+          expr("(_pv * (_nd - day) + _nv * (day - _pd)) div (_nd - _pd)"))
+          .as("cents"),
+        col("_v").isNull.as("filled"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

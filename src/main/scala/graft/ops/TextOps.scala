@@ -309,6 +309,62 @@ object TextOps {
         expr("_s div n_tok").as("nll_micro"))
   }
 
+  /** L31: multinomial Naive Bayes text classifier — the linear
+    * bag-of-words family fastText-style curation filters (quality
+    * classifiers, supervised langid) live in, in its one-pass
+    * closed-form member: training IS a single (label, token) count
+    * aggregate, so the whole train+score chain is deterministic,
+    * iteration-free, and SQL-expressible. Add-one smoothing; all
+    * log-probabilities are EXACT integer micro-nat costs from the
+    * shared [[graft.functions.LnFix]] series (PARITY class 1 — no libm
+    * on either engine). Per doc, per label c:
+    *   cost(c) = −ln P(c) + Σ_tok tf · −ln P(tok|c),
+    * unseen (label, token) pairs falling back to the per-label constant
+    * −ln(1/(T_c+V)); prediction = argmin cost, ties to the smaller
+    * label. Scale shape: the model is a vocab×nlabels cost table joined
+    * token-keyed to doc term frequencies (one shuffle join), the label
+    * dimension a broadcast; nothing collects — priors/fallbacks are
+    * label-sized frames. Returns (doc_id, pred, cost_micro). */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("_text"), col(labelCol).as("_label"))
+    val toks = base.select(col("doc_id"), col("_label"),
+      explode(split(trim(col("_text")), "\\s+")).as("token"))
+    val cnt = toks.groupBy(col("_label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val v = toks.agg(countDistinct(col("token"))).head().getLong(0)
+    val tot = cnt.groupBy(col("_label")).agg(sum(col("c")).as("_t"))
+    // per-(label, token) cost, vocab-sized; LnFix appends the snap column
+    val cost = graft.functions.LnFix.withNegLnMicro(
+        cnt.join(tot, Seq("_label")), "c + 1", s"_t + $v", "_cost")
+      .select(col("_label"), col("token"), col("_cost"))
+    // per-label unseen-token fallback and prior — label-sized frames
+    val fb = graft.functions.LnFix.withNegLnMicro(
+      tot, "1", s"_t + $v", "_fb").select(col("_label"), col("_fb"))
+    val dn = base.groupBy(col("_label")).agg(count(lit(1)).as("_dn"))
+    val dt = base.count()
+    val prior = graft.functions.LnFix.withNegLnMicro(
+      dn, "_dn", dt.toString, "_prior").select(col("_label"), col("_prior"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // score every doc against every label: the label frame is the tiny
+    // side — an explicit broadcast cross join, nlabels× fanout only
+    val cand = tf.crossJoin(broadcast(prior.select(col("_label"))))
+    val scored = cand
+      .join(cost, Seq("_label", "token"), "left_outer")
+      .join(broadcast(fb), Seq("_label"))
+      .groupBy(col("doc_id"), col("_label"))
+      .agg(sum(col("tf") * coalesce(col("_cost"), col("_fb"))).as("_s"))
+      .join(broadcast(prior), Seq("_label"))
+      .select(col("doc_id"), col("_label"),
+        (col("_s") + col("_prior")).as("_score"))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct(col("_score"), col("_label"))).as("_top"))
+      .select(col("doc_id"), col("_top._label").as("pred"),
+        col("_top._score").as("cost_micro"))
+  }
+
   /** Per-source dataset card (the report a curation pipeline publishes with
     * a training mix): doc/token counts, quality mass, language diversity.
     * Composes [[quality]] and [[langId]] relationally (joins on doc_id) and

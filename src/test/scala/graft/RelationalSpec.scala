@@ -528,4 +528,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nonUrgent,
       "k-weighted counts must cover every non-urgent order")
   }
+
+  test("q47Resample: dense grid, exact integer interpolation, endpoints present") {
+    val rows = ops.Relational.q47Resample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val days = rs.map(_._2).sorted
+      // dense: every day between min and max present exactly once
+      assert(days.sameElements(days.head to days.last),
+        s"$t grid must be dense")
+      // endpoints are real observations, never interpolated
+      val m = rs.map(r => r._2 -> r._4).toMap
+      assert(!m(days.head) && !m(days.last), s"$t endpoints must be present")
+    }
+    // filled rows sit strictly between their neighbors' values when the
+    // segment is monotone (linear interpolation property); always within
+    // the [min, max] of the two anchor values
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      for (i <- sorted.indices if sorted(i)._4) {
+        val prev = sorted.take(i).filter(!_._4).lastOption
+        val next = sorted.drop(i + 1).find(!_._4)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val (lo, hi) = (math.min(p._3, n._3), math.max(p._3, n._3))
+            assert(sorted(i)._3 >= lo - 1 && sorted(i)._3 <= hi,
+              s"interpolated value out of anchor range at ${sorted(i)}")
+          case _ => fail("filled row without both anchors")
+        }
+      }
+    }
+    // the present (unfilled) rows agree with a direct aggregate
+    val present = rows.filter(!_._4).map(r => (r._1, r._2) -> r._3).toMap
+    val direct = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(present == direct)
+  }
 }

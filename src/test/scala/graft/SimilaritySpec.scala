@@ -945,4 +945,32 @@ class SimilaritySpec extends AnyFunSuite {
     val total = got.values.sum
     assert(total <= scale && total > scale - 100L * n)
   }
+
+  test("triangleCounts: planted K4 + pendant path; hub star has zero triangles") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
+    val mut = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("id1", "id2")
+    val got = Similarity.triangleCounts(mut)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (3L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L),
+      4L -> (4L, 3L), 5L -> (2L, 0L), 6L -> (1L, 0L)))
+
+    // star around a hub: max skew, no triangle; the degree-ordered
+    // orientation points every edge AT the hub, so the hub generates
+    // zero wedges (the Schank/Wagner bound in its extreme case)
+    val star = (2L to 40L).map(i => (1L, i)).toDF("id1", "id2")
+    val s = Similarity.triangleCounts(star)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s(1L) == (39L, 0L) && (2L to 40L).forall(i => s(i) == (1L, 0L)))
+
+    // determinism + the handshake identity Σ tri = 3 · #triangles
+    val again = Similarity.triangleCounts(mut)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+    assert(got.values.map(_._2).sum == 3 * 4)
+  }
 }

@@ -373,4 +373,31 @@ class TextOpsSpec extends AnyFunSuite {
     val chars1 = "abababababcdcd".length // doc 1 without spaces
     assert(toks(1L) <= chars1 && toks(1L) >= 5, s"doc1 count ${toks(1L)}")
   }
+
+  test("naiveBayes: separable vocabularies classify exactly; deterministic on the corpus") {
+    import spark.implicits._
+    // two classes with disjoint vocabularies, one doc of each unseen mix
+    val docs = Seq(
+      (1L, "apfel birne kirsche apfel", "de"),
+      (2L, "birne apfel apfel birne kirsche", "de"),
+      (3L, "apple pear cherry apple", "en"),
+      (4L, "pear apple cherry cherry", "en"),
+      (5L, "apfel apfel birne", "de"),
+      (6L, "apple cherry pear pear", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.naiveBayes(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "de", 3L -> "en", 4L -> "en",
+      5L -> "de", 6L -> "en"))
+
+    // determinism on the real corpus slice
+    val corpus = Tables.documents(spark, TestSpark.sf).limit(50)
+    val a = TextOps.naiveBayes(corpus, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = TextOps.naiveBayes(corpus, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // costs are positive micro-nats, bounded far under BIGINT
+    assert(a.forall(t => t._3 > 0 && t._3 < 1e15.toLong))
+  }
 }
