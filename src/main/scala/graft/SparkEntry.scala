@@ -280,6 +280,9 @@ object SparkEntry {
     // R50: dense daily regrid per event_type with integer linear
     // interpolation of the gap days — all-BIGINT, class-1 parity
     "q47_resample" -> Relational.q47Resample _,
+    // R51: SCD2 dimension-history build (lag change detection → run ids
+    // → lead validity intervals), sentinel-closed current versions
+    "q48_scd2" -> Relational.q48Scd2 _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -341,6 +344,7 @@ object SparkEntry {
     // numpy quantile(axis=0): quartiles of every column from ONE
     // sort-per-group aggregate (percentile's array form)
     "arr_quantile_axis0" -> ((s, d) => mat(s, d).quantileAxis0(Seq(0.25, 0.5, 0.75))),
+    "arr_quantile_axis1" -> ((s, d) => mat(s, d).quantileAxis1(Seq(0.25, 0.5, 0.75))),
     "arr_minmax_axis0" -> ((s, d) => {
       val m = mat(s, d)
       m.minAxis0.withColumnRenamed("v", "min_v")
@@ -859,6 +863,12 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
+    // L32: EXACT similarity join (prefix filtering) — the zero-recall-loss
+    // counterpart of the minhash candidates above, same 3-gram shingles;
+    // integer cross-multiply threshold, full DuckDB oracle
+    "dedup_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoin(Tables.documents(s, d), "doc_id", "text",
+        minJaccardPct = 50, shingle = 3)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
     // cross-document duplicated 8-gram spans: the per-doc duplicated
     // fraction (filter signal) and the keep-first span removal rewrite
@@ -1415,6 +1425,10 @@ object SparkEntry {
     // stream-STATIC broadcast join: ingest-edge decontamination against a
     // static benchmark fingerprint set (stateless — no watermark/state)
     "stream_contamination" -> ((s, d) => Stream.contaminationStream(s, d)),
+    // S17: classifier ADMISSION at the ingest edge — the L31 model as a
+    // collected map literal, scored statelessly per row; bit-equal to
+    // batch text_classify, so the oracle is shared
+    "stream_classify" -> ((s, d) => Stream.classifyStream(s, d)),
     // streaming → Zarr incremental array ingestion: time-banded
     // micro-batches append chunk-aligned slabs via the DSv2 append mode;
     // the final store reads back dense against a DuckDB grid twin
@@ -1495,6 +1509,36 @@ object SparkEntry {
        |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents))""".stripMargin
   }
+
+  private val nbClassifySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |            FROM documents),
+        |lab AS (SELECT doc_id, lang AS label FROM documents),
+        |ltok AS (SELECT t.doc_id, l.label, t.token FROM tok t JOIN lab l USING (doc_id)),
+        |cnt AS (SELECT label, token, count(*) AS c FROM ltok GROUP BY 1, 2),
+        |tot AS (SELECT label, sum(c) AS t FROM cnt GROUP BY 1),
+        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |csrc AS (SELECT label, token, c, t, v FROM cnt JOIN tot USING (label) CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("nb", "csrc", Seq("label", "token"), "c + 1", "t + v", "cost")},
+        |fsrc AS (SELECT label, t, v FROM tot CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("fb", "fsrc", Seq("label"), "1", "t + v", "fbc")},
+        |psrc AS (SELECT label, count(*) AS dn,
+        |         (SELECT count(*) FROM documents) AS dt FROM lab GROUP BY 1),
+        |${graft.functions.LnFix.oracleCtes("pr", "psrc", Seq("label"), "dn", "dt", "prior")},
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cand AS (SELECT tf.doc_id, p.label, tf.token, tf.tf
+        |         FROM tf CROSS JOIN (SELECT label FROM prf) p),
+        |sc AS (SELECT cand.doc_id, cand.label,
+        |         sum(cand.tf * coalesce(n.cost, f.fbc)) AS s
+        |       FROM cand LEFT JOIN nbf n
+        |         ON n.label = cand.label AND n.token = cand.token
+        |       JOIN fbf f ON f.label = cand.label GROUP BY 1, 2),
+        |fin AS (SELECT sc.doc_id, sc.label, sc.s + p.prior AS score,
+        |        row_number() OVER (PARTITION BY sc.doc_id
+        |          ORDER BY sc.s + p.prior, sc.label) AS rk
+        |        FROM sc JOIN prf p USING (label))
+        |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
+        |FROM fin WHERE rk = 1""".stripMargin
 
   private val qualitySql: String =
     """WITH s AS (SELECT doc_id,
@@ -2063,6 +2107,24 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
         |  AS BIGINT) AS rk FROM m""".stripMargin,
+    "q48_scd2" ->
+      """WITH e AS (SELECT o_custkey AS custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    o_orderkey AS ok, o_orderpriority AS prio FROM orders),
+        |c AS (SELECT custkey, day, ok, prio,
+        |    CASE WHEN lag(prio) OVER w IS NULL OR lag(prio) OVER w <> prio
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY custkey ORDER BY day, ok)),
+        |r AS (SELECT custkey, day, prio,
+        |    sum(chg) OVER (PARTITION BY custkey ORDER BY day, ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM c),
+        |v AS (SELECT custkey, run, min(prio) AS prio, min(day) AS valid_from
+        |      FROM r GROUP BY 1, 2)
+        |SELECT custkey, CAST(run AS BIGINT) AS version, prio, valid_from,
+        |  coalesce(lead(valid_from) OVER (PARTITION BY custkey ORDER BY run),
+        |           99999999) AS valid_to_excl
+        |FROM v""".stripMargin,
     // dense per-type day grid via a recursive CTE (this DuckDB build has
     // no lateral generate_series); value domain is strictly positive so
     // Spark `div` and DuckDB `//` agree on the interpolation quotient
@@ -2618,6 +2680,13 @@ object SparkEntry {
         |  round(quantile_cont(v, 0.5), 4) + 0 AS q50,
         |  round(quantile_cont(v, 0.75), 4) + 0 AS q75
         |FROM m GROUP BY 1""".stripMargin,
+    "arr_quantile_axis1" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, round(quantile_cont(v, 0.25), 4) + 0 AS q25,
+        |  round(quantile_cont(v, 0.5), 4) + 0 AS q50,
+        |  round(quantile_cont(v, 0.75), 4) + 0 AS q75
+        |FROM m GROUP BY 1""".stripMargin,
     "q20_above_avg" ->
       """WITH p AS (SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
         |b AS (SELECT p_brand AS bb, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS bn
@@ -2896,6 +2965,23 @@ object SparkEntry {
         |  CASE WHEN d1 THEN 'exact' WHEN d2 THEN 'canonical'
         |       WHEN d3 THEN 'near' ELSE 'kept' END AS reason
         |FROM s3""".stripMargin),
+    // all-pairs-free on the Spark side (prefix filter); the oracle CAN
+    // afford the shared-shingle pair join at gate scale — identical sets
+    "dedup_jaccard_join" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
+        |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |       FROM sh a JOIN sh b USING (token)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT pr.id1, pr.id2, CAST(pr.inter AS BIGINT) AS inter,
+        |  CAST(s1.sz + s2.sz - pr.inter AS BIGINT) AS uni
+        |FROM pr JOIN sz s1 ON s1.doc_id = pr.id1
+        |        JOIN sz s2 ON s2.doc_id = pr.id2
+        |WHERE pr.inter * 100 >= 50 * (s1.sz + s2.sz - pr.inter)""".stripMargin,
     "dedup_canonical" ->
       """WITH c AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
@@ -3000,35 +3086,10 @@ object SparkEntry {
     // L31 Naive Bayes: three LnFix chains (per-(label,token) cost,
     // per-label unseen fallback, per-label prior), argmin with the
     // (score, label) tie-break mirrored by ORDER BY score, label
-    "text_classify" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-        |            FROM documents),
-        |lab AS (SELECT doc_id, lang AS label FROM documents),
-        |ltok AS (SELECT t.doc_id, l.label, t.token FROM tok t JOIN lab l USING (doc_id)),
-        |cnt AS (SELECT label, token, count(*) AS c FROM ltok GROUP BY 1, 2),
-        |tot AS (SELECT label, sum(c) AS t FROM cnt GROUP BY 1),
-        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
-        |csrc AS (SELECT label, token, c, t, v FROM cnt JOIN tot USING (label) CROSS JOIN vs),
-        |${graft.functions.LnFix.oracleCtes("nb", "csrc", Seq("label", "token"), "c + 1", "t + v", "cost")},
-        |fsrc AS (SELECT label, t, v FROM tot CROSS JOIN vs),
-        |${graft.functions.LnFix.oracleCtes("fb", "fsrc", Seq("label"), "1", "t + v", "fbc")},
-        |psrc AS (SELECT label, count(*) AS dn,
-        |         (SELECT count(*) FROM documents) AS dt FROM lab GROUP BY 1),
-        |${graft.functions.LnFix.oracleCtes("pr", "psrc", Seq("label"), "dn", "dt", "prior")},
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |cand AS (SELECT tf.doc_id, p.label, tf.token, tf.tf
-        |         FROM tf CROSS JOIN (SELECT label FROM prf) p),
-        |sc AS (SELECT cand.doc_id, cand.label,
-        |         sum(cand.tf * coalesce(n.cost, f.fbc)) AS s
-        |       FROM cand LEFT JOIN nbf n
-        |         ON n.label = cand.label AND n.token = cand.token
-        |       JOIN fbf f ON f.label = cand.label GROUP BY 1, 2),
-        |fin AS (SELECT sc.doc_id, sc.label, sc.s + p.prior AS score,
-        |        row_number() OVER (PARTITION BY sc.doc_id
-        |          ORDER BY sc.s + p.prior, sc.label) AS rk
-        |        FROM sc JOIN prf p USING (label))
-        |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
-        |FROM fin WHERE rk = 1""".stripMargin,
+    "text_classify" -> nbClassifySql,
+    // S17 scores the SAME model statelessly at the ingest edge and is
+    // bit-equal to the batch query — one oracle, two execution shapes
+    "stream_classify" -> nbClassifySql,
     "report_drift" ->
       s"""WITH q AS ($qualitySql),
          |d AS (SELECT doc_id, source FROM documents),

@@ -121,7 +121,14 @@ final case class ZMatrix(cells: DataFrame) {
     * aggregate pass (percentile's array form sorts each group once, not
     * once per q). Output columns `q25`-style, 4dp-rounded for
     * deterministic cross-engine ranking. */
-  def quantileAxis0(qs: Seq[Double]): DataFrame = {
+  def quantileAxis0(qs: Seq[Double]): DataFrame = quantileBy("j", qs)
+
+  /** numpy quantile(axis=1): the per-ROW twin of [[quantileAxis0]] —
+    * same one-aggregate array-percentile pass, grouped by i. Same
+    * stored-cells caveat. */
+  def quantileAxis1(qs: Seq[Double]): DataFrame = quantileBy("i", qs)
+
+  private def quantileBy(group: String, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1], got $qs")
     // exact-decimal labels (q25, q12_5): a percent-ROUNDED label would
@@ -133,8 +140,8 @@ final case class ZMatrix(cells: DataFrame) {
     require(labels.distinct.size == labels.size,
       s"duplicate quantiles produce duplicate columns: $qs")
     val arr = qs.mkString("array(", ", ", ")")
-    cells.groupBy(col("j")).agg(expr(s"percentile(v, $arr)").as("_qs"))
-      .select(col("j") +: qs.zip(labels).zipWithIndex.map { case ((_, label), ix) =>
+    cells.groupBy(col(group)).agg(expr(s"percentile(v, $arr)").as("_qs"))
+      .select(col(group) +: qs.zip(labels).zipWithIndex.map { case ((_, label), ix) =>
         (round(element_at(col("_qs"), ix + 1), 4) + 0.0).as(label)
       }: _*)
   }

@@ -790,6 +790,35 @@ object Relational {
         col("_v").isNull.as("filled"))
   }
 
+  /** R51/q48: TYPE-2 slowly-changing-dimension history build (the
+    * warehouse MERGE/SCD2 pattern): per customer, the versioned history
+    * of their order priority — consecutive equal observations collapse
+    * into one validity interval [valid_from, valid_to_excl), the open
+    * current version carrying the 99999999 end-of-time sentinel (NULL
+    * stays out of the hash compare). Change detection is one lag window,
+    * run-ids one conditional prefix sum, intervals one lead window — all
+    * partitioned by customer (dimension-keyed, no global sort), so the
+    * build is two customer-keyed shuffles at any scale. All integer
+    * days; deterministic (day, orderkey) event order. */
+  def q48Scd2(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d).select(col("o_custkey").as("custkey"),
+      expr("unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) div 86400").as("day"),
+      col("o_orderkey").as("ok"), col("o_orderpriority").as("prio"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("day"), col("ok"))
+    val runs = e
+      .withColumn("_chg", when(lag(col("prio"), 1).over(w).isNull ||
+        lag(col("prio"), 1).over(w) =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("custkey"), col("_run"))
+      .agg(min(col("prio")).as("prio"), min(col("day")).as("valid_from"))
+    val w2 = Window.partitionBy(col("custkey")).orderBy(col("_run"))
+    runs.select(col("custkey"), col("_run").as("version"), col("prio"),
+      col("valid_from"),
+      coalesce(lead(col("valid_from"), 1).over(w2), lit(99999999L))
+        .as("valid_to_excl"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -309,24 +309,13 @@ object TextOps {
         expr("_s div n_tok").as("nll_micro"))
   }
 
-  /** L31: multinomial Naive Bayes text classifier — the linear
-    * bag-of-words family fastText-style curation filters (quality
-    * classifiers, supervised langid) live in, in its one-pass
-    * closed-form member: training IS a single (label, token) count
-    * aggregate, so the whole train+score chain is deterministic,
-    * iteration-free, and SQL-expressible. Add-one smoothing; all
-    * log-probabilities are EXACT integer micro-nat costs from the
-    * shared [[graft.functions.LnFix]] series (PARITY class 1 — no libm
-    * on either engine). Per doc, per label c:
-    *   cost(c) = −ln P(c) + Σ_tok tf · −ln P(tok|c),
-    * unseen (label, token) pairs falling back to the per-label constant
-    * −ln(1/(T_c+V)); prediction = argmin cost, ties to the smaller
-    * label. Scale shape: the model is a vocab×nlabels cost table joined
-    * token-keyed to doc term frequencies (one shuffle join), the label
-    * dimension a broadcast; nothing collects — priors/fallbacks are
-    * label-sized frames. Returns (doc_id, pred, cost_micro). */
-  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String): DataFrame = {
+  /** The trained-model frames behind [[naiveBayes]]: per-(label, token)
+    * micro-nat costs, per-label unseen fallbacks, per-label priors —
+    * shared by the batch scorer (join form) and the streaming serving
+    * path (collected literal form). */
+  private def nbFrames(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("_text"), col(labelCol).as("_label"))
     val toks = base.select(col("doc_id"), col("_label"),
@@ -346,6 +335,53 @@ object TextOps {
     val dt = base.count()
     val prior = graft.functions.LnFix.withNegLnMicro(
       dn, "_dn", dt.toString, "_prior").select(col("_label"), col("_prior"))
+    (toks, cost, fb, prior)
+  }
+
+  /** The SERVING form of the model: (label, prior, fallback, token→cost)
+    * per label, with the vocabulary CAPPED to the `vocabCap` most
+    * frequent tokens (count desc, token asc tie-break) — how a
+    * production quality/langid filter bounds model size; out-of-model
+    * tokens score the per-label unseen fallback. Collected to the driver
+    * (model-sized, the ivfModel/bloom parameter pattern) for literal
+    * broadcast into a stateless scoring expression. */
+  def naiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, vocabCap: Int = 100000)
+      : Seq[(String, Long, Long, Map[String, Long])] = {
+    val (toks, cost, fb, prior) = nbFrames(docs, idCol, textCol, labelCol)
+    val keep = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("token")).limit(vocabCap)
+      .select(col("token"))
+    val costs = cost.join(keep, Seq("token"))
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getLong(2))
+      .toSeq.groupBy(_._1._1)
+      .map { case (l, xs) => l -> xs.map(x => x._1._2 -> x._2).toMap }
+    val fbm = fb.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    prior.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)
+      .map { case (l, p) =>
+        (l, p, fbm(l), costs.getOrElse(l, Map.empty[String, Long])) }
+  }
+
+  /** L31: multinomial Naive Bayes text classifier — the linear
+    * bag-of-words family fastText-style curation filters (quality
+    * classifiers, supervised langid) live in, in its one-pass
+    * closed-form member: training IS a single (label, token) count
+    * aggregate, so the whole train+score chain is deterministic,
+    * iteration-free, and SQL-expressible. Add-one smoothing; all
+    * log-probabilities are EXACT integer micro-nat costs from the
+    * shared [[graft.functions.LnFix]] series (PARITY class 1 — no libm
+    * on either engine). Per doc, per label c:
+    *   cost(c) = −ln P(c) + Σ_tok tf · −ln P(tok|c),
+    * unseen (label, token) pairs falling back to the per-label constant
+    * −ln(1/(T_c+V)); prediction = argmin cost, ties to the smaller
+    * label. Scale shape: the model is a vocab×nlabels cost table joined
+    * token-keyed to doc term frequencies (one shuffle join), the label
+    * dimension a broadcast; nothing collects — priors/fallbacks are
+    * label-sized frames. Returns (doc_id, pred, cost_micro). */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val (toks, cost, fb, prior) = nbFrames(docs, idCol, textCol, labelCol)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // score every doc against every label: the label frame is the tiny

@@ -275,6 +275,47 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S17: streaming CLASSIFIER admission — the quality/langid filter at
+    * the ingest edge, in the serving shape production uses: the Naive
+    * Bayes model (L31) is trained batch-side, collected once
+    * (model-sized — the ivfModel/bloom parameter pattern; vocab capped
+    * like any shipped fastText-style filter), and entered as MAP
+    * LITERALS in a per-row scoring expression. Scoring is then pure
+    * row-local arithmetic — `aggregate` over the token array + `least`
+    * over (score, label) structs — so the stream stays STATELESS: no
+    * watermark, no state store, no aggregation; every micro-batch is a
+    * map. Output (doc_id, pred, cost_micro) is bit-equal to the batch
+    * text_classify query (same LnFix integers, same tie-break), so the
+    * DuckDB oracle is shared verbatim. */
+  def classifyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val model = graft.ops.TextOps.naiveBayesModel(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text", "lang")
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val toks = split(trim(col("text")), "\\s+")
+    val scored = model.map { case (label, prior, fb, costs) =>
+      val m = typedLit(costs)
+      struct(
+        (lit(prior) + aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(m, t), lit(fb)))).as("s"),
+        lit(label).as("l"))
+    }
+    val best = least(scored: _*)
+    val out = src.select(col("doc_id"), best.getField("l").as("pred"),
+      best.getField("s").as("cost_micro"))
+    val qn = s"stream_classify_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** Streaming near-dup ADMISSION — the dedup-at-ingest shape of a
     * training-data pipeline: each incoming document (here the doc_id % 5
     * == 0 fifth of the corpus, arriving as a stream) is MinHash-signed by

@@ -282,4 +282,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, true, 3L)))
     assert(out(4L) == ((4L, false, 1L)))
   }
+
+  test("jaccardJoin: equals brute force on the corpus; prefix filter loses nothing") {
+    import spark.implicits._
+    def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = rows.map { case (id, t) =>
+        val ws = t.trim.split("\\s+")
+        id -> ws.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size.toLong
+        uni = (si | sj).size.toLong
+        if inter * 100 >= pct * uni
+      } yield (i, j, inter, uni)).toSet
+    }
+    val sample = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val df = sample.toDF("doc_id", "text")
+    for (pct <- Seq(50, 80)) {
+      val got = ops.Dedup.jaccardJoin(df, "doc_id", "text", pct, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == refPairs(sample, pct, 3), s"pct=$pct")
+    }
+    // monotone in the threshold
+    val p50 = ops.Dedup.jaccardJoin(df, "doc_id", "text", 50, 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p80 = ops.Dedup.jaccardJoin(df, "doc_id", "text", 80, 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p80.subsetOf(p50))
+    // planted: identical docs J=1; a one-word tail edit stays above 50;
+    // short docs (< shingle words) never pair
+    val planted = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g zz"), (4L, "totally different text body here"),
+      (5L, "x y"), (6L, "x y")
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.jaccardJoin(planted, "doc_id", "text", 50, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.contains((1L, 2L, 6L, 6L)))
+    assert(got.exists(t => t._1 == 1L && t._2 == 3L))
+    assert(!got.exists(t => t._1 == 5L || t._2 == 6L && t._1 == 5L))
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+  }
 }

@@ -568,4 +568,34 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(present == direct)
   }
+
+  test("q48Scd2: versions tile each customer timeline; runs collapse; current is sentinel-open") {
+    val rows = ops.Relational.q48Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byCust = rows.groupBy(_._1)
+    byCust.foreach { case (c, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      // intervals chain: version k's valid_to_excl == version k+1's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"cust $c: intervals must chain")
+          assert(a._3 != b._3, s"cust $c: consecutive versions must differ")
+        case _ =>
+      }
+      assert(sorted.last._5 == 99999999L, "current version open-ended")
+      assert(sorted.forall(v => v._4 <= v._5))
+    }
+    // version count per customer == run count of the reference event stream
+    val ref = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) div 86400 AS day",
+        "o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues { es =>
+        val ps = es.sortBy(e => (e._2, e._3)).map(_._4)
+        1 + ps.sliding(2).count { w => w.length == 2 && w(0) != w(1) }
+      }.toMap
+    assert(byCust.view.mapValues(_.length).toMap == ref)
+  }
 }

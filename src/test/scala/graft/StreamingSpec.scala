@@ -343,4 +343,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess(1L) == Seq(2L), "exact-gap pair must merge (inclusive boundary)")
     assert(sess(2L) == Seq(1L, 1L), "gap+1us pair must split into two sessions")
   }
+
+  test("classifyStream: stateless serving equals the batch scorer bit-for-bit; vocab cap falls back") {
+    import spark.implicits._
+    val streamed = Stream.classifyStream(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val batch = graft.ops.TextOps.naiveBayes(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(streamed == batch, "serving path must equal the batch join form")
+
+    // cap smaller than the vocabulary: uncovered tokens take the
+    // per-label fallback, so a doc of only rare tokens scores
+    // prior + n·fallback for every label and the PRIOR decides
+    val docs = Seq(
+      (1L, "common common rare1", "a"), (2L, "common common rare2", "a"),
+      (3L, "common rare3 rare4", "b")
+    ).toDF("doc_id", "text", "lang")
+    val m = graft.ops.TextOps.naiveBayesModel(docs, "doc_id", "text", "lang", vocabCap = 1)
+    assert(m.map(_._1) == Seq("a", "b"))
+    assert(m.forall(_._4.keySet.subsetOf(Set("common"))), "only the capped vocab ships")
+    // label a has the larger prior (2 docs vs 1) -> smaller prior cost
+    val pa = m.find(_._1 == "a").get._2
+    val pb = m.find(_._1 == "b").get._2
+    assert(pa < pb, "more frequent class must carry the cheaper prior")
+  }
 }

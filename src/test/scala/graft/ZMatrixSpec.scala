@@ -45,6 +45,25 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("quantileAxis1 matches local linear interpolation per row") {
+    val got = m.quantileAxis1(Seq(0.25, 0.5, 0.75)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def localQ(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      val v = if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    for (i <- dense.indices) {
+      val rowVals = dense(i).toSeq
+      assert(got(i.toLong) ==
+        ((localQ(rowVals, 0.25), localQ(rowVals, 0.5), localQ(rowVals, 0.75))),
+        s"row $i: ${got(i.toLong)}")
+    }
+  }
+
   test("vstack/hstack concatenation matches the dense block layout") {
     val other = Array(Array(10.0, 20.0, 30.0), Array(40.0, 50.0, 60.0))
     val o = ZMatrix.fromDense(spark, other)
