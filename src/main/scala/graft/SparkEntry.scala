@@ -283,6 +283,9 @@ object SparkEntry {
     // R51: SCD2 dimension-history build (lag change detection → run ids
     // → lead validity intervals), sentinel-closed current versions
     "q48_scd2" -> Relational.q48Scd2 _,
+    // R52: exact trailing-7-day distinct actives via the bounded 7×
+    // contribution explode (COUNT DISTINCT isn't a window function)
+    "q49_sliding_distinct" -> Relational.q49SlidingDistinct _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -345,6 +348,7 @@ object SparkEntry {
     // sort-per-group aggregate (percentile's array form)
     "arr_quantile_axis0" -> ((s, d) => mat(s, d).quantileAxis0(Seq(0.25, 0.5, 0.75))),
     "arr_quantile_axis1" -> ((s, d) => mat(s, d).quantileAxis1(Seq(0.25, 0.5, 0.75))),
+    "arr_rolling_rows" -> ((s, d) => mat(s, d).rollingMeanAxis1(3)),
     "arr_minmax_axis0" -> ((s, d) => {
       val m = mat(s, d)
       m.minAxis0.withColumnRenamed("v", "min_v")
@@ -978,6 +982,12 @@ object SparkEntry {
         Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
           .localCheckpoint())
     }),
+    // full-corpus triangle twin (the shard/full pattern): same
+    // degree-ordered enumeration over the IVF mutual-kNN edge set —
+    // rows-only (IVF training isn't SQL); handshake/determinism
+    // invariants spec-pinned, oracle-checked twin is graph_triangles
+    "graph_triangles_full" -> ((s, d) =>
+      Similarity.triangleCounts(ivfMutualEdges(s, d))),
     // full-corpus clustering scale path (the L6c/L7e shard/full pattern):
     // IVF-bucketed kNN edges over EVERY vector → mutual restriction →
     // label propagation. No oracle (IVF training isn't SQL) — determinism
@@ -2107,6 +2117,13 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
         |  AS BIGINT) AS rk FROM m""".stripMargin,
+    "q49_sliding_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM d),
+        |c AS (SELECT user_id, day + o AS obs_day FROM d, unnest(range(0, 7)) u(o))
+        |SELECT days.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+        |FROM days JOIN c ON c.obs_day = days.day GROUP BY 1""".stripMargin,
     "q48_scd2" ->
       """WITH e AS (SELECT o_custkey AS custkey,
         |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
@@ -2687,6 +2704,12 @@ object SparkEntry {
         |  round(quantile_cont(v, 0.5), 4) + 0 AS q50,
         |  round(quantile_cont(v, 0.75), 4) + 0 AS q75
         |FROM m GROUP BY 1""".stripMargin,
+    "arr_rolling_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, round(avg(v) OVER (PARTITION BY i ORDER BY j
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) + 0 AS v
+        |FROM m""".stripMargin,
     "q20_above_avg" ->
       """WITH p AS (SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
         |b AS (SELECT p_brand AS bb, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS bn

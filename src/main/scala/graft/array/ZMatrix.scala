@@ -187,6 +187,22 @@ final case class ZMatrix(cells: DataFrame) {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v")))
   }
 
+  /** Rolling mean across j within each row (pandas rolling(window).mean
+    * / scipy uniform_filter1d sampled at stored cells): the window frame
+    * is the previous `window−1` STORED cells plus the current one, per
+    * the cumsum sampling convention. Partitioned by row — parallel at
+    * any height, per-partition work bounded by ncols. Stored values are
+    * exact-integer doubles, so the frame sum is order-exact and the one
+    * division rounds identically in both engines (PARITY class 2). */
+  def rollingMeanAxis1(window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    cells.select(col("i"), col("j"),
+      (round(avg(col("v")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("i")).orderBy(col("j"))
+        .rowsBetween(-(window - 1), Window.currentRow)), 4) + 0.0).as("v"))
+  }
+
   /** np.argsort-order RANK along axis 0: each stored cell's 1-based rank
     * within its column under the total order (v, i) — ties to the
     * smaller row, so the rank is exact and engine-stable.

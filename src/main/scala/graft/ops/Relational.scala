@@ -819,6 +819,27 @@ object Relational {
         .as("valid_to_excl"))
   }
 
+  /** R52/q49: EXACT distinct users in a trailing 7-day window, per
+    * active day — the daily-active-users rollup windows can't express
+    * (COUNT(DISTINCT) is not a Spark window function, and a range
+    * self-join is quadratic in active days). The scalable shape: each
+    * (user, day) activity row CONTRIBUTES to the 7 observation days it
+    * falls in — a bounded 7× explode — then ONE distinct-count
+    * aggregate per observation day. Linear in activity × window, one
+    * shuffle, exact integers. Emitted only for days that actually
+    * occur (no ghost trailing days). */
+  def q49SlidingDistinct(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d).select(col("user_id"),
+        expr("unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400").as("day"))
+      .distinct()
+    val contrib = act.select(col("user_id"),
+      explode(sequence(col("day"), col("day") + 6)).as("obs_day"))
+    act.select(col("day")).distinct()
+      .join(contrib, col("day") === col("obs_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

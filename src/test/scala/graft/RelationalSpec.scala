@@ -598,4 +598,17 @@ class RelationalSpec extends AnyFunSuite {
       }.toMap
     assert(byCust.view.mapValues(_.length).toMap == ref)
   }
+
+  test("q49SlidingDistinct equals the per-day brute force") {
+    val got = ops.Relational.q49SlidingDistinct(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val act = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = act.map(_._2).distinct
+    val ref = days.map { d =>
+      d -> act.filter(e => e._2 <= d && e._2 >= d - 6).map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got == ref)
+  }
 }

@@ -973,4 +973,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == got)
     assert(got.values.map(_._2).sum == 3 * 4)
   }
+
+  test("triangleCounts full-corpus twin: handshake identity, coverage, determinism") {
+    val mut = graft.SparkEntry.ivfMutualEdges(spark, TestSpark.sf)
+    val a = Similarity.triangleCounts(mut).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Similarity.triangleCounts(mut).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "deterministic")
+    assert(a.values.map(_._2).sum % 3 == 0, "sum of per-node counts = 3 * #triangles")
+    assert(a.values.forall(_._1 > 0), "every emitted node is edge-incident")
+    // node set == nodes of the mutual edge set
+    val nodes = mut.select("id1").union(mut.select("id2"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(a.keySet == nodes)
+  }
 }

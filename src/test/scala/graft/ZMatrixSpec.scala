@@ -959,4 +959,15 @@ class ZMatrixSpec extends AnyFunSuite {
     // gene 1 batch B corrected toward gene-1 grand stats, order preserved
     assert(out((3L, 1L)) < out((4L, 1L)))
   }
+
+  test("rollingMeanAxis1 matches the per-row trailing mean of stored cells") {
+    val got = m.rollingMeanAxis1(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- dense.indices; j <- dense(i).indices) {
+      val window = (math.max(0, j - 2) to j).map(dense(i))
+      val want = BigDecimal(window.sum / window.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
+    }
+  }
 }
