@@ -179,6 +179,14 @@ object SparkEntry {
     s.read.schema("vec_id LONG, codes ARRAY<INT>, list_id INT").parquet(path)
   }
 
+  /** Deterministic keyword set for hybrid retrieval: the first 8 sorted
+    * distinct tokens of document 0 (parameter-sized collect; ASCII
+    * tokens, so Scala and SQL binary orderings agree). */
+  private def queryTerms(s: SparkSession, d: String): Seq[String] =
+    Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .trim.split("\\s+").distinct.sorted.take(8).toSeq
+
   private def queryVec(s: SparkSession, d: String): Array[Double] =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -919,6 +927,20 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec(s, d), 10, annPlanes)),
+    // L34: metadata-FILTERED vector search (the vector-DB predicate +
+    // top-k shape): the filter semi-joins BELOW the scoring, so only
+    // qualifying vectors are ever scored
+    "ann_filtered_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, d).join(
+          Tables.documents(s, d).filter(col("lang") === "en")
+            .select(col("doc_id").as("vec_id")), Seq("vec_id")),
+        "vec_id", "embedding", queryVec(s, d), 20)),
+    // L33: hybrid keyword+vector retrieval fused by integer RRF
+    "ann_hybrid_topk" -> ((s, d) =>
+      Similarity.hybridTopK(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        queryTerms(s, d), queryVec(s, d), 10)),
     // IVF ANN: deterministic hash-sampled + 1-Lloyd-step centroids, probe
     // the 4 nearest of 16 lists (~25% scan fraction, tunable; list_id is
     // the storage partition key at scale). No oracle: the centroid
@@ -3171,6 +3193,44 @@ object SparkEntry {
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |CROSS JOIN range(64) r(i)
         |GROUP BY e.vec_id ORDER BY cos DESC, e.vec_id LIMIT 50""".stripMargin,
+    "ann_filtered_topk" ->
+      """SELECT e.vec_id,
+        | round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |   / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |      * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        |FROM embeddings e
+        |JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |CROSS JOIN range(64) r(i)
+        |GROUP BY e.vec_id ORDER BY cos DESC, e.vec_id LIMIT 20""".stripMargin,
+    // both pools are totally ordered (score desc, id) before the LIMIT,
+    // so the 100-row lists — and therefore the integer RRF fusion — are
+    // deterministic in both engines
+    "ann_hybrid_topk" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)),
+        |qt AS (SELECT token FROM tok WHERE doc_id = 0 ORDER BY token LIMIT 8),
+        |kw AS (SELECT doc_id AS id, count(*) AS s FROM tok JOIN qt USING (token)
+        |       GROUP BY 1),
+        |kwr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS kw_rank
+        |        FROM (SELECT * FROM kw ORDER BY s DESC, id LIMIT 100)),
+        |cosd AS (SELECT e.vec_id AS id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  CROSS JOIN range(64) r(i) GROUP BY e.vec_id),
+        |vr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS vec_rank
+        |       FROM (SELECT * FROM cosd ORDER BY cos DESC, id LIMIT 100))
+        |SELECT id,
+        |  CAST(coalesce(1000000000 // (60 + kw_rank), 0) +
+        |       coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf,
+        |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+        |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+        |FROM kwr FULL OUTER JOIN vr USING (id)
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "ann_batch_topk" ->
       """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
         |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))

@@ -55,6 +55,48 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** L33: HYBRID retrieval — keyword match and vector similarity fused
+    * by Reciprocal Rank Fusion (Cormack et al. 2009), the standard
+    * vector-DB hybrid-search shape: each side contributes a bounded
+    * top-`poolK` ranked list, and fusion happens on RANKS, so no score
+    * normalization across incomparable scales is needed. The 1/(60+r)
+    * RRF terms are snapped to exact integers floor(10⁹/(60+r)) — a
+    * pure-BIGINT fusion (PARITY class 1); absent-from-pool sides
+    * contribute 0 and surface rank 0.
+    *
+    * Scale shapes: the keyword score is one scan (array_intersect
+    * against a literal term set — no token shuffle at all); both
+    * top-poolK selections are TakeOrdered (no global sort); the only
+    * windows run over the two poolK-row lists (bounded, parameter-
+    * sized); the fusion join is poolK×poolK at most. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 emb: DataFrame, vecIdCol: String, vecCol: String,
+                 terms: Seq[String], q: Array[Double],
+                 k: Int, poolK: Int = 100): DataFrame = {
+    val kwPool = docs.select(col(idCol).as("id"),
+        size(array_intersect(array_distinct(split(trim(col(textCol)), "\\s+")),
+          lit(terms.toArray))).as("_kw"))
+      .filter(col("_kw") > 0)
+      .orderBy(col("_kw").desc, col("id")).limit(poolK)
+    val kwRanked = kwPool.withColumn("kw_rank", row_number().over(
+      Window.orderBy(col("_kw").desc, col("id"))))
+    val vecPool = cosineToQuery(emb, vecCol, q)
+      .filter(col("cos").isNotNull)
+      .select(col(vecIdCol).as("id"), (round(col("cos"), 4) + 0.0).as("_cos"))
+      .orderBy(col("_cos").desc, col("id")).limit(poolK)
+    val vecRanked = vecPool.withColumn("vec_rank", row_number().over(
+      Window.orderBy(col("_cos").desc, col("id"))))
+    kwRanked.select(col("id"), col("kw_rank"))
+      .join(vecRanked.select(col("id"), col("vec_rank")), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + kw_rank)"), lit(0L)) +
+         coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)))
+          .as("rrf"),
+        coalesce(col("kw_rank").cast("long"), lit(0L)).as("kw_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
   /** Assign each vector its hyperplane-sign bucket (int bitmask). */
   def withBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")

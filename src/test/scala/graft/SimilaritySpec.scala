@@ -988,4 +988,34 @@ class SimilaritySpec extends AnyFunSuite {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(a.keySet == nodes)
   }
+
+  test("hybridTopK: RRF fuses keyword and vector ranks; absent sides contribute 0") {
+    import spark.implicits._
+    // doc 1 dominates keywords, doc 2 dominates vectors, doc 3 is decent
+    // at both and should win the fusion; doc 4 matches nothing
+    val docs = Seq(
+      (1L, "apple banana cherry date"), (2L, "unrelated words entirely here"),
+      (3L, "apple banana other tokens"), (4L, "zz yy xx ww")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hybridTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", Seq("apple", "banana", "cherry"), Array(1.0, 0.0), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    // keyword ranks: doc1 (3 hits) rank 1, doc3 (2 hits) rank 2; doc2/4 absent (0)
+    assert(byId(1L)._3 == 1 && byId(3L)._3 == 2)
+    assert(byId(2L)._3 == 0 && byId(4L)._3 == 0)
+    // vector ranks: cos with (1,0): doc2=1.0 r1, doc3~0.9939 r2, doc1=0 r3, doc4=-1 r4
+    assert(byId(2L)._4 == 1 && byId(3L)._4 == 2 && byId(1L)._4 == 3 && byId(4L)._4 == 4)
+    // fusion: 1/(60+r) is convex, so doc1's (1,3) edges doc3's (2,2);
+    // both two-list docs beat the single-list docs
+    def rrf(rs: Seq[Long]) = rs.filter(_ > 0).map(r => 1000000000L / (60 + r)).sum
+    got.foreach { case (id, s, kr, vr) => assert(s == rrf(Seq(kr, vr)), s"doc $id") }
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L, 4L), s"fusion order: ${got.toSeq}")
+    // output ordered by (rrf desc, id)
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == got.toSeq)
+  }
 }
