@@ -294,6 +294,9 @@ object SparkEntry {
     // R52: exact trailing-7-day distinct actives via the bounded 7×
     // contribution explode (COUNT DISTINCT isn't a window function)
     "q49_sliding_distinct" -> Relational.q49SlidingDistinct _,
+    // R53: peak concurrent sessions per day — boundary sweep with a
+    // two-level (day-partitioned + offset-table) global prefix sum
+    "q50_concurrency" -> Relational.q50Concurrency _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1004,6 +1007,12 @@ object SparkEntry {
         Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
           .localCheckpoint())
     }),
+    // k-core prune of the shard graph (k=2, 8 fixed rounds — fixpoint
+    // asserted in spec): surviving nodes + their in-core degree
+    "graph_kcore" -> ((s, d) =>
+      Similarity.kCore(
+        Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+          .localCheckpoint(), k = 2, rounds = 8)),
     // full-corpus triangle twin (the shard/full pattern): same
     // degree-ordered enumeration over the IVF mutual-kNN edge set —
     // rows-only (IVF training isn't SQL); handshake/determinism
@@ -1676,6 +1685,21 @@ object SparkEntry {
     * 2m·S − k·(T − [c=cur]·k) in hugeint and its semi-synchronous parity
     * schedule (round i moves only node % 2 = i % 2). Generated, so the
     * round count and score expression cannot drift from the Scala side. */
+  /** [[graphEdgesSqlPrefix]] + 8 unrolled k-core prune rounds (k=2) —
+    * generated, so the round count and threshold cannot drift from the
+    * Scala side ([[graft.ops.Similarity.kCore]]). */
+  private val graphKcoreSql: String = {
+    val (k, rounds) = (2, 8)
+    val body = (1 to rounds).map { r =>
+      s"""kp$r AS (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN kp$r a ON a.node = e.src JOIN kp$r b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    graphEdgesSqlPrefix + ",\n" +
+      "e0 AS (SELECT src, dst FROM edges),\n" + body + "\n" +
+      s"SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY 1"
+  }
+
   private val graphLouvainSql: String = {
     val rounds = 4
     val body = (0 until rounds).map { i =>
@@ -2139,6 +2163,28 @@ object SparkEntry {
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
         |  AS BIGINT) AS rk FROM m""".stripMargin,
+    "graph_kcore" -> graphKcoreSql,
+    // the oracle sweeps ONE global window (gate-scale); the Spark side's
+    // two-level day-offset decomposition computes the identical prefix
+    // because day = bts // 86400 is monotone in the global (bts, delta)
+    // order, and same-(ts,delta) tie groups are same-signed so the
+    // per-day MAX is visit-order-independent
+    "q50_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |f AS (SELECT user_id, ts, event_id, es,
+        |  CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, es,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, min(es) AS st, max(es) AS en FROM g GROUP BY 1, 2),
+        |b AS (SELECT st AS bts, CAST(1 AS BIGINT) AS delta FROM sess
+        |      UNION ALL SELECT en + 1, -1 FROM sess),
+        |r AS (SELECT bts // 86400 AS day,
+        |  sum(delta) OVER (ORDER BY bts, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM b)
+        |SELECT day, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY 1""".stripMargin,
     "q49_sliding_distinct" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),

@@ -840,6 +840,46 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** R53/q50: exact PEAK CONCURRENCY per day — the interval-stabbing
+    * maximum (capacity planning over the q13 session intervals) via the
+    * classic boundary sweep: each session emits (+1 at start, −1 at
+    * end+1, end-exclusive), the running boundary sum IS the live
+    * concurrency, and the per-day max is the answer. The global ordered
+    * prefix sum is computed TWO-LEVEL so no single partition ever sees
+    * the fact stream: within-day running sums (parallel day
+    * partitions) + a day-offset table (one day-sized aggregate whose
+    * exclusive-prefix window runs over ~tens of rows). Tie groups at
+    * one (ts, delta) are same-signed, so the per-day MAX is
+    * order-independent — deterministic in both engines. All integers
+    * (class 1). */
+  def q50Concurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("es", unix_timestamp(col("ts").cast("timestamp")))
+      .withColumn("ns", when(col("es") - lag(col("es"), 1).over(w) > 1800 ||
+        lag(col("es"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("es")).as("st"), max(col("es")).as("en"))
+    val bounds = sess.select(col("st").as("bts"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("en") + 1).as("bts"), lit(-1L).as("delta")))
+      .withColumn("day", expr("bts div 86400"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("bts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinDay = bounds.withColumn("_run", sum(col("delta")).over(wDay))
+    // exclusive prefix of per-day totals: the offset a day inherits from
+    // every earlier day (sessions spanning midnight carry over exactly)
+    val offsets = bounds.groupBy(col("day")).agg(sum(col("delta")).as("_t"))
+      .withColumn("_off", coalesce(sum(col("_t")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("day"), col("_off"))
+    withinDay.join(offsets, Seq("day"))
+      .groupBy(col("day"))
+      .agg(max(col("_run") + col("_off")).as("peak"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

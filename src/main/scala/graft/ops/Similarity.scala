@@ -1249,6 +1249,33 @@ object Similarity {
       .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
+  /** k-CORE decomposition (the graph-QC prune scanpy-style pipelines
+    * and community pre-filters run): iteratively delete nodes of degree
+    * < k until fixpoint — the k-core is the unique maximal subgraph
+    * with all degrees ≥ k. `rounds` is a fixed unroll (output is the
+    * true core iff the iteration has converged; convergence at gate
+    * scale is spec-asserted, and the fixed count keeps the result a
+    * pure function of the edge set — the spectral/labelprop contract).
+    * Per round: one degree aggregate + two semi-joins on the edge list,
+    * localCheckpoint'd — Pregel-shaped cost, no driver data. Returns
+    * surviving (node, deg) with deg = degree INSIDE the core. */
+  def kCore(mut: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var edges = mut.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("_d")).filter(col("_d") >= k)
+        .select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def modularity(mut: DataFrame, labels: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val lab1 = labels.select(col("node").as("id1"), col("label").as("_c1"))

@@ -611,4 +611,34 @@ class RelationalSpec extends AnyFunSuite {
     }.toMap
     assert(got == ref)
   }
+
+  test("q50Concurrency equals the local boundary sweep") {
+    val got = ops.Relational.q50Concurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: rebuild sessions locally with the q13 gap rule, then a
+    // single sorted sweep
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_timestamp(CAST(ts AS TIMESTAMP)) AS es", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var st = sorted.head; var en = sorted.head
+      for (t <- sorted.tail) {
+        if (t - en > 1800) { runs += ((st, en)); st = t }
+        en = t
+      }
+      runs += ((st, en)); runs.toList
+    }.toSeq
+    val bounds = sessions.flatMap { case (st, en) => Seq((st, 1L), ((en + 1), -1L)) }
+      .sortBy(identity)
+    var run = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    for ((t, dl) <- bounds) {
+      run += dl
+      val day = t / 86400
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got == peaks.toMap)
+  }
 }

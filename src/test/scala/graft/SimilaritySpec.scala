@@ -1018,4 +1018,24 @@ class SimilaritySpec extends AnyFunSuite {
     // output ordered by (rrf desc, id)
     assert(got.sortBy(t => (-t._2, t._1)).toSeq == got.toSeq)
   }
+
+  test("kCore: prunes chains, keeps cycles, converges on the shard graph") {
+    import spark.implicits._
+    // triangle {1,2,3} is the 2-core; the chain 3-4-5-6 must peel away
+    val mut = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id1", "id2")
+    val got = Similarity.kCore(mut, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(Similarity.kCore(mut, k = 4, rounds = 4).count() == 0)
+    // fixpoint on the real shard graph: one more round changes nothing
+    val shard = graft.SparkEntry.ivfMutualEdges(spark, TestSpark.sf)
+    val a = Similarity.kCore(shard, 2, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.kCore(shard, 2, 9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "8 rounds must have converged")
+    assert(a.values.forall(_ >= 2), "every survivor keeps degree >= k")
+  }
 }
