@@ -297,6 +297,9 @@ object SparkEntry {
     // R53: peak concurrent sessions per day — boundary sweep with a
     // two-level (day-partitioned + offset-table) global prefix sum
     "q50_concurrency" -> Relational.q50Concurrency _,
+    // R54: TPC-H Q19-shape disjunctive join predicate; the part-side
+    // residue of the OR pushes below the join (plan-asserted)
+    "q51_disjunctive" -> Relational.q51Disjunctive _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -360,6 +363,7 @@ object SparkEntry {
     "arr_quantile_axis0" -> ((s, d) => mat(s, d).quantileAxis0(Seq(0.25, 0.5, 0.75))),
     "arr_quantile_axis1" -> ((s, d) => mat(s, d).quantileAxis1(Seq(0.25, 0.5, 0.75))),
     "arr_rolling_rows" -> ((s, d) => mat(s, d).rollingMeanAxis1(3)),
+    "arr_diff_rows" -> ((s, d) => mat(s, d).diffAxis1),
     "arr_minmax_axis0" -> ((s, d) => {
       val m = mat(s, d)
       m.minAxis0.withColumnRenamed("v", "min_v")
@@ -944,6 +948,25 @@ object SparkEntry {
       Similarity.hybridTopK(Tables.documents(s, d), "doc_id", "text",
         Tables.embeddings(s, d), "vec_id", "embedding",
         queryTerms(s, d), queryVec(s, d), 10)),
+    // L35: matryoshka truncation EVAL — overlap@10 of the 16-dim prefix
+    // ranking vs the full 64-dim ranking, per query (the MRL check a
+    // team runs before shipping truncated embeddings); both rankings
+    // are exact batch top-k in one corpus scan each
+    "emb_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qb = queryBatch(s, d)
+      val full = Similarity.batchTopK(emb, "vec_id", "embedding", qb, 10)
+      val trunc = Similarity.batchTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        "vec_id", "embedding", qb.map { case (id, v) => (id, v.take(16)) }, 10)
+      val inter = full.select(col("query_id"), col("vec_id"))
+        .join(trunc.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("overlap10"))
+      full.select(col("query_id")).distinct()
+        .join(inter, Seq("query_id"), "left_outer")
+        .select(col("query_id"), coalesce(col("overlap10"), lit(0L)).as("overlap10"))
+    }),
     // IVF ANN: deterministic hash-sampled + 1-Lloyd-step centroids, probe
     // the 4 nearest of 16 lists (~25% scan fraction, tunable; list_id is
     // the storage partition key at scale). No oracle: the centroid
@@ -1470,6 +1493,9 @@ object SparkEntry {
     // collected map literal, scored statelessly per row; bit-equal to
     // batch text_classify, so the oracle is shared
     "stream_classify" -> ((s, d) => Stream.classifyStream(s, d)),
+    // S18: per-window top-k — watermarked streaming counts + a bounded
+    // batch rank post-pass over the aggregate-sized result
+    "stream_topk" -> ((s, d) => Stream.topkStream(s, d)),
     // streaming → Zarr incremental array ingestion: time-banded
     // micro-batches append chunk-aligned slabs via the DSv2 append mode;
     // the final store reads back dense against a DuckDB grid twin
@@ -2164,6 +2190,61 @@ object SparkEntry {
         |SELECT i, j, CAST(row_number() OVER (PARTITION BY j ORDER BY v, i)
         |  AS BIGINT) AS rk FROM m""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
+    "stream_topk" ->
+      """WITH c AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY ws
+        |        ORDER BY n DESC, event_type) AS rk FROM c)
+        |WHERE rk <= 3""".stripMargin,
+    "q51_disjunctive" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 50)
+        |GROUP BY 1""".stripMargin,
+    "arr_diff_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM (
+        |  SELECT i, j, v - lag(v) OVER (PARTITION BY i ORDER BY j) AS v FROM m)
+        |WHERE v IS NOT NULL""".stripMargin,
+    "emb_matryoshka" ->
+      """WITH fullsc AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        | CROSS JOIN range(64) r(i)
+        | GROUP BY q.vec_id, e.vec_id),
+        |truncsc AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        | CROSS JOIN range(16) r(i)
+        | GROUP BY q.vec_id, e.vec_id),
+        |ftop AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM fullsc) WHERE rk <= 10),
+        |ttop AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM truncsc) WHERE rk <= 10)
+        |SELECT q.query_id,
+        |  CAST(coalesce(o.n, 0) AS BIGINT) AS overlap10
+        |FROM (SELECT DISTINCT query_id FROM ftop) q
+        |LEFT JOIN (SELECT query_id, count(*) AS n FROM ftop
+        |           JOIN ttop USING (query_id, vec_id) GROUP BY 1) o
+        |USING (query_id)""".stripMargin,
     // the oracle sweeps ONE global window (gate-scale); the Spark side's
     // two-level day-offset decomposition computes the identical prefix
     // because day = bts // 86400 is monotone in the global (bts, delta)

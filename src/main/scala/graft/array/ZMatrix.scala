@@ -203,6 +203,18 @@ final case class ZMatrix(cells: DataFrame) {
         .rowsBetween(-(window - 1), Window.currentRow)), 4) + 0.0).as("v"))
   }
 
+  /** np.diff along axis=1 at stored cells: each cell's value minus the
+    * previous STORED cell's in the same row (n−1 outputs per n-cell
+    * row). Exact double subtraction on identical inputs — bit-stable in
+    * both engines. */
+  def diffAxis1: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cells.select(col("i"), col("j"),
+        (col("v") - lag(col("v"), 1).over(
+          Window.partitionBy(col("i")).orderBy(col("j")))).as("v"))
+      .filter(col("v").isNotNull)
+  }
+
   /** np.argsort-order RANK along axis 0: each stored cell's 1-based rank
     * within its column under the total order (v, i) — ties to the
     * smaller row, so the rank is exact and engine-stable.

@@ -880,6 +880,31 @@ object Relational {
       .agg(max(col("_run") + col("_off")).as("peak"))
   }
 
+  /** R54/q51: DISJUNCTIVE join predicate (TPC-H Q19 shape) — an
+    * OR-of-AND-groups mixing both sides of a join. The plan property
+    * that matters at 100 TB: the single-side residue of the disjunction
+    * ((brand A ∧ size…) ∨ (brand B ∧ size…) ∨ …) is pushable, so the
+    * part scan prunes on the OR of its own conjuncts BEFORE the join
+    * (plan-asserted in spec), and only the cross-side quantity terms
+    * evaluate post-join. Exact integer cents. */
+  def q51Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("qty").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("qty").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("qty").between(20, 50))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

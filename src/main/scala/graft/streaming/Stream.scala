@@ -128,6 +128,37 @@ object Stream {
       col("event_type"), col("n"), col("cents"))
   }
 
+  /** S18: streaming TOP-K per event-time window — the trending-now /
+    * per-window-leaders rollup. Ranking is not a streaming operator
+    * (a window's rank can change until the watermark closes it), so the
+    * production shape is exactly this split: the STREAM finalizes
+    * per-(window, key) counts under a watermark; a bounded BATCH
+    * post-pass ranks within each closed window (the stream_neardup
+    * post-verify precedent). The post-pass input is windows×keys rows —
+    * aggregate-sized, not event-sized — and its rank window partitions
+    * by window start. Deterministic: counts are exact on the finite
+    * input, ties break (n desc, event_type). */
+  def topkStream(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val (stream, sfName) = eventsStream(spark, sfDir)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val qn = s"win_topk_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws")).orderBy(col("n").desc, col("event_type"))
+    spark.table(qn)
+      .select(unix_timestamp(col("window.start").cast("timestamp")).as("ws"),
+        col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Stream-stream inner join: each purchase joined to the views by the
     * same user in the preceding hour. Watermarks bound both sides' state
     * (views older than the range + slack are evicted); inner-join matches

@@ -641,4 +641,14 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got == peaks.toMap)
   }
+
+  test("q51Disjunctive pushes the part-side OR residue below the join") {
+    val plan = planOf(Relational.q51Disjunctive(spark, sf))
+    // the part scan must receive an Or(...) pushed filter over its own
+    // columns -- the single-side residue of the disjunction
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")).toSeq
+    assert(scanLines.nonEmpty, s"no pushed part filter in:\n$plan")
+    assert(scanLines.exists(_.contains("Or(")), s"OR residue not pushed: $scanLines")
+  }
 }

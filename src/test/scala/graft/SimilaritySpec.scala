@@ -1038,4 +1038,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "8 rounds must have converged")
     assert(a.values.forall(_ >= 2), "every survivor keeps degree >= k")
   }
+
+  test("matryoshka eval: overlap bounded, self always retrieved, deterministic") {
+    val run = () => graft.SparkEntry.queries("emb_matryoshka")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a.keySet == (0L until 8L).toSet)
+    // the query vector itself ranks first under both rankings (cos = 1),
+    // so overlap@10 is at least 1; at most 10 by construction
+    assert(a.values.forall(v => v >= 1 && v <= 10), a.toString)
+    assert(run() == a)
+  }
 }

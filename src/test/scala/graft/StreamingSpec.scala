@@ -368,4 +368,19 @@ class StreamingSpec extends AnyFunSuite {
     val pb = m.find(_._1 == "b").get._2
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
+
+  test("topkStream: per-window leaders equal the batch rollup; ranks bounded") {
+    val got = Stream.topkStream(spark, TestSpark.sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Tables.events(spark, TestSpark.sf)
+      .selectExpr("(unix_timestamp(CAST(ts AS TIMESTAMP)) div 3600) * 3600 AS ws", "event_type")
+      .groupBy("ws", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (ws, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex.take(3)
+          .map { case ((_, et, n), ix) => (ws, et, n, ix + 1L) }.toSeq
+      }.toSet
+    assert(got == batch)
+    assert(got.forall(t => t._4 >= 1 && t._4 <= 3))
+  }
 }

@@ -970,4 +970,12 @@ class ZMatrixSpec extends AnyFunSuite {
       assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
     }
   }
+
+  test("diffAxis1 matches the dense row diff at stored cells") {
+    val got = m.diffAxis1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- dense.indices; j <- 1 until dense(i).length)
+      assert(got((i.toLong, j.toLong)) == dense(i)(j) - dense(i)(j - 1))
+    assert(!got.keySet.exists(_._2 == 0L), "first stored cell per row emits nothing")
+  }
 }
