@@ -300,6 +300,8 @@ object SparkEntry {
     // R54: TPC-H Q19-shape disjunctive join predicate; the part-side
     // residue of the OR pushes below the join (plan-asserted)
     "q51_disjunctive" -> Relational.q51Disjunctive _,
+    // R55: snapshot reconciliation diff (added/removed/changed/same)
+    "q52_snapshot_diff" -> Relational.q52SnapshotDiff _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1496,6 +1498,9 @@ object SparkEntry {
     // S18: per-window top-k — watermarked streaming counts + a bounded
     // batch rank post-pass over the aggregate-sized result
     "stream_topk" -> ((s, d) => Stream.topkStream(s, d)),
+    // S19: keyed-snapshot UPSERT via foreachBatch (lakehouse SCD1
+    // maintenance); final snapshot == the batch latest-per-user query
+    "stream_upsert" -> ((s, d) => Stream.upsertStream(s, d)),
     // streaming → Zarr incremental array ingestion: time-banded
     // micro-batches append chunk-aligned slabs via the DSv2 append mode;
     // the final store reads back dense against a DuckDB grid twin
@@ -2197,6 +2202,29 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY ws
         |        ORDER BY n DESC, event_type) AS rk FROM c)
         |WHERE rk <= 3""".stripMargin,
+    "q52_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |oc AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |upd AS (SELECT a.key, a.bal + coalesce(oc.n, 0) * 100 AS bal
+        |        FROM a LEFT JOIN oc USING (key) WHERE a.key % 10 <> 0),
+        |b AS (SELECT key, bal FROM upd
+        |      UNION ALL SELECT key + 100000, bal FROM a WHERE key % 7 = 0)
+        |SELECT coalesce(a.key, b.key) AS key,
+        |  CASE WHEN a.key IS NULL THEN 'added'
+        |       WHEN b.key IS NULL THEN 'removed'
+        |       WHEN a.bal = b.bal THEN 'same' ELSE 'changed' END AS status,
+        |  coalesce(a.bal, -1) AS bal_old, coalesce(b.bal, -1) AS bal_new
+        |FROM a FULL OUTER JOIN b ON a.key = b.key""".stripMargin,
+    "stream_upsert" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY es DESC, event_id DESC) AS rk FROM e)
+        |SELECT user_id, es AS last_es, event_type AS last_type,
+        |  cents AS last_cents
+        |FROM r WHERE rk = 1""".stripMargin,
     "q51_disjunctive" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)

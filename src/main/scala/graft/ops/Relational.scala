@@ -905,6 +905,36 @@ object Relational {
       .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** R55/q52: SNAPSHOT RECONCILIATION diff (the data-quality audit run
+    * between two versions of a dimension — CDC validation, vendor-feed
+    * comparison): full outer join on the key, row classified
+    * added / removed / changed / same by struct equality on the compared
+    * columns. The "new" snapshot is derived deterministically from the
+    * old one (simulated CRM update: every 10th customer deleted,
+    * customers with orders get +100·n_orders cents, every 7th customer
+    * cloned under key+100000) so both engines construct identical
+    * inputs. One key-partitioned shuffle join; exact integers. */
+  def q52SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).select(col("c_custkey").as("key"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+    val ordersPerCust = orders(s, d).groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("_n"))
+    val updated = a.join(ordersPerCust, Seq("key"), "left_outer")
+      .select(col("key"), (col("bal") + coalesce(col("_n"), lit(0L)) * 100).as("bal"))
+      .filter(col("key") % 10 =!= 0)
+    val b = updated.unionByName(
+      a.filter(col("key") % 7 === 0).select((col("key") + 100000).as("key"), col("bal")))
+    a.select(col("key"), col("bal").as("_a"))
+      .join(b.select(col("key"), col("bal").as("_b")), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("_a").isNull, "added")
+          .when(col("_b").isNull, "removed")
+          .when(col("_a") === col("_b"), "same")
+          .otherwise("changed").as("status"),
+        coalesce(col("_a"), lit(-1L)).as("bal_old"),
+        coalesce(col("_b"), lit(-1L)).as("bal_new"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -652,6 +652,69 @@ object Stream {
     readExport(spark, outDir)
   }
 
+  /** S19: streaming keyed-snapshot UPSERT (lakehouse SCD1 maintenance):
+    * each micro-batch MERGEs its per-user latest event into a persistent
+    * snapshot table — the materialized "current state per key" a serving
+    * layer reads. Merge rule: keep the (es, event_id)-max row per user
+    * (unique, so deterministic); re-applying a batch is a no-op, which
+    * is the exactly-once property (idempotent-merge spec re-runs a batch
+    * through this exact body). The snapshot is bucket-partitioned by
+    * user hash; each batch localCheckpoints the merged frame BEFORE the
+    * dynamic partition overwrite so the write never races its own input
+    * files, and only buckets touched by the batch are rewritten — at
+    * scale a batch rewrites batch-keys/16 of the snapshot, not all of
+    * it. */
+  def upsertStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val (stream, _) = eventsStream(spark, sfDir)
+    val outDir = s"${GraftPaths.tmpRoot}/upsert_snap_$sfName"
+    graft.zarr.Zarr.delete(outDir, recursive = true) // fresh build each run
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream.foreachBatch(upsertBatch(outDir) _).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("last_es"), col("last_type"), col("last_cents"))
+  }
+
+  /** The per-batch upsert body (factored out for the idempotency spec). */
+  def upsertBatch(outDir: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val latest = batch.select(col("user_id"),
+        struct(unix_timestamp(col("ts").cast("timestamp")).as("last_es"),
+          col("event_id"), col("event_type").as("last_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("last_cents")).as("_m"))
+      .groupBy(col("user_id")).agg(max(col("_m")).as("_m"))
+      .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+      .localCheckpoint() // consumed twice (bucket list + merge)
+    // only the buckets this batch touches participate in the merge; the
+    // dynamic overwrite below leaves every other bucket's files alone
+    val buckets = latest.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤16 ints — parameter-sized
+    val merged = (
+      if (new java.io.File(outDir).exists())
+        spark.read.schema("user_id LONG, last_es LONG, event_id LONG, " +
+            "last_type STRING, last_cents LONG, bucket INT")
+          .parquet(outDir)
+          .filter(col("bucket").isin(buckets: _*))
+          .select(col("user_id"), struct(col("last_es"), col("event_id"),
+            col("last_type"), col("last_cents")).as("_m"), col("bucket"))
+          .unionByName(latest)
+      else latest)
+      .groupBy(col("user_id"), col("bucket")).agg(max(col("_m")).as("_m"))
+      .select(col("user_id"), col("_m.last_es"), col("_m.event_id"),
+        col("_m.last_type"), col("_m.last_cents"), col("bucket"))
+      // pin BEFORE overwriting: the merged frame must not lazily re-read
+      // the files the write below replaces
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(outDir)
+    ()
+  }
+
   /** The per-batch export body, factored out so the idempotency test can
     * re-run a batch through the EXACT code path the stream uses. */
   def exportBatch(outDir: String)(

@@ -651,4 +651,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(scanLines.nonEmpty, s"no pushed part filter in:\n$plan")
     assert(scanLines.exists(_.contains("Or(")), s"OR residue not pushed: $scanLines")
   }
+
+  test("q52SnapshotDiff classifies the simulated update correctly") {
+    val rows = ops.Relational.q52SnapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    val custKeys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    // every 10th customer was deleted in B
+    assert(byStatus("removed").toLong == custKeys.count(_ % 10 == 0))
+    // every 7th customer was cloned under key+100000
+    assert(byStatus("added").toLong == custKeys.count(_ % 7 == 0))
+    assert(rows.filter(_._2 == "added").forall(_._1 >= 100000))
+    // surviving keys: changed iff the customer has orders
+    val withOrders = Tables.orders(spark, sf).select("o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    rows.filter(t => t._2 == "changed" || t._2 == "same").foreach { t =>
+      assert(t._1 % 10 != 0)
+      assert((t._2 == "changed") == withOrders.contains(t._1), t.toString)
+    }
+    // coverage: every A key and every B key appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == nCust + custKeys.count(_ % 7 == 0))
+  }
 }

@@ -383,4 +383,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.forall(t => t._4 >= 1 && t._4 <= 3))
   }
+
+  test("upsertStream: snapshot equals batch latest-per-user; merge is idempotent") {
+    val got = Stream.upsertStream(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val batch = Tables.events(spark, TestSpark.sf)
+      .selectExpr("user_id", "unix_timestamp(CAST(ts AS TIMESTAMP)) AS es",
+        "event_id", "event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(t => (t._2, t._3))).toMap
+      .map { case (u, t) => u -> (t._2, t._4, t._5) }
+    assert(got == batch)
+    // idempotency: re-applying the ENTIRE event set as one more batch
+    // through the exact foreachBatch body leaves the snapshot unchanged
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${graft.GraftPaths.tmpRoot}/upsert_snap_$sfName"
+    Stream.upsertBatch(outDir)(Tables.events(spark, TestSpark.sf), 999L)
+    val again = spark.read.parquet(outDir)
+      .select(col("user_id"), col("last_es"), col("last_type"), col("last_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(again == got, "re-applied batch must be a no-op")
+  }
 }
