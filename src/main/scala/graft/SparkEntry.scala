@@ -1344,6 +1344,9 @@ object SparkEntry {
     // labels, every log-prob an exact LnFix micro-nat integer
     "text_classify" -> ((s, d) =>
       TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")),
+    // L37: count-of-counts Zipf profile (tokenizer-design statistic)
+    "text_zipf" -> ((s, d) =>
+      TextOps.zipfSpectrum(Tables.documents(s, d), "doc_id", "text")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     // PCA-whitening of the embedding space (decorrelate + unit variances —
@@ -1358,6 +1361,11 @@ object SparkEntry {
       Sampling.quotaSample(Tables.documents(s, d), "source", "doc_id", n = 10)),
     "sample_mix" -> ((s, d) =>
       Sampling.mixSample(Tables.documents(s, d), "source", "doc_id", mixRates)),
+    // L36: epoch-weighted repeats — weights >1 materialize doc COPIES
+    // (⌊w⌋ everywhere + hash-chosen ⌈w⌉), one row per copy
+    "sample_repeat" -> ((s, d) =>
+      Sampling.repeatSample(Tables.documents(s, d), "source", "doc_id",
+        (0 until 20).map(i => s"src$i" -> (100 + 50 * (i % 4))).toMap)),
     // α=0.5 so both engines derive rates through sqrt (correctly-rounded
     // IEEE — bit-identical); see Sampling.temperatureRates. Grouped on a
     // token-length band (the `source` column is uniform in this corpus, so
@@ -2462,6 +2470,23 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    // weights ×100 derive from the source index (src<i> → 100+50·(i%4)),
+    // so both engines construct the identical weight table; copies
+    // bounded by max w=2.5 → the literal range(10) cross join
+    "sample_repeat" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 4) AS w,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS frac
+        |  FROM documents),
+        |n AS (SELECT doc_id, source AS group_key,
+        |    w // 100 + CASE WHEN frac < w % 100 THEN 1 ELSE 0 END AS n FROM d)
+        |SELECT doc_id, group_key, CAST(u.c AS BIGINT) AS copy_idx
+        |FROM n CROSS JOIN range(10) u(c) WHERE u.c < n.n""".stripMargin,
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+        |SELECT c, count(*) AS n_tokens FROM c GROUP BY 1""".stripMargin,
     "sample_pack_store" ->
       """WITH t AS (SELECT doc_id, u.p - 1 AS p, w[u.p] AS token FROM (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -36,6 +36,33 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** L36: EPOCH-WEIGHTED REPEAT materialization — the DoReMi/“repeat
+    * high-quality sources” face of mix construction, where a source's
+    * weight can EXCEED 1.0 and a doc appears ⌊w⌋ or ⌈w⌉ times: every doc
+    * gets ⌊w·100⌋ div 100 base copies plus one more iff its md5 fraction
+    * (mod 100) falls under the fractional part — so a source at w=2.5
+    * repeats every doc 2× and half the docs (hash-chosen,
+    * resharding-stable, no RNG) 3×. Output is one row per COPY
+    * (doc_id, copy_idx) via a bounded sequence explode — the exploded
+    * frame IS the training-mix manifest. Weights arrive ×100 as exact
+    * integers, so both engines make identical copy decisions. */
+  def repeatSample(docs: DataFrame, groupCol: String, idCol: String,
+                   weightsX100: Map[String, Int]): DataFrame = {
+    require(weightsX100.values.forall(w => w >= 0 && w <= 1000),
+      s"weights must be 0..10.00, got $weightsX100")
+    val w = weightsX100.map { case (g, v) =>
+      (when(col("group_key") === g, lit(v)))
+    }.reduce((a, b) => coalesce(a, b))
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
+      .withColumn("_w", coalesce(w, lit(100)))
+      .withColumn("_frac", pmod(hashKey(col("doc_id")), lit(100)))
+      .withColumn("_n", expr("_w div 100") +
+        when(col("_frac") < col("_w") % 100, 1L).otherwise(0L))
+      .filter(col("_n") > 0)
+    base.select(col("doc_id"), col("group_key"),
+      explode(sequence(lit(0L), col("_n") - 1)).as("copy_idx"))
+  }
+
   /** Per-group quota: keep the n records of each group with the smallest
     * hash keys (a deterministic uniform sample of n per group, NOT "first n
     * by id"). Runs in two stages so a hot group cannot overwhelm one task:

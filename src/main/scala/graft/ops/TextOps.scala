@@ -309,6 +309,15 @@ object TextOps {
         expr("_s div n_tok").as("nll_micro"))
   }
 
+  /** L37: token frequency SPECTRUM (the count-of-counts / Zipf profile a
+    * tokenizer designer reads before choosing vocab size — how much mass
+    * sits in hapax legomena vs the head): two nested count aggregates,
+    * the second over the vocab-sized table. Exact integers. */
+  def zipfSpectrum(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_tokens"))
+
   /** The trained-model frames behind [[naiveBayes]]: per-(label, token)
     * micro-nat costs, per-label unseen fallbacks, per-label priors —
     * shared by the batch scorer (join form) and the streaming serving

@@ -177,4 +177,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(b.values.toSeq.sorted == (1L to n).toSeq)
     assert(a != b, "a new salt must give a new epoch order")
   }
+
+  test("repeatSample: floor copies everywhere, ceil on the hash fraction, realized mass converges") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i < 500) "a" else "b")).toDF("doc_id", "src")
+    val out = ops.Sampling.repeatSample(docs, "src", "doc_id",
+      Map("a" -> 250, "b" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // b: exactly one copy each; a: 2 or 3 copies each
+    assert((500L until 1000L).forall(perDoc(_) == 1))
+    assert((0L until 500L).forall(i => perDoc(i) == 2 || perDoc(i) == 3))
+    // copy indices are 0..n-1 per doc
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._3).sorted.sameElements(0L until cs.length)) }
+    // realized epoch factor for a converges to 2.5 (hash-uniform fraction)
+    val aCopies = out.count(_._2 == "a")
+    assert(math.abs(aCopies / 500.0 - 2.5) < 0.15, s"a copies: $aCopies")
+    // deterministic
+    val again = ops.Sampling.repeatSample(docs, "src", "doc_id",
+      Map("a" -> 250, "b" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sorted.sameElements(out.sorted))
+    // weight 0 drops the source entirely
+    val none = ops.Sampling.repeatSample(docs, "src", "doc_id",
+      Map("a" -> 0, "b" -> 100))
+    assert(none.filter(col("group_key") === "a").count() == 0)
+  }
 }
