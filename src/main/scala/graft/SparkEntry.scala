@@ -1111,6 +1111,16 @@ object SparkEntry {
           Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), rounds = 10)
         .select(col("node").cast("long").as("node"), col("rank_e12"))
     }),
+    // personalized PageRank: the 15% teleport restarts at seeds {0..3}
+    // (random walk with restart — the graph recommender's ranking);
+    // same fixed-point integer contract, seed CASE mirrored in the
+    // generated oracle rounds
+    "graph_ppr" -> ((s, d) => {
+      Similarity.personalizedPageRank(
+          Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"),
+          seeds = Seq(0L, 1L, 2L, 3L), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("rank_e12"))
+    }),
     // Louvain phase-1 local moves from the classic singleton seed: exact
     // integer ΔQ-argmax per node per round (4 semi-synchronous rounds on
     // the parity schedule), the modularity-optimizing upgrade over pure
@@ -1347,6 +1357,13 @@ object SparkEntry {
     // L37: count-of-counts Zipf profile (tokenizer-design statistic)
     "text_zipf" -> ((s, d) =>
       TextOps.zipfSpectrum(Tables.documents(s, d), "doc_id", "text")),
+    // the eval face of L31: confusion matrix of predicted vs actual lang
+    "text_classify_eval" -> ((s, d) =>
+      TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("pred"))
+        .agg(count(lit(1)).as("n"))),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     // PCA-whitening of the embedding space (decorrelate + unit variances —
@@ -1366,6 +1383,11 @@ object SparkEntry {
     "sample_repeat" -> ((s, d) =>
       Sampling.repeatSample(Tables.documents(s, d), "source", "doc_id",
         (0 until 20).map(i => s"src$i" -> (100 + 50 * (i % 4))).toMap)),
+    // L38: Efraimidis–Spirakis weighted sampling without replacement —
+    // LnFix integer keys, weight = capped char count
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+        least(col("n_chars"), lit(1000L)), n = 100)),
     // α=0.5 so both engines derive rates through sqrt (correctly-rounded
     // IEEE — bit-identical); see Sampling.temperatureRates. Grouped on a
     // token-length band (the `source` column is uniform in this corpus, so
@@ -1773,6 +1795,30 @@ object SparkEntry {
     * fixed-point update r' = (15·S)//(100·N) + (85·Σ(r//k))//100
     * round for round. Generated, so the round count and the update
     * expression cannot drift from the Scala side. */
+  /** [[graphPagerankSql]] with the teleport mass restarting at seeds
+    * {0,1,2,3} — generated alongside the uniform form so the fixed-point
+    * contract and round count stay in lockstep with
+    * [[graft.ops.Similarity.personalizedPageRank]]. */
+  private val graphPprSql: String = {
+    val rounds = 10
+    val seeds = "(0, 1, 2, 3)"
+    val body = (0 until rounds).map { i =>
+      s"""pr${i + 1} AS (SELECT e.src AS node,
+         |  (CASE WHEN e.src IN $seeds THEN (15 * 1000000000000) // (100 * 4)
+         |        ELSE 0 END) +
+         |    (85 * SUM(p.r // d.k)) // 100 AS r
+         |  FROM pr$i p JOIN deg d ON d.node = p.node
+         |    JOIN edges e ON e.dst = p.node
+         |  GROUP BY e.src)""".stripMargin
+    }.mkString(",\n")
+    graphEdgesSqlPrefix + ",\n" +
+      s"""deg AS (SELECT src AS node, count(*) AS k FROM edges GROUP BY src),
+         |pr0 AS (SELECT d.node, CASE WHEN d.node IN $seeds
+         |  THEN 1000000000000 // 4 ELSE 0 END AS r FROM deg d)""".stripMargin +
+      ",\n" + body +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM pr$rounds"
+  }
+
   private val graphPagerankSql: String = {
     val rounds = 10
     val body = (0 until rounds).map { i =>
@@ -1923,6 +1969,7 @@ object SparkEntry {
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_ppr" -> graphPprSql,
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
     // duplicated 8-gram spans: the oracle groups the gram STRINGS
@@ -2470,6 +2517,20 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    "sample_weighted" ->
+      (s"""WITH b AS (SELECT doc_id, least(n_chars, 1000) AS w_x100,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000 + 1 AS _u
+        |  FROM documents WHERE least(n_chars, 1000) > 0),
+        |${graft.functions.LnFix.oracleCtes("ws", "b", Seq("doc_id", "w_x100"), "_u", "1000001", "_ln")}
+        |SELECT doc_id, CAST(w_x100 AS BIGINT) AS w_x100,
+        |  CAST((_ln * 10000) // w_x100 AS BIGINT) AS key
+        |FROM wsf ORDER BY key, doc_id LIMIT 100""").stripMargin,
+    // the eval face of L31: confusion counts of predicted vs actual
+    "text_classify_eval" ->
+      (s"""SELECT d.lang AS actual, p.pred, count(*) AS n
+        |FROM ($nbClassifySql) p
+        |JOIN documents d USING (doc_id) GROUP BY 1, 2""").stripMargin,
     // weights ×100 derive from the source index (src<i> → 100+50·(i%4)),
     // so both engines construct the identical weight table; copies
     // bounded by max w=2.5 → the literal range(10) cross join

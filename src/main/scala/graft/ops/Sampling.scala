@@ -63,6 +63,29 @@ object Sampling {
       explode(sequence(lit(0L), col("_n") - 1)).as("copy_idx"))
   }
 
+  /** L38: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * 2006, the deterministic-hash variant): inclusion probability rises
+    * with weight, no RNG. Classic A-ES keeps the n largest u^(1/w) —
+    * equivalently the n SMALLEST −ln(u)/w, which is how we compute it
+    * exactly: u = (md5-fraction + 1)/1000001 as a rational, −ln via the
+    * shared [[graft.functions.LnFix]] integer series, key =
+    * ln_micro·10⁴ div w_x100 — pure BIGINTs, so both engines select the
+    * identical sample (ties → doc_id). One scan + TakeOrdered (partial
+    * per-partition top-n, driver merges partitions·n rows). Returns the
+    * chosen (doc_id, w_x100, key). */
+  def weightedSample(docs: DataFrame, idCol: String, weightX100: Column,
+                     n: Int): DataFrame = {
+    val d = 1000001L
+    val base = docs.select(col(idCol).as("doc_id"),
+        weightX100.cast("long").as("w_x100"))
+      .filter(col("w_x100") > 0)
+      .withColumn("_u", pmod(hashKey(col("doc_id")), lit(d - 1)) + 1)
+    graft.functions.LnFix.withNegLnMicro(base, "_u", d.toString, "_ln")
+      .select(col("doc_id"), col("w_x100"),
+        expr("(_ln * 10000) div w_x100").as("key"))
+      .orderBy(col("key"), col("doc_id")).limit(n)
+  }
+
   /** Per-group quota: keep the n records of each group with the smallest
     * hash keys (a deterministic uniform sample of n per group, NOT "first n
     * by id"). Runs in two stages so a hot group cannot overwhelm one task:

@@ -979,6 +979,38 @@ object Similarity {
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
 
+  /** PERSONALIZED PageRank (random walk with restart to a SEED set) —
+    * the "related items to THESE nodes" serving query, and the
+    * similarity measure graph-based recommenders rank by. Identical
+    * fixed-point integer contract to [[pageRank]] (bit-replicable, no
+    * floats): the only change is that the 15% teleport mass restarts at
+    * the seeds instead of uniformly — non-seed nodes receive rank only
+    * through walk mass. Same Pregel shape per round. */
+  def personalizedPageRank(mut: DataFrame, seeds: Seq[Long], rounds: Int = 10,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val edges = mut.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
+      .select(col("src").as("node"), col("k"))
+    val ns = seeds.length
+    val base = (15L * scale) / (100L * ns)
+    var ranks = deg.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(scale / ns)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to rounds) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(col("node").as("dst"), expr("r div k").as("_c"))
+      ranks = edges.join(contrib, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("_c")).as("_s"))
+        .select(col("src").as("node"),
+          (when(col("src").isin(seeds: _*), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * _s) div 100")).as("r"))
+      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_e12"))
+  }
+
   /** Louvain-style synchronous local-move refinement (Blondel et al.
     * 2008, phase 1) over an unordered mutual edge set `(id1, id2, w:
     * LONG)`: each round, every node considers moving to a neighboring

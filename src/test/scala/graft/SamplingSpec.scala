@@ -204,4 +204,27 @@ class SamplingSpec extends AnyFunSuite {
       Map("a" -> 0, "b" -> 100))
     assert(none.filter(col("group_key") === "a").count() == 0)
   }
+
+  test("weightedSample: equals the local A-ES reference; weight raises inclusion") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1000L else 10L))
+      .toDF("doc_id", "w")
+    val got = ops.Sampling.weightedSample(docs, "doc_id", col("w"), n = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact local reference via the shared LnFix twin
+    val ref = (0L until 2000L).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = ((h % 1000000L) + 1000000L) % 1000000L + 1
+      val ln = graft.functions.LnFix.referenceNegLnMicro(u, 1000001L)
+      val w = if (i % 2 == 0) 1000L else 10L
+      (i, w, ln * 10000L / w)
+    }.sortBy(t => (t._3, t._1)).take(200)
+    assert(got.sortBy(t => (t._3, t._1)).sameElements(ref), "must equal local A-ES")
+    // the heavy class (100x weight) must dominate the sample
+    val heavy = got.count(_._2 == 1000L)
+    assert(heavy > 150, s"heavy-weight docs should dominate, got $heavy/200")
+  }
 }

@@ -1049,4 +1049,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.values.forall(v => v >= 1 && v <= 10), a.toString)
     assert(run() == a)
   }
+
+  test("personalizedPageRank: walk mass concentrates around the seeds") {
+    import spark.implicits._
+    // two triangles joined by one bridge: seeding the left triangle must
+    // rank its nodes above the right triangle's
+    val mut = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("id1", "id2")
+    val r = Similarity.personalizedPageRank(mut, seeds = Seq(1L, 2L), rounds = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == (1L to 6L).toSet)
+    assert(Seq(1L, 2L).map(r).min > Seq(5L, 6L).map(r).max,
+      s"seed side must dominate: $r")
+    // seeds hold the teleport mass; total mass is bounded by the scale
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.forall(_ >= 0))
+    // determinism
+    val again = Similarity.personalizedPageRank(mut, seeds = Seq(1L, 2L), rounds = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r)
+  }
 }
