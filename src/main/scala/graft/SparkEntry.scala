@@ -1063,6 +1063,14 @@ object SparkEntry {
       Similarity.pageRank(ivfMutualEdges(s, d), rounds = 10)
         .select(col("node").cast("long").as("node"), col("rank_e12"))
     }),
+    // full-corpus personalized-PageRank twin (the shard/full pattern):
+    // restart at seeds {0..3} over the IVF mutual edge set — rows-only;
+    // the oracle-checked twin is graph_ppr on the exact shard
+    "graph_ppr_full" -> ((s, d) => {
+      Similarity.personalizedPageRank(ivfMutualEdges(s, d),
+          seeds = Seq(0L, 1L, 2L, 3L), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("rank_e12"))
+    }),
     // full-corpus LOUVAIN (the same L6f scale path applied to
     // graph_louvain): IVF-bucketed kNN edges over EVERY vector → mutual
     // restriction → exact-integer ΔQ local moves from the singleton
@@ -1349,6 +1357,21 @@ object SparkEntry {
     // the next-order LM signal: add-one bigram NLL, same integer-snapped
     // exactness contract as the unigram form
     "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
+    // Jelinek–Mercer interpolation of the two LM signals (λ=0.7 bigram):
+    // integer blend (7·nll2 + 3·nll1) div 10, single-token docs fall
+    // back to the unigram score — composes the two class-1 signals into
+    // the smoothed LM quality score CCNet-style filters actually use
+    "text_ppl_interp" -> ((s, d) => {
+      val u = TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("nll_micro"))
+      val b = TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("nll2_micro"))
+      u.join(b, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("nll2_micro").isNull, col("nll_micro"))
+            .otherwise(expr("(7 * nll2_micro + 3 * nll_micro) div 10"))
+            .as("interp_micro"))
+    }),
     // L31: one-pass Naive Bayes classifier (the fastText-filter family's
     // closed-form member) — supervised langid over the corpus's own
     // labels, every log-prob an exact LnFix micro-nat integer
@@ -1611,6 +1634,35 @@ object SparkEntry {
        |  list_transform(range(1, len(tok)), i -> tok[i] || chr(1) || tok[i+1]) AS big
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents))""".stripMargin
   }
+
+  private val textPplSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |            FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |g AS (SELECT sum(c) + count(*) AS den FROM cnt),
+        |lmsrc AS (SELECT token, c, den FROM cnt CROSS JOIN g),
+        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("token"), "c + 1", "den", "lnq")},
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, sum(tf) AS n_tok,
+        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll_micro
+        |FROM tf JOIN lmf USING (token) GROUP BY doc_id""".stripMargin
+
+  private val textPplBigramSql: String =
+    s"""WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |    unnest(range(1, len(w) + 1)) u(p)),
+        |big AS (SELECT doc_id, token AS w1,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+        |b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
+        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |lmsrc AS (SELECT w1, w2, c, cw, v FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
+        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("w1", "w2"), "c + 1", "cw + v", "lnq")},
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, sum(tf) AS n_bigrams,
+        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll2_micro
+        |FROM tf JOIN lmf USING (w1, w2) GROUP BY doc_id""".stripMargin
 
   private val nbClassifySql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -3358,17 +3410,7 @@ object SparkEntry {
     // dialects), so no libm is involved on either side — the r11 red
     // rows were Spark's StrictMath and DuckDB's libm snapping a
     // micro-nat apart on this data
-    "text_ppl" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-        |            FROM documents),
-        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
-        |g AS (SELECT sum(c) + count(*) AS den FROM cnt),
-        |lmsrc AS (SELECT token, c, den FROM cnt CROSS JOIN g),
-        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("token"), "c + 1", "den", "lnq")},
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
-        |SELECT doc_id, sum(tf) AS n_tok,
-        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll_micro
-        |FROM tf JOIN lmf USING (token) GROUP BY doc_id""".stripMargin,
+    "text_ppl" -> textPplSql,
     // L31 Naive Bayes: three LnFix chains (per-(label,token) cost,
     // per-label unseen fallback, per-label prior), argmin with the
     // (score, label) tie-break mirrored by ORDER BY score, label
@@ -3395,22 +3437,14 @@ object SparkEntry {
          |  round(((ref_n + 1.0) / rt - (cur_n + 1.0) / ct)
          |    * ln(((ref_n + 1.0) / rt) / ((cur_n + 1.0) / ct)), 6) + 0 AS psi_term
          |FROM f CROSS JOIN t""".stripMargin,
-    "text_ppl_bigram" ->
-      s"""WITH tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS token FROM (
-        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-        |    unnest(range(1, len(w) + 1)) u(p)),
-        |big AS (SELECT doc_id, token AS w1,
-        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
-        |b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
-        |cnt AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
-        |ctx AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
-        |vs AS (SELECT count(DISTINCT token) AS v FROM tok),
-        |lmsrc AS (SELECT w1, w2, c, cw, v FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
-        |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("w1", "w2"), "c + 1", "cw + v", "lnq")},
-        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
-        |SELECT doc_id, sum(tf) AS n_bigrams,
-        |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll2_micro
-        |FROM tf JOIN lmf USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "text_ppl_bigram" -> textPplBigramSql,
+    "text_ppl_interp" ->
+      (s"""SELECT u.doc_id,
+        |  CAST(CASE WHEN b.nll2_micro IS NULL THEN u.nll_micro
+        |       ELSE (7 * b.nll2_micro + 3 * u.nll_micro) // 10 END AS BIGINT)
+        |    AS interp_micro
+        |FROM ($textPplSql) u
+        |LEFT JOIN ($textPplBigramSql) b USING (doc_id)""").stripMargin,
     // dense-grid twin: with a fresh store every grid cell is either a
     // stored value (i < cut) or the fill — written-chunk gaps and absent
     // chunks alike — so the per-column split is fully predictable

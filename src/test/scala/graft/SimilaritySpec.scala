@@ -1069,4 +1069,20 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(again == r)
   }
+
+  test("graph_ppr_full: seeds dominate, mass bounded, deterministic") {
+    val run = () => graft.SparkEntry.queries("graph_ppr_full")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a.nonEmpty && a.values.forall(_ >= 0))
+    assert(a.values.sum <= 1000000000000L)
+    // a seed holds at least the teleport floor; the median non-seed is far below
+    val seeds = Seq(0L, 1L, 2L, 3L).filter(a.contains)
+    assert(seeds.nonEmpty)
+    assert(seeds.map(a).min >= (15L * 1000000000000L) / (100L * 4),
+      "seeds keep at least the teleport floor")
+    val nonSeed = a.filterNot(kv => seeds.contains(kv._1)).values.toSeq.sorted
+    assert(nonSeed(nonSeed.size / 2) < seeds.map(a).min)
+    assert(run() == a)
+  }
 }

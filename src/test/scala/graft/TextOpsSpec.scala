@@ -400,4 +400,25 @@ class TextOpsSpec extends AnyFunSuite {
     // costs are positive micro-nats, bounded far under BIGINT
     assert(a.forall(t => t._3 > 0 && t._3 < 1e15.toLong))
   }
+
+  test("interpolated LM score blends the two signals; single-token docs fall back") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "solo"), (3L, "c c c c")).toDF("doc_id", "text")
+    val u = TextOps.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = TextOps.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val interp = graft.SparkEntry.queries("text_ppl_interp")(spark,
+      TestSpark.sf) // corpus run: every doc present exactly once
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(interp.size == nDocs)
+    // fixture algebra: blend = (7*b + 3*u) div 10; doc 2 has no bigram
+    assert(b.get(2L).isEmpty)
+    assert(u.contains(2L))
+    for ((id, b2) <- b) {
+      val expect = (7 * b2 + 3 * u(id)) / 10
+      assert(expect >= math.min(b2, u(id)) && expect <= math.max(b2, u(id)))
+    }
+  }
 }
