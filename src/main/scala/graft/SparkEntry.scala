@@ -302,6 +302,9 @@ object SparkEntry {
     "q51_disjunctive" -> Relational.q51Disjunctive _,
     // R55: snapshot reconciliation diff (added/removed/changed/same)
     "q52_snapshot_diff" -> Relational.q52SnapshotDiff _,
+    // R56: clamp-at-zero running balance via the Lindley-recursion
+    // closed form (prefix sum − running min) — two windows, no loop
+    "q53_capped_balance" -> Relational.q53CappedBalance _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1411,6 +1414,11 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) =>
       Sampling.weightedSample(Tables.documents(s, d), "doc_id",
         least(col("n_chars"), lit(1000L)), n = 100)),
+    // L15b: the C4-style domain cap — each source keeps its 10 BEST
+    // docs by quality (two-stage salted rank, score-ordered)
+    "sample_quota_quality" -> ((s, d) =>
+      Sampling.quotaByScore(Tables.documents(s, d), "source", "doc_id",
+        graft.ops.TextOps.qualityCol(col("text")), n = 10)),
     // α=0.5 so both engines derive rates through sqrt (correctly-rounded
     // IEEE — bit-identical); see Sampling.temperatureRates. Grouped on a
     // token-length band (the `source` column is uniform in this corpus, so
@@ -2309,6 +2317,29 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY ws
         |        ORDER BY n DESC, event_type) AS rk FROM c)
         |WHERE rk <= 3""".stripMargin,
+    "q53_capped_balance" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) *
+        |    (CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END) AS d
+        |  FROM events),
+        |p1 AS (SELECT user_id, event_id, ts,
+        |  sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM e),
+        |p2 AS (SELECT user_id, event_id, p,
+        |  min(least(0, p)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        |  FROM p1)
+        |SELECT user_id, event_id, CAST(p - f AS BIGINT) AS balance_cents
+        |FROM p2""".stripMargin,
+    "sample_quota_quality" ->
+      s"""WITH q AS ($qualitySql),
+         |r AS (SELECT d.doc_id, d.source AS group_key, q.quality AS score,
+         |  row_number() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, group_key, score + 0 AS score, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 10""".stripMargin,
     "q52_snapshot_diff" ->
       """WITH a AS (SELECT c_custkey AS key,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),

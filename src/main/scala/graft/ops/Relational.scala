@@ -935,6 +935,27 @@ object Relational {
         coalesce(col("_b"), lit(-1L)).as("bal_new"))
   }
 
+  /** R56/q53: CLAMPED-AT-ZERO running balance (non-negative inventory /
+    * wallet semantics): b_i = max(0, b_{i−1} + d_i) is NOT a plain
+    * window cumsum — the clamp makes each step depend on the clamped
+    * predecessor. The closed form that IS two windows: with p the plain
+    * prefix sum, b_i = p_i − min_{j≤i} min(0, p_j) (floor-only clamping
+    * identity, fixture-proven in spec). Per-user partitions, exact
+    * integer cents; deltas: purchases debit, everything else credits.
+    * Two window passes over one user-keyed sort — scalable shape. */
+  def q53CappedBalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (expr("CAST(round(value * 100) AS BIGINT)") *
+          when(col("event_type") === "purchase", -1L).otherwise(1L)).as("_d"))
+      .withColumn("_p", sum(col("_d")).over(w))
+      .withColumn("_floor", min(least(lit(0L), col("_p"))).over(w))
+      .select(col("user_id"), col("event_id"),
+        (col("_p") - col("_floor")).as("balance_cents"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

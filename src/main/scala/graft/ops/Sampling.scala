@@ -86,6 +86,28 @@ object Sampling {
       .orderBy(col("key"), col("doc_id")).limit(n)
   }
 
+  /** L15b: per-group quota by a SCORE (the C4-style domain cap that
+    * keeps each source's BEST n documents rather than a uniform
+    * sample): same two-stage salted shape as [[quotaSample]] — stage 1
+    * caps hash-derived subgroups at n with bounded local sorts, stage 2
+    * ranks the ≤ salts·n survivors — but ordered by (score desc, id)
+    * instead of the hash. The subset argument is order-agnostic, so the
+    * result equals the single global row_number the oracle runs. */
+  def quotaByScore(docs: DataFrame, groupCol: String, idCol: String,
+                   score: Column, n: Int, salts: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("group_key"), score.as("_sc"))
+    val h = Dedup.mdHash60(col("doc_id").cast("string"))
+    val salted = Window.partitionBy(col("group_key"), pmod(h, lit(salts.toLong)))
+      .orderBy(col("_sc").desc, col("doc_id"))
+    val full = Window.partitionBy(col("group_key"))
+      .orderBy(col("_sc").desc, col("doc_id"))
+    base.withColumn("_srk", row_number().over(salted)).filter(col("_srk") <= n)
+      .withColumn("rk", row_number().over(full)).filter(col("rk") <= n)
+      .select(col("doc_id"), col("group_key"), col("_sc").as("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Per-group quota: keep the n records of each group with the smallest
     * hash keys (a deterministic uniform sample of n per group, NOT "first n
     * by id"). Runs in two stages so a hot group cannot overwhelm one task:

@@ -675,4 +675,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
     assert(rows.length == nCust + custKeys.count(_ % 7 == 0))
   }
+
+  test("q53CappedBalance equals the iterative clamp recursion") {
+    val got = ops.Relational.q53CappedBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_timestamp(CAST(ts AS TIMESTAMP)) AS es",
+        "event_id", "event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      var b = 0L
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        val d = if (e._4 == "purchase") -e._5 else e._5
+        b = math.max(0L, b + d)
+        assert(got((u, e._3)) == b, s"user $u event ${e._3}")
+      }
+    }
+    assert(got.values.forall(_ >= 0))
+  }
+
+  test("quotaByScore keeps each group's best-n and equals the global rank") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Sampling.quotaByScore(Tables.documents(spark, sf),
+        "source", "doc_id", graft.ops.TextOps.qualityCol(col("text")), n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityCol(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy(d => (-d._3, d._1)).take(5).zipWithIndex
+          .map { case (d, ix) => (src, d._1, ix + 1L) }.toSeq
+      }.toSet
+    assert(got == ref)
+  }
 }
