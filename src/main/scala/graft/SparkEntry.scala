@@ -369,6 +369,9 @@ object SparkEntry {
     "arr_quantile_axis1" -> ((s, d) => mat(s, d).quantileAxis1(Seq(0.25, 0.5, 0.75))),
     "arr_rolling_rows" -> ((s, d) => mat(s, d).rollingMeanAxis1(3)),
     "arr_diff_rows" -> ((s, d) => mat(s, d).diffAxis1),
+    // np.average(axis=0, weights): per-row weight w_i = (i mod 3) + 1
+    "arr_weighted_mean" -> ((s, d) =>
+      mat(s, d).weightedMeanAxis0(pmod(col("i"), lit(3L)) + 1)),
     "arr_minmax_axis0" -> ((s, d) => {
       val m = mat(s, d)
       m.minAxis0.withColumnRenamed("v", "min_v")
@@ -953,6 +956,13 @@ object SparkEntry {
       Similarity.hybridTopK(Tables.documents(s, d), "doc_id", "text",
         Tables.embeddings(s, d), "vec_id", "embedding",
         queryTerms(s, d), queryVec(s, d), 10)),
+    // L39: c-TF-IDF topic keywords per IVF cluster (the BERTopic
+    // reduction) — rows-only (IVF training isn't SQL); planted-cluster
+    // and determinism invariants spec-pinned
+    "emb_topics" -> ((s, d) =>
+      Similarity.topicKeywords(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        ivfModel(s, d, 16), topK = 5)),
     // L35: matryoshka truncation EVAL — overlap@10 of the 16-dim prefix
     // ranking vs the full 64-dim ranking, per query (the MRL check a
     // team runs before shipping truncated embeddings); both rankings
@@ -3049,6 +3059,11 @@ object SparkEntry {
         |SELECT i, round(quantile_cont(v, 0.25), 4) + 0 AS q25,
         |  round(quantile_cont(v, 0.5), 4) + 0 AS q50,
         |  round(quantile_cont(v, 0.75), 4) + 0 AS q75
+        |FROM m GROUP BY 1""".stripMargin,
+    "arr_weighted_mean" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT j, round(sum(v * ((i % 3) + 1)) / sum((i % 3) + 1), 6) + 0 AS v
         |FROM m GROUP BY 1""".stripMargin,
     "arr_rolling_rows" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,

@@ -99,6 +99,15 @@ final case class ZMatrix(cells: DataFrame) {
         round(col("sum_v") / col("n"), 6).as("mean_v"),
         (round((col("_ss") - col("sum_v") * col("sum_v") / col("n")) / col("n"), 6) + 0.0).as("var_v"))
 
+  /** np.average(axis=0, weights=w) over stored cells: weighted column
+    * mean with a per-ROW weight expression (function of i). Stored
+    * values are exact-integer doubles and the weights exact integers,
+    * so both sums are order-exact; the one division rounds identically
+    * in both engines (PARITY class 2, 6dp). */
+  def weightedMeanAxis0(w: Column): DataFrame =
+    cells.groupBy(col("j"))
+      .agg((round(sum(col("v") * w) / sum(w), 6) + 0.0).as("v"))
+
   def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
   def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
   def minAxis0: DataFrame = cells.groupBy(col("j")).agg(min(col("v")).as("v"))

@@ -1011,6 +1011,42 @@ object Similarity {
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
 
+  /** L39: c-TF-IDF TOPIC KEYWORDS (the BERTopic reduction, Grootendorst
+    * 2022): documents cluster by their embedding's IVF list; each
+    * cluster is then described by its top terms under the class-based
+    * TF-IDF  W(t,c) = tf_{t,c} · ln(1 + A/f_t)  with f_t the corpus
+    * term frequency and A the average cluster token mass. The log is
+    * the shared [[graft.functions.LnFix]] integer series —
+    * ln((f_t+A)/f_t) = negLnMicro(f_t, f_t+A) — so scores are exact
+    * BIGINTs and the per-cluster ranking is deterministic (ties →
+    * term). Shapes: one assignment scan (nlist literal centroids), one
+    * (list, term) aggregate, one vocab-sized term aggregate, ranks via
+    * windows over per-list term sets. Returns (list_id, term, rank,
+    * score_micro) for the top `topK` terms per cluster. */
+  def topicKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    emb: DataFrame, vecIdCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], topK: Int = 5): DataFrame = {
+    val assigned = withIvfList(emb, vecCol, centroids)
+      .select(col(vecIdCol).as("doc_id"), col("list_id"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .join(assigned, Seq("doc_id"))
+    val tf = toks.groupBy(col("list_id"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    val ft = toks.groupBy(col("term")).agg(count(lit(1)).as("_ft"))
+    val g = toks.agg(count(lit(1)), countDistinct(col("list_id"))).head()
+    val a = g.getLong(0) / math.max(1L, g.getLong(1)) // avg cluster mass
+    val scored = graft.functions.LnFix.withNegLnMicro(
+        tf.join(ft, Seq("term")), "_ft", s"_ft + $a", "_idf")
+      .select(col("list_id"), col("term"), (col("_tf") * col("_idf")).as("score_micro"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("list_id"))
+          .orderBy(col("score_micro").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("list_id").cast("long").as("list_id"), col("term"),
+        col("rank"), col("score_micro"))
+  }
+
   /** Louvain-style synchronous local-move refinement (Blondel et al.
     * 2008, phase 1) over an unordered mutual edge set `(id1, id2, w:
     * LONG)`: each round, every node considers moving to a neighboring

@@ -1085,4 +1085,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nonSeed(nonSeed.size / 2) < seeds.map(a).min)
     assert(run() == a)
   }
+
+  test("topicKeywords: planted clusters surface their own vocabulary; deterministic") {
+    import spark.implicits._
+    // two orthogonal embedding clusters with disjoint topical vocab, over
+    // a shared stopword-ish background term
+    val docs = (0L until 20L).map { i =>
+      if (i < 10) (i, "shared apple banana fruit")
+      else (i, "shared rocket engine thrust")
+    }.toDF("doc_id", "text")
+    val emb = (0L until 20L).map { i =>
+      if (i < 10) (i, Array(1.0f, 0.0f)) else (i, Array(0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = Similarity.topicKeywords(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", cents, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byList = got.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byList.keySet == Set(0L, 1L))
+    // each cluster's distinctive terms outrank the shared background term
+    assert(byList(0L).take(3).toSet.subsetOf(Set("apple", "banana", "fruit")),
+      byList.toString)
+    assert(byList(1L).take(3).toSet.subsetOf(Set("rocket", "engine", "thrust")),
+      byList.toString)
+    // scores positive, ranks 1..k, deterministic
+    assert(got.forall(t => t._4 > 0 && t._3 >= 1 && t._3 <= 3))
+    val again = Similarity.topicKeywords(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", cents, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._3)).sameElements(got.sortBy(t => (t._1, t._3))))
+  }
 }

@@ -978,4 +978,19 @@ class ZMatrixSpec extends AnyFunSuite {
       assert(got((i.toLong, j.toLong)) == dense(i)(j) - dense(i)(j - 1))
     assert(!got.keySet.exists(_._2 == 0L), "first stored cell per row emits nothing")
   }
+
+  test("weightedMeanAxis0 matches the dense weighted average") {
+    import org.apache.spark.sql.functions._
+    val got = m.weightedMeanAxis0(pmod(col("i"), lit(3L)) + 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until 3) {
+      val (num, den) = dense.indices.map { i =>
+        val w = (i % 3) + 1
+        (dense(i)(j) * w, w.toDouble)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val want = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got(j.toLong) == want, s"col $j")
+    }
+  }
 }
