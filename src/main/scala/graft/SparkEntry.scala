@@ -305,6 +305,8 @@ object SparkEntry {
     // R56: clamp-at-zero running balance via the Lindley-recursion
     // closed form (prefix sum − running min) — two windows, no loop
     "q53_capped_balance" -> Relational.q53CappedBalance _,
+    // R57: ratio-to-report (share of parent within region)
+    "q54_share_of_total" -> Relational.q54ShareOfTotal _,
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1393,6 +1395,9 @@ object SparkEntry {
     // L37: count-of-counts Zipf profile (tokenizer-design statistic)
     "text_zipf" -> ((s, d) =>
       TextOps.zipfSpectrum(Tables.documents(s, d), "doc_id", "text")),
+    // L40: type-token ratio (lexical diversity quality signal)
+    "text_ttr" -> ((s, d) =>
+      TextOps.typeTokenRatio(Tables.documents(s, d), "doc_id", "text")),
     // the eval face of L31: confusion matrix of predicted vs actual lang
     "text_classify_eval" -> ((s, d) =>
       TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
@@ -2327,6 +2332,26 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY ws
         |        ORDER BY n DESC, event_type) AS rk FROM c)
         |WHERE rk <= 3""".stripMargin,
+    "q54_share_of_total" ->
+      """WITH rev AS (SELECT n.n_regionkey, n.n_name,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS nation_cents
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT *, sum(nation_cents) OVER (PARTITION BY n_regionkey)
+        |        AS region_cents FROM rev)
+        |SELECT n_regionkey, n_name, nation_cents,
+        |  round(CAST(nation_cents AS DOUBLE) / CAST(region_cents AS DOUBLE), 6)
+        |    + 0 AS share
+        |FROM t""".stripMargin,
+    "text_ttr" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+        |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) + 0 AS ttr
+        |FROM tok GROUP BY 1""".stripMargin,
     "q53_capped_balance" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CAST(round(value * 100) AS BIGINT) *

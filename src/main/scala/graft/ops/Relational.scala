@@ -956,6 +956,27 @@ object Relational {
         (col("_p") - col("_floor")).as("balance_cents"))
   }
 
+  /** R57/q54: RATIO-TO-REPORT (percent-of-total within a group) — the
+    * share-of-parent rollup every BI layer computes: each nation's
+    * revenue share inside its region, exact integer cents with ONE 6dp
+    * division per row (class 2). Group totals via a window over the
+    * nation-level aggregate (dimension-sized), not a second fact
+    * pass. */
+  def q54ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val rev = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(orders(s, d).select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("_c")),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(sum(col("_c")).as("nation_cents"))
+    rev.withColumn("region_cents",
+        sum(col("nation_cents")).over(Window.partitionBy(col("n_regionkey"))))
+      .select(col("n_regionkey"), col("n_name"), col("nation_cents"),
+        (round(col("nation_cents").cast("double") /
+          col("region_cents").cast("double"), 6) + 0.0).as("share"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

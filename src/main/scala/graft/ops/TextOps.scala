@@ -309,6 +309,19 @@ object TextOps {
         expr("_s div n_tok").as("nll_micro"))
   }
 
+  /** L40: type-token ratio (lexical diversity — the vocabulary-richness
+    * quality signal): distinct tokens / total tokens per document, with
+    * the exact integer counts surfaced alongside the one class-2
+    * division. One doc-keyed aggregate. */
+  def typeTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("token")).as("n_types"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        (round(col("n_types").cast("double") / col("n_tok").cast("double"), 6)
+          + 0.0).as("ttr"))
+
   /** L37: token frequency SPECTRUM (the count-of-counts / Zipf profile a
     * tokenizer designer reads before choosing vocab size — how much mass
     * sits in hapax legomena vs the head): two nested count aggregates,

@@ -709,4 +709,18 @@ class RelationalSpec extends AnyFunSuite {
       }.toSet
     assert(got == ref)
   }
+
+  test("q54ShareOfTotal: shares sum to 1 per region; proportional to cents") {
+    val rows = ops.Relational.q54ShareOfTotal(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val total = ns.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"region $region shares sum $total")
+      val byCents = ns.sortBy(-_._3).map(_._2).toSeq
+      val byShare = ns.sortBy(-_._4).map(_._2).toSeq
+      assert(byCents == byShare, "share order must follow cents order")
+    }
+    assert(rows.forall(r => r._4 > 0 && r._4 <= 1.0))
+  }
 }

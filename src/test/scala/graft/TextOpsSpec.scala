@@ -421,4 +421,14 @@ class TextOpsSpec extends AnyFunSuite {
       assert(expect >= math.min(b2, u(id)) && expect <= math.max(b2, u(id)))
     }
   }
+
+  test("type-token ratio: repeated tokens lower ttr; all-distinct is 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a b a b")).toDF("doc_id", "text")
+    val got = TextOps.typeTokenRatio(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((4L, 2L, 0.5)))
+  }
 }
