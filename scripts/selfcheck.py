@@ -30,6 +30,15 @@ for name in sorted(os.listdir(out_dir)):
         results[name] = f"rows-only: {len(got)} rows " + ("OK" if len(got) > 0 else "EMPTY!")
         continue
     try:
+        # Representation gate: the driver hashes DuckDB's PHYSICAL output types,
+        # so an uncast sum() that widens to HUGEINT (or a DECIMAL) hash-mismatches
+        # a value-identical BIGINT/DOUBLE Spark column. Catch it locally.
+        desc = con.execute(f"DESCRIBE {oracle[name]}").fetchdf()
+        badty = [(r["column_name"], r["column_type"]) for _, r in desc.iterrows()
+                 if r["column_type"].startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if badty:
+            results[name] = f"ORACLE TYPE GATE: cast these to BIGINT/DOUBLE: {badty}"
+            continue
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         results[name] = f"ORACLE SQL ERROR: {e}"

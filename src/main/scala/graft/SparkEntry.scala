@@ -1666,7 +1666,7 @@ object SparkEntry {
         |lmsrc AS (SELECT token, c, den FROM cnt CROSS JOIN g),
         |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("token"), "c + 1", "den", "lnq")},
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
-        |SELECT doc_id, sum(tf) AS n_tok,
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
         |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll_micro
         |FROM tf JOIN lmf USING (token) GROUP BY doc_id""".stripMargin
 
@@ -1683,7 +1683,7 @@ object SparkEntry {
         |lmsrc AS (SELECT w1, w2, c, cw, v FROM cnt JOIN ctx USING (w1) CROSS JOIN vs),
         |${graft.functions.LnFix.oracleCtes("lm", "lmsrc", Seq("w1", "w2"), "c + 1", "cw + v", "lnq")},
         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3)
-        |SELECT doc_id, sum(tf) AS n_bigrams,
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll2_micro
         |FROM tf JOIN lmf USING (w1, w2) GROUP BY doc_id""".stripMargin
 
