@@ -1867,18 +1867,24 @@ object SparkEntry {
     * is an ordered left fold (list_reduce) matching DotProduct's loop;
     * list assignment ties break to the LARGER list id (struct-greatest
     * rule), replicated by ORDER BY s DESC, l DESC. */
-  private def ivfEdgesSqlPrefix(cents: Array[Array[Double]]): String = {
-    val (k, maxList) = (5, 1000)
-    s"""WITH RECURSIVE
-       |cents(l, c, nrm) AS (VALUES
+  /** Shared base CTEs for every IVF-model oracle: centroid VALUES,
+    * corpus as DOUBLE[] vectors, and per-(vector, list) cosine scores —
+    * the SQL twin of [[Similarity]]'s `centroidScores`. */
+  private def ivfBaseCtes(cents: Array[Array[Double]]): String =
+    s"""cents(l, c, nrm) AS (VALUES
        |    ${centsValuesSql(cents)}),
        |emb AS MATERIALIZED (SELECT vec_id AS doc_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
        |sc AS (SELECT e.doc_id, c.l,
        |  list_reduce(list_transform(range(1, ${cents(0).length + 1}),
        |    i -> e.vec[i] * c.c[i]), (x, y) -> x + y) / c.nrm AS s
-       |  FROM emb e CROSS JOIN cents c),
-       |top2 AS (SELECT doc_id, l AS probe FROM (
+       |  FROM emb e CROSS JOIN cents c)""".stripMargin
+
+  /** Top-2 probe lists per vector + the per-list deterministic cap —
+    * [[Similarity.withIvfTop2]] and the maxList row_number guard shared
+    * by knnGraphIvf / nearDupPairsIvf. */
+  private def ivfCappedCtes(maxList: Int): String =
+    s"""top2 AS (SELECT doc_id, l AS probe FROM (
        |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk <= 2),
        |capped AS MATERIALIZED (SELECT probe, doc_id, vec,
@@ -1887,25 +1893,35 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY p.probe ORDER BY p.doc_id) AS rk
        |    FROM top2 p JOIN emb e USING (doc_id)) WHERE rk <= $maxList),
        |cand AS (SELECT a.doc_id AS src, b.doc_id AS dst,
-       |  list_reduce(list_transform(range(1, ${cents(0).length + 1}),
+       |  list_reduce(list_transform(range(1, 65),
        |    i -> a.vec[i] * b.vec[i]), (x, y) -> x + y) AS dp,
        |  a.nrm * b.nrm AS den
        |  FROM capped a JOIN capped b
-       |    ON a.probe = b.probe AND a.doc_id < b.doc_id),
-       |cc AS (SELECT src, dst, MAX(dp / den) AS cos FROM (
+       |    ON a.probe = b.probe AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** The directed top-k ranking over the capped in-list candidates —
+    * [[Similarity.knnGraphIvf]]'s tail: duplicate-probe collapse (max),
+    * per-src rank on the RAW cosine, 4dp round after the cut. */
+  private def ivfKnnCte(k: Int): String =
+    s"""cc AS (SELECT src, dst, MAX(dp / den) AS cos FROM (
        |    SELECT src, dst, dp, den FROM cand WHERE den > 0
        |    UNION ALL SELECT dst, src, dp, den FROM cand WHERE den > 0)
        |  GROUP BY src, dst),
        |knn AS MATERIALIZED (SELECT src, dst, round(cos, 4) + 0 AS cos FROM (
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
-       |    ORDER BY cos DESC, dst) AS rk FROM cc) WHERE rk <= $k),
+       |    ORDER BY cos DESC, dst) AS rk FROM cc) WHERE rk <= $k)""".stripMargin
+
+  private def ivfEdgesSqlPrefix(cents: Array[Array[Double]]): String =
+    s"""WITH RECURSIVE
+       |${ivfBaseCtes(cents)},
+       |${ivfCappedCtes(1000)},
+       |${ivfKnnCte(5)},
        |mut AS MATERIALIZED (SELECT a.src AS id1, a.dst AS id2,
        |    CAST(round(a.cos * 10000) AS BIGINT) AS w
        |  FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
        |  WHERE a.src < a.dst),
        |edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst, w FROM mut
        |  UNION ALL SELECT id2, id1, w FROM mut)""".stripMargin
-  }
 
   /** The six `graph_*_full` oracles, generated from THIS RUN's cached
     * IVF model (nlist=16): the centroid training loop (xxhash64 sample +
@@ -1920,7 +1936,8 @@ object SparkEntry {
     val models = ivfModels.asScala.collect { case ((_, 16), m) => m }.toSeq
     if (models.size != 1) Map.empty
     else {
-      val p = ivfEdgesSqlPrefix(models.head)
+      val cents = models.head
+      val p = ivfEdgesSqlPrefix(cents)
       Map(
         "graph_labelprop_full" -> (graphLpaPrefixFrom(p) + "\n" +
           "SELECT node, label AS cluster FROM lp WHERE it = 10"),
@@ -1928,7 +1945,70 @@ object SparkEntry {
         "graph_pagerank_full" -> graphPagerankSqlFrom(p),
         "graph_ppr_full" -> graphPprSqlFrom(p),
         "graph_spectral_full" -> graphSpectralSqlFrom(p),
-        "graph_triangles_full" -> (p + ",\n" + graphTrianglesBody))
+        "graph_triangles_full" -> (p + ",\n" + graphTrianglesBody),
+        "graph_knn_ivf" ->
+          s"""WITH ${ivfBaseCtes(cents)},
+             |${ivfCappedCtes(1000)},
+             |${ivfKnnCte(5)}
+             |SELECT src, dst, cos FROM knn""".stripMargin,
+        // nearDupPairsIvf: RAW-cosine threshold per candidate, then the
+        // duplicate-probe max collapses, 4dp round last (no rank cut)
+        "emb_neardup_ivf" ->
+          s"""WITH ${ivfBaseCtes(cents)},
+             |${ivfCappedCtes(1000)}
+             |SELECT src AS id1, dst AS id2, round(MAX(dp / den), 4) AS cos
+             |FROM cand WHERE den > 0 AND dp / den >= 0.3
+             |GROUP BY src, dst""".stripMargin,
+        // semanticDedup: the near-dup pair set → min-label connected
+        // components (the dedup_components reach CTE) → min-id keeper
+        "dedup_semantic" ->
+          s"""WITH RECURSIVE ${ivfBaseCtes(cents)},
+             |${ivfCappedCtes(1000)},
+             |pr AS (SELECT src AS id1, dst AS id2 FROM cand
+             |  WHERE den > 0 AND dp / den >= 0.3 GROUP BY src, dst),
+             |dedges AS (SELECT id1 AS src, id2 AS dst FROM pr
+             |  UNION ALL SELECT id2, id1 FROM pr),
+             |reach(id, lab) AS (
+             |  SELECT src, src FROM dedges
+             |  UNION
+             |  SELECT e.dst, r.lab FROM reach r JOIN dedges e ON e.src = r.id),
+             |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1)
+             |SELECT doc_id AS vec_id,
+             |  MIN(doc_id) OVER (PARTITION BY component) AS keep_id,
+             |  doc_id = MIN(doc_id) OVER (PARTITION BY component) AS kept
+             |FROM comp""".stripMargin,
+        // ivfTopK: probe ranking (ties -> larger list), argmax assignment,
+        // exact cosine within the probed lists only
+        "ann_ivf_topk" ->
+          s"""WITH ${ivfBaseCtes(cents)},
+             |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM embeddings WHERE vec_id = 0),
+             |qd AS (SELECT qv,
+             |  sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) AS qn
+             |  FROM q),
+             |pr AS (SELECT c.l FROM cents c CROSS JOIN qd
+             |  ORDER BY list_reduce(list_transform(range(1, 65),
+             |    i -> c.c[i] * qd.qv[i]), (x, y) -> x + y) / (c.nrm * qd.qn) DESC,
+             |    c.l DESC LIMIT 4),
+             |asg AS (SELECT doc_id, l FROM (
+             |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1)
+             |SELECT e.doc_id AS vec_id,
+             |  round(list_reduce(list_transform(range(1, 65),
+             |    i -> e.vec[i] * qd.qv[i]), (x, y) -> x + y)
+             |    / (sqrt(list_reduce(list_transform(e.vec, x -> x * x),
+             |        (x, y) -> x + y)) * qd.qn), 4) + 0 AS cos
+             |FROM emb e JOIN asg a USING (doc_id) JOIN pr ON pr.l = a.l
+             |CROSS JOIN qd
+             |WHERE list_reduce(list_transform(e.vec, x -> x * x), (x, y) -> x + y) > 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+        // the streaming twin assigns with the SAME batch-trained model —
+        // one oracle shape, stateless in-flight execution on the Spark side
+        "stream_ivf_assign" ->
+          s"""WITH ${ivfBaseCtes(cents)}
+             |SELECT doc_id AS vec_id, CAST(l AS BIGINT) AS list_id FROM (
+             |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1""".stripMargin)
     }
   }
 
