@@ -187,10 +187,16 @@ object SparkEntry {
       .select(col("text")).head().getString(0)
       .trim.split("\\s+").distinct.sorted.take(8).toSeq
 
+  /** Cached per dir: the PQ-family ORACLE generators need this run's
+    * exact query vector to emit LUT/probe literals at dump time. */
+  private val queryVecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def queryVec(s: SparkSession, d: String): Array[Double] =
-    Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    queryVecs.computeIfAbsent(d, { _ =>
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+    })
 
   /** The serving batch for ann_batch_topk: vectors 0..7 as queries. */
   private def queryBatch(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
@@ -2009,6 +2015,181 @@ object SparkEntry {
              |SELECT doc_id AS vec_id, CAST(l AS BIGINT) AS list_id FROM (
              |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1""".stripMargin)
+    }
+  }
+
+  // ------------------------------------------ PQ-family generated oracles
+  // Every model parameter (centroids, codebooks, halves, LUTs, probes,
+  // inner-product constants, the query vector itself) is deterministic
+  // driver-side arithmetic cached by this run's queries — the oracles
+  // embed those literals and independently re-derive the DISTRIBUTED
+  // part: normalization, list assignment, residuals, rotation, subspace
+  // argmax encode, ADC scoring, ranking. Explicit ::DOUBLE casts
+  // everywhere (bare float literals would infer DECIMAL in DuckDB).
+
+  private def sqlDoubles2(m: Array[Array[Double]]): String =
+    m.map(sqlDoubles).mkString("[", ", ", "]")
+
+  /** VALUES rows `(j, k, c DOUBLE[], half)` for PQ codebooks — `half` is
+    * the EXACT driver ‖c‖²/2 from [[Similarity]]'s l2Scores. */
+  private def booksValuesSql(books: Array[Array[Array[Double]]]): String =
+    books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, k) =>
+        val half = java.lang.Double.toString(c.map(x => x * x).sum / 2.0)
+        s"($j, $k, ${sqlDoubles(c)}::DOUBLE[], $half)"
+      }
+    }.mkString(",\n    ")
+
+  /** L2-normalized corpus (zero-norm rows dropped) — [[normEmb]]'s twin. */
+  private val normEmbCte: String =
+    """nemb AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / nrm) AS nvec
+      |  FROM (SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |          FROM embeddings))
+      |  WHERE nrm > 0)""".stripMargin
+
+  /** Per-subspace argmax encode over `$src.$vcol` (m=8, sd=8): the SQL
+    * twin of [[Similarity.pqEncode]]'s greatest-of-structs — score is
+    * ordered-fold dot − half, ties → LARGER code. */
+  private def pqCodeCtes(src: String, vcol: String): String =
+    s"""sub AS (SELECT t.vec_id, b.j, b.k,
+       |  list_reduce(list_transform(range(1, 9), i -> t.$vcol[b.j * 8 + i] * b.c[i]),
+       |    (x, y) -> x + y) - b.half AS s
+       |  FROM $src t CROSS JOIN books b),
+       |code AS (SELECT vec_id, j, k FROM (
+       |  SELECT vec_id, j, k, row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY s DESC, k DESC) AS rk FROM sub) WHERE rk = 1),
+       |codes AS (SELECT vec_id, list(k ORDER BY j) AS cs FROM code GROUP BY vec_id)""".stripMargin
+
+  /** Driver twin of the ADC LUT construction in [[Similarity.pqTopK]] /
+    * ivfAdcTopK: lut(j)(k) = ⟨codebook_jk, q_j⟩, left-to-right. */
+  private def adcLuts(books: Array[Array[Array[Double]]],
+                      q: Array[Double]): Array[Array[Double]] = {
+    val sd = books(0)(0).length
+    books.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(j * sd + i) }.sum)
+    }
+  }
+
+  /** Driver twin of ivfAdcTopK's probe ranking (ties → larger list). */
+  private def adcProbes(cents: Array[Array[Double]], q: Array[Double],
+                        nprobe: Int): Seq[Int] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    cents.zipWithIndex.map { case (c, l) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (c.zip(q).map { case (a, b) => a * b }.sum /
+        ((if (cn == 0.0) 1.0 else cn) * qn), l)
+    }.sortBy { case (cos, l) => (-cos, -l) }.take(nprobe).map(_._2).toSeq
+  }
+
+  /** The IVF-PQ / IVF-OPQ shared ADC oracle: assignment over `pcents`,
+    * probe filter, residual (optionally rotated), subspace encode, ADC
+    * score = ipConst[list] + Σ LUT picks. */
+  private def ivfAdcSql(cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]],
+                        qh: Array[Double],
+                        rotation: Option[Array[Array[Double]]]): String = {
+    val probes = adcProbes(cents, qh, nprobe = 4).mkString(", ")
+    val ipConsts = sqlDoubles(cents.map(c =>
+      qh.zip(c).map { case (a, b) => a * b }.sum))
+    val lutQ = rotation match {
+      case Some(r) => Array.tabulate(r.length)(i =>
+        r(i).zip(qh).map { case (a, b) => a * b }.sum)
+      case None => qh
+    }
+    val luts = sqlDoubles2(adcLuts(books, lutQ))
+    val centsLit = s"(${sqlDoubles2(cents)}::DOUBLE[][])"
+    val rotCte = rotation.map { r =>
+      s""",
+         |rres AS (SELECT vec_id, l, list_transform(range(1, 65), i ->
+         |  list_reduce(list_transform(range(1, 65),
+         |    k -> (${sqlDoubles2(r)}::DOUBLE[][])[i][k] * rv[k]),
+         |    (x, y) -> x + y)) AS rv FROM res)""".stripMargin
+    }.getOrElse("")
+    val codeSrc = if (rotation.isDefined) "rres" else "res"
+    s"""pcents(l, c, nrm) AS (VALUES
+       |    ${centsValuesSql(cents)}),
+       |books(j, k, c, half) AS (VALUES
+       |    ${booksValuesSql(books)}),
+       |$normEmbCte,
+       |psc AS (SELECT n.vec_id, c.l,
+       |  list_reduce(list_transform(range(1, 65), i -> n.nvec[i] * c.c[i]),
+       |    (x, y) -> x + y) / c.nrm AS s
+       |  FROM nemb n CROSS JOIN pcents c),
+       |asg AS (SELECT vec_id, l FROM (
+       |  SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, l DESC) AS rk FROM psc)
+       |  WHERE rk = 1 AND l IN ($probes)),
+       |res AS (SELECT a.vec_id, a.l,
+       |  list_transform(n.nvec, (x, i) -> x - $centsLit[a.l + 1][i]) AS rv
+       |  FROM asg a JOIN nemb n USING (vec_id))$rotCte,
+       |${pqCodeCtes(codeSrc, "rv")},
+       |adc AS (SELECT c.vec_id,
+       |  round((${ipConsts}::DOUBLE[])[a.l + 1]
+       |    + list_reduce(list_transform(range(1, 9),
+       |        j -> ($luts::DOUBLE[][])[j][c.cs[j] + 1]), (x, y) -> x + y), 4) + 0
+       |    AS score
+       |  FROM codes c JOIN asg a USING (vec_id))""".stripMargin
+  }
+
+  /** The PQ/IVF-PQ/OPQ family oracles, generated from THIS RUN's cached
+    * models + query vector (see [[ivfGraphOracles]] for the contract). */
+  private def pqFamilyOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val qvs = queryVecs.asScala.values.toSeq
+    if (qvs.size != 1) Map.empty
+    else {
+      val q = qvs.head
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val qh = q.map(_ / qn)
+      val pq = pqModels.asScala.values.toSeq
+      val ivfpq = ivfPqModels.asScala.values.toSeq
+      val opq = opqModels.asScala.values.toSeq
+      val pqO = if (pq.size != 1) Map.empty[String, String] else {
+        val luts = sqlDoubles2(adcLuts(pq.head, qh))
+        Map("ann_pq_topk" ->
+          s"""WITH books(j, k, c, half) AS (VALUES
+             |    ${booksValuesSql(pq.head)}),
+             |$normEmbCte,
+             |${pqCodeCtes("nemb", "nvec")}
+             |SELECT vec_id, round(list_reduce(list_transform(range(1, 9),
+             |    j -> ($luts::DOUBLE[][])[j][cs[j] + 1]), (x, y) -> x + y), 4) + 0
+             |  AS score
+             |FROM codes ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      }
+      val ivfpqO = if (ivfpq.size != 1) Map.empty[String, String] else {
+        val (cents, books) = ivfpq.head
+        val body = ivfAdcSql(cents, books, qh, None)
+        val topk =
+          s"""WITH $body
+             |SELECT vec_id, score FROM adc
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+        val qnh = java.lang.Double.toString(math.sqrt(qh.map(x => x * x).sum))
+        val qhLit = s"(${sqlDoubles(qh)}::DOUBLE[])"
+        val refined =
+          s"""WITH $body,
+             |cand AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id LIMIT 100)
+             |SELECT n.vec_id,
+             |  round(list_reduce(list_transform(range(1, 65),
+             |      i -> n.nvec[i] * $qhLit[i]), (x, y) -> x + y)
+             |    / (sqrt(list_reduce(list_transform(n.nvec, x -> x * x),
+             |        (x, y) -> x + y)) * $qnh), 4) + 0 AS cos
+             |FROM nemb n JOIN cand USING (vec_id)
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        Map("ann_ivfpq_topk" -> topk, "ann_ivfpq_pruned" -> topk,
+          "ann_ivfpq_refined" -> refined)
+      }
+      val opqO = if (opq.size != 1 || ivfpq.size != 1) Map.empty[String, String]
+      else {
+        val (cents, _) = ivfpq.head
+        val (rot, books) = opq.head
+        Map("ann_opq_topk" ->
+          s"""WITH ${ivfAdcSql(cents, books, qh, Some(rot))}
+             |SELECT vec_id, score FROM adc
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      }
+      pqO ++ ivfpqO ++ opqO
     }
   }
 
@@ -3988,5 +4169,5 @@ object SparkEntry {
         |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS j)
         |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
         |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
-  ) ++ ivfGraphOracles
+  ) ++ ivfGraphOracles ++ pqFamilyOracles
 }
