@@ -115,6 +115,15 @@ object SparkEntry {
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
 
+  /** Whitening model per sf dir (fit once; the oracle generator reads
+    * this cache to embed the run's exact literals). */
+  private val whitenModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
+  private def whitenModelFor(s: SparkSession, d: String): graft.array.Pca.Model =
+    whitenModels.computeIfAbsent(d, { _ =>
+      Similarity.whitenModel(Tables.embeddings(s, d), "vec_id", "embedding", dim = 64)
+    })
+
   /** PCA model of the full scanpy chain's preprocessed matrix. */
   private val fullPcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
@@ -1423,10 +1432,12 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     // PCA-whitening of the embedding space (decorrelate + unit variances —
-    // retrieval preprocessing); rows-only: eigendecomposition is not SQL.
-    // Covariance-of-output ≈ I pinned in SimilaritySpec.
+    // retrieval preprocessing). The eigensolve itself is not SQL, but the
+    // fitted model is a parameter-sized literal: the generated oracle
+    // embeds THIS RUN's components/offsets and re-derives the projection.
     "emb_whiten" -> ((s, d) =>
-      Similarity.whiten(Tables.embeddings(s, d), "vec_id", "embedding", dim = 64)),
+      Similarity.whitenApply(Tables.embeddings(s, d), "vec_id", "embedding",
+        whitenModelFor(s, d))),
 
     // ---- LLM-pipeline: sampling / splitting / packing ----
     "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id")),
@@ -2098,14 +2109,22 @@ object SparkEntry {
         r(i).zip(qh).map { case (a, b) => a * b }.sum)
       case None => qh
     }
+    // model literals live in VALUES CTEs and are referenced as COLUMNS:
+    // a big literal INSIDE a lambda is rebuilt per evaluation by DuckDB
+    // (measured: it turns this family from sub-second to minutes)
     val luts = sqlDoubles2(adcLuts(books, lutQ))
-    val centsLit = s"(${sqlDoubles2(cents)}::DOUBLE[][])"
     val rotCte = rotation.map { r =>
+      val rotRows = r.zipWithIndex
+        .map { case (row, i) => s"(${i + 1}, ${sqlDoubles(row)}::DOUBLE[])" }
+        .mkString(",\n    ")
       s""",
-         |rres AS (SELECT vec_id, l, list_transform(range(1, 65), i ->
-         |  list_reduce(list_transform(range(1, 65),
-         |    k -> (${sqlDoubles2(r)}::DOUBLE[][])[i][k] * rv[k]),
-         |    (x, y) -> x + y)) AS rv FROM res)""".stripMargin
+         |rotr(i, rrow) AS (VALUES
+         |    $rotRows),
+         |rres AS (SELECT vec_id, l, list(rv2 ORDER BY i) AS rv FROM (
+         |  SELECT r.vec_id, r.l, ro.i,
+         |    list_reduce(list_transform(range(1, 65), k -> ro.rrow[k] * r.rv[k]),
+         |      (x, y) -> x + y) AS rv2
+         |  FROM res r CROSS JOIN rotr ro) GROUP BY vec_id, l)""".stripMargin
     }.getOrElse("")
     val codeSrc = if (rotation.isDefined) "rres" else "res"
     s"""pcents(l, c, nrm) AS (VALUES
@@ -2122,8 +2141,8 @@ object SparkEntry {
        |    ORDER BY s DESC, l DESC) AS rk FROM psc)
        |  WHERE rk = 1 AND l IN ($probes)),
        |res AS (SELECT a.vec_id, a.l,
-       |  list_transform(n.nvec, (x, i) -> x - $centsLit[a.l + 1][i]) AS rv
-       |  FROM asg a JOIN nemb n USING (vec_id))$rotCte,
+       |  list_transform(n.nvec, (x, i) -> x - c.c[i]) AS rv
+       |  FROM asg a JOIN nemb n USING (vec_id) JOIN pcents c ON c.l = a.l)$rotCte,
        |${pqCodeCtes(codeSrc, "rv")},
        |adc AS (SELECT c.vec_id,
        |  round((${ipConsts}::DOUBLE[])[a.l + 1]
@@ -2190,6 +2209,30 @@ object SparkEntry {
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
       }
       pqO ++ ivfpqO ++ opqO
+    }
+  }
+
+  /** emb_whiten's generated oracle: the fitted whitening model enters as
+    * literals; the SQL re-derives the per-(row, component) projection —
+    * Σ_j x_j·w_cj − offset_c, 6dp-rounded exactly as Pca.transform. */
+  private def whitenOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val ms = whitenModels.asScala.values.toSeq
+    if (ms.size != 1) Map.empty
+    else {
+      val m = ms.head
+      val wRows = m.components.zipWithIndex.map { case (w, c) =>
+        s"($c, ${sqlDoubles(w)}::DOUBLE[], ${java.lang.Double.toString(m.offsets(c))})"
+      }.mkString(",\n    ")
+      Map("emb_whiten" ->
+        s"""WITH w(comp, wrow, off) AS (VALUES
+           |    $wRows),
+           |emb AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)
+           |SELECT e.vec_id, w.comp,
+           |  round(list_reduce(list_transform(range(1, ${m.components(0).length + 1}),
+           |      j -> e.vec[j] * w.wrow[j]), (x, y) -> x + y) - w.off, 6) + 0 AS v
+           |FROM emb e CROSS JOIN w""".stripMargin)
     }
   }
 
@@ -4169,5 +4212,5 @@ object SparkEntry {
         |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS j)
         |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
         |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
-  ) ++ ivfGraphOracles ++ pqFamilyOracles
+  ) ++ ivfGraphOracles ++ pqFamilyOracles ++ whitenOracles
 }

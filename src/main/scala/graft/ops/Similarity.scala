@@ -635,7 +635,16 @@ object Similarity {
     * whitened coordinates, population covariance ≈ I (tested). Not
     * SQL-expressible (eigendecomposition) → rows-only. */
   def whiten(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-             eps: Double = 1e-9): DataFrame = {
+             eps: Double = 1e-9): DataFrame =
+    whitenApply(emb, idCol, vecCol,
+      whitenModel(emb, idCol, vecCol, dim, eps))
+
+  /** The whitening model alone (fit + 1/√(λ+ε) rescale) — exposed so the
+    * generated oracle can embed THIS RUN's exact literals (the model is
+    * bit-stable across partition orders: Pca.fit rounds its moment inputs
+    * on the r6 grid before the driver-side eigensolve). */
+  def whitenModel(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  eps: Double = 1e-9): graft.array.Pca.Model = {
     import graft.array.{Pca, ZMatrix}
     val cells = emb.select(col(idCol).cast("long").as("i"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "v")))
@@ -643,11 +652,21 @@ object Similarity {
     val n = emb.count()
     val model = Pca.fit(ZMatrix(cells), n, dim, dim)
     val scales = model.eigenvalues.map(l => 1.0 / math.sqrt(l + eps))
-    val white = Pca.Model(
+    Pca.Model(
       model.components.zip(scales).map { case (w, s) => w.map(_ * s) },
       model.eigenvalues,
       model.offsets.zip(scales).map { case (o, s) => o * s })
-    Pca.transform(ZMatrix(cells), white).cells
+  }
+
+  /** Apply a whitening model: ONE projection scan with literal
+    * accumulators ([[graft.array.Pca.transform]]), long-form output. */
+  def whitenApply(emb: DataFrame, idCol: String, vecCol: String,
+                  model: graft.array.Pca.Model): DataFrame = {
+    import graft.array.{Pca, ZMatrix}
+    val cells = emb.select(col(idCol).cast("long").as("i"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "v")))
+      .select(col("i"), col("j").cast("long").as("j"), col("v"))
+    Pca.transform(ZMatrix(cells), model).cells
       .select(col("i").as("vec_id"), col("j").as("comp"), col("v"))
   }
 
