@@ -2025,7 +2025,56 @@ object SparkEntry {
           s"""WITH ${ivfBaseCtes(cents)}
              |SELECT doc_id AS vec_id, CAST(l AS BIGINT) AS list_id FROM (
              |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
-             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1""".stripMargin)
+             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1""".stripMargin,
+        // c-TF-IDF topic keywords per IVF cluster: assignment from the
+        // centroid literals, then the exact-integer tf·LnFix-idf ranking
+        "emb_topics" ->
+          s"""WITH ${ivfBaseCtes(cents)},
+             |asg AS (SELECT doc_id, l AS list_id FROM (
+             |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1),
+             |toks AS MATERIALIZED (SELECT t.doc_id, t.term, a.list_id FROM (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+             |  FROM documents) t JOIN asg a USING (doc_id)),
+             |tf AS (SELECT list_id, term, count(*) AS _tf FROM toks GROUP BY 1, 2),
+             |ft AS (SELECT term, count(*) AS _ft FROM toks GROUP BY 1),
+             |av AS (SELECT count(*) // greatest(count(DISTINCT list_id), 1) AS a
+             |       FROM toks),
+             |idfsrc AS (SELECT tf.list_id, tf.term, tf._tf, ft._ft, av.a
+             |  FROM tf JOIN ft USING (term) CROSS JOIN av),
+             |${graft.functions.LnFix.oracleCtes("tidf", "idfsrc",
+                  Seq("list_id", "term", "_tf"), "_ft", "_ft + a", "_idf")}
+             |SELECT CAST(list_id AS BIGINT) AS list_id, term,
+             |  CAST(rank AS BIGINT) AS rank, CAST(score_micro AS BIGINT) AS score_micro
+             |FROM (SELECT list_id, term, _tf * _idf AS score_micro,
+             |    row_number() OVER (PARTITION BY list_id
+             |      ORDER BY _tf * _idf DESC, term) AS rank
+             |  FROM tidff) WHERE rank <= 5""".stripMargin)
+    }
+  }
+
+  /** arr_pca's generated oracle: the fitted 3-component model (cached by
+    * THIS RUN's query) enters as literals; the SQL re-derives the sparse
+    * projection — per row i, Σ over STORED cells of v·w_cj − offset_c,
+    * 6dp-rounded exactly as Pca.transform. */
+  private def pcaOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val ms = pcaModels.asScala.values.toSeq
+    if (ms.size != 1) Map.empty
+    else {
+      val m = ms.head
+      val wRows = m.components.zipWithIndex.map { case (w, c) =>
+        s"($c, ${sqlDoubles(w)}::DOUBLE[], ${java.lang.Double.toString(m.offsets(c))})"
+      }.mkString(",\n    ")
+      Map("arr_pca" ->
+        s"""WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i,
+           |    CAST(l_linenumber AS BIGINT) AS j, sum(l_quantity) AS v
+           |  FROM lineitem GROUP BY 1, 2),
+           |w(comp, wrow, off) AS (VALUES
+           |    $wRows)
+           |SELECT m.i, CAST(w.comp AS BIGINT) AS j,
+           |  round(sum(m.v * w.wrow[m.j + 1]) - w.off, 6) + 0 AS v
+           |FROM m CROSS JOIN w GROUP BY m.i, w.comp, w.off""".stripMargin)
     }
   }
 
@@ -2445,6 +2494,112 @@ object SparkEntry {
        |$rounds
        |$finals""".stripMargin
   }
+
+  // ------------------- unigram-LM (SentencePiece) EM unroll, pure SQL
+  // The whole hard-EM training of TextOps.unigramTrain is SQL-expressible
+  // (the text_bpe unroll precedent): seed counts are a substring
+  // aggregate, piece costs are the shared LnFix integer chain, and the
+  // E-step Viterbi is a recursive window DP (state = last 5 best values
+  // + the back-pointer list) with the exact tie-break (equal cost →
+  // smallest start, i.e. longest piece) and add-one M-step.
+
+  /** LnFix cost chain `r` over counts table `src(piece, cnt)` →
+    * `uln${r}f(piece, cost)` = −ln(cnt/Σcnt) in micro-nats. */
+  private def unigramCostCtes(r: Int, src: String): String =
+    s"""utot$r AS (SELECT sum(cnt) AS total FROM $src),
+       |ulnsrc$r AS (SELECT piece, cnt, total FROM $src CROSS JOIN utot$r),
+       |${graft.functions.LnFix.oracleCtes(s"uln$r", s"ulnsrc$r",
+            Seq("piece"), "cnt", "total", "cost")},
+       |ulnm$r AS MATERIALIZED (SELECT piece, cost FROM uln${r}f)""".stripMargin
+
+  /** Viterbi round `r` under `uln${r}f`: dp$r carries (best(i),
+    * best(i−1)…best(i−4), back list); NULL = unreachable (INF). seg$r
+    * walks the back pointers; use$r is the per-word piece multiset. */
+  private def unigramDpCtes(r: Int): String = {
+    val joins = (1 to 5).map { l =>
+      s"LEFT JOIN ulnm$r c$l ON d.i + 1 >= $l AND c$l.piece = substr(d.word, d.i + 2 - $l, $l)"
+    }.mkString("\n       |      ").stripMargin
+    val cands = (1 to 5).map(l => s"j.b${l - 1} + j.k$l AS cand$l").mkString(", ")
+    val backCase = (5 to 1 by -1).map(l => s"WHEN cand$l = nb THEN i + 1 - $l").mkString(" ")
+    s"""dp$r(word, n, i, b0, b1, b2, b3, b4, backs) AS (
+       |  SELECT word, length(word) AS n, 0 AS i, CAST(0 AS BIGINT) AS b0,
+       |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+       |    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
+       |    CAST([] AS BIGINT[]) AS backs
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, n, i + 1, nb, b0, b1, b2, b3,
+       |    list_append(backs, CAST(CASE $backCase END AS BIGINT))
+       |  FROM (
+       |    SELECT t.*, least(t.cand1, t.cand2, t.cand3, t.cand4, t.cand5) AS nb
+       |    FROM (
+       |      SELECT j.word, j.n, j.i, j.b0, j.b1, j.b2, j.b3, j.b4, j.backs, $cands
+       |      FROM (
+       |        SELECT d.*, c1.cost AS k1, c2.cost AS k2, c3.cost AS k3,
+       |          c4.cost AS k4, c5.cost AS k5
+       |        FROM dp$r d
+       |      $joins
+       |        WHERE d.i < d.n) j) t)),
+       |seg$r(word, p, backs) AS (
+       |  SELECT word, CAST(n AS BIGINT) AS p, backs FROM dp$r WHERE i = n
+       |  UNION ALL
+       |  SELECT word, backs[CAST(p AS INT)], backs FROM seg$r WHERE p > 0),
+       |use$r AS MATERIALIZED (SELECT word, substr(word, CAST(backs[CAST(p AS INT)] AS INT) + 1,
+       |    CAST(p AS INT) - CAST(backs[CAST(p AS INT)] AS INT)) AS piece
+       |  FROM seg$r WHERE p > 0)""".stripMargin
+  }
+
+  /** One EM round: segment-weighted piece counts + the add-one M-step. */
+  private def unigramMStepCtes(r: Int): String =
+    s"""um$r AS (SELECT u.piece, sum(w.cnt) AS segc FROM use$r u
+       |  JOIN w USING (word) GROUP BY 1),
+       |uc${r + 1} AS MATERIALIZED (SELECT v.piece, coalesce(m.segc, 0) + 1 AS cnt
+       |  FROM uc$r v LEFT JOIN um$r m USING (piece))""".stripMargin
+
+  /** Shared prefix: word counts → seed vocab (all single chars + top
+    * multi-char substrings by cnt·(len−1), vocabSize 120, maxPieceLen 5)
+    * → 2 unrolled EM rounds → final counts uc2 + final costs uln2f. */
+  private val unigramPrefixSql: String =
+    s"""WITH RECURSIVE
+       |w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |subs AS MATERIALIZED (SELECT substr(w.word, CAST(u.i AS INT), CAST(v.l AS INT)) AS piece,
+       |    sum(w.cnt) AS c
+       |  FROM w, unnest(range(1, length(w.word) + 1)) u(i), unnest(range(1, 6)) v(l)
+       |  WHERE u.i + v.l - 1 <= length(w.word) GROUP BY 1),
+       |sing AS (SELECT piece, c FROM subs WHERE length(piece) = 1),
+       |mult AS (SELECT piece, c FROM (SELECT piece, c,
+       |    row_number() OVER (ORDER BY c * (length(piece) - 1) DESC, piece) AS rk
+       |  FROM subs WHERE length(piece) > 1)
+       |  WHERE rk <= 120 - (SELECT count(*) FROM sing)),
+       |uc0 AS MATERIALIZED (SELECT piece, c AS cnt FROM sing UNION ALL SELECT piece, c FROM mult),
+       |${unigramCostCtes(0, "uc0")},
+       |${unigramDpCtes(0)},
+       |${unigramMStepCtes(0)},
+       |${unigramCostCtes(1, "uc1")},
+       |${unigramDpCtes(1)},
+       |${unigramMStepCtes(1)},
+       |${unigramCostCtes(2, "uc2")}""".stripMargin
+
+  /** [[TextOps.unigramTrain]]'s twin: final counts + final costs. */
+  private val textUnigramSql: String = unigramPrefixSql + "\n" +
+    """SELECT c.piece, CAST(c.cnt AS BIGINT) AS cnt, f.cost AS nll_micro
+      |FROM uc2 c JOIN uln2f f USING (piece)""".stripMargin
+
+  /** [[TextOps.unigramTokens]]'s twin: a third Viterbi pass under the
+    * final model, per-doc piece counts over the exploded word stream. */
+  private val textUnigramTokensSql: String = unigramPrefixSql + ",\n" +
+    unigramDpCtes(2) + ",\n" +
+    """untok AS (SELECT word, count(*) AS ntok FROM use2 GROUP BY 1),
+      |udocw AS (SELECT doc_id, word FROM (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents) WHERE word <> '')
+      |SELECT d.doc_id, CAST(coalesce(sum(n.ntok), 0) AS BIGINT) AS n_unigram_tokens
+      |FROM documents d
+      |LEFT JOIN udocw dw ON dw.doc_id = d.doc_id
+      |LEFT JOIN untok n ON n.word = dw.word
+      |GROUP BY d.doc_id""".stripMargin
 
   /** [[textBpeSql]]'s merge rounds, then the per-document token count
     * under the final segmentation — [[TextOps.bpeTokens]]'s twin. */
@@ -3911,6 +4066,11 @@ object SparkEntry {
     // rows were Spark's StrictMath and DuckDB's libm snapping a
     // micro-nat apart on this data
     "text_ppl" -> textPplSql,
+    // L28 unigram-LM: the full hard-EM training unrolled in SQL (seed
+    // substring counts, LnFix costs, recursive-window Viterbi with the
+    // exact tie-break, add-one M-step) -- no literals, pure twin
+    "text_unigram" -> textUnigramSql,
+    "text_unigram_tokens" -> textUnigramTokensSql,
     // L31 Naive Bayes: three LnFix chains (per-(label,token) cost,
     // per-label unseen fallback, per-label prior), argmin with the
     // (score, label) tie-break mirrored by ORDER BY score, label
@@ -4212,5 +4372,5 @@ object SparkEntry {
         |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS j)
         |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
         |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
-  ) ++ ivfGraphOracles ++ pqFamilyOracles ++ whitenOracles
+  ) ++ ivfGraphOracles ++ pqFamilyOracles ++ whitenOracles ++ pcaOracles
 }
