@@ -3589,8 +3589,8 @@ object SparkEntry {
       "SELECT doc_id AS i, source AS label FROM documents",
     "zarr_bool_mask" ->
       """SELECT doc_id AS i,
-        |  CASE WHEN length(string_split_regex(trim(text), '\s+')) >= 40
-        |       THEN 1.0 ELSE 0.0 END AS v
+        |  CAST(CASE WHEN length(string_split_regex(trim(text), '\s+')) >= 40
+        |       THEN 1.0 ELSE 0.0 END AS DOUBLE) AS v
         |FROM documents""".stripMargin,
     "zarr_datetime_roundtrip" ->
       "SELECT event_id AS i, CAST(epoch_ns(ts) AS BIGINT) AS v FROM events",

@@ -64,10 +64,13 @@ case class CmsEstimate(sketch: Expression, item: Expression)
       case StringType => s"$cmsRef.estimateCount(${itemGen.value}.getBytes())"
       case _ => s"$cmsRef.estimateCount((Object)(Long)${itemGen.value})"
     }
+    // a null foldable sketch (e.g. count_min_sketch over zero rows) must
+    // yield null like the interpreted BinaryExpression path — without the
+    // guard the generated code probes a null reference and NPEs
     ev.copy(code =
       code"""
         ${itemGen.code}
-        boolean ${ev.isNull} = ${itemGen.isNull};
+        boolean ${ev.isNull} = ($cmsRef == null) || ${itemGen.isNull};
         long ${ev.value} = -1L;
         if (!${ev.isNull}) { ${ev.value} = $probe; }
       """)

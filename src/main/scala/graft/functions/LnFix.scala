@@ -71,15 +71,26 @@ object LnFix {
   private val sparkIdiv = (a: String, b: String) => s"(($a) div ($b))"
   private val duckIdiv = (a: String, b: String) => s"(($a) // ($b))"
 
+  /** Documented domain bound for b: beyond it (b−a')·10⁹ overflows
+    * BIGINT, where Spark (non-ANSI) silently wraps but DuckDB raises —
+    * so both renderers guard b at runtime and fail LOUDLY AND IDENTICALLY
+    * on an out-of-domain corpus instead of diverging. */
+  private val maxB = 18000000000L
+
+  private def guardB(b: String, raise: String => String): String =
+    s"CASE WHEN ($b) > $maxB THEN ${raise(s"'LnFix domain: b exceeds $maxB'")} ELSE ($b) END"
+
   /** Spark side: append BIGINT column `out` = snapped −ln(a/b) in
     * micro-nats. `aSql`/`bSql` are SQL fragments over df's columns
     * (must evaluate to integers with 1 ≤ a ≤ b). Linear chain of narrow
     * projections over the (vocabulary-sized) input — Catalyst collapses
     * or pipelines them; nothing here shuffles. */
   def withNegLnMicro(df: DataFrame, aSql: String, bSql: String, out: String): DataFrame = {
+    val bGuarded = guardB(s"CAST(($bSql) AS BIGINT)",
+      msg => s"CAST(raise_error($msg) AS BIGINT)")
     var cur = df.selectExpr(df.columns.toSeq :+
       s"CAST(($aSql) AS BIGINT) AS _lf_a0" :+
-      s"CAST(($bSql) AS BIGINT) AS _lf_b" :+
+      s"$bGuarded AS _lf_b" :+
       "CAST(0 AS BIGINT) AS _lf_e0": _*)
     for (st <- stages(sparkIdiv))
       cur = cur.selectExpr("*" +: st.map { case (n, e) => s"($e) AS $n" }: _*)
@@ -93,8 +104,10 @@ object LnFix {
   def oracleCtes(p: String, src: String, keys: Seq[String],
                  aExpr: String, bExpr: String, out: String): String = {
     val ks = keys.mkString(", ")
+    val bGuarded = guardB(s"CAST(($bExpr) AS BIGINT)",
+      msg => s"CAST(error($msg) AS BIGINT)")
     val head = s"${p}0 AS (SELECT $ks, CAST(($aExpr) AS BIGINT) AS _lf_a0, " +
-      s"CAST(($bExpr) AS BIGINT) AS _lf_b, CAST(0 AS BIGINT) AS _lf_e0 FROM $src)"
+      s"$bGuarded AS _lf_b, CAST(0 AS BIGINT) AS _lf_e0 FROM $src)"
     val sts = stages(duckIdiv).zipWithIndex.map { case (st, i) =>
       s"$p${i + 1} AS (SELECT *, ${st.map { case (n, e) => s"($e) AS $n" }.mkString(", ")} FROM $p$i)"
     }

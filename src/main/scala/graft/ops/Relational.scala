@@ -689,8 +689,11 @@ object Relational {
     ranked.join(broadcast(totals), Seq("o_orderpriority"))
       .join(broadcast(heads), Seq("o_orderpriority"))
       .select(col("o_orderkey"), col("o_orderpriority"),
-        round((col("_rk") - 1).cast("double") /
-          (col("_tot") - 1).cast("double"), 6).as("pr"),
+        // a single-row partition defines percent_rank as 0.0 (SQL spec and
+        // the plain-window branch); unguarded, 0/0 here would yield NaN
+        round(when(col("_tot") === 1, lit(0.0)).otherwise(
+          (col("_rk") - 1).cast("double") /
+            (col("_tot") - 1).cast("double")), 6).as("pr"),
         round(col("_rk").cast("double") / col("_tot").cast("double"), 6).as("cd"),
         col("_first").as("first_cents"),
         when(col("_rk") >= 2, col("_second")).as("second_cents"))

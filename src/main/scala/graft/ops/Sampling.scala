@@ -268,8 +268,12 @@ object Sampling {
       substring(h, 1, 2).as("_b"))
     val counts = d.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // collect (not map): on an EMPTY input the scan yields one element and
+    // sliding(2) emits a single size-1 window — a map would MatchError
+    // where the correct result is simply an empty offset table
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) =>
-      (b, acc + n) }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }
+      (b, acc + n) }.sliding(2)
+      .collect { case Array((_, off), (b, _)) => (b, off) }
       .toSeq
     val offDf = broadcast(spark.createDataFrame(offsets).toDF("_b", "_off"))
     val w = org.apache.spark.sql.expressions.Window

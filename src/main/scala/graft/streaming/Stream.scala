@@ -322,9 +322,13 @@ object Stream {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    // UNCAPPED vocabulary: this query is documented bit-equal to batch
+    // text_classify and shares its oracle, so the serving-size cap (an
+    // opt-in naiveBayesModel knob) must not silently drop tokens here —
+    // a capped model would diverge from both once corpus vocab > cap
     val model = graft.ops.TextOps.naiveBayesModel(
       spark.read.parquet(s"$sfDir/documents.parquet"),
-      "doc_id", "text", "lang")
+      "doc_id", "text", "lang", vocabCap = Int.MaxValue)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     val toks = split(trim(col("text")), "\\s+")
