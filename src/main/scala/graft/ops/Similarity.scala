@@ -1233,8 +1233,13 @@ object Similarity {
         // so the engines stay bit-equal.
         x = prev match {
           case Some(p) =>
+            // LAZY checkpoint: the very next action is the scalar aggregate
+            // below, which materializes j as a side effect — an eager cut
+            // here would spend a whole extra job per iteration just to
+            // materialize what the aggregate is about to read anyway
+            // (~24 of these tiny jobs were the query's measured fixed cost)
             val j = z.join(p.select(col("node"), col("xq").as("pq")), Seq("node"))
-              .localCheckpoint()
+              .localCheckpoint(false)
             val t = j.agg(
               sum(col("d").cast(dec) * col("zq").cast(dec)).cast("double"),
               sum(col("d").cast(dec) * col("zq").cast(dec) *
@@ -1265,11 +1270,14 @@ object Similarity {
             val alpha = s1 / sumd.toDouble
             val n2 = s2 - 2.0 * alpha * s1 + alpha * alpha * sumd.toDouble
             val f = S * math.sqrt(sumd.toDouble / n2)
-            // the v2 sweep's x is read by every v3 iteration — pin it
+            // the v2 sweep's x is read by every v3 iteration — pin it.
+            // LAZY: the next iteration's matvec (or the v3 sweep's first
+            // join) materializes it inside a job that runs regardless;
+            // an eager cut would add a dedicated job per iteration
             z.select(col("node"),
               round(round(col("zq") - lit(alpha)).cast("long") * lit(f))
                 .cast("long").as("xq"))
-              .localCheckpoint()
+              .localCheckpoint(false)
         }
       }
       x

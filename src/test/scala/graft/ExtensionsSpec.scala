@@ -99,4 +99,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exp)
   }
+
+  test("graft_cms_estimate: a NULL sketch yields null, not an NPE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // count_min_sketch over zero rows is null; both the codegen'd and the
+    // interpreted path must null-propagate like any BinaryExpression
+    val probe = Seq("x", "y").toDF("token")
+      .withColumn("est", graft.functions.CmsEstimate.estimate(null, col("token")))
+    assert(probe.collect().forall(_.isNullAt(1)))
+    assert(probe.filter(col("est").isNull).count() == 2)
+  }
 }

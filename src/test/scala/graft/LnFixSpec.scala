@@ -40,4 +40,25 @@ class LnFixSpec extends AnyFunSuite {
     for ((a, b) <- pairs)
       assert(got((a, b)) == LnFix.referenceNegLnMicro(a, b), s"a=$a b=$b")
   }
+
+  test("out-of-domain b fails LOUDLY on both renderers (no silent wrap)") {
+    import spark.implicits._
+    // beyond b ≈ 1.8e10, (b−a')·1e9 overflows BIGINT: Spark (non-ANSI
+    // fold) would wrap silently while DuckDB raises — the guard makes
+    // both engines raise the same message instead of diverging
+    val df = Seq((1L, 20000000000L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      LnFix.withNegLnMicro(df, "a", "b", "lnq").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("LnFix domain")), msgs(e).mkString(" | "))
+    // the DuckDB rendering carries the identical guard
+    val ctes = LnFix.oracleCtes("p", "src", Seq("k"), "a", "b", "lnq")
+    assert(ctes.contains("error('LnFix domain"))
+    // ...and in-domain values still pass through the guard unchanged
+    assert(LnFix.withNegLnMicro(Seq((1L, 18000000000L)).toDF("a", "b"),
+        "a", "b", "lnq").head().getLong(2) ==
+      LnFix.referenceNegLnMicro(1L, 18000000000L))
+  }
 }

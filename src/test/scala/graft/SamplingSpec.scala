@@ -178,6 +178,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(a != b, "a new salt must give a new epoch order")
   }
 
+  test("shuffleOrder: empty input yields an empty order, not a MatchError") {
+    import org.apache.spark.sql.functions.col
+    val none = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") < 0)
+    assert(ops.Sampling.shuffleOrder(none, "doc_id").count() == 0)
+  }
+
   test("repeatSample: floor copies everywhere, ceil on the hash fraction, realized mass converges") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i => (i, if (i < 500) "a" else "b")).toDF("doc_id", "src")
