@@ -1455,6 +1455,15 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) =>
       Sampling.weightedSample(Tables.documents(s, d), "doc_id",
         least(col("n_chars"), lit(1000L)), n = 100)),
+    // L41: DSIR importance resampling — score every document by how much
+    // more likely its hashed ngrams are under the CURATED-half model than
+    // under the whole-corpus model (exact micro-nat integers), keep the
+    // top 100. The "make the crawl look like the curated domain" selector.
+    "sample_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.dsirSelect(docs, docs.filter(col("source") < "src10"),
+        "doc_id", "text")
+    }),
     // L15b: the C4-style domain cap — each source keeps its 10 BEST
     // docs by quality (two-stage salted rank, score-ordered)
     "sample_quota_quality" -> ((s, d) =>
@@ -2495,6 +2504,47 @@ object SparkEntry {
        |$finals""".stripMargin
   }
 
+  /** [[graft.ops.Sampling.dsirSelect]]'s twin: hashed unigram+bigram
+    * buckets (md5-prefix mod B — bit-equal to mdHash60), two chained
+    * LnFix cost tables (raw and target Laplace models over the SAME
+    * bucket frame), per-doc BIGINT importance sums, top-100 keep flag. */
+  private val sampleDsirSql: String = {
+    val b = 4096
+    def gramsSql(src: String): String =
+      s"""(SELECT doc_id,
+         |  ('0x' || substring(md5(gram), 1, 15))::BIGINT % $b AS bucket FROM (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS gram
+         |  FROM $src
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+         |    i -> w[i] || chr(1) || w[i+1])) AS gram
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src))
+         | WHERE gram <> '')""".stripMargin
+    s"""WITH gr AS MATERIALIZED (SELECT * FROM ${gramsSql("documents")}),
+       |gt AS (SELECT * FROM ${gramsSql(
+            "(SELECT doc_id, text FROM documents WHERE source < 'src10')")}),
+       |cr AS (SELECT bucket, count(*) AS c_r FROM gr GROUP BY 1),
+       |ct AS (SELECT bucket, count(*) AS c_t FROM gt GROUP BY 1),
+       |m0 AS (SELECT cr.bucket, cr.c_r, coalesce(ct.c_t, 0) AS c_t,
+       |    tr.tot_r, tt.tot_t
+       |  FROM cr LEFT JOIN ct USING (bucket)
+       |  CROSS JOIN (SELECT CAST(sum(c_r) AS BIGINT) AS tot_r FROM cr) tr
+       |  CROSS JOIN (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS tot_t FROM ct) tt),
+       |${graft.functions.LnFix.oracleCtes("dsa", "m0",
+            Seq("bucket", "c_t", "tot_t"), "c_r + 1", s"tot_r + $b", "nll_r")},
+       |${graft.functions.LnFix.oracleCtes("dsb", "dsaf",
+            Seq("bucket", "nll_r"), "c_t + 1", s"tot_t + $b", "nll_t")},
+       |dl AS (SELECT bucket, nll_r - nll_t AS delta FROM dsbf),
+       |sc0 AS (SELECT g.doc_id, sum(dl.delta) AS s FROM gr g
+       |  JOIN dl USING (bucket) GROUP BY 1),
+       |sc AS MATERIALIZED (SELECT d.doc_id,
+       |    CAST(coalesce(s.s, 0) AS BIGINT) AS score_micro
+       |  FROM documents d LEFT JOIN sc0 s USING (doc_id)),
+       |top AS (SELECT doc_id FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100)
+       |SELECT doc_id, score_micro,
+       |  doc_id IN (SELECT doc_id FROM top) AS keep FROM sc""".stripMargin
+  }
+
   // ------------------- unigram-LM (SentencePiece) EM unroll, pure SQL
   // The whole hard-EM training of TextOps.unigramTrain is SQL-expressible
   // (the text_bpe unroll precedent): seed counts are a substring
@@ -3219,6 +3269,10 @@ object SparkEntry {
     "sample_mix" ->
       s"""SELECT doc_id, source AS group_key FROM documents
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    // DSIR: two hashed-ngram bucket models (curated target vs whole
+    // corpus), LnFix micro-nat log-probs, exact-integer importance sums,
+    // deterministic top-100 — the Spark plan's arithmetic twin end-to-end
+    "sample_dsir" -> sampleDsirSql,
     "sample_weighted" ->
       (s"""WITH b AS (SELECT doc_id, least(n_chars, 1000) AS w_x100,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

@@ -282,4 +282,81 @@ object Sampling {
       .select(col("doc_id"),
         (col("_off") + row_number().over(w)).as("position"))
   }
+
+  /** Hashed-ngram feature stream for [[dsirSelect]]: one row per unigram
+    * and per bigram occurrence, bucketed by the md5-prefix hash mod
+    * `buckets` (the oracle-parity hash — DuckDB reproduces every bucket
+    * bit-for-bit). Bigrams ride the Dedup shifted-slice construction:
+    * native array ops, no interpreted lambda on the hot path. */
+  private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    val uni = base.select(col("doc_id"), explode(col("t")).as("gram"))
+      .filter(col("gram") =!= "")
+    val n1 = greatest(size(col("t")) - 1, lit(0))
+    val bi = base
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1))).as("sh"))
+      .select(col("doc_id"),
+        concat(col("sh.0"), lit("\u0001"), col("sh.1")).as("gram"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), (Dedup.mdHash60(col("gram")) % buckets).as("bucket"))
+  }
+
+  /** L41: DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023), the deterministic variant: pick the `keepN` raw-corpus
+    * documents that look most like a TARGET domain, by importance weight
+    * under two bag-of-hashed-ngram models.
+    *
+    *  1. Features: unigram + bigram occurrences hashed into `buckets`
+    *     buckets ([[hashedGrams]]) — the model is `buckets` rows no matter
+    *     the corpus size, the paper's trick for fitting 100 TB in a
+    *     broadcast.
+    *  2. Two Laplace-smoothed bucket models: p_target (from `target`) and
+    *     p_raw (from `docs`). Log-probabilities are EXACT micro-nat
+    *     integers from the shared LnFix series (no libm), so
+    *     log w(doc) = Σ_grams [ln p_t(b) − ln p_r(b)]
+    *                = Σ_grams [nll_r(b) − nll_t(b)]
+    *     is a pure BIGINT sum — bit-equal across engines, fully
+    *     oracle-checkable (unlike the paper's Gumbel-noise resampling,
+    *     replaced here by the deterministic top-n with id tie-break).
+    *  3. Selection: top-`keepN` by (weight desc, doc_id) as a TakeOrdered
+    *     (never a global sort), flagged back onto the full scored frame
+    *     with a broadcast join.
+    *
+    * Shapes at 100 TB: two feature scans (the target is eval-suite-sized
+    * next to the corpus), two `buckets`-row aggregates, one broadcast
+    * model join + per-doc sum, one TakeOrdered. Documents with no tokens
+    * score 0 (the empty product). Returns (doc_id, score_micro, keep). */
+  def dsirSelect(docs: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 4096,
+                 keepN: Int = 100): DataFrame = {
+    import graft.functions.LnFix
+    val gr = hashedGrams(docs, idCol, textCol, buckets)
+    val gt = hashedGrams(target, idCol, textCol, buckets)
+    val cr = gr.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val ct = gt.groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    // raw-corpus buckets are a superset of anything a scored doc can emit,
+    // so the model frame is keyed on cr; target-only smoothing mass enters
+    // through tot_t + buckets exactly as in the oracle CTE chain
+    val m0 = cr.join(ct, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .crossJoin(broadcast(cr.agg(sum(col("c_r")).as("tot_r"))))
+      .crossJoin(broadcast(ct.agg(coalesce(sum(col("c_t")), lit(0L)).as("tot_t"))))
+    val model = LnFix.withNegLnMicro(
+        LnFix.withNegLnMicro(m0, "c_r + 1", s"tot_r + $buckets", "nll_r"),
+        "c_t + 1", s"tot_t + $buckets", "nll_t")
+      .select(col("bucket"), (col("nll_r") - col("nll_t")).as("_delta"))
+    val scored = docs.select(col(idCol).as("doc_id"))
+      .join(gr.join(broadcast(model), Seq("bucket"))
+          .groupBy(col("doc_id")).agg(sum(col("_delta")).as("s")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("s"), lit(0L)).as("score_micro"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(keepN).select(col("doc_id"), lit(true).as("_keep"))
+    scored.join(broadcast(top), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("score_micro"),
+        coalesce(col("_keep"), lit(false)).as("keep"))
+  }
 }

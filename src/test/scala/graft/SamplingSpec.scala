@@ -184,6 +184,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(ops.Sampling.shuffleOrder(none, "doc_id").count() == 0)
   }
 
+  test("dsirSelect: target-vocabulary docs outrank, exact keepN, deterministic") {
+    import spark.implicits._
+    // planted corpus: docs 0..9 speak the target vocabulary, 10..29 a
+    // disjoint crawl vocabulary, 30..31 mixed
+    val mk = (id: Long, words: String) => (id, words)
+    val tgtText = "alpha beta gamma alpha beta"
+    val crawl = "zork quux blarg zork quux"
+    val docs = ((0L until 10L).map(i => mk(i, tgtText)) ++
+      (10L until 30L).map(i => mk(i, crawl)) ++
+      Seq(mk(30L, "alpha beta zork quux"), mk(31L, "zork zork zork alpha")))
+      .toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" < 10)
+    val out = ops.Sampling.dsirSelect(docs, target, "doc_id", "text", keepN = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 32, "every doc is scored")
+    assert(out.values.count(_._2) == 12, "exactly keepN kept")
+    // every pure-target doc outscores every pure-crawl doc, the mixed
+    // docs land strictly between
+    val ts = (0L until 10L).map(out(_)._1).toSet
+    val cs = (10L until 30L).map(out(_)._1).toSet
+    assert(ts.size == 1 && cs.size == 1, "identical texts score identically")
+    assert(ts.head > out(30L)._1 && out(30L)._1 > cs.head,
+      s"target ${ts.head} > mixed ${out(30L)._1} > crawl ${cs.head}")
+    // the 10 target docs + the 2 mixed docs are exactly the keepers
+    assert((0L until 10L).forall(out(_)._2) && out(30L)._2 && out(31L)._2)
+    // resharding-stable: a different partitioning computes the same map
+    val out2 = ops.Sampling.dsirSelect(docs.repartition(7), target,
+        "doc_id", "text", keepN = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == out2)
+  }
+
   test("repeatSample: floor copies everywhere, ceil on the hash fraction, realized mass converges") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i => (i, if (i < 500) "a" else "b")).toDF("doc_id", "src")
