@@ -215,6 +215,15 @@ object SparkEntry {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Labeled anchors for hard-negative mining: vectors 0..7 with labels. */
+  private def anchorBatch(s: SparkSession, d: String): Seq[(Long, String, Array[Double])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("label").cast("string"),
+        col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+
   /** The kNN-graph node shard for graph_knn: vectors 0..63 as queries. */
   private def graphBatch(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
     Tables.embeddings(s, d).filter(col("vec_id") < 64)
@@ -1217,6 +1226,20 @@ object SparkEntry {
     "ann_classify" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d).filter(col("vec_id") >= 8),
         "vec_id", "embedding", "label", queryBatch(s, d), 5)),
+    // L42: hard-negative mining for contrastive training — each anchor's
+    // 5 most-similar DIFFERENT-label vectors in one corpus scan
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", anchorBatch(s, d), 5)),
+    // L43: cluster-balanced downsampling (the diversity-preserving
+    // subsample): per-IVF-cluster uniform hash quota — the two-stage
+    // salted cap over the assignment the centroid literals define
+    "sample_cluster_balanced" -> ((s, d) =>
+      Sampling.quotaSample(
+        Similarity.withIvfList(Tables.embeddings(s, d), "embedding",
+            ivfModel(s, d, 16))
+          .select(col("vec_id"), col("list_id").cast("long").as("list_id")),
+        "list_id", "vec_id", n = 20)),
     // PQ ANN: 8×16 codebooks over normalized vectors, asymmetric-distance
     // top-10 over the m-byte codes only (32× compression — THE in-memory
     // serving path at 100 TB). No oracle: k-means training isn't SQL —
@@ -2035,6 +2058,20 @@ object SparkEntry {
              |SELECT doc_id AS vec_id, CAST(l AS BIGINT) AS list_id FROM (
              |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1""".stripMargin,
+        // cluster-balanced downsample: the assignment CTE + the single
+        // global per-cluster hash row_number the two-stage cap equals
+        "sample_cluster_balanced" ->
+          s"""WITH ${ivfBaseCtes(cents)},
+             |asg AS (SELECT doc_id, l AS list_id FROM (
+             |  SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY s DESC, l DESC) AS rk FROM sc) WHERE rk = 1),
+             |r AS (SELECT doc_id, CAST(list_id AS BIGINT) AS group_key,
+             |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+             |  FROM asg)
+             |SELECT doc_id, group_key, rk FROM (
+             |  SELECT doc_id, group_key, row_number() OVER (
+             |    PARTITION BY group_key ORDER BY hk, doc_id) AS rk FROM r)
+             |WHERE rk <= 20""".stripMargin,
         // c-TF-IDF topic keywords per IVF cluster: assignment from the
         // centroid literals, then the exact-integer tf·LnFix-idf ranking
         "emb_topics" ->
@@ -4232,6 +4269,23 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored) WHERE rk <= 10""".stripMargin,
+    // hard negatives: the graph_knn shape with the label-mismatch
+    // predicate below the scoring (null-label rows are not admissible;
+    // a null ANCHOR label admits every labeled row, mirroring the Scala
+    // null-compare semantics)
+    "emb_hard_negatives" ->
+      """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        | FROM embeddings e
+        | CROSS JOIN (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 8) q
+        | CROSS JOIN range(64) r(i)
+        | WHERE e.label IS NOT NULL AND (q.label IS NULL OR e.label <> q.label)
+        | GROUP BY q.vec_id, e.vec_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "graph_knn" ->
       """WITH scored AS (SELECT q.vec_id AS src, e.vec_id AS dst,
         |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))

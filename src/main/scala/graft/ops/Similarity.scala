@@ -192,6 +192,67 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"))
   }
 
+  /** L42: HARD-NEGATIVE MINING for contrastive/embedding training — for
+    * each anchor, the k most-similar corpus vectors carrying a DIFFERENT
+    * label (the classic "hardest negatives" batch construction; positives
+    * and same-label near-misses are excluded at the scan). Same bounded
+    * plan shape as [[batchTopK]]: ONE corpus scan for the whole anchor
+    * batch, per-partition partial top-k heaps (the label test is one
+    * string compare before any arithmetic), window merge of B·parts·k
+    * partials — the corpus is never shuffled and never scored twice.
+    * Null-label rows are not admissible negatives (their label is
+    * unknown, not different) and are skipped. Deterministic: 4dp-rounded
+    * cosine, ties → smaller vec_id — fully oracle-checked. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    queries: Seq[(Long, String, Array[Double])],
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (qid, ql, q) =>
+      (qid, ql, q, math.sqrt(q.map(x => x * x).sum))
+    }
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+    val partials = emb
+      .select(col(idCol).cast("long"), col(labelCol).cast("string"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, String, Array[Double])]
+      .mapPartitions { rows =>
+        val heaps = qs.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        rows.foreach { case (id, lab, v) =>
+          if (lab != null) {
+            var n2 = 0.0
+            var i = 0
+            while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+            val nrm = math.sqrt(n2)
+            if (nrm > 0.0) qs.zip(heaps).foreach { case ((_, ql, q, qn), heap) =>
+              if (qn > 0.0 && q.length == v.length && lab != ql) {
+                var d = 0.0
+                var j = 0
+                while (j < v.length) { d += v(j) * q(j); j += 1 }
+                val cos = BigDecimal(d / (nrm * qn))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+                if (heap.size < k) heap.enqueue((cos, id))
+                else if (worstFirst.lt((cos, id), heap.head)) {
+                  heap.dequeue(); heap.enqueue((cos, id))
+                }
+              }
+            }
+          }
+        }
+        qs.zip(heaps).iterator.flatMap { case ((qid, _, _, _), heap) =>
+          heap.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+    partials
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   /** kNN label transfer (the classic "classify by nearest labeled
     * examples" serving path): each query vector takes the MAJORITY label
     * among its k nearest training vectors by cosine, ties → smaller

@@ -891,6 +891,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 3L && got.head.getLong(2) == 2L)
   }
 
+  test("hardNegatives: never a same-label or null-label result, exact k, deterministic") {
+    // labels cluster around ±x / ±y; anchor 0 is label "a" on +x — its
+    // hardest negatives are the "b" rows nearest +x, never another "a"
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), "a"),
+      (11L, Array(0.99f, 0.1f), "a"),
+      (12L, Array(0.95f, 0.2f), "b"),
+      (13L, Array(0.9f, 0.3f), "b"),
+      (14L, Array(0.0f, 1.0f), "b"),
+      (15L, Array(-1.0f, 0.0f), "c"),
+      (16L, Array(0.97f, 0.15f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = Seq((0L, "a", Array(1.0, 0.0)))
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+      anchors, 3).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // 16 (null label) and 10/11 (same label) are inadmissible despite
+    // being the most similar; the 3 winners are the b's nearest +x
+    assert(got.map(_._1).toSeq == Seq(12L, 13L, 14L), got.mkString(","))
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted.reverse))
+    // a null ANCHOR label admits every labeled row (mirrors the oracle);
+    // the null-LABEL row 16 stays inadmissible even then
+    val gotNull = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+      Seq((1L, null.asInstanceOf[String], Array(1.0, 0.0))), 3)
+      .collect().map(_.getLong(1))
+    assert(gotNull.toSeq == Seq(10L, 11L, 12L), gotNull.mkString(","))
+    // resharding-stable
+    val again = Similarity.hardNegatives(corpus.repartition(5), "vec_id",
+      "embedding", "label", anchors, 3).collect().map(_.getLong(1))
+    assert(again.toSeq == Seq(12L, 13L, 14L))
+  }
+
   test("semanticDedup groups planted duplicates under the smallest-id keeper") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
