@@ -1416,6 +1416,10 @@ object SparkEntry {
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
     "text_ppl" -> ((s, d) => TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),
+    // L44: CCNet's central curation step — per-language head/middle/tail
+    // perplexity terciles (two-level rank; exact integer boundaries)
+    "pipeline_ppl_filter" -> ((s, d) =>
+      TextOps.pplBucketFilter(Tables.documents(s, d), "doc_id", "text")),
     // the next-order LM signal: add-one bigram NLL, same integer-snapped
     // exactness contract as the unigram form
     "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
@@ -1629,6 +1633,10 @@ object SparkEntry {
     // collected map literal, scored statelessly per row; bit-equal to
     // batch text_classify, so the oracle is shared
     "stream_classify" -> ((s, d) => Stream.classifyStream(s, d)),
+    // S20: DSIR admission scoring at the ingest edge — the batch-trained
+    // bucket model as a map literal, per-row exact-integer fold;
+    // bit-equal to batch sample_dsir scores, so the oracle is shared
+    "stream_dsir" -> ((s, d) => Stream.dsirStream(s, d)),
     // S18: per-window top-k — watermarked streaming counts + a bounded
     // batch rank post-pass over the aggregate-sized result
     "stream_topk" -> ((s, d) => Stream.topkStream(s, d)),
@@ -2545,7 +2553,7 @@ object SparkEntry {
     * buckets (md5-prefix mod B — bit-equal to mdHash60), two chained
     * LnFix cost tables (raw and target Laplace models over the SAME
     * bucket frame), per-doc BIGINT importance sums, top-100 keep flag. */
-  private val sampleDsirSql: String = {
+  private val sampleDsirPrefix: String = {
     val b = 4096
     def gramsSql(src: String): String =
       s"""(SELECT doc_id,
@@ -2576,11 +2584,19 @@ object SparkEntry {
        |  JOIN dl USING (bucket) GROUP BY 1),
        |sc AS MATERIALIZED (SELECT d.doc_id,
        |    CAST(coalesce(s.s, 0) AS BIGINT) AS score_micro
-       |  FROM documents d LEFT JOIN sc0 s USING (doc_id)),
-       |top AS (SELECT doc_id FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100)
-       |SELECT doc_id, score_micro,
-       |  doc_id IN (SELECT doc_id FROM top) AS keep FROM sc""".stripMargin
+       |  FROM documents d LEFT JOIN sc0 s USING (doc_id))""".stripMargin
   }
+
+  private val sampleDsirSql: String = sampleDsirPrefix +
+    """,
+      |top AS (SELECT doc_id FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100)
+      |SELECT doc_id, score_micro,
+      |  doc_id IN (SELECT doc_id FROM top) AS keep FROM sc""".stripMargin
+
+  /** The stream twin checks the SCORES alone (admission thresholds are a
+    * sink policy, top-n is a batch notion): same prefix verbatim. */
+  private val streamDsirSql: String = sampleDsirPrefix +
+    "\nSELECT doc_id, score_micro FROM sc"
 
   // ------------------- unigram-LM (SentencePiece) EM unroll, pure SQL
   // The whole hard-EM training of TextOps.unigramTrain is SQL-expressible
@@ -3310,6 +3326,7 @@ object SparkEntry {
     // corpus), LnFix micro-nat log-probs, exact-integer importance sums,
     // deterministic top-100 — the Spark plan's arithmetic twin end-to-end
     "sample_dsir" -> sampleDsirSql,
+    "stream_dsir" -> streamDsirSql,
     "sample_weighted" ->
       (s"""WITH b AS (SELECT doc_id, least(n_chars, 1000) AS w_x100,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -4157,6 +4174,21 @@ object SparkEntry {
     // rows were Spark's StrictMath and DuckDB's libm snapping a
     // micro-nat apart on this data
     "text_ppl" -> textPplSql,
+    // CCNet tercile buckets: the ppl and langid twins composed, one
+    // global per-language row_number (= graft's two-level rank)
+    "pipeline_ppl_filter" ->
+      s"""WITH p AS ($textPplSql),
+         |g AS ($langidSql),
+         |d AS (SELECT p.doc_id, g.pred_lang AS lang, p.nll_micro
+         |  FROM p JOIN g USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY nll_micro, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS tot FROM d)
+         |SELECT doc_id, lang, nll_micro,
+         |  CASE WHEN rk * 3 <= tot THEN 'head'
+         |       WHEN rk * 3 <= tot * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  rk * 3 <= tot * 2 AS keep
+         |FROM r""".stripMargin,
     // L28 unigram-LM: the full hard-EM training unrolled in SQL (seed
     // substring counts, LnFix costs, recursive-window Viterbi with the
     // exact tie-break, add-one M-step) -- no literals, pure twin

@@ -329,9 +329,12 @@ object Sampling {
     * next to the corpus), two `buckets`-row aggregates, one broadcast
     * model join + per-doc sum, one TakeOrdered. Documents with no tokens
     * score 0 (the empty product). Returns (doc_id, score_micro, keep). */
-  def dsirSelect(docs: DataFrame, target: DataFrame, idCol: String,
-                 textCol: String, buckets: Int = 4096,
-                 keepN: Int = 100): DataFrame = {
+  /** The trained DSIR model alone: `(bucket, _delta)` with
+    * _delta = nll_r − nll_t in exact micro-nats — `buckets` rows,
+    * broadcast-sized by construction. Exposed so the streaming admission
+    * twin scores with the identical literals. */
+  def dsirModel(docs: DataFrame, target: DataFrame, idCol: String,
+                textCol: String, buckets: Int = 4096): DataFrame = {
     import graft.functions.LnFix
     val gr = hashedGrams(docs, idCol, textCol, buckets)
     val gt = hashedGrams(target, idCol, textCol, buckets)
@@ -344,10 +347,17 @@ object Sampling {
       .select(col("bucket"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
       .crossJoin(broadcast(cr.agg(sum(col("c_r")).as("tot_r"))))
       .crossJoin(broadcast(ct.agg(coalesce(sum(col("c_t")), lit(0L)).as("tot_t"))))
-    val model = LnFix.withNegLnMicro(
+    LnFix.withNegLnMicro(
         LnFix.withNegLnMicro(m0, "c_r + 1", s"tot_r + $buckets", "nll_r"),
         "c_t + 1", s"tot_t + $buckets", "nll_t")
       .select(col("bucket"), (col("nll_r") - col("nll_t")).as("_delta"))
+  }
+
+  def dsirSelect(docs: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 4096,
+                 keepN: Int = 100): DataFrame = {
+    val gr = hashedGrams(docs, idCol, textCol, buckets)
+    val model = dsirModel(docs, target, idCol, textCol, buckets)
     val scored = docs.select(col(idCol).as("doc_id"))
       .join(gr.join(broadcast(model), Seq("bucket"))
           .groupBy(col("doc_id")).agg(sum(col("_delta")).as("s")),

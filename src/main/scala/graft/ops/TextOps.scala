@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: per-document stats, BPE-ish
@@ -307,6 +308,49 @@ object TextOps {
       // by exactly 1e-6 — integer output has no boundary to land on
       .select(col("doc_id"), col("n_tok"),
         expr("_s div n_tok").as("nll_micro"))
+  }
+
+  /** L44: CCNet perplexity-bucket filter (Wenzek et al. 2020): documents
+    * are bucketed per LANGUAGE into head/middle/tail thirds by LM
+    * surprise — CCNet's central curation step, where "tail" (gibberish,
+    * high perplexity) is dropped and "head" (boilerplate, suspiciously
+    * low perplexity) is often downweighted. The LM signal is
+    * [[unigramNll]]'s exact integer micro-nats, language is the shared
+    * [[langIdCol]] kernel, and the tercile is the exact count rule
+    * rank·3 ≤ n / ≤ 2n — all integer arithmetic, so both engines draw
+    * identical bucket boundaries.
+    *
+    * The per-language rank is TWO-LEVEL (the shuffleOrder/q43 100 TB
+    * shape, value-range flavored): level 1 buckets by `nll_micro div
+    * 2²⁰` (≈1-nat slabs — a bounded (lang, slab) count table, ≤ ~50
+    * slabs at any corpus since nll is bounded by ln vocab), level 2
+    * ranks inside each slab with a bounded window and adds the
+    * cumulated slab offset. Ties cannot straddle slabs (the slab is a
+    * function of the sort key), so the composite equals the single
+    * global per-language row_number the oracle runs. Returns
+    * (doc_id, lang, nll_micro, bucket, keep) with keep = not tail. */
+  def pplBucketFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = unigramNll(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        langIdCol(col(textCol)).as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("nll_micro"))
+      .withColumn("_b", expr("nll_micro div 1048576"))
+    val offs = d.groupBy(col("lang"), col("_b")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col("lang")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("_b"), col("_off"), col("_tot"))
+    val rk = col("_off") + row_number().over(
+      Window.partitionBy(col("lang"), col("_b"))
+        .orderBy(col("nll_micro"), col("doc_id")))
+    d.join(broadcast(offs), Seq("lang", "_b"))
+      .select(col("doc_id"), col("lang"), col("nll_micro"), rk.as("_rk"), col("_tot"))
+      .select(col("doc_id"), col("lang"), col("nll_micro"),
+        when(col("_rk") * 3 <= col("_tot"), "head")
+          .when(col("_rk") * 3 <= col("_tot") * 2, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("_rk") * 3 <= col("_tot") * 2).as("keep"))
   }
 
   /** L40: type-token ratio (lexical diversity — the vocabulary-richness

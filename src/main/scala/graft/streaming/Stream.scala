@@ -270,6 +270,52 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S20: DSIR admission scoring at the INGEST edge — each arriving
+    * document gets its importance weight log(p_target/p_raw) under the
+    * batch-trained hashed-ngram model ([[graft.ops.Sampling.dsirModel]],
+    * `buckets` rows collected once and entering the stream plan as a map
+    * literal). STATELESS: no watermark, no state store — the score is a
+    * per-row fold over the document's own unigram+bigram buckets, so
+    * every micro-batch is a map. The fold order differs from the batch
+    * query's shuffle-summed order, but every term is an exact BIGINT
+    * micro-nat, so the stream scores are BIT-EQUAL to batch sample_dsir's
+    * and the oracle is the batch score CTE verbatim. In production the
+    * sink thresholds the score for admission; here it's the memory sink
+    * so the driver can compare. Out-of-model buckets (impossible while
+    * scoring the training corpus itself; possible for future arrivals)
+    * contribute 0 — the neutral "no evidence" weight. */
+  def dsirStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model: Map[Long, Long] = graft.ops.Sampling.dsirModel(docs,
+        docs.filter(col("source") < "src10"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = typedlit(model)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val toks = split(trim(col("text")), "\\s+")
+    def pick(g: org.apache.spark.sql.Column) =
+      coalesce(element_at(m, graft.ops.Dedup.mdHash60(g) % 4096), lit(0L))
+    val uniScore = aggregate(toks, lit(0L),
+      (acc, t) => acc + when(t === "", lit(0L)).otherwise(pick(t)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bis = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit("\u0001"), b))
+    val biScore = aggregate(bis, lit(0L), (acc, g) => acc + pick(g))
+    val scored = src.select(col("doc_id"),
+      (uniScore + biScore).as("score_micro"))
+    val qn = s"stream_dsir_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** Stream-STATIC join — the third Structured Streaming join mode, and
     * the decontamination filter at the INGEST edge: documents arrive on a
     * stream and each is checked against a STATIC benchmark fingerprint
