@@ -369,6 +369,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
+  test("dsirStream: ingest-edge scores equal batch sample_dsir bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val streamed = Stream.dsirStream(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val batch = graft.ops.Sampling.dsirSelect(docs,
+        docs.filter(col("source") < "src10"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      "per-row fold must equal the batch shuffle-summed scores exactly")
+  }
+
   test("topkStream: per-window leaders equal the batch rollup; ranks bounded") {
     val got = Stream.topkStream(spark, TestSpark.sf, k = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet

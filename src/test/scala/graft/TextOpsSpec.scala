@@ -431,4 +431,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 1L, 0.25)))
     assert(got(3L) == ((4L, 2L, 0.5)))
   }
+
+  test("pplBucketFilter: exact terciles per language, two-level rank == global rank") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = TextOps.pplBucketFilter(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+    assert(got.length == docs.count())
+    // keep is exactly "not tail"
+    assert(got.forall { case (_, _, _, b, k) => k == (b != "tail") })
+    // per language: the exact count rule rank·3 <= n / <= 2n, recomputed
+    // locally from a plain global sort — pins the two-level rank equal to
+    // the single global row_number the oracle runs
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((id, lang, _, bucket, _), i) =>
+        val rk = i + 1
+        val want = if (rk * 3 <= n) "head"
+          else if (rk * 3 <= 2 * n) "middle" else "tail"
+        assert(bucket == want, s"doc $id lang $lang rk $rk of $n: $bucket != $want")
+      }
+    }
+    // every bucket size within 1 of n/3 (the tercile contract)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        val sz = sizes.getOrElse(b, 0)
+        assert(math.abs(sz - n / 3.0) <= 1.0, s"$lang $b: $sz of $n")
+      }
+    }
+  }
 }
