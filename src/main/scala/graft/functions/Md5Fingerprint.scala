@@ -30,6 +30,10 @@ object FingerprintUtil {
   }
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** `split(s, "\\s+")` with Spark's limit -1 rule (trailing empties
+    * kept) — shared with the DSIR scoring kernel. */
+  def wsSplit(s: String): Array[String] = ws.split(s, -1)
+
   /** First 60 bits of md5(token) = value of hex chars [0,15). */
   def md5Hash60(token: String): Long = {
     val d = md5.get()

@@ -290,23 +290,18 @@ object Stream {
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val model: Map[Long, Long] = graft.ops.Sampling.dsirModel(docs,
+    // dense long[] delta table (zero = absent bucket): the model enters
+    // the stream plan as ONE referenced array behind the codegen'd
+    // DsirScore kernel — the interpreted HOF fold this replaces measured
+    // 236 s at the sf10 gate; the kernel is one md5 + one index per gram
+    val deltas = new Array[Long](4096)
+    graft.ops.Sampling.dsirModel(docs,
         docs.filter(col("source") < "src10"), "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val m = typedlit(model)
+      .collect().foreach(r => deltas(r.getLong(0).toInt) = r.getLong(1))
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
-    val toks = split(trim(col("text")), "\\s+")
-    def pick(g: org.apache.spark.sql.Column) =
-      coalesce(element_at(m, graft.ops.Dedup.mdHash60(g) % 4096), lit(0L))
-    val uniScore = aggregate(toks, lit(0L),
-      (acc, t) => acc + when(t === "", lit(0L)).otherwise(pick(t)))
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val bis = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat(a, lit("\u0001"), b))
-    val biScore = aggregate(bis, lit(0L), (acc, g) => acc + pick(g))
     val scored = src.select(col("doc_id"),
-      (uniScore + biScore).as("score_micro"))
+      graft.functions.DsirScore.score(col("text"), deltas).as("score_micro"))
     val qn = s"stream_dsir_$sfName"
     withStatePartitions(spark, 8) {
       val q = scored.writeStream.format("memory").queryName(qn)
