@@ -1013,7 +1013,7 @@ object Similarity {
       // a plan that doubles in operator count every few supersteps, and
       // at cluster scale a lost executor would recompute the whole chain.
       // The label frame is (node, label) — the cheapest thing to pin.
-      if (r % 5 == 0 && r < rounds) labels = labels.localCheckpoint()
+      if (r % 5 == 0 && r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
   }
@@ -1054,7 +1054,7 @@ object Similarity {
         .groupBy(col("src")).agg(sum(col("_c")).as("_s"))
         .select(col("src").as("node"),
           (lit(base) + expr("(85 * _s) div 100")).as("r"))
-      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
@@ -1086,7 +1086,7 @@ object Similarity {
         .select(col("src").as("node"),
           (when(col("src").isin(seeds: _*), lit(base)).otherwise(lit(0L)) +
             expr("(85 * _s) div 100")).as("r"))
-      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
@@ -1204,8 +1204,10 @@ object Similarity {
       // degrees, neighbor labels, current labels): without a per-round
       // cut the lazy plan triples each superstep — 3^rounds analysis and
       // recompute — so pin the (node, label) frame, the cheapest thing
-      // in the loop, every round
-      if (r < rounds) labels = labels.localCheckpoint()
+      // in the loop, every round. LAZY: the next round's first consumer
+      // materializes it inside a job that runs regardless (the spectral
+      // precedent — an eager cut burned a dedicated job per round)
+      if (r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
   }
