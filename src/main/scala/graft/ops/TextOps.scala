@@ -330,11 +330,16 @@ object TextOps {
     * global per-language row_number the oracle runs. Returns
     * (doc_id, lang, nll_micro, bucket, keep) with keep = not tail. */
   def pplBucketFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (doc_id, lang, nll_micro, slab) feeds BOTH the offset table and the
+    // final rank join — pin it (lazily; the offset aggregate materializes
+    // it) so the whole LM-fit + langid lineage runs once, not twice. The
+    // pinned frame is doc-count-sized narrow columns, not token-sized.
     val d = unigramNll(docs, idCol, textCol)
       .join(docs.select(col(idCol).as("doc_id"),
         langIdCol(col(textCol)).as("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("nll_micro"))
       .withColumn("_b", expr("nll_micro div 1048576"))
+      .localCheckpoint(false)
     val offs = d.groupBy(col("lang"), col("_b")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(
         Window.partitionBy(col("lang")).orderBy(col("_b"))
