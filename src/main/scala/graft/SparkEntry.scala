@@ -1231,6 +1231,11 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", anchorBatch(s, d), 5)),
+    // L45: the index-quality measurement — recall@10 of the LSH-probed
+    // ranking vs exact, per query, both sides batch-shaped (one scan each)
+    "ann_recall_eval" -> ((s, d) =>
+      Similarity.lshRecallEval(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryBatch(s, d), 10, annPlanes)),
     // L43: cluster-balanced downsampling (the diversity-preserving
     // subsample): per-IVF-cluster uniform hash quota — the two-stage
     // salted cap over the assignment the centroid literals define
@@ -4289,6 +4294,38 @@ object SparkEntry {
         |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
         |FROM kwr FULL OUTER JOIN vr USING (id)
         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    // recall eval: exact and hamming-ball LSH rankings from ONE bucketed
+    // frame, overlap counted per query — the index-trust measurement
+    "ann_recall_eval" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    ${bucketSqlOf("embedding", annPlanes)} AS qbucket,
+         |    sqrt(${dotFold("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id < 8),
+         |b AS MATERIALIZED (SELECT vec_id, embedding AS be,
+         |    ${bucketSqlOf("embedding", annPlanes)} AS bucket,
+         |    sqrt(${dotFold("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |exs AS (SELECT q.query_id, b.vec_id,
+         |    round(${dotFold("b.be", "q.qe")} / (b.nrm * q.qn), 4) + 0 AS cos
+         |  FROM b CROSS JOIN q WHERE b.nrm > 0),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM exs) WHERE rk <= 10),
+         |lss AS (SELECT query_id, vec_id FROM (
+         |  SELECT e.query_id, e.vec_id, row_number() OVER (PARTITION BY e.query_id
+         |    ORDER BY e.cos DESC, e.vec_id) AS rk
+         |  FROM (SELECT q.query_id, b.vec_id,
+         |      round(${dotFold("b.be", "q.qe")} / (b.nrm * q.qn), 4) + 0 AS cos
+         |    FROM b JOIN q ON bit_count(xor(b.bucket::BIGINT, q.qbucket::BIGINT)) <= 2
+         |    WHERE b.nrm > 0) e) WHERE rk <= 10),
+         |nl AS (SELECT query_id, count(*) AS n_lsh FROM lss GROUP BY 1),
+         |ov AS (SELECT ex.query_id, count(*) AS overlap FROM ex
+         |  JOIN lss ON lss.query_id = ex.query_id AND lss.vec_id = ex.vec_id
+         |  GROUP BY 1)
+         |SELECT dq.query_id, coalesce(nl.n_lsh, 0) AS n_lsh,
+         |  coalesce(ov.overlap, 0) AS overlap
+         |FROM (SELECT DISTINCT query_id FROM ex) dq
+         |LEFT JOIN nl USING (query_id) LEFT JOIN ov USING (query_id)""").stripMargin,
     "ann_batch_topk" ->
       """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
         |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))

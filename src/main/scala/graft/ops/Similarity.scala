@@ -131,6 +131,54 @@ object Similarity {
     bruteForceTopK(bucketed, idCol, vecCol, q, k)
   }
 
+  /** L45: retrieval-recall EVAL — overlap@k of the LSH-probed ranking vs
+    * the exact ranking, per query in a batch: the measurement a team runs
+    * before trusting an approximate index in production (the
+    * emb_matryoshka pattern, applied to the index instead of the
+    * embedding). Both sides are batch-shaped: exact = [[batchTopK]]'s one
+    * scan; the LSH side is ONE bucketed scan joined (broadcast
+    * nested-loop against the B-row query-literal frame — the
+    * parameter-frame crossJoin convention) on the Hamming-ball predicate
+    * `bit_count(bucket ⊕ qbucket) ≤ maxHamming`, exact cosine within,
+    * rank ≤ k per query. Output (query_id, n_lsh, overlap@k) — exact
+    * integers, fully oracle-checked. A query whose LSH candidates are
+    * empty (possible in principle) still reports with overlap 0 via the
+    * left join from the exact side's query list. */
+  def lshRecallEval(emb: DataFrame, idCol: String, vecCol: String,
+                    queries: Seq[(Long, Array[Double])], k: Int,
+                    planes: Array[Array[Double]],
+                    maxHamming: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val exact = batchTopK(emb, idCol, vecCol, queries, k)
+    val qdf = broadcast(queries.map { case (qid, q) =>
+      (qid, bucketOf(q, planes), q.toSeq,
+        math.sqrt(q.map(x => x * x).sum))
+    }.toDF("query_id", "qbucket", "qvec", "qn"))
+    val v = col(vecCol).cast("array<double>")
+    val lsh = withBucket(emb, vecCol, planes)
+      .join(qdf, bit_count(col("bucket").bitwiseXOR(col("qbucket"))
+        .cast("long")) <= maxHamming)
+      .select(col("query_id"), col(idCol).cast("long").as("vec_id"),
+        try_divide(dot(v, col("qvec").cast("array<double>")),
+          graft.functions.VectorExprs.norm2(v) * col("qn")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .select(col("query_id"), col("vec_id"), (round(col("cos"), 4) + 0.0).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    val nl = lsh.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsh"))
+    val ov = exact.select(col("query_id"), col("vec_id"))
+      .join(lsh.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+    exact.select(col("query_id")).distinct()
+      .join(nl, Seq("query_id"), "left_outer")
+      .join(ov, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+  }
+
   /** Batched ANN serving: exact top-k for a BATCH of query vectors in ONE
     * corpus scan — the serving shape (queries arrive in batches; scanning
     * the corpus once per query would be B scans). The batch (B×dim
