@@ -229,6 +229,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ArrayExists"), s"interpreted exists() lambda back in:\n$plan")
   }
 
+  test("sample_dsir: kernel-scored scan — no gram explode/join below the top-k") {
+    // the scoring side must be ONE DsirScore scan + the broadcast keep
+    // join; a Generate (gram explode) or SortMergeJoin in the plan means
+    // the join-form scoring crept back
+    val plan = executedPlan("sample_dsir")
+    assert(plan.contains("dsirscore") || plan.contains("DsirScore"),
+      s"DsirScore kernel missing from:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join in the scoring path:\n$plan")
+    assert(!plan.contains("Generate"), s"gram explode in the scoring path:\n$plan")
+  }
+
   test("sort-clustered layout: row-group zone maps skip most of the scan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
