@@ -1642,6 +1642,9 @@ object SparkEntry {
     // bucket model as a map literal, per-row exact-integer fold;
     // bit-equal to batch sample_dsir scores, so the oracle is shared
     "stream_dsir" -> ((s, d) => Stream.dsirStream(s, d)),
+    // S21: perplexity-tercile admission at the ingest edge — batch cut
+    // VALUES applied statelessly per row (the CCNet edge contract)
+    "stream_ppl_filter" -> ((s, d) => Stream.pplFilterStream(s, d)),
     // S18: per-window top-k — watermarked streaming counts + a bounded
     // batch rank post-pass over the aggregate-sized result
     "stream_topk" -> ((s, d) => Stream.topkStream(s, d)),
@@ -4179,6 +4182,26 @@ object SparkEntry {
     // rows were Spark's StrictMath and DuckDB's libm snapping a
     // micro-nat apart on this data
     "text_ppl" -> textPplSql,
+    // the streaming admission twin: the SAME rank frame reduced to per-
+    // language cut VALUES, then the value rule — what the edge applies
+    "stream_ppl_filter" ->
+      (s"""WITH p AS ($textPplSql),
+         |g AS ($langidSql),
+         |d AS (SELECT p.doc_id, g.pred_lang AS lang, p.nll_micro
+         |  FROM p JOIN g USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY nll_micro, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS tot FROM d),
+         |cuts AS (SELECT lang,
+         |  max(CASE WHEN rk * 3 <= tot THEN nll_micro END) AS t1,
+         |  max(CASE WHEN rk * 3 <= tot * 2 THEN nll_micro END) AS t2
+         |  FROM r GROUP BY lang),
+         |b AS (SELECT d.doc_id, d.lang, d.nll_micro,
+         |  CASE WHEN d.nll_micro <= c.t1 THEN 'head'
+         |       WHEN d.nll_micro <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM d JOIN cuts c USING (lang))
+         |SELECT doc_id, lang, nll_micro, bucket, bucket <> 'tail' AS keep
+         |FROM b""").stripMargin,
     // CCNet tercile buckets: the ppl and langid twins composed, one
     // global per-language row_number (= graft's two-level rank)
     "pipeline_ppl_filter" ->

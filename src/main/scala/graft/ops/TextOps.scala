@@ -290,14 +290,7 @@ object TextOps {
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
-    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    // N + V (corpus tokens + vocab size): one 2-long aggregate, a model
-    // parameter (the ivfModel pattern), entering the plan as a literal
-    val g = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
-    val denom = g.getLong(0) + g.getLong(1)
-    val lm = graft.functions.LnFix.withNegLnMicro(
-      cnt.select(col("token"), col("c")), "c + 1", denom.toString, "_lnq")
-      .select(col("token"), col("_lnq"))
+    val lm = unigramNllModel(docs, idCol, textCol)
     toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .join(lm, Seq("token"))
       .groupBy(col("doc_id"))
@@ -308,6 +301,22 @@ object TextOps {
       // by exactly 1e-6 — integer output has no boundary to land on
       .select(col("doc_id"), col("n_tok"),
         expr("_s div n_tok").as("nll_micro"))
+  }
+
+  /** The add-one unigram LM alone — (token, _lnq) with _lnq the snapped
+    * −ln((c+1)/(N+V)) in micro-nats. Exposed so the streaming admission
+    * twin scores with the identical integers. */
+  def unigramNllModel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // N + V (corpus tokens + vocab size): one 2-long aggregate, a model
+    // parameter (the ivfModel pattern), entering the plan as a literal
+    val g = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    val denom = g.getLong(0) + g.getLong(1)
+    graft.functions.LnFix.withNegLnMicro(
+      cnt.select(col("token"), col("c")), "c + 1", denom.toString, "_lnq")
+      .select(col("token"), col("_lnq"))
   }
 
   /** L44: CCNet perplexity-bucket filter (Wenzek et al. 2020): documents
@@ -329,7 +338,17 @@ object TextOps {
     * function of the sort key), so the composite equals the single
     * global per-language row_number the oracle runs. Returns
     * (doc_id, lang, nll_micro, bucket, keep) with keep = not tail. */
-  def pplBucketFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def pplBucketFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pplRanked(docs, idCol, textCol)
+      .select(col("doc_id"), col("lang"), col("nll_micro"),
+        when(col("_rk") * 3 <= col("_tot"), "head")
+          .when(col("_rk") * 3 <= col("_tot") * 2, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("_rk") * 3 <= col("_tot") * 2).as("keep"))
+
+  /** The shared per-language rank frame behind [[pplBucketFilter]] and
+    * [[pplTercileCuts]]: (doc_id, lang, nll_micro, _rk, _tot). */
+  private def pplRanked(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // (doc_id, lang, nll_micro, slab) feeds BOTH the offset table and the
     // final rank join — pin it (lazily; the offset aggregate materializes
     // it) so the whole LM-fit + langid lineage runs once, not twice. The
@@ -351,12 +370,22 @@ object TextOps {
         .orderBy(col("nll_micro"), col("doc_id")))
     d.join(broadcast(offs), Seq("lang", "_b"))
       .select(col("doc_id"), col("lang"), col("nll_micro"), rk.as("_rk"), col("_tot"))
-      .select(col("doc_id"), col("lang"), col("nll_micro"),
-        when(col("_rk") * 3 <= col("_tot"), "head")
-          .when(col("_rk") * 3 <= col("_tot") * 2, "middle")
-          .otherwise("tail").as("bucket"),
-        (col("_rk") * 3 <= col("_tot") * 2).as("keep"))
   }
+
+  /** Per-language VALUE thresholds for the tercile buckets: t1 = the
+    * largest head-third nll, t2 = the largest middle-third nll (NULL when
+    * that third is empty, n < 3). These are what production ships to the
+    * ingest edge — rank is a batch notion; admission compares VALUES.
+    * A doc with nll ≤ t1 is head, ≤ t2 middle, else tail — which equals
+    * the rank rule except exactly AT a threshold shared by several tied
+    * docs, where rank splits ties by doc_id but a value rule admits them
+    * all (documented; the streaming contract). Returns (lang, t1, t2) —
+    * language-count rows. */
+  def pplTercileCuts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pplRanked(docs, idCol, textCol)
+      .groupBy(col("lang"))
+      .agg(max(when(col("_rk") * 3 <= col("_tot"), col("nll_micro"))).as("t1"),
+        max(when(col("_rk") * 3 <= col("_tot") * 2, col("nll_micro"))).as("t2"))
 
   /** L40: type-token ratio (lexical diversity — the vocabulary-richness
     * quality signal): distinct tokens / total tokens per document, with

@@ -311,6 +311,67 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S21: CCNet perplexity-tercile ADMISSION at the ingest edge — the
+    * streaming face of L44, closing the admission trio (classifier S17,
+    * DSIR S20, perplexity here): each arriving document is LM-scored and
+    * bucketed against per-language THRESHOLD VALUES the batch terciles
+    * produced ([[graft.ops.TextOps.pplTercileCuts]] — production ships
+    * cut values to the edge; rank is a batch notion). STATELESS: the LM
+    * is a vocab-sized token→micro-nat map literal (the stream_classify
+    * pattern), the per-doc NLL a per-row integer fold (unknown tokens
+    * skipped from numerator AND denominator — the batch inner-join rule),
+    * language the shared kernel, the bucket a literal CASE. All integers,
+    * so scores and buckets are BIT-EQUAL to the value-threshold batch
+    * twin; at a shared threshold value the stream admits every tied doc
+    * where the batch RANK rule splits ties by doc_id (documented — the
+    * cuts are chosen AT tie-free rank boundaries on this corpus, and the
+    * oracle applies the same value rule). Docs with no in-model token
+    * have no NLL and are not emitted (the batch absence rule). */
+  def pplFilterStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm: Map[String, Long] = graft.ops.TextOps
+      .unigramNllModel(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cuts: Seq[(String, Option[Long], Option[Long])] = graft.ops.TextOps
+      .pplTercileCuts(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val m = typedlit(lm)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val toks = split(trim(col("text")), "\\s+")
+    val s = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    val n = aggregate(toks, lit(0L),
+      (acc, t) => acc + when(element_at(m, t).isNotNull, lit(1L)).otherwise(lit(0L)))
+    val scored = src
+      .select(col("doc_id"), graft.ops.TextOps.langIdCol(col("text")).as("lang"),
+        s.as("_s"), n.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("lang"), expr("_s div _n").as("nll_micro"))
+    val bucket = cuts.foldLeft(lit("tail")) { case (acc, (lang, t1, t2)) =>
+      when(col("lang") === lang,
+        when(t1.map(v => col("nll_micro") <= v).getOrElse(lit(false)), "head")
+          .when(t2.map(v => col("nll_micro") <= v).getOrElse(lit(false)), "middle")
+          .otherwise("tail"))
+        .otherwise(acc)
+    }
+    val out = scored.select(col("doc_id"), col("lang"), col("nll_micro"),
+      bucket.as("bucket"), (bucket =!= "tail").as("keep"))
+    val qn = s"stream_pplf_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** Stream-STATIC join — the third Structured Streaming join mode, and
     * the decontamination filter at the INGEST edge: documents arrive on a
     * stream and each is checked against a STATIC benchmark fingerprint

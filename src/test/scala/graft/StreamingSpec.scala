@@ -381,6 +381,34 @@ class StreamingSpec extends AnyFunSuite {
       "per-row fold must equal the batch shuffle-summed scores exactly")
   }
 
+  test("pplFilterStream: value-rule buckets equal batch terciles off tie boundaries") {
+    val streamed = Stream.pplFilterStream(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toMap
+    val batch = graft.ops.TextOps.pplBucketFilter(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toMap
+    assert(streamed.keySet == batch.keySet, "same admitted document set")
+    // lang + nll are bit-equal everywhere; the bucket may differ from the
+    // batch RANK rule only for docs whose nll EQUALS another doc's at a
+    // tercile boundary (the documented value-vs-rank tie semantics) —
+    // count those and require every other row identical
+    val nllByLang = batch.values.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.groupBy(_._2).filter(_._2.size > 1).keySet }
+    var tieDiffs = 0
+    streamed.foreach { case (id, (lang, nll, bucket, keep)) =>
+      val (blang, bnll, bbucket, bkeep) = batch(id)
+      assert(lang == blang && nll == bnll, s"doc $id: score/lang must be bit-equal")
+      if (bucket != bbucket || keep != bkeep) {
+        assert(nllByLang(lang).contains(nll),
+          s"doc $id differs ($bucket vs $bbucket) without a tied nll")
+        tieDiffs += 1
+      }
+    }
+    info(s"tie-boundary bucket differences: $tieDiffs of ${streamed.size}")
+  }
+
   test("topkStream: per-window leaders equal the batch rollup; ranks bounded") {
     val got = Stream.topkStream(spark, TestSpark.sf, k = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
