@@ -67,7 +67,14 @@ case class DsirScore(child: Expression, deltas: Array[Long])
 }
 
 object DsirScore {
-  /** `score(text)` under a dense bucket→delta table (zero = absent). */
-  def score(c: Column, deltas: Array[Long]): Column =
-    GraftSqlBridge.column(DsirScore(GraftSqlBridge.expression(c.cast("string")), deltas))
+  /** `score(text)` under a dense bucket→delta table (zero = absent).
+    * NULL text scores 0L, not NULL — the oracle's LEFT JOIN + coalesce
+    * scores a gram-less document 0, and a null-propagating kernel would
+    * silently diverge from it (and from the top-k cut) on null rows. */
+  def score(c: Column, deltas: Array[Long]): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(
+      GraftSqlBridge.column(DsirScore(GraftSqlBridge.expression(c.cast("string")), deltas)),
+      lit(0L))
+  }
 }

@@ -329,12 +329,18 @@ object Sampling {
     * next to the corpus), two `buckets`-row aggregates, one broadcast
     * model join + per-doc sum, one TakeOrdered. Documents with no tokens
     * score 0 (the empty product). Returns (doc_id, score_micro, keep). */
+  /** The ONE DSIR hashed-feature bucket count: the batch selector, the
+    * streaming admission twin's delta array, and the generated oracle SQL
+    * must all index the same model table, so they all read this constant
+    * — a silent default-drift would mis-index the stream's dense array. */
+  val DsirBuckets: Int = 4096
+
   /** The trained DSIR model alone: `(bucket, _delta)` with
     * _delta = nll_r − nll_t in exact micro-nats — `buckets` rows,
     * broadcast-sized by construction. Exposed so the streaming admission
     * twin scores with the identical literals. */
   def dsirModel(docs: DataFrame, target: DataFrame, idCol: String,
-                textCol: String, buckets: Int = 4096): DataFrame = {
+                textCol: String, buckets: Int = DsirBuckets): DataFrame = {
     import graft.functions.LnFix
     val gr = hashedGrams(docs, idCol, textCol, buckets)
     val gt = hashedGrams(target, idCol, textCol, buckets)
@@ -354,7 +360,7 @@ object Sampling {
   }
 
   def dsirSelect(docs: DataFrame, target: DataFrame, idCol: String,
-                 textCol: String, buckets: Int = 4096,
+                 textCol: String, buckets: Int = DsirBuckets,
                  keepN: Int = 100): DataFrame = {
     // the fitted model is `buckets` longs BY CONSTRUCTION (that is the
     // hashing trick's whole point), so it collects as a parameter (the

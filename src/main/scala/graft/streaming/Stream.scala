@@ -294,7 +294,7 @@ object Stream {
     // the stream plan as ONE referenced array behind the codegen'd
     // DsirScore kernel — the interpreted HOF fold this replaces measured
     // 236 s at the sf10 gate; the kernel is one md5 + one index per gram
-    val deltas = new Array[Long](4096)
+    val deltas = new Array[Long](graft.ops.Sampling.DsirBuckets)
     graft.ops.Sampling.dsirModel(docs,
         docs.filter(col("source") < "src10"), "doc_id", "text")
       .collect().foreach(r => deltas(r.getLong(0).toInt) = r.getLong(1))
