@@ -336,6 +336,16 @@ final case class ZMatrix(cells: DataFrame) {
       .select(col("bin"), coalesce(col("_n"), lit(0L)).as("n"))
   }
 
+  /** numpy.bincount over INTEGER-valued stored cells: occurrence count
+    * per distinct value (the sparse form — absent values simply have no
+    * row, where numpy would emit a zero slot; minlength padding is the
+    * caller's left-join). One map-side-combined hash aggregate whose
+    * output is value-range-sized, not corpus-sized. Values must be
+    * integral (zappy arrays of counts); the cast is exact for them. */
+  def bincount(): DataFrame =
+    cells.groupBy(col("v").cast("long").as("value"))
+      .agg(count(lit(1)).as("n"))
+
   /** numpy `digitize(x, edges)` for UNIFORM edges lo + k·w (right=False):
     * per stored cell, the index of the bin x falls in — 0 below the first
     * edge, nEdges at/above the last, else floor((x−lo)/w)+1. With
@@ -597,7 +607,12 @@ final case class ZMatrix(cells: DataFrame) {
       .filter(col("v") =!= 0.0))
   }
 
-  def scaleCols: ZMatrix = {
+  /** `dp` picks the output grid: 6dp when the input values are integral
+    * (column sums then bit-exact in any order — the arr_scale case), 4dp
+    * when they are arbitrary floats from an upstream transcendental
+    * (μ/σ inherit last-ulp sum-order noise; the coarser grid keeps the
+    * cross-engine margin — the arr_recipe_scanpy precedent, PARITY §3). */
+  def scaleCols(dp: Int = 6): ZMatrix = {
     val stats = cells.groupBy(col("j")).agg(
         sum(col("v")).as("_s"), count(lit(1)).as("_n"),
         sum(col("v") * col("v")).as("_ss"))
@@ -612,7 +627,7 @@ final case class ZMatrix(cells: DataFrame) {
       .select(col("i"), col("j"),
         // zero-variance columns scale to 0 (scanpy convention), not NaN
         when(col("_sd") === 0.0, 0.0)
-          .otherwise(round((col("v") - col("_mu")) / col("_sd"), 6) + 0.0).as("v")))
+          .otherwise(round((col("v") - col("_mu")) / col("_sd"), dp) + 0.0).as("v")))
   }
 
   /** Integer-range slicing `X[i0:i1, j0:j1]` — a pushed-down range filter. */

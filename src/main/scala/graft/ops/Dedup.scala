@@ -607,4 +607,32 @@ object Dedup {
         when(col("_starts").isNull, lit(0L))
           .otherwise((size(toks) - size(col("_kept"))).cast("long")).as("n_removed"))
   }
+
+  /** L47: BLOCKED FUZZY entity-resolution join (record-linkage MDM
+    * dedup): pairs of records whose KEY STRING is within `maxDist` edit
+    * operations, found inside deterministic BLOCKS instead of all-pairs
+    * — the standard blocking trade (like LSH: candidate recall is scoped
+    * to the block by design, and the oracle replicates the identical
+    * blocks, so parity is exact).
+    *
+    * Block key = the key string minus its last `suffixLen` characters:
+    * block membership is bounded by alphabet^suffixLen REGARDLESS of
+    * corpus size (for digit suffixes, 10^suffixLen), so the in-block
+    * self-join is O(blocks · bound²) with a corpus-independent bound —
+    * the 100 TB shape. The join shuffles both sides ONCE on the block
+    * key; `levenshtein` (codegen'd, both engines implement the classic
+    * DP) runs only inside blocks; `id1 < id2` halves the candidate set.
+    * Returns (id1, id2, dist) for verified pairs. */
+  def fuzzyJoin(recs: DataFrame, idCol: String, keyCol: String,
+                maxDist: Int = 1, suffixLen: Int = 3): DataFrame = {
+    val a = recs.select(col(idCol).as("id1"), col(keyCol).as("k1"),
+      expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
+    val b = recs.select(col(idCol).as("id2"), col(keyCol).as("k2"),
+      expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("k1"), col("k2")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

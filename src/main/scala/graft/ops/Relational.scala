@@ -980,6 +980,153 @@ object Relational {
           col("region_cents").cast("double"), 6) + 0.0).as("share"))
   }
 
+  /** R58/q55: VOLUME SHIPPING between two nations (TPC-H Q7 flavor) —
+    * the bidirectional trade-flow report: revenue shipped between
+    * NATION_1 and NATION_2 in either direction, by (supp_nation,
+    * cust_nation, year). Both nation joins broadcast (25 rows at any
+    * SF); the one fact-fact join (lineitem⋈orders) shuffles on
+    * orderkey; the nation-pair predicate prunes before the aggregate.
+    * Unordered money sum → 4dp round (exact-rational grid, §5). */
+  def q55VolumeShipping(s: SparkSession, d: String,
+                        nationA: String = "NATION_1",
+                        nationB: String = "NATION_2"): DataFrame = {
+    val ns = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val nc = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  /** R59/q56: RETURNED-ITEM revenue per customer (TPC-H Q10 flavor) —
+    * the churn-risk report: top 20 customers by revenue they returned in
+    * a quarter. Exact e4-integer revenue units make the top-k cut
+    * deterministic (no float-ordering ambiguity at the boundary);
+    * lineitem⋈orders shuffles once, customer joins under AQE, nation
+    * broadcast. TakeOrdered, never a global sort. */
+  def q56ReturnedRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+              col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-07-01").cast("timestamp"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+
+  /** R60/q57: PROMO revenue share for one ship-month (TPC-H Q14 flavor):
+    * two conditional e4-integer sums over the part join, ONE class-2
+    * 6dp division (§5: the numerator stays an exact integer until the
+    * single output round). part scales with SF → AQE picks its join. */
+  def q57PromoShare(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .otherwise(0L)).as("promo_e4"),
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .as("total_e4"))
+      .select(col("promo_e4"), col("total_e4"),
+        (round(col("promo_e4").cast("double") / col("total_e4").cast("double"), 6)
+          + 0.0).as("promo_share"))
+
+  /** R61/q58: TOP SUPPLIER by quarter revenue (TPC-H Q15 flavor) — the
+    * "view + scalar max" shape: per-supplier exact e4 revenue, then keep
+    * the row(s) equal to the global max. The max enters through a window
+    * over the supplier-sized aggregate (one tiny exchange), not a second
+    * fact pass; integer comparison makes the tie set exact. */
+  def q58TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+        .as("revenue_e4"))
+    rev.withColumn("_mx", max(col("revenue_e4")).over(Window.partitionBy()))
+      .filter(col("revenue_e4") === col("_mx"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+  }
+
+  /** R62/q59: supplier COUNT per part profile (TPC-H Q16 flavor):
+    * distinct (part, supplier) pairs from the fact table, suppliers in
+    * bad standing (negative acctbal) excluded by ANTI join (the NOT IN),
+    * count-distinct suppliers per (brand, type, size). The anti join
+    * broadcasts the supplier exclusion list; the distinct pair set is
+    * one hash aggregate on the already-shuffled join key. */
+  def q59PartSupplierCount(s: SparkSession, d: String): DataFrame = {
+    val bad = supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** R63/q60: LARGE-VOLUME orders (TPC-H Q18 flavor): orders whose total
+    * line quantity exceeds a threshold — the IN-subquery-with-HAVING
+    * shape as a semi join against the order-level quantity aggregate.
+    * Quantities are integral doubles → the per-order sum is exact; the
+    * aggregate reuses the lineitem shuffle key; top 10 by exact cents. */
+  def q60LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 250)
+    orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("total_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** R64/q61: DOMINANT suppliers (TPC-H Q20 flavor): suppliers that
+    * shipped more than half of some part's total 1997 quantity — the
+    * nested correlated-aggregate shape over a pushed-down year window.
+    * The share test is the INTEGER comparison 2·supp_qty > part_qty
+    * (quantities integral, sums exact — no ratio, no float). Per-part
+    * totals ride a window over the (part, supplier) aggregate, so the
+    * fact table shuffles ONCE on partkey and both aggregation levels
+    * reuse that layout. */
+  def q61DominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    // partkey-only partitioning satisfies the (partkey, suppkey) groupBy's
+    // clustered distribution AND the window's partkey distribution, so the
+    // fact rows cross the wire exactly once
+    val ps = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("supp_qty"))
+    val dom = ps.withColumn("part_qty",
+        sum(col("supp_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+    dom.join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

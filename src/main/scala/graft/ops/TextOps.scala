@@ -787,6 +787,54 @@ object TextOps {
         expr("_s div n_bigrams").as("nll2_micro"))
   }
 
+  /** L46: PMI COLLOCATION mining — the classic phrase/multi-word-entity
+    * extractor (Church & Hanks 1990) a tokenizer pipeline runs before
+    * merging frequent word pairs into single units: pointwise mutual
+    * information of adjacent-token bigrams,
+    *   pmi = ln( p(xy) / (p(x)·p(y)) )
+    *       = [−ln(c_x/N_u)] + [−ln(c_y/N_u)] − [−ln(c_xy/N_b)],
+    * each bracket an EXACT micro-nat integer from the shared LnFix
+    * series (every argument is a probability ≤ 1, inside LnFix's
+    * domain), so the score — and therefore the top-k cut — is bit-equal
+    * across engines with no libm anywhere.
+    *
+    * Shapes at 100 TB: one tokenize pass feeding both the bigram lead
+    * window (doc-keyed — a document is never split across partitions)
+    * and the unigram count; the pair table is vocabulary², cut to the
+    * interesting region FIRST by `minCount` (the standard support
+    * threshold — PMI is noise below it) before the two unigram joins;
+    * corpus totals enter as broadcast 1-row aggregates, never a driver
+    * collect; final cut is a TakeOrdered, never a global sort. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "token")))
+    val big = toks
+      .withColumn("w2", lead(col("token"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("token").as("w1"), col("w2"))
+    val cxy = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val cx = toks.groupBy(col("token")).agg(count(lit(1)).as("c_tok"))
+    val nu = toks.agg(count(lit(1)).as("nu"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    val joined = cxy
+      .join(broadcast(cx.select(col("token").as("w1"), col("c_tok").as("c_x"))), Seq("w1"))
+      .join(broadcast(cx.select(col("token").as("w2"), col("c_tok").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+    val scored = graft.functions.LnFix.withNegLnMicro(
+      graft.functions.LnFix.withNegLnMicro(
+        graft.functions.LnFix.withNegLnMicro(joined, "c_x", "nu", "nll_x"),
+        "c_y", "nu", "nll_y"),
+      "c_xy", "nb", "nll_xy")
+    scored.select(col("w1"), col("w2"), col("c_xy"),
+        (col("nll_x") + col("nll_y") - col("nll_xy")).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Population-stability-index drift report between two corpus slices —
     * the data-ops monitor that catches a crawl distribution shifting
     * under a trained filter. Quality scores bin into 5 fixed [0,1)

@@ -326,4 +326,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 5L || t._2 == 6L && t._1 == 5L))
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
+
+  test("fuzzyJoin: in-block near-names pair; cross-block twins never compared") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "rec_A_001"), // block rec_A_
+      (2L, "rec_A_002"), // dist 1 from id 1 — the planted match
+      (3L, "rec_A_034"), // dist 2 from both — above maxDist=1
+      (4L, "rec_B_001"), // dist 1 from id 1 but block rec_B_: blocking excludes it
+      (5L, "other_Z_99")
+    ).toDF("id", "name")
+    val got = ops.Dedup.fuzzyJoin(recs, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)), s"$got")
+    // the blocking contract: a cross-block pair is invisible at ANY threshold
+    val wide = ops.Dedup.fuzzyJoin(recs, "id", "name", maxDist = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wide.contains((1L, 4L)) && !wide.contains((2L, 4L)))
+    // widening the threshold admits the dist-2 in-block neighbor
+    assert(wide.contains((1L, 3L)) && wide.contains((2L, 3L)))
+  }
 }

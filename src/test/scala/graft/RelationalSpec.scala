@@ -723,4 +723,75 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(rows.forall(r => r._4 > 0 && r._4 <= 1.0))
   }
+
+  test("q55 volume shipping: only the two nation directions, dims broadcast") {
+    // sf0.001 has only 10 suppliers, so the registered NATION_1/2 pair is
+    // sparse here — exercise the shape on a pair that trades at this SF
+    // (the driver's gate runs the registered pair at sf0.01, non-empty)
+    val rows = Relational.q55VolumeShipping(spark, sf, "NATION_12", "NATION_10")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (sn, cn, y, rev) =>
+      Set(("NATION_12", "NATION_10"), ("NATION_10", "NATION_12"))((sn, cn)) &&
+        y >= 1996 && y <= 1997 && rev > 0 })
+    assert(planOf(Relational.q55VolumeShipping(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("q58 top supplier equals driver-side max of per-supplier revenue") {
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-04-01 00:00:00")
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .collect()
+      .groupBy(_.getAs[Long]("l_suppkey"))
+      .view.mapValues(_.map(r => math.round(
+        r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")) * 10000))
+        .sum).toMap
+    val mx = rev.values.max
+    val expKeys = rev.filter(_._2 == mx).keySet
+    val got = Relational.q58TopSupplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("revenue_e4")))
+    assert(got.map(_._1).toSet == expKeys && got.forall(_._2 == mx), s"${got.toSeq} vs $expKeys/$mx")
+  }
+
+  test("q61 dominant suppliers verified against driver-side share computation") {
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val ps = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .collect()
+      .groupBy(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+      .view.mapValues(_.map(_.getAs[Double]("l_quantity").toLong).sum).toMap
+    val partTot = ps.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val exp = ps.collect { case ((p, su), q) if q * 2 > partTot(p) => su }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.q61DominantSuppliers(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("n_parts_dominated")).toMap
+    assert(exp.nonEmpty, "degenerate fixture: no dominant suppliers at this SF")
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("q59 excludes negative-acctbal suppliers; q60 rows satisfy the HAVING") {
+    val bad = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    if (bad.nonEmpty) {
+      // recompute one excluded supplier's profile rows are absent: total
+      // supplier_cnt must equal the distinct count over the filtered pairs
+      val expPairs = Tables.lineitem(spark, sf)
+        .select(col("l_partkey"), col("l_suppkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filterNot(p => bad(p._2)).toSet
+      val gotTotal = Relational.q59PartSupplierCount(spark, sf)
+        .agg(sum(col("supplier_cnt"))).head().getLong(0)
+      // sum over profiles of per-profile distinct suppliers == distinct
+      // (profile, supplier) pairs after exclusion — join part profile in
+      val parts = Tables.part(spark, sf).collect()
+        .map(r => r.getAs[Long]("p_partkey") ->
+          (r.getAs[String]("p_brand"), r.getAs[String]("p_type"), r.getAs[Int]("p_size"))).toMap
+      val expTotal = expPairs.map { case (p, su) => (parts(p), su) }.size.toLong
+      assert(gotTotal == expTotal)
+    }
+    val q60 = Relational.q60LargeOrders(spark, sf).collect()
+    assert(q60.forall(_.getAs[Long]("total_qty") > 250))
+  }
 }

@@ -464,4 +464,25 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pmiCollocations: planted collocation tops the ranking, exact LnFix score") {
+    import spark.implicits._
+    // "new york" is ALWAYS adjacent; the fillers are equally frequent but
+    // appear in rotating contexts, so their pairwise PMI is lower
+    val filler = Seq("aa", "bb", "cc", "dd")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"${filler(i % 4)} new york ${filler((i + 1) % 4)} ${filler(i % 4)}")
+    }.toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "doc_id", "text", minCount = 5, topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 == (("new", "york")), s"${got.toSeq}")
+    assert(got.head._2 == 30L)
+    // reference score from the local LnFix twin: 5 tokens + 4 bigrams per doc
+    val nu = 150L; val nb = 120L
+    val ref = graft.functions.LnFix.referenceNegLnMicro(30L, nu) +
+      graft.functions.LnFix.referenceNegLnMicro(30L, nu) -
+      graft.functions.LnFix.referenceNegLnMicro(30L, nb)
+    assert(got.head._3 == ref, s"${got.head._3} != $ref")
+    assert(got.head._3 > 0) // a true collocation has positive PMI
+  }
 }

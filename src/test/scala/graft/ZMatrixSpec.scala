@@ -19,6 +19,13 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(m, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("bincount matches local value counts (np.bincount, sparse form)") {
+    val got = m.bincount().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = dense.flatten.groupBy(_.toLong).view.mapValues(_.length.toLong).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
   test("quantileAxis0 matches local linear interpolation (numpy quantile)") {
     // column 0 stored values: 1, 4, 7, 0 → sorted 0,1,4,7; q25 at rank
     // 0.75 → 0.75, q50 → 2.5, q75 → 4.75 (linear interpolation)
@@ -257,7 +264,7 @@ class ZMatrixSpec extends AnyFunSuite {
   }
 
   test("scaleCols standardizes each column (scanpy scale)") {
-    val got = ZLocal.toDense(m.scaleCols, 4, 3)
+    val got = ZLocal.toDense(m.scaleCols(), 4, 3)
     // col 0: mean 3, var 7.5 -> (1-3)/sqrt(7.5)
     assert(math.abs(got(0)(0) - (1.0 - 3.0) / math.sqrt(7.5)) < 1e-6)
     // standardized columns have ~zero mean
@@ -455,7 +462,7 @@ class ZMatrixSpec extends AnyFunSuite {
     val prepped = base.rowNormalize
       .mapValues(c => org.apache.spark.sql.functions.log1p(c * 10000))
       .filterColsTopVar(5, nrows)
-      .scaleCols
+      .scaleCols(4)
     val m1 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     val m2 = graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
     assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq,
