@@ -445,6 +445,8 @@ object SparkEntry {
     "arr_digitize" -> ((s, d) => mat(s, d).digitize(10.0, 10.0, 4)),
     // A51: np.bincount over the integer-valued matrix (sparse form)
     "arr_bincount" -> ((s, d) => mat(s, d).bincount()),
+    // A52: np.argsort-order rank along axis=1 (per-row, ncols-bounded)
+    "arr_rank_rows" -> ((s, d) => mat(s, d).rankAxis1()),
     "arr_bool_rows" -> ((s, d) => mat(s, d).filterRowsBySum(_ > 200).cells),
     "arr_slice" -> ((s, d) => mat(s, d).slice(100, 300, 2, 5).cells),
     // NumPy fancy indexing X[[7,3,11,3,42,999], :][:, [5,1,3,1]] — gather
@@ -628,6 +630,22 @@ object SparkEntry {
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"${GraftPaths.tmpRoot}/zarr_$sfName"
       Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
+    // Z31: in-place REGION assignment (zarr-python z[r0:r1, :] = x) — the
+    // first chunk-row band is rewritten with shifted values through the
+    // append path's atomic chunk replacement; untouched chunks never open
+    "zarr_region_update" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrru_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      val band = graft.array.ZMatrix(
+        m.cells.filter(col("i") < 1024)
+          .select(col("i"), col("j"), (col("v") + 1000.0).as("v")))
+      Zarr.updateRegion(band, path, rowStart = 0)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
     // the roundtrip through BLOSC(lz4, byte-shuffle) frames — zarr-python's
@@ -3163,7 +3181,7 @@ object SparkEntry {
     "text_pmi" -> textPmiSql,
     "dedup_fuzzy" ->
       """WITH r AS (SELECT c_custkey AS id, c_name AS k,
-        |  substring(c_name, 1, length(c_name) - 3) AS blk FROM customer)
+        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer)
         |SELECT a.id AS id1, b.id AS id2,
         |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
         |FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id
@@ -3172,6 +3190,15 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT CAST(v AS BIGINT) AS value, count(*) AS n FROM m GROUP BY 1""".stripMargin,
+    "arr_rank_rows" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, CAST(row_number() OVER (PARTITION BY i ORDER BY v, j)
+        |  AS BIGINT) AS rk FROM m""".stripMargin,
+    "zarr_region_update" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, CASE WHEN i < 1024 THEN v + 1000 ELSE v END AS v FROM m""".stripMargin,
     "q53_capped_balance" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CAST(round(value * 100) AS BIGINT) *

@@ -266,6 +266,19 @@ final case class ZMatrix(cells: DataFrame) {
           .orderBy(col("v"), col("i")))).cast("long").as("rk"))
   }
 
+  /** np.argsort order along axis=1: per-cell 1-based rank WITHIN ITS ROW
+    * (value asc, j tie-break) — the per-sample feature ranking (e.g.
+    * per-cell gene rank before a rank-based normalization). A row holds
+    * at most ncols stored cells, so the i-partitioned window is
+    * task-bounded at ANY corpus size — rows scale in count, not width;
+    * no two-level form needed (contrast [[rankAxis0]]). */
+  def rankAxis1(): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cells.select(col("i"), col("j"),
+      row_number().over(Window.partitionBy(col("i"))
+        .orderBy(col("v"), col("j"))).cast("long").as("rk"))
+  }
+
   /** cumsum(axis=0): the column-direction twin of [[cumsumAxis1]],
     * in the SAME two-level shape as [[rankAxis0]] but with deterministic
     * row-id blocks (the prefix order is i, which needs no sampling):

@@ -622,9 +622,16 @@ object Dedup {
     * the 100 TB shape. The join shuffles both sides ONCE on the block
     * key; `levenshtein` (codegen'd, both engines implement the classic
     * DP) runs only inside blocks; `id1 < id2` halves the candidate set.
-    * Returns (id1, id2, dist) for verified pairs. */
+    * Returns (id1, id2, dist) for verified pairs.
+    *
+    * suffixLen trades recall scope for cost QUADRATICALLY: 3 digits
+    * meant ≤1000-row blocks → 500k comparisons per block and, worse, a
+    * parallelism ceiling of #blocks (15 join keys at sf0.1 — measured
+    * 21 s); 2 digits bounds blocks at 100 rows → 100× less work per
+    * block and 10× more keys, the right default for a join whose
+    * per-pair verify is an O(|a|·|b|) DP. */
   def fuzzyJoin(recs: DataFrame, idCol: String, keyCol: String,
-                maxDist: Int = 1, suffixLen: Int = 3): DataFrame = {
+                maxDist: Int = 1, suffixLen: Int = 2): DataFrame = {
     val a = recs.select(col(idCol).as("id1"), col(keyCol).as("k1"),
       expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
     val b = recs.select(col(idCol).as("id2"), col(keyCol).as("k2"),

@@ -1099,6 +1099,42 @@ object Zarr {
       .option("keyEnc", keyEnc)
       .mode("overwrite").save(path)
 
+  /** zarr-python region assignment (`z[r0:r1, :] = x`) for a
+    * CHUNK-ALIGNED row band: the band's replacement chunks are encoded
+    * and published THROUGH the DSv2 append path, which revalidates
+    * geometry/codec/key layout against the store's own metadata and
+    * replaces each affected chunk by an atomic rename — readers never
+    * see a torn store. Shape metadata is untouched (a region write never
+    * grows the array — that is the streaming-append path's job), and
+    * unaffected chunks are never opened, so the cost is proportional to
+    * the band, not the store — the 100 TB in-place-correction shape.
+    * `m` arrives in BAND-LOCAL coordinates (row 0 = the band's top);
+    * cells the band omits inside its chunks become fill (dense chunk
+    * encode), exactly as zarr-python materializes the assigned slab. */
+  def updateRegion(m: ZMatrix, path: String, rowStart: Long): Unit = {
+    val meta = readMeta(path)
+    require(!meta.rank1, "region update targets 2-D stores")
+    require(rowStart >= 0 && rowStart % meta.chunkRows == 0,
+      s"rowStart $rowStart must be a multiple of chunkRows ${meta.chunkRows}")
+    m.cells.select(
+        ((col("i") + rowStart) / meta.chunkRows).cast("long").as("ci"),
+        (col("j") / meta.chunkCols).cast("long").as("cj"),
+        (col("i") + rowStart).cast("long").as("i"),
+        col("j").cast("long").as("j"), col("v").cast("double").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", meta.chunkRows.toString)
+      .option("chunkCols", meta.chunkCols.toString)
+      .option("rows", meta.rows.toString).option("cols", meta.cols.toString)
+      .option("dtype", meta.dtype).option("zlib", meta.zlib.toString)
+      .option("fill", meta.fill.toString)
+      .option("zarrFormat", meta.format.toString)
+      .option("innerRows", meta.innerRows.toString)
+      .option("innerCols", meta.innerCols.toString)
+      .option("fOrder", meta.fOrder.toString).option("comp", meta.comp)
+      .option("keyEnc", meta.keyEnc)
+      .mode("append").save(path)
+  }
+
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)
     * with dense semantics: chunk files absent from the store (zarr writes
     * none for all-fill chunks) materialize as fill cells. This is a thin

@@ -19,6 +19,16 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(ZLocal.toDense(m, 4, 3).map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("rankAxis1 matches local per-row argsort order") {
+    val got = m.rankAxis1().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = dense.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.sortBy { case (v, j) => (v, j) }.zipWithIndex
+        .map { case ((_, j), rk) => (i.toLong, j.toLong) -> (rk + 1).toLong }
+    }.toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
   test("bincount matches local value counts (np.bincount, sparse form)") {
     val got = m.bincount().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -480,6 +480,32 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("region update rewrites only the band's chunks, atomically, in place") {
+    val path = "/root/repo/target/tmp/zarr_test_region"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, chunkRows = 4, chunkCols = 3)
+    def bytesOf(name: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, name)).toSeq
+    val untouchedBefore = bytesOf("2.0")
+    val bandBefore = bytesOf("0.0")
+    // assign rows [4, 8) := 1000 + old value (band-local coordinates)
+    val band = ZMatrix.fromDense(spark,
+      Array.tabulate(4, 5)((i, j) => 1000.0 + dense(i + 4)(j)))
+    Zarr.updateRegion(band, path, rowStart = 4)
+    val exp = Array.tabulate(10, 5)((i, j) =>
+      if (i >= 4 && i < 8) 1000.0 + dense(i)(j) else dense(i)(j))
+    val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+    assert(back.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+    // chunks outside the band are bit-untouched; the band's were replaced
+    assert(bytesOf("2.0") == untouchedBefore)
+    assert(bytesOf("0.0") == bandBefore)
+    assert(Zarr.readMeta(path).rows == 10, "region write must not grow shape")
+    // misaligned band rejected before anything is written
+    val err = intercept[IllegalArgumentException] {
+      Zarr.updateRegion(band, path, rowStart = 2)
+    }
+    assert(err.getMessage.contains("chunk"))
+  }
+
   test("multi-dtype stores round-trip (f4/f2/i8/i4/i2/u2/u1/i1, both byte orders)") {
     // values 0..23: representable exactly in EVERY target dtype, including
     // u1's [0,255] range and f2's 10-bit mantissa
