@@ -1678,6 +1678,9 @@ object SparkEntry {
     // stream-STATIC broadcast join: ingest-edge decontamination against a
     // static benchmark fingerprint set (stateless — no watermark/state)
     "stream_contamination" -> ((s, d) => Stream.contaminationStream(s, d)),
+    // S22: fuzzy-match admission vs a static master dimension (L47's
+    // ingest face) — stream-static broadcast join inside prefix blocks
+    "stream_fuzzy" -> ((s, d) => Stream.fuzzyAdmissionStream(s, d)),
     // S17: classifier ADMISSION at the ingest edge — the L31 model as a
     // collected map literal, scored statelessly per row; bit-equal to
     // batch text_classify, so the oracle is shared
@@ -4760,6 +4763,15 @@ object SparkEntry {
       """WITH bench AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 50)
         |SELECT doc_id, (md5(text) IN (SELECT fp FROM bench)) AS contaminated
         |FROM documents""".stripMargin,
+    "stream_fuzzy" ->
+      """WITH m AS (SELECT c_custkey AS id2, c_name AS k2,
+        |  substring(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |s AS (SELECT c_custkey AS id1, c_name AS k1,
+        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer)
+        |SELECT s.id1, m.id2, CAST(levenshtein(s.k1, m.k2) AS BIGINT) AS dist
+        |FROM s JOIN m USING (blk)
+        |WHERE levenshtein(s.k1, m.k2) <= 1""".stripMargin,
     "stream_drift" ->
       """WITH e AS (SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
         |    CAST(least(4, greatest(0, floor(value / 25))) AS INT) AS bin FROM events),

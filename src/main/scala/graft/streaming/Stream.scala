@@ -408,6 +408,45 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S22: streaming FUZZY-MATCH admission (the ingest face of L47's
+    * blocked entity-resolution join — the MDM "does this arriving record
+    * already exist in the master?" gate): each arriving customer record
+    * is matched against a STATIC master dimension inside the same
+    * deterministic prefix blocks, verified by levenshtein ≤ 1. Stream-
+    * static broadcast join on the block key (master dimensions are tiny
+    * next to the arrival stream at 100 TB; the static plan is reused per
+    * micro-batch) — STATELESS: no watermark, no state store. The block
+    * rule and verify threshold are [[graft.ops.Dedup.fuzzyJoin]]'s
+    * exactly, so the finite-input result equals the batch twin and the
+    * DuckDB oracle is the batch SQL verbatim (a master record arriving
+    * on the stream matches its own master copy at distance 0 — the
+    * dedupe-at-arrival signal — so self-pairs are kept by design). */
+  def fuzzyAdmissionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/customer",
+      _ => spark.read.parquet(s"$sfDir/customer.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "customer"))
+      .select(col("c_custkey").as("id1"), col("c_name").as("k1"),
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+    val master = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("id2"), col("c_name").as("k2"),
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+    val matched = src.join(broadcast(master), Seq("blk"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("k1"), col("k2")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+    val qn = s"stream_fuzzy_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = matched.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** S17: streaming CLASSIFIER admission — the quality/langid filter at
     * the ingest edge, in the serving shape production uses: the Naive
     * Bayes model (L31) is trained batch-side, collected once

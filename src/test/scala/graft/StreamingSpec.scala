@@ -369,6 +369,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
+  test("fuzzyAdmissionStream: matches equal the batch blocked join; master self-pairs at dist 0") {
+    val streamed = Stream.fuzzyAdmissionStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: the identical blocks + threshold over the same sides
+    val cust = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_name"),
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk")).collect()
+    val master = cust.filter(_.getLong(0) % 7 == 0)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp = (for {
+      s <- cust; m <- master
+      if s.getString(2) == m.getString(2)
+      dist = lev(s.getString(1), m.getString(1))
+      if dist <= 1
+    } yield (s.getLong(0), m.getLong(0), dist.toLong)).toSet
+    assert(streamed == exp, s"streamed=${streamed.size} exp=${exp.size}")
+    // every master row that arrived on the stream matches itself at 0
+    assert(master.forall(m => streamed((m.getLong(0), m.getLong(0), 0L))))
+  }
+
   test("dsirStream: ingest-edge scores equal batch sample_dsir bit-for-bit") {
     import org.apache.spark.sql.functions.col
     val streamed = Stream.dsirStream(spark, TestSpark.sf)
