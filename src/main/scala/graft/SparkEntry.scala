@@ -3183,8 +3183,11 @@ object SparkEntry {
         |FROM tok GROUP BY 1""".stripMargin,
     "text_pmi" -> textPmiSql,
     "dedup_fuzzy" ->
-      """WITH r AS (SELECT c_custkey AS id, c_name AS k,
-        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer)
+      """WITH r0 AS (SELECT c_custkey AS id, c_name AS k,
+        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer),
+        |r AS (SELECT id, k, blk FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY blk ORDER BY id) AS _rk FROM r0)
+        |  WHERE _rk <= 256)
         |SELECT a.id AS id1, b.id AS id2,
         |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
         |FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id
@@ -4764,14 +4767,20 @@ object SparkEntry {
         |SELECT doc_id, (md5(text) IN (SELECT fp FROM bench)) AS contaminated
         |FROM documents""".stripMargin,
     "stream_fuzzy" ->
-      """WITH m AS (SELECT c_custkey AS id2, c_name AS k2,
+      """WITH m0 AS (SELECT c_custkey AS id2, c_name AS k2,
         |  substring(c_name, 1, length(c_name) - 2) AS blk
         |  FROM customer WHERE c_custkey % 7 = 0),
+        |m AS (SELECT id2, k2, blk FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY blk ORDER BY id2) AS _rk FROM m0)
+        |  WHERE _rk <= 256),
         |s AS (SELECT c_custkey AS id1, c_name AS k1,
-        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer)
-        |SELECT s.id1, m.id2, CAST(levenshtein(s.k1, m.k2) AS BIGINT) AS dist
-        |FROM s JOIN m USING (blk)
-        |WHERE levenshtein(s.k1, m.k2) <= 1""".stripMargin,
+        |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer),
+        |c AS (SELECT s.id1, m.id2,
+        |  CAST(levenshtein(s.k1, m.k2) AS BIGINT) AS dist
+        |  FROM s JOIN m USING (blk)),
+        |r AS (SELECT id1, id2, dist,
+        |  row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM c)
+        |SELECT id1, id2, dist FROM r WHERE rk = 1 AND dist <= 1""".stripMargin,
     "stream_drift" ->
       """WITH e AS (SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS ws,
         |    CAST(least(4, greatest(0, floor(value / 25))) AS INT) AS bin FROM events),

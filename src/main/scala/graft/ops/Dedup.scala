@@ -629,13 +629,28 @@ object Dedup {
     * parallelism ceiling of #blocks (15 join keys at sf0.1 — measured
     * 21 s); 2 digits bounds blocks at 100 rows → 100× less work per
     * block and 10× more keys, the right default for a join whose
-    * per-pair verify is an O(|a|·|b|) DP. */
+    * per-pair verify is an O(|a|·|b|) DP.
+    *
+    * `maxBlock` is the BLOCK-PURGING cap every record-linkage blocker
+    * ships: the alphabet bound above assumes distinct keys, but a real
+    * corpus has exact-duplicate keys (measured: the ×10 replica corpus
+    * duplicates names 10× → 1000-row blocks → 108× slope, 221 s). Only
+    * the first `maxBlock` records per block (deterministic id order)
+    * enter the self-join — in-block work is then bounded by maxBlock²
+    * at ANY corpus size; the oracle replicates the identical cut, and
+    * exact-duplicate keys are the EXACT-dedup stage's job anyway. */
   def fuzzyJoin(recs: DataFrame, idCol: String, keyCol: String,
-                maxDist: Int = 1, suffixLen: Int = 2): DataFrame = {
-    val a = recs.select(col(idCol).as("id1"), col(keyCol).as("k1"),
-      expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
-    val b = recs.select(col(idCol).as("id2"), col(keyCol).as("k2"),
-      expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
+                maxDist: Int = 1, suffixLen: Int = 2,
+                maxBlock: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = recs.select(col(idCol).as("id"), col(keyCol).as("k"),
+        expr(s"substring($keyCol, 1, length($keyCol) - $suffixLen)").as("blk"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("id"))))
+      .filter(col("_rk") <= maxBlock)
+      .drop("_rk")
+    val a = keyed.select(col("id").as("id1"), col("k").as("k1"), col("blk"))
+    val b = keyed.select(col("id").as("id2"), col("k").as("k2"), col("blk"))
     a.join(b, Seq("blk"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),

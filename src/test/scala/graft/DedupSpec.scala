@@ -345,5 +345,12 @@ class DedupSpec extends AnyFunSuite {
     assert(!wide.contains((1L, 4L)) && !wide.contains((2L, 4L)))
     // widening the threshold admits the dist-2 in-block neighbor
     assert(wide.contains((1L, 3L)) && wide.contains((2L, 3L)))
+    // block purging: only the first maxBlock ids (id order) enter the
+    // join — the degenerate-duplicate-key guard the x10 replica exposed
+    val dupes = Seq((1L, "same_01"), (2L, "same_01"), (3L, "same_01"),
+      (4L, "same_01")).toDF("id", "name")
+    val capped = ops.Dedup.fuzzyJoin(dupes, "id", "name", maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"$capped")
   }
 }

@@ -369,10 +369,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
-  test("fuzzyAdmissionStream: matches equal the batch blocked join; master self-pairs at dist 0") {
+  test("fuzzyAdmissionStream: per-arrival best match equals the batch argmin; masters self-resolve") {
     val streamed = Stream.fuzzyAdmissionStream(spark, TestSpark.sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // batch twin: the identical blocks + threshold over the same sides
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // batch twin: identical blocks, per-arrival (dist, id2) argmin
     val cust = Tables.customer(spark, TestSpark.sf)
       .select(col("c_custkey"), col("c_name"),
         expr("substring(c_name, 1, length(c_name) - 2)").as("blk")).collect()
@@ -384,15 +384,18 @@ class StreamingSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val exp = (for {
-      s <- cust; m <- master
-      if s.getString(2) == m.getString(2)
-      dist = lev(s.getString(1), m.getString(1))
-      if dist <= 1
-    } yield (s.getLong(0), m.getLong(0), dist.toLong)).toSet
+    val exp = cust.flatMap { s =>
+      val cands = master.filter(_.getString(2) == s.getString(2))
+        .map(m => (lev(s.getString(1), m.getString(1)).toLong, m.getLong(0)))
+      if (cands.isEmpty) None
+      else {
+        val best = cands.min
+        if (best._1 <= 1) Some(s.getLong(0) -> ((best._2, best._1))) else None
+      }
+    }.toMap
     assert(streamed == exp, s"streamed=${streamed.size} exp=${exp.size}")
-    // every master row that arrived on the stream matches itself at 0
-    assert(master.forall(m => streamed((m.getLong(0), m.getLong(0), 0L))))
+    // every master row that arrived on the stream resolves to itself at 0
+    assert(master.forall(m => streamed.get(m.getLong(0)).contains((m.getLong(0), 0L))))
   }
 
   test("dsirStream: ingest-edge scores equal batch sample_dsir bit-for-bit") {
