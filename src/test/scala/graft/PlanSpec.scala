@@ -41,6 +41,39 @@ class PlanSpec extends AnyFunSuite {
       s"lost dimension broadcasts in:\n$plan")
   }
 
+  test("q61_dominant_suppliers: fact rows cross the wire once (partkey layout reused)") {
+    val plan = executedPlan("q61_dominant_suppliers")
+    // the partkey repartition feeds the (partkey, suppkey) aggregate AND
+    // the per-part window with no further exchange; the only other
+    // exchange carries the already-aggregated dominant rows into the
+    // suppkey count; the supplier join stays broadcast
+    assert(exchanges(plan) <= 2, s"fact re-shuffled in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier join lost broadcast in:\n$plan")
+  }
+
+  test("q59_part_supplier_count: exclusion list broadcast-ANTI, no extra fact pass") {
+    import org.apache.spark.sql.functions._
+    val plan = executedPlan("q59_part_supplier_count")
+    val anyBad = Tables.supplier(spark, TestSpark.sf)
+      .filter(col("s_acctbal") < 0).limit(1).count() > 0
+    if (anyBad)
+      assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+        s"NOT-IN exclusion lost its broadcast anti join in:\n$plan")
+    else // empty exclusion list: AQE eliminates the anti join entirely —
+      // the best possible plan; pin that no join degraded to a shuffle
+      assert(!plan.contains("SortMergeJoin"), s"shuffle join appeared in:\n$plan")
+    assert(parquetScans(plan) <= 3, s"extra scans in:\n$plan")
+  }
+
+  test("dedup_fuzzy: block-capped self-join — exactly one fact shuffle layer") {
+    val plan = executedPlan("dedup_fuzzy")
+    // one window (the purge cap) + the blk self-join: both sides share
+    // the blk hash layout, so the exchange count stays bounded and no
+    // cartesian appears
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy join degenerated to all-pairs in:\n$plan")
+  }
+
   test("dedup_minhash_pairs: one corpus-scan pipeline + candidate-bounded verify") {
     val plan = executedPlan("dedup_minhash_pairs")
     // ONE live corpus scan in the final plan (the verify stage's reuses
