@@ -1485,6 +1485,9 @@ object SparkEntry {
     // labels, every log-prob an exact LnFix micro-nat integer
     "text_classify" -> ((s, d) =>
       TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")),
+    // L48: classifier calibration report — per-margin-bin accuracy
+    "text_calibration" -> ((s, d) =>
+      TextOps.classifierCalibration(Tables.documents(s, d), "doc_id", "text", "lang")),
     // L37: count-of-counts Zipf profile (tokenizer-design statistic)
     "text_zipf" -> ((s, d) =>
       TextOps.zipfSpectrum(Tables.documents(s, d), "doc_id", "text")),
@@ -1808,7 +1811,10 @@ object SparkEntry {
         |  CAST(sum(tf * lnq) // sum(tf) AS BIGINT) AS nll2_micro
         |FROM tf JOIN lmf USING (w1, w2) GROUP BY doc_id""".stripMargin
 
-  private val nbClassifySql: String =
+  /** The shared NB scoring chain (through `fin` = per-(doc, label) ranked
+    * exact costs): text_classify takes rk=1, the calibration report
+    * additionally reads rk=2 for the margin. */
+  private val nbScorePrefix: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
         |            FROM documents),
         |lab AS (SELECT doc_id, lang AS label FROM documents),
@@ -1834,9 +1840,29 @@ object SparkEntry {
         |fin AS (SELECT sc.doc_id, sc.label, sc.s + p.prior AS score,
         |        row_number() OVER (PARTITION BY sc.doc_id
         |          ORDER BY sc.s + p.prior, sc.label) AS rk
-        |        FROM sc JOIN prf p USING (label))
-        |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
-        |FROM fin WHERE rk = 1""".stripMargin
+        |        FROM sc JOIN prf p USING (label))""".stripMargin
+
+  private val nbClassifySql: String =
+    s"""$nbScorePrefix
+       |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
+       |FROM fin WHERE rk = 1""".stripMargin
+
+  /** [[graft.ops.TextOps.classifierCalibration]]'s twin: the shared NB
+    * chain's rk=1/rk=2 rows give (pred, margin); exact-integer 0.1-nat
+    * bins, per-bin counts, ONE class-2 6dp accuracy ratio. */
+  private val nbCalibrationSql: String =
+    s"""$nbScorePrefix,
+       |b AS (SELECT f1.doc_id, f1.label AS pred,
+       |    CAST(f2.score - f1.score AS BIGINT) AS margin
+       |  FROM (SELECT * FROM fin WHERE rk = 1) f1
+       |  JOIN (SELECT * FROM fin WHERE rk = 2) f2 USING (doc_id)),
+       |cb AS (SELECT least(4, margin // 100000) AS bucket,
+       |    CASE WHEN b.pred = d.lang THEN 1 ELSE 0 END AS ok
+       |  FROM b JOIN documents d USING (doc_id))
+       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       |  CAST(sum(ok) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(ok) AS DOUBLE) / count(*), 6) + 0 AS accuracy
+       |FROM cb GROUP BY 1""".stripMargin
 
   private val qualitySql: String =
     """WITH s AS (SELECT doc_id,
@@ -4455,6 +4481,7 @@ object SparkEntry {
     // per-label unseen fallback, per-label prior), argmin with the
     // (score, label) tie-break mirrored by ORDER BY score, label
     "text_classify" -> nbClassifySql,
+    "text_calibration" -> nbCalibrationSql,
     // S17 scores the SAME model statelessly at the ingest edge and is
     // bit-equal to the batch query — one oracle, two execution shapes
     "stream_classify" -> nbClassifySql,

@@ -479,15 +479,17 @@ object TextOps {
     * token-keyed to doc term frequencies (one shuffle join), the label
     * dimension a broadcast; nothing collects — priors/fallbacks are
     * label-sized frames. Returns (doc_id, pred, cost_micro). */
-  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String): DataFrame = {
+  /** Per-(doc, label) exact-integer NB cost — the frame [[naiveBayes]]
+    * argmins and [[classifierCalibration]] top-2s. */
+  private def nbScored(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String): DataFrame = {
     val (toks, cost, fb, prior) = nbFrames(docs, idCol, textCol, labelCol)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // score every doc against every label: the label frame is the tiny
     // side — an explicit broadcast cross join, nlabels× fanout only
     val cand = tf.crossJoin(broadcast(prior.select(col("_label"))))
-    val scored = cand
+    cand
       .join(cost, Seq("_label", "token"), "left_outer")
       .join(broadcast(fb), Seq("_label"))
       .groupBy(col("doc_id"), col("_label"))
@@ -495,10 +497,46 @@ object TextOps {
       .join(broadcast(prior), Seq("_label"))
       .select(col("doc_id"), col("_label"),
         (col("_s") + col("_prior")).as("_score"))
-    scored.groupBy(col("doc_id"))
+  }
+
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame =
+    nbScored(docs, idCol, textCol, labelCol).groupBy(col("doc_id"))
       .agg(min(struct(col("_score"), col("_label"))).as("_top"))
       .select(col("doc_id"), col("_top._label").as("pred"),
         col("_top._score").as("cost_micro"))
+
+  /** L48: classifier CALIBRATION report (the reliability diagram a filter
+    * ships with its accuracy claim): documents bin by the exact-integer
+    * decision MARGIN (runner-up cost − best cost, micro-nats — the NB
+    * confidence signal), and each bin reports its empirical accuracy
+    * against the true labels. A well-calibrated filter's accuracy rises
+    * with the margin; a flat profile says the scores carry no confidence
+    * information and thresholding on them is noise.
+    *
+    * Everything before the single ratio is exact BIGINT (LnFix costs,
+    * margins, bin ids, counts), so the oracle composes the text_classify
+    * chain verbatim; the per-doc top-2 is a sort over the LABEL-sized
+    * score list (bounded at any corpus size). One output row per bin. */
+  def classifierCalibration(docs: DataFrame, idCol: String, textCol: String,
+                            labelCol: String, binMicros: Long = 100000L,
+                            nBins: Int = 5): DataFrame = {
+    val top2 = nbScored(docs, idCol, textCol, labelCol)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("_score"), col("_label")))).as("_a"))
+      .select(col("doc_id"), col("_a")(0).getField("_label").as("pred"),
+        (col("_a")(1).getField("_score") - col("_a")(0).getField("_score")).as("margin"))
+    top2
+      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
+        Seq("doc_id"))
+      .select(
+        least(lit((nBins - 1).toLong), expr(s"margin div $binMicros")).as("bucket"),
+        when(col("pred") === col("_actual"), 1L).otherwise(0L).as("_ok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"))
+      .select(col("bucket"), col("n"), col("n_correct"),
+        (round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          + 0.0).as("accuracy"))
   }
 
   /** Per-source dataset card (the report a curation pipeline publishes with

@@ -465,6 +465,21 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierCalibration: bins partition the corpus; correct mass equals the classifier's") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val cal = TextOps.classifierCalibration(docs, "doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cal.nonEmpty && cal.forall(b => b._1 >= 0 && b._1 <= 4))
+    assert(cal.map(_._2).sum == docs.count(), "bins must partition the corpus")
+    assert(cal.forall(b => b._3 <= b._2 && math.abs(b._4 - b._3.toDouble / b._2) < 1e-6))
+    // total correct mass equals the classifier's own accuracy count
+    val nCorrect = TextOps.naiveBayes(docs, "doc_id", "text", "lang")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("pred") === col("lang")).count()
+    assert(cal.map(_._3).sum == nCorrect)
+  }
+
   test("pmiCollocations: planted collocation tops the ranking, exact LnFix score") {
     import spark.implicits._
     // "new york" is ALWAYS adjacent; the fillers are equally frequent but
