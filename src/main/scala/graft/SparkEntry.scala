@@ -1454,6 +1454,10 @@ object SparkEntry {
     // half (src10-19) as current, over quality-score bins
     "report_drift" -> ((s, d) =>
       TextOps.driftReport(Tables.documents(s, d), "text", col("source") >= "src10")),
+    // L49: unigram-LM KL divergence curated-vs-crawl (the exact-integer
+    // information-theoretic drift monitor next to report_drift's PSI)
+    "report_kl" -> ((s, d) =>
+      TextOps.klDivergence(Tables.documents(s, d), "text", col("source") < "src10")),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
@@ -2686,6 +2690,32 @@ object SparkEntry {
        |$finals""".stripMargin
   }
 
+  /** [[graft.ops.TextOps.klDivergence]]'s twin: union-vocabulary counts,
+    * two chained LnFix Laplace models, the exact BIGINT Σ c_p·(nll_q −
+    * nll_p), clamp-then-floor-divide per-token mean. */
+  private val reportKlSql: String = {
+    import graft.functions.LnFix
+    s"""WITH tok AS (SELECT (source < 'src10') AS _ref,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+       |cp AS (SELECT token, count(*) AS c_p FROM tok WHERE _ref GROUP BY 1),
+       |cq AS (SELECT token, count(*) AS c_q FROM tok WHERE NOT _ref GROUP BY 1),
+       |j AS (SELECT coalesce(cp.token, cq.token) AS token,
+       |    coalesce(c_p, 0) AS c_p, coalesce(c_q, 0) AS c_q
+       |  FROM cp FULL OUTER JOIN cq ON cp.token = cq.token),
+       |t AS (SELECT CAST(sum(c_p) AS BIGINT) AS n_p,
+       |    CAST(sum(c_q) AS BIGINT) AS n_q, count(*) AS v FROM j),
+       |src AS (SELECT j.token, j.c_p, j.c_q, t.n_p, t.n_q, t.v FROM j, t),
+       |${LnFix.oracleCtes("kp", "src",
+            Seq("token", "c_p", "c_q", "n_p", "n_q", "v"), "c_p + 1", "n_p + v", "nll_p")},
+       |${LnFix.oracleCtes("kq", "kpf",
+            Seq("token", "c_p", "n_p", "nll_p"), "c_q + 1", "n_q + v", "nll_q")}
+       |SELECT max(n_p) AS n_tok_p,
+       |  CAST(sum(c_p * (nll_q - nll_p)) AS BIGINT) AS kl_nsum_micro,
+       |  CAST(greatest(CAST(sum(c_p * (nll_q - nll_p)) AS BIGINT), 0)
+       |    // max(n_p) AS BIGINT) AS kl_micro_per_tok
+       |FROM kqf""".stripMargin
+  }
+
   /** [[graft.ops.TextOps.pmiCollocations]]'s twin: adjacent-token bigram
     * counts over the shared split rule, the minCount=5 support cut, three
     * chained LnFix tables (−ln c_x/N_u, −ln c_y/N_u, −ln c_xy/N_b), exact
@@ -3208,6 +3238,7 @@ object SparkEntry {
         |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) + 0 AS ttr
         |FROM tok GROUP BY 1""".stripMargin,
     "text_pmi" -> textPmiSql,
+    "report_kl" -> reportKlSql,
     "dedup_fuzzy" ->
       """WITH r0 AS (SELECT c_custkey AS id, c_name AS k,
         |  substring(c_name, 1, length(c_name) - 2) AS blk FROM customer),

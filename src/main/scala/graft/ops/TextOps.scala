@@ -903,6 +903,51 @@ object TextOps {
       (round((p - qq) * log(p / qq), 6) + 0.0).as("psi_term"))
   }
 
+  /** L49: unigram-LM KL DIVERGENCE between two corpus slices — the
+    * information-theoretic drift monitor next to [[driftReport]]'s binned
+    * PSI: how many extra nats per token a model of the REFERENCE slice
+    * pays to encode the CURRENT slice,
+    *   KL(P‖Q) = Σ_x p(x)·ln(p(x)/q(x)),
+    * with both distributions Laplace-smoothed over the UNION vocabulary
+    * (so q covers p's support). Computed entirely in exact integers:
+    *   N_P·KL·1e6 = Σ_x c_x^P · (nll_q(x) − nll_p(x))
+    * where each nll is a shared-series LnFix micro-nat (1 ≤ c+1 ≤ N+V —
+    * inside the domain), so the total is a pure BIGINT sum, bit-equal
+    * across engines. (Weights are the EMPIRICAL counts while the logs
+    * are smoothed models — the standard held-in LM comparison; identical
+    * slices give exactly 0, and the spec pins the planted-divergence
+    * direction rather than a Gibbs bound, which smoothing voids in
+    * pathological corners.) The per-token mean CLAMPS the sum at 0
+    * before its ONE `div` — Spark truncation == DuckDB floor only on
+    * nonnegatives, and drift is a one-sided measurement anyway; the raw
+    * signed BIGINT sum stays in the output.
+    *
+    * Shapes at 100 TB: one tokenize pass per slice feeding vocab-sized
+    * count tables, one vocab-keyed join, one global sum. Returns ONE row
+    * (n_tok_p, kl_nsum_micro, kl_micro_per_tok). */
+  def klDivergence(docs: DataFrame, textCol: String,
+                   refPredicate: Column): DataFrame = {
+    import graft.functions.LnFix
+    val tok = docs.select(refPredicate.as("_ref"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val cp = tok.filter(col("_ref")).groupBy(col("token")).agg(count(lit(1)).as("c_p"))
+    val cq = tok.filter(!col("_ref")).groupBy(col("token")).agg(count(lit(1)).as("c_q"))
+    // union vocabulary: smoothing must cover either slice's support
+    val joined = cp.join(cq, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_p"), lit(0L)).as("c_p"),
+        coalesce(col("c_q"), lit(0L)).as("c_q"))
+    val withTot = joined
+      .crossJoin(broadcast(joined.agg(sum(col("c_p")).as("n_p"),
+        sum(col("c_q")).as("n_q"), count(lit(1)).as("v"))))
+    val costs = LnFix.withNegLnMicro(
+      LnFix.withNegLnMicro(withTot, "c_p + 1", "n_p + v", "nll_p"),
+      "c_q + 1", "n_q + v", "nll_q")
+    costs.agg(max(col("n_p")).as("n_tok_p"),
+        sum(col("c_p") * (col("nll_q") - col("nll_p"))).as("kl_nsum_micro"))
+      .select(col("n_tok_p"), col("kl_nsum_micro"),
+        expr("greatest(kl_nsum_micro, 0L) div n_tok_p").as("kl_micro_per_tok"))
+  }
+
   def sourceReport(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String): DataFrame = {
     // ONE scan, zero joins: the per-doc formulas compose as columns (the

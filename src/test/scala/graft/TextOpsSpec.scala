@@ -465,6 +465,28 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("klDivergence: identical slices give exactly 0; disjoint vocab diverges positive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical halves: every token count matches -> nll_q == nll_p term-wise
+    val same = (0 until 20).flatMap(i =>
+      Seq((i.toLong, "alpha beta gamma", "ref"), (100L + i, "alpha beta gamma", "cur")))
+      .toDF("doc_id", "text", "side")
+    val z = TextOps.klDivergence(same, "text", col("side") === "ref").head()
+    assert(z.getLong(0) == 60L && z.getLong(1) == 0L && z.getLong(2) == 0L, s"$z")
+    // disjoint vocabularies: the reference model pays heavily under Q
+    val dis = (0 until 20).flatMap(i =>
+      Seq((i.toLong, "aa bb cc", "ref"), (100L + i, "xx yy zz", "cur")))
+      .toDF("doc_id", "text", "side")
+    val d = TextOps.klDivergence(dis, "text", col("side") === "ref").head()
+    assert(d.getLong(1) > 0L && d.getLong(2) > 0L, s"$d")
+    // reference check on the exact integers: every ref token has
+    // c_p=20, c_q=0, n=60, v=6 -> term = 20*(nll(1,66) - nll(21,66)) x3
+    val ref = 3 * 20 * (graft.functions.LnFix.referenceNegLnMicro(1, 66) -
+      graft.functions.LnFix.referenceNegLnMicro(21, 66))
+    assert(d.getLong(1) == ref, s"${d.getLong(1)} != $ref")
+  }
+
   test("classifierCalibration: bins partition the corpus; correct mass equals the classifier's") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
