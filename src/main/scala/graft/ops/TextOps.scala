@@ -524,6 +524,9 @@ object TextOps {
     val top2 = nbScored(docs, idCol, textCol, labelCol)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("_score"), col("_label")))).as("_a"))
+      // a single-label corpus has no runner-up: no margin exists, the doc
+      // drops (the oracle's rk=2 inner join agrees)
+      .filter(size(col("_a")) >= 2)
       .select(col("doc_id"), col("_a")(0).getField("_label").as("pred"),
         (col("_a")(1).getField("_score") - col("_a")(0).getField("_score")).as("margin"))
     top2
