@@ -260,7 +260,12 @@ object SparkEntry {
   private val ivfEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def ivfMutualEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfMutualEdges(s: SparkSession, d: String): DataFrame = {
+    // Evict entries pinned to STOPPED sessions before serving: a
+    // checkpointed frame strongly references its session's context, so a
+    // session-churning JVM would otherwise leak one materialized edge set
+    // per (dead session, corpus) for the JVM lifetime.
+    ivfEdgesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     ivfEdgesCache.computeIfAbsent((s, d), { _ =>
       Similarity.mutualEdgesWeighted(
           Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -269,6 +274,7 @@ object SparkEntry {
               round(col("cos") * 10000).cast("long").as("w")), "w")
         .localCheckpoint()
     })
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
@@ -645,7 +651,8 @@ object SparkEntry {
       val band = graft.array.ZMatrix(
         m.cells.filter(col("i") < 1024)
           .select(col("i"), col("j"), (col("v") + 1000.0).as("v")))
-      Zarr.updateRegion(band, path, rowStart = 0)
+      Zarr.updateRegion(band, path, rowStart = 0,
+        bandRows = math.min(1024L, rows))
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
     // the roundtrip through BLOSC(lz4, byte-shuffle) frames — zarr-python's
@@ -2079,7 +2086,9 @@ object SparkEntry {
     * would be invisible in selfcheck output, so the gate announces
     * itself on stderr when it suppresses. */
   private def oracleGate(family: String, n: Int): Boolean = {
-    if (n != 1)
+    // n == 0 is not a downgrade - the family was simply never exercised
+    // this session (e.g. a filtered Verify run) - so only n > 1 announces
+    if (n > 1)
       System.err.println(
         s"graft: $family oracles SUPPRESSED: $n models/query-vecs cached " +
           "(need exactly 1) - affected queries downgrade to rows-only")
@@ -2212,7 +2221,7 @@ object SparkEntry {
   private def pcaOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val ms = pcaModels.asScala.values.toSeq
-    if (ms.size != 1) Map.empty
+    if (!oracleGate("pca", ms.size)) Map.empty
     else {
       val m = ms.head
       val wRows = m.components.zipWithIndex.map { case (w, c) =>
@@ -2240,7 +2249,7 @@ object SparkEntry {
   private def recipeFullOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val ms = fullPcaModels.asScala.values.toSeq
-    if (ms.size != 1) Map.empty
+    if (!oracleGate("recipe-full-pca", ms.size)) Map.empty
     else {
       val m = ms.head
       val wRows = m.components.zipWithIndex.map { case (w, c) =>

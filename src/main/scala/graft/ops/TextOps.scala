@@ -844,6 +844,9 @@ object TextOps {
     * and the unigram count; the pair table is vocabulary², cut to the
     * interesting region FIRST by `minCount` (the standard support
     * threshold — PMI is noise below it) before the two unigram joins;
+    * those joins are token-keyed SHUFFLE joins (the text_ppl rule: the
+    * unigram table is open-vocabulary — 10⁸–10⁹ distinct tokens on web
+    * text — so it must stay distributed, never a forced broadcast);
     * corpus totals enter as broadcast 1-row aggregates, never a driver
     * collect; final cut is a TakeOrdered, never a global sort. */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
@@ -862,8 +865,8 @@ object TextOps {
     val nu = toks.agg(count(lit(1)).as("nu"))
     val nb = big.agg(count(lit(1)).as("nb"))
     val joined = cxy
-      .join(broadcast(cx.select(col("token").as("w1"), col("c_tok").as("c_x"))), Seq("w1"))
-      .join(broadcast(cx.select(col("token").as("w2"), col("c_tok").as("c_y"))), Seq("w2"))
+      .join(cx.select(col("token").as("w1"), col("c_tok").as("c_x")), Seq("w1"))
+      .join(cx.select(col("token").as("w2"), col("c_tok").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
     val scored = graft.functions.LnFix.withNegLnMicro(
       graft.functions.LnFix.withNegLnMicro(

@@ -1099,23 +1099,64 @@ object Zarr {
       .option("keyEnc", keyEnc)
       .mode("overwrite").save(path)
 
-  /** zarr-python region assignment (`z[r0:r1, :] = x`) for a
-    * CHUNK-ALIGNED row band: the band's replacement chunks are encoded
-    * and published THROUGH the DSv2 append path, which revalidates
-    * geometry/codec/key layout against the store's own metadata and
-    * replaces each affected chunk by an atomic rename — readers never
-    * see a torn store. Shape metadata is untouched (a region write never
-    * grows the array — that is the streaming-append path's job), and
-    * unaffected chunks are never opened, so the cost is proportional to
-    * the band, not the store — the 100 TB in-place-correction shape.
+  /** zarr-python region assignment (`z[rowStart:rowStart+bandRows, :] = x`)
+    * for a CHUNK-ALIGNED full-width row band: the band's replacement
+    * chunks are encoded and published THROUGH the DSv2 append path, which
+    * revalidates geometry/codec/key layout against the store's own
+    * metadata and replaces each affected chunk by an atomic rename —
+    * readers never see a torn store. Shape metadata is untouched (a
+    * region write never grows the array — that is the streaming-append
+    * path's job), and chunks outside the band are never opened, so the
+    * cost is proportional to the band, not the store — the 100 TB
+    * in-place-correction shape.
+    *
     * `m` arrives in BAND-LOCAL coordinates (row 0 = the band's top);
-    * cells the band omits inside its chunks become fill (dense chunk
-    * encode), exactly as zarr-python materializes the assigned slab. */
-  def updateRegion(m: ZMatrix, path: String, rowStart: Long): Unit = {
+    * cells the band omits inside its rectangle become fill (the assigned
+    * slab is DENSE — exactly how zarr-python materializes `x`), which is
+    * also why the band must cover its chunks COMPLETELY: both row edges
+    * chunk-aligned (the bottom may instead end at `meta.rows` — a real
+    * array's ragged last chunk), full array width. A partial chunk would
+    * dense-encode fill over pre-existing data the assignment never
+    * addressed; rather than silently destroy it we reject the band
+    * up front (zarr-python read-modify-writes partial chunks — callers
+    * needing that read the edge chunks and include them in the band).
+    * Band chunks the slab leaves ENTIRELY fill are deleted after the
+    * write (a missing chunk reads as fill — the v2/v3 contract), so
+    * assigning fill really clears old data; each delete is atomic and
+    * the deleted chunk's final state IS absent, so readers stay
+    * consistent throughout. */
+  def updateRegion(m: ZMatrix, path: String, rowStart: Long,
+                   bandRows: Long): Unit = {
     val meta = readMeta(path)
     require(!meta.rank1, "region update targets 2-D stores")
     require(rowStart >= 0 && rowStart % meta.chunkRows == 0,
       s"rowStart $rowStart must be a multiple of chunkRows ${meta.chunkRows}")
+    require(bandRows > 0 && rowStart + bandRows <= meta.rows,
+      s"band [$rowStart, ${rowStart + bandRows}) exceeds rows ${meta.rows}")
+    require((rowStart + bandRows) % meta.chunkRows == 0 ||
+        rowStart + bandRows == meta.rows,
+      s"band end ${rowStart + bandRows} must be a multiple of chunkRows " +
+        s"${meta.chunkRows} or equal rows ${meta.rows} - a partial chunk " +
+        "would fill-overwrite rows the assignment does not cover")
+    // One band-proportional pass: per-chunk bounds both validate that every
+    // cell sits inside the declared band rectangle (out-of-band cells would
+    // silently corrupt neighbours) and give the touched-chunk set for the
+    // stale sweep below. Chunk-count-sized collect (metadata, not data).
+    val perChunk = m.cells.select(
+        ((col("i") + rowStart) / meta.chunkRows).cast("long").as("ci"),
+        (col("j") / meta.chunkCols).cast("long").as("cj"),
+        col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .groupBy(col("ci"), col("cj"))
+      .agg(min(col("i")).as("ni"), max(col("i")).as("mi"),
+        min(col("j")).as("nj"), max(col("j")).as("mj"))
+      .collect()
+    perChunk.foreach { r =>
+      require(r.getLong(2) >= 0 && r.getLong(3) < bandRows &&
+          r.getLong(4) >= 0 && r.getLong(5) < meta.cols,
+        s"band cell outside [0, $bandRows) x [0, ${meta.cols}): " +
+          s"i in [${r.getLong(2)}, ${r.getLong(3)}], " +
+          s"j in [${r.getLong(4)}, ${r.getLong(5)}]")
+    }
     m.cells.select(
         ((col("i") + rowStart) / meta.chunkRows).cast("long").as("ci"),
         (col("j") / meta.chunkCols).cast("long").as("cj"),
@@ -1133,6 +1174,18 @@ object Zarr {
       .option("fOrder", meta.fOrder.toString).option("comp", meta.comp)
       .option("keyEnc", meta.keyEnc)
       .mode("append").save(path)
+    // Stale sweep: any chunk in the band rectangle the slab left all-fill
+    // got no replacement file, but the assignment says its rows are now
+    // fill - delete the old chunk so reads see fill (missing-chunk
+    // semantics, oracle-checked by Z25).
+    val touched = perChunk.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ciLo = rowStart / meta.chunkRows
+    val ciHi = (rowStart + bandRows - 1) / meta.chunkRows
+    val cjHi = (meta.cols - 1) / meta.chunkCols
+    for (ci <- ciLo to ciHi; cj <- 0L to cjHi; if !touched((ci, cj))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        chunkPath(path, ci, cj, meta.keyEnc)))
+    }
   }
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)

@@ -320,4 +320,23 @@ class PlanSpec extends AnyFunSuite {
     assert(sortedScan * 3 < unsortedScan,
       s"sorted scan $sortedScan not ≪ unsorted scan $unsortedScan")
   }
+
+  test("text_pmi: unigram vocab table never hint-broadcast (open vocabulary)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    val df = SparkEntry.queries("text_pmi")(spark, TestSpark.sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // the two unigram joins + the two corpus-total cross joins must be in
+    // the plan; of those, ONLY the 1-row nu/nb aggregates may carry a
+    // broadcast hint — the unigram count table is open-vocabulary
+    // (10^8-10^9 tokens on web text) and a forced broadcast is an OOM at
+    // the design point. AQE may still broadcast at runtime when the table
+    // is actually small; the pin is on the HINT, not the runtime choice.
+    assert(joins.size >= 4, s"expected >=4 joins, got ${joins.size}")
+    val hintedSides = joins
+      .flatMap(j => Seq(j.hint.leftHint, j.hint.rightHint).flatten)
+      .count(_.strategy.contains(BROADCAST))
+    assert(hintedSides <= 2,
+      s"$hintedSides broadcast-hinted join sides (only the 1-row nu/nb " +
+        s"totals are allowed):\n${df.queryExecution.optimizedPlan}")
+  }
 }

@@ -490,7 +490,7 @@ class ZarrSpec extends AnyFunSuite {
     // assign rows [4, 8) := 1000 + old value (band-local coordinates)
     val band = ZMatrix.fromDense(spark,
       Array.tabulate(4, 5)((i, j) => 1000.0 + dense(i + 4)(j)))
-    Zarr.updateRegion(band, path, rowStart = 4)
+    Zarr.updateRegion(band, path, rowStart = 4, bandRows = 4)
     val exp = Array.tabulate(10, 5)((i, j) =>
       if (i >= 4 && i < 8) 1000.0 + dense(i)(j) else dense(i)(j))
     val back = ZLocal.toDense(Zarr.read(spark, path), 10, 5)
@@ -501,9 +501,53 @@ class ZarrSpec extends AnyFunSuite {
     assert(Zarr.readMeta(path).rows == 10, "region write must not grow shape")
     // misaligned band rejected before anything is written
     val err = intercept[IllegalArgumentException] {
-      Zarr.updateRegion(band, path, rowStart = 2)
+      Zarr.updateRegion(band, path, rowStart = 2, bandRows = 4)
     }
     assert(err.getMessage.contains("chunk"))
+  }
+
+  test("region update: partial-chunk band extents rejected, ragged bottom allowed") {
+    val path = "/root/repo/target/tmp/zarr_test_region_align"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, chunkRows = 4, chunkCols = 3)
+    // a band whose BOTTOM edge lands mid-chunk would fill-overwrite rows
+    // [6, 8) it never addressed - rejected up front, store untouched
+    val short = ZMatrix.fromDense(spark, Array.tabulate(2, 5)((_, j) => j.toDouble))
+    val err = intercept[IllegalArgumentException] {
+      Zarr.updateRegion(short, path, rowStart = 4, bandRows = 2)
+    }
+    assert(err.getMessage.contains("band end"))
+    assert(ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+      .map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
+    // ... but a band ending exactly at the array's ragged last row is the
+    // legitimate zarr shape (the store's own last chunk is partial)
+    Zarr.updateRegion(short, path, rowStart = 8, bandRows = 2)
+    val exp = Array.tabulate(10, 5)((i, j) => if (i >= 8) j.toDouble else dense(i)(j))
+    assert(ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+      .map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+    // cells outside the declared band rectangle rejected (would corrupt
+    // a neighbouring chunk the caller never meant to touch)
+    val oob = ZMatrix.fromDense(spark, Array.tabulate(3, 5)((i, j) => 1.0))
+    val err2 = intercept[IllegalArgumentException] {
+      Zarr.updateRegion(oob, path, rowStart = 8, bandRows = 2)
+    }
+    assert(err2.getMessage.contains("outside"))
+  }
+
+  test("region update: assigning fill CLEARS pre-existing data (stale chunk sweep)") {
+    val path = "/root/repo/target/tmp/zarr_test_region_fill"
+    Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, chunkRows = 4, chunkCols = 3)
+    assert(new java.io.File(path, "1.0").exists())
+    // z[4:8, :] = 0 ... as a coordinate slab that is ALL fill: no cells in
+    // chunk (1,0), a 7.0 in chunk (1,1) only. Chunk (1,0) must be deleted
+    // (missing chunk reads as fill), not left with its old contents.
+    val cells = spark.createDataFrame(Seq((0L, 4L, 7.0))).toDF("i", "j", "v")
+    Zarr.updateRegion(ZMatrix(cells), path, rowStart = 4, bandRows = 4)
+    assert(!new java.io.File(path, "1.0").exists(),
+      "all-fill band chunk must be deleted so old data reads as fill")
+    val exp = Array.tabulate(10, 5)((i, j) =>
+      if (i >= 4 && i < 8) { if (i == 4 && j == 4) 7.0 else 0.0 } else dense(i)(j))
+    assert(ZLocal.toDense(Zarr.read(spark, path), 10, 5)
+      .map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
   }
 
   test("multi-dtype stores round-trip (f4/f2/i8/i4/i2/u2/u1/i1, both byte orders)") {
