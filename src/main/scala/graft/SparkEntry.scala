@@ -506,12 +506,6 @@ object SparkEntry {
     // generated oracle (recipeFullOracles) embeds this run's components/
     // offsets as literals and re-derives preprocessing + projection.
     "arr_recipe_full" -> ((s, d) => {
-      // the preprocessed matrix is MATERIALIZED once (localCheckpoint)
-      // before the PCA stage: fit needs a row count + a co-moment pass +
-      // column sums and transform a fourth pass — uncheckpointed, each
-      // would re-run the whole 4-stage chain. This mirrors scanpy itself,
-      // where adata.X is materialized after preprocessing and pp.pca runs
-      // on the stored matrix.
       val base = mat(s, d)
       // dense-semantics row count comes from the PRE-filter matrix: hvg
       // drops COLUMNS, and a row whose only cells sat in dropped columns
@@ -519,12 +513,23 @@ object SparkEntry {
       // distinct i on the filtered cells would shrink n and skew μ/cov
       // (the Pca.fit contract: n = nrows, not stored-cell counts)
       val nrows = matNrows(s, d)
-      val prepped = graft.array.ZMatrix(
+      // ONE expensive fact pass: normalize+log1p materialize (localCheckpoint)
+      // so the hvgScale stats aggregate, the prepped materialization, the
+      // fit co-moment pass and the transform all read the cached cells
+      // instead of re-running the normalize join. hvgScale fuses the old
+      // filterColsTopVar + scaleCols pair onto a single column-stats
+      // aggregate (same composed semantics — the generated oracle is
+      // unchanged), cutting the chain from ~10 sequential jobs to ~6.
+      val lg = graft.array.ZMatrix(
         base.rowNormalize
           .mapValues(c => log1p(c * 10000))
-          .filterColsTopVar(5, nrows)
-          .scaleCols(4)
           .cells.localCheckpoint())
+      // prepped stays LAZY over the cached lg: its consumers (fit's
+      // co-moment pass; transform) each redo only the 8-row stats
+      // aggregate + a broadcast join over checkpointed cells — cheaper
+      // than a second materialization, and on a warm run (model cached)
+      // transform is the sole consumer so a checkpoint would be pure waste
+      val prepped = lg.hvgScale(5, nrows, 4)
       val model = fullPcaModels.computeIfAbsent(d, { _ =>
         graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
       })

@@ -415,6 +415,40 @@ final case class ZMatrix(cells: DataFrame) {
     ZMatrix(cells.join(broadcast(keep), Seq("j"), "left_semi"))
   }
 
+  /** [[filterColsTopVar]] + [[scaleCols]] FUSED on one column-stats pass:
+    * both stages aggregate the same per-column (Σv, n_stored, Σv²) — and
+    * dropping columns never changes a surviving column's cells, so the
+    * scale μ/σ computed pre-filter equal the ones scaleCols would compute
+    * post-filter. Run separately the recipe chain paid two full fact
+    * aggregates (plus a semi join) for statistics one pass already held;
+    * fused, the fact side is ONE aggregate + ONE broadcast join carrying
+    * keep-set and μ/σ together. Semantics are bit-identical to the
+    * composition: hvg variance on dense n = `nrows` rounded 6dp before
+    * ranking (ties by j), scale moments on stored-cell counts, the same
+    * greatest()/zero-σ guards, same `dp` output grid — the generated
+    * arr_recipe_full oracle re-derives the composed form and stays green. */
+  def hvgScale(k: Int, nrows: Long, dp: Int = 6): ZMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    val n = lit(nrows.toDouble)
+    val stats = cells.groupBy(col("j")).agg(
+        sum(col("v")).as("_s"), count(lit(1)).as("_n"),
+        sum(col("v") * col("v")).as("_ss"))
+      .select(col("j"), col("_s"), col("_n"), col("_ss"),
+        (round((col("_ss") - col("_s") * col("_s") / n) / n, 6) + 0.0).as("_var"))
+    val kept = stats
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_var").desc, col("j"))))
+      .filter(col("_rk") <= k)
+      .select(col("j"), (col("_s") / col("_n")).as("_mu"),
+        sqrt(greatest((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"),
+          lit(0.0))).as("_sd"))
+    // inner join on the kept columns = the semi filter and the stats join
+    // in one broadcast
+    ZMatrix(cells.join(broadcast(kept), Seq("j"))
+      .select(col("i"), col("j"),
+        when(col("_sd") === 0.0, 0.0)
+          .otherwise(round((col("v") - col("_mu")) / col("_sd"), dp) + 0.0).as("v")))
+  }
+
   /** scanpy `sc.get.aggregate` / pseudobulk: aggregate rows by an obs
     * label. `labels` is `(i: Long, g)` — one row per matrix row, the obs
     * index — so group sizes (and therefore the DENSE mean, where implicit

@@ -374,6 +374,27 @@ class ZMatrixSpec extends AnyFunSuite {
     assert(mm.filterColsTopVar(2, nrows = 4).cells.count() == 8)
   }
 
+  test("hvgScale == filterColsTopVar ∘ scaleCols (fused single-pass twin)") {
+    // the fixture exercises the fusion's two subtleties: a variance TIE
+    // (constant cols 1,3 — smaller-j break), and a SPARSE column (col 2
+    // missing one row) whose scale μ/σ must come from STORED counts while
+    // its hvg rank uses the DENSE nrows — exactly the composed semantics
+    val cells = Seq(
+      (0L, 0L, 1.0), (0L, 1L, 5.0), (0L, 2L, 9.0), (0L, 3L, 100.0),
+      (1L, 0L, 2.0), (1L, 1L, 5.0), (1L, 3L, 100.0),
+      (2L, 0L, 3.0), (2L, 1L, 5.0), (2L, 2L, 9.0), (2L, 3L, 100.0),
+      (3L, 0L, 4.0), (3L, 1L, 5.0), (3L, 2L, 1.0), (3L, 3L, 100.0))
+    import spark.implicits._
+    val mm = ZMatrix(cells.toDF("i", "j", "v"))
+    for (k <- Seq(1, 2, 3); dp <- Seq(4, 6)) {
+      val composed = mm.filterColsTopVar(k, nrows = 4).scaleCols(dp)
+        .cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fused = mm.hvgScale(k, nrows = 4, dp)
+        .cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == composed, s"k=$k dp=$dp: fused $fused != composed $composed")
+    }
+  }
+
   test("filterColsTopVar uses DENSE variance (implicit zeros count)") {
     // col0 is stored in only 1 of 4 rows with value 8 → dense variance
     // = E[x²]−μ² = 64/4 − 4 = 12; over STORED cells it would be 0 (one
