@@ -19,3 +19,10 @@ for store in "zarr_" "zarr3_" "zarrbl_"; do
   python3 "$(dirname "$0")/zarr_pyread.py" "$TMP/${store}${SFNAME}" "$SF"
 done
 echo "interop: 3/3 store families read by the independent engine"
+
+# Third-engine check of the two xxhash64 queries the DuckDB oracle cannot
+# express: pure-python XXH64 (public spec) re-derives both minhash-LSH
+# pipelines end to end and compares pair sets against the staged output.
+OUT=${2:-$(pwd)/target/verify_out}
+echo "== minhash (independent XXH64 engine)"
+python3 "$(dirname "$0")/minhash_pycheck.py" "$SF" "$OUT"
