@@ -1241,6 +1241,17 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // MULTI-LEVEL Louvain (L50): phase-1 local moves, phase-2 community
+    // contraction (one (label,label) aggregate; intra weight becomes
+    // self-loops), phase-1 again on the community-sized super-graph.
+    // Oracle = the same level template unrolled twice + the contraction
+    // CTE + the mapping compose — hugeint vs decimal(38,0), bit-equal.
+    "graph_louvain_ml" -> ((s, d) => {
+      val mutE = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+      Similarity.louvainMultiLevel(mutE, levels = 2, rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
+    }),
     // spectral embedding of the mutual-kNN graph (the diffmap/Laplacian-
     // eigenmap coordinate): v2/v3 of the random-walk matrix by exact
     // fixed-point power iteration — every reduction an integer sum, so
@@ -2515,35 +2526,71 @@ object SparkEntry {
       s"SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY 1"
   }
 
-  private def graphLouvainSqlFrom(prefix: String): String = {
-    val rounds = 4
+  /** ONE Louvain level unrolled in SQL — `rounds` semi-synchronous
+    * ΔQ-argmax rounds from singleton seeds over the directed edge CTE
+    * `$edges`, labels named `${p}_0` … `${p}_$rounds`. The self-edge
+    * exclusion in the candidate sum mirrors louvainRefine's (a no-op on
+    * level 0, where mutual-kNN edges have no self-loops; load-bearing on
+    * contracted levels, where self-loops carry internal weight into
+    * degrees but must not bias "stay"). */
+  private def louvainLevelSql(p: String, edges: String, rounds: Int): String = {
+    val (deg, mm) = (s"deg_$p", s"mm_$p")
+    // every per-round label CTE is MATERIALIZED: each is referenced 3-4
+    // times by the next round (and l0_4 three times by the contraction +
+    // final mapping) — inlined, the reference tree re-expands the whole
+    // unrolled chain exponentially (observed: the 2-level oracle ran
+    // minutes instead of seconds before the hints)
+    val header =
+      s"""$deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM $edges GROUP BY src),
+         |$mm AS (SELECT SUM(w) AS m2 FROM $edges),
+         |${p}_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM $edges)""".stripMargin
     val body = (0 until rounds).map { i =>
-      s"""tot$i AS (SELECT l.label AS c, SUM(d.k) AS t FROM lab$i l
-         |  JOIN deg d USING (node) GROUP BY l.label),
-         |cand$i AS (SELECT e.src AS node, l.label AS c, SUM(e.w) AS s
-         |  FROM edges e JOIN lab$i l ON l.node = e.dst GROUP BY e.src, l.label
-         |  UNION ALL SELECT node, label, 0 FROM lab$i),
-         |cand2_$i AS (SELECT node, c, SUM(s) AS s FROM cand$i GROUP BY node, c),
-         |lab${i + 1} AS (SELECT node,
+      s"""tot_${p}_$i AS (SELECT l.label AS c, SUM(d.k) AS t FROM ${p}_$i l
+         |  JOIN $deg d USING (node) GROUP BY l.label),
+         |cand_${p}_$i AS (SELECT e.src AS node, l.label AS c, SUM(e.w) AS s
+         |  FROM $edges e JOIN ${p}_$i l ON l.node = e.dst WHERE e.src <> e.dst
+         |  GROUP BY e.src, l.label
+         |  UNION ALL SELECT node, label, 0 FROM ${p}_$i),
+         |cand2_${p}_$i AS (SELECT node, c, SUM(s) AS s FROM cand_${p}_$i GROUP BY node, c),
+         |${p}_${i + 1} AS MATERIALIZED (SELECT node,
          |  CASE WHEN node % 2 = ${i % 2} THEN c ELSE a END AS label FROM (
          |  SELECT c2.node, c2.c, l.label AS a,
          |    row_number() OVER (PARTITION BY c2.node ORDER BY
          |      CAST(mm.m2 AS HUGEINT) * c2.s -
          |      CAST(d.k AS HUGEINT) * (t.t - CASE WHEN c2.c = l.label THEN d.k ELSE 0 END) DESC,
          |      c2.c) AS rk
-         |  FROM cand2_$i c2
-         |    JOIN lab$i l USING (node) JOIN deg d USING (node)
-         |    JOIN tot$i t ON t.c = c2.c
-         |    CROSS JOIN mm) WHERE rk = 1)""".stripMargin
+         |  FROM cand2_${p}_$i c2
+         |    JOIN ${p}_$i l USING (node) JOIN $deg d USING (node)
+         |    JOIN tot_${p}_$i t ON t.c = c2.c
+         |    CROSS JOIN $mm mm) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    prefix + ",\n" +
-      """deg AS (SELECT src AS node, SUM(w) AS k FROM edges GROUP BY src),
-        |mm AS (SELECT SUM(w) AS m2 FROM edges),
-        |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin +
-      ",\n" + body + s"\nSELECT node, label AS cluster FROM lab$rounds"
+    header + ",\n" + body
   }
 
+  private def graphLouvainSqlFrom(prefix: String): String =
+    prefix + ",\n" + louvainLevelSql("l0", "edges", 4) +
+      "\nSELECT node, label AS cluster FROM l0_4"
+
+  /** Multi-level Louvain unrolled: level 0's four rounds, phase-2
+    * contraction as ONE (label, label) aggregate over the directed edges
+    * (intra-community rows merge into a single (c, c, 2·W_in) self-loop —
+    * the same degree/total/m2 values the Scala side's unordered
+    * (c, c, W_in)-both-directions form produces), level 1's four rounds
+    * on the contracted graph, then the final mapping composes the two
+    * labelings. Generated from the same level template as graph_louvain,
+    * so the per-level math cannot drift between the twins. */
+  private def graphLouvainMlSqlFrom(prefix: String): String =
+    prefix + ",\n" + louvainLevelSql("l0", "edges", 4) + ",\n" +
+      """edges1 AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst,
+        |    CAST(SUM(e.w) AS BIGINT) AS w
+        |  FROM edges e JOIN l0_4 la ON la.node = e.src
+        |    JOIN l0_4 lb ON lb.node = e.dst
+        |  GROUP BY 1, 2)""".stripMargin + ",\n" +
+      louvainLevelSql("l1", "edges1", 4) +
+      "\nSELECT m.node, l.label AS cluster FROM l0_4 m JOIN l1_4 l ON l.node = m.label"
+
   private val graphLouvainSql: String = graphLouvainSqlFrom(graphEdgesSqlPrefix)
+  private val graphLouvainMlSql: String = graphLouvainMlSqlFrom(graphEdgesSqlPrefix)
 
   /** [[graphEdgesSqlPrefix]] + 10 unrolled PageRank rounds in pure
     * nonneg-BIGINT arithmetic — every division a floor div (`//` there,
@@ -2942,6 +2989,7 @@ object SparkEntry {
     "text_bpe_tokens" -> textBpeTokensSql,
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
+    "graph_louvain_ml" -> graphLouvainMlSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
     "dedup_simhash" ->

@@ -1224,7 +1224,11 @@ object Similarity {
       val tot = labels.join(deg, Seq("node"), "left_outer")
         .groupBy(col("label").as("_c"))
         .agg(sum(coalesce(col("k"), lit(0L))).as("_t"))
-      val kuc = edges
+      // self-loops (present on CONTRACTED levels, where they carry a
+      // community's internal weight) count toward degrees k/T but never
+      // toward S_{u,c}: a node's link to itself moves with it, so it is
+      // candidate-independent — including it would bias "stay" by 2m·2w_self
+      val kuc = edges.filter(col("src") =!= col("dst"))
         .join(labels.select(col("node").as("dst"), col("label").as("_c")), Seq("dst"))
         .groupBy(col("src"), col("_c")).agg(sum(col("w")).as("_s"))
       // the "stay" candidate must exist even when u has no neighbor left
@@ -1258,6 +1262,56 @@ object Similarity {
       if (r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
+  }
+
+  /** MULTI-LEVEL Louvain (Blondel et al. 2008, the full algorithm):
+    * phase 1 ([[louvainRefine]] — exact-integer ΔQ local moves from
+    * singleton seeds) then phase 2 — contract each community to one
+    * super-node and repeat phase 1 on the contracted graph. Contraction
+    * is ONE (label, label) aggregate: both endpoints relabel through the
+    * level's labeling, pairs canonicalize to (least, greatest), weights
+    * sum; intra-community edges become SELF-LOOPS carrying the internal
+    * weight, which [[louvainRefine]] counts toward degrees (each intra
+    * edge contributes 2 to its community's degree — the standard
+    * convention) but never toward move gains. The level count is FIXED
+    * (the fixed-rounds determinism rule: the oracle unrolls levels
+    * level-by-level, so the output is a pure function of the edge set) —
+    * real corpora converge in 2–3 levels because the contracted graph is
+    * community-sized, vanishing next to the level-0 cost.
+    *
+    * Scale shape: level 0 is phase-1's Pregel-superstep cost on the full
+    * graph; every later level runs on a graph whose node count is the
+    * previous level's COMMUNITY count — typically orders of magnitude
+    * smaller — and the final mapping composes through community-sized
+    * joins. Returns (node, label) over the ORIGINAL node ids. */
+  def louvainMultiLevel(mut: DataFrame, levels: Int = 2,
+                        rounds: Int = 4): DataFrame = {
+    var edgesL = mut.select(col("id1"), col("id2"), col("w"))
+    var mapping: DataFrame = null
+    for (lvl <- 0 until levels) {
+      val seed = edgesL.select(col("id1").as("node"))
+        .unionByName(edgesL.select(col("id2").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      val labels = louvainRefine(edgesL, seed, rounds)
+      mapping =
+        if (mapping == null) labels
+        else mapping.select(col("node"), col("label").as("_c"))
+          .join(labels.select(col("node").as("_c"), col("label")), Seq("_c"))
+          .select(col("node"), col("label"))
+      if (lvl < levels - 1) {
+        // phase 2: one aggregate builds the contracted graph; checkpoint
+        // because the next level's refine reads it every superstep and
+        // its lineage otherwise carries the whole previous level
+        val l1 = labels.select(col("node").as("id1"), col("label").as("_c1"))
+        val l2 = labels.select(col("node").as("id2"), col("label").as("_c2"))
+        edgesL = edgesL.join(l1, Seq("id1")).join(l2, Seq("id2"))
+          .select(least(col("_c1"), col("_c2")).as("id1"),
+            greatest(col("_c1"), col("_c2")).as("id2"), col("w"))
+          .groupBy(col("id1"), col("id2")).agg(sum(col("w")).as("w"))
+          .localCheckpoint()
+      }
+    }
+    mapping
   }
 
   /** Spectral embedding of a weighted graph — scanpy's diffusion-map/

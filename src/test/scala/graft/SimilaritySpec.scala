@@ -539,6 +539,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qLou > 0.3, s"bridged-triangle Q suspiciously low: $qLou")
   }
 
+  test("Louvain self-loops: count in degrees, never in move gains") {
+    // two super-nodes with light self-loops and a heavy inter edge — the
+    // contracted-graph shape. Merging is modularity-optimal (Q: -0.25 ->
+    // 0); if the self-loop leaked into S_{u,cur} the stay score would tie
+    // the move score and the smallest-label tie-break would freeze both
+    // nodes in place
+    val mut = Seq((0L, 0L, 5L), (1L, 1L, 5L), (0L, 1L, 30L)).toDF("id1", "id2", "w")
+    val seed = Seq((0L, 0L), (1L, 1L)).toDF("node", "label")
+    val got = Similarity.louvainRefine(mut, seed, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(1L), s"self-loop biased the stay score: $got")
+  }
+
+  test("multi-level Louvain: coarsens phase-1, Q monotone, merges what local moves cannot") {
+    // four triangles A,B,C,D (intra w=10); A-B and C-D joined by heavy
+    // triple bridges (w=10 each), B-C by one light edge (w=1). Merging
+    // A into B (and C into D) raises Q from ~0.207 to ~0.247 but no
+    // SINGLE node move gets there - exactly the case phase-2 contraction
+    // exists for
+    val tri = (base: Long) => Seq((base, base + 1, 10L), (base, base + 2, 10L),
+      (base + 1, base + 2, 10L))
+    val edges = tri(0L) ++ tri(3L) ++ tri(6L) ++ tri(9L) ++
+      Seq((0L, 3L, 10L), (1L, 4L, 10L), (2L, 5L, 10L),
+        (6L, 9L, 10L), (7L, 10L, 10L), (8L, 11L, 10L), (5L, 6L, 1L))
+    val mut = edges.toDF("id1", "id2", "w")
+    val seed = (0L to 11L).map(n => (n, n)).toDF("node", "label")
+    val p1 = Similarity.louvainRefine(mut, seed, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def runMl() = Similarity.louvainMultiLevel(mut, levels = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = runMl()
+    assert(ml == runMl(), "multi-level Louvain not deterministic")
+    assert(ml.keySet == (0L to 11L).toSet, s"nodes lost: ${ml.keySet}")
+    // coarsening: every phase-1 community maps into exactly ONE ml community
+    val coarse = p1.keys.groupBy(p1).values
+      .map(_.map(ml).toSet.size).toSeq
+    assert(coarse.forall(_ == 1), s"phase-1 community split by contraction: p1=$p1 ml=$ml")
+    // modularity never decreases through the extra level
+    val qP1 = Similarity.modularity(mut, p1.toSeq.toDF("node", "label"))
+      .head().getDouble(0)
+    val qMl = Similarity.modularity(mut, ml.toSeq.toDF("node", "label"))
+      .head().getDouble(0)
+    assert(qMl >= qP1 - 1e-9, s"Q(ml)=$qMl < Q(phase1)=$qP1")
+    // the super-merge actually happened: A with B, C with D, not across
+    // the light bridge
+    assert(ml(0L) == ml(5L) && ml(6L) == ml(11L) && ml(0L) != ml(6L),
+      s"expected AB|CD merge: $ml (phase1 $p1, Q $qP1 -> $qMl)")
+  }
+
   test("Louvain keeps isolated seed nodes (seed label, not dropped)") {
     // node 9 appears in the seed labeling but touches no edge: it must
     // survive every round with its seed label (inner joins through the
