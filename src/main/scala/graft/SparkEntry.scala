@@ -236,7 +236,7 @@ object SparkEntry {
     * graph_labelprop / graph_modularity (k=3, integer 4dp-cos×10⁴
     * weights): a parameter change here must stay in lockstep with the
     * shared SQL prefix [[graphEdgesSqlPrefix]] both oracles interpolate. */
-  private def shardKnnEdges(s: SparkSession, d: String) =
+  private[graft] def shardKnnEdges(s: SparkSession, d: String) =
     Similarity.batchTopK(
         Tables.embeddings(s, d).filter(col("vec_id") < 64),
         "vec_id", "embedding", graphBatch(s, d), 3, excludeSelf = true)

@@ -1342,7 +1342,8 @@ object Similarity {
     * keeps the output a pure function of the edge set whether or not
     * the iteration has converged (eigen-quality is asserted in tests,
     * parity by the oracle). */
-  def spectralEmbed(mut: DataFrame, iters: Int = 12): DataFrame = {
+  def spectralEmbed(mut: DataFrame, iters: Int = 12,
+                    localEdgeThreshold: Long = 5000000L): DataFrame = {
     val S = 1000000L
     val dec = "decimal(38,0)"
     val edges0 = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
@@ -1362,6 +1363,21 @@ object Similarity {
       .localCheckpoint()
     val sumd = deg.agg(sum(col("d"))).head().getLong(0)
     require(sumd > 0, "spectral embedding needs a non-empty graph")
+
+    // Dual regime (the connectedComponents precedent): below the edge
+    // threshold the augmented graph is broadcast-class data and the 24
+    // iterations are pure launch overhead as distributed jobs (~300 AQE
+    // stage-jobs measured at sf0.1 for ~1 s of actual work) — run the
+    // IDENTICAL exact-integer iteration on the driver in one collect.
+    // Every reduction is a BigInt sum (= the decimal(38,0) aggregates,
+    // order-free), every scalar double op is the same correctly-rounded
+    // IEEE expression in the same order, and every round is the same
+    // HALF_UP grid — so the two paths are BIT-EQUAL (differential spec).
+    // Above the threshold the distributed loop below is the only path
+    // that scales: per iteration one edge-sized matvec + node-sized
+    // aggregates, textbook Pregel cost.
+    if (edges.count() <= localEdgeThreshold)
+      return spectralLocal(mut.sparkSession, edges, deg, sumd, iters)
 
     // one deflated power-iteration sweep; `prev` adds the second
     // deflation direction (v2) for the v3 sweep
@@ -1457,6 +1473,79 @@ object Similarity {
         .cast("long").as("xq")), Some(v2))
     v2.select(col("node"), col("xq").as("e1_q"))
       .join(v3.select(col("node"), col("xq").as("e2_q")), Seq("node"))
+  }
+
+  /** Driver twin of [[spectralEmbed]]'s distributed iteration for
+    * broadcast-class graphs: the same lazy-walk matvec (BigInt sums =
+    * the decimal(38,0) aggregates — both exact, both order-free), the
+    * same scalar double expressions in the same order, the same
+    * HALF_UP-round-to-integer-units steps — BIT-EQUAL by construction
+    * and by the differential spec. `edgesDf` arrives ALREADY self-loop
+    * augmented; one typed collect each for edges and degrees. */
+  private def spectralLocal(spark: org.apache.spark.sql.SparkSession,
+                            edgesDf: DataFrame, degDf: DataFrame, sumd: Long,
+                            iters: Int): DataFrame = {
+    import spark.implicits._
+    val S = 1000000L
+    val es = edgesDf.select(col("src"), col("dst"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    val dm = degDf.select(col("node"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    // Spark's Round(double, 0): BigDecimal(shortest-repr) + HALF_UP,
+    // then the long cast truncates the integral double
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    def sweep(x0: Map[Long, Long], prev: Option[Map[Long, Long]]): Map[Long, Long] = {
+      var x = x0
+      for (_ <- 1 to iters) {
+        val y = collection.mutable.HashMap.empty[Long, BigInt]
+        es.foreach { case (s, t, w) =>
+          y(s) = y.getOrElse(s, BigInt(0)) + BigInt(w) * BigInt(x(t))
+        }
+        val z = y.map { case (n, yv) =>
+          n -> rnd(yv.toDouble / (dm(n).toDouble * 2.0))
+        }
+        x = prev match {
+          case Some(p) =>
+            var (t1b, t2b, t3b, t4b, t5b) =
+              (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+            z.foreach { case (n, zq) =>
+              val d = BigInt(dm(n)); val zb = BigInt(zq); val pb = BigInt(p(n))
+              t1b += d * zb; t2b += d * zb * zb
+              t3b += d * zb * pb; t4b += d * pb; t5b += d * pb * pb
+            }
+            val (t1, t2, t3, t4, t5) = (t1b.toDouble, t2b.toDouble,
+              t3b.toDouble, t4b.toDouble, t5b.toDouble)
+            val alpha = t1 / sumd.toDouble
+            val beta = t3 / t5
+            val n2 = t2 - 2.0 * alpha * t1 - 2.0 * beta * t3 +
+              alpha * alpha * sumd.toDouble + 2.0 * alpha * beta * t4 +
+              beta * beta * t5
+            val f = S * math.sqrt(sumd.toDouble / n2)
+            z.map { case (n, zq) =>
+              n -> rnd(rnd((zq.toDouble - alpha) - beta * p(n).toDouble)
+                .toDouble * f)
+            }.toMap
+          case None =>
+            var (s1b, s2b) = (BigInt(0), BigInt(0))
+            z.foreach { case (n, zq) =>
+              val d = BigInt(dm(n)); val zb = BigInt(zq)
+              s1b += d * zb; s2b += d * zb * zb
+            }
+            val (s1, s2) = (s1b.toDouble, s2b.toDouble)
+            val alpha = s1 / sumd.toDouble
+            val n2 = s2 - 2.0 * alpha * s1 + alpha * alpha * sumd.toDouble
+            val f = S * math.sqrt(sumd.toDouble / n2)
+            z.map { case (n, zq) =>
+              n -> rnd(rnd(zq.toDouble - alpha).toDouble * f)
+            }.toMap
+        }
+      }
+      x
+    }
+    val v2 = sweep(dm.keys.map(n => n -> ((n % 7 - 3) * (S / 3))).toMap, None)
+    val v3 = sweep(dm.keys.map(n => n -> ((n % 5 - 2) * (S / 2))).toMap, Some(v2))
+    dm.keys.toSeq.sorted.map(n => (n, v2(n), v3(n))).toDF("node", "e1_q", "e2_q")
   }
 
   /** Weighted modularity Q of a labeling over an unordered edge set

@@ -674,6 +674,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(emb == emb2, "spectral embedding not deterministic")
   }
 
+  test("spectral embedding: driver fast path == distributed twin, bit-exact") {
+    // the dual-regime contract (the connectedComponents precedent): on a
+    // broadcast-class graph the driver BigInt iteration must reproduce
+    // the distributed decimal(38,0) iteration EXACTLY — same integer
+    // sums, same scalar IEEE expressions, same HALF_UP grids. Checked on
+    // the clique fixture AND the real shard graph (libm-heavy weights).
+    val heavy = 10000L; val light = 100L
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j, heavy)
+    val cliqueB = for (i <- 4L to 7L; j <- 4L to 7L if i < j) yield (i, j, heavy)
+    val fixture = (cliqueA ++ cliqueB :+ ((3L, 4L, light))).toDF("id1", "id2", "w")
+    val shard = Similarity.mutualEdgesWeighted(
+      SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
+    for (mut <- Seq(fixture, shard)) {
+      val local = Similarity.spectralEmbed(mut, iters = 12).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val dist = Similarity.spectralEmbed(mut, iters = 12, localEdgeThreshold = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(local == dist,
+        s"fast path diverged from distributed twin: ${local.diff(dist).take(3)} vs ${dist.diff(local).take(3)}")
+    }
+  }
+
   test("batchTopK excludeSelf drops exactly the query's own row") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val batch = emb.filter(col("vec_id") < 4)
