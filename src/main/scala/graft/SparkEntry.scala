@@ -833,8 +833,16 @@ object SparkEntry {
     // analysis — proves the store pieces compose, not just exist
     "anndata_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val m = mat(s, d)
+      // both inputs feed MULTIPLE store components: m the CSR write and
+      // the obsm stats build, orders the nObs scalar + obs index join +
+      // label collect + code write. Checkpoint each once (the arr_pca
+      // pattern) so the lineitem aggregate and the orders scan run once,
+      // not per consumer — the write phase is 4 independent store
+      // components and was re-deriving its inputs 2-4x.
+      val m = graft.array.ZMatrix(mat(s, d).cells.localCheckpoint())
       val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .localCheckpoint()
       val customer = Tables.customer(s, d)
       val nObs = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
