@@ -1048,6 +1048,14 @@ object SparkEntry {
       Similarity.hybridTopK(Tables.documents(s, d), "doc_id", "text",
         Tables.embeddings(s, d), "vec_id", "embedding",
         queryTerms(s, d), queryVec(s, d), 10)),
+    // L51: the BM25 upgrade of the keyword side (Okapi BM25, Lucene idf
+    // via one LnFix micro-nat on (2df+1)/(2N+2), tf normalization cleared
+    // to one exact decimal(38,0) floor division) — the RRF fusion stays
+    // pure BIGINT, so the whole hybrid ranking is hash-exact
+    "ann_hybrid_bm25" -> ((s, d) =>
+      Similarity.hybridBm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        queryTerms(s, d), queryVec(s, d), 10)),
     // L39: c-TF-IDF topic keywords per IVF cluster (the BERTopic
     // reduction) — rows-only (IVF training isn't SQL); planted-cluster
     // and determinism invariants spec-pinned
@@ -4674,6 +4682,48 @@ object SparkEntry {
         |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
         |FROM kwr FULL OUTER JOIN vr USING (id)
         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    // BM25 hybrid: the kw pool re-derived from the same tokenize pass —
+    // idf through the shared LnFix CTE chain (bit-equal micro-nats),
+    // tf normalization as the identical HUGEINT floor division
+    "ann_hybrid_bm25" ->
+      ("""WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |qt AS (SELECT DISTINCT token FROM tok WHERE id = 0 ORDER BY token LIMIT 8),
+        |lens AS (SELECT id, count(*) AS len FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs, SUM(len) AS total_len FROM lens),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok JOIN qt USING (token)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT token, count(DISTINCT id) AS df FROM tok JOIN qt USING (token)
+        |  GROUP BY 1),
+        |""".stripMargin +
+        graft.functions.LnFix.oracleCtes("lfbm",
+          "(SELECT d.token, d.df, n.n_docs FROM dft d CROSS JOIN nn n)",
+          Seq("token"), "2 * df + 1", "2 * n_docs + 2", "idf_micro") + ",\n" +
+        """kw AS (SELECT t.id, SUM(CAST(
+        |    (CAST(f.idf_micro AS HUGEINT) * 44 * n.total_len * t.tf) //
+        |    (20 * CAST(n.total_len AS HUGEINT) * t.tf
+        |      + 6 * CAST(n.total_len AS HUGEINT)
+        |      + 18 * CAST(l.len AS HUGEINT) * n.n_docs) AS BIGINT)) AS s
+        |  FROM tf t JOIN lfbmf f USING (token) JOIN lens l USING (id)
+        |  CROSS JOIN nn n GROUP BY 1),
+        |kwr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS kw_rank
+        |        FROM (SELECT * FROM kw WHERE s > 0 ORDER BY s DESC, id LIMIT 100)),
+        |cosd AS (SELECT e.vec_id AS id,
+        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  CROSS JOIN range(64) r(i) GROUP BY e.vec_id),
+        |vr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS vec_rank
+        |       FROM (SELECT * FROM cosd ORDER BY cos DESC, id LIMIT 100))
+        |SELECT id,
+        |  CAST(coalesce(1000000000 // (60 + kw_rank), 0) +
+        |       coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf,
+        |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+        |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+        |FROM kwr FULL OUTER JOIN vr USING (id)
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
     // recall eval: exact and hamming-ball LSH rankings from ONE bucketed
     // frame, overlap counted per query — the index-trust measurement
     "ann_recall_eval" ->

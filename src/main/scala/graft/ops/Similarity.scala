@@ -97,6 +97,77 @@ object Similarity {
       .orderBy(col("rrf").desc, col("id")).limit(k)
   }
 
+  /** L51: BM25-scored HYBRID retrieval — [[hybridTopK]] with the keyword
+    * side upgraded from raw term-overlap counts to Okapi BM25 (Robertson
+    * et al.; Lucene idf form), the ranking real search engines run:
+    *
+    *   bm25(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen)),
+    *   idf(t)  = ln((N+1)/(df_t+0.5)),  k1 = 1.2, b = 0.75.
+    *
+    * Everything is EXACT INTEGER so the RRF fusion stays bit-equal
+    * across engines (PARITY class 1): the idf is one shared-series LnFix
+    * micro-nat on the integer ratio (2·df+1)/(2·N+2) ≡ (df+0.5)/(N+1) —
+    * Lucene's 1+… form keeps it nonnegative, inside LnFix's domain —
+    * and the tf normalization clears denominators with k1 = 6/5,
+    * b = 3/4, avglen = total_len/N:
+    *
+    *   score_micro(t,d) = (idf_micro · 44·total_len·tf)
+    *                  div (20·total_len·tf + 6·total_len + 18·len_d·N)
+    *
+    * — one decimal(38,0) floor division per (doc, term), summed per doc.
+    *
+    * Scale shapes: ONE tokenize pass feeds doc lengths, per-doc tf and
+    * per-term df; the hit set is filtered to the literal query terms
+    * BEFORE any aggregation (term-bounded, not vocabulary-sized); the
+    * idf table is |terms| rows (broadcast); corpus scalars N/total_len
+    * enter as driver literals from a 1-row aggregate; both pools remain
+    * TakeOrdered; fusion stays poolK×poolK. */
+  def hybridBm25TopK(docs: DataFrame, idCol: String, textCol: String,
+                     emb: DataFrame, vecIdCol: String, vecCol: String,
+                     terms: Seq[String], q: Array[Double],
+                     k: Int, poolK: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val nt = lens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("len")), lit(0L)).as("total_len")).head()
+    val (nDocs, totalLen) = (nt.getLong(0), nt.getLong(1))
+    require(nDocs > 0, "BM25 needs a non-empty corpus")
+    val hits = toks.filter(col("token").isin(terms: _*))
+    val tf = hits.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = hits.groupBy(col("token")).agg(countDistinct(col("id")).as("df"))
+    val idf = graft.functions.LnFix.withNegLnMicro(
+      dfT, "2 * df + 1", s"${2 * nDocs + 2}", "idf_micro")
+    val dec = "decimal(38,0)"
+    val num = s"CAST(idf_micro AS $dec) * 44 * CAST($totalLen AS $dec) * tf"
+    val den = s"20 * CAST($totalLen AS $dec) * tf + 6 * CAST($totalLen AS $dec)" +
+      s" + 18 * CAST(len AS $dec) * $nDocs"
+    val kwPool = tf
+      .join(broadcast(idf.select(col("token"), col("idf_micro"))), Seq("token"))
+      .join(lens, Seq("id"))
+      .selectExpr("id", s"CAST((($num) div ($den)) AS BIGINT) AS _t")
+      .groupBy(col("id")).agg(sum(col("_t")).as("_kw"))
+      .filter(col("_kw") > 0)
+      .orderBy(col("_kw").desc, col("id")).limit(poolK)
+    val kwRanked = kwPool.withColumn("kw_rank", row_number().over(
+      Window.orderBy(col("_kw").desc, col("id"))))
+    val vecPool = cosineToQuery(emb, vecCol, q)
+      .filter(col("cos").isNotNull)
+      .select(col(vecIdCol).as("id"), (round(col("cos"), 4) + 0.0).as("_cos"))
+      .orderBy(col("_cos").desc, col("id")).limit(poolK)
+    val vecRanked = vecPool.withColumn("vec_rank", row_number().over(
+      Window.orderBy(col("_cos").desc, col("id"))))
+    kwRanked.select(col("id"), col("kw_rank"))
+      .join(vecRanked.select(col("id"), col("vec_rank")), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + kw_rank)"), lit(0L)) +
+         coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)))
+          .as("rrf"),
+        coalesce(col("kw_rank").cast("long"), lit(0L)).as("kw_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
   /** Assign each vector its hyperplane-sign bucket (int bitmask). */
   def withBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")

@@ -539,6 +539,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qLou > 0.3, s"bridged-triangle Q suspiciously low: $qLou")
   }
 
+  test("BM25 hybrid: idf favors rare terms, length normalization favors short docs") {
+    // d1/d2 both contain 'rare' once: the shorter doc must outrank (BM25
+    // length normalization); d3 holds only the everywhere-term 'x', whose
+    // Lucene idf ~ ln((N+1)/(N+0.5)) ~ 0 - it must rank last
+    val docs = Seq(
+      (1L, "rare x x"),
+      (2L, "rare x x x x x x x x x"),
+      (3L, "x x x")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hybridBm25TopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", Seq("rare", "x"), Array(1.0, 0.0), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // id -> kw_rank
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == 1L && got(2L) == 2L && got(3L) == 3L,
+      s"BM25 ranking wrong (want short-rare > long-rare > common-only): $got")
+    // determinism across runs (exact-integer contract)
+    val again = Similarity.hybridBm25TopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", Seq("rare", "x"), Array(1.0, 0.0), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == again)
+  }
+
   test("Louvain self-loops: count in degrees, never in move gains") {
     // two super-nodes with light self-loops and a heavy inter edge — the
     // contracted-graph shape. Merging is modularity-optimal (Q: -0.25 ->
