@@ -1713,6 +1713,10 @@ object SparkEntry {
     // emit null-view rows on watermark expiry (-1 sentinel; raw nulls
     // would be ambiguous in the sorted hash compare)
     "stream_left_join" -> ((s, d) => Stream.streamLeftJoin(s, d)),
+    // S23: FULL OUTER stream-stream time-range join — both unmatched
+    // sides surface on watermark expiry (purchase at pts < wm, view at
+    // vts < wm − 1h, the state watermark the range predicate implies)
+    "stream_full_join" -> ((s, d) => Stream.streamFullJoin(s, d)),
     // exactly-once partitioned lake export (S14): foreachBatch + dynamic
     // partition overwrite over day-aligned bands; idempotency proven by
     // re-running a batch in StreamingSpec
@@ -4205,6 +4209,32 @@ object SparkEntry {
         |SELECT p.pid, CAST(-1 AS BIGINT) FROM p, wm
         |WHERE p.us < wm.w AND NOT EXISTS (SELECT 1 FROM v
         |  WHERE v.user_id = p.user_id AND v.ts < p.ts
+        |    AND v.ts >= p.ts - INTERVAL 1 HOUR)""".stripMargin,
+    // full outer = the left oracle + the symmetric unmatched-view branch;
+    // a view's join window closes 1 h after its own event time (every
+    // matching purchase satisfies pts <= vts + 1h), so its null row is
+    // final once wm passes vts + 1h
+    "stream_full_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS vid, user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events WHERE event_type = 'purchase'),
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events WHERE event_type = 'view'))
+        |  - 3900000000 AS w)
+        |SELECT p.pid AS purchase_id, v.vid AS view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |UNION ALL
+        |SELECT p.pid, CAST(-1 AS BIGINT) FROM p, wm
+        |WHERE p.us < wm.w AND NOT EXISTS (SELECT 1 FROM v
+        |  WHERE v.user_id = p.user_id AND v.ts < p.ts
+        |    AND v.ts >= p.ts - INTERVAL 1 HOUR)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), v.vid FROM v, wm
+        |WHERE v.us < wm.w - 3600000000 AND NOT EXISTS (SELECT 1 FROM p
+        |  WHERE p.user_id = v.user_id AND v.ts < p.ts
         |    AND v.ts >= p.ts - INTERVAL 1 HOUR)""".stripMargin,
     "stream_export" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,

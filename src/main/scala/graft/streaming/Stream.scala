@@ -221,6 +221,42 @@ object Stream {
       coalesce(col("view_id"), lit(-1L)).as("view_id"))
   }
 
+  /** S23: stream-stream FULL OUTER time-range join — completes the
+    * S3 (inner) / S16 (left) join matrix: BOTH unmatched sides emit
+    * null-views on watermark expiry. Matched rows emit as found; an
+    * unmatched purchase emits once the global watermark passes its own
+    * event time (the S16 rule — no future view can precede it inside the
+    * hour); an unmatched VIEW emits once the watermark passes
+    * `vts + 1 h`, because the range predicate `vts >= pts − 1 h` bounds
+    * every purchase that could still match it to `pts <= vts + 1 h` —
+    * that is the state watermark Spark derives for the view side, and
+    * the oracle mirrors it as `v.us < wm − 3600000000`. State on both
+    * sides stays bounded by the range + slack exactly as in the inner
+    * join. */
+  def streamFullJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "65 minutes")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "65 minutes")
+    val joined = purchases.join(views,
+      purchases("user_id") === views("user_id") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("purchase_id"), col("view_id"))
+    val qn = s"stream_fjoin_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn).select(
+      coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+      coalesce(col("view_id"), lit(-1L)).as("view_id"))
+  }
+
   /** Streaming dedup: at most one event per (user, type, hour) — the
     * streaming face of exact dedup in a training-data pipeline.
     * `dropDuplicatesWithinWatermark` keeps dedup state only for the

@@ -267,6 +267,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(expiredUnmatched.nonEmpty && inner.nonEmpty, "both row kinds must occur")
   }
 
+  test("stream-stream FULL OUTER join: both sides' expired null rows, batch-equal") {
+    val got = graft.streaming.Stream.streamFullJoin(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, TestSpark.sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+    val cond = col("pu") === col("vu") &&
+      col("vts") < col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
+    val inner = p.join(v, cond).select(col("pid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000 * 1000
+    val wm = math.min(side("purchase"), side("view")) - 3900L * 1000000
+    val expP = p.join(v, cond, "left_anti")
+      .filter(unix_micros(col("pts")) < wm)
+      .select(col("pid")).collect().map(r => (r.getLong(0), -1L)).toSet
+    // a view's window closes 1 h after its event time: every purchase it
+    // could match has pts <= vts + 1 h
+    val expV = v.join(p, cond, "left_anti")
+      .filter(unix_micros(col("vts")) < wm - 3600L * 1000000)
+      .select(col("vid")).collect().map(r => (-1L, r.getLong(0))).toSet
+    assert(got == (inner ++ expP ++ expV))
+    assert(inner.nonEmpty && expP.nonEmpty && expV.nonEmpty,
+      "all three row kinds must occur for the test to bite")
+    // the full join strictly extends the left join by the view-side nulls
+    val left = graft.streaming.Stream.streamLeftJoin(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left.subsetOf(got) && (got -- left) == expV)
+  }
+
   test("checkpointed restart: the resumed query skips committed batches (file-sink exactly-once)") {
     import spark.implicits._
     val root = s"${graft.GraftPaths.tmpRoot}/restart_test"
