@@ -1201,6 +1201,14 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // multi-level Louvain at corpus scale (the L50 shard/full pattern):
+    // phase-2 contraction + repeat over the IVF mutual edge set; level 1
+    // runs on the community-sized super-graph, so the full-corpus extra
+    // cost over phase-1 is one (label,label) aggregate + tiny supersteps
+    "graph_louvain_ml_full" -> ((s, d) =>
+      Similarity.louvainMultiLevel(ivfMutualEdges(s, d), levels = 2, rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))),
     // full-corpus SPECTRAL twin: v2/v3 of the random-walk matrix over
     // the IVF mutual-kNN graph of every vector — the diffmap coordinate
     // at corpus scale. Per-iteration cost is one edge matvec + node-
@@ -2142,6 +2150,7 @@ object SparkEntry {
         "graph_labelprop_full" -> (graphLpaPrefixFrom(p) + "\n" +
           "SELECT node, label AS cluster FROM lp WHERE it = 10"),
         "graph_louvain_full" -> graphLouvainSqlFrom(p),
+        "graph_louvain_ml_full" -> graphLouvainMlSqlFrom(p),
         "graph_pagerank_full" -> graphPagerankSqlFrom(p),
         "graph_ppr_full" -> graphPprSqlFrom(p),
         "graph_spectral_full" -> graphSpectralSqlFrom(p),

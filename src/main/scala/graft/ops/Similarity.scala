@@ -1279,13 +1279,23 @@ object Similarity {
     * corpus². The only driver traffic is the scalar 2m. Seed from
     * singletons (classic Louvain) or from [[labelPropagate]] output to
     * refine. */
-  def louvainRefine(mut: DataFrame, labels0: DataFrame, rounds: Int = 4): DataFrame = {
+  def louvainRefine(mut: DataFrame, labels0: DataFrame, rounds: Int = 4,
+                    localEdgeThreshold: Long = 5000000L): DataFrame = {
     val dec = "decimal(38,0)"
     val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
       .localCheckpoint()
     val deg = edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
     val m2 = deg.agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0) // = 2m
+    // Dual regime (the connectedComponents/spectralEmbed precedent): a
+    // broadcast-class graph runs the IDENTICAL exact-integer argmax on
+    // the driver — every sum is a Long/BigInt (= the decimal(38,0)
+    // aggregates, order-free), the argmax is the same (−score, c)
+    // lexicographic min, the parity schedule the same `%` — BIT-EQUAL
+    // (differential spec). Above the threshold the Pregel supersteps
+    // below are the only shape that scales.
+    if (edges.count() <= localEdgeThreshold)
+      return louvainLocal(mut.sparkSession, edges, labels0, m2, rounds)
     var labels = labels0.select(col("node"), col("label"))
     for (r <- 1 to rounds) {
       // left joins with a 0-degree default: an ISOLATED seed node (label
@@ -1333,6 +1343,55 @@ object Similarity {
       if (r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
+  }
+
+  /** Driver twin of [[louvainRefine]]'s distributed superstep for
+    * broadcast-class graphs: same community-degree totals, same
+    * self-excluded neighbor sums, same exact-integer score and
+    * (−score, c) argmax, same parity schedule — bit-equal by
+    * construction and by the differential spec. `edgesDf` arrives
+    * already direction-doubled. */
+  private def louvainLocal(spark: org.apache.spark.sql.SparkSession,
+                           edgesDf: DataFrame, labels0: DataFrame,
+                           m2: Long, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val es = edgesDf.select(col("src"), col("dst"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    val degM = collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (s, _, w) => degM(s) = degM.getOrElse(s, 0L) + w }
+    var labels = labels0.select(col("node"), col("label"))
+      .as[(Long, Long)].collect().toMap
+    val m2b = BigInt(m2)
+    for (r <- 1 to rounds) {
+      val tot = collection.mutable.HashMap.empty[Long, Long]
+      labels.foreach { case (n, c) =>
+        tot(c) = tot.getOrElse(c, 0L) + degM.getOrElse(n, 0L)
+      }
+      val kuc = collection.mutable.HashMap.empty[(Long, Long), Long]
+      es.foreach { case (s, t, w) =>
+        if (s != t) labels.get(t).foreach { c =>
+          kuc((s, c)) = kuc.getOrElse((s, c), 0L) + w
+        }
+      }
+      labels.foreach { case (n, c) => // the "stay" candidate (S may be 0)
+        if (!kuc.contains((n, c))) kuc((n, c)) = 0L
+      }
+      val best = collection.mutable.HashMap.empty[Long, (BigInt, Long)]
+      kuc.foreach { case ((src, c), s) =>
+        val a = labels(src)
+        val k = BigInt(degM.getOrElse(src, 0L))
+        val score = m2b * s - k * (BigInt(tot(c)) - (if (c == a) k else BigInt(0)))
+        val cur = best.get(src)
+        // argmax score, ties to the smallest label = lexicographic min
+        // on (−score, c), exactly the distributed struct-min
+        if (cur.isEmpty || score > cur.get._1 ||
+            (score == cur.get._1 && c < cur.get._2)) best(src) = (score, c)
+      }
+      labels = labels.map { case (n, old) =>
+        n -> (if (n % 2 == (r - 1) % 2) best(n)._2 else old)
+      }
+    }
+    labels.toSeq.sorted.toDF("node", "label")
   }
 
   /** MULTI-LEVEL Louvain (Blondel et al. 2008, the full algorithm):

@@ -563,6 +563,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("Louvain: driver fast path == distributed twin, bit-exact") {
+    // dual-regime contract on the classic fixture AND the real shard
+    // graph: exact-integer scores + the same argmax make the paths equal
+    val mutFix = Seq((0L, 1L, 10000L), (0L, 2L, 10000L), (1L, 2L, 10000L),
+      (3L, 4L, 10000L), (3L, 5L, 10000L), (4L, 5L, 10000L), (2L, 3L, 10000L))
+      .toDF("id1", "id2", "w")
+    val seedFix = (0L to 5L).map(n => (n, n)).toDF("node", "label")
+    val shard = Similarity.mutualEdgesWeighted(
+      SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
+    val seedShard = shard.select(col("id1").as("node"))
+      .unionByName(shard.select(col("id2").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+    for ((mut, seed) <- Seq((mutFix, seedFix), (shard, seedShard))) {
+      val local = Similarity.louvainRefine(mut, seed, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val dist = Similarity.louvainRefine(mut, seed, rounds = 4,
+          localEdgeThreshold = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local == dist,
+        s"fast path diverged: ${local.diff(dist).take(3)} vs ${dist.diff(local).take(3)}")
+    }
+  }
+
   test("Louvain self-loops: count in degrees, never in move gains") {
     // two super-nodes with light self-loops and a heavy inter edge — the
     // contracted-graph shape. Merging is modularity-optimal (Q: -0.25 ->
