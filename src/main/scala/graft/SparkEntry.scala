@@ -1548,6 +1548,11 @@ object SparkEntry {
     // L46: PMI collocations — exact LnFix micro-nat scores, top-20
     "text_pmi" -> ((s, d) =>
       TextOps.pmiCollocations(Tables.documents(s, d), "doc_id", "text")),
+    // L52: TextRank keywords — PageRank centrality over the adjacent-
+    // token co-occurrence graph (mdHash60 node ids, fixed-point integer
+    // ranks), the graph-based keyword extractor; full unrolled oracle
+    "text_keywords" -> ((s, d) =>
+      TextOps.textrankKeywords(Tables.documents(s, d), "doc_id", "text")),
     // L47: blocked fuzzy entity-resolution join (edit distance <= 1
     // inside deterministic prefix blocks) over the customer dimension
     "dedup_fuzzy" -> ((s, d) =>
@@ -2653,7 +2658,11 @@ object SparkEntry {
 
   private val graphPprSql: String = graphPprSqlFrom(graphEdgesSqlPrefix)
 
-  private def graphPagerankSqlFrom(prefix: String): String = {
+  /** The PageRank CTE chain alone (deg/nn/pr0 + 10 unrolled rounds over
+    * an `edges` CTE the prefix must define) — shared by the node-keyed
+    * graph oracles and the TextRank keyword oracle, which appends its own
+    * name join instead of the plain final select. */
+  private def pagerankCtesFrom(prefix: String): String = {
     val rounds = 10
     val body = (0 until rounds).map { i =>
       s"""pr${i + 1} AS (SELECT e.src AS node,
@@ -2667,9 +2676,12 @@ object SparkEntry {
       """deg AS (SELECT src AS node, count(*) AS k FROM edges GROUP BY src),
         |nn AS (SELECT count(*) AS n FROM deg),
         |pr0 AS (SELECT d.node, 1000000000000 // nn.n AS r FROM deg d CROSS JOIN nn)""".stripMargin +
-      ",\n" + body +
-      s"\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM pr$rounds"
+      ",\n" + body
   }
+
+  private def graphPagerankSqlFrom(prefix: String): String =
+    pagerankCtesFrom(prefix) +
+      "\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM pr10"
 
   private val graphPagerankSql: String = graphPagerankSqlFrom(graphEdgesSqlPrefix)
 
@@ -2810,6 +2822,32 @@ object SparkEntry {
     * counts over the shared split rule, the minCount=5 support cut, three
     * chained LnFix tables (−ln c_x/N_u, −ln c_y/N_u, −ln c_xy/N_b), exact
     * integer PMI = nll_x + nll_y − nll_xy, top-20 with (w1, w2) ties. */
+  /** TextRank oracle: the PMI bigram construction feeding the shared
+    * unrolled-PageRank chain — node ids are the mdHash60 parity hash, so
+    * the whole word graph and its ranks are bit-equal across engines. */
+  private val textKeywordsSql: String = {
+    val prefix =
+      s"""WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |big AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |  FROM wl, unnest(range(1, len(w))) AS u(i)),
+         |cxy AS (SELECT w1, w2 FROM big WHERE w1 <> w2
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |hp AS (SELECT ('0x' || substring(md5(w1), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substring(md5(w2), 1, 15))::BIGINT AS h2 FROM cxy),
+         |mutp AS (SELECT DISTINCT least(h1, h2) AS id1, greatest(h1, h2) AS id2
+         |  FROM hp),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM mutp
+         |  UNION ALL SELECT id2, id1 FROM mutp)""".stripMargin
+    pagerankCtesFrom(prefix) + ",\n" +
+      """names AS (SELECT DISTINCT token,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS node
+        |  FROM (SELECT w1 AS token FROM cxy UNION ALL SELECT w2 FROM cxy))
+        |SELECT n.token, CAST(p.r AS BIGINT) AS rank_e12
+        |FROM pr10 p JOIN names n USING (node)
+        |ORDER BY rank_e12 DESC, token LIMIT 20""".stripMargin
+  }
+
   private val textPmiSql: String = {
     import graft.functions.LnFix
     s"""WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
@@ -3329,6 +3367,7 @@ object SparkEntry {
         |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) + 0 AS ttr
         |FROM tok GROUP BY 1""".stripMargin,
     "text_pmi" -> textPmiSql,
+    "text_keywords" -> textKeywordsSql,
     "report_kl" -> reportKlSql,
     "dedup_fuzzy" ->
       """WITH r0 AS (SELECT c_custkey AS id, c_name AS k,

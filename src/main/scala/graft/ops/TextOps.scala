@@ -879,6 +879,49 @@ object TextOps {
       .limit(topK)
   }
 
+  /** L52: TextRank KEYWORD extraction (Mihalcea & Tarau 2004) — the
+    * graph-based keyword ranker: adjacent-token co-occurrence pairs
+    * (support-cut at `minCount`, self-pairs dropped) form an undirected
+    * word graph; PageRank over it scores each word by its centrality in
+    * the corpus's phrase structure; top-k words are the keywords. This
+    * composes two already-proven exact pieces — the PMI bigram
+    * construction and [[graft.ops.Similarity.pageRank]]'s fixed-point
+    * integer iteration — so the whole chain is hash-exact: node ids are
+    * the oracle-parity [[graft.ops.Dedup.mdHash60]] of the token (DuckDB
+    * computes the identical 60-bit value), ranks are pure nonneg-BIGINT
+    * floor arithmetic, and the oracle unrolls the same 10 rounds over
+    * the same hashed edge set.
+    *
+    * Scale shapes: one tokenize pass; the pair table is minCount-cut
+    * BEFORE hashing (graph-bounded, never vocabulary²); the name-join at
+    * the end runs against the graph's own token set, not the corpus
+    * vocabulary; final cut is a TakeOrdered. */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Long = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "token")))
+    val big = toks
+      .withColumn("w2", lead(col("token"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull && col("token") =!= col("w2"))
+      .select(col("token").as("w1"), col("w2"))
+    val cxy = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .localCheckpoint() // feeds the edge set AND the name table
+    val pairs = cxy.select(
+        least(Dedup.mdHash60(col("w1")), Dedup.mdHash60(col("w2"))).as("id1"),
+        greatest(Dedup.mdHash60(col("w1")), Dedup.mdHash60(col("w2"))).as("id2"))
+      .distinct()
+    val ranks = Similarity.pageRank(pairs, rounds = 10)
+    val names = cxy.select(col("w1").as("token"))
+      .unionByName(cxy.select(col("w2").as("token"))).distinct()
+      .select(col("token"), Dedup.mdHash60(col("token")).as("node"))
+    ranks.join(names, Seq("node"))
+      .select(col("token"), col("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("token")).limit(topK)
+  }
+
   /** Population-stability-index drift report between two corpus slices —
     * the data-ops monitor that catches a crawl distribution shifting
     * under a trained filter. Quality scores bin into 5 fixed [0,1)

@@ -502,6 +502,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cal.map(_._3).sum == nCorrect)
   }
 
+  test("textrankKeywords: the hub word tops the ranking, deterministic") {
+    import spark.implicits._
+    // 'hub' adjacently co-occurs with three distinct partners (each pair
+    // clears minCount=5); the background pair x-y forms its own 2-node
+    // component. PageRank centrality must put the degree-3 hub first.
+    val seg = (p: String) => (1 to 6).flatMap(_ => Seq("hub", p)).mkString(" ")
+    val bg = (1 to 6).flatMap(_ => Seq("x", "y")).mkString(" ")
+    val docs = Seq((0L, seg("a")), (1L, seg("b")), (2L, seg("c")), (3L, bg))
+      .toDF("doc_id", "text")
+    val got = TextOps.textrankKeywords(docs, "doc_id", "text", minCount = 5, topK = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head._1 == "hub", s"hub not top: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set("hub", "a", "b", "c", "x", "y"))
+    // rank mass orders hub > leaves; the background pair splits evenly
+    val m = got.toMap
+    assert(m("hub") > m("a") && m("a") == m("b") && m("b") == m("c"))
+    assert(m("x") == m("y"))
+    val again = TextOps.textrankKeywords(docs, "doc_id", "text", minCount = 5, topK = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq, "TextRank not deterministic")
+  }
+
   test("pmiCollocations: planted collocation tops the ranking, exact LnFix score") {
     import spark.implicits._
     // "new york" is ALWAYS adjacent; the fillers are equally frequent but
