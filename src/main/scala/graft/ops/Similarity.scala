@@ -1113,13 +1113,20 @@ object Similarity {
     * ever corpus²-sized. The `rounds` plans are unrolled into one lazy
     * lineage (fine at 10); a 1000-executor run at higher round counts
     * would checkpoint every few supersteps to cap lineage depth. */
-  def labelPropagate(mut: DataFrame, rounds: Int = 10): DataFrame = {
+  def labelPropagate(mut: DataFrame, rounds: Int = 10,
+                     localEdgeThreshold: Long = 5000000L): DataFrame = {
     val edges = mut.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
       // both the node seed and every superstep join read the edge set —
       // materialize it once instead of replaying its upstream lineage
       // (kNN scoring or an IVF pipeline) 2·rounds+1 times
       .localCheckpoint()
+    // dual regime (the louvainRefine/spectralEmbed precedent): Long sums
+    // + the same (−ws, lbl) argmax are order-free, so the driver twin is
+    // bit-equal on broadcast-class graphs and removes 10 supersteps of
+    // job-launch overhead; the loop below remains the at-scale path
+    if (edges.count() <= localEdgeThreshold)
+      return lpaLocal(mut.sparkSession, edges, rounds)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (r <- 1 to rounds) {
@@ -1135,6 +1142,66 @@ object Similarity {
       if (r % 5 == 0 && r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
+  }
+
+  /** Driver twin of [[labelPropagate]] for broadcast-class graphs: same
+    * weighted-majority argmax (Long sums, (−ws, lbl) lexicographic min),
+    * bit-equal by construction and differential spec. */
+  private def lpaLocal(spark: org.apache.spark.sql.SparkSession,
+                       edgesDf: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val es = edgesDf.select(col("src"), col("dst"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    var labels: Map[Long, Long] = es.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val ws = collection.mutable.HashMap.empty[(Long, Long), Long]
+      es.foreach { case (s, t, w) =>
+        val l = labels(t)
+        ws((s, l)) = ws.getOrElse((s, l), 0L) + w
+      }
+      val best = collection.mutable.HashMap.empty[Long, (Long, Long)]
+      ws.foreach { case ((s, l), sw) =>
+        val cur = best.get(s)
+        if (cur.isEmpty || sw > cur.get._1 ||
+            (sw == cur.get._1 && l < cur.get._2)) best(s) = (sw, l)
+      }
+      labels = labels.map { case (n, _) => n -> best(n)._2 }
+    }
+    labels.toSeq.sorted.toDF("node", "label")
+  }
+
+  /** Driver twin of [[pageRank]] / [[personalizedPageRank]]: the same
+    * nonneg-Long floor arithmetic per round (r div k shares, damped
+    * base + (85·Σ) div 100), bit-equal by construction and spec.
+    * `seeds` empty = uniform PageRank. */
+  private def prLocal(spark: org.apache.spark.sql.SparkSession,
+                      edgesDf: DataFrame, seeds: Seq[Long], rounds: Int,
+                      scale: Long): DataFrame = {
+    import spark.implicits._
+    val es = edgesDf.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect()
+    val degM = collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (s, _) => degM(s) = degM.getOrElse(s, 0L) + 1L }
+    val seedSet = seeds.toSet
+    val base =
+      if (seeds.isEmpty) (15L * scale) / (100L * degM.size)
+      else (15L * scale) / (100L * seeds.length)
+    var ranks: Map[Long, Long] =
+      if (seeds.isEmpty) degM.keys.map(n => n -> scale / degM.size).toMap
+      else degM.keys.map(n =>
+        n -> (if (seedSet(n)) scale / seeds.length else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.map { case (n, r) => n -> r / degM(n) }
+      val s = collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (src, dst) =>
+        s(src) = s.getOrElse(src, 0L) + contrib(dst)
+      }
+      ranks = ranks.map { case (n, _) =>
+        val b = if (seeds.isEmpty || seedSet(n)) base else 0L
+        n -> (b + (85L * s.getOrElse(n, 0L)) / 100L)
+      }
+    }
+    ranks.toSeq.sorted.toDF("node", "rank_e12")
   }
 
   /** PageRank (Page et al. 1999) over an unordered mutual edge set
@@ -1156,10 +1223,15 @@ object Similarity {
     * dangling nodes (every node has degree ≥ 1 by construction), so no
     * dangling-mass redistribution term is needed. */
   def pageRank(mut: DataFrame, rounds: Int = 10,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               localEdgeThreshold: Long = 5000000L): DataFrame = {
     val edges = mut.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint()
+    // dual regime (the louvainRefine precedent): identical floor
+    // arithmetic on the driver for broadcast-class graphs
+    if (edges.count() <= localEdgeThreshold)
+      return prLocal(mut.sparkSession, edges, Seq.empty, rounds, scale)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
       .select(col("src").as("node"), col("k"))
     val n = deg.count() // node-count scalar: the one driver action
@@ -1186,11 +1258,14 @@ object Similarity {
     * the seeds instead of uniformly — non-seed nodes receive rank only
     * through walk mass. Same Pregel shape per round. */
   def personalizedPageRank(mut: DataFrame, seeds: Seq[Long], rounds: Int = 10,
-                           scale: Long = 1000000000000L): DataFrame = {
+                           scale: Long = 1000000000000L,
+                           localEdgeThreshold: Long = 5000000L): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     val edges = mut.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(mut.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint()
+    if (edges.count() <= localEdgeThreshold)
+      return prLocal(mut.sparkSession, edges, seeds, rounds, scale)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
       .select(col("src").as("node"), col("k"))
     val ns = seeds.length

@@ -586,6 +586,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LPA/PageRank/PPR: driver fast paths == distributed twins, bit-exact") {
+    val fixture = Seq((0L, 1L, 10000L), (0L, 2L, 10000L), (1L, 2L, 10000L),
+      (3L, 4L, 10000L), (3L, 5L, 10000L), (4L, 5L, 10000L), (2L, 3L, 10000L))
+      .toDF("id1", "id2", "w")
+    val shard = Similarity.mutualEdgesWeighted(
+      SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
+    for (mut <- Seq(fixture, shard)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(Similarity.labelPropagate(mut, rounds = 10)) ==
+        rows(Similarity.labelPropagate(mut, rounds = 10, localEdgeThreshold = 0)),
+        "LPA fast path diverged")
+      assert(rows(Similarity.pageRank(mut, rounds = 10)) ==
+        rows(Similarity.pageRank(mut, rounds = 10, localEdgeThreshold = 0)),
+        "PageRank fast path diverged")
+      assert(rows(Similarity.personalizedPageRank(mut, Seq(0L, 1L, 2L, 3L), rounds = 10)) ==
+        rows(Similarity.personalizedPageRank(mut, Seq(0L, 1L, 2L, 3L), rounds = 10,
+          localEdgeThreshold = 0)),
+        "PPR fast path diverged")
+    }
+  }
+
   test("Louvain self-loops: count in degrees, never in move gains") {
     // two super-nodes with light self-loops and a heavy inter edge — the
     // contracted-graph shape. Merging is modularity-optimal (Q: -0.25 ->
