@@ -1564,6 +1564,53 @@ object SparkEntry {
           col("lang").as("actual")), Seq("doc_id"))
         .groupBy(col("actual"), col("pred"))
         .agg(count(lit(1)).as("n"))),
+    // L53: per-label precision/recall/F1 from the same confusion chain —
+    // the report a classifier-gated pipeline actually reads. All three
+    // ratios are same-operand integer divisions (class 2), so 6dp is
+    // bit-safe; a never-predicted label has NULL precision (x/0 = NULL
+    // in both engines, the rowNormalize precedent)
+    "text_classify_f1" -> ((s, d) => {
+      val conf = TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // labels^2 rows feeding three tiny aggregates
+      val a = conf.groupBy(col("actual").as("label"))
+        .agg(sum(when(col("pred") === col("actual"), col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("pred") =!= col("actual"), col("n")).otherwise(0L)).as("fn"))
+      val p = conf.filter(col("pred") =!= col("actual"))
+        .groupBy(col("pred").as("label")).agg(sum(col("n")).as("fp"))
+      a.join(p, Seq("label"), "left_outer")
+        .select(col("label"), col("tp"), coalesce(col("fp"), lit(0L)).as("fp"),
+          col("fn"))
+        .select(col("label"), col("tp"), col("fp"), col("fn"),
+          (round(try_divide(col("tp"), col("tp") + col("fp")), 6) + 0.0).as("prec"),
+          (round(try_divide(col("tp"), col("tp") + col("fn")), 6) + 0.0).as("rec"),
+          (round(try_divide(lit(2L) * col("tp"),
+            lit(2L) * col("tp") + col("fp") + col("fn")), 6) + 0.0).as("f1"))
+    }),
+    // L54: Cohen's kappa of the classifier vs the labels — chance-
+    // corrected agreement, ONE exact-integer fraction (4m-style):
+    // kappa = (N·diag − Σ row_l·col_l) / (N² − Σ row_l·col_l) in
+    // decimal(38,0) with a single 6dp same-operand double division
+    "report_kappa" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val conf = TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = conf.agg(sum(col("n")).as("n_total"),
+        sum(when(col("pred") === col("actual"), col("n")).otherwise(0L)).as("diag_n"))
+      val pe = conf.groupBy(col("actual").as("l")).agg(sum(col("n")).as("rn"))
+        .join(conf.groupBy(col("pred").as("l")).agg(sum(col("n")).as("cn")), Seq("l"))
+        .agg(sum(col("rn").cast(dec) * col("cn").cast(dec)).as("pe"))
+      tot.crossJoin(pe).selectExpr("CAST(n_total AS BIGINT) AS n_total",
+        "CAST(diag_n AS BIGINT) AS diag_n",
+        s"round(CAST(CAST(n_total AS $dec) * diag_n - pe AS DOUBLE) / " +
+          s"nullif(CAST(CAST(n_total AS $dec) * n_total - pe AS DOUBLE), 0.0), 6)" +
+          " + 0.0 AS kappa")
+    }),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     // PCA-whitening of the embedding space (decorrelate + unit variances —
@@ -3694,6 +3741,37 @@ object SparkEntry {
       (s"""SELECT d.lang AS actual, p.pred, count(*) AS n
         |FROM ($nbClassifySql) p
         |JOIN documents d USING (doc_id) GROUP BY 1, 2""").stripMargin,
+    "text_classify_f1" ->
+      (s"""WITH conf AS (SELECT d.lang AS actual, p.pred, count(*) AS n
+        |  FROM ($nbClassifySql) p
+        |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |a AS (SELECT actual AS label,
+        |    SUM(CASE WHEN pred = actual THEN n ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN pred <> actual THEN n ELSE 0 END) AS fn
+        |  FROM conf GROUP BY 1),
+        |p2 AS (SELECT pred AS label, SUM(n) AS fp FROM conf
+        |  WHERE pred <> actual GROUP BY 1)
+        |SELECT a.label, CAST(a.tp AS BIGINT) AS tp,
+        |  CAST(coalesce(p2.fp, 0) AS BIGINT) AS fp, CAST(a.fn AS BIGINT) AS fn,
+        |  round(a.tp / (a.tp + coalesce(p2.fp, 0)), 6) + 0 AS prec,
+        |  round(a.tp / (a.tp + a.fn), 6) + 0 AS rec,
+        |  round(2 * a.tp / (2 * a.tp + coalesce(p2.fp, 0) + a.fn), 6) + 0 AS f1
+        |FROM a LEFT JOIN p2 USING (label)""").stripMargin,
+    "report_kappa" ->
+      (s"""WITH conf AS (SELECT d.lang AS actual, p.pred, count(*) AS n
+        |  FROM ($nbClassifySql) p
+        |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS n_total,
+        |    SUM(CASE WHEN pred = actual THEN n ELSE 0 END) AS diag_n FROM conf),
+        |pe AS (SELECT SUM(CAST(r.rn AS HUGEINT) * c.cn) AS pe FROM
+        |  (SELECT actual AS l, SUM(n) AS rn FROM conf GROUP BY 1) r
+        |  JOIN (SELECT pred AS l, SUM(n) AS cn FROM conf GROUP BY 1) c USING (l))
+        |SELECT CAST(t.n_total AS BIGINT) AS n_total,
+        |  CAST(t.diag_n AS BIGINT) AS diag_n,
+        |  round(CAST(CAST(t.n_total AS HUGEINT) * t.diag_n - pe.pe AS DOUBLE) /
+        |    nullif(CAST(CAST(t.n_total AS HUGEINT) * t.n_total - pe.pe AS DOUBLE), 0.0), 6)
+        |    + 0 AS kappa
+        |FROM tot t CROSS JOIN pe""").stripMargin,
     // weights ×100 derive from the source index (src<i> → 100+50·(i%4)),
     // so both engines construct the identical weight table; copies
     // bounded by max w=2.5 → the literal range(10) cross join

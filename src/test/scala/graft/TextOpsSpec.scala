@@ -502,6 +502,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cal.map(_._3).sum == nCorrect)
   }
 
+  test("classifier eval faces agree: confusion == F1 margins == kappa inputs") {
+    val conf = SparkEntry.queries("text_classify_eval")(spark, TestSpark.sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = conf.values.sum
+    val diag = conf.collect { case ((a, p), c) if a == p => c }.sum
+    val f1 = SparkEntry.queries("text_classify_f1")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6)))
+    // per-label margins reconcile with the confusion matrix
+    assert(f1.map(_._2).sum == diag, "sum tp != diagonal")
+    assert(f1.map(x => x._2 + x._4).sum == n, "sum (tp+fn) != total")
+    f1.foreach { case (l, tp, fp, fn, f) =>
+      assert(tp + fn == conf.collect { case ((a, _), c) if a == l => c }.sum)
+      assert(f >= 0.0 && f <= 1.0, s"F1 out of range for $l: $f")
+    }
+    val k = SparkEntry.queries("report_kappa")(spark, TestSpark.sf).head()
+    assert(k.getLong(0) == n && k.getLong(1) == diag)
+    val kappa = k.getDouble(2)
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa out of range: $kappa")
+    // kappa <= raw accuracy (chance correction can only subtract here)
+    assert(kappa <= diag.toDouble / n + 1e-9)
+  }
+
   test("textrankKeywords: the hub word tops the ranking, deterministic") {
     import spark.implicits._
     // 'hub' adjacently co-occurs with three distinct partners (each pair
