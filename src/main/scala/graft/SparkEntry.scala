@@ -1623,6 +1623,24 @@ object SparkEntry {
 
     // ---- LLM-pipeline: sampling / splitting / packing ----
     "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id")),
+    // L55: EXACT stratified split — every source contributes exactly
+    // floor(n*0.8) training docs (hashSplit's binomial noise is material
+    // on small/skewed strata); md5-ranked inside the stratum
+    "sample_split_stratified" -> ((s, d) =>
+      Sampling.stratifiedSplit(Tables.documents(s, d), "source", "doc_id")),
+    // L56: JSONL export/ingest roundtrip — the interchange format LLM
+    // corpora ship in: write the documents table as JSON lines (escaping
+    // and all), read it back with the EXPLICIT schema (no inference
+    // drift), hash-compare against the source rows. Distributed on both
+    // sides: one file per partition out, splittable line reads in.
+    "pipeline_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/jsonl_$sfName"
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+    }),
     "sample_quota" -> ((s, d) =>
       Sampling.quotaSample(Tables.documents(s, d), "source", "doc_id", n = 10)),
     "sample_mix" -> ((s, d) =>
@@ -3710,6 +3728,18 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "sample_split_stratified" ->
+      """WITH b AS (SELECT doc_id, source AS group_key,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+        |  FROM documents),
+        |r AS (SELECT doc_id, group_key,
+        |    row_number() OVER (PARTITION BY group_key ORDER BY rk, doc_id) AS pos,
+        |    count(*) OVER (PARTITION BY group_key) AS n FROM b)
+        |SELECT doc_id, group_key,
+        |  CASE WHEN pos <= (n * 80) // 100 THEN 'train' ELSE 'val' END AS split
+        |FROM r""".stripMargin,
+    "pipeline_jsonl_roundtrip" ->
+      "SELECT doc_id, source, lang, text FROM documents",
     // single global row_number — equivalent to graft's two-stage salted cap
     // (the global per-group top-n survives any per-salt pre-cap of >= n)
     "sample_quota" ->

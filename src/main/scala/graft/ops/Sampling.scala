@@ -131,6 +131,34 @@ object Sampling {
       .select(col("doc_id"), col("group_key"), col("rk").cast("long").as("rk"))
   }
 
+  /** L55: STRATIFIED train/val split with EXACT per-stratum quotas —
+    * every source contributes floor(n·trainPct/100) training docs, not
+    * the in-expectation share [[hashSplit]] gives (on a small or skewed
+    * stratum the hash split's binomial noise is material; an eval set
+    * needs the exact count). Deterministic: docs rank by the md5 key
+    * inside their stratum, the first quota go to train.
+    *
+    * Scale contract: the exactness REQUIRES one rank per stratum — a
+    * per-source ordered window, parallel across sources, each source's
+    * sort bounded by its own size (the q32 dimension-window precedent at
+    * fact scale: acceptable because strata are many and independent;
+    * when in-expectation shares suffice, hashSplit is the no-shuffle
+    * path). The per-source count table is group-count-sized and
+    * broadcast. */
+  def stratifiedSplit(docs: DataFrame, groupCol: String, idCol: String,
+                      trainPct: Int = 80): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
+      .withColumn("_rk", hashKey(col("doc_id")))
+    val w = Window.partitionBy(col("group_key")).orderBy(col("_rk"), col("doc_id"))
+    val counts = docs.groupBy(col(groupCol).as("group_key"))
+      .agg(count(lit(1)).as("_n"))
+    base.withColumn("_pos", row_number().over(w))
+      .join(broadcast(counts), Seq("group_key"))
+      .select(col("doc_id"), col("group_key"),
+        when(col("_pos") <= expr(s"(_n * $trainPct) div 100"), lit("train"))
+          .otherwise(lit("val")).as("split"))
+  }
+
   /** The mix keep rule as a column predicate — composable into a larger
     * single-scan filter (see pipeline_curate). */
   def mixPredicate(id: Column, group: Column, rates: Map[String, Double]): Column = {

@@ -19,6 +19,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("JSONL roundtrip survives escaping-hostile text (quotes, newlines, unicode)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (0L, "s0", "en", "plain text"),
+      (1L, "s0", "en", "embedded \"quotes\" and \\backslashes\\"),
+      (2L, "s1", "de", "line\nbreak and\ttab"),
+      (3L, "s1", "ja", "日本語テキスト ユニコード"),
+      (4L, "s2", "en", ""),
+      (5L, "s2", "en", "{\"looks\":\"like json\"}"))
+      .toDF("doc_id", "source", "lang", "text")
+    val path = s"${graft.GraftPaths.tmpRoot}/jsonl_spec"
+    hostile.write.mode("overwrite").json(path)
+    val back = spark.read.schema(hostile.schema).json(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    // Spark's JSON writer drops empty-string fields? No - but NULL vs ""
+    // must round-trip faithfully; assert exact set equality
+    val exp = hostile.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+    assert(back == exp, s"roundtrip drift: ${back.diff(exp)} vs ${exp.diff(back)}")
+  }
+
   test("pipeline_curate_obs: observed counters reconcile with the curation itself") {
     val m = SparkEntry.queries("pipeline_curate_obs")(spark, TestSpark.sf).head()
     val total = m.getLong(0)

@@ -26,6 +26,24 @@ class SamplingSpec extends AnyFunSuite {
     r.foreach(x => assert(again(x.getLong(0)) == x.getAs[String]("split")))
   }
 
+  test("stratifiedSplit: EXACT floor(n*0.8) train docs per stratum, deterministic") {
+    // 4 sources x 100 docs plus one ragged 7-doc stratum: the exactness
+    // claim is floor quotas everywhere, including where hashSplit's
+    // binomial noise would bite (7 docs -> exactly 5 train, never 4 or 6)
+    val ragged = docs.unionByName(
+      (1000L until 1007L).map(i => (i, "tiny", "t")).toDF("doc_id", "source", "text"))
+    val r = Sampling.stratifiedSplit(ragged, "source", "doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(r.length == 407)
+    val trainBySrc = r.filter(_._3 == "train").groupBy(_._2).view.mapValues(_.size).toMap
+    assert(trainBySrc == Map("src0" -> 80, "src1" -> 80, "src2" -> 80,
+      "src3" -> 80, "tiny" -> 5), s"quotas wrong: $trainBySrc")
+    // stable under repartitioning
+    val again = Sampling.stratifiedSplit(ragged.repartition(13), "source", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(r.toSet == again)
+  }
+
   test("quotaSample keeps exactly n per group and matches the unsalted rank") {
     val r = Sampling.quotaSample(docs, "source", "doc_id", n = 15)
     val byGroup = r.groupBy("group_key").count().collect()
