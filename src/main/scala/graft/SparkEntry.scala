@@ -1320,6 +1320,12 @@ object SparkEntry {
     "ann_recall_eval" -> ((s, d) =>
       Similarity.lshRecallEval(Tables.embeddings(s, d), "vec_id", "embedding",
         queryBatch(s, d), 10, annPlanes)),
+    // L57: rank-biased overlap of the LSH vs exact rankings — the
+    // top-weighted index-trust metric beside overlap@k; one exact BIGINT
+    // sum of shared literal per-match weights
+    "ann_rbo_eval" -> ((s, d) =>
+      Similarity.lshRboEval(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryBatch(s, d), 10, annPlanes)),
     // L43: cluster-balanced downsampling (the diversity-preserving
     // subsample): per-IVF-cluster uniform hash quota — the two-stage
     // salted cap over the assignment the centroid literals define
@@ -4942,6 +4948,39 @@ object SparkEntry {
          |  coalesce(ov.overlap, 0) AS overlap
          |FROM (SELECT DISTINCT query_id FROM ex) dq
          |LEFT JOIN nl USING (query_id) LEFT JOIN ov USING (query_id)""").stripMargin,
+    // RBO: the recall-eval rankings with ranks kept; per-match weight by
+    // max(rank_exact, rank_lsh) from the SAME literal table the Spark
+    // plan uses (1-based list indexing both engines), exact BIGINT sum
+    "ann_rbo_eval" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    ${bucketSqlOf("embedding", annPlanes)} AS qbucket,
+         |    sqrt(${dotFold("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id < 8),
+         |b AS MATERIALIZED (SELECT vec_id, embedding AS be,
+         |    ${bucketSqlOf("embedding", annPlanes)} AS bucket,
+         |    sqrt(${dotFold("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |ex AS (SELECT query_id, vec_id, rk FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM (
+         |    SELECT q.query_id, b.vec_id,
+         |      round(${dotFold("b.be", "q.qe")} / (b.nrm * q.qn), 4) + 0 AS cos
+         |    FROM b CROSS JOIN q WHERE b.nrm > 0)) WHERE rk <= 10),
+         |lss AS (SELECT query_id, vec_id, rk FROM (
+         |  SELECT e.query_id, e.vec_id, row_number() OVER (PARTITION BY e.query_id
+         |    ORDER BY e.cos DESC, e.vec_id) AS rk
+         |  FROM (SELECT q.query_id, b.vec_id,
+         |      round(${dotFold("b.be", "q.qe")} / (b.nrm * q.qn), 4) + 0 AS cos
+         |    FROM b JOIN q ON bit_count(xor(b.bucket::BIGINT, q.qbucket::BIGINT)) <= 2
+         |    WHERE b.nrm > 0) e) WHERE rk <= 10),
+         |m AS (SELECT ex.query_id,
+         |    list_value(${Similarity.rboWeightsE9(10, 0.9).mkString(", ")})[
+         |      CAST(greatest(ex.rk, lss.rk) AS INT)] AS w
+         |  FROM ex JOIN lss ON lss.query_id = ex.query_id AND lss.vec_id = ex.vec_id),
+         |rbo AS (SELECT query_id, SUM(w) AS rbo_e9 FROM m GROUP BY 1)
+         |SELECT dq.query_id, CAST(coalesce(rbo.rbo_e9, 0) AS BIGINT) AS rbo_e9
+         |FROM (SELECT DISTINCT query_id FROM ex) dq
+         |LEFT JOIN rbo USING (query_id)""").stripMargin,
     "ann_batch_topk" ->
       """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
         |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))

@@ -250,6 +250,64 @@ object Similarity {
         coalesce(col("overlap"), lit(0L)).as("overlap"))
   }
 
+  /** L57 weights: the per-match RBO mass. RBO@k (Webber et al. 2010,
+    * truncated) = Σ_{d=1..k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d; regrouping by
+    * MATCH instead of depth, each id present in both top-k lists
+    * contributes w(m) = Σ_{d=m..k} (1−p)·p^(d−1)/d where m is the max of
+    * its two ranks — so the score is ONE integer sum of literal weights
+    * (1e-9 units), order-free and bit-equal across engines. The weights
+    * are computed once here and injected as the SAME literals into both
+    * the Spark plan and the DuckDB oracle. */
+  private[graft] def rboWeightsE9(k: Int, p: Double): Seq[Long] =
+    (1 to k).map(m => math.round(
+      (m to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum * 1e9))
+
+  /** L57: rank-biased overlap of the LSH ranking vs the exact ranking —
+    * the top-weighted sibling of [[lshRecallEval]]'s flat overlap@k: two
+    * rankings that agree on rank 1 but disagree at rank 10 score far
+    * higher than the reverse, which is what an ANN index consumer
+    * actually cares about. Same bounded construction as the recall eval
+    * (hamming-ball candidates, per-query top-k windows over poolK rows);
+    * the fusion is one (query, id) join of two k-row lists + an exact
+    * BIGINT sum of literal weights. Output (query_id, rbo_e9) in 1e-9
+    * units — rbo_e9 = 1e9 means identical top-k lists. */
+  def lshRboEval(emb: DataFrame, idCol: String, vecCol: String,
+                 queries: Seq[(Long, Array[Double])], k: Int,
+                 planes: Array[Array[Double]],
+                 maxHamming: Int = 2, p: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val exact = batchTopK(emb, idCol, vecCol, queries, k)
+      .withColumn("re", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("query_id"), col("vec_id"), col("re"))
+    val qdf = broadcast(queries.map { case (qid, q) =>
+      (qid, bucketOf(q, planes), q.toSeq,
+        math.sqrt(q.map(x => x * x).sum))
+    }.toDF("query_id", "qbucket", "qvec", "qn"))
+    val v = col(vecCol).cast("array<double>")
+    val lsh = withBucket(emb, vecCol, planes)
+      .join(qdf, bit_count(col("bucket").bitwiseXOR(col("qbucket"))
+        .cast("long")) <= maxHamming)
+      .select(col("query_id"), col(idCol).cast("long").as("vec_id"),
+        try_divide(dot(v, col("qvec").cast("array<double>")),
+          graft.functions.VectorExprs.norm2(v) * col("qn")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .select(col("query_id"), col("vec_id"), (round(col("cos"), 4) + 0.0).as("cos"))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rl") <= k)
+      .select(col("query_id"), col("vec_id"), col("rl"))
+    val w = rboWeightsE9(k, p)
+    val scored = exact.join(lsh, Seq("query_id", "vec_id"))
+      .select(col("query_id"),
+        element_at(typedlit(w), greatest(col("re"), col("rl")).cast("int")).as("_w"))
+      .groupBy(col("query_id")).agg(sum(col("_w")).as("rbo_e9"))
+    exact.select(col("query_id")).distinct()
+      .join(scored, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("rbo_e9"), lit(0L)).as("rbo_e9"))
+  }
+
   /** Batched ANN serving: exact top-k for a BATCH of query vectors in ONE
     * corpus scan — the serving shape (queries arrive in batches; scanning
     * the corpus once per query would be B scans). The batch (B×dim

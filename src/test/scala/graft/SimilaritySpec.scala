@@ -539,6 +539,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qLou > 0.3, s"bridged-triangle Q suspiciously low: $qLou")
   }
 
+  test("RBO eval: identical rankings hit the exact truncated-RBO ceiling") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // maxHamming = 64 admits every candidate: the LSH ranking IS the
+    // exact ranking, so every match has re == rl and the score is the
+    // full weight mass Σ w(m) = Σ_d (1−p)·p^(d−1) = 1 − p^k exactly (in
+    // the literal 1e-9 units)
+    val ceiling = graft.ops.Similarity.rboWeightsE9(10, 0.9).sum
+    val self = Similarity.lshRboEval(emb, "vec_id", "embedding", qs, 10,
+        Similarity.hyperplanes(numPlanes = 6, dim = 64), maxHamming = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self.values.toSet == Set(ceiling), s"expected all $ceiling: $self")
+    // the real hamming-2 ball scores in [0, ceiling] and matches recall
+    // direction: rbo is 0 iff overlap is 0
+    val rbo = Similarity.lshRboEval(emb, "vec_id", "embedding", qs, 10,
+        Similarity.hyperplanes(numPlanes = 6, dim = 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rbo.values.forall(v => v >= 0 && v <= ceiling))
+    val ov = Similarity.lshRecallEval(emb, "vec_id", "embedding", qs, 10,
+        Similarity.hyperplanes(numPlanes = 6, dim = 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rbo.foreach { case (q, v) =>
+      assert((v == 0) == (ov(q) == 0), s"rbo/overlap zero-disagreement at $q")
+    }
+  }
+
   test("BM25 hybrid: idf favors rare terms, length normalization favors short docs") {
     // d1/d2 both contain 'rare' once: the shorter doc must outrank (BM25
     // length normalization); d3 holds only the everywhere-term 'x', whose
