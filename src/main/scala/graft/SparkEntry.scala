@@ -973,6 +973,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
     // normalize-then-match dedup: case/punct/whitespace variants collapse;
     // md5(canon) grouping keeps the shuffle digest-sized
+    // L58: dedup AUDIT report — the cluster-size count-of-counts over
+    // canonical dedup (how much mass sits in 1-member vs n-member
+    // groups): the number a data owner reads before deciding thresholds.
+    // Group-sized aggregate on top of the canonical chain; 1 scan.
+    "dedup_report" -> ((s, d) =>
+      Dedup.canonicalDedup(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("doc_id") === col("keeper"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_members")).as("n_docs"))),
     "dedup_canonical" -> ((s, d) =>
       Dedup.canonicalDedup(Tables.documents(s, d), "doc_id", "text")),
     // staged cascade with reason codes (L30): exact → canonical →
@@ -4647,6 +4657,16 @@ object SparkEntry {
         |FROM pr JOIN sz s1 ON s1.doc_id = pr.id1
         |        JOIN sz s2 ON s2.doc_id = pr.id2
         |WHERE pr.inter * 100 >= 50 * (s1.sz + s2.sz - pr.inter)""".stripMargin,
+    "dedup_report" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS canon FROM documents),
+        |f AS (SELECT doc_id, md5(canon) AS h FROM c WHERE canon <> ''),
+        |k AS (SELECT h, count(*) AS n_members FROM f GROUP BY 1)
+        |SELECT CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n_members) AS BIGINT) AS n_docs
+        |FROM k GROUP BY 1""".stripMargin,
     "dedup_canonical" ->
       """WITH c AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),

@@ -283,6 +283,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, false, 1L)))
   }
 
+  test("dedup_report histogram: groups and docs reconcile exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // one 3-member group, one 2-member group, two singletons
+    val docs = Seq(
+      (1L, "aaa"), (2L, "AAA!"), (3L, " aaa "),
+      (4L, "bbb"), (5L, "BBB"),
+      (6L, "ccc"), (7L, "ddd")).toDF("doc_id", "text")
+    val canon = ops.Dedup.canonicalDedup(docs, "doc_id", "text")
+    val hist = canon.filter(col("doc_id") === col("keeper"))
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_members")).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))),
+      s"histogram wrong: $hist")
+    // mass conservation: sum of n_docs == surviving (non-empty) docs
+    assert(hist.values.map(_._2).sum == canon.count())
+  }
+
   test("jaccardJoin: equals brute force on the corpus; prefix filter loses nothing") {
     import spark.implicits._
     def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {
