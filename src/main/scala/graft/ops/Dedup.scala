@@ -227,11 +227,21 @@ object Dedup {
     * minhash family's documented 2⁻¹²⁸ envelope). Returns every surviving
     * doc with its group keeper (min doc_id) and membership size. */
   def canonicalDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val canon = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    // the X13 kernel = trim(regexp_replace(regexp_replace(lower(t),
+    // "[^a-z0-9\s]", ""), "\s+", " ")) in ONE scan (differential-spec
+    // pinned; the DuckDB oracle keeps the regex form)
+    val canon = graft.functions.AsciiCanon.canon(col(textCol))
+    // materialize the digest frame ONCE: it feeds both the keeper
+    // aggregate and the membership join, and without the cut each side
+    // re-runs the regex canonicalization over the whole corpus (the
+    // keeper side as a separate broadcast-build scan — measured 2×40 s
+    // at the ×100 replica, vs seconds for everything downstream). The
+    // checkpoint is digest-sized (id + md5), the same class of data the
+    // shuffles carry — never the documents.
     val c = docs.select(col(idCol).as("doc_id"), md5(canon.cast("binary")).as("h"),
         (canon =!= "").as("_keep"))
       .filter(col("_keep")).drop("_keep")
+      .localCheckpoint()
     val keep = c.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_members"))
     c.join(keep, Seq("h"))
@@ -467,8 +477,7 @@ object Dedup {
     * digest-keyed aggregates — shuffles carry hashes, not documents. */
   def dedupCascade(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val canon = trim(regexp_replace(
-      regexp_replace(lower(col("_text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val canon = graft.functions.AsciiCanon.canon(col("_text")) // X13 kernel
     val e = base.withColumn("_h1", md5(col("_text").cast("binary")))
       .withColumn("_h2", when(canon =!= "", md5(canon.cast("binary"))))
       .drop("_text")

@@ -283,6 +283,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, false, 1L)))
   }
 
+  test("AsciiCanon kernel == the lower+regex+trim chain (differential)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hostile fixture: punctuation runs, mixed whitespace classes, nbsp
+    // and CJK (removed, never separators), digits, leading/trailing ws,
+    // all-removed strings, Kelvin sign (lowercases INTO ascii 'k')
+    val hostile = Seq("Hello,  World!", "HELLO\tWORLD.", " a . b ", "a.b",
+      "a b", "a　b", "x  \n\r\f y", "123-456", "!!! ...",
+      "", "   ", "mixedCASE09", "Kelvin", "café au lait",
+      "tab\tand\nnewline end ")
+    val real = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val df = (hostile ++ real).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val bad = df.select(col("id"), col("t"),
+        graft.functions.AsciiCanon.canon(col("t")).as("k"), regexForm.as("r"))
+      .filter(col("k") =!= col("r")).collect()
+    assert(bad.isEmpty, s"kernel diverged on: ${bad.take(3).mkString("; ")}")
+  }
+
   test("dedup_report histogram: groups and docs reconcile exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, sum}
