@@ -126,9 +126,13 @@ object Similarity {
                      emb: DataFrame, vecIdCol: String, vecCol: String,
                      terms: Seq[String], q: Array[Double],
                      k: Int, poolK: Int = 100): DataFrame = {
+    // doc lengths WITHOUT the explode: size(split(...)) equals the
+    // exploded row count exactly ('' -> [''] -> 1), so the length pass
+    // is a narrow projection instead of a second corpus-wide explode
+    val lens = docs.select(col(idCol).as("id"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("len"))
     val toks = docs.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
-    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("len"))
     val nt = lens.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("len")), lit(0L)).as("total_len")).head()
     val (nDocs, totalLen) = (nt.getLong(0), nt.getLong(1))
