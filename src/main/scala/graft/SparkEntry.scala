@@ -1811,6 +1811,10 @@ object SparkEntry {
     // sides surface on watermark expiry (purchase at pts < wm, view at
     // vts < wm − 1h, the state watermark the range predicate implies)
     "stream_full_join" -> ((s, d) => Stream.streamFullJoin(s, d)),
+    // S24: streaming BM25 relevance admission (the serving face of L51's
+    // keyword side): batch-fitted idf/corpus literals, per-record exact
+    // integer score, stream == batch bit-equal, shared oracle
+    "stream_bm25" -> ((s, d) => Stream.bm25Stream(s, d, queryTerms(s, d))),
     // exactly-once partitioned lake export (S14): foreachBatch + dynamic
     // partition overwrite over day-aligned bands; idempotency proven by
     // re-running a batch in StreamingSpec
@@ -3756,6 +3760,30 @@ object SparkEntry {
         |FROM r""".stripMargin,
     "pipeline_jsonl_roundtrip" ->
       "SELECT doc_id, source, lang, text FROM documents",
+    // the batch-verbatim BM25 scores (the stream is stateless and the
+    // model is batch-fitted, so the streamed scores ARE the batch scores)
+    "stream_bm25" ->
+      (s"""WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+        |qt AS (SELECT DISTINCT token FROM tok WHERE id = 0 ORDER BY token LIMIT 8),
+        |lens AS (SELECT id, count(*) AS len FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs, SUM(len) AS total_len FROM lens),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok JOIN qt USING (token)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT token, count(DISTINCT id) AS df FROM tok JOIN qt USING (token)
+        |  GROUP BY 1),
+        |""".stripMargin +
+        graft.functions.LnFix.oracleCtes("lfsb",
+          "(SELECT d.token, d.df, n.n_docs FROM dft d CROSS JOIN nn n)",
+          Seq("token"), "2 * df + 1", "2 * n_docs + 2", "idf_micro") + ",\n" +
+        """kw AS (SELECT t.id AS doc_id, SUM(CAST(
+        |    (CAST(f.idf_micro AS HUGEINT) * 44 * n.total_len * t.tf) //
+        |    (20 * CAST(n.total_len AS HUGEINT) * t.tf
+        |      + 6 * CAST(n.total_len AS HUGEINT)
+        |      + 18 * CAST(l.len AS HUGEINT) * n.n_docs) AS BIGINT)) AS s
+        |  FROM tf t JOIN lfsbf f USING (token) JOIN lens l USING (id)
+        |  CROSS JOIN nn n GROUP BY 1)
+        |SELECT doc_id, CAST(s AS BIGINT) AS bm25_micro FROM kw WHERE s > 0""".stripMargin),
     // single global row_number — equivalent to graft's two-stage salted cap
     // (the global per-group top-n survives any per-salt pre-cap of >= n)
     "sample_quota" ->

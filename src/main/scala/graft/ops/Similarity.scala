@@ -172,6 +172,29 @@ object Similarity {
       .orderBy(col("rrf").desc, col("id")).limit(k)
   }
 
+  /** Collected BM25 model for the SERVING face (S24): per-term LnFix idf
+    * micro-nats plus the corpus scalars (N, total token length). The idf
+    * table is |terms| rows and the scalars one row — model-parameter-
+    * sized driver traffic, the stream_classify collection contract. */
+  def bm25Model(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): (Map[String, Long], Long, Long) = {
+    val lens = docs.select(
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("len"))
+    val nt = lens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+    val (n, tl) = (nt.getLong(0), nt.getLong(1))
+    require(n > 0, "BM25 needs a non-empty corpus")
+    val dfT = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(countDistinct(col("id")).as("df"))
+    val idf = graft.functions.LnFix
+      .withNegLnMicro(dfT, "2 * df + 1", s"${2 * n + 2}", "idf_micro")
+      .select(col("token"), col("idf_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (idf, n, tl)
+  }
+
   /** Assign each vector its hyperplane-sign bucket (int bitmask). */
   def withBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")

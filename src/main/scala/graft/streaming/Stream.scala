@@ -564,6 +564,55 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S24: streaming BM25 RELEVANCE scoring at the ingest edge — the
+    * serving face of the L51 keyword side: each arriving document gets
+    * its exact-integer Okapi BM25 score against a fixed query-term set
+    * under the BATCH-fitted model ([[graft.ops.Similarity.bm25Model]]:
+    * |terms| idf micro-nats + two corpus scalars, collected once and
+    * entering the stream plan as literals — the stream_classify
+    * contract). Per record the work is one split + |terms| codegen'd
+    * array filters + the same decimal(38,0) floor divisions the batch
+    * query runs, so stream and batch scores are BIT-EQUAL and the query
+    * shares the batch SQL oracle verbatim. Stateless — no watermark
+    * state; docs scoring 0 (no query term) are not admitted. */
+  def bm25Stream(spark: SparkSession, sfDir: String,
+                 terms: Seq[String]): DataFrame = {
+    import graft.ops.Similarity
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val (idf, n, tl) = Similarity.bm25Model(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", terms)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val present = terms.filter(idf.contains)
+    val base = src.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("_toks"))
+      .withColumn("_len", size(col("_toks")).cast("long"))
+    val withTf = present.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"_tf$i",
+        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
+    }
+    def dec(v: BigInt) = s"CAST('$v' AS DECIMAL(38, 0))"
+    val contribs = present.zipWithIndex.map { case (t, i) =>
+      val a = BigInt(idf(t)) * 44 * BigInt(tl)
+      s"CAST((${dec(a)} * _tf$i) div (${dec(BigInt(20) * tl)} * _tf$i + " +
+        s"${dec(BigInt(6) * tl)} + ${dec(BigInt(18) * n)} * _len) AS BIGINT)"
+    }
+    val out = withTf
+      .selectExpr("doc_id",
+        (if (contribs.isEmpty) "CAST(0 AS BIGINT)" else contribs.mkString(" + ")) +
+          " AS bm25_micro")
+      .filter(col("bm25_micro") > 0)
+    val qn = s"stream_bm25_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** Streaming near-dup ADMISSION — the dedup-at-ingest shape of a
     * training-data pipeline: each incoming document (here the doc_id % 5
     * == 0 fifth of the corpus, arriving as a stream) is MinHash-signed by

@@ -267,6 +267,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(expiredUnmatched.nonEmpty && inner.nonEmpty, "both row kinds must occur")
   }
 
+  test("streaming BM25 admission == the batch distributed scorer, bit-equal") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .trim.split("\\s+").distinct.sorted.take(8).toSeq
+    val got = graft.streaming.Stream.bm25Stream(spark, TestSpark.sf, terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: the distributed tf/idf join pipeline (the hybrid kw
+    // side without the pool cut), same integer arithmetic
+    val (idf, n, tl) =
+      graft.ops.Similarity.bm25Model(docs, "doc_id", "text", terms)
+    val tf = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val lens = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
+    import spark.implicits._
+    val idfDf = idf.toSeq.toDF("token", "idf_micro")
+    val dec = "decimal(38,0)"
+    val exp = tf.join(broadcast(idfDf), Seq("token")).join(lens, Seq("doc_id"))
+      .selectExpr("doc_id",
+        s"CAST(((CAST(idf_micro AS $dec) * 44 * CAST($tl AS $dec) * tf) div " +
+          s"(20 * CAST($tl AS $dec) * tf + 6 * CAST($tl AS $dec) + " +
+          s"18 * CAST(len AS $dec) * $n)) AS BIGINT) AS _t")
+      .groupBy(col("doc_id")).agg(sum(col("_t")).as("s"))
+      .filter(col("s") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp,
+      s"stream != batch: ${(got.toSet -- exp.toSet).take(3)} vs ${(exp.toSet -- got.toSet).take(3)}")
+    assert(got.nonEmpty, "fixture produced no admitted docs — test is vacuous")
+  }
+
   test("stream-stream FULL OUTER join: both sides' expired null rows, batch-equal") {
     val got = graft.streaming.Stream.streamFullJoin(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
