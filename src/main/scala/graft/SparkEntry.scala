@@ -848,49 +848,90 @@ object SparkEntry {
       val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"${GraftPaths.tmpRoot}/anndata_$sfName"
       Zarr.delete(path, recursive = true)
-      Zarr.writeSparse(m, s"$path#X", nObs, 8, chunk = 8192, comp = "blosc")
-      val names = orders.join(customer, col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey").as("i"), col("c_name").as("s"))
-      Zarr.writeStringVector(names, s"$path#obs/index", nObs, chunk = 4096,
-        comp = "blosc")
-      val labels = orders.select(col("o_orderpriority")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq // 5 labels — parameter-sized
-      val codes = orders.select(col("o_orderkey").as("i"),
-        (array_position(typedlit(labels), col("o_orderpriority")) - 1)
-          .cast("double").as("v"))
-      Zarr.writeVector(codes, s"$path#obs/priority", nObs, chunk = 8192,
-        dtype = "|i1")
-      Zarr.writeAttrs(s"$path#obs/priority",
-        s"""{"categories": [${labels.map(l => "\"" + l + "\"").mkString(",")}]}""")
-      val stats = m.cells.groupBy(col("i"))
-        .agg(sum(col("v")).as("qty"), count(lit(1)).cast("double").as("n"))
-        .select(col("i"), explode(array(
-          struct(lit(0L).as("j"), col("qty").as("v")),
-          struct(lit(1L).as("j"), col("n").as("v")))).as("e"))
-        .select(col("i"), col("e.j").as("j"), col("e.v").as("v"))
-      Zarr.write(ZMatrix(stats), s"$path#obsm/X_stats", nObs, 2,
-        chunkRows = 4096, chunkCols = 2)
-      // read EVERYTHING back from the store and compose
-      val rowSum = Zarr.readSparse(s, path, "X").cells
-        .groupBy(col("i")).agg(sum(col("v")).as("qty"))
-      val idx = Zarr.readStringVector(s, path, "obs/index")
-        .select(col("i"), col("s").as("name"))
-      val prio = Zarr.readCategorical(s, path, "obs/priority")
-        .select(col("i"), col("label").as("priority"))
-      val nLines = Zarr.read(s, path, "obsm/X_stats").cells
-        .filter(col("j") === 1 && col("v") =!= 0.0)
-        .select(col("i"), col("v").as("n_lines"))
-      // all four compose inputs are data-proportional zarr reads whose
-      // plans descend from range().flatMap leaves — Catalyst's size
-      // estimate for those is near zero, so above the broadcast-safe
-      // size the unhinted planner BROADCASTS a corpus-sized side (OOM at
-      // the sf10 gate: ~15M obs rows ≈ 0.5 GB build). nObs is a driver
-      // scalar, so the merge pin is conditional: small stores keep the
-      // (faster, safe) broadcast plan.
-      def mh(df: DataFrame): DataFrame =
-        if (nObs > (4L << 20)) df.hint("merge") else df
-      idx.join(mh(prio), "i").join(mh(rowSum), "i").join(mh(nLines), "i")
-        .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
+      // the four store components are DISJOINT subtrees and their shared
+      // inputs (m, orders) are already eagerly checkpointed — submit the
+      // four writes as concurrent jobs (Spark's scheduler interleaves
+      // them over the one executor pool; each write alone underfills 32
+      // slots, so overlap is near-free wall-clock). Group metadata is
+      // pre-created so the writers' ensure-step never races on the same
+      // root .zgroup file.
+      Zarr.ensureGroupMeta(path, Seq("obs", "index"), 2)
+      Zarr.ensureGroupMeta(path, Seq("obsm", "X_stats"), 2)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val wX = Future {
+          Zarr.writeSparse(m, s"$path#X", nObs, 8, chunk = 8192, comp = "blosc")
+        }
+        val wIdx = Future {
+          val names = orders.join(customer, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey").as("i"), col("c_name").as("s"))
+          Zarr.writeStringVector(names, s"$path#obs/index", nObs, chunk = 4096,
+            comp = "blosc")
+        }
+        val wPrio = Future {
+          val labels = orders.select(col("o_orderpriority")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq // 5 labels — parameter-sized
+          val codes = orders.select(col("o_orderkey").as("i"),
+            (array_position(typedlit(labels), col("o_orderpriority")) - 1)
+              .cast("double").as("v"))
+          Zarr.writeVector(codes, s"$path#obs/priority", nObs, chunk = 8192,
+            dtype = "|i1")
+          Zarr.writeAttrs(s"$path#obs/priority",
+            s"""{"categories": [${labels.map(l => "\"" + l + "\"").mkString(",")}]}""")
+        }
+        val wStats = Future {
+          val stats = m.cells.groupBy(col("i"))
+            .agg(sum(col("v")).as("qty"), count(lit(1)).cast("double").as("n"))
+            .select(col("i"), explode(array(
+              struct(lit(0L).as("j"), col("qty").as("v")),
+              struct(lit(1L).as("j"), col("n").as("v")))).as("e"))
+            .select(col("i"), col("e.j").as("j"), col("e.v").as("v"))
+          Zarr.write(ZMatrix(stats), s"$path#obsm/X_stats", nObs, 2,
+            chunkRows = 4096, chunkCols = 2)
+        }
+        Seq(wX, wIdx, wPrio, wStats).foreach(Await.result(_, Duration.Inf))
+      }
+      // read EVERYTHING back from the store and compose — in ONE aligned
+      // pass when the obs axis is broadcast-class (indptr within the
+      // readSparse fast-path bound): each task reads its obs-range slice
+      // of ALL FOUR components (index strings, priority codes, X row
+      // sums via the CSR indptr walk, the obsm column) and emits the
+      // composed rows directly. Zero joins, zero shuffles, one job — vs
+      // the four scans + a groupBy + three joins this replaced (the r15
+      // structural >2x-floor finding). Row set is identical: qty is NULL
+      // exactly where the COO groupBy had no group, n_lines != 0 is the
+      // same dense-value predicate, and the qty sums stay exact (integer
+      // quantities, order-free under double addition).
+      if (nObs + 1 <= Zarr.IndptrBroadcastMax) {
+        Zarr.readObsAligned(s, path, Seq(
+            Zarr.ObsString("obs/index", "name"),
+            Zarr.ObsCategorical("obs/priority", "priority"),
+            Zarr.ObsSparseSum("X", "qty"),
+            Zarr.ObsDense("obsm/X_stats", 1, "n_lines")))
+          .filter(col("qty").isNotNull && col("n_lines") =!= 0.0)
+          .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
+      } else {
+        // obs axis past the indptr broadcast bound: the fully
+        // distributed per-component plan. These zarr reads descend from
+        // range().flatMap leaves whose Catalyst size estimate is near
+        // zero, so the unhinted planner would BROADCAST a corpus-sized
+        // side (OOM at the sf10 gate: ~15M obs rows ≈ 0.5 GB build) —
+        // pin every join to merge at this scale.
+        val rowSum = Zarr.readSparse(s, path, "X").cells
+          .groupBy(col("i")).agg(sum(col("v")).as("qty"))
+        val idx = Zarr.readStringVector(s, path, "obs/index")
+          .select(col("i"), col("s").as("name"))
+        val prio = Zarr.readCategorical(s, path, "obs/priority")
+          .select(col("i"), col("label").as("priority"))
+        val nLines = Zarr.read(s, path, "obsm/X_stats").cells
+          .filter(col("j") === 1 && col("v") =!= 0.0)
+          .select(col("i"), col("v").as("n_lines"))
+        idx.join(prio.hint("merge"), "i").join(rowSum.hint("merge"), "i")
+          .join(nLines.hint("merge"), "i")
+          .select(col("i"), col("name"), col("priority"), col("qty"), col("n_lines"))
+      }
     }),
     // rank-1 store roundtrip (anndata obs-column shape): per-order quantity
     // totals written as a TRUE 1-D Zarr array (1-element shape/chunks,

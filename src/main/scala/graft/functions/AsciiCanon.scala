@@ -25,12 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-ASCII) drops. Non-ASCII uppercase goes through
   * Character.toLowerCase first, so the handful of code points whose
   * lowercase IS ASCII (e.g. U+212A KELVIN SIGN → 'k') survive exactly as
-  * the lower()+regex chain keeps them. The one documented divergence is
-  * U+0130 (İ), whose 1→2-char special lowercasing no per-char map can
-  * express — the regex chain keeps an 'i', this kernel drops the char;
-  * the differential spec pins equality on everything else and the DuckDB
-  * oracle keeps the regex form, so a corpus where this bites would
-  * surface as a hash mismatch, not silent drift. */
+  * the lower()+regex chain keeps them. U+0130 (İ) — the ONLY code point
+  * whose full lowercasing is 1→2 chars with an ASCII letter in it
+  * (String.toLowerCase gives U+0069 U+0307; the regex then drops the
+  * combining dot, keeping 'i') — gets an explicit branch emitting 'i',
+  * so the kernel now matches the regex chain on it too. Supplementary
+  * (surrogate-pair) code points never lowercase into ASCII, so both the
+  * chain and this per-char loop drop them identically — no divergence
+  * remains; the differential spec pins equality across the covered
+  * classes and the DuckDB oracle keeps the regex form. */
 object AsciiCanonUtil {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -46,6 +49,7 @@ object AsciiCanonUtil {
       val lc =
         if (c >= 'A' && c <= 'Z') (c + 32).toChar
         else if (c < 128) c
+        else if (c == 'İ') 'i' // İ: 1→2 full lowering i+U+0307; regex keeps the i
         else Character.toLowerCase(c)
       if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
         if (pendingSpace && sb.length > 0) sb.append(' ')

@@ -297,7 +297,10 @@ object Similarity {
     * (hamming-ball candidates, per-query top-k windows over poolK rows);
     * the fusion is one (query, id) join of two k-row lists + an exact
     * BIGINT sum of literal weights. Output (query_id, rbo_e9) in 1e-9
-    * units — rbo_e9 = 1e9 means identical top-k lists. */
+    * units. NOTE the ceiling: this is TRUNCATED RBO, so identical top-k
+    * lists score `rboWeightsE9(k, p).sum` = (1−p^k)·1e9 (≈ 651,322,373
+    * for k=10, p=0.9), NOT 1e9 — normalize by that sum, not by 1e9, to
+    * land in [0,1]. */
   def lshRboEval(emb: DataFrame, idCol: String, vecCol: String,
                  queries: Seq[(Long, Array[Double])], k: Int,
                  planes: Array[Array[Double]],
@@ -1548,7 +1551,10 @@ object Similarity {
             (score == cur.get._1 && c < cur.get._2)) best(src) = (score, c)
       }
       labels = labels.map { case (n, old) =>
-        n -> (if (n % 2 == (r - 1) % 2) best(n)._2 else old)
+        // floorMod, not %: pmod(src, 2) in the distributed twin maps a
+        // negative odd id to 1, Scala's -3 % 2 to -1 — floorMod keeps
+        // the dual-regime bit-equal contract for any id sign
+        n -> (if (java.lang.Math.floorMod(n, 2L) == (r - 1) % 2) best(n)._2 else old)
       }
     }
     labels.toSeq.sorted.toDF("node", "label")

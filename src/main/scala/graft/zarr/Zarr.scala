@@ -1403,6 +1403,251 @@ object Zarr {
             col("v").cast("string")))).as("label"))
   }
 
+  // ---- Aligned multi-component obs-table read ----
+
+  /** Column specs for [[readObsAligned]]: each names an obs-aligned store
+    * component (all sharing the obs axis, i in [0, nObs)) and the output
+    * column it becomes. */
+  sealed trait ObsCol extends Serializable { def key: String; def out: String }
+  /** vlen string rank-1 array (the anndata obs index) → string column
+    * ("" for positions in absent chunks, the write-side fill). */
+  final case class ObsString(key: String, out: String) extends ObsCol
+  /** int-code rank-1 array with a `categories` attribute → label column
+    * (out-of-range codes fail the task — the [[readCategorical]] rule). */
+  final case class ObsCategorical(key: String, out: String) extends ObsCol
+  /** dense 2-D array: the value at column `j` → double column (absent
+    * chunks read as fill — dense semantics). */
+  final case class ObsDense(key: String, j: Long, out: String) extends ObsCol
+  /** CSR sparse group: per-row sum of STORED entries → double column,
+    * NULL for rows with no stored entries (mirroring the groups a COO
+    * `groupBy(i).sum` would never emit). */
+  final case class ObsSparseSum(key: String, out: String) extends ObsCol
+
+  // resolved per-component plans (driver-built, task-serialized)
+  private sealed trait ObsPlan extends Serializable { def out: String }
+  private final case class PString(arr: String, n: Long, chunk: Int,
+                                   zlib: Boolean, comp: String, format: Int,
+                                   keyEnc: String, out: String) extends ObsPlan
+  private final case class PCat(arr: String, m: Meta,
+                                labels: IndexedSeq[String], out: String) extends ObsPlan
+  private final case class PDense(arr: String, m: Meta, j: Long,
+                                  out: String) extends ObsPlan
+  private final case class PSparse(datArr: String, dm: Meta,
+                                   bptr: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                                   out: String) extends ObsPlan
+
+  /** ONE-PASS aligned read of several obs-axis components of a group
+    * store into a composed per-row table — the anndata "obs table" shape
+    * (index strings + categorical obs columns + an X row aggregate + an
+    * obsm column) WITHOUT per-component scans and joins: the obs axis is
+    * cut into grain-sized ranges (grain = the largest component row-chunk,
+    * which every other row-chunk must divide — true for any power-of-two
+    * chunking) and each task reads ITS slice of every component straight
+    * off the store, emitting composed rows. Zero joins, zero shuffles,
+    * one job — vs N scans + a groupBy + N−1 joins for the per-component
+    * plan, whose near-zero size estimates also force conditional join
+    * hints (range().flatMap leaves carry no stats).
+    *
+    * CSR row sums ride the broadcast-indptr walk of [[readSparse]]'s fast
+    * path, so this reader requires indptr ≤ [[IndptrBroadcastMax]]
+    * entries; callers with a larger obs axis keep the per-component
+    * join plan (the same fast/fallback split readSparse itself makes).
+    * Boundary data chunks shared by adjacent obs ranges are read by both
+    * tasks — at most one extra chunk per partition edge. */
+  def readObsAligned(spark: SparkSession, root: String, cols: Seq[ObsCol]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    require(cols.nonEmpty, "readObsAligned needs at least one component")
+    val plans: Seq[ObsPlan] = cols.map {
+      case ObsString(key, out) =>
+        val arr = resolveArray(root, Some(key))
+        val (n, chunk, zlib, comp, format, keyEnc) = readStringMeta(arr)
+        PString(arr, n, chunk, zlib, comp, format, keyEnc, out)
+      case ObsCategorical(key, out) =>
+        val arr = resolveArray(root, Some(key))
+        val cats = readAttrs(arr).path("categories")
+        require(cats.isArray && cats.size() > 0,
+          s"$arr has no 'categories' attribute — not a categorical column")
+        val m = readMeta(arr)
+        require(m.rank1, s"$arr categorical column must be rank-1")
+        PCat(arr, m, (0 until cats.size()).map(cats.get(_).asText()), out)
+      case ObsDense(key, j, out) =>
+        val arr = resolveArray(root, Some(key))
+        val m = readMeta(arr)
+        require(!m.rank1, s"$arr is rank-1 — address it without a column index")
+        require(!m.sharded && !m.fOrder,
+          s"$arr: readObsAligned supports plain C-order chunks only")
+        require(j >= 0 && j < m.cols, s"$arr column $j outside [0, ${m.cols})")
+        PDense(arr, m, j, out)
+      case ObsSparseSum(key, out) =>
+        val (r0, frag) = splitKey(root)
+        val rel = (frag.toSeq.flatMap(validKeySegments) ++ validKeySegments(key))
+          .mkString("/")
+        val node = if (rel.isEmpty) r0 else s"$r0/$rel"
+        val enc = readAttrs(r0, rel).path("encoding-type").asText("")
+        require(enc == "csr_matrix",
+          s"$node: obs-aligned row sums need a csr_matrix group, got '$enc'")
+        val datArr = resolveArray(s"$node/data")
+        val dm = readMeta(datArr)
+        require(dm.rank1, s"$node/data must be rank-1")
+        val indptr = readIndptrDriver(node)
+        require(indptr.length.toLong <= IndptrBroadcastMax,
+          s"$node indptr (${indptr.length}) exceeds the broadcast bound — " +
+            "use the per-component join plan at this scale")
+        require(indptr.last == dm.rows,
+          s"$node indptr covers ${indptr.last} entries but data holds ${dm.rows}")
+        PSparse(datArr, dm, spark.sparkContext.broadcast(indptr), out)
+    }
+    val nObsList: Seq[Long] = plans.map {
+      case p: PString => p.n
+      case p: PCat    => p.m.rows
+      case p: PDense  => p.m.rows
+      case p: PSparse => p.bptr.value.length - 1L
+    }
+    val nObs = nObsList.head
+    require(nObsList.forall(_ == nObs),
+      s"components disagree on the obs length: ${cols.map(_.key).zip(nObsList)}")
+    val rowChunks: Seq[Int] = plans.map {
+      case p: PString => p.chunk
+      case p: PCat    => p.m.chunkRows
+      case p: PDense  => p.m.chunkRows
+      case _: PSparse => 1
+    }
+    val grain = rowChunks.max
+    require(rowChunks.forall(c => grain % c == 0),
+      s"row-chunk sizes must divide the largest ($grain): $rowChunks")
+    val schema = StructType(
+      StructField("i", LongType, nullable = false) +:
+        plans.map {
+          case p: PString => StructField(p.out, StringType, nullable = false)
+          case p: PCat    => StructField(p.out, StringType, nullable = false)
+          case p: PDense  => StructField(p.out, DoubleType, nullable = false)
+          case p: PSparse => StructField(p.out, DoubleType, nullable = true)
+        })
+    val plansArr = plans.toArray
+    val nParts = (nObs + grain - 1) / grain
+    val rdd = spark.range(nParts).rdd.flatMap { p =>
+      val lo = p * grain
+      val hi = math.min(nObs, lo + grain)
+      val len = (hi - lo).toInt
+      val colsOut: Array[Array[Any]] = plansArr.map {
+        case ps: PString =>
+          val a = new Array[Any](len)
+          var ci = lo / ps.chunk
+          val ciHi = (hi - 1) / ps.chunk
+          while (ci <= ciHi) {
+            val cLen = math.min(ps.chunk.toLong, ps.n - ci * ps.chunk).toInt
+            val f = chunkPath(ps.arr, ci, 0, ps.keyEnc, rank1 = true)
+            val items: Array[String] =
+              if (!exists(f)) Array.fill(cLen)("")
+              else {
+                val raw0 = readBytes(f)
+                val raw =
+                  if (ps.comp == "blosc") Blosc.decompressSelfSized(raw0)
+                  else if (ps.comp == "zstd") zstdDecompressSelfSized(raw0)
+                  else if (ps.zlib) inflateUnsized(raw0, gzipped = ps.format == 3)
+                  else raw0
+                vlenDecode(raw, ps.chunk, expectedAlt = cLen)
+              }
+            val from = math.max(lo, ci * ps.chunk)
+            val until = math.min(hi, ci * ps.chunk + cLen)
+            var r = from
+            while (r < until) {
+              a((r - lo).toInt) = items((r - ci * ps.chunk).toInt); r += 1
+            }
+            ci += 1
+          }
+          a
+        case pc: PCat =>
+          val a = new Array[Any](len)
+          val m = pc.m
+          var ci = lo / m.chunkRows
+          val ciHi = (hi - 1) / m.chunkRows
+          while (ci <= ciHi) {
+            val f = chunkPath(pc.arr, ci, 0, m.keyEnc, rank1 = true)
+            val vals =
+              if (!exists(f)) Array.fill(m.chunkRows)(m.fill)
+              else decodeChunk(readBytes(f), m.chunkRows, m.zlib, m.dtype, m.format, m.comp)
+            val from = math.max(lo, ci * m.chunkRows)
+            val until = math.min(hi, (ci + 1) * m.chunkRows)
+            var r = from
+            while (r < until) {
+              val code = vals((r - ci * m.chunkRows).toInt).toInt
+              if (code < 0 || code >= pc.labels.length)
+                throw new IllegalArgumentException(
+                  s"categorical code out of range [0, ${pc.labels.length}) " +
+                    s"in ${pc.arr}: $code")
+              a((r - lo).toInt) = pc.labels(code)
+              r += 1
+            }
+            ci += 1
+          }
+          a
+        case pd: PDense =>
+          val a = new Array[Any](len)
+          val m = pd.m
+          val cj = pd.j / m.chunkCols
+          val jin = (pd.j % m.chunkCols).toInt
+          val cElems = m.chunkRows * m.chunkCols
+          var ci = lo / m.chunkRows
+          val ciHi = (hi - 1) / m.chunkRows
+          while (ci <= ciHi) {
+            val f = chunkPath(pd.arr, ci, cj, m.keyEnc)
+            val vals =
+              if (!exists(f)) null
+              else decodeChunk(readBytes(f), cElems, m.zlib, m.dtype, m.format, m.comp)
+            val from = math.max(lo, ci * m.chunkRows)
+            val until = math.min(hi, (ci + 1) * m.chunkRows)
+            var r = from
+            while (r < until) {
+              a((r - lo).toInt) =
+                if (vals == null) m.fill
+                else vals(((r - ci * m.chunkRows) * m.chunkCols + jin).toInt)
+              r += 1
+            }
+            ci += 1
+          }
+          a
+        case psp: PSparse =>
+          val a = new Array[Any](len)
+          val ptr = psp.bptr.value
+          val dm = psp.dm
+          var loaded = -1L
+          var buf: Array[Double] = null
+          def dataAt(k: Long): Double = {
+            val c = k / dm.chunkRows
+            if (c != loaded) {
+              val f = chunkPath(psp.datArr, c, 0, dm.keyEnc, rank1 = true)
+              buf =
+                if (!exists(f)) Array.fill(dm.chunkRows)(dm.fill)
+                else decodeChunk(readBytes(f), dm.chunkRows, dm.zlib, dm.dtype,
+                  dm.format, dm.comp)
+              loaded = c
+            }
+            buf((k % dm.chunkRows).toInt)
+          }
+          var r = lo
+          while (r < hi) {
+            val s0 = ptr(r.toInt)
+            val s1 = ptr((r + 1).toInt)
+            if (s0 == s1) a((r - lo).toInt) = null
+            else {
+              var sum = 0.0
+              var k = s0
+              while (k < s1) { sum += dataAt(k); k += 1 }
+              a((r - lo).toInt) = sum
+            }
+            r += 1
+          }
+          a
+      }
+      (0 until len).iterator.map { k =>
+        org.apache.spark.sql.Row.fromSeq(
+          (lo + k) +: plansArr.indices.map(c => colsOut(c)(k)))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // ---- AnnData sparse CSR/CSC matrix groups ----
   // Real-world anndata stores overwhelmingly persist X as a SPARSE group
   // (anndata on-disk spec: rank-1 `data`/`indices`/`indptr` arrays plus
@@ -1415,7 +1660,7 @@ object Zarr {
     * ships as a broadcast instead of joining: 8M entries = 64 MB, the
     * same class of executor traffic as a broadcast join side. AnnData
     * obs/var counts sit far below it. */
-  private val IndptrBroadcastMax = 8L << 20
+  private[graft] val IndptrBroadcastMax = 8L << 20
 
   /** Read an anndata-style sparse matrix group into coordinate form.
     * Only STORED entries ever materialize — a 1%-dense 100 TB matrix
@@ -1462,10 +1707,9 @@ object Zarr {
 
   /** Fast path: aligned chunk scan + broadcast indptr walk (see
     * [[readSparse]]). */
-  private def readSparseAligned(spark: SparkSession, node: String, csr: Boolean,
-                                datArr: String, idxArr: String,
-                                datMeta: Meta, idxMeta: Meta): ZMatrix = {
-    // driver-side indptr read: majorDim+1 longs, chunk loop off the store
+  /** Driver-side indptr read: majorDim+1 longs, chunk loop off the store.
+    * Callers guard the size against [[IndptrBroadcastMax]]. */
+  private def readIndptrDriver(node: String): Array[Long] = {
     val ptrArr = resolveArray(s"$node/indptr")
     val pm = readMeta(ptrArr)
     val indptr = new Array[Long](pm.rows.toInt)
@@ -1483,6 +1727,13 @@ object Zarr {
     }
     require(indptr.length >= 1 && indptr.head == 0L,
       s"$node indptr must start at 0, got ${indptr.headOption}")
+    indptr
+  }
+
+  private def readSparseAligned(spark: SparkSession, node: String, csr: Boolean,
+                                datArr: String, idxArr: String,
+                                datMeta: Meta, idxMeta: Meta): ZMatrix = {
+    val indptr = readIndptrDriver(node)
     val nnz = indptr.last
     require(nnz == datMeta.rows,
       s"$node indptr covers $nnz entries but data holds ${datMeta.rows}")

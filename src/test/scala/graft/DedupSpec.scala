@@ -292,7 +292,14 @@ class DedupSpec extends AnyFunSuite {
     val hostile = Seq("Hello,  World!", "HELLO\tWORLD.", " a . b ", "a.b",
       "a b", "a　b", "x  \n\r\f y", "123-456", "!!! ...",
       "", "   ", "mixedCASE09", "Kelvin", "café au lait",
-      "tab\tand\nnewline end ")
+      "tab\tand\nnewline end ",
+      // U+0130 İ: the one 1→2 full lowering with an ASCII letter in it
+      // (i + combining dot U+0307) — the regex chain keeps the 'i' and
+      // since r16 the kernel's explicit branch does too
+      "İstanbul", "mİx", "İ",
+      // supplementary pair (Deseret capital 𐐀): lowercases
+      // non-ASCII, dropped identically by both forms
+      "a𐐀b")
     val real = Tables.documents(spark, TestSpark.sf)
       .select(col("text")).collect().map(_.getString(0)).toSeq
     val df = (hostile ++ real).zipWithIndex.map { case (t, i) => (i.toLong, t) }

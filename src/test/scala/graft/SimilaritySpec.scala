@@ -599,12 +599,20 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, 4L, 10000L), (3L, 5L, 10000L), (4L, 5L, 10000L), (2L, 3L, 10000L))
       .toDF("id1", "id2", "w")
     val seedFix = (0L to 5L).map(n => (n, n)).toDF("node", "label")
+    // negative node ids: pmod(src,2) maps -3 to 1 while Scala's % gives
+    // -1 — the local twin must use floorMod or odd negative nodes freeze
+    // (r15 ADVICE; latent until a caller ships signed ids)
+    val mutNeg = Seq((-3L, -1L, 10000L), (-3L, 2L, 10000L), (-1L, 2L, 10000L),
+      (4L, -6L, 10000L), (4L, 7L, 10000L), (-6L, 7L, 10000L), (2L, 4L, 10000L))
+      .toDF("id1", "id2", "w")
+    val seedNeg = Seq(-6L, -3L, -1L, 2L, 4L, 7L).map(n => (n, n))
+      .toDF("node", "label")
     val shard = Similarity.mutualEdgesWeighted(
       SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
     val seedShard = shard.select(col("id1").as("node"))
       .unionByName(shard.select(col("id2").as("node"))).distinct()
       .select(col("node"), col("node").as("label"))
-    for ((mut, seed) <- Seq((mutFix, seedFix), (shard, seedShard))) {
+    for ((mut, seed) <- Seq((mutFix, seedFix), (mutNeg, seedNeg), (shard, seedShard))) {
       val local = Similarity.louvainRefine(mut, seed, rounds = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       val dist = Similarity.louvainRefine(mut, seed, rounds = 4,

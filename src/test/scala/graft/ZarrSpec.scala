@@ -1361,6 +1361,65 @@ class ZarrSpec extends AnyFunSuite {
       .toSet == coo.toSet)
   }
 
+  test("readObsAligned == per-component reads + joins (differential), zero shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val path = "/root/repo/target/tmp/zarr_test_obsaligned"
+    Zarr.delete(path, recursive = true)
+    val nObs = 10L
+    // CSR X with empty rows 1,5,6,7,8 (null row-sums), data chunk 3 —
+    // position-space chunks deliberately unaligned to the obs grain
+    val coo = Seq((0L, 1L, 2.0), (0L, 4L, 3.0), (2L, 1L, 5.0), (2L, 2L, 7.0),
+      (3L, 4L, -2.0), (4L, 1L, 9.0), (9L, 0L, 4.0))
+    Zarr.writeSparse(ZMatrix(coo.toDF("i", "j", "v")), s"$path#X", nObs, 5, chunk = 3)
+    // string index chunk 4: chunk 1 (i 4..7) entirely absent → "" fill;
+    // i=8 missing inside the ragged written chunk 2 → "" fill
+    Zarr.writeStringVector(Seq((0L, "n0"), (1L, "n1"), (2L, "n2"), (3L, "n3"),
+      (9L, "n9")).toDF("i", "s"), s"$path#obs/index", nObs, chunk = 4)
+    // categorical chunk 8 (the grain): codes i % 3
+    val labels = Seq("LOW", "MED", "HIGH")
+    Zarr.writeVector((0L until nObs).map(i => (i, (i % 3).toDouble)).toDF("i", "v"),
+      s"$path#obs/priority", nObs, chunk = 8, dtype = "|i1")
+    Zarr.writeAttrs(s"$path#obs/priority",
+      s"""{"categories": [${labels.map(l => "\"" + l + "\"").mkString(",")}]}""")
+    // dense 10x2, chunkRows 4: row-chunk 1 (rows 4..7) all-fill → absent
+    val dcells = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (2L, 1L, 0.0), (3L, 1L, 6.0),
+      (8L, 0L, 5.0), (9L, 1L, 7.0))
+    Zarr.write(ZMatrix(dcells.toDF("i", "j", "v")), s"$path#obsm/stats", nObs, 2,
+      chunkRows = 4, chunkCols = 2)
+    val fused = Zarr.readObsAligned(spark, path, Seq(
+      Zarr.ObsString("obs/index", "name"),
+      Zarr.ObsCategorical("obs/priority", "prio"),
+      Zarr.ObsSparseSum("X", "qty"),
+      Zarr.ObsDense("obsm/stats", 1, "nl")))
+    // the whole point: one scan, no Exchange anywhere in the plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"aligned read shuffled:\n$plan")
+    val got = fused.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    // reference: the per-component plan this reader replaces
+    val idxM = Zarr.readStringVector(spark, path, "obs/index")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prioM = Zarr.readCategorical(spark, path, "obs/priority")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qtyM = Zarr.readSparse(spark, path, "X").cells
+      .groupBy(col("i")).agg(sum(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nlM = Zarr.read(spark, path, "obsm/stats").cells
+      .filter(col("j") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = (0L until nObs).map(i =>
+      (i, idxM(i), prioM(i), qtyM.get(i), nlM(i)))
+    assert(got == want, s"fused read diverged:\n$got\nvs\n$want")
+    // a row-chunk size that does not divide the grain must refuse loudly
+    Zarr.writeStringVector(Seq((0L, "x")).toDF("i", "s"),
+      s"$path#obs/odd", nObs, chunk = 3)
+    val err = intercept[IllegalArgumentException](Zarr.readObsAligned(spark, path,
+      Seq(Zarr.ObsString("obs/odd", "o"), Zarr.ObsCategorical("obs/priority", "p"))))
+    assert(err.getMessage.contains("divide"))
+  }
+
   test("datetime64[ns] vectors: bit-exact roundtrip beyond double precision") {
     import spark.implicits._
     // 9007199254740993 = 2^53 + 1 — the first long a double CANNOT hold;
