@@ -850,27 +850,28 @@ object SparkEntry {
       Zarr.delete(path, recursive = true)
       // the four store components are DISJOINT subtrees and their shared
       // inputs (m, orders) are already eagerly checkpointed — submit the
-      // four writes as concurrent jobs (Spark's scheduler interleaves
-      // them over the one executor pool; each write alone underfills 32
-      // slots, so overlap is near-free wall-clock). Group metadata is
+      // four writes as concurrent jobs on broadcast-class stores (Spark's
+      // scheduler interleaves them over the one executor pool; each write
+      // alone underfills 32 slots, so overlap is near-free wall-clock).
+      // Past the same obs bound the READ side switches regimes on, the
+      // writes run sequentially instead: 4 concurrent fact-scale jobs
+      // multiply peak task memory ~4x and the sf10 gate's stats aggregate
+      // OOMs under the harness heap — concurrency is a small-store
+      // latency trick, not the at-scale plan. Group metadata is
       // pre-created so the writers' ensure-step never races on the same
       // root .zgroup file.
       Zarr.ensureGroupMeta(path, Seq("obs", "index"), 2)
       Zarr.ensureGroupMeta(path, Seq("obsm", "X_stats"), 2)
       locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val wX = Future {
+        val wX = () =>
           Zarr.writeSparse(m, s"$path#X", nObs, 8, chunk = 8192, comp = "blosc")
-        }
-        val wIdx = Future {
+        val wIdx = () => {
           val names = orders.join(customer, col("o_custkey") === col("c_custkey"))
             .select(col("o_orderkey").as("i"), col("c_name").as("s"))
           Zarr.writeStringVector(names, s"$path#obs/index", nObs, chunk = 4096,
             comp = "blosc")
         }
-        val wPrio = Future {
+        val wPrio = () => {
           val labels = orders.select(col("o_orderpriority")).distinct()
             .collect().map(_.getString(0)).sorted.toSeq // 5 labels — parameter-sized
           val codes = orders.select(col("o_orderkey").as("i"),
@@ -881,7 +882,7 @@ object SparkEntry {
           Zarr.writeAttrs(s"$path#obs/priority",
             s"""{"categories": [${labels.map(l => "\"" + l + "\"").mkString(",")}]}""")
         }
-        val wStats = Future {
+        val wStats = () => {
           val stats = m.cells.groupBy(col("i"))
             .agg(sum(col("v")).as("qty"), count(lit(1)).cast("double").as("n"))
             .select(col("i"), explode(array(
@@ -891,7 +892,13 @@ object SparkEntry {
           Zarr.write(ZMatrix(stats), s"$path#obsm/X_stats", nObs, 2,
             chunkRows = 4096, chunkCols = 2)
         }
-        Seq(wX, wIdx, wPrio, wStats).foreach(Await.result(_, Duration.Inf))
+        val writes = Seq(wX, wIdx, wPrio, wStats)
+        if (nObs + 1 <= Zarr.IndptrBroadcastMax) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          writes.map(w => Future(w())).foreach(Await.result(_, Duration.Inf))
+        } else writes.foreach(_())
       }
       // read EVERYTHING back from the store and compose — in ONE aligned
       // pass when the obs axis is broadcast-class (indptr within the

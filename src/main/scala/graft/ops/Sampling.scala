@@ -138,22 +138,37 @@ object Sampling {
     * needs the exact count). Deterministic: docs rank by the md5 key
     * inside their stratum, the first quota go to train.
     *
-    * Scale contract: the exactness REQUIRES one rank per stratum — a
-    * per-source ordered window, parallel across sources, each source's
-    * sort bounded by its own size (the q32 dimension-window precedent at
-    * fact scale: acceptable because strata are many and independent;
-    * when in-expectation shares suffice, hashSplit is the no-shuffle
-    * path). The per-source count table is group-count-sized and
-    * broadcast. */
+    * Scale contract (the r15 fix): exactness requires a per-stratum rank,
+    * but a real pretraining corpus is exactly the skewed case (one crawl
+    * source = 80% of rows), so the rank is TWO-LEVEL — the L29
+    * [[shuffleOrder]] form applied WITHIN each stratum. Rows slab on the
+    * hash key's top byte: 256 ranges that are PREFIXES of the stratum's
+    * (hash, id) order (equal keys land in the same slab, so slab-major +
+    * in-slab order IS the global stratum order). The (stratum, slab)
+    * count table comes from one aggregate — #strata×256 rows,
+    * dimension-sized; its offset/total windows run over that aggregate
+    * (the adjudicated q32/q58 window class), and position = slab offset +
+    * slab-local row_number. No task ever sorts more than ~1/256th of the
+    * hottest stratum; the single-task fact-scale sort this replaces never
+    * appears. The DuckDB twin stays the plain per-stratum row_number
+    * (the two-level rank is exactly equal to it). */
   def stratifiedSplit(docs: DataFrame, groupCol: String, idCol: String,
                       trainPct: Int = 80): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))
       .withColumn("_rk", hashKey(col("doc_id")))
-    val w = Window.partitionBy(col("group_key")).orderBy(col("_rk"), col("doc_id"))
-    val counts = docs.groupBy(col(groupCol).as("group_key"))
-      .agg(count(lit(1)).as("_n"))
-    base.withColumn("_pos", row_number().over(w))
-      .join(broadcast(counts), Seq("group_key"))
+      .withColumn("_b", shiftright(col("_rk"), 52)) // top byte of the 60-bit key
+    val slabs = base.groupBy(col("group_key"), col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+    val wOff = Window.partitionBy(col("group_key")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slabs
+      .withColumn("_off", coalesce(sum(col("_bn")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_bn")).over(Window.partitionBy(col("group_key"))))
+      .select(col("group_key"), col("_b"), col("_off"), col("_n"))
+    val wSlab = Window.partitionBy(col("group_key"), col("_b"))
+      .orderBy(col("_rk"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("group_key", "_b"))
+      .withColumn("_pos", col("_off") + row_number().over(wSlab))
       .select(col("doc_id"), col("group_key"),
         when(col("_pos") <= expr(s"(_n * $trainPct) div 100"), lit("train"))
           .otherwise(lit("val")).as("split"))

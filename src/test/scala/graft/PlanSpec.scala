@@ -321,6 +321,25 @@ class PlanSpec extends AnyFunSuite {
       s"sorted scan $sortedScan not ≪ unsorted scan $unsortedScan")
   }
 
+  test("sample_split_stratified: stratum rank is two-level, never one fact-scale sort") {
+    // the r15 scale-killer: a row_number window partitioned by stratum
+    // alone ranks EVERY row of a stratum in one task — under real corpus
+    // skew (one crawl source = 80% of rows) that is a single-task sort of
+    // most of the fact table. The fix slabs on the hash's top byte, so
+    // every row_number spec must partition by (group_key, _b), never
+    // group_key alone. (The offset sum-windows run over the strata×256
+    // slab AGGREGATE — dimension-sized, not pinned here.)
+    val plan = executedPlan("sample_split_stratified")
+    val specs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no row_number window in:\n$plan")
+    specs.foreach { s =>
+      val partPrefix = s.replaceAll(" (ASC|DESC).*$", "")
+      assert(partPrefix.contains("_b#"),
+        s"row_number ranks a whole stratum in one task (no slab column): ($s)\n$plan")
+    }
+  }
+
   test("text_pmi: unigram vocab table never hint-broadcast (open vocabulary)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
     val df = SparkEntry.queries("text_pmi")(spark, TestSpark.sf)

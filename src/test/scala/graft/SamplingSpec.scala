@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ops.Sampling
 
 class SamplingSpec extends AnyFunSuite {
@@ -42,6 +43,29 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.stratifiedSplit(ragged.repartition(13), "source", "doc_id")
       .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
     assert(r.toSet == again)
+  }
+
+  test("stratifiedSplit: two-level slab rank == one global stratum rank under 90% skew") {
+    // the r16 skew fix's differential: one source owns 90% of rows (the
+    // real pretraining shape) — the slabbed rank must reproduce the plain
+    // per-stratum row_number split EXACTLY, doc by doc
+    val skewed = (1L to 3000L)
+      .map(i => (i, if (i % 10 == 0L) "curated" else "crawl", "t"))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.stratifiedSplit(skewed, "source", "doc_id").collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val wRef = Window.partitionBy(col("source")).orderBy(col("_hk"), col("doc_id"))
+    val ref = skewed.select(col("doc_id"), col("source"), hk.as("_hk"))
+      .withColumn("_pos", row_number().over(wRef))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"),
+        when(col("_pos") <= expr("(_n * 80) div 100"), lit("train"))
+          .otherwise(lit("val")).as("split"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got == ref, "slabbed rank diverged from the global stratum rank")
+    assert(got.count(_._2 == "train") == 2160 + 240) // floor quotas: 2700*.8 + 300*.8
   }
 
   test("quotaSample keeps exactly n per group and matches the unsalted rank") {
