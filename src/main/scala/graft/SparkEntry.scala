@@ -1334,6 +1334,31 @@ object SparkEntry {
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))
     }),
+    // CONVERGENCE-TERMINATED multi-level Louvain (L50c, the r15 verdict
+    // item): levels run until ΔQ ≤ 0 on the exact integer modularity
+    // numerator — true Blondel termination instead of a fixed level
+    // count. The realized count is a bit-deterministic function of the
+    // edge set; the query pins it into louvainConvLevels and the
+    // generated oracle unrolls exactly that many levels (the
+    // centroid-literal contract).
+    "graph_louvain_conv" -> ((s, d) => {
+      val mutE = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+      val (mapping, lv) = Similarity.louvainConverged(mutE, rounds = 4)
+      louvainConvLevels.put(d, Integer.valueOf(lv))
+      mapping.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("cluster"))
+    }),
+    // Leiden (L59): phase-1 moves + the well-connectedness REFINEMENT
+    // (re-partition each community from singletons over intra edges
+    // only) + one aggregate level on the refined partition seeded with
+    // the phase-1 labels — the algorithm scanpy defaults to, as three
+    // passes of the same exact-integer Pregel machinery
+    "graph_leiden" -> ((s, d) => {
+      val mutE = Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+      Similarity.leiden(mutE, rounds = 4, refineRounds = 2)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))
+    }),
     // spectral embedding of the mutual-kNN graph (the diffmap/Laplacian-
     // eigenmap coordinate): v2/v3 of the random-walk matrix by exact
     // fixed-point power iteration — every reduction an integer sum, so
@@ -2700,17 +2725,25 @@ object SparkEntry {
     * level 0, where mutual-kNN edges have no self-loops; load-bearing on
     * contracted levels, where self-loops carry internal weight into
     * degrees but must not bias "stay"). */
-  private def louvainLevelSql(p: String, edges: String, rounds: Int): String = {
+  private def louvainLevelSql(p: String, edges: String, rounds: Int,
+                              seed0: Option[String] = None): String = {
     val (deg, mm) = (s"deg_$p", s"mm_$p")
     // every per-round label CTE is MATERIALIZED: each is referenced 3-4
     // times by the next round (and l0_4 three times by the contraction +
     // final mapping) — inlined, the reference tree re-expands the whole
     // unrolled chain exponentially (observed: the 2-level oracle ran
     // minutes instead of seconds before the hints)
+    // `seed0` overrides the default singleton seeding (Leiden's aggregate
+    // level starts from the PHASE-1 partition, not singletons). Seed
+    // nodes absent from `edges` drop out of the round CTEs (inner deg
+    // join) — callers re-attach them with a COALESCE on the seed, the
+    // isolated-seed rule the Scala side implements with left joins.
+    val seedBody = seed0.getOrElse(
+      s"SELECT DISTINCT src AS node, src AS label FROM $edges")
     val header =
       s"""$deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM $edges GROUP BY src),
          |$mm AS (SELECT SUM(w) AS m2 FROM $edges),
-         |${p}_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM $edges)""".stripMargin
+         |${p}_0 AS MATERIALIZED ($seedBody)""".stripMargin
     val body = (0 until rounds).map { i =>
       s"""tot_${p}_$i AS (SELECT l.label AS c, SUM(d.k) AS t FROM ${p}_$i l
          |  JOIN $deg d USING (node) GROUP BY l.label),
@@ -2756,8 +2789,44 @@ object SparkEntry {
       louvainLevelSql("l1", "edges1", 4) +
       "\nSELECT m.node, l.label AS cluster FROM l0_4 m JOIN l1_4 l ON l.node = m.label"
 
+  /** Leiden unrolled (L59): phase-1 four rounds (the shared level
+    * template), the REFINEMENT level over the intra-community edge
+    * restriction (default singleton seeds — containment is structural:
+    * no cross-community edge exists in `intra`), the refined remainder
+    * re-attached (nodes with no intra edge stay their own singleton),
+    * contraction on the REFINED partition, and the aggregate level
+    * seeded with the PHASE-1 labels (the Leiden twist) — isolated
+    * refined super-nodes keep their seed via the final COALESCE, the
+    * same left-join rule the Scala side applies. */
+  private def graphLeidenSqlFrom(prefix: String): String =
+    prefix + ",\n" + louvainLevelSql("l0", "edges", 4) + ",\n" +
+      """intra AS MATERIALIZED (SELECT e.src, e.dst, e.w FROM edges e
+        |  JOIN l0_4 la ON la.node = e.src JOIN l0_4 lb ON lb.node = e.dst
+        |  WHERE la.label = lb.label)""".stripMargin + ",\n" +
+      louvainLevelSql("lr", "intra", 2) + ",\n" +
+      """refined AS MATERIALIZED (
+        |  SELECT node, label FROM lr_2
+        |  UNION ALL
+        |  SELECT node, node AS label
+        |  FROM (SELECT DISTINCT src AS node FROM edges)
+        |  WHERE node NOT IN (SELECT node FROM lr_2)),
+        |edgesr AS MATERIALIZED (SELECT ra.label AS src, rb.label AS dst,
+        |    CAST(SUM(e.w) AS BIGINT) AS w
+        |  FROM edges e JOIN refined ra ON ra.node = e.src
+        |    JOIN refined rb ON rb.node = e.dst
+        |  GROUP BY 1, 2),
+        |seed2 AS MATERIALIZED (SELECT r.label AS node, MAX(l.label) AS label
+        |  FROM refined r JOIN l0_4 l USING (node) GROUP BY r.label)""".stripMargin + ",\n" +
+      louvainLevelSql("l2", "edgesr", 4,
+        seed0 = Some("SELECT node, label FROM seed2")) + "\n" +
+      """SELECT r.node, COALESCE(l2.label, s2.label) AS cluster
+        |FROM refined r
+        |  JOIN seed2 s2 ON s2.node = r.label
+        |  LEFT JOIN l2_4 l2 ON l2.node = r.label""".stripMargin
+
   private val graphLouvainSql: String = graphLouvainSqlFrom(graphEdgesSqlPrefix)
   private val graphLouvainMlSql: String = graphLouvainMlSqlFrom(graphEdgesSqlPrefix)
+  private val graphLeidenSql: String = graphLeidenSqlFrom(graphEdgesSqlPrefix)
 
   /** [[graphEdgesSqlPrefix]] + 10 unrolled PageRank rounds in pure
     * nonneg-BIGINT arithmetic — every division a floor div (`//` there,
@@ -3190,6 +3259,7 @@ object SparkEntry {
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "graph_louvain_ml" -> graphLouvainMlSql,
+    "graph_leiden" -> graphLeidenSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
     "dedup_simhash" ->
@@ -4419,6 +4489,23 @@ object SparkEntry {
         |SELECT p_partkey, p_brand, p_retailprice
         |FROM p JOIN b ON p_brand = bb
         |WHERE cents * bn > sum_cents""".stripMargin,
+    // R21/R49 sketch gates (r16): the estimates are engine-internal, so
+    // the queries emit EXACT values + in-band booleans and the twins
+    // assert the booleans literally TRUE — out-of-band drift flips a
+    // boolean and fails the hash, sketch internals stay engine-free.
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS orders_in_band, TRUE AS parts_in_band
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q46_approx_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | TRUE AS p25_in_band, TRUE AS p50_in_band, TRUE AS p75_in_band
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
         |f AS (SELECT user_id, ts, event_id, es,
@@ -5316,5 +5403,55 @@ object SparkEntry {
         |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
         |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
   ) ++ ivfGraphOracles ++ pqFamilyOracles ++ whitenOracles ++ pcaOracles ++
-    recipeFullOracles
+    recipeFullOracles ++ louvainConvOracles
+
+  /** Realized level count of the convergence-terminated Louvain per sf
+    * dir — written by the graph_louvain_conv query, read by the oracle
+    * generator (the centroid-literal contract: the count is a
+    * bit-deterministic pure function of the edge set, see
+    * [[Similarity.louvainConverged]]). */
+  private val louvainConvLevels =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** graph_louvain_conv's generated oracle: the realized level count L
+    * enters as the unroll depth — L copies of the SAME level template as
+    * graph_louvain/graph_louvain_ml (so the per-level math cannot drift
+    * between the twins) chained by the phase-2 contraction CTE, final
+    * mapping composed through all L labelings. L = 0 (even level 1
+    * failed to beat singletons) degenerates to the identity labeling. */
+  private def graphLouvainConvSqlFrom(prefix: String, levels: Int): String =
+    if (levels == 0)
+      prefix + "\nSELECT DISTINCT src AS node, src AS cluster FROM edges"
+    else {
+      def eName(l: Int) = if (l == 0) "edges" else s"edges$l"
+      val body = (0 until levels).map { l =>
+        val lvl = louvainLevelSql(s"l$l", eName(l), 4)
+        val contract =
+          if (l >= levels - 1) ""
+          else ",\n" +
+            s"""edges${l + 1} AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst,
+               |    CAST(SUM(e.w) AS BIGINT) AS w
+               |  FROM ${eName(l)} e JOIN l${l}_4 la ON la.node = e.src
+               |    JOIN l${l}_4 lb ON lb.node = e.dst
+               |  GROUP BY 1, 2)""".stripMargin
+        lvl + contract
+      }.mkString(",\n")
+      val sel =
+        if (levels == 1) "SELECT m0.node, m0.label AS cluster FROM l0_4 m0"
+        else {
+          val joins = (1 until levels).map { l =>
+            s"JOIN l${l}_4 m$l ON m$l.node = m${l - 1}.label"
+          }.mkString(" ")
+          s"SELECT m0.node, m${levels - 1}.label AS cluster FROM l0_4 m0 $joins"
+        }
+      prefix + ",\n" + body + "\n" + sel
+    }
+
+  private def louvainConvOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val ls = louvainConvLevels.asScala.values.toSeq
+    if (!oracleGate("louvain-conv", ls.size)) Map.empty
+    else Map("graph_louvain_conv" ->
+      graphLouvainConvSqlFrom(graphEdgesSqlPrefix, ls.head.intValue()))
+  }
 }

@@ -88,14 +88,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.agg(sum("sum_k")).head().getLong(0) > 0)
   }
 
-  test("q21 approx distinct within 5% of exact") {
-    val approx = Relational.q21ApproxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q21 approx distinct: exact counts surfaced, sketches inside the gate band") {
+    // r16 provable-gate shape: output = exact counts + in-band booleans
+    val rows = Relational.q21ApproxDistinct(spark, sf).collect()
+    assert(rows.length == 3)
     val exact = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: ${approx(k)} vs $e")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (eo, ep) = exact(r.getString(0))
+      assert(r.getLong(1) == eo && r.getLong(2) == ep,
+        s"exact columns wrong: $r vs ($eo, $ep)")
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"HLL estimate left the 5*rsd band: $r")
     }
   }
 
@@ -501,20 +508,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getLong(1) == small.length.toLong && small.nonEmpty)
   }
 
-  test("q46 approx percentiles: each estimate lies within the ±1% exact-rank band") {
+  test("q46 approx percentiles: in-band booleans true, exact percentiles match brute force") {
+    // r16 provable-gate shape: output = exact 4dp percentiles + the
+    // rank-band booleans (GK ε=1e-4 vs the ±0.01 band → 100x slack)
     val rows = Relational.q46ApproxPercentile(spark, sf).collect()
     assert(rows.length == 3)
     val byFlag = Tables.lineitem(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("l_extendedprice"))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"GK estimate left the ±0.01 rank band: $r")
       val xs = byFlag(r.getString(0)); val n = xs.length
+      def pct(q: Double): Double = {
+        val h = q * (n - 1); val l = h.toInt
+        if (l == n - 1) xs(l) else xs(l) + (h - l) * (xs(l + 1) - xs(l))
+      }
       for ((q, idx) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
-        val got = r.getDouble(idx)
-        val lo = xs(math.max(0, ((q - 0.01) * (n - 1)).toInt))
-        val hi = xs(math.min(n - 1, math.ceil((q + 0.01) * (n - 1)).toInt))
-        assert(got >= lo && got <= hi,
-          s"flag ${r.getString(0)} q=$q: $got outside [$lo, $hi]")
+        assert(math.abs(r.getDouble(idx) - pct(q)) < 1e-4 + 1e-9,
+          s"flag ${r.getString(0)} q=$q: ${r.getDouble(idx)} vs exact ${pct(q)}")
       }
     }
   }

@@ -694,6 +694,93 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected AB|CD merge: $ml (phase1 $p1, Q $qP1 -> $qMl)")
   }
 
+  test("converged Louvain: Blondel ΔQ≤0 termination, exact-Q monotone, witness level rejected") {
+    // same four-triangle fixture as the multi-level test: level 1 finds
+    // the triangles, level 2 merges AB and CD across the heavy bridges,
+    // and NO further level can improve — convergence must realize
+    // exactly the improving prefix and stop
+    val tri = (base: Long) => Seq((base, base + 1, 10L), (base, base + 2, 10L),
+      (base + 1, base + 2, 10L))
+    val edges = tri(0L) ++ tri(3L) ++ tri(6L) ++ tri(9L) ++
+      Seq((0L, 3L, 10L), (1L, 4L, 10L), (2L, 5L, 10L),
+        (6L, 9L, 10L), (7L, 10L, 10L), (8L, 11L, 10L), (5L, 6L, 1L))
+    val mut = edges.toDF("id1", "id2", "w")
+    def run() = Similarity.louvainConverged(mut, rounds = 4)
+    val (mapDf, lv) = run()
+    val got = mapDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (mapDf2, lv2) = run()
+    assert(lv == lv2 &&
+      got == mapDf2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "converged Louvain not deterministic")
+    assert(got.keySet == (0L to 11L).toSet, s"nodes lost: ${got.keySet}")
+    assert(got(0L) == got(5L) && got(6L) == got(11L) && got(0L) != got(6L),
+      s"expected AB|CD merge at convergence: $got")
+    // exact-Q monotone over the realized prefix: each fixed-level run of
+    // the SAME machinery must strictly improve up to lv
+    val qs = (1 to lv).map { l =>
+      Similarity.modularityNum(mut,
+        Similarity.louvainMultiLevel(mut, levels = l, rounds = 4))
+    }
+    val q0 = Similarity.modularityNum(mut,
+      (0L to 11L).map(n => (n, n)).toDF("node", "label"))
+    assert((q0 +: qs).sliding(2).forall(p => p(1) > p(0)),
+      s"accepted levels must strictly improve exact Q: $q0 -> $qs")
+    // the witness: ONE MORE forced level does not improve (that is why
+    // convergence stopped at lv)
+    val qNext = Similarity.modularityNum(mut,
+      Similarity.louvainMultiLevel(mut, levels = lv + 1, rounds = 4))
+    assert(qNext <= qs.last,
+      s"level ${lv + 1} improved Q ($qNext > ${qs.last}) — termination stopped early")
+    // and the converged mapping IS the fixed-lv mapping (same machinery)
+    val fixedLv = Similarity.louvainMultiLevel(mut, levels = lv, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fixedLv, "converged mapping != fixed-level twin at the realized count")
+  }
+
+  test("Leiden: refinement contained in phase-1 communities; final Q >= phase-1's") {
+    // four-triangle fixture: Leiden must land on the same AB|CD merge as
+    // multi-level Louvain (refinement of well-connected triangles is a
+    // no-op; the aggregate level does the merge)
+    val tri = (base: Long) => Seq((base, base + 1, 10L), (base, base + 2, 10L),
+      (base + 1, base + 2, 10L))
+    val edges = tri(0L) ++ tri(3L) ++ tri(6L) ++ tri(9L) ++
+      Seq((0L, 3L, 10L), (1L, 4L, 10L), (2L, 5L, 10L),
+        (6L, 9L, 10L), (7L, 10L, 10L), (8L, 11L, 10L), (5L, 6L, 1L))
+    val mut = edges.toDF("id1", "id2", "w")
+    def run() = Similarity.leiden(mut, rounds = 4, refineRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got == run(), "leiden not deterministic")
+    assert(got.keySet == (0L to 11L).toSet, s"nodes lost: ${got.keySet}")
+    assert(got(0L) == got(5L) && got(6L) == got(11L) && got(0L) != got(6L),
+      s"expected AB|CD at the aggregate level: $got")
+    // refinement containment (the Leiden property): every refined
+    // community sits entirely inside ONE phase-1 community — on the
+    // fixture AND the real shard graph
+    val shard = Similarity.mutualEdgesWeighted(
+      SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
+    for (g <- Seq(mut, shard)) {
+      val seed = g.select(col("id1").as("node"))
+        .unionByName(g.select(col("id2").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      val p1 = Similarity.louvainRefine(g, seed, rounds = 4)
+      val ref = Similarity.leidenRefinePartition(g, p1, rounds = 2)
+      val crossed = ref.select(col("node"), col("label").as("_r"))
+        .join(p1.select(col("node"), col("label").as("_p")), Seq("node"))
+        .groupBy(col("_r"))
+        .agg(countDistinct(col("_p")).as("np"))
+        .filter(col("np") > 1).count()
+      assert(crossed == 0, s"refined community spans phase-1 communities")
+    }
+    // final Q does not fall below phase-1's (the fixture's empirical
+    // Leiden >= Louvain-phase-1 relation; exact-integer compare)
+    val seedF = (0L to 11L).map(n => (n, n)).toDF("node", "label")
+    val qP1 = Similarity.modularityNum(mut,
+      Similarity.louvainRefine(mut, seedF, rounds = 4))
+    val qLe = Similarity.modularityNum(mut, got.toSeq.toDF("node", "label"))
+    assert(qLe >= qP1, s"Q(leiden)=$qLe < Q(phase1)=$qP1")
+  }
+
   test("Louvain keeps isolated seed nodes (seed label, not dropped)") {
     // node 9 appears in the seed labeling but touches no edge: it must
     // survive every round with its seed label (inner joins through the
