@@ -1888,6 +1888,12 @@ object SparkEntry {
     // keyword side): batch-fitted idf/corpus literals, per-record exact
     // integer score, stream == batch bit-equal, shared oracle
     "stream_bm25" -> ((s, d) => Stream.bm25Stream(s, d, queryTerms(s, d))),
+    // S25: streaming HYBRID retrieval admission — stream-static RRF of
+    // the literal BM25 model with the batch keyword/vector pools; the
+    // serving face of L51's FUSED ranking (completes the admission
+    // matrix next to S24's keyword-only face)
+    "stream_hybrid_rrf" -> ((s, d) =>
+      Stream.hybridRrfStream(s, d, queryTerms(s, d), queryVec(s, d))),
     // exactly-once partitioned lake export (S14): foreachBatch + dynamic
     // partition overwrite over day-aligned bands; idempotency proven by
     // re-running a batch in StreamingSpec
@@ -2823,6 +2829,48 @@ object SparkEntry {
         |FROM refined r
         |  JOIN seed2 s2 ON s2.node = r.label
         |  LEFT JOIN l2_4 l2 ON l2.node = r.label""".stripMargin
+
+  /** The BM25-hybrid fused table WITHOUT the final top-k cut — shared by
+    * the batch oracle (ann_hybrid_bm25 = this + ORDER BY/LIMIT) and the
+    * S25 stream twin (stream_hybrid_rrf emits the whole pre-cut table). */
+  private val annHybridBm25NoLimitSql: String =
+    """WITH tok AS (SELECT doc_id AS id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+      |qt AS (SELECT DISTINCT token FROM tok WHERE id = 0 ORDER BY token LIMIT 8),
+      |lens AS (SELECT id, count(*) AS len FROM tok GROUP BY 1),
+      |nn AS (SELECT count(*) AS n_docs, SUM(len) AS total_len FROM lens),
+      |tf AS (SELECT id, token, count(*) AS tf FROM tok JOIN qt USING (token)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT token, count(DISTINCT id) AS df FROM tok JOIN qt USING (token)
+      |  GROUP BY 1),
+      |""".stripMargin +
+      graft.functions.LnFix.oracleCtes("lfbm",
+        "(SELECT d.token, d.df, n.n_docs FROM dft d CROSS JOIN nn n)",
+        Seq("token"), "2 * df + 1", "2 * n_docs + 2", "idf_micro") + ",\n" +
+      """kw AS (SELECT t.id, SUM(CAST(
+      |    (CAST(f.idf_micro AS HUGEINT) * 44 * n.total_len * t.tf) //
+      |    (20 * CAST(n.total_len AS HUGEINT) * t.tf
+      |      + 6 * CAST(n.total_len AS HUGEINT)
+      |      + 18 * CAST(l.len AS HUGEINT) * n.n_docs) AS BIGINT)) AS s
+      |  FROM tf t JOIN lfbmf f USING (token) JOIN lens l USING (id)
+      |  CROSS JOIN nn n GROUP BY 1),
+      |kwr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS kw_rank
+      |        FROM (SELECT * FROM kw WHERE s > 0 ORDER BY s DESC, id LIMIT 100)),
+      |cosd AS (SELECT e.vec_id AS id,
+      |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
+      |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  CROSS JOIN range(64) r(i) GROUP BY e.vec_id),
+      |vr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS vec_rank
+      |       FROM (SELECT * FROM cosd ORDER BY cos DESC, id LIMIT 100))
+      |SELECT id,
+      |  CAST(coalesce(1000000000 // (60 + kw_rank), 0) +
+      |       coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf,
+      |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+      |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+      |FROM kwr FULL OUTER JOIN vr USING (id)""".stripMargin
 
   private val graphLouvainSql: String = graphLouvainSqlFrom(graphEdgesSqlPrefix)
   private val graphLouvainMlSql: String = graphLouvainMlSqlFrom(graphEdgesSqlPrefix)
@@ -5061,44 +5109,11 @@ object SparkEntry {
     // idf through the shared LnFix CTE chain (bit-equal micro-nats),
     // tf normalization as the identical HUGEINT floor division
     "ann_hybrid_bm25" ->
-      ("""WITH tok AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
-        |qt AS (SELECT DISTINCT token FROM tok WHERE id = 0 ORDER BY token LIMIT 8),
-        |lens AS (SELECT id, count(*) AS len FROM tok GROUP BY 1),
-        |nn AS (SELECT count(*) AS n_docs, SUM(len) AS total_len FROM lens),
-        |tf AS (SELECT id, token, count(*) AS tf FROM tok JOIN qt USING (token)
-        |  GROUP BY 1, 2),
-        |dft AS (SELECT token, count(DISTINCT id) AS df FROM tok JOIN qt USING (token)
-        |  GROUP BY 1),
-        |""".stripMargin +
-        graft.functions.LnFix.oracleCtes("lfbm",
-          "(SELECT d.token, d.df, n.n_docs FROM dft d CROSS JOIN nn n)",
-          Seq("token"), "2 * df + 1", "2 * n_docs + 2", "idf_micro") + ",\n" +
-        """kw AS (SELECT t.id, SUM(CAST(
-        |    (CAST(f.idf_micro AS HUGEINT) * 44 * n.total_len * t.tf) //
-        |    (20 * CAST(n.total_len AS HUGEINT) * t.tf
-        |      + 6 * CAST(n.total_len AS HUGEINT)
-        |      + 18 * CAST(l.len AS HUGEINT) * n.n_docs) AS BIGINT)) AS s
-        |  FROM tf t JOIN lfbmf f USING (token) JOIN lens l USING (id)
-        |  CROSS JOIN nn n GROUP BY 1),
-        |kwr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS kw_rank
-        |        FROM (SELECT * FROM kw WHERE s > 0 ORDER BY s DESC, id LIMIT 100)),
-        |cosd AS (SELECT e.vec_id AS id,
-        |  round(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE))
-        |    / (sqrt(SUM(CAST(e.embedding[r.i + 1] AS DOUBLE) * CAST(e.embedding[r.i + 1] AS DOUBLE)))
-        |       * sqrt(SUM(CAST(q.embedding[r.i + 1] AS DOUBLE) * CAST(q.embedding[r.i + 1] AS DOUBLE)))), 4) + 0 AS cos
-        |  FROM embeddings e
-        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |  CROSS JOIN range(64) r(i) GROUP BY e.vec_id),
-        |vr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS vec_rank
-        |       FROM (SELECT * FROM cosd ORDER BY cos DESC, id LIMIT 100))
-        |SELECT id,
-        |  CAST(coalesce(1000000000 // (60 + kw_rank), 0) +
-        |       coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf,
-        |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
-        |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
-        |FROM kwr FULL OUTER JOIN vr USING (id)
-        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
+      (annHybridBm25NoLimitSql + "\nORDER BY rrf DESC, id LIMIT 10"),
+    // S25 streaming hybrid admission: the SAME fused table pre-top-k —
+    // the stream emits every doc present in either pool, so the shared
+    // oracle is the batch SQL minus its final LIMIT
+    "stream_hybrid_rrf" -> annHybridBm25NoLimitSql,
     // recall eval: exact and hamming-ball LSH rankings from ONE bucketed
     // frame, overlap counted per query — the index-trust measurement
     "ann_recall_eval" ->

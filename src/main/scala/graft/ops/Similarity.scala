@@ -126,6 +126,29 @@ object Similarity {
                      emb: DataFrame, vecIdCol: String, vecCol: String,
                      terms: Seq[String], q: Array[Double],
                      k: Int, poolK: Int = 100): DataFrame = {
+    val kwRanked = bm25KwPoolDf(docs, idCol, textCol, terms, poolK)
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(col("_kw").desc, col("id"))))
+    val vecRanked = vecPoolDf(emb, vecIdCol, vecCol, q, poolK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("_cos").desc, col("id"))))
+    kwRanked.select(col("id"), col("kw_rank"))
+      .join(vecRanked.select(col("id"), col("vec_rank")), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + kw_rank)"), lit(0L)) +
+         coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)))
+          .as("rrf"),
+        coalesce(col("kw_rank").cast("long"), lit(0L)).as("kw_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
+  /** The hybrid ranking's KEYWORD POOL: top-poolK (id, _kw: exact BM25
+    * micro-nats) in (score desc, id) order — ONE shared construction for
+    * the batch fusion ([[hybridBm25TopK]]) and the S25 serving-model
+    * collection, so the two cannot drift. */
+  def bm25KwPoolDf(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], poolK: Int): DataFrame = {
     // doc lengths WITHOUT the explode: size(split(...)) equals the
     // exploded row count exactly ('' -> [''] -> 1), so the length pass
     // is a narrow projection instead of a second corpus-wide explode
@@ -146,31 +169,23 @@ object Similarity {
     val num = s"CAST(idf_micro AS $dec) * 44 * CAST($totalLen AS $dec) * tf"
     val den = s"20 * CAST($totalLen AS $dec) * tf + 6 * CAST($totalLen AS $dec)" +
       s" + 18 * CAST(len AS $dec) * $nDocs"
-    val kwPool = tf
+    tf
       .join(broadcast(idf.select(col("token"), col("idf_micro"))), Seq("token"))
       .join(lens, Seq("id"))
       .selectExpr("id", s"CAST((($num) div ($den)) AS BIGINT) AS _t")
       .groupBy(col("id")).agg(sum(col("_t")).as("_kw"))
       .filter(col("_kw") > 0)
       .orderBy(col("_kw").desc, col("id")).limit(poolK)
-    val kwRanked = kwPool.withColumn("kw_rank", row_number().over(
-      Window.orderBy(col("_kw").desc, col("id"))))
-    val vecPool = cosineToQuery(emb, vecCol, q)
+  }
+
+  /** The hybrid ranking's VECTOR POOL: top-poolK (id, _cos: 4dp cosine)
+    * in (cos desc, id) order — shared like [[bm25KwPoolDf]]. */
+  def vecPoolDf(emb: DataFrame, vecIdCol: String, vecCol: String,
+                q: Array[Double], poolK: Int): DataFrame =
+    cosineToQuery(emb, vecCol, q)
       .filter(col("cos").isNotNull)
       .select(col(vecIdCol).as("id"), (round(col("cos"), 4) + 0.0).as("_cos"))
       .orderBy(col("_cos").desc, col("id")).limit(poolK)
-    val vecRanked = vecPool.withColumn("vec_rank", row_number().over(
-      Window.orderBy(col("_cos").desc, col("id"))))
-    kwRanked.select(col("id"), col("kw_rank"))
-      .join(vecRanked.select(col("id"), col("vec_rank")), Seq("id"), "full_outer")
-      .select(col("id"),
-        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + kw_rank)"), lit(0L)) +
-         coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)))
-          .as("rrf"),
-        coalesce(col("kw_rank").cast("long"), lit(0L)).as("kw_rank"),
-        coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"))
-      .orderBy(col("rrf").desc, col("id")).limit(k)
-  }
 
   /** Collected BM25 model for the SERVING face (S24): per-term LnFix idf
     * micro-nats plus the corpus scalars (N, total token length). The idf

@@ -564,6 +564,33 @@ object Stream {
     spark.table(qn)
   }
 
+  /** The literal-model per-record BM25 scoring columns shared by S24
+    * (stream_bm25) and S25 (stream_hybrid_rrf): one split + |terms|
+    * codegen'd array filters + the same decimal(38,0) floor divisions
+    * the batch kw pool runs — so every stream score is BIT-EQUAL to the
+    * batch `_kw` for the same document. Returns (doc_id, bm25_micro). */
+  private def bm25ScoreCols(src: DataFrame, terms: Seq[String],
+                            idf: Map[String, Long], n: Long,
+                            tl: Long): DataFrame = {
+    val present = terms.filter(idf.contains)
+    val base = src.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("_toks"))
+      .withColumn("_len", size(col("_toks")).cast("long"))
+    val withTf = present.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"_tf$i",
+        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
+    }
+    def dec(v: BigInt) = s"CAST('$v' AS DECIMAL(38, 0))"
+    val contribs = present.zipWithIndex.map { case (t, i) =>
+      val a = BigInt(idf(t)) * 44 * BigInt(tl)
+      s"CAST((${dec(a)} * _tf$i) div (${dec(BigInt(20) * tl)} * _tf$i + " +
+        s"${dec(BigInt(6) * tl)} + ${dec(BigInt(18) * n)} * _len) AS BIGINT)"
+    }
+    withTf.selectExpr("doc_id",
+      (if (contribs.isEmpty) "CAST(0 AS BIGINT)" else contribs.mkString(" + ")) +
+        " AS bm25_micro")
+  }
+
   /** S24: streaming BM25 RELEVANCE scoring at the ingest edge — the
     * serving face of the L51 keyword side: each arriving document gets
     * its exact-integer Okapi BM25 score against a fixed query-term set
@@ -585,30 +612,79 @@ object Stream {
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", terms)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
-    val present = terms.filter(idf.contains)
-    val base = src.select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("_toks"))
-      .withColumn("_len", size(col("_toks")).cast("long"))
-    val withTf = present.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"_tf$i",
-        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
-    }
-    def dec(v: BigInt) = s"CAST('$v' AS DECIMAL(38, 0))"
-    val contribs = present.zipWithIndex.map { case (t, i) =>
-      val a = BigInt(idf(t)) * 44 * BigInt(tl)
-      s"CAST((${dec(a)} * _tf$i) div (${dec(BigInt(20) * tl)} * _tf$i + " +
-        s"${dec(BigInt(6) * tl)} + ${dec(BigInt(18) * n)} * _len) AS BIGINT)"
-    }
-    val out = withTf
-      .selectExpr("doc_id",
-        (if (contribs.isEmpty) "CAST(0 AS BIGINT)" else contribs.mkString(" + ")) +
-          " AS bm25_micro")
+    val out = bm25ScoreCols(src, terms, idf, n, tl)
       .filter(col("bm25_micro") > 0)
     val qn = s"stream_bm25_$sfName"
     withStatePartitions(spark, 8) {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
+  /** S25: streaming HYBRID retrieval admission — the serving face of the
+    * L51 FUSED ranking, not just its BM25 keyword side (that is S24):
+    * each arriving document is scored against THREE static literal
+    * models collected from the batch index build — the BM25 term model,
+    * the batch KEYWORD POOL (top-poolK (score, id), the
+    * [[graft.ops.Similarity.bm25KwPoolDf]] construction, so stream and
+    * batch cannot drift) and the batch VECTOR ranking (top-poolK id→rank
+    * from [[graft.ops.Similarity.vecPoolDf]]) — and fused by the same
+    * pure-BIGINT RRF. kw_rank is derived ARITHMETICALLY against the pool
+    * literals: 1 + |pool entries ordered before this doc's (score, id)|,
+    * and a doc whose rank falls past the pool is not a member (rank 0) —
+    * exactly the batch full-outer semantics, with no per-record index
+    * probe. Stateless: both pools are parameter-sized literal arrays
+    * (≤ poolK entries, the stream_classify collection contract). Rows
+    * out are docs present in EITHER pool, which on corpus replay equals
+    * the batch hybrid table pre-top-k — the query shares the batch SQL
+    * oracle minus its final LIMIT, and StreamingSpec pins stream ==
+    * batch bit-equality. */
+  def hybridRrfStream(spark: SparkSession, sfDir: String,
+                      terms: Seq[String], q: Array[Double],
+                      poolK: Int = 100): DataFrame = {
+    import graft.ops.Similarity
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (idf, n, tl) = Similarity.bm25Model(docs, "doc_id", "text", terms)
+    val kwPool = Similarity.bm25KwPoolDf(docs, "doc_id", "text", terms, poolK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (id, _kw), pool order
+    val vecRanks = Similarity.vecPoolDf(emb, "vec_id", "embedding", q, poolK)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val psLit = typedLit(kwPool.map(_._2).toSeq) // scores, pool order
+    val piLit = typedLit(kwPool.map(_._1).toSeq) // ids, pool order
+    val before = aggregate(
+      zip_with(psLit, piLit, (s, i) =>
+        when(s > col("bm25_micro") ||
+          (s === col("bm25_micro") && i < col("doc_id")), lit(1L))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val out = bm25ScoreCols(src, terms, idf, n, tl)
+      // member iff positive score AND rank within the realized pool
+      // (an underfull pool admits every positive doc — same invariant)
+      .withColumn("kw_rank",
+        when(col("bm25_micro") > 0 && before < lit(kwPool.length.toLong),
+          before + 1L).otherwise(lit(0L)))
+      .withColumn("vec_rank",
+        coalesce(element_at(typedLit(vecRanks), col("doc_id")), lit(0L)))
+      .filter(col("kw_rank") > 0 || col("vec_rank") > 0)
+      .selectExpr("doc_id AS id",
+        "CAST(CASE WHEN kw_rank > 0 THEN 1000000000 div (60 + kw_rank) ELSE 0 END + " +
+          "CASE WHEN vec_rank > 0 THEN 1000000000 div (60 + vec_rank) ELSE 0 END " +
+          "AS BIGINT) AS rrf",
+        "kw_rank", "vec_rank")
+    val qn = s"stream_hybrid_rrf_$sfName"
+    withStatePartitions(spark, 8) {
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try sq.processAllAvailable() finally sq.stop()
     }
     spark.table(qn)
   }

@@ -267,6 +267,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(expiredUnmatched.nonEmpty && inner.nonEmpty, "both row kinds must occur")
   }
 
+  test("streaming hybrid RRF == the batch fused ranking, bit-equal (S25)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .trim.split("\\s+").distinct.sorted.take(8).toSeq
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(graft.streaming.Stream.hybridRrfStream(
+      spark, TestSpark.sf, terms, q))
+    // batch twin: the fused table pre-top-k (k beyond both pools covers
+    // every full-outer row)
+    val exp = rows(graft.ops.Similarity.hybridBm25TopK(
+      docs, "doc_id", "text", emb, "vec_id", "embedding", terms, q, k = 400))
+    assert(got == exp, s"stream diverged: ${(got -- exp).take(3)} vs ${(exp -- got).take(3)}")
+    assert(got.nonEmpty && got.exists(_._3 > 0) && got.exists(_._4 > 0),
+      "both ranking sides must contribute")
+    // the serving cut: top-10 by (rrf desc, id) equals the batch query
+    val top = got.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val batchTop = graft.ops.Similarity.hybridBm25TopK(
+        docs, "doc_id", "text", emb, "vec_id", "embedding", terms, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(top == batchTop, s"serving top-10 diverged:\n$top\nvs\n$batchTop")
+  }
+
   test("streaming BM25 admission == the batch distributed scorer, bit-equal") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf)
