@@ -1267,6 +1267,15 @@ object SparkEntry {
       Similarity.louvainMultiLevel(ivfMutualEdges(s, d), levels = 2, rounds = 4)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("cluster"))),
+    // Leiden at corpus scale (L59 over the IVF mutual edge set): the
+    // refinement pass restricts to intra-community edges — corpus·k rows
+    // at worst, shrinking with community quality — and the aggregate
+    // level runs on the refined-community-sized contraction, so the
+    // extra cost over phase-1 stays one restriction + tiny supersteps
+    "graph_leiden_full" -> ((s, d) =>
+      Similarity.leiden(ivfMutualEdges(s, d), rounds = 4, refineRounds = 2)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("cluster"))),
     // full-corpus SPECTRAL twin: v2/v3 of the random-walk matrix over
     // the IVF mutual-kNN graph of every vector — the diffmap coordinate
     // at corpus scale. Per-iteration cost is one edge matvec + node-
@@ -2320,6 +2329,7 @@ object SparkEntry {
           "SELECT node, label AS cluster FROM lp WHERE it = 10"),
         "graph_louvain_full" -> graphLouvainSqlFrom(p),
         "graph_louvain_ml_full" -> graphLouvainMlSqlFrom(p),
+        "graph_leiden_full" -> graphLeidenSqlFrom(p),
         "graph_pagerank_full" -> graphPagerankSqlFrom(p),
         "graph_ppr_full" -> graphPprSqlFrom(p),
         "graph_spectral_full" -> graphSpectralSqlFrom(p),

@@ -658,15 +658,25 @@ object Stream {
       .map { case (id, i) => id -> (i + 1).toLong }.toMap
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
-    val psLit = typedLit(kwPool.map(_._2).toSeq) // scores, pool order
-    val piLit = typedLit(kwPool.map(_._1).toSeq) // ids, pool order
-    val before = aggregate(
-      zip_with(psLit, piLit, (s, i) =>
-        when(s > col("bm25_micro") ||
-          (s === col("bm25_micro") && i < col("doc_id")), lit(1L))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-    val out = bm25ScoreCols(src, terms, idf, n, tl)
+    // rank arithmetic as an UNROLLED literal comparison sum (one codegen'd
+    // boolean add per pool entry), NOT a zip_with/aggregate lambda pair:
+    // higher-order array functions evaluate interpreted per row — measured
+    // 91 s for the one micro-batch at sf0.1 vs ~3 s unrolled
+    val before = kwPool.map { case (pid, ps) =>
+      when(lit(ps) > col("bm25_micro") ||
+        (lit(ps) === col("bm25_micro") && lit(pid) < col("doc_id")), lit(1L))
+        .otherwise(lit(0L))
+    }.reduceOption((a, b) => a + b).getOrElse(lit(0L))
+    import spark.implicits._
+    val scored = bm25ScoreCols(src, terms, idf, n, tl)
+      // typed identity barrier: without it CollapseProject inlines the
+      // whole decimal scoring expression into every one of the ~200
+      // literal comparisons below (measured: 91 s/batch interpreted via
+      // the HOF form, ~19 s driver analysis+codegen unrolled); across
+      // the object boundary bm25_micro is ONE attribute computed once
+      // per record, and the rank sum is 100 codegen'd long compares
+      .as[(Long, Long)].map(identity).toDF("doc_id", "bm25_micro")
+    val out = scored
       // member iff positive score AND rank within the realized pool
       // (an underfull pool admits every positive doc — same invariant)
       .withColumn("kw_rank",

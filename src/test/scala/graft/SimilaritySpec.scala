@@ -1044,6 +1044,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"mass $total out of envelope for ${nodes.size} nodes")
   }
 
+  test("graph_leiden_full: deterministic, one label per node, refinement contained at corpus scale") {
+    def run() = SparkEntry.queries("graph_leiden_full")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "full-corpus Leiden must be deterministic across runs")
+    val nodes = a.map(_._1)
+    assert(nodes.distinct.size == nodes.size && a.nonEmpty, "one label per node")
+    // the Leiden property at corpus scale: the refinement partition is
+    // contained in phase-1 communities over the SAME IVF edge set
+    val mut = SparkEntry.ivfMutualEdges(spark, TestSpark.sf)
+    val seed = mut.select(col("id1").as("node"))
+      .unionByName(mut.select(col("id2").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+    val p1 = Similarity.louvainRefine(mut, seed, rounds = 4)
+    val crossed = Similarity.leidenRefinePartition(mut, p1, rounds = 2)
+      .select(col("node"), col("label").as("_r"))
+      .join(p1.select(col("node"), col("label").as("_p")), Seq("node"))
+      .groupBy(col("_r")).agg(countDistinct(col("_p")).as("np"))
+      .filter(col("np") > 1).count()
+    assert(crossed == 0, "refined community spans phase-1 communities at corpus scale")
+    // final Q within the family's quality band: >= plain labelprop's
+    val qLe = Similarity.modularity(mut, a.toDF("node", "label")).head().getDouble(0)
+    val qLpa = Similarity.modularity(mut,
+      Similarity.labelPropagate(mut, rounds = 10)
+        .select(col("node"), col("label"))).head().getDouble(0)
+    assert(qLe >= qLpa - 1e-9, s"Q(leiden_full)=$qLe < Q(lpa)=$qLpa")
+  }
+
   test("graph_louvain_full: deterministic, one label per node, Q >= labelprop's on same edges") {
     // the rows-only full-corpus Louvain (IVF edges aren't SQL): pin the
     // invariants the oracle can't, matching graph_labelprop_full's
