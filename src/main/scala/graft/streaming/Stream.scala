@@ -564,32 +564,23 @@ object Stream {
     spark.table(qn)
   }
 
-  /** The literal-model per-record BM25 scoring columns shared by S24
-    * (stream_bm25) and S25 (stream_hybrid_rrf): one split + |terms|
-    * codegen'd array filters + the same decimal(38,0) floor divisions
-    * the batch kw pool runs — so every stream score is BIT-EQUAL to the
-    * batch `_kw` for the same document. Returns (doc_id, bm25_micro). */
+  /** The literal-model per-record BM25 scoring column shared by S24
+    * (stream_bm25) and S25 (stream_hybrid_rrf): since r16 ONE call of
+    * the X14 [[graft.functions.Bm25Score]] kernel — one token walk per
+    * record, all term frequencies counted in that walk, each hit term
+    * one BigInteger floor division. The per-term
+    * `size(filter(_toks, _ === term))` HOF chain this replaces is
+    * CodegenFallback (interpreted + an array allocation per term per
+    * record — the DsirScore/X13 finding, third occurrence); the kernel
+    * is bit-equal to it AND to the batch `_kw` (differential spec +
+    * the stream==batch specs + the shared SQL oracle). Returns
+    * (doc_id, bm25_micro). */
   private def bm25ScoreCols(src: DataFrame, terms: Seq[String],
                             idf: Map[String, Long], n: Long,
-                            tl: Long): DataFrame = {
-    val present = terms.filter(idf.contains)
-    val base = src.select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("_toks"))
-      .withColumn("_len", size(col("_toks")).cast("long"))
-    val withTf = present.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"_tf$i",
-        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
-    }
-    def dec(v: BigInt) = s"CAST('$v' AS DECIMAL(38, 0))"
-    val contribs = present.zipWithIndex.map { case (t, i) =>
-      val a = BigInt(idf(t)) * 44 * BigInt(tl)
-      s"CAST((${dec(a)} * _tf$i) div (${dec(BigInt(20) * tl)} * _tf$i + " +
-        s"${dec(BigInt(6) * tl)} + ${dec(BigInt(18) * n)} * _len) AS BIGINT)"
-    }
-    withTf.selectExpr("doc_id",
-      (if (contribs.isEmpty) "CAST(0 AS BIGINT)" else contribs.mkString(" + ")) +
-        " AS bm25_micro")
-  }
+                            tl: Long): DataFrame =
+    src.select(col("doc_id"),
+      graft.functions.Bm25Score.score(
+        col("text"), terms.filter(idf.contains), idf, n, tl).as("bm25_micro"))
 
   /** S24: streaming BM25 RELEVANCE scoring at the ingest edge — the
     * serving face of the L51 keyword side: each arriving document gets

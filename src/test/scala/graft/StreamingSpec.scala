@@ -267,6 +267,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(expiredUnmatched.nonEmpty && inner.nonEmpty, "both row kinds must occur")
   }
 
+  test("Bm25Score kernel == the HOF filter form (differential, hostile strings)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .trim.split("\\s+").distinct.sorted.take(8).toSeq
+    val (idf, n, tl) =
+      graft.ops.Similarity.bm25Model(docs, "doc_id", "text", terms)
+    val present = terms.filter(idf.contains)
+    // hostile rows: empty, space-only, tab inside (trim keeps it, split
+    // sees it), repeated query term, trailing whitespace, leading newline
+    val hostile = Seq("", " ", "a\tb", present.headOption.getOrElse("z"),
+      present.take(2).mkString(" ") + " " + present.headOption.getOrElse("z"),
+      "x  y ", "\n" + present.headOption.getOrElse("z"))
+      .zipWithIndex.map { case (t, i) => (900000L + i, t) }
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(hostile)
+    // reference: the pre-X14 per-term HOF filter chain, verbatim
+    val base = all.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("_toks"))
+      .withColumn("_len", size(col("_toks")).cast("long"))
+    val withTf = present.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"_tf$i",
+        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
+    }
+    def dec(v: BigInt) = s"CAST('$v' AS DECIMAL(38, 0))"
+    val contribs = present.zipWithIndex.map { case (t, i) =>
+      val a = BigInt(idf(t)) * 44 * BigInt(tl)
+      s"CAST((${dec(a)} * _tf$i) div (${dec(BigInt(20) * tl)} * _tf$i + " +
+        s"${dec(BigInt(6) * tl)} + ${dec(BigInt(18) * n)} * _len) AS BIGINT)"
+    }
+    val ref = withTf.selectExpr("doc_id",
+      (if (contribs.isEmpty) "CAST(0 AS BIGINT)" else contribs.mkString(" + ")) +
+        " AS r")
+    val ker = all.select(col("doc_id"),
+      graft.functions.Bm25Score.score(col("text"), present, idf, n, tl).as("k"))
+    val bad = ker.join(ref, "doc_id").filter(col("k") =!= col("r")).collect()
+    assert(bad.isEmpty, s"kernel diverged on: ${bad.take(3).mkString("; ")}")
+  }
+
   test("streaming hybrid RRF == the batch fused ranking, bit-equal (S25)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf)
