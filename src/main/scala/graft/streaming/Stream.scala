@@ -377,17 +377,17 @@ object Stream {
       .collect().map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-    val m = typedlit(lm)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
-    val toks = split(trim(col("text")), "\\s+")
-    val s = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
-    val n = aggregate(toks, lit(0L),
-      (acc, t) => acc + when(element_at(m, t).isNotNull, lit(1L)).otherwise(lit(0L)))
+    // X15 kernel: sum-over-hits + hit count in ONE token walk per record
+    // (the aggregate/element_at lambda pair this replaces is
+    // CodegenFallback — measured 86 s at the sf10 gate, interpreted);
+    // the two element_at consumers share the one call via projection
+    // subexpression elimination
+    val sc = graft.functions.TokenScore.nllSumCount(col("text"), lm)
     val scored = src
       .select(col("doc_id"), graft.ops.TextOps.langIdCol(col("text")).as("lang"),
-        s.as("_s"), n.as("_n"))
+        element_at(sc, 1).as("_s"), element_at(sc, 2).as("_n"))
       .filter(col("_n") > 0)
       .select(col("doc_id"), col("lang"), expr("_s div _n").as("nll_micro"))
     val bucket = cuts.foldLeft(lit("tail")) { case (acc, (lang, t1, t2)) =>
@@ -544,12 +544,14 @@ object Stream {
       "doc_id", "text", "lang", vocabCap = Int.MaxValue)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
-    val toks = split(trim(col("text")), "\\s+")
-    val scored = model.map { case (label, prior, fb, costs) =>
-      val m = typedLit(costs)
-      struct(
-        (lit(prior) + aggregate(toks, lit(0L),
-          (acc, t) => acc + coalesce(element_at(m, t), lit(fb)))).as("s"),
+    // X15 kernel: all per-label cost sums in ONE token walk per record
+    // (the per-label aggregate/element_at lambdas this replaces are
+    // CodegenFallback — measured 92 s at the sf10 gate, interpreted);
+    // priors stay outside, added per label on the shared array
+    val costs = graft.functions.TokenScore.nbCosts(col("text"),
+      model.map(_._4), model.map(_._3))
+    val scored = model.zipWithIndex.map { case ((label, prior, _, _), i) =>
+      struct((lit(prior) + element_at(costs, i + 1)).as("s"),
         lit(label).as("l"))
     }
     val best = least(scored: _*)
