@@ -363,6 +363,10 @@ object SparkEntry {
     "q60_large_orders" -> Relational.q60LargeOrders _,
     // R64: dominant suppliers by integer share test (Q20 flavor)
     "q61_dominant_suppliers" -> Relational.q61DominantSuppliers _,
+    // R65: urgent-vs-low line counts by return class (Q12 flavor)
+    "q62_ship_priority" -> Relational.q62ShipPriority _,
+    // R66: bucketed point-in-interval range join (click→purchase attribution)
+    "q63_range_join" -> ((s, d) => Relational.q63RangeJoin(s, d)),
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -415,6 +419,14 @@ object SparkEntry {
     // runs with no Exchange above the scans (asserted in ZMatrixSpec).
     "arr_add_matrices" -> ((s, d) => {
       val m = bucketedMat(s, d); (m + (m * 2.0)).cells
+    }),
+    // A53: np.where(X > 25, X, Y) where Y is X rolled one column — the
+    // two footprints genuinely differ on both sides, so this exercises
+    // the full-outer union combine (zipOuter), not the aligned inner zip
+    "arr_where" -> ((s, d) => {
+      val m = bucketedMat(s, d)
+      val rolled = ZMatrix(m.cells.select(col("i"), (col("j") + 1).as("j"), col("v")))
+      m.where(rolled)(_ > 25).cells
     }),
     "arr_mask_count" -> ((s, d) =>
       mat(s, d).gt(25).cells.groupBy(col("i"))
@@ -1307,6 +1319,20 @@ object SparkEntry {
           Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), rounds = 10)
         .select(col("node").cast("long").as("node"), col("rank_e12"))
     }),
+    // L6r: eigenvector centrality — fixed-point power iteration with
+    // per-round max-normalization, all BIGINT floor arithmetic; the
+    // unrolled oracle walks the identical integers
+    "graph_eigen" -> ((s, d) => {
+      Similarity.eigenCentrality(
+          Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w"), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("ev_e12"))
+    }),
+    // L6r corpus twin: the same exact-integer iteration over the IVF
+    // mutual edge set (generated literal-model oracle)
+    "graph_eigen_full" -> ((s, d) => {
+      Similarity.eigenCentrality(ivfMutualEdges(s, d), rounds = 10)
+        .select(col("node").cast("long").as("node"), col("ev_e12"))
+    }),
     // personalized PageRank: the 15% teleport restarts at seeds {0..3}
     // (random walk with restart — the graph recommender's ranking);
     // same fixed-point integer contract, seed CASE mirrored in the
@@ -1925,6 +1951,10 @@ object SparkEntry {
     // bucket model as a map literal, per-row exact-integer fold;
     // bit-equal to batch sample_dsir scores, so the oracle is shared
     "stream_dsir" -> ((s, d) => Stream.dsirStream(s, d)),
+    // S26: composed curation admission at the ingest edge — the L19
+    // quality ∧ repetition ∧ langid ∧ mix gate, all stateless per-record
+    // kernels; bit-equal to the batch pipeline's pre-dedup stage
+    "stream_curate" -> ((s, d) => Stream.curateStream(s, d, mixRates)),
     // S21: perplexity-tercile admission at the ingest edge — batch cut
     // VALUES applied statelessly per row (the CCNet edge contract)
     "stream_ppl_filter" -> ((s, d) => Stream.pplFilterStream(s, d)),
@@ -2331,6 +2361,7 @@ object SparkEntry {
         "graph_louvain_ml_full" -> graphLouvainMlSqlFrom(p),
         "graph_leiden_full" -> graphLeidenSqlFrom(p),
         "graph_pagerank_full" -> graphPagerankSqlFrom(p),
+        "graph_eigen_full" -> graphEigenSqlFrom(p),
         "graph_ppr_full" -> graphPprSqlFrom(p),
         "graph_spectral_full" -> graphSpectralSqlFrom(p),
         "graph_triangles_full" -> (p + ",\n" + graphTrianglesBody),
@@ -2945,6 +2976,30 @@ object SparkEntry {
 
   private val graphPagerankSql: String = graphPagerankSqlFrom(graphEdgesSqlPrefix)
 
+  /** [[graphEdgesSqlPrefix]] + the eigenvector power iteration unrolled:
+    * per round one HUGEINT matvec over the ≥1-clamped weights and the
+    * exact renormalization  x' = y // max(1, max(y) // SCALE) — the
+    * identical BIGINT floors [[Similarity.eigenCentrality]] takes, so
+    * the two engines walk the same integers round for round. */
+  private def graphEigenSqlFrom(prefix: String): String = {
+    val rounds = 10
+    val scale = "1000000000000"
+    val body = (1 to rounds).map { i =>
+      s"""ey$i AS (SELECT e.src AS node,
+         |  SUM(CAST(GREATEST(e.w, 1) AS HUGEINT) * x.x) AS y
+         |  FROM edges e JOIN ex${i - 1} x ON x.node = e.dst GROUP BY 1),
+         |eq$i AS (SELECT GREATEST(max(y) // $scale, 1) AS q FROM ey$i),
+         |ex$i AS MATERIALIZED (SELECT node, CAST(y // q AS BIGINT) AS x
+         |  FROM ey$i CROSS JOIN eq$i)""".stripMargin
+    }.mkString(",\n")
+    prefix + ",\n" +
+      s"ex0 AS (SELECT DISTINCT src AS node, CAST($scale AS BIGINT) AS x FROM edges)" +
+      ",\n" + body +
+      s"\nSELECT node, x AS ev_e12 FROM ex$rounds"
+  }
+
+  private val graphEigenSql: String = graphEigenSqlFrom(graphEdgesSqlPrefix)
+
   /** [[graphEdgesSqlPrefix]] + the spectral power iteration unrolled —
     * per iteration one hugeint matvec, the exact deflation/norm
     * aggregates, and the correctly-rounded double rescale, exactly the
@@ -3319,6 +3374,7 @@ object SparkEntry {
     "graph_louvain_ml" -> graphLouvainMlSql,
     "graph_leiden" -> graphLeidenSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_eigen" -> graphEigenSql,
     "graph_ppr" -> graphPprSql,
     "dedup_simhash" ->
       s"WITH ${simhashFpCtes()} SELECT doc_id, simhash FROM fp",
@@ -3897,6 +3953,16 @@ object SparkEntry {
          |        AND d.doc_id IN (SELECT doc_id FROM ke))
          |SELECT doc_id, source AS group_key, quality FROM f
          |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
+    // S26 twin: the batch curation SQL minus the keeper semi-join (the
+    // dedup leg is the stateful S4/S9 admission family, not this gate)
+    "stream_curate" ->
+      s"""WITH q AS ($qualitySql), rep AS (${repetitionSql(0.6, 0.2)}), g AS ($langidSql),
+         |f AS (SELECT d.doc_id, d.source, q.quality
+         |      FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+         |                       JOIN g USING (doc_id)
+         |      WHERE q.quality >= 0.3 AND rep.keep AND g.pred_lang <> 'und')
+         |SELECT doc_id, source AS group_key, quality FROM f
+         |WHERE ${mixPredicateSql("doc_id", "source")}""".stripMargin,
     "pipeline_curate_obs" ->
       s"""WITH q AS ($qualitySql), rep AS (${repetitionSql(0.6, 0.2)}), g AS ($langidSql),
          |ke AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -4195,6 +4261,24 @@ object SparkEntry {
         |  WHERE supp_qty * 2 > part_qty GROUP BY 1)
         |SELECT s_suppkey, s_name, n_parts_dominated
         |FROM dom JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q63_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        | CAST(count(p.p_ts) AS BIGINT) AS n_purchases,
+        | CAST(COALESCE(sum(p.cents), 0) AS BIGINT) AS purchase_cents
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 2 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    "q62_ship_priority" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -4285,6 +4369,14 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, count(*) FILTER (WHERE v > 25) AS n_hot FROM m GROUP BY 1""".stripMargin,
+    "arr_where" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT i, j + 1 AS j, v FROM m),
+        |u AS (SELECT COALESCE(a.i, b.i) AS i, COALESCE(a.j, b.j) AS j,
+        |        COALESCE(a.v, 0) AS av, COALESCE(b.v, 0) AS bv
+        |      FROM m a FULL JOIN b ON a.i = b.i AND a.j = b.j)
+        |SELECT i, j, CASE WHEN av > 25 THEN av ELSE bv END AS v FROM u""".stripMargin,
     "arr_agg_axis0" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -75,6 +75,28 @@ final case class ZMatrix(cells: DataFrame) {
   def +(other: ZMatrix): ZMatrix = zip(other)(_ + _)
   def *(other: ZMatrix): ZMatrix = zip(other)(_ * _)
 
+  /** Elementwise combine at the UNION footprint (numpy dense semantics
+    * with the sparse zero-fill convention): full-outer join on (i, j),
+    * each missing side reads as 0.0. The inner [[zip]] is the right tool
+    * when both operands share a footprint (the A5 stored-cells contract);
+    * this one is required the moment an op mixes footprints — np.where,
+    * X − Y with different sparsity, masked assignment. Same single
+    * (i, j) shuffle shape as zip; bucketed storage co-locates it. */
+  def zipOuter(other: ZMatrix)(f: (Column, Column) => Column): ZMatrix = {
+    val l = cells.as("l"); val r = other.cells.as("r")
+    ZMatrix(l.join(r, col("l.i") === col("r.i") && col("l.j") === col("r.j"), "full_outer")
+      .select(coalesce(col("l.i"), col("r.i")).as("i"),
+              coalesce(col("l.j"), col("r.j")).as("j"),
+              f(coalesce(col("l.v"), lit(0.0)), coalesce(col("r.v"), lit(0.0))).as("v")))
+  }
+
+  /** A53: np.where(cond(X), X, Y) — the ternary select, at the union
+    * footprint (cells where BOTH sides are absent are dense zeros either
+    * way and stay unstored). cond sees the zero-filled X value, exactly
+    * numpy's elementwise broadcast of the condition. */
+  def where(other: ZMatrix)(cond: Column => Column): ZMatrix =
+    zipOuter(other)((a, b) => when(cond(a), a).otherwise(b))
+
   /** NumPy row-vector broadcasting: `X op vec[j]`. The vector (one row per
     * column of X) is broadcast — never a shuffle on X. */
   def broadcastOverCols(vec: DataFrame)(f: (Column, Column) => Column): ZMatrix =

@@ -1155,6 +1155,67 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
   }
 
+  /** R65/q62: URGENT-vs-LOW line counts by return class (TPC-H Q12
+    * flavor — the one Q-shape the matrix was missing: a fact-fact join
+    * whose AGGREGATE is two conditional counts over the ORDER side's
+    * category, grouped by the LINEITEM side's category; the testdata
+    * schema has no l_shipmode/l_commitdate, so l_returnflag plays the
+    * mode and the ship-year window plays the receipt predicate).
+    * Shape notes: the date window pushes to the lineitem scan; the join
+    * shuffles ONCE on orderkey (both conditional sums ride the same
+    * hash aggregate, map-side partial); counts are exact longs. */
+  def q62ShipPriority(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+                 col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+                 col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** R66/q63: point-in-interval RANGE JOIN (the attribution query: every
+    * click, with the count and cents of the same user's purchases inside
+    * the 2-hour window after it) — the non-equi join shape Spark has no
+    * native operator for. A naive `a JOIN b ON user AND ts BETWEEN …`
+    * plans as BroadcastNestedLoop (or a per-user cross product under
+    * skew); the scale form here is the standard BUCKETED expansion:
+    * each interval explodes to the (windowHours+1) epoch-HOUR buckets it
+    * covers (a constant ≤3 fan-out, not data-sized), each point maps to
+    * its one bucket, and the join becomes a plain (user_id, bucket)
+    * shuffle equi-join + a residual range filter. Every matching pair
+    * appears exactly ONCE (the point owns one bucket) — no dedup pass.
+    * Zero-match clicks are preserved by aggregating matches per click
+    * and left-joining back (both sides keyed on click_id). Money is
+    * exact integer cents. At 100 TB: bucket granularity tracks the
+    * window (hour buckets for hour windows), so per-task match state is
+    * bounded by per-user-per-hour activity, never by user lifetime. */
+  def q63RangeJoin(s: SparkSession, d: String, windowHours: Int = 2): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hour = (t: Column) => floor(t.cast("long") / 3600L)
+    val bucketed = clicks.withColumn("bucket",
+      explode(sequence(hour(col("c_ts")), hour(col("c_ts")) + lit(windowHours.toLong))))
+    val matches = bucketed
+      .join(purchases.withColumn("bucket", hour(col("p_ts"))), Seq("user_id", "bucket"))
+      .filter(col("p_ts") >= col("c_ts") &&
+              col("p_ts") < col("c_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("purchase_cents"))
+    clicks.join(matches, Seq("click_id"), "left_outer")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -1388,6 +1388,66 @@ object Similarity {
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
 
+  /** L6r: EIGENVECTOR centrality (Bonacich 1972) — a node is central in
+    * proportion to its neighbors' centrality; on the mutual-kNN graph it
+    * surfaces the densest similarity neighborhoods (contrast PageRank's
+    * degree-divided walk mass, which flattens hubs). Power iteration in
+    * EXACT fixed-point integers so the unrolled DuckDB oracle matches
+    * hash-exactly: weights clamp to ≥1 (Perron–Frobenius positivity —
+    * 4dp-cos weights are positive on any real mutual edge set; the clamp
+    * makes the contract total), scores live in 1e-12 units of the
+    * max-normalized principal eigenvector, and each round renormalizes
+    * by the BIGINT floor division  x' = y div max(1, max(y) div SCALE)
+    * — both engines walk identical integers. Overflow bound (ANSI-safe):
+    * per-term w·x ≤ 10⁴·2·SCALE = 2e16, so Long sums hold to degree
+    * ~400; mutual-kNN degree is ≤ k. Per round one dst join + one
+    * src-keyed aggregate (the Pregel shape) + ONE 1-row max aggregate
+    * entering via crossJoin (the accepted scalar pattern). Same dual
+    * regime as [[pageRank]]. */
+  def eigenCentrality(mut: DataFrame, rounds: Int = 10,
+                      scale: Long = 1000000000000L,
+                      localEdgeThreshold: Long = 5000000L): DataFrame = {
+    val wPos = greatest(col("w"), lit(1L))
+    val edges = mut
+      .select(col("id1").as("src"), col("id2").as("dst"), wPos.as("w"))
+      .unionByName(mut
+        .select(col("id2").as("src"), col("id1").as("dst"), wPos.as("w")))
+      .localCheckpoint()
+    if (edges.count() <= localEdgeThreshold)
+      return evLocal(mut.sparkSession, edges, rounds, scale)
+    var x = edges.select(col("src").as("node")).distinct()
+      .withColumn("x", lit(scale))
+    for (i <- 1 to rounds) {
+      val y = edges.join(x.select(col("node").as("dst"), col("x")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("w") * col("x")).as("y"))
+      val q = y.agg(max(col("y")).as("_m"))
+        .select(greatest(expr(s"_m div $scale"), lit(1L)).as("_q"))
+      x = y.crossJoin(q)
+        .select(col("src").as("node"), expr("y div _q").as("x"))
+      if (i % 5 == 0 && i < rounds) x = x.localCheckpoint(false)
+    }
+    x.select(col("node"), col("x").as("ev_e12"))
+  }
+
+  /** Driver fast path of [[eigenCentrality]] — identical floor
+    * arithmetic on collected edges (the prLocal precedent), bit-equal
+    * below the edge threshold. */
+  private def evLocal(spark: org.apache.spark.sql.SparkSession,
+                      edgesDf: DataFrame, rounds: Int,
+                      scale: Long): DataFrame = {
+    import spark.implicits._
+    val es = edgesDf.select(col("src"), col("dst"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    var x: Map[Long, Long] = es.map(_._1).distinct.map(_ -> scale).toMap
+    for (_ <- 1 to rounds) {
+      val y = collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (s, d, w) => y(s) = y.getOrElse(s, 0L) + w * x(d) }
+      val q = math.max(y.values.max / scale, 1L)
+      x = y.map { case (n, v) => n -> v / q }.toMap
+    }
+    x.toSeq.sorted.toDF("node", "ev_e12")
+  }
+
   /** L39: c-TF-IDF TOPIC KEYWORDS (the BERTopic reduction, Grootendorst
     * 2022): documents cluster by their embedding's IVF list; each
     * cluster is then described by its top terms under the class-based

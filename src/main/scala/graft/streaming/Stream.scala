@@ -306,6 +306,47 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S26: composed CURATION admission at the ingest edge — the streaming
+    * face of L19's `pipeline_curate` gate (quality ∧ repetition ∧ langid
+    * ∧ mix-rate), i.e. the C4/Gopher-style ingest filter a training-data
+    * pipeline runs BEFORE anything stateful touches a document.
+    * STATELESS by construction: all four rules are pure per-record
+    * columns — the X7 TextStats-derived quality score, the dup-word/
+    * dup-bigram repetition keep, the X6 langid kernel, and the
+    * deterministic md5 mix-rate hash — so every micro-batch is a map and
+    * the admitted set is BIT-EQUAL to the batch pipeline's pre-dedup
+    * stage (shared thresholds, shared kernels, shared hash). The dedup
+    * leg of L19 is deliberately NOT composed here: edge dedup is its own
+    * STATEFUL admission face (S4 watermarked exact, S9 near-dup, S10
+    * perceptual) and chains after this gate as a second writeStream
+    * stage in production. Emits (doc_id, group_key, quality); oracle =
+    * the batch curation SQL minus the keeper semi-join. */
+  def curateStream(spark: SparkSession, sfDir: String,
+                   rates: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val gated = src.select(col("doc_id"), col("source").as("group_key"),
+        graft.ops.TextOps.qualityCol(col("text")).as("quality"),
+        // dup-word cap 0.6: the small-vocabulary corpus rule shared with
+        // the batch pipeline (see pipeline_curate)
+        graft.ops.TextOps.repetitionKeepCol(col("text"), maxDupWord = 0.6).as("_keep"),
+        graft.ops.TextOps.langIdCol(col("text")).as("_lang"))
+      .filter(col("quality") >= 0.3 && col("_keep") && col("_lang") =!= "und" &&
+        graft.ops.Sampling.mixPredicate(col("doc_id"), col("group_key"), rates))
+      .select(col("doc_id"), col("group_key"), col("quality"))
+    val qn = s"stream_curate_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = gated.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** S20: DSIR admission scoring at the INGEST edge — each arriving
     * document gets its importance weight log(p_target/p_raw) under the
     * batch-trained hashed-ngram model ([[graft.ops.Sampling.dsirModel]],

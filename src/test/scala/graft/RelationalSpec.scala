@@ -806,4 +806,55 @@ class RelationalSpec extends AnyFunSuite {
     val q60 = Relational.q60LargeOrders(spark, sf).collect()
     assert(q60.forall(_.getAs[Long]("total_qty") > 250))
   }
+
+  test("q62 ship priority (Q12 flavor): high+low partition every joined line") {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val prio = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderpriority")).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_orderkey"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = lines.groupBy(_._2).view.mapValues { ls =>
+      val hs = ls.count(l => Set("1-URGENT", "2-HIGH")(prio(l._1))).toLong
+      (hs, ls.size.toLong - hs)
+    }.toMap
+    val got = Relational.q62ShipPriority(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))).toMap
+    assert(exp.nonEmpty && got == exp, s"got=$got exp=$exp")
+    // every line in the window is counted exactly once (high XOR low)
+    assert(got.values.map(p => p._1 + p._2).sum == lines.length.toLong)
+  }
+
+  test("q63 range join: bucketed plan matches brute force, no nested-loop join") {
+    // exact microseconds (the engines' internal timestamp unit) — ms-level
+    // getTime would mis-classify same-ms boundary pairs
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.round(r.getDouble(4) * 100)))
+    val clicks = ev.filter(_._4 == "click")
+    val purch = ev.filter(_._4 == "purchase")
+    val winUs = 2L * 3600 * 1000000
+    val exp = clicks.map { c =>
+      val m = purch.filter(p => p._2 == c._2 && p._3 >= c._3 && p._3 < c._3 + winUs)
+      c._1 -> (c._2, m.length.toLong, m.map(_._5).sum)
+    }.toMap
+    val df = Relational.q63RangeJoin(spark, sf)
+    val got = df.collect().map(r => r.getAs[Long]("click_id") ->
+      (r.getAs[Long]("user_id"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("purchase_cents"))).toMap
+    assert(exp.values.exists(_._2 > 0), "degenerate fixture: no click→purchase match")
+    assert(exp.values.exists(_._2 == 0), "degenerate fixture: every click matched")
+    assert(got == exp)
+    // the whole point of the bucketed expansion: a keyed shuffle join, not
+    // a nested-loop/cartesian plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join planned as a nested loop")
+  }
 }

@@ -1269,6 +1269,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total <= scale && total > scale - 100L * n)
   }
 
+  test("eigenCentrality: exact fixed-point recompute; center dominates; dual regime bit-exact") {
+    import spark.implicits._
+    // star 0-{1,2,3} plus tail 3-4: the principal eigenvector puts the
+    // center first, and every value must equal the plain-Scala integer
+    // recompute (same clamp, same matvec, same floor renormalization)
+    val mut = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("id1", "id2", "w")
+    val got = Similarity.eigenCentrality(mut, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L, 4L), 4L -> Seq(3L))
+    val scale = 1000000000000L
+    var x = adj.keys.map(_ -> scale).toMap
+    for (_ <- 1 to 10) {
+      val y = adj.map { case (v, ns) => v -> ns.map(x).sum } // w clamps to 1
+      val q = math.max(y.values.max / scale, 1L)
+      x = y.map { case (v, yv) => v -> yv / q }
+    }
+    assert(got == x, s"got $got want $x")
+    assert(got(0L) > got(1L) && got(0L) > got(4L), "center must dominate")
+    // normalization invariant: max score stays in [scale/2, 2*scale]
+    assert(got.values.max >= scale / 2 && got.values.max <= 2 * scale)
+
+    // dual regime: driver fast path == distributed twin, on the fixture
+    // AND the real shard graph
+    val shard = Similarity.mutualEdgesWeighted(
+      SparkEntry.shardKnnEdges(spark, TestSpark.sf), "w")
+    for (m <- Seq(mut, shard)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(Similarity.eigenCentrality(m, rounds = 10)) ==
+        rows(Similarity.eigenCentrality(m, rounds = 10, localEdgeThreshold = 0)),
+        "eigenCentrality fast path diverged")
+    }
+  }
+
   test("triangleCounts: planted K4 + pendant path; hub star has zero triangles") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)

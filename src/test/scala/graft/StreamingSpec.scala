@@ -505,6 +505,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
+  test("curateStream: composed stateless gate equals the batch pre-dedup stage bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val rates = (10 to 19).map(i => s"src$i" -> 0.25).toMap
+    val streamed = Stream.curateStream(spark, TestSpark.sf, rates)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // the batch pipeline minus the keeper semi-join (edge dedup is the
+    // S4/S9 stateful family, not this gate)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val batch = docs.select(col("doc_id"), col("source").as("group_key"),
+        graft.ops.TextOps.qualityCol(col("text")).as("quality"),
+        graft.ops.TextOps.repetitionKeepCol(col("text"), maxDupWord = 0.6).as("_keep"),
+        graft.ops.TextOps.langIdCol(col("text")).as("_lang"))
+      .filter(col("quality") >= 0.3 && col("_keep") && col("_lang") =!= "und" &&
+        graft.ops.Sampling.mixPredicate(col("doc_id"), col("group_key"), rates))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(streamed == batch, "stream gate must equal the batch gate bit-for-bit")
+    assert(streamed.nonEmpty, "degenerate fixture: gate admitted nothing")
+    assert(streamed.size < Tables.documents(spark, TestSpark.sf).count(),
+      "degenerate fixture: gate rejected nothing")
+  }
+
   test("fuzzyAdmissionStream: per-arrival best match equals the batch argmin; masters self-resolve") {
     val streamed = Stream.fuzzyAdmissionStream(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap

@@ -184,6 +184,26 @@ class ZMatrixSpec extends AnyFunSuite {
     for (i <- 0 until 4; j <- 0 until 3) assert(got(i)(j) == 3 * dense(i)(j))
   }
 
+  test("where/zipOuter: union footprint, numpy ternary with zero fill") {
+    import org.apache.spark.sql.functions.col
+    // Y = X rolled one column right — footprints differ on both sides:
+    // (i, 0) exists only in X, (i, 3) only in Y
+    val rolled = ZMatrix(m.cells.select(col("i"), (col("j") + 1).as("j"), col("v")))
+    val got = ZLocal.toDense(m.where(rolled)(_ > 4.0), 4, 4)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val a = if (j < 3) dense(i)(j) else 0.0
+      val b = if (j >= 1) dense(i)(j - 1) else 0.0
+      assert(got(i)(j) == (if (a > 4.0) a else b), s"($i,$j)")
+    }
+    // zipOuter subtraction at mixed footprints: X − rolled(X)
+    val diff = ZLocal.toDense(m.zipOuter(rolled)(_ - _), 4, 4)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val a = if (j < 3) dense(i)(j) else 0.0
+      val b = if (j >= 1) dense(i)(j - 1) else 0.0
+      assert(diff(i)(j) == a - b, s"($i,$j)")
+    }
+  }
+
   test("row-vector broadcasting (center columns)") {
     val centered = m.broadcastOverCols(m.meanAxis0)((v, mv) => v - mv)
     val got = ZLocal.toDense(centered, 4, 3)
