@@ -672,6 +672,25 @@ object SparkEntry {
         bandRows = math.min(1024L, rows))
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
+    // Z32: zarr-python append(x, axis=0) — the store is built from a
+    // deliberately UNALIGNED prefix (odd row count), so the append
+    // read-modify-writes the ragged boundary chunk exactly like
+    // zarr-python re-encodes its last chunk; the read-back must equal
+    // the full matrix (same oracle as the roundtrip)
+    "zarr_append" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val split = math.max(1L, (rows * 2 / 3) | 1L)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrap_$sfName"
+      Zarr.write(graft.array.ZMatrix(m.cells.filter(col("i") < split)),
+        path, split, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      val block = graft.array.ZMatrix(m.cells.filter(col("i") >= split)
+        .select((col("i") - split).as("i"), col("j"), col("v")))
+      Zarr.appendRows(block, path, rows - split)
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
     // the roundtrip through BLOSC(lz4, byte-shuffle) frames — zarr-python's
     // v2 DEFAULT compressor, i.e. the wire format most real community
     // anndata/zarr stores are written in. Same cells, same oracle; the
@@ -3709,6 +3728,12 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CASE WHEN i < 1024 THEN v + 1000 ELSE v END AS v FROM m""".stripMargin,
+    // append reassembles the full matrix (prefix store + appended block),
+    // so the oracle is the roundtrip identity
+    "zarr_append" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT i, j, v FROM m WHERE v <> 0""".stripMargin,
     "q53_capped_balance" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CAST(round(value * 100) AS BIGINT) *

@@ -1014,9 +1014,28 @@ object Zarr {
   }
 
   private[graft] def writeMetaFile(path: String, m: Meta): Unit =
-    if (m.format == 3)
-      writeBytes(s"$path/zarr.json", metaJsonV3(m).getBytes("UTF-8"))
-    else
+    if (m.format == 3) {
+      // APPEND onto an attributed v3 array must not drop its inline
+      // `attributes` (v2 keeps them naturally — .zattrs is a separate
+      // object this rewrite never touches; overwrite truncates the store
+      // first, so a fresh write still starts attribute-free)
+      val f = s"$path/zarr.json"
+      val fresh = metaJsonV3(m)
+      val out =
+        if (!exists(f)) fresh
+        else {
+          val attrs = mapper.readTree(new String(readBytes(f), "UTF-8"))
+            .path("attributes")
+          if (!attrs.isObject || attrs.isEmpty) fresh
+          else {
+            val doc = mapper.readTree(fresh)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            doc.set[com.fasterxml.jackson.databind.JsonNode]("attributes", attrs)
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc)
+          }
+        }
+      writeBytes(f, out.getBytes("UTF-8"))
+    } else
       writeBytes(s"$path/.zarray", metaJson(m).getBytes("UTF-8"))
 
   /** The key layout we WRITE for each format (see [[Meta.keyEnc]]). */
@@ -1186,6 +1205,84 @@ object Zarr {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
         chunkPath(path, ci, cj, meta.keyEnc)))
     }
+  }
+
+  /** Z32: zarr-python `append(x, axis=0)` — GROW an existing 2-D store by
+    * `newRows` rows whose cells arrive in BLOCK-LOCAL coordinates (row 0
+    * = the first appended row). This is the batch face of incremental
+    * array growth (S7's streaming ingest is the time-banded face): the
+    * zappy/anndata on-disk concat, `ad.concat` writing onto an existing
+    * store.
+    *
+    * Semantics match zarr-python exactly: if the old row count is not
+    * chunk-aligned, the ragged BOUNDARY chunk is read-modify-written —
+    * its existing rows are read back (chunk-pruned: one chunk row-band,
+    * never the store) and re-encoded together with the first appended
+    * rows; all chunks strictly below the boundary are never opened, so
+    * cost is proportional to the appended block. Shape metadata grows
+    * FIRST (edited in place — attrs/dimension_names untouched), then the
+    * band publishes through the DSv2 append path (geometry revalidated
+    * against the grown metadata, atomic per-chunk rename). A reader in
+    * the window between the two steps sees fill for not-yet-written tail
+    * chunks — the missing-chunk contract, the same non-atomic window
+    * zarr-python's own append has. */
+  def appendRows(m: ZMatrix, path: String, newRows: Long): Unit = {
+    val meta = readMeta(path)
+    require(!meta.rank1, "appendRows targets 2-D stores")
+    require(newRows > 0, "appendRows needs a non-empty block")
+    val oldRows = meta.rows
+    val newTotal = oldRows + newRows
+    val boundary = oldRows % meta.chunkRows
+    val bandStart = oldRows - boundary
+    val spark = m.cells.sparkSession
+    val shifted = m.cells.select((col("i") + lit(boundary)).as("i"),
+      col("j"), col("v"))
+    val band =
+      if (boundary == 0L) shifted
+      else read(spark, path).cells
+        .filter(col("i") >= bandStart && col("i") < oldRows)
+        .select((col("i") - lit(bandStart)).as("i"), col("j"), col("v"))
+        .unionByName(shifted)
+    growShape(path, newTotal)
+    band.select(
+        ((col("i") + bandStart) / meta.chunkRows).cast("long").as("ci"),
+        (col("j") / meta.chunkCols).cast("long").as("cj"),
+        (col("i") + bandStart).cast("long").as("i"),
+        col("j").cast("long").as("j"), col("v").cast("double").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", meta.chunkRows.toString)
+      .option("chunkCols", meta.chunkCols.toString)
+      .option("rows", newTotal.toString).option("cols", meta.cols.toString)
+      .option("dtype", meta.dtype).option("zlib", meta.zlib.toString)
+      .option("fill", meta.fill.toString)
+      .option("zarrFormat", meta.format.toString)
+      .option("innerRows", meta.innerRows.toString)
+      .option("innerCols", meta.innerCols.toString)
+      .option("fOrder", meta.fOrder.toString).option("comp", meta.comp)
+      .option("keyEnc", meta.keyEnc)
+      .mode("append").save(path)
+  }
+
+  /** Grow shape[0] by editing the store's own metadata document in place
+    * (regenerating from Meta would drop attributes / dimension_names);
+    * consolidated metadata above the node refreshes. */
+  private def growShape(path: String, newRows: Long): Unit = {
+    val file =
+      if (exists(s"$path/zarr.json")) s"$path/zarr.json"
+      else { require(exists(s"$path/.zarray"),
+        s"$path has no local metadata document to grow"); s"$path/.zarray" }
+    val doc = mapper.readTree(new String(readBytes(file), "UTF-8"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val shape = doc.get("shape")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    require(shape != null && shape.size() == 2,
+      s"appendRows targets 2-D stores, shape=$shape")
+    val cols = shape.get(1).asLong()
+    shape.removeAll()
+    shape.add(newRows); shape.add(cols)
+    writeBytes(file,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc).getBytes("UTF-8"))
+    refreshConsolidatedAbove(path)
   }
 
   /** Read a Zarr array (either format) back as coordinate cells (i, j, v)

@@ -21,6 +21,40 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == dense.map(_.toSeq).toSeq)
   }
 
+  test("appendRows: ragged-boundary read-modify-write grows both formats; attrs survive") {
+    val full: Array[Array[Double]] = Array.tabulate(11, 5)((i, j) => i * 100.0 + j + 1)
+    for ((fmt, name) <- Seq((2, "v2"), (3, "v3"))) {
+      val path = s"/root/repo/target/tmp/zarr_test_append_$name"
+      Zarr.delete(path, recursive = true)
+      // 5 rows at chunkRows=4: the last chunk is RAGGED (1 of 4 rows)
+      Zarr.write(ZMatrix.fromDense(spark, full.take(5)), path, 5, 5,
+        chunkRows = 4, chunkCols = 3, format = fmt)
+      Zarr.writeAttrs(path, """{"who": "append-test"}""")
+      // block-local coordinates for the 6 appended rows
+      Zarr.appendRows(ZMatrix.fromDense(spark, full.drop(5)), path, 6)
+      val meta = Zarr.readMeta(path)
+      assert(meta.rows == 11 && meta.cols == 5, s"$name shape must grow to 11x5")
+      val back = ZLocal.toDense(Zarr.read(spark, path), 11, 5)
+      assert(back.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+        s"$name appended store must read back as the full matrix")
+      // the in-place shape edit must not clobber user attributes
+      assert(Zarr.readAttrs(path).path("who").asText() == "append-test",
+        s"$name attrs lost by the shape edit")
+      // chunks strictly below the boundary chunk were never rewritten:
+      // grid is ceil(11/4)=3 chunk rows; boundary chunk row is ci=1
+      val c00 = new java.io.File(Zarr.chunkPath(path, 0, 0, meta.keyEnc))
+      assert(c00.exists, s"$name chunk (0,0) must exist")
+    }
+    // chunk-ALIGNED old row count: no read-modify-write, pure new chunks
+    val path = "/root/repo/target/tmp/zarr_test_append_aligned"
+    Zarr.delete(path, recursive = true)
+    Zarr.write(ZMatrix.fromDense(spark, full.take(8)), path, 8, 5,
+      chunkRows = 4, chunkCols = 3)
+    Zarr.appendRows(ZMatrix.fromDense(spark, full.drop(8)), path, 3)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 11, 5)
+    assert(back.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("zarr v2 roundtrip with zlib compressor") {
     val path = "/root/repo/target/tmp/zarr_test_zlib"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
