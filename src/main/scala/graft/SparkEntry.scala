@@ -432,6 +432,11 @@ object SparkEntry {
       mat(s, d).gt(25).cells.groupBy(col("i"))
         .agg(count(when(col("v") === 1.0, 1)).as("n_hot"))),
     "arr_agg_axis0" -> ((s, d) => mat(s, d).aggAxis0),
+    // A54: nan-aware reductions — NaN injected deterministically
+    // (v == 25), then nansum/nanmean/counts per column
+    "arr_nan_agg" -> ((s, d) =>
+      mat(s, d).mapValues(v =>
+        when(v === 25.0, lit(Double.NaN)).otherwise(v)).nanAggAxis0),
     "arr_median_axis0" -> ((s, d) => mat(s, d).medianAxis0),
     // numpy quantile(axis=0): quartiles of every column from ONE
     // sort-per-group aggregate (percentile's array form)
@@ -1771,6 +1776,11 @@ object SparkEntry {
     // on small/skewed strata); md5-ranked inside the stratum
     "sample_split_stratified" -> ((s, d) =>
       Sampling.stratifiedSplit(Tables.documents(s, d), "source", "doc_id")),
+    // L60: token-budget corpus selection — prefix-cut greedy in quality-
+    // band order; global running sum via two-level slab prefix sums
+    "sample_budget" -> ((s, d) =>
+      Sampling.budgetSelect(Tables.documents(s, d), "doc_id", "text",
+        budgetTokens = 5000L)),
     // L56: JSONL export/ingest roundtrip — the interchange format LLM
     // corpora ship in: write the documents table as JSON lines (escaping
     // and all), read it back with the EXPLICIT schema (no inference
@@ -4027,6 +4037,21 @@ object SparkEntry {
         |FROM r""".stripMargin,
     "pipeline_jsonl_roundtrip" ->
       "SELECT doc_id, source, lang, text FROM documents",
+    // prefix-cut budget selection: ONE running-sum window in the oracle;
+    // the Spark side's two-level slab sums must land on identical
+    // cumulative positions (same order keys, same integer tokens)
+    "sample_budget" ->
+      s"""WITH q AS ($qualitySql),
+         |tq AS (SELECT d.doc_id,
+         |    CAST(floor(q.quality * 1000) AS BIGINT) AS band,
+         |    CAST(length(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS tokens,
+         |    ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+         |  FROM documents d JOIN q USING (doc_id)),
+         |w AS (SELECT doc_id, band, tokens,
+         |    sum(tokens) OVER (ORDER BY band DESC, rk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM tq)
+         |SELECT doc_id, band, tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM w WHERE cum <= 5000""".stripMargin,
     // the batch-verbatim BM25 scores (the stream is stateless and the
     // model is batch-fitted, so the streamed scores ARE the batch scores)
     "stream_bm25" ->
@@ -4411,6 +4436,17 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, sum(v) AS sum_v, count(*) AS n FROM m GROUP BY 1""".stripMargin,
+    "arr_nan_agg" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT j, CASE WHEN v = 25 THEN 'NaN'::DOUBLE ELSE v END AS v FROM m)
+        |SELECT j, sum(CASE WHEN isnan(v) THEN 0 ELSE v END) AS nansum,
+        | CAST(count(*) FILTER (WHERE NOT isnan(v)) AS BIGINT) AS n_ok,
+        | CAST(count(*) FILTER (WHERE isnan(v)) AS BIGINT) AS n_nan,
+        | CASE WHEN count(*) FILTER (WHERE NOT isnan(v)) > 0
+        |   THEN round(sum(CASE WHEN isnan(v) THEN 0 ELSE v END)
+        |     / (count(*) FILTER (WHERE NOT isnan(v))), 6) END AS nanmean
+        |FROM n GROUP BY 1""".stripMargin,
     "arr_agg_full" ->
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)

@@ -130,6 +130,25 @@ final case class ZMatrix(cells: DataFrame) {
     cells.groupBy(col("j"))
       .agg((round(sum(col("v") * w) / sum(w), 6) + 0.0).as("v"))
 
+  /** A54: NaN-aware axis-0 reductions (np.nansum / nanmean + the NaN
+    * count) at stored cells: NaN cells leave the numerator AND the
+    * denominator (numpy's nan* contract), and are counted separately so
+    * a consumer sees the missingness it is averaging around. Same ONE
+    * hash-aggregate shape as A7 — isnan is a codegen'd predicate inside
+    * the aggregate, never a separate pre-filter pass. An all-NaN column
+    * yields NULL mean (numpy warns and returns NaN; NULL is the
+    * relational spelling both engines share). */
+  def nanAggAxis0: DataFrame = {
+    val ok = !isnan(col("v"))
+    cells.groupBy(col("j")).agg(
+        sum(when(ok, col("v")).otherwise(0.0)).as("nansum"),
+        count(when(ok, 1)).as("n_ok"),
+        count(when(!ok, 1)).as("n_nan"))
+      .select(col("j"), col("nansum"), col("n_ok"), col("n_nan"),
+        when(col("n_ok") > 0, round(col("nansum") / col("n_ok"), 6))
+          .as("nanmean"))
+  }
+
   def sumAxis0: DataFrame = cells.groupBy(col("j")).agg(sum(col("v")).as("v"))
   def meanAxis0: DataFrame = cells.groupBy(col("j")).agg((sum(col("v")) / count(lit(1))).as("v"))
   def minAxis0: DataFrame = cells.groupBy(col("j")).agg(min(col("v")).as("v"))

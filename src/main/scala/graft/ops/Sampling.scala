@@ -152,6 +152,44 @@ object Sampling {
     * hottest stratum; the single-task fact-scale sort this replaces never
     * appears. The DuckDB twin stays the plain per-stratum row_number
     * (the two-level rank is exactly equal to it). */
+  /** L60: token-BUDGET corpus selection — "fill the training budget with
+    * the best documents first", the C4/Pile practice of truncating the
+    * quality-ordered corpus at a token budget (prefix cut, NOT a
+    * knapsack: the first document that would overflow the budget is cut
+    * and so is everything after it in the order). Admission order is
+    * (quality band DESC, md5 shuffle key, doc_id): quality is QUANTIZED
+    * to 1e-3 bands — greedy at the knob's own resolution; within a band
+    * the deterministic shuffle — which is exactly what makes the GLOBAL
+    * running token sum computable without a single-task global sort.
+    * Two-level prefix SUMS (the L29/L55 slab pattern extended from ranks
+    * to sums): per-(band, hash-slab) token totals → ONE window over that
+    * ≤(1001·256)-row aggregate (the dimension-window precedent) → the
+    * within-slab running sum in slab-sized tasks (≤1/256 of a band even
+    * when one band is the whole corpus). Emits the admitted documents
+    * with band, token count, and cumulative position. */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                   budgetTokens: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        floor(TextOps.qualityCol(col(textCol)) * 1000).cast("long").as("band"),
+        TextOps.nTokens(col(textCol)).cast("long").as("tokens"))
+      .withColumn("_rk", hashKey(col("doc_id")))
+      .withColumn("_b", shiftright(col("_rk"), 52))
+    val slabs = base.groupBy(col("band"), col("_b"))
+      .agg(sum(col("tokens")).as("_ts"))
+    val wOff = Window.orderBy(col("band").desc, col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slabs
+      .withColumn("_off", coalesce(sum(col("_ts")).over(wOff), lit(0L)))
+      .select(col("band"), col("_b"), col("_off"))
+    val wSlab = Window.partitionBy(col("band"), col("_b"))
+      .orderBy(col("_rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("band", "_b"))
+      .withColumn("cum_tokens", col("_off") + sum(col("tokens")).over(wSlab))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("band"), col("tokens"), col("cum_tokens"))
+  }
+
   def stratifiedSplit(docs: DataFrame, groupCol: String, idCol: String,
                       trainPct: Int = 80): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))

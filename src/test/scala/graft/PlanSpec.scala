@@ -340,6 +340,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_budget: running token sum is two-level, never one global sort") {
+    // the L55 lesson applied to SUMS: a cumulative-token window ordered
+    // globally would sort the whole corpus in one task. The fix is the
+    // same slab scheme — every sum window over the FACT rows must
+    // partition by (band, _b); the global offset window runs over the
+    // bands×256 slab aggregate only (dimension-sized).
+    val plan = executedPlan("sample_budget")
+    val specs = "sum\\(tokens[^)]*\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no running token-sum window in:\n$plan")
+    specs.foreach { s =>
+      val partPrefix = s.replaceAll(" (ASC|DESC).*$", "")
+      assert(partPrefix.contains("_b#"),
+        s"running sum spans a whole band in one task (no slab column): ($s)\n$plan")
+    }
+  }
+
   test("text_pmi: unigram vocab table never hint-broadcast (open vocabulary)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
     val df = SparkEntry.queries("text_pmi")(spark, TestSpark.sf)

@@ -45,6 +45,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(r.toSet == again)
   }
 
+  test("budgetSelect: slabbed running sum == one global running-sum window, prefix-cut exact") {
+    // differential vs the naive global window (the thing the slab scheme
+    // replaces): same order keys -> identical admitted set AND identical
+    // cumulative positions; the budget cuts mid-corpus
+    val corpus = docs
+    val budget = 600L
+    val got = Sampling.budgetSelect(corpus, "doc_id", "text", budget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val ref = corpus.select(col("doc_id"),
+        floor(graft.ops.TextOps.qualityCol(col("text")) * 1000).cast("long").as("band"),
+        graft.ops.TextOps.nTokens(col("text")).cast("long").as("tokens"),
+        hk.as("_hk"))
+      .withColumn("cum", sum(col("tokens")).over(
+        Window.orderBy(col("band").desc, col("_hk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("band"), col("tokens"), col("cum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ref.nonEmpty && ref.size < 400, s"degenerate budget: ${ref.size} admitted")
+    assert(got == ref, s"slabbed prefix sum diverged: got=${got.size} ref=${ref.size}")
+    // prefix-cut semantics: total admitted tokens within budget, and the
+    // admitted set is exactly the cum<=budget prefix (no knapsack skips)
+    assert(got.values.map(_._2).sum <= budget)
+  }
+
   test("stratifiedSplit: two-level slab rank == one global stratum rank under 90% skew") {
     // the r16 skew fix's differential: one source owns 90% of rows (the
     // real pretraining shape) — the slabbed rank must reproduce the plain

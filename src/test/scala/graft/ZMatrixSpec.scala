@@ -204,6 +204,24 @@ class ZMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("nanAggAxis0: NaN leaves numerator and denominator, counted apart") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // poison the value 5.0 (column 1 row 1) and the whole column 2
+    val poisoned = ZMatrix(m.cells.select(col("i"), col("j"),
+      when(col("v") === 5.0 || col("j") === 2, lit(Double.NaN))
+        .otherwise(col("v")).as("v")))
+    val got = poisoned.nanAggAxis0.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // col 0: untouched -> plain mean
+    assert(got(0L) == ((12.0, 4L, 0L, Some(3.0))))
+    // col 1: 5.0 became NaN -> mean over {2, 8, 1}
+    assert(got(1L)._2 == 3L && got(1L)._3 == 1L &&
+      got(1L)._4.contains(math.rint(11.0 / 3 * 1e6) / 1e6))
+    // col 2: all NaN -> NULL mean, zero ok-count
+    assert(got(2L) == ((0.0, 0L, 4L, None)))
+  }
+
   test("row-vector broadcasting (center columns)") {
     val centered = m.broadcastOverCols(m.meanAxis0)((v, mv) => v - mv)
     val got = ZLocal.toDense(centered, 4, 3)
