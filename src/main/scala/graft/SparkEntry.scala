@@ -1232,6 +1232,23 @@ object SparkEntry {
     // local-clustering-coefficient numerator): degree-ordered
     // orientation, each triangle enumerated once — oracle-checked
     // end-to-end against the canonical three-way mut self-join
+    // L6t: per-edge link strength (common neighbors, integer Jaccard,
+    // resource-allocation index) — the edge-trust/sparsification signal
+    "graph_jaccard" -> ((s, d) => {
+      Similarity.edgeSimilarity(
+        Similarity.mutualEdgesWeighted(shardKnnEdges(s, d), "w")
+          .localCheckpoint())
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"),
+          col("common_cnt"), col("jaccard_e6"), col("ra_e6"))
+    }),
+    // L6t corpus twin over the IVF mutual edge set (generated oracle)
+    "graph_jaccard_full" -> ((s, d) => {
+      Similarity.edgeSimilarity(ivfMutualEdges(s, d).localCheckpoint())
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"),
+          col("common_cnt"), col("jaccard_e6"), col("ra_e6"))
+    }),
     "graph_triangles" -> ((s, d) => {
       // the edge set feeds degree, orientation AND the closing-edge
       // probe — checkpoint so the kNN scoring lineage runs once
@@ -2260,6 +2277,26 @@ object SparkEntry {
   /** [[graphEdgesSqlPrefix]] + the 10-round label-propagation CTE. */
   private val graphLpaSqlPrefix: String = graphLpaPrefixFrom(graphEdgesSqlPrefix)
 
+  /** Edge-similarity body shared by graph_jaccard and its _full twin:
+    * expects CTEs `mut(id1, id2, w)` and `edges(src, dst, w)`. Floor
+    * divisions mirror [[graft.ops.Similarity.edgeSimilarity]] exactly. */
+  private val graphJaccardBody: String =
+    """jdeg AS (SELECT src AS node, count(*) AS k FROM edges GROUP BY 1),
+      |jcn AS (SELECT m.id1, m.id2, e1.dst AS z
+      |  FROM mut m JOIN edges e1 ON e1.src = m.id1
+      |             JOIN edges e2 ON e2.src = m.id2 AND e2.dst = e1.dst),
+      |jagg AS (SELECT c.id1, c.id2, count(*) AS cc,
+      |    SUM(1000000 // d.k) AS ra
+      |  FROM jcn c JOIN jdeg d ON d.node = c.z GROUP BY 1, 2)
+      |SELECT m.id1, m.id2,
+      |  CAST(COALESCE(a.cc, 0) AS BIGINT) AS common_cnt,
+      |  CAST((COALESCE(a.cc, 0) * 1000000)
+      |    // (du.k + dv.k - COALESCE(a.cc, 0)) AS BIGINT) AS jaccard_e6,
+      |  CAST(COALESCE(a.ra, 0) AS BIGINT) AS ra_e6
+      |FROM mut m JOIN jdeg du ON du.node = m.id1
+      |           JOIN jdeg dv ON dv.node = m.id2
+      |LEFT JOIN jagg a ON a.id1 = m.id1 AND a.id2 = m.id2""".stripMargin
+
   /** Triangle/degree body shared by graph_triangles and its _full twin:
     * expects CTEs `mut(id1, id2, w)` and `edges(src, dst, w)`. */
   private val graphTrianglesBody: String =
@@ -2394,6 +2431,7 @@ object SparkEntry {
         "graph_ppr_full" -> graphPprSqlFrom(p),
         "graph_spectral_full" -> graphSpectralSqlFrom(p),
         "graph_triangles_full" -> (p + ",\n" + graphTrianglesBody),
+        "graph_jaccard_full" -> (p + ",\n" + graphJaccardBody),
         "graph_knn_ivf" ->
           s"""WITH ${ivfBaseCtes(cents)},
              |${ivfCappedCtes(1000, cents(0).length)},
@@ -5409,6 +5447,7 @@ object SparkEntry {
     // triangles enumerated once each from the canonical id1<id2 edge
     // form (a<b<c by construction); per-node count = 3-way unnest
     "graph_triangles" -> (graphEdgesSqlPrefix + ",\n" + graphTrianglesBody),
+    "graph_jaccard" -> (graphEdgesSqlPrefix + ",\n" + graphJaccardBody),
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,

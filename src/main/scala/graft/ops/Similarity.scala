@@ -2116,6 +2116,44 @@ object Similarity {
       .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
+  /** L6t: per-edge LINK-STRENGTH indices — common-neighbor count, exact
+    * integer JACCARD vertex similarity (common·10⁶ // |N(u)∪N(v)|, with
+    * u∈N(v)/v∈N(u) counted in the union — the standard link-prediction
+    * form) and the RESOURCE-ALLOCATION index (Zhou et al. 2009:
+    * Σ_{z∈N(u)∩N(v)} 10⁶ // deg(z) — Adamic–Adar's integer-exact sibling,
+    * no float log). The edge-trust signal a mutual-kNN pipeline prunes
+    * and reweights by (graph sparsification; "is this edge supported by
+    * the neighborhood or a bridge?").
+    *
+    * Shape: common neighbors enumerate through TWO adjacency joins per
+    * mutual pair (cost Σ_edges deg ≈ corpus·k² — k-bounded, never
+    * corpus²); one degree join on z feeds the RA sum; zero-common edges
+    * are preserved by a keyed left join back onto the pair set. All
+    * outputs BIGINT floor arithmetic — hash-exact in the SQL twin over
+    * the same edge prefix. */
+  def edgeSimilarity(mut: DataFrame): DataFrame = {
+    val pairs = mut.select(col("id1"), col("id2"))
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val cn = pairs
+      .join(edges.select(col("src").as("id1"), col("dst").as("_z")), Seq("id1"))
+      .join(edges.select(col("src").as("id2"), col("dst").as("_z")), Seq("id2", "_z"))
+    val agg = cn
+      .join(deg.select(col("node").as("_z"), col("k").as("_kz")), Seq("_z"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("_cc"), sum(expr("1000000 div _kz")).as("_ra"))
+    pairs
+      .join(deg.select(col("node").as("id1"), col("k").as("_ku")), Seq("id1"))
+      .join(deg.select(col("node").as("id2"), col("k").as("_kv")), Seq("id2"))
+      .join(agg, Seq("id1", "id2"), "left_outer")
+      .select(col("id1"), col("id2"),
+        coalesce(col("_cc"), lit(0L)).as("common_cnt"),
+        expr("(coalesce(_cc, 0L) * 1000000) div (_ku + _kv - coalesce(_cc, 0L))")
+          .as("jaccard_e6"),
+        coalesce(col("_ra"), lit(0L)).as("ra_e6"))
+  }
+
   /** k-CORE decomposition (the graph-QC prune scanpy-style pipelines
     * and community pre-filters run): iteratively delete nodes of degree
     * < k until fixpoint — the k-core is the unique maximal subgraph

@@ -1305,6 +1305,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("edgeSimilarity: brute-force Jaccard/RA on K4 + pendant; bridge edge scores zero") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val mut = pairs.map { case (a, b) => (a, b, 10000L) }.toDF("id1", "id2", "w")
+    val adj: Map[Long, Set[Long]] = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = pairs.map { case (u, v) =>
+      val cc = (adj(u) & adj(v)).size.toLong
+      val un = (adj(u) | adj(v)).size.toLong
+      val ra = (adj(u) & adj(v)).toSeq.map(z => 1000000L / adj(z).size).sum
+      (u, v) -> (cc, cc * 1000000L / un, ra)
+    }.toMap
+    val got = Similarity.edgeSimilarity(mut).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+    // the bridge (5,6) has no common neighbor -> all-zero trust signals
+    assert(got((5L, 6L)) == ((0L, 0L, 0L)))
+    // a K4 edge: 2 common of 4 union -> jaccard exactly 0.5e6
+    assert(got((1L, 2L))._2 == 500000L)
+  }
+
   test("triangleCounts: planted K4 + pendant path; hub star has zero triangles") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
