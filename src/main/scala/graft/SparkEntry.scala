@@ -988,6 +988,23 @@ object SparkEntry {
       Zarr.writeVector(sums, path, n, chunk = 8192, format = 3)
       Zarr.readVector(s, path)
     }),
+    // Z33: rank-1 append (the obs-column face of Z32) — unaligned odd
+    // prefix, appended block in block-local coordinates, read-back must
+    // equal the full vector (same oracle as the vector roundtrip)
+    "zarr_vector_append" -> ((s, d) => {
+      val sums = mat(s, d).sumAxis1
+      val n = sums.agg(max(col("i"))).head().getLong(0) + 1
+      val split = math.max(1L, (n * 2 / 3) | 1L)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrva_$sfName"
+      Zarr.writeVector(sums.filter(col("i") < split), path, split,
+        chunk = 8192, format = 3)
+      Zarr.appendVector(
+        sums.filter(col("i") >= split)
+          .select((col("i") - split).as("i"), col("v")),
+        path, n - split)
+      Zarr.readVector(s, path)
+    }),
     // datetime64[ns] rank-1 array (anndata obs time column): event
     // timestamps as epoch NANOS — values ~1.8e18 exceed double's 2^53
     // exact range, so a hash-exact pass proves the typed long path never
@@ -1584,6 +1601,10 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
     "text_vocab" -> ((s, d) => TextOps.vocab(Tables.documents(s, d), "doc_id", "text", minCount = 5)),
+    // L61: per-source OOV rate under the min-count vocabulary (tokenizer
+    // coverage gate) — exact BIGINT masses, one floor-division rate
+    "text_oov" -> ((s, d) =>
+      TextOps.oovReport(Tables.documents(s, d), "doc_id", "text", "source")),
     // CMS-prefiltered exact heavy hitters: the sketch probe (X12) prunes
     // the token shuffle map-side; output provably equals the plain
     // HAVING oracle because CMS never undercounts
@@ -4001,6 +4022,17 @@ object SparkEntry {
         |            FROM documents)
         |SELECT token, count(*) AS n
         |FROM tok GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
+    "text_oov" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |tc AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        |voc AS (SELECT token FROM tok GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT source,
+        | CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+        | CAST((sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) * 1000000)
+        |   // sum(n) AS BIGINT) AS oov_e6
+        |FROM tc LEFT JOIN voc v USING (token) GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |            FROM documents),
@@ -4646,6 +4678,14 @@ object SparkEntry {
     "zarr_datetime_roundtrip" ->
       "SELECT event_id AS i, CAST(epoch_ns(ts) AS BIGINT) AS v FROM events",
     "zarr_vector_roundtrip" ->
+      """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT unnest(generate_series(0,
+        |       (SELECT max(l_orderkey) FROM lineitem)))::BIGINT AS i)
+        |SELECT r.i, coalesce(s.v, 0.0) AS v
+        |FROM r LEFT JOIN s USING (i)""".stripMargin,
+    // Z33 reassembles the full vector — roundtrip identity oracle
+    "zarr_vector_append" ->
       """WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS i, sum(l_quantity) AS v
         |           FROM lineitem GROUP BY 1),
         |r AS (SELECT unnest(generate_series(0,

@@ -227,6 +227,31 @@ object TextOps {
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n") >= minCount)
 
+  /** L61: tokenizer/vocabulary COVERAGE eval — per-source
+    * out-of-vocabulary token rate under the corpus min-count vocabulary
+    * (the go/no-go check before freezing a tokenizer: which sources will
+    * shatter into bytes/UNKs?). Exact integers end to end: token mass
+    * and OOV mass are BIGINT sums, the rate one floor division in 1e-6
+    * units. Shapes for 100 TB: ONE tokenize pass → a (source, token)
+    * hash aggregate (map-side combined — the shuffle carries partial
+    * counts, not documents), then a token-keyed LEFT join against the
+    * vocabulary (open vocabulary — never a forced broadcast, the
+    * text_pmi rule) and a source-sized final aggregate. */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, minCount: Int = 5): DataFrame = {
+    val tok = docs.select(col(groupCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("_n"))
+    val voc = vocab(docs, idCol, textCol, minCount)
+      .select(col("token"), lit(1).as("_in"))
+    tok.join(voc, Seq("token"), "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(when(col("_in").isNull, col("_n")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_e6"))
+  }
+
   /** L26: exact heavy hitters with a Count-Min-sketch pre-filter — the
     * two-pass frequent-items pattern for corpora whose token vocabulary is
     * shuffle-dominating (the 100 TB regime: billions of distinct tokens,

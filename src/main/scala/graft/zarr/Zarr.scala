@@ -1263,9 +1263,46 @@ object Zarr {
       .mode("append").save(path)
   }
 
+  /** Z33: the rank-1 face of [[appendRows]] — `append` on an anndata
+    * obs/var COLUMN (obs grows with X, so the 2-D append alone leaves a
+    * store inconsistent). Same contract: ragged boundary chunk
+    * read-modify-written, shape grown in place (attrs survive), band
+    * published through the DSv2 append path. */
+  def appendVector(vec: DataFrame, path: String, newRows: Long): Unit = {
+    val meta = readMeta(path)
+    require(meta.rank1, "appendVector targets 1-D stores — use appendRows")
+    require(newRows > 0, "appendVector needs a non-empty block")
+    val oldRows = meta.rows
+    val newTotal = oldRows + newRows
+    val boundary = oldRows % meta.chunkRows
+    val bandStart = oldRows - boundary
+    val spark = vec.sparkSession
+    val shifted = vec.select((col("i") + lit(boundary)).as("i"), col("v"))
+    val band =
+      if (boundary == 0L) shifted
+      else readVector(spark, path)
+        .filter(col("i") >= bandStart && col("i") < oldRows)
+        .select((col("i") - lit(bandStart)).as("i"), col("v"))
+        .unionByName(shifted)
+    growShape(path, newTotal)
+    band.select(
+        ((col("i") + bandStart) / meta.chunkRows).cast("long").as("ci"),
+        lit(0L).as("cj"), (col("i") + bandStart).cast("long").as("i"),
+        lit(0L).as("j"), col("v").cast("double").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", meta.chunkRows.toString).option("chunkCols", "1")
+      .option("rows", newTotal.toString).option("cols", "1")
+      .option("dtype", meta.dtype).option("zlib", meta.zlib.toString)
+      .option("fill", meta.fill.toString)
+      .option("zarrFormat", meta.format.toString)
+      .option("rank1", "true").option("comp", meta.comp)
+      .mode("append").save(path)
+  }
+
   /** Grow shape[0] by editing the store's own metadata document in place
     * (regenerating from Meta would drop attributes / dimension_names);
-    * consolidated metadata above the node refreshes. */
+    * consolidated metadata above the node refreshes. Rank-aware: a 1-D
+    * shape stays 1-D. */
   private def growShape(path: String, newRows: Long): Unit = {
     val file =
       if (exists(s"$path/zarr.json")) s"$path/zarr.json"
@@ -1275,11 +1312,11 @@ object Zarr {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val shape = doc.get("shape")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-    require(shape != null && shape.size() == 2,
-      s"appendRows targets 2-D stores, shape=$shape")
-    val cols = shape.get(1).asLong()
+    require(shape != null && (shape.size() == 1 || shape.size() == 2),
+      s"cannot grow shape=$shape")
+    val rest = (1 until shape.size()).map(shape.get(_).asLong())
     shape.removeAll()
-    shape.add(newRows); shape.add(cols)
+    shape.add(newRows); rest.foreach(shape.add)
     writeBytes(file,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc).getBytes("UTF-8"))
     refreshConsolidatedAbove(path)

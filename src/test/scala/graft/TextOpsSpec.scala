@@ -238,6 +238,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v == Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)))) // c, d below min-count
   }
 
+  test("oovReport: per-source OOV mass under the min-count vocab, exact rate") {
+    // vocab (minCount=2): {a, b}; c and d are OOV
+    val df = Seq((1L, "a a b c", "s1"), (2L, "a b d", "s2"), (3L, "a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.oovReport(df, "doc_id", "text", "source", minCount = 2)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // s1: 4 tokens, 1 OOV (c) -> 250000; s2: 4 tokens, 1 OOV (d) -> 250000
+    assert(r == Map("s1" -> ((4L, 1L, 250000L)), "s2" -> ((4L, 1L, 250000L))))
+  }
+
   test("chunk: overlapping windows cover every token, short docs emit one chunk") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
     val r = TextOps.chunk(df, "doc_id", "text", chunkSize = 4, overlap = 1).collect()

@@ -55,6 +55,22 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("appendVector: rank-1 ragged-boundary append, both formats") {
+    import spark.implicits._
+    val full = (0L until 11L).map(i => (i, i * 7.0 + 1))
+    for (fmt <- Seq(2, 3)) {
+      val path = s"/root/repo/target/tmp/zarr_test_vappend_v$fmt"
+      Zarr.delete(path, recursive = true)
+      Zarr.writeVector(full.take(5).toDF("i", "v"), path, 5, chunk = 4, format = fmt)
+      Zarr.appendVector(
+        full.drop(5).map { case (i, v) => (i - 5, v) }.toDF("i", "v"), path, 6)
+      assert(Zarr.readMeta(path).rows == 11)
+      val back = Zarr.readVector(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(back == full.toMap, s"v$fmt vector append mismatch")
+    }
+  }
+
   test("zarr v2 roundtrip with zlib compressor") {
     val path = "/root/repo/target/tmp/zarr_test_zlib"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
