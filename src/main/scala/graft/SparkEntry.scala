@@ -1755,6 +1755,11 @@ object SparkEntry {
     // ratios are same-operand integer divisions (class 2), so 6dp is
     // bit-safe; a never-predicted label has NULL precision (x/0 = NULL
     // in both engines, the rowNormalize precedent)
+    // L62: exact ROC-AUC (Mann–Whitney midranks) for the NB scorer on
+    // the 'en' class — the threshold-free face of the eval family
+    "text_classify_auc" -> ((s, d) =>
+      TextOps.classifierAuc(Tables.documents(s, d), "doc_id", "text",
+        "lang", posLabel = "en")),
     "text_classify_f1" -> ((s, d) => {
       val conf = TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
         .join(Tables.documents(s, d).select(col("doc_id"),
@@ -2176,6 +2181,25 @@ object SparkEntry {
     s"""$nbScorePrefix
        |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS cost_micro
        |FROM fin WHERE rk = 1""".stripMargin
+
+  /** L62 twin: one DESC rank window over the positive-label scores; the
+    * 2·midrank of a tie group is 2·rank() + tiecount − 1, hugeint
+    * accumulation, one integral division — exactly classifierAuc's
+    * integers (whose slab decomposition is output-invariant). */
+  private val textAucSql: String =
+    s"""$nbScorePrefix,
+       |ps AS (SELECT f.doc_id, f.score,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS p
+       |  FROM fin f JOIN documents d USING (doc_id) WHERE f.label = 'en'),
+       |rk2 AS (SELECT p, 2 * rank() OVER (ORDER BY score DESC)
+       |    + count(*) OVER (PARTITION BY score) - 1 AS r2 FROM ps),
+       |ag AS (SELECT CAST(sum(CASE WHEN p = 1 THEN r2 ELSE 0 END) AS HUGEINT) AS r2pos,
+       |    CAST(sum(p) AS HUGEINT) AS np,
+       |    CAST(count(*) - sum(p) AS HUGEINT) AS nn FROM rk2)
+       |SELECT 'en' AS pos_label, CAST(np AS BIGINT) AS n_pos,
+       |  CAST(nn AS BIGINT) AS n_neg,
+       |  CAST(((r2pos - np * (np + 1)) * 1000000) // (2 * np * nn) AS BIGINT) AS auc_e6
+       |FROM ag""".stripMargin
 
   /** [[graft.ops.TextOps.classifierCalibration]]'s twin: the shared NB
     * chain's rk=1/rk=2 rows give (pred, margin); exact-integer 0.1-nat
@@ -5254,6 +5278,7 @@ object SparkEntry {
     // per-label unseen fallback, per-label prior), argmin with the
     // (score, label) tie-break mirrored by ORDER BY score, label
     "text_classify" -> nbClassifySql,
+    "text_classify_auc" -> textAucSql,
     "text_calibration" -> nbCalibrationSql,
     // S17 scores the SAME model statelessly at the ingest edge and is
     // bit-equal to the batch query — one oracle, two execution shapes

@@ -567,6 +567,66 @@ object TextOps {
           + 0.0).as("accuracy"))
   }
 
+  /** L62: classifier ROC-AUC, EXACT (Mann–Whitney U with midrank tie
+    * handling — the threshold-free discrimination metric the F1/kappa/
+    * calibration family still lacked). Score = the NB micro-nat cost of
+    * the POSITIVE label (lower = more positive), so
+    * AUC = P(cost_pos < cost_neg) + ½·P(tie), computed from the
+    * rank-sum over cost-DESCENDING order. Everything is exact integers:
+    * 2·midrank of a tie group = 2·(#rows ranked before it) + m + 1, the
+    * rank-sum accumulates in decimal(38,0) (n² exceeds Long at ~2e9
+    * docs; 38 digits hold it to 1e12), and the final AUC is ONE integral
+    * division in 1e-6 units — hash-exact vs the oracle's window form.
+    *
+    * Scale shape: scores aggregate per VALUE first (the value-distinct
+    * table is ≤ corpus-sized but typically far smaller); the global
+    * rank offset then comes from the budgetSelect two-level scheme with
+    * PERCENTILE-BALANCED slabs — 31 cut values from one exact-percentile
+    * aggregate bound every within-slab window at ~1/32 of the rows
+    * REGARDLESS of the cost distribution (range slabs would skew). The
+    * slab boundaries affect nothing in the output, so they need no
+    * oracle mirror. */
+  def classifierAuc(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, posLabel: String): DataFrame = {
+    val sc = nbScored(docs, idCol, textCol, labelCol)
+      .filter(col("_label") === posLabel)
+      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
+        Seq("doc_id"))
+      .select(col("_score").as("score"),
+        when(col("_actual") === posLabel, 1L).otherwise(0L).as("_p"))
+    val cuts: Seq[Double] = sc
+      .agg(expr("percentile(score, array(" +
+        (1 to 31).map(i => s"${i / 32.0}").mkString(",") + "))"))
+      .head().getSeq[Double](0)
+    // 31 literal comparisons per row, once — the slab id (outputs are
+    // slab-invariant, so approximate balance is all this needs)
+    val bExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("score") >= c, 1).otherwise(0)
+    }
+    val perVal = sc.withColumn("_b", bExpr)
+      .groupBy(col("_b"), col("score"))
+      .agg(count(lit(1)).as("_m"), sum(col("_p")).as("_np"))
+    val slabAgg = perVal.groupBy(col("_b")).agg(sum(col("_m")).as("_bm"))
+    val wOff = Window.orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = slabAgg
+      .withColumn("_off", coalesce(sum(col("_bm")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val wSlab = Window.partitionBy(col("_b")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal.join(broadcast(offs), Seq("_b"))
+      .withColumn("_c", col("_off") + coalesce(sum(col("_m")).over(wSlab), lit(0L)))
+      .agg(
+        sum((col("_np") * (col("_c") * 2 + col("_m") + 1))
+          .cast("decimal(38,0)")).as("_r2pos"),
+        sum(col("_np")).as("_npos"),
+        sum(col("_m") - col("_np")).as("_nneg"))
+      .select(lit(posLabel).as("pos_label"),
+        col("_npos").as("n_pos"), col("_nneg").as("n_neg"),
+        expr("""((_r2pos - CAST(_npos AS DECIMAL(38,0)) * (_npos + 1)) * 1000000)
+                div (2 * CAST(_npos AS DECIMAL(38,0)) * _nneg)""").as("auc_e6"))
+  }
+
   /** Per-source dataset card (the report a curation pipeline publishes with
     * a training mix): doc/token counts, quality mass, language diversity.
     * Composes [[quality]] and [[langId]] relationally (joins on doc_id) and

@@ -238,6 +238,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v == Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)))) // c, d below min-count
   }
 
+  test("classifierAuc: perfect separation -> 1e6, all-tied -> exactly 5e5") {
+    // perfectly separable: 'p' docs are pure x, 'n' docs pure y — the NB
+    // cost of 'p' is strictly lower on every positive
+    val sep = Seq(
+      (1L, "x x x", "p"), (2L, "x x", "p"), (3L, "x x x x", "p"),
+      (4L, "y y y", "n"), (5L, "y y", "n")
+    ).toDF("doc_id", "text", "lang")
+    val a1 = TextOps.classifierAuc(sep, "doc_id", "text", "lang", "p").head()
+    assert(a1.getAs[Long]("n_pos") == 3L && a1.getAs[Long]("n_neg") == 2L)
+    assert(a1.get(3).toString.toDouble == 1000000.0,
+      s"perfect separation must score 1e6: ${a1.get(3)}")
+
+    // every doc identical -> every score ties -> midranks give exactly 1/2
+    val tied = (1L to 6L).map(i => (i, "z z z", if (i <= 3) "p" else "n"))
+      .toDF("doc_id", "text", "lang")
+    val a2 = TextOps.classifierAuc(tied, "doc_id", "text", "lang", "p").head()
+    assert(a2.get(3).toString.toDouble == 500000.0,
+      s"all-tied must score exactly 0.5: ${a2.get(3)}")
+  }
+
   test("oovReport: per-source OOV mass under the min-count vocab, exact rate") {
     // vocab (minCount=2): {a, b}; c and d are OOV
     val df = Seq((1L, "a a b c", "s1"), (2L, "a b d", "s2"), (3L, "a", "s2"))
