@@ -1099,6 +1099,11 @@ object SparkEntry {
     "dedup_jaccard_join" -> ((s, d) =>
       Dedup.jaccardJoin(Tables.documents(s, d), "doc_id", "text",
         minJaccardPct = 50, shingle = 3)),
+    // L63: asymmetric containment join ("A mostly inside B") — exact by
+    // the one-sided prefix filter; threshold 60% of A's shingles
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
+        minContainPct = 60, shingle = 3)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
     // cross-document duplicated 8-gram spans: the per-doc duplicated
     // fraction (filter signal) and the keep-first span removal rewrite
@@ -5133,6 +5138,22 @@ object SparkEntry {
         |FROM pr JOIN sz s1 ON s1.doc_id = pr.id1
         |        JOIN sz s2 ON s2.doc_id = pr.id2
         |WHERE pr.inter * 100 >= 50 * (s1.sz + s2.sz - pr.inter)""".stripMargin,
+    // containment twin: brute-force ordered-pair intersections; the
+    // prefix filter is provably lossless, so the sets must match exactly
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
+        |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b USING (token)
+        |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT pr.id_a, pr.id_b, CAST(pr.inter AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS sz_a
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+        |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
     "dedup_report" ->
       """WITH c AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),

@@ -165,22 +165,27 @@ object Dedup {
     * is a doc-keyed window (doc-sized partitions); the candidate join
     * shuffles prefix tokens only; verification is candidate-bounded.
     * Returns (id1, id2, inter, uni) with id1 < id2. */
-  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-                  minJaccardPct: Int = 50, shingle: Int = 3): DataFrame = {
-    require(minJaccardPct > 0 && minJaccardPct <= 100)
-    // distinct word-k-gram shingle strings per doc (the minhash family's
-    // granularity: unigram sets are degenerate on small vocabularies —
-    // k-gram sets are position-structured and discriminate); docs
-    // shorter than k words have no shingles, generate no pairs, and are
-    // correctly absent
+  /** Distinct word-k-gram shingle set per doc (the minhash family's
+    * granularity: unigram sets are degenerate on small vocabularies —
+    * k-gram sets are position-structured and discriminate); docs shorter
+    * than k words have no shingles, generate no pairs, and are correctly
+    * absent. Shared by the exact Jaccard and containment joins. */
+  private def shingleToks(docs: DataFrame, idCol: String, textCol: String,
+                          shingle: Int): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
-    val toks = docs.select(col(idCol).as("doc_id"), ws.as("_ws"))
+    docs.select(col(idCol).as("doc_id"), ws.as("_ws"))
       .filter(size(col("_ws")) >= shingle)
       .select(col("doc_id"), explode(
         sequence(lit(1), size(col("_ws")) - (shingle - 1))).as("_p"), col("_ws"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("_ws"), col("_p"), lit(shingle))).as("token"))
       .distinct()
+  }
+
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccardPct: Int = 50, shingle: Int = 3): DataFrame = {
+    require(minJaccardPct > 0 && minJaccardPct <= 100)
+    val toks = shingleToks(docs, idCol, textCol, shingle)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
     val ranked = toks.join(freq, Seq("token"))
@@ -206,6 +211,51 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"),
         (col("_s1") + col("_s2") - col("inter")).as("uni"))
       .filter(col("inter") * 100 >= lit(minJaccardPct) * col("uni"))
+  }
+
+  /** L63: exact CONTAINMENT join — the ASYMMETRIC near-dup relation
+    * c(A→B) = |A∩B| / |A| ≥ t over shingle sets: "document A is (mostly)
+    * inside document B" — quote inclusion, boilerplate wrapping, partial
+    * copies, all the cases symmetric Jaccard dilutes away when B is much
+    * larger than A (J = |A|/|B| → 0 while containment = 1). The
+    * RefinedWeb/MassiveText concern exact doc-level dedup misses.
+    *
+    * EXACT by the one-sided prefix filter: if |A∩B| ≥ ⌈t·|A|⌉ then at
+    * least one of A's (|A| − ⌈t·|A|⌉ + 1) globally-RAREST shingles is in
+    * B (pigeonhole) — so candidates are A-prefix tokens probed against
+    * the FULL inverted index (the asymmetric part: B cannot be prefix-
+    * filtered). Candidate mass = Σ_token |prefixA(token)| · docfreq —
+    * bounded because prefixes are deliberately the rarest shingles; the
+    * verify stage is one (pair, token) count against the distinct
+    * shingle sets. At 100 TB the full index is the inverted index the
+    * pipeline already maintains. Returns ordered pairs (id_a contained
+    * in id_b) with exact intersection and |A|. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      minContainPct: Int = 90, shingle: Int = 3): DataFrame = {
+    require(minContainPct > 0 && minContainPct <= 100)
+    val toks = shingleToks(docs, idCol, textCol, shingle)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
+    val prefix = toks.join(freq, Seq("token"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("_f"), col("token"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("_rk") <=
+        col("sz") - expr(s"(sz * $minContainPct + 99) div 100") + 1)
+      .select(col("doc_id"), col("token"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("token"))
+      .join(toks.select(col("doc_id").as("id_b"), col("token")), Seq("token"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("id_a"), col("token")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("token")),
+        Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
   }
 
   /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this

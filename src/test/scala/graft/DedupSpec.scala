@@ -331,6 +331,42 @@ class DedupSpec extends AnyFunSuite {
     assert(hist.values.map(_._2).sum == canon.count())
   }
 
+  test("containmentJoin: equals brute force; catches the subset pair Jaccard misses") {
+    import spark.implicits._
+    def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = rows.map { case (id, t) =>
+        val ws = t.trim.split("\\s+")
+        id -> ws.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        inter = (sa & sb).size.toLong
+        if inter * 100 >= pct * sa.size
+      } yield (a, b, inter, sa.size.toLong)).toSet
+    }
+    val sample = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").limit(150)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val df = sample.toDF("doc_id", "text")
+    for (pct <- Seq(60, 90)) {
+      val got = ops.Dedup.containmentJoin(df, "doc_id", "text", pct, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == refPairs(sample, pct, 3), s"pct=$pct")
+    }
+    // planted quote-inclusion: doc 1 is wholly inside doc 2's larger
+    // body — containment(1→2)=100% while Jaccard is far below 50%
+    val planted = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e p q r s t u v w x y z p2 q2 r2 s2 t2 u2 v2 w2")
+    ).toDF("doc_id", "text")
+    val cont = ops.Dedup.containmentJoin(planted, "doc_id", "text", 90, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)), s"got $cont") // asymmetric: only A-in-B
+    val jac = ops.Dedup.jaccardJoin(planted, "doc_id", "text", 50, 3)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must dilute the subset pair away")
+  }
+
   test("jaccardJoin: equals brute force on the corpus; prefix filter loses nothing") {
     import spark.implicits._
     def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {
