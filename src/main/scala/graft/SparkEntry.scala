@@ -2032,6 +2032,10 @@ object SparkEntry {
     // quality ∧ repetition ∧ langid ∧ mix gate, all stateless per-record
     // kernels; bit-equal to the batch pipeline's pre-dedup stage
     "stream_curate" -> ((s, d) => Stream.curateStream(s, d, mixRates)),
+    // S27: containment admission at the ingest edge — per-micro-batch
+    // containment join vs the corpus inverted index (foreachBatch;
+    // per-pair counts never cross batches, so stream == batch exactly)
+    "stream_containment" -> ((s, d) => Stream.containmentStream(s, d)),
     // S21: perplexity-tercile admission at the ingest edge — batch cut
     // VALUES applied statelessly per row (the CCNet edge contract)
     "stream_ppl_filter" -> ((s, d) => Stream.pplFilterStream(s, d)),
@@ -5141,6 +5145,22 @@ object SparkEntry {
     // containment twin: brute-force ordered-pair intersections; the
     // prefix filter is provably lossless, so the sets must match exactly
     "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
+        |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b USING (token)
+        |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT pr.id_a, pr.id_b, CAST(pr.inter AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS sz_a
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+        |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
+    // S27 shares the batch containment oracle (self-pairs excluded in
+    // both, per-batch aggregates provably equal the global join)
+    "stream_containment" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |           FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -170,8 +170,8 @@ object Dedup {
     * k-gram sets are position-structured and discriminate); docs shorter
     * than k words have no shingles, generate no pairs, and are correctly
     * absent. Shared by the exact Jaccard and containment joins. */
-  private def shingleToks(docs: DataFrame, idCol: String, textCol: String,
-                          shingle: Int): DataFrame = {
+  private[graft] def shingleToks(docs: DataFrame, idCol: String, textCol: String,
+                                 shingle: Int): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
     docs.select(col(idCol).as("doc_id"), ws.as("_ws"))
       .filter(size(col("_ws")) >= shingle)

@@ -485,6 +485,59 @@ object Stream {
     spark.table(qn)
   }
 
+  /** S27: streaming CONTAINMENT admission — the ingest face of L63's
+    * asymmetric join, completing the dedup-admission matrix (exact S4,
+    * near-dup S9, perceptual S10, fuzzy S22): "is this arriving document
+    * mostly INSIDE something the corpus already has?" — the quote/
+    * boilerplate/partial-copy gate doc-level hashes and symmetric
+    * Jaccard both miss at the edge.
+    *
+    * Shape: the static side is the corpus's distinct-shingle INVERTED
+    * INDEX (already the structure the pipeline maintains), planned once
+    * and localCheckpointed; each micro-batch runs the containment join
+    * as a BATCH job in foreachBatch — legitimate here because an
+    * arrival's shingles all travel in its one record, so the per-pair
+    * intersection count NEVER crosses micro-batches and the per-batch
+    * aggregate is bit-equal to the global batch join. No prefix filter
+    * on the arrival side (one doc per record; its candidate set is
+    * already bounded by its own shingles × docfreq); results append to
+    * a parquet sink (the S14 exactly-once shape). Self-pairs are
+    * excluded, so streaming the corpus over its own index reproduces
+    * batch `dedup_containment` exactly — the shared oracle. */
+  def containmentStream(spark: SparkSession, sfDir: String,
+                        minContainPct: Int = 60, shingle: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val raw = schemas.computeIfAbsent(s"$sfDir/documents",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val statToks = graft.ops.Dedup.shingleToks(corpus, "doc_id", "text", shingle)
+      .select(col("doc_id").as("id_b"), col("token"))
+      .localCheckpoint()
+    val src = spark.readStream.schema(raw)
+      .parquet(linkedTableDir(sfDir, sfName, "documents"))
+    val outDir = s"${GraftPaths.tmpRoot}/contain_stream_out_$sfName"
+    graft.zarr.Zarr.delete(outDir, recursive = true) // fresh build each run
+    withStatePartitions(spark, 8) {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val a = graft.ops.Dedup.shingleToks(batch, "doc_id", "text", shingle)
+            .select(col("doc_id").as("id_a"), col("token"))
+            .localCheckpoint() // feeds both the size aggregate and the probe
+          val sz = a.groupBy(col("id_a")).agg(count(lit(1)).as("sz_a"))
+          a.join(statToks, Seq("token"))
+            .filter(col("id_a") =!= col("id_b"))
+            .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+            .join(sz, Seq("id_a"))
+            .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
+            .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+            .write.mode("append").parquet(outDir)
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** S22: streaming FUZZY-MATCH admission (the ingest face of L47's
     * blocked entity-resolution join — the MDM "does this arriving record
     * already exist in the master?" gate): each arriving customer record

@@ -505,6 +505,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
+  test("containmentStream: per-batch containment join equals the batch L63 join exactly") {
+    val streamed = Stream.containmentStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Dedup.containmentJoin(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text",
+        minContainPct = 60, shingle = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}: per-pair counts must never cross batches")
+    assert(streamed.nonEmpty, "degenerate fixture: no containment pairs")
+  }
+
   test("curateStream: composed stateless gate equals the batch pre-dedup stage bit-for-bit") {
     import org.apache.spark.sql.functions.col
     val rates = (10 to 19).map(i => s"src$i" -> 0.25).toMap
