@@ -696,6 +696,19 @@ object SparkEntry {
       Zarr.appendRows(block, path, rows - split)
       Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
     }),
+    // Z34: resize DOWN to a deliberately unaligned (odd) row count — the
+    // truncated rows must read as gone, chunks below survive untouched
+    "zarr_resize" -> ((s, d) => {
+      val m = mat(s, d)
+      val dims = m.cells.agg(max(col("i")), max(col("j"))).head()
+      val (rows, cols) = (dims.getLong(0) + 1, dims.getLong(1) + 1)
+      val split = math.max(1L, (rows * 2 / 3) | 1L)
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrrs_$sfName"
+      Zarr.write(m, path, rows, cols, chunkRows = 1024, chunkCols = cols.toInt)
+      Zarr.resizeRows(path, split)
+      Zarr.read(s, path).cells.filter(col("v") =!= 0.0)
+    }),
     // the roundtrip through BLOSC(lz4, byte-shuffle) frames — zarr-python's
     // v2 DEFAULT compressor, i.e. the wire format most real community
     // anndata/zarr stores are written in. Same cells, same oracle; the
@@ -3830,6 +3843,14 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, CASE WHEN i < 1024 THEN v + 1000 ELSE v END AS v FROM m""".stripMargin,
+    // resize truncates at the same odd split the Scala side computes
+    // ((s0 // 2) * 2 + 1 ≡ s0 | 1 for non-negative s0)
+    "zarr_resize" ->
+      """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
+        |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT max(i) + 1 AS n FROM m),
+        |sp AS (SELECT GREATEST(1, ((n * 2 // 3) // 2) * 2 + 1) AS s FROM n)
+        |SELECT i, j, v FROM m CROSS JOIN sp WHERE i < s AND v <> 0""".stripMargin,
     // append reassembles the full matrix (prefix store + appended block),
     // so the oracle is the roundtrip identity
     "zarr_append" ->

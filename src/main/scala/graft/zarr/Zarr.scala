@@ -1299,6 +1299,32 @@ object Zarr {
       .mode("append").save(path)
   }
 
+  /** Z34: zarr-python `resize` DOWN along axis 0 — the shrink face of
+    * Z32 (growth is [[appendRows]]' job). Matches zarr-python's
+    * semantics exactly: the shape document shrinks in place, chunk files
+    * that fall ENTIRELY outside the new bounds are deleted (each delete
+    * atomic; a missing chunk reads as fill), and a PARTIALLY-surviving
+    * boundary chunk is left as written — its out-of-bounds rows become
+    * unaddressable under the new shape (zarr reads clip to shape), and a
+    * later [[appendRows]] re-encodes that chunk whole, so the stale tail
+    * can never resurface through THIS library (zarr-python itself has
+    * the documented resurface quirk on re-grow; our append closes it). */
+  def resizeRows(path: String, newRows: Long): Unit = {
+    val meta = readMeta(path)
+    require(!meta.rank1, "resizeRows targets 2-D stores")
+    require(newRows > 0 && newRows <= meta.rows,
+      s"resizeRows only shrinks (newRows=$newRows, rows=${meta.rows}); " +
+        "growth is appendRows' job")
+    if (newRows == meta.rows) return
+    growShape(path, newRows)
+    val keep = (newRows + meta.chunkRows - 1) / meta.chunkRows
+    val ciOld = (meta.rows + meta.chunkRows - 1) / meta.chunkRows
+    val cjHi = (meta.cols - 1) / meta.chunkCols
+    for (ci <- keep until ciOld; cj <- 0L to cjHi)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        chunkPath(path, ci, cj, meta.keyEnc)))
+  }
+
   /** Grow shape[0] by editing the store's own metadata document in place
     * (regenerating from Meta would drop attributes / dimension_names);
     * consolidated metadata above the node refreshes. Rank-aware: a 1-D

@@ -55,6 +55,29 @@ class ZarrSpec extends AnyFunSuite {
     assert(back.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("resizeRows: shrink clips reads, deletes out-of-bounds chunks, append re-grows clean") {
+    val full: Array[Array[Double]] = Array.tabulate(11, 5)((i, j) => i * 100.0 + j + 1)
+    val path = "/root/repo/target/tmp/zarr_test_resize"
+    Zarr.delete(path, recursive = true)
+    Zarr.write(ZMatrix.fromDense(spark, full), path, 11, 5, chunkRows = 4, chunkCols = 3)
+    Zarr.resizeRows(path, 6) // boundary chunk ci=1 partially survives
+    assert(Zarr.readMeta(path).rows == 6)
+    val back = ZLocal.toDense(Zarr.read(spark, path), 6, 5)
+    assert(back.map(_.toSeq).toSeq == full.take(6).map(_.toSeq).toSeq)
+    // chunk row ci=2 (rows 8..10) fell fully outside -> files deleted
+    val meta = Zarr.readMeta(path)
+    assert(!new java.io.File(Zarr.chunkPath(path, 2, 0, meta.keyEnc)).exists)
+    assert(new java.io.File(Zarr.chunkPath(path, 1, 0, meta.keyEnc)).exists)
+    // re-grow through appendRows: the boundary chunk re-encodes WHOLE, so
+    // the pre-shrink rows 6..7 must NOT resurface (zarr-python's quirk)
+    val fresh = Array.tabulate(3, 5)((i, j) => 9000.0 + i * 10 + j)
+    Zarr.appendRows(ZMatrix.fromDense(spark, fresh), path, 3)
+    val regrown = ZLocal.toDense(Zarr.read(spark, path), 9, 5)
+    assert(regrown.take(6).map(_.toSeq).toSeq == full.take(6).map(_.toSeq).toSeq)
+    assert(regrown.drop(6).map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "stale pre-shrink rows resurfaced through the re-grow")
+  }
+
   test("appendVector: rank-1 ragged-boundary append, both formats") {
     import spark.implicits._
     val full = (0L until 11L).map(i => (i, i * 7.0 + 1))
