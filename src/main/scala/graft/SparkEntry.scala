@@ -1117,6 +1117,14 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
         minContainPct = 60, shingle = 3)),
+    // L64: per-source dedup savings report (docs/tokens before vs after
+    // canonical dedup) — the epoch-count input a curation run publishes
+    "dedup_savings" -> ((s, d) =>
+      Dedup.savingsReport(Tables.documents(s, d), "doc_id", "text", "source")),
+    // L65: quality-keeper dedup — keep the HIGHEST-quality cluster
+    // member (exact e4-integer argmax, no window)
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.qualityKeeperDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
     // cross-document duplicated 8-gram spans: the per-doc duplicated
     // fraction (filter signal) and the keep-first span removal rewrite
@@ -5179,6 +5187,38 @@ object SparkEntry {
         |  CAST(sa.sz AS BIGINT) AS sz_a
         |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
         |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
+    "dedup_savings" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    length(string_split_regex(trim(text), '\s+')) AS nt,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS canon
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM c WHERE canon <> '' GROUP BY md5(canon))
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+        |  CAST(sum(nt) AS BIGINT) AS tokens_before,
+        |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM k)) AS BIGINT) AS docs_after,
+        |  CAST(COALESCE(sum(nt) FILTER (WHERE doc_id IN (SELECT doc_id FROM k)), 0) AS BIGINT) AS tokens_after
+        |FROM c GROUP BY 1""".stripMargin,
+    // the quality literal rides the shared qualitySql CTE; the keeper
+    // argmax is DuckDB's lexicographic struct min, mirroring the Spark
+    // min(struct(-q, id)) exactly
+    "dedup_keep_best" ->
+      (s"""WITH q AS ($qualitySql),
+        |c AS (SELECT d.doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', '', 'g'),
+        |      '\\s+', ' ', 'g'))) AS h,
+        |    CAST(round(q.quality * 10000) AS BIGINT) AS qe4
+        |  FROM documents d JOIN q USING (doc_id)
+        |  WHERE trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', '', 'g'),
+        |      '\\s+', ' ', 'g')) <> ''),
+        |k AS (SELECT h, count(*) AS n_members,
+        |    min(struct_pack(nq := -qe4, doc_id := doc_id)) AS top
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, k.top.doc_id AS keeper,
+        |  (c.doc_id <> k.top.doc_id) AS is_dup,
+        |  CAST(-k.top.nq AS BIGINT) AS keeper_quality_e4,
+        |  CAST(k.n_members AS BIGINT) AS n_members
+        |FROM c JOIN k USING (h)""".stripMargin),
     // S27 shares the batch containment oracle (self-pairs excluded in
     // both, per-batch aggregates provably equal the global join)
     "stream_containment" ->

@@ -299,6 +299,59 @@ object Dedup {
         (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_members"))
   }
 
+  /** L64: dedup SAVINGS report — per-source documents/tokens BEFORE and
+    * AFTER canonical dedup (the "what did dedup buy us" line every
+    * curation run publishes next to its mix table, and the input to
+    * epoch-count decisions: surviving tokens are what you can train on).
+    * Keeper = [[canonicalDedup]]'s min-id rule; canonical-empty docs
+    * (punctuation-only) count as removed. ONE canonicalization pass
+    * feeds both sides; everything is exact BIGINT token mass. */
+  def savingsReport(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("source"),
+        TextOps.nTokens(col(textCol)).cast("long").as("_nt"))
+      .localCheckpoint()
+    val kept = canonicalDedup(docs, idCol, textCol)
+      .filter(!col("is_dup")).select(col("doc_id"), lit(1).as("_k"))
+    base.join(kept, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("_nt")).as("tokens_before"),
+        count(col("_k")).as("docs_after"),
+        sum(when(col("_k").isNotNull, col("_nt")).otherwise(0L)).as("tokens_after"))
+  }
+
+  /** L65: QUALITY-keeper selection — the production refinement of the
+    * min-id keeper rule: within each canonical-dedup cluster keep the
+    * HIGHEST-quality member (ties → smaller doc_id), the rule real
+    * pipelines use so boilerplate-stripped or better-formatted variants
+    * survive over whichever copy happened to carry the smallest id.
+    * Same one-pass digest frame as [[canonicalDedup]]; the keeper
+    * argmax is a (quality·10⁴ as exact int desc, doc_id asc) min-struct
+    * aggregate — no window, no sort. */
+  def qualityKeeperDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = graft.functions.AsciiCanon.canon(col(textCol))
+    // round BEFORE the long cast: the 4dp quality double times 10⁴ can
+    // sit one ulp under its integer (0.3·10⁴ = 2999.999…), and a bare
+    // cast truncates where the oracle's round() rounds
+    val q = round(TextOps.qualityCol(col(textCol)) * 10000, 0).cast("long")
+    val c = docs.select(col(idCol).as("doc_id"),
+        md5(canon.cast("binary")).as("h"), q.as("_q"),
+        (canon =!= "").as("_keep"))
+      .filter(col("_keep")).drop("_keep")
+      .localCheckpoint()
+    val keep = c.groupBy(col("h"))
+      .agg(min(struct((-col("_q")).as("nq"), col("doc_id"))).as("_top"),
+        count(lit(1)).as("n_members"))
+      .select(col("h"), col("_top.doc_id").as("keeper"),
+        (-col("_top.nq")).as("keeper_quality_e4"), col("n_members"))
+    c.join(keep, Seq("h"))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"),
+        col("keeper_quality_e4"), col("n_members"))
+  }
+
   /** MinHash signatures → (doc_id, sig: array<bigint>) via the custom
     * one-pass MinHashAgg aggregate (graft.functions.MinHashAgg): shingle
     * structs are built with native array ops and consumed per-document —

@@ -331,6 +331,48 @@ class DedupSpec extends AnyFunSuite {
     assert(hist.values.map(_._2).sum == canon.count())
   }
 
+  test("savingsReport: per-source masses; dups and canonical-empties count as removed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "A, b c!", "s1"), // canonical dups (2 loses)
+      (3L, "unique text here", "s1"),
+      (4L, "?!.", "s2"), // canonical-empty: removed
+      (5L, "x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = ops.Dedup.savingsReport(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("s1") == ((3L, 9L, 2L, 6L)))  // doc2 (3 tokens) removed
+    assert(r("s2") == ((2L, 3L, 1L, 2L)))  // doc4 (1 token '?!.') removed
+  }
+
+  test("qualityKeeperDedup: highest-quality member survives, not the min id") {
+    import spark.implicits._
+    // docs 1 and 2 are canonical twins ("..." strips away), but doc 1's
+    // heavy punctuation zeroes its quality — the HIGHER-quality doc 2
+    // must keep despite 1 < 2 (where the min-id rule would pick 1)
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, long1.replace(" ", " ... "), "x"), // punct-penalized variant
+      (2L, long1, "x"),
+      (3L, "other body", "x")
+    ).toDF("doc_id", "text", "source")
+    val canon1 = ops.Dedup.qualityKeeperDedup(docs2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4))).toMap
+    // "..." canonicalizes away -> 1 and 2 share a cluster; 2 has the
+    // higher quality (no punct penalty) and must keep despite 1 < 2
+    assert(canon1(1L)._1 == 2L && canon1(1L)._2, s"got $canon1")
+    assert(canon1(2L)._1 == 2L && !canon1(2L)._2)
+    assert(canon1(1L)._4 == 2L) // cluster of two
+    // ties fall back to the smaller id
+    val tied = ops.Dedup.qualityKeeperDedup(
+      Seq((5L, "same text body", "x"), (4L, "same text body", "x"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied == Map(5L -> 4L, 4L -> 4L))
+  }
+
   test("containmentJoin: equals brute force; catches the subset pair Jaccard misses") {
     import spark.implicits._
     def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {
