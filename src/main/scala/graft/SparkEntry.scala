@@ -1608,6 +1608,10 @@ object SparkEntry {
     // ...and the trained tokenizer APPLIED: per-doc token counts under the
     // final segmentation (the pretraining-budget question)
     "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.documents(s, d), "doc_id", "text", 8)),
+    // L66: per-source chars-per-BPE-token compression ratio (tokenizer
+    // fertility) — exact masses, one 1e-6 integral division
+    "text_compression" -> ((s, d) =>
+      TextOps.compressionReport(Tables.documents(s, d), "doc_id", "text", "source", 8)),
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
@@ -3502,6 +3506,30 @@ object SparkEntry {
         |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** L66 twin: the same unrolled-merge prefix, per-doc BPE counts as a
+    * CTE, then one per-source aggregate + the 1e-6 integral division. */
+  private val textCompressionSql: String = {
+    val upToFinals = textBpeSql.substring(0, textBpeSql.indexOf("\nSELECT 1 AS merge_rank"))
+    upToFinals +
+      """
+        |, bt AS (
+        |  SELECT d.doc_id, CAST(coalesce(SUM(len(v.toks)), 0) AS BIGINT) AS nb
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, word FROM (
+        |      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |      FROM documents) WHERE word <> '') dw ON dw.doc_id = d.doc_id
+        |  LEFT JOIN v8 v ON v.word = dw.word
+        |  GROUP BY d.doc_id)
+        |SELECT doc.source,
+        |  CAST(sum(length(regexp_replace(doc.text, '\s', '', 'g'))) AS BIGINT) AS n_chars,
+        |  CAST(sum(bt.nb) AS BIGINT) AS n_bpe_tokens,
+        |  CASE WHEN sum(bt.nb) > 0 THEN
+        |    CAST((sum(length(regexp_replace(doc.text, '\s', '', 'g'))) * 1000000)
+        |      // sum(bt.nb) AS BIGINT) END AS chars_per_token_e6
+        |FROM documents doc JOIN bt USING (doc_id)
+        |GROUP BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_reach_sql" -> (graphEdgesSqlPrefix + ",\n" +
       """r0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS d
@@ -3511,6 +3539,7 @@ object SparkEntry {
         |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM r0 GROUP BY node""".stripMargin),
     "text_bpe" -> textBpeSql,
     "text_bpe_tokens" -> textBpeTokensSql,
+    "text_compression" -> textCompressionSql,
     "graph_spectral" -> graphSpectralSql,
     "graph_louvain" -> graphLouvainSql,
     "graph_louvain_ml" -> graphLouvainMlSql,

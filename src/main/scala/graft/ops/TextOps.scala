@@ -820,6 +820,27 @@ object TextOps {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** L66: tokenizer COMPRESSION-RATIO report — per-source non-whitespace
+    * chars per learned-BPE token (the fertility/efficiency line of the
+    * tokenizer-eval family next to L61's OOV gate: a source whose ratio
+    * collapses toward 1 is being shattered to characters and will eat
+    * context budget). Exact BIGINT masses; the ratio is one integral
+    * division in 1e-6 units. Cost = the bpeTokens chain + one
+    * source-sized aggregate. */
+  def compressionReport(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, merges: Int = 8): DataFrame = {
+    val perDoc = bpeTokens(docs, idCol, textCol, merges)
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+        length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("_ch"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("_ch")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_chars"), col("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0,
+          expr("(n_chars * 1000000) div n_bpe_tokens")).as("chars_per_token_e6"))
+  }
+
   /** The shared BPE merge loop: returns (ordered merge list, final vocab
     * (word, cnt, toks) frame). See [[bpeTrain]] for the algorithm and
     * parity contract. */

@@ -238,6 +238,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v == Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)))) // c, d below min-count
   }
 
+  test("compressionReport: exact char/token masses under the learned merges") {
+    // two sources; with enough merges the common word compresses while
+    // the rare one shatters — the per-source ratio must reflect it
+    val df = Seq(
+      (1L, "aaaa aaaa aaaa", "s1"), (2L, "aaaa aaaa", "s1"),
+      (3L, "zxqw", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.compressionReport(df, "doc_id", "text", "source", merges = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // masses are exact: s1 has 5x'aaaa' = 20 chars; s2 has 4 chars
+    assert(r("s1")._1 == 20L && r("s2")._1 == 4L)
+    // ratio = chars*1e6 div tokens, and the frequent word must compress
+    // at least as well as the rare one
+    val ratio1 = r("s1")._3; val ratio2 = r("s2")._3
+    assert(ratio1 == r("s1")._1 * 1000000L / r("s1")._2)
+    assert(ratio2 == r("s2")._1 * 1000000L / r("s2")._2)
+    assert(ratio1 >= ratio2, s"frequent word must compress better: $r")
+  }
+
   test("classifierAuc: perfect separation -> 1e6, all-tied -> exactly 5e5") {
     // perfectly separable: 'p' docs are pure x, 'n' docs pure y — the NB
     // cost of 'p' is strictly lower on every positive
