@@ -367,6 +367,9 @@ object SparkEntry {
     "q62_ship_priority" -> Relational.q62ShipPriority _,
     // R66: bucketed point-in-interval range join (click→purchase attribution)
     "q63_range_join" -> ((s, d) => Relational.q63RangeJoin(s, d)),
+    // R67: RFM segmentation — quartile cuts from ONE exact-percentile
+    // aggregate, scan-local scores (no ntile window)
+    "q64_rfm" -> ((s, d) => Relational.q64Rfm(s, d)),
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1854,6 +1857,10 @@ object SparkEntry {
     "sample_budget" -> ((s, d) =>
       Sampling.budgetSelect(Tables.documents(s, d), "doc_id", "text",
         budgetTokens = 5000L)),
+    // L67: leakage-safe split — the split decision hashes the dedup
+    // CLUSTER representative, so duplicate docs land on one side
+    "sample_split_leakage_safe" -> ((s, d) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text")),
     // L56: JSONL export/ingest roundtrip — the interchange format LLM
     // corpora ship in: write the documents table as JSON lines (escaping
     // and all), read it back with the EXPLICIT schema (no inference
@@ -4472,6 +4479,38 @@ object SparkEntry {
         |  WHERE supp_qty * 2 > part_qty GROUP BY 1)
         |SELECT s_suppkey, s_name, n_parts_dominated
         |FROM dom JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    // quantile_cont == Spark's exact interpolated percentile (the
+    // curriculum precedent); >= on the cut puts boundary ties in the
+    // higher bucket identically in both engines
+    "q64_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-08-01') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT
+        |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+        |    quantile_cont(recency_days, 0.75) AS r75,
+        |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+        |    quantile_cont(frequency, 0.75) AS f75,
+        |    quantile_cont(monetary_cents, 0.25) AS m25, quantile_cont(monetary_cents, 0.5) AS m50,
+        |    quantile_cont(monetary_cents, 0.75) AS m75
+        |  FROM per),
+        |sc AS (SELECT custkey, recency_days, frequency, monetary_cents,
+        |    CAST(1 + (CASE WHEN recency_days < r25 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN recency_days < r50 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN recency_days < r75 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |    CAST(1 + (CASE WHEN frequency >= f25 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN frequency >= f50 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN frequency >= f75 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+        |    CAST(1 + (CASE WHEN monetary_cents >= m25 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN monetary_cents >= m50 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN monetary_cents >= m75 THEN 1 ELSE 0 END) AS BIGINT) AS m_score
+        |  FROM per, c)
+        |SELECT custkey, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM sc""".stripMargin,
     "q63_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
         |  FROM events WHERE event_type = 'click'),
@@ -5216,6 +5255,21 @@ object SparkEntry {
         |  CAST(sa.sz AS BIGINT) AS sz_a
         |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
         |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
+    // L67: the split key is the cluster REP's md5-60 hash — members of a
+    // canonical cluster share it, canonical-empties are singletons
+    "sample_split_leakage_safe" ->
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS canon FROM documents),
+        |r AS (SELECT md5(canon) AS h, min(doc_id) AS rep
+        |      FROM c WHERE canon <> '' GROUP BY 1),
+        |j AS (SELECT c.doc_id,
+        |    CASE WHEN c.canon <> '' THEN r.rep ELSE c.doc_id END AS cluster_rep
+        |  FROM c LEFT JOIN r ON c.canon <> '' AND r.h = md5(c.canon))
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN (('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100) < 80 THEN 'train' ELSE 'val' END AS split
+        |FROM j""".stripMargin,
     "dedup_savings" ->
       """WITH c AS (SELECT doc_id, source,
         |    length(string_split_regex(trim(text), '\s+')) AS nt,

@@ -1216,6 +1216,47 @@ object Relational {
         coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"))
   }
 
+  /** R67/q64: RFM customer segmentation — the classic warehouse
+    * marketing reduction: per customer Recency (days since last order vs
+    * a fixed reference date), Frequency (order count), Monetary (exact
+    * integer cents), each scored 1–4 by its own quartiles and composed
+    * into the RFM cell. SCALE SHAPE deliberately: quartile cuts come
+    * from ONE exact-percentile aggregate (9 scalars to the driver, the
+    * curriculum precedent) and scores are scan-local comparisons — no
+    * ntile window, whose single-task global sort is the classic
+    * segmentation scale-killer. Boundary ties land in the higher bucket
+    * identically in both engines (>= on the interpolated cut). */
+  def q64Rfm(s: SparkSession, d: String,
+             refDate: String = "1998-08-01"): DataFrame = {
+    val per = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(refDate).cast("date"), max(col("o_orderdate")).cast("date"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("monetary_cents"))
+      .localCheckpoint() // feeds the cuts aggregate AND the scoring scan
+    val cuts = per.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))"),
+      expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))")).head()
+    val (rc, fc, mc) =
+      (cuts.getSeq[Double](0), cuts.getSeq[Double](1), cuts.getSeq[Double](2))
+    // higher-is-better dims: 1 + #cuts at-or-below the value
+    def up(c: Column, q: Seq[Double]): Column =
+      q.foldLeft(lit(1))((acc, cut) => acc + when(c >= cut, 1).otherwise(0))
+    // recency: lower is better — 1 + #cuts strictly above the value
+    def down(c: Column, q: Seq[Double]): Column =
+      q.foldLeft(lit(1))((acc, cut) => acc + when(c < cut, 1).otherwise(0))
+    per.select(col("o_custkey").as("custkey"), col("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        down(col("recency_days"), rc).cast("long").as("r_score"),
+        up(col("frequency"), fc).cast("long").as("f_score"),
+        up(col("monetary_cents"), mc).cast("long").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -190,6 +190,33 @@ object Sampling {
       .select(col("doc_id"), col("band"), col("tokens"), col("cum_tokens"))
   }
 
+  /** L67: LEAKAGE-SAFE train/val split — the eval-integrity refinement of
+    * the plain hash split: duplicated documents must land on the SAME
+    * side, or the val set silently contains training data (the classic
+    * benchmark-inflation bug). The split decision hashes the CLUSTER
+    * representative (canonical-dedup group keeper; near-dup closures
+    * plug into the same seam through connectedComponents), so every
+    * member of a duplicate cluster moves together. Canonical-empty docs
+    * are their own singleton clusters (punctuation-only docs are not
+    * duplicates of each other). Resharding-stable, deterministic, and
+    * the per-cluster decision means changing the pct only moves whole
+    * clusters at the margin. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 80): DataFrame = {
+    val canon = graft.functions.AsciiCanon.canon(col(textCol))
+    val c = docs.select(col(idCol).as("doc_id"),
+        md5(canon.cast("binary")).as("h"), (canon =!= "").as("_ok"))
+      .localCheckpoint() // digest frame feeds the rep aggregate + the join
+    val rep = c.filter(col("_ok"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("_rep"))
+    c.join(rep, Seq("h"), "left_outer")
+      .select(col("doc_id"),
+        when(col("_ok"), col("_rep")).otherwise(col("doc_id")).as("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(pmod(hashKey(col("cluster_rep")), lit(100)) < trainPct,
+          lit("train")).otherwise(lit("val")).as("split"))
+  }
+
   def stratifiedSplit(docs: DataFrame, groupCol: String, idCol: String,
                       trainPct: Int = 80): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"))

@@ -828,6 +828,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.map(p => p._1 + p._2).sum == lines.length.toLong)
   }
 
+  test("q64 RFM: scores match driver-side quartile recompute; cells partition customers") {
+    val per = Tables.orders(spark, sf)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_totalprice")).collect()
+      .groupBy(_.getAs[Long]("o_custkey")).map { case (ck, rows) =>
+        val lastDay = rows.map(_.getAs[String]("d")).max
+        val rec = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(lastDay), java.time.LocalDate.parse("1998-08-01"))
+        val mon = rows.map(r => math.round(r.getAs[Double]("o_totalprice") * 100)).sum
+        ck -> (rec, rows.size.toLong, mon)
+      }
+    def q(xs: Seq[Double], p: Double): Double = { // numpy-style linear interp
+      val s = xs.sorted; val h = (s.length - 1) * p
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val recs = per.values.map(_._1.toDouble).toSeq
+    val frs = per.values.map(_._2.toDouble).toSeq
+    val mons = per.values.map(_._3.toDouble).toSeq
+    def upS(v: Double, xs: Seq[Double]) =
+      1L + Seq(0.25, 0.5, 0.75).count(p => v >= q(xs, p))
+    def dnS(v: Double, xs: Seq[Double]) =
+      1L + Seq(0.25, 0.5, 0.75).count(p => v < q(xs, p))
+    val got = Relational.q64Rfm(spark, sf).collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score"), r.getAs[Long]("rfm"))).toMap
+    assert(got.size == per.size)
+    per.foreach { case (ck, (rec, fr, mon)) =>
+      val exp = (dnS(rec.toDouble, recs), upS(fr.toDouble, frs), upS(mon.toDouble, mons))
+      val g = got(ck)
+      assert((g._1, g._2, g._3) == exp, s"cust $ck: got $g want $exp")
+      assert(g._4 == g._1 * 100 + g._2 * 10 + g._3)
+    }
+    // every score in 1..4
+    assert(got.values.forall(g => Seq(g._1, g._2, g._3).forall(s => s >= 1 && s <= 4)))
+  }
+
   test("q63 range join: bucketed plan matches brute force, no nested-loop join") {
     // exact microseconds (the engines' internal timestamp unit) — ms-level
     // getTime would mis-classify same-ms boundary pairs

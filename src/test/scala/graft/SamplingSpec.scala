@@ -27,6 +27,27 @@ class SamplingSpec extends AnyFunSuite {
     r.foreach(x => assert(again(x.getLong(0)) == x.getAs[String]("split")))
   }
 
+  test("leakageSafeSplit: duplicate clusters move together; empties are singletons") {
+    val base = (100L until 400L).map(i => (i, s"unique text number $i"))
+      .toDF("doc_id", "text").unionByName(
+        Seq((1L, "the same doc body"), (2L, "THE same, doc body!"),
+          (3L, "the same doc body"), (4L, "?!."), (5L, "?!."),
+          (6L, "another body entirely")).toDF("doc_id", "text"))
+    val r = Sampling.leakageSafeSplit(base, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    // the whole duplicate cluster shares one rep and one side
+    assert(Set(r(1L), r(2L), r(3L)).size == 1, s"cluster split apart: ${r(1L)}, ${r(2L)}, ${r(3L)}")
+    assert(r(1L)._1 == 1L)
+    // canonical-empty docs are NOT each other's duplicates
+    assert(r(4L)._1 == 4L && r(5L)._1 == 5L)
+    // both sides populated at n=306 and the split is resharding-stable
+    val sides = r.values.map(_._2).toSet
+    assert(sides == Set("train", "val"))
+    val again = Sampling.leakageSafeSplit(base.repartition(7), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(again == r)
+  }
+
   test("stratifiedSplit: EXACT floor(n*0.8) train docs per stratum, deterministic") {
     // 4 sources x 100 docs plus one ragged 7-doc stratum: the exactness
     // claim is floor quotas everywhere, including where hashSplit's
