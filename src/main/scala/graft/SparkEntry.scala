@@ -370,6 +370,9 @@ object SparkEntry {
     // R67: RFM segmentation — quartile cuts from ONE exact-percentile
     // aggregate, scan-local scores (no ntile window)
     "q64_rfm" -> ((s, d) => Relational.q64Rfm(s, d)),
+    // R68: event-type transition matrix (Markov counts) — one user-
+    // bounded lead window + a #types²-sized aggregate
+    "q65_transitions" -> ((s, d) => Relational.q65Transitions(s, d)),
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -1724,6 +1727,28 @@ object SparkEntry {
     // information-theoretic drift monitor next to report_drift's PSI)
     "report_kl" -> ((s, d) =>
       TextOps.klDivergence(Tables.documents(s, d), "text", col("source") < "src10")),
+    // L68: per-language Pearson correlation between the two main quality
+    // signals (heuristic quality e4 vs unigram NLL micro) — do the
+    // cheap and expensive filters agree? ONE ExactMomentsAgg pass (the
+    // q29 contract: exact 128-bit sums, one rounded double formula)
+    "report_signal_corr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs.select(col("doc_id"), col("lang"),
+        round(TextOps.qualityCol(col("text")) * 10000, 0).cast("long").as("x"))
+      val nll = TextOps.unigramNll(docs, "doc_id", "text")
+        .select(col("doc_id"), col("nll_micro").as("y"))
+      val m = q.join(nll, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.ExactMomentsAgg.moments(col("x"), col("y")).as("m"))
+        .select(col("lang"), col("m.n").as("n"),
+          col("m.sx").as("sx"), col("m.sy").as("sy"), col("m.sxy").as("sxy"),
+          col("m.sxx").as("sxx"), col("m.syy").as("syy"))
+      val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      m.select(col("lang"), col("n").cast("long").as("n_docs"),
+        (round(cov / sqrt(vx * vy), 6) + 0.0).as("corr_quality_nll"))
+    }),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
     // own add-one unigram model (integer-snapped log-probs → exact sums)
@@ -4096,6 +4121,21 @@ object SparkEntry {
         |    AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY 1)
         |SELECT c_count, count(*) AS n_custs FROM pc GROUP BY 1""".stripMargin,
+    "report_signal_corr" ->
+      (s"""WITH q AS ($qualitySql),
+        |b AS (SELECT q.doc_id, d.lang,
+        |    CAST(round(q.quality * 10000) AS BIGINT) AS x, p.nll_micro AS y
+        |  FROM ($textPplSql) p JOIN q ON q.doc_id = p.doc_id
+        |  JOIN documents d ON d.doc_id = q.doc_id),
+        |m AS (SELECT lang, count(*)::HUGEINT AS n,
+        |  sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |  sum(y::HUGEINT * y::HUGEINT) AS syy FROM b GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  round((n*sxy - sx*sy)::DOUBLE
+        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) + 0 AS corr_quality_nll
+        |FROM m""".stripMargin),
     "q29_exact_stats" ->
       """WITH b AS (SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS x,
         |                  round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),
@@ -4479,6 +4519,12 @@ object SparkEntry {
         |  WHERE supp_qty * 2 > part_qty GROUP BY 1)
         |SELECT s_suppkey, s_name, n_parts_dominated
         |FROM dom JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q65_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // quantile_cont == Spark's exact interpolated percentile (the
     // curriculum precedent); >= on the cut puts boundary ties in the
     // higher bucket identically in both engines

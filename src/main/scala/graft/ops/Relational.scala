@@ -1257,6 +1257,23 @@ object Relational {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** R68/q65: event-type TRANSITION MATRIX (the Markov-chain estimate
+    * behavioral analytics fits: "after a click, what happens next?"):
+    * per-user next-event via ONE lead window ordered by (ts, event_id)
+    * — user-partitioned, so tasks are bounded by a user's own history
+    * (the q10/q13 precedent), never the fact table — then a
+    * #types²-sized count aggregate. Exact longs; deterministic tie
+    * order. */
+  def q65Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Skew-salted equi-join: when one join key carries a pathological share
     * of the fact rows (and the other side is too big to broadcast), AQE's
     * skew-join split only helps sort-merge joins after the fact — salting

@@ -828,6 +828,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.map(p => p._1 + p._2).sum == lines.length.toLong)
   }
 
+  test("q65 transitions: lead pairs match driver-side recompute; totals conserve") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val exp = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.q65Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == exp, s"got ${got.size} cells, want ${exp.size}")
+    // conservation: transitions = events − users (each user loses one)
+    val nUsers = ev.map(_._1).distinct.length
+    assert(got.values.sum == ev.length.toLong - nUsers)
+  }
+
+  test("report_signal_corr: correlations bounded and deterministic") {
+    val r1 = SparkEntry.queries("report_signal_corr")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r1.nonEmpty)
+    assert(r1.values.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
+    assert(r1.values.map(_._1).sum ==
+      Tables.documents(spark, sf).count(), "every doc scored exactly once")
+    val r2 = SparkEntry.queries("report_signal_corr")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r1 == r2, "exact-moment formula must be bit-deterministic")
+  }
+
   test("q64 RFM: scores match driver-side quartile recompute; cells partition customers") {
     val per = Tables.orders(spark, sf)
       .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
