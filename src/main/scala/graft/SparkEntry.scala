@@ -373,6 +373,9 @@ object SparkEntry {
     // R68: event-type transition matrix (Markov counts) — one user-
     // bounded lead window + a #types²-sized aggregate
     "q65_transitions" -> ((s, d) => Relational.q65Transitions(s, d)),
+    // S28: the stateful stream face of R68 — one last-event record per
+    // user, pairs emitted at arrival; matrix == batch (shared oracle)
+    "stream_transitions" -> ((s, d) => Stream.transitionStream(s, d)),
     "arr_rank_cols" -> ((s, d) => mat(s, d).rankAxis0()),
     "q26_partition_pruning" -> ((s, d) =>
       partitionedOrders(s, d).filter(col("o_year") === 1997)
@@ -4520,6 +4523,14 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, n_parts_dominated
         |FROM dom JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "q65_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // S28 emits exactly the batch lead pairs (single finite batch +
+    // in-group event-time sort), so the oracle is shared
+    "stream_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
         |  FROM events)

@@ -969,6 +969,61 @@ object Stream {
     out.reverseIterator
   }
 
+  final case class TEv(user_id: Long, event_id: Long, es: Long, t: String)
+  final case class TransState(lastEs: Long, lastId: Long, lastType: String)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** S28: streaming TRANSITION tracking — the stateful stream face of
+    * R68's Markov matrix ("after a click, what happens next?" maintained
+    * AT the ingest edge): per-user state is exactly ONE last-event
+    * record (bounded by key cardinality, never stream length); each
+    * arrival emits its (prev → curr) pair and replaces the state.
+    * Within a micro-batch the group sorts by (event-time micros, id) —
+    * for the finite single-batch input the emitted pairs are EXACTLY
+    * the batch lead window's (the quotaFn determinism contract), so the
+    * aggregated matrix shares q65's oracle; under continuous ingest the
+    * state seam makes pairs span batches correctly by construction. */
+  def transitionFn(userId: Long, evs: Iterator[TEv],
+                   state: GroupState[TransState]): Iterator[TransOut] = {
+    val sorted = evs.toSeq.sortBy(e => (e.es, e.event_id))
+    var st = state.getOption.orNull
+    var out = List.empty[TransOut]
+    sorted.foreach { e =>
+      if (st != null) out ::= TransOut(userId, st.lastType, e.t)
+      st = TransState(e.es, e.event_id, e.t)
+    }
+    if (st != null) state.update(st)
+    out.reverseIterator
+  }
+
+  /** Per-user transition pairs over a stream of TEv (MemoryStream-testable). */
+  def transitions(evs: org.apache.spark.sql.Dataset[TEv])
+      : org.apache.spark.sql.Dataset[TransOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(transitionFn)
+  }
+
+  /** S28 driven over the events file stream; the matrix aggregate runs
+    * on the emitted pair sink (types²-sized post-pass, the topkStream
+    * precedent). */
+  def transitionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (src, sfName) = eventsStream(spark, sfDir)
+    val evs = src.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("es"),
+        col("event_type").as("t")).as[TEv]
+    val qn = s"stream_transitions_$sfName"
+    withStatePartitions(spark, 8) {
+      val q = transitions(evs).writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(qn)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+  }
+
   /** Per-key quota over a stream of Ev (MemoryStream-testable twin). */
   def quota(evs: org.apache.spark.sql.Dataset[Ev], n: Long): org.apache.spark.sql.Dataset[QuotaOut] = {
     val spark = evs.sparkSession

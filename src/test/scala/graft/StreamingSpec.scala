@@ -505,6 +505,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa < pb, "more frequent class must carry the cheaper prior")
   }
 
+  test("transitionStream: per-user state pairs == the batch lead window; state spans batches") {
+    import spark.implicits._
+    // file stream: matrix equals batch q65 exactly
+    val streamed = Stream.transitionStream(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Relational.q65Transitions(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // MemoryStream: the pair CROSSING a batch boundary comes from state
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Stream.TEv]
+    val q = Stream.transitions(ms.toDS()).writeStream.format("memory")
+      .queryName("trans_mem").outputMode("append").start()
+    try {
+      ms.addData(Stream.TEv(1L, 1L, 100L, "view"))
+      q.processAllAvailable()
+      ms.addData(Stream.TEv(1L, 2L, 200L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("trans_mem").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(pairs == Set((1L, "view", "click")),
+      s"the cross-batch pair must come from state: $pairs")
+  }
+
   test("containmentStream: per-batch containment join equals the batch L63 join exactly") {
     val streamed = Stream.containmentStream(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
