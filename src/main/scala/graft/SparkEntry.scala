@@ -1117,15 +1117,25 @@ object SparkEntry {
         numHashes = 32, bandsN = 16, shingle = 3, minJaccard = 0.5)),
     // L32: EXACT similarity join (prefix filtering) — the zero-recall-loss
     // counterpart of the minhash candidates above, same 3-gram shingles;
-    // integer cross-multiply threshold, full DuckDB oracle
+    // integer cross-multiply threshold, full DuckDB oracle. The whole
+    // shingle family (this, containment, the cascade, the streaming gate)
+    // probes ONE session-cached inverted index (Dedup.corpusShingles) —
+    // the structure the pipeline maintains once — instead of each query
+    // rebuilding it (the r16 s/query item).
     "dedup_jaccard_join" -> ((s, d) =>
-      Dedup.jaccardJoin(Tables.documents(s, d), "doc_id", "text",
-        minJaccardPct = 50, shingle = 3)),
+      Dedup.jaccardJoinToks(Dedup.corpusShingles(s, d), minJaccardPct = 50)),
     // L63: asymmetric containment join ("A mostly inside B") — exact by
     // the one-sided prefix filter; threshold 60% of A's shingles
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
-        minContainPct = 60, shingle = 3)),
+      Dedup.containmentJoinToks(Dedup.corpusShingles(s, d), minContainPct = 60)),
+    // L69: the containment CASCADE (the production shape): the exact
+    // containment verify bounded to md5-minhash banded-LSH candidate
+    // pairs — output ⊆ dedup_containment at the same threshold, with the
+    // identical (inter, sz_a) on every emitted pair; the md5-60 hash
+    // bridge makes blocking + verify oracle-expressible end to end
+    "dedup_containment_cascade" -> ((s, d) =>
+      Dedup.containmentCascade(Dedup.corpusShingles(s, d), minContainPct = 60,
+        numHashes = 16, bandsN = 8)),
     // L64: per-source dedup savings report (docs/tokens before vs after
     // canonical dedup) — the epoch-count input a curation run publishes
     "dedup_savings" -> ((s, d) =>
@@ -5312,6 +5322,38 @@ object SparkEntry {
         |  CAST(sa.sz AS BIGINT) AS sz_a
         |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
         |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
+    // L69: the full cascade — md5-minhash signatures, 8×2 banding,
+    // bucket self-join candidates, exact containment verify — unrolled
+    // stage for stage; the md5-60 bridge keeps every hash bit-identical
+    "dedup_containment_cascade" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
+        |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
+        |sg AS (SELECT doc_id, seed,
+        |         min(('0x' || substring(md5(
+        |             lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || token),
+        |           1, 15))::BIGINT) AS mh
+        |       FROM sh, unnest(range(0, 16)) s(seed) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 2 AS band,
+        |         min(CASE WHEN seed % 2 = 0 THEN mh END) AS mh0,
+        |         min(CASE WHEN seed % 2 = 1 THEN mh END) AS mh1
+        |       FROM sg GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM bs a JOIN bs b ON a.band = b.band AND a.mh0 = b.mh0
+        |           AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT c.id1, c.id2, count(*) AS inter
+        |       FROM cand c JOIN sh a ON a.doc_id = c.id1
+        |         JOIN sh b ON b.doc_id = c.id2 AND b.token = a.token
+        |       GROUP BY 1, 2),
+        |ord AS (SELECT id1 AS id_a, id2 AS id_b, inter FROM pr
+        |        UNION ALL SELECT id2 AS id_a, id1 AS id_b, inter FROM pr)
+        |SELECT o.id_a, o.id_b, CAST(o.inter AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS sz_a
+        |FROM ord o JOIN sz sa ON sa.doc_id = o.id_a
+        |WHERE o.inter * 100 >= 60 * sa.sz""".stripMargin,
     // L67: the split key is the cluster REP's md5-60 hash — members of a
     // canonical cluster share it, canonical-empties are singletons
     "sample_split_leakage_safe" ->

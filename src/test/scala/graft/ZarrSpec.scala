@@ -94,6 +94,44 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 append preserves foreign top-level metadata and honors stored keyEnc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // a foreign (zarr-python/xarray-shaped) 1-D v3 store: non-default
+    // chunk-key layout + a dimension_names field we never generate
+    val path = "/root/repo/target/tmp/zarr_test_vappend_foreign"
+    Zarr.delete(path, recursive = true)
+    (0L until 5L).map(i => (i, i * 3.0)).toDF("i", "v")
+      .select((col("i") / 4).cast("long").as("ci"), lit(0L).as("cj"),
+        col("i").as("i"), lit(0L).as("j"), col("v").as("v"))
+      .write.format("zarr")
+      .option("chunkRows", "4").option("chunkCols", "1")
+      .option("rows", "5").option("cols", "1")
+      .option("dtype", "<f8").option("zarrFormat", "3")
+      .option("rank1", "true").option("keyEnc", "flat")
+      .mode("overwrite").save(path)
+    val f = java.nio.file.Paths.get(s"$path/zarr.json")
+    val doc = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    java.nio.file.Files.write(f, doc
+      .replaceFirst("\\{", """{"dimension_names": ["obs"],""")
+      .replace("\"attributes\": {}", """"attributes": {"units": "counts"}""")
+      .getBytes("UTF-8"))
+    // append THROUGH the DSv2 commit rewrite: keyEnc must come from the
+    // store's own metadata, and the rewrite must carry the foreign fields
+    Zarr.appendVector((0L until 3L).map(i => (i, 100.0 + i)).toDF("i", "v"), path, 3)
+    val meta2 = Zarr.readMeta(path)
+    assert(meta2.rows == 8 && meta2.keyEnc == "flat")
+    val after = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(after.contains("dimension_names") && after.contains("\"obs\""),
+      "append commit dropped the store's dimension_names")
+    assert(after.contains("\"units\""), "append commit dropped attributes")
+    val back = Zarr.readVector(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = (0L until 5L).map(i => i -> i * 3.0).toMap ++
+      (0L until 3L).map(i => (i + 5) -> (100.0 + i)).toMap
+    assert(back == exp, "foreign-keyEnc append corrupted cell data")
+  }
+
   test("zarr v2 roundtrip with zlib compressor") {
     val path = "/root/repo/target/tmp/zarr_test_zlib"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, zlib = true)
