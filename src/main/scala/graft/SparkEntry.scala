@@ -5322,9 +5322,11 @@ object SparkEntry {
         |  CAST(sa.sz AS BIGINT) AS sz_a
         |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
         |WHERE pr.inter * 100 >= 60 * sa.sz""".stripMargin,
-    // L69: the full cascade — md5-minhash signatures, 8×2 banding,
-    // bucket self-join candidates, exact containment verify — unrolled
-    // stage for stage; the md5-60 bridge keeps every hash bit-identical
+    // L69: the full cascade — md5-60-seeded linear minhash (one md5 per
+    // shingle, h_s = (a_s·h + b_s) mod 2³¹−1, exact BIGINT both
+    // engines), 8×2 banding, capped bucket pairs (rank ≤ 1000 by doc_id
+    // = the sorted-prefix cap), exact hash-set containment verify —
+    // unrolled stage for stage
     "dedup_containment_cascade" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |           FROM documents),
@@ -5332,21 +5334,30 @@ object SparkEntry {
         |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
         |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
         |sg AS (SELECT doc_id, seed,
-        |         min(('0x' || substring(md5(
-        |             lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || token),
-        |           1, 15))::BIGINT) AS mh
+        |         min(((1000003 * (seed + 1) % 2147483647) *
+        |              (('0x' || substring(md5(token), 1, 15))::BIGINT
+        |               % 2147483647)
+        |              + (777767777 * seed % 2147483647)) % 2147483647) AS mh
         |       FROM sh, unnest(range(0, 16)) s(seed) GROUP BY 1, 2),
         |bs AS (SELECT doc_id, seed // 2 AS band,
         |         min(CASE WHEN seed % 2 = 0 THEN mh END) AS mh0,
         |         min(CASE WHEN seed % 2 = 1 THEN mh END) AS mh1
         |       FROM sg GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, band, mh0, mh1,
+        |         row_number() OVER (PARTITION BY band, mh0, mh1
+        |                            ORDER BY doc_id) AS rk
+        |       FROM bs),
         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |         FROM bs a JOIN bs b ON a.band = b.band AND a.mh0 = b.mh0
-        |           AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.mh0 = b.mh0
+        |           AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+        |         WHERE a.rk <= 1000 AND b.rk <= 1000),
+        |shh AS (SELECT DISTINCT doc_id,
+        |          ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+        |        FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
         |pr AS (SELECT c.id1, c.id2, count(*) AS inter
-        |       FROM cand c JOIN sh a ON a.doc_id = c.id1
-        |         JOIN sh b ON b.doc_id = c.id2 AND b.token = a.token
+        |       FROM cand c JOIN shh a ON a.doc_id = c.id1
+        |         JOIN shh b ON b.doc_id = c.id2 AND b.h = a.h
         |       GROUP BY 1, 2),
         |ord AS (SELECT id1 AS id_a, id2 AS id_b, inter FROM pr
         |        UNION ALL SELECT id2 AS id_a, id1 AS id_b, inter FROM pr)

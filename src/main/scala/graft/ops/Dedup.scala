@@ -199,8 +199,14 @@ object Dedup {
   def corpusShingles(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                      shingle: Int = 3): DataFrame =
     idxCache.computeIfAbsent((spark, sfDir, shingle), _ =>
+      // merge-join hint: the index is CORPUS-SIZED BY CONTRACT — TBs in
+      // production — but the checkpoint's accurate small-SF stats would
+      // let Catalyst broadcast it (measured: the sf10 replica OOM'd the
+      // broadcast build in the cascade's verify join). The hint pins
+      // every index probe to the shuffle plan the 100 TB shape requires;
+      // sort-merge spills, so no per-partition build-memory cliff either.
       shingleToks(graft.Tables.documents(spark, sfDir), "doc_id", "text", shingle)
-        .localCheckpoint())
+        .localCheckpoint().hint("merge"))
 
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                   minJaccardPct: Int = 50, shingle: Int = 3): DataFrame =
@@ -303,52 +309,92 @@ object Dedup {
     * which symmetric-minhash banding cannot see) for candidate-bounded
     * cost; pairs it does emit carry the IDENTICAL exact (inter, sz_a).
     *
-    * Shapes: signatures are one explode(×numHashes) + (doc, seed) min —
-    * map-side combined; bands pivot to (mh0, mh1) per (doc, band) — one
-    * aggregate, no strings; candidates are a band-bucket self-join
-    * (quadratic only within a bucket) localCheckpointed because the tiny
-    * pair set feeds the verify twice; the verify is the candidate-bounded
-    * intersection count. Nothing is ever corpus². */
+    * Shapes: signatures are ONE grouped pass over the index with
+    * numHashes min-aggregate COLUMNS (the per-row md5s are projection
+    * work; the shuffle carries one row per doc × 16 longs — the first
+    * cut exploded ×numHashes before aggregating and its 800M-row
+    * shuffle OOM'd the sf10 replica); bands `stack` out of that one row
+    * (docs×bands rows, band-local); candidates come from ONE bucket
+    * aggregation with the [[candidatePairs]] deterministic `maxBucket`
+    * cap (sorted prefix — the skew guard that bounds a degenerate
+    * bucket, e.g. a mass-duplicated boilerplate page, to cap² pairs),
+    * localCheckpointed because the tiny pair set feeds the verify
+    * twice; the verify is the [[jaccardVerify]] array-set shape — one
+    * candidate-bounded set build + per-pair array_intersect, never a
+    * (pair, token) row explosion (the join-count form multiplied 25M
+    * sf10 pairs by ~100 tokens each and OOM'd). Nothing is ever
+    * corpus². */
   def containmentCascade(toks: DataFrame, minContainPct: Int = 60,
-                         numHashes: Int = 16, bandsN: Int = 8): DataFrame = {
+                         numHashes: Int = 16, bandsN: Int = 8,
+                         maxBucket: Int = 1000): DataFrame = {
     require(minContainPct > 0 && minContainPct <= 100)
     require(numHashes % bandsN == 0 && numHashes / bandsN == 2,
-      "this banding pivots exactly 2 rows per band")
-    // seeded signature: min over the doc's shingles of the 60-bit md5
-    // prefix of "SS:token" (lpad keeps lexicographic == numeric for the
-    // oracle's identical construction)
-    val sigs = toks
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"), col("token"))
-      .select(col("doc_id"), col("seed"),
-        conv(substring(md5(concat(lpad(col("seed"), 2, "0"), lit(":"), col("token"))),
-          1, 15), 16, 10).cast("long").as("h"))
-      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-    // band b carries seeds (2b, 2b+1): one pivot aggregate per doc/band
-    val bandSig = sigs
-      .groupBy(col("doc_id"), (col("seed") / 2).cast("long").as("band"))
-      .agg(min(when(pmod(col("seed"), lit(2)) === 0, col("mh"))).as("mh0"),
-        min(when(pmod(col("seed"), lit(2)) === 1, col("mh"))).as("mh1"))
-    val cand = bandSig.as("a")
-      .join(bandSig.as("b"),
-        col("a.band") === col("b.band") && col("a.mh0") === col("b.mh0") &&
-          col("a.mh1") === col("b.mh1") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      "this banding stacks exactly 2 rows per band")
+    // seeded signature: ONE md5 per shingle (the bridge hash the verify
+    // sets reuse), then the classic linear universal family
+    // h_s = (a_s·h + b_s) mod p over p = 2³¹−1 — a bijection per seed,
+    // 16 long ops instead of 16 md5-string allocations per index row
+    // (the per-seed-md5 form GC-thrashed the sf10 replica at 8 g).
+    // Every operand is non-negative and a_s·h ≤ 2⁶² — exact in BIGINT,
+    // so DuckDB computes the identical values from the same closed form.
+    val p31 = 2147483647L
+    val h31 = mdHash60(col("token")) % p31
+    val mhCols = (0 until numHashes).map { s =>
+      val a = 1000003L * (s + 1) % p31
+      val b = 777767777L * s % p31
+      min((h31 * a + b) % p31).as(s"mh$s")
+    }
+    val sig = toks.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val stackArgs = (0 until bandsN)
+      .map(b => s"${b}L, mh${2 * b}, mh${2 * b + 1}").mkString(", ")
+    val bandSig = sig.select(col("doc_id"),
+      expr(s"stack($bandsN, $stackArgs)").as(Seq("band", "mh0", "mh1")))
+    // bucket = (band, mh0, mh1): one aggregation, sorted-prefix cap —
+    // deterministic (min doc_ids kept), quadratic only within min(k, cap)
+    val cand = bandSig.groupBy(col("band"), col("mh0"), col("mh1"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
       .distinct()
       .localCheckpoint() // tiny pair set, corpus-scan lineage, two consumers
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("id1"), col("token")), Seq("id1"))
-      .join(toks.select(col("doc_id").as("id2"), col("token")), Seq("id2", "token"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    // verify (the jaccardVerify shape): per-candidate-doc shingle SETS
+    // built once (candidate-bounded), intersection sized per pair row
+    val candIds = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    // merge hint: the set table is candidate-bounded but can approach
+    // corpus size (the sf10 replica: 500k docs × ~100-element arrays —
+    // Catalyst's post-aggregate estimate undershot and the broadcast
+    // build OOM'd); an id-keyed shuffle join is the 100 TB shape.
+    // Sets hold md5-60 HASHES, not shingle strings: ~12× smaller rows
+    // through the pair join (string arrays OOM'd the sf10 verify), and
+    // the bridge hash is bit-identical in DuckDB, so intersection/size
+    // counts mirror exactly — a 2⁻⁶⁰-scale collision would merge two
+    // shingles in BOTH engines identically
+    val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(mdHash60(col("token"))).as("sh"))
+      .hint("merge")
+    val paired = cand
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        size(col("sh1")).cast("long").as("sz1"),
+        size(col("sh2")).cast("long").as("sz2"))
     // containment is ASYMMETRIC: each unordered candidate pair yields two
-    // ordered checks sharing the one intersection count
-    inter.select(col("id1").as("id_a"), col("id2").as("id_b"), col("inter"))
-      .unionByName(
-        inter.select(col("id2").as("id_a"), col("id1").as("id_b"), col("inter")))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+    // ordered checks sharing the one intersection count — exploded in the
+    // SAME pass (a union of two projections would inline and run the
+    // verify join twice)
+    paired.select(explode(array(
+        struct(col("id1").as("id_a"), col("id2").as("id_b"),
+          col("inter"), col("sz1").as("sz_a")),
+        struct(col("id2").as("id_a"), col("id1").as("id_b"),
+          col("inter"), col("sz2").as("sz_a")))).as("o"))
+      .filter(col("o.inter") * 100 >= lit(minContainPct) * col("o.sz_a"))
+      .select(col("o.id_a").as("id_a"), col("o.id_b").as("id_b"),
+        col("o.inter").as("inter"), col("o.sz_a").as("sz_a"))
   }
 
   /** Exact dedup: hash-groupBy on content. Map-side partial agg makes this

@@ -1094,6 +1094,118 @@ object Stream {
     spark.table(qn)
   }
 
+  // ---- state lifecycle: event-time TTL for the stateful family (S29) ----
+
+  final case class EvW(user_id: Long, event_id: Long, es: Long,
+                       ts: java.sql.Timestamp)
+
+  /** S29: state LIFECYCLE for the flatMapGroupsWithState family (the r16
+    * verdict ask): without a timeout, per-key state lives forever — fine
+    * for finite test streams, a leak on an unbounded 100 TB ingest where
+    * the key universe grows without bound. These variants run the SAME
+    * per-key logic under `GroupStateTimeout.EventTimeTimeout` with a TTL
+    * armed at `lastEventTime + ttlSecs`: when the WATERMARK (not wall
+    * clock — deterministic, replayable) passes it, the key's state is
+    * dropped; a later re-arrival re-initializes from scratch. Sessionize
+    * additionally EMITS the open session on expiry — the production
+    * flush for each user's last session, which the no-timeout variant
+    * leaves in state forever.
+    *
+    * Equality contract (spec-pinned): within the TTL horizon — no key
+    * silent longer than the TTL — outputs are identical to the
+    * no-timeout variants, which is the stream==batch contract those
+    * already carry. Expiry only adds the flush/reset behavior at the
+    * horizon, orthogonal to the per-key logic (which is literally the
+    * same function, called by these wrappers). `es` carries epoch
+    * SECONDS in the TTL variants (the Ev convention; arm-time math is
+    * (lastEs + ttlSecs)·1000 ms).
+    *
+    * Deployment contract: state is per-key-bounded (one record) either
+    * way; the TTL bounds the KEY UNIVERSE a store retains. On a real
+    * cluster run this with the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` = RocksDB provider)
+    * so state lives off-heap/on-disk, and set
+    * `spark.sql.streaming.stateStore.rocksdb.compactOnCommit` per the
+    * churn profile; the event-time TTL here is the portable layer on
+    * top — it works identically on the HDFS-backed store in tests. */
+  def sessionFnTtl(ttlSecs: Long)(userId: Long, evs: Iterator[EvW],
+                                  state: GroupState[SessState]): Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      // the horizon flush: emit the still-open session, drop the key
+      val st = state.get
+      state.remove()
+      Iterator.single(SessOut(userId, st.sessionId, st.n, st.lastEs - st.startEs))
+    } else {
+      val out = sessionFn(userId,
+        evs.map(e => Ev(e.user_id, e.event_id, e.es)), state)
+      state.getOption.foreach(st =>
+        state.setTimeoutTimestamp((st.lastEs + ttlSecs) * 1000L))
+      out
+    }
+  }
+
+  def sessionizeTtl(evs: org.apache.spark.sql.Dataset[EvW],
+                    ttlSecs: Long): org.apache.spark.sql.Dataset[SessOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.withWatermark("ts", "0 seconds").groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionFnTtl(ttlSecs))
+  }
+
+  /** Quota under TTL: a key silent past the TTL loses its counter — the
+    * admission budget RESETS after inactivity (rate-limiter semantics);
+    * timeout emits nothing. */
+  def quotaFnTtl(n: Long, ttlSecs: Long)(userId: Long, evs: Iterator[EvW],
+                                         state: GroupState[QuotaState]): Iterator[QuotaOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val evList = evs.toSeq
+      val out = quotaFn(n)(userId,
+        evList.iterator.map(e => Ev(e.user_id, e.event_id, e.es)), state)
+      // quota state carries no timestamp: arm from this batch's max
+      // event time (the group is non-empty on the data path)
+      state.setTimeoutTimestamp((evList.map(_.es).max + ttlSecs) * 1000L)
+      out
+    }
+  }
+
+  def quotaTtl(evs: org.apache.spark.sql.Dataset[EvW], n: Long,
+               ttlSecs: Long): org.apache.spark.sql.Dataset[QuotaOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.withWatermark("ts", "0 seconds").groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(quotaFnTtl(n, ttlSecs))
+  }
+
+  final case class TEvW(user_id: Long, event_id: Long, es: Long, t: String,
+                        ts: java.sql.Timestamp)
+
+  /** Transitions under TTL: expiry forgets the last event, so a
+    * re-arrival starts a fresh chain (no pair spans the silence gap —
+    * the Markov-estimate hygiene for abandoned sessions). */
+  def transitionFnTtl(ttlSecs: Long)(userId: Long, evs: Iterator[TEvW],
+                                     state: GroupState[TransState]): Iterator[TransOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = transitionFn(userId,
+        evs.map(e => TEv(e.user_id, e.event_id, e.es, e.t)), state)
+      state.getOption.foreach(st =>
+        state.setTimeoutTimestamp((st.lastEs + ttlSecs) * 1000L))
+      out
+    }
+  }
+
+  def transitionsTtl(evs: org.apache.spark.sql.Dataset[TEvW],
+                     ttlSecs: Long): org.apache.spark.sql.Dataset[TransOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.withWatermark("ts", "0 seconds").groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(transitionFnTtl(ttlSecs))
+  }
+
   /** S13: NATIVE session windows — Spark's built-in merging
     * `session_window` aggregation (the state-store mechanism, distinct
     * from [[sessionize]]'s hand-rolled flatMapGroupsWithState path): per

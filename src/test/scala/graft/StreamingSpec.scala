@@ -56,6 +56,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S29 sessionize TTL: expiry flushes the open session; re-arrival re-initializes; within-horizon == no-timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.Stream.EvW
+    def ev(u: Long, id: Long, es: Long) =
+      EvW(u, id, es, new java.sql.Timestamp(es * 1000L))
+    val input = MemoryStream[EvW]
+    val q = Stream.sessionizeTtl(input.toDS(), ttlSecs = 3600L).writeStream
+      .format("memory").queryName("sess_ttl_test").outputMode("append").start()
+    try {
+      // user 1: one open session of 2 events (within-horizon behavior =
+      // the no-timeout variant: nothing emitted yet)
+      input.addData(ev(1L, 1L, 1000L), ev(1L, 2L, 1100L))
+      q.processAllAvailable()
+      assert(spark.table("sess_ttl_test").isEmpty,
+        "open session emitted before any horizon crossing")
+      // an unrelated key advances the watermark far past 1100 + 3600
+      input.addData(ev(2L, 3L, 100000L))
+      q.processAllAvailable()
+      input.addData(ev(3L, 4L, 200000L)) // one more batch to run the timeout pass
+      q.processAllAvailable()
+      val flushed = spark.table("sess_ttl_test").as[SessOut].collect().toSet
+      assert(flushed.contains(SessOut(1L, 1L, 2L, 100L)),
+        s"expiry must FLUSH user 1's open session: $flushed")
+      // re-arrival: state was dropped, so the session counter restarts at 1
+      input.addData(ev(1L, 5L, 300000L), ev(1L, 6L, 300010L),
+        ev(1L, 7L, 310000L)) // second pair is a new session (gap > 1800)
+      q.processAllAvailable()
+      val after = spark.table("sess_ttl_test").as[SessOut].collect().toSet
+      assert(after.contains(SessOut(1L, 1L, 2L, 10L)),
+        s"re-initialized key must restart session ids at 1: $after")
+    } finally q.stop()
+  }
+
+  test("S29 quota TTL: counter survives within the horizon, resets after expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.Stream.{EvW, QuotaOut}
+    def ev(u: Long, id: Long, es: Long) =
+      EvW(u, id, es, new java.sql.Timestamp(es * 1000L))
+    val input = MemoryStream[EvW]
+    val q = Stream.quotaTtl(input.toDS(), n = 2L, ttlSecs = 3600L).writeStream
+      .format("memory").queryName("quota_ttl_test").outputMode("append").start()
+    try {
+      input.addData(ev(1L, 1L, 1000L))
+      q.processAllAvailable()
+      // within horizon: the counter persists — id 2 takes rank 2, id 3 dropped
+      input.addData(ev(1L, 2L, 2000L), ev(1L, 3L, 2100L))
+      q.processAllAvailable()
+      val in1 = spark.table("quota_ttl_test").as[QuotaOut].collect().toSet
+      assert(in1 == Set(QuotaOut(1L, 1L, 1L), QuotaOut(1L, 2L, 2L)), s"$in1")
+      // horizon crossing (watermark via another key + a timeout batch)
+      input.addData(ev(2L, 4L, 100000L))
+      q.processAllAvailable()
+      input.addData(ev(3L, 5L, 200000L))
+      q.processAllAvailable()
+      // expiry reset the budget: user 1 is admitted again from rank 1
+      input.addData(ev(1L, 6L, 300000L))
+      q.processAllAvailable()
+      val after = spark.table("quota_ttl_test").as[QuotaOut].collect().toSet
+      assert(after.contains(QuotaOut(1L, 6L, 1L)),
+        s"expired key must re-admit from rank 1: $after")
+    } finally q.stop()
+  }
+
+  test("S29 transitions TTL: no pair spans the expiry gap; fresh chain after re-arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.Stream.{TEvW, TransOut}
+    def ev(u: Long, id: Long, es: Long, t: String) =
+      TEvW(u, id, es, t, new java.sql.Timestamp(es * 1000L))
+    val input = MemoryStream[TEvW]
+    val q = Stream.transitionsTtl(input.toDS(), ttlSecs = 3600L).writeStream
+      .format("memory").queryName("trans_ttl_test").outputMode("append").start()
+    try {
+      input.addData(ev(1L, 1L, 1000L, "a"), ev(1L, 2L, 1100L, "b"))
+      q.processAllAvailable()
+      input.addData(ev(2L, 3L, 100000L, "x"))
+      q.processAllAvailable()
+      input.addData(ev(3L, 4L, 200000L, "y")) // timeout pass drops user 1
+      q.processAllAvailable()
+      input.addData(ev(1L, 5L, 300000L, "c"), ev(1L, 6L, 300100L, "d"))
+      q.processAllAvailable()
+      val out = spark.table("trans_ttl_test").as[TransOut].collect().toSet
+      assert(out.contains(TransOut(1L, "a", "b")), s"$out")
+      assert(!out.contains(TransOut(1L, "b", "c")),
+        s"a pair crossed the expiry gap: $out")
+      assert(out.contains(TransOut(1L, "c", "d")),
+        s"fresh chain after re-arrival must resume pairing: $out")
+    } finally q.stop()
+  }
+
   test("streaming quota admits first n per key and persists the counter across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
