@@ -199,14 +199,17 @@ object Dedup {
   def corpusShingles(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                      shingle: Int = 3): DataFrame =
     idxCache.computeIfAbsent((spark, sfDir, shingle), _ =>
-      // merge-join hint: the index is CORPUS-SIZED BY CONTRACT — TBs in
-      // production — but the checkpoint's accurate small-SF stats would
-      // let Catalyst broadcast it (measured: the sf10 replica OOM'd the
-      // broadcast build in the cascade's verify join). The hint pins
-      // every index probe to the shuffle plan the 100 TB shape requires;
-      // sort-merge spills, so no per-partition build-memory cliff either.
+      // No blanket join hint here: the checkpoint carries ACCURATE size
+      // stats, so Catalyst's broadcast decisions over the index are
+      // driven by its real size at the running scale (broadcasting a
+      // ~20 MB sf0.1 index is right; a TB-scale production index never
+      // fits the threshold and plans as shuffle on its own). A blanket
+      // merge hint here measured a 4.1 → 10.2 s regression on the
+      // jaccard join at sf0.1. The one place small-SF stats DID mislead
+      // — the cascade's verify-set table, whose post-aggregate estimate
+      // undershot its array payload — carries its own targeted hint.
       shingleToks(graft.Tables.documents(spark, sfDir), "doc_id", "text", shingle)
-        .localCheckpoint().hint("merge"))
+        .localCheckpoint())
 
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                   minJaccardPct: Int = 50, shingle: Int = 3): DataFrame =
