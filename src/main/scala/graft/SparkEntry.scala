@@ -250,30 +250,26 @@ object SparkEntry {
     * Checkpointed because every consumer reads the edge set several
     * times per round (degrees, neighbor joins, seeds) — without the cut
     * each superstep would replay the whole IVF scoring lineage. */
-  /** Per-(session, dir) cache of the materialized edge set: SIX _full
+  /** Per-(session, corpus) cache of the materialized edge set: SIX _full
     * queries share it, and localCheckpoint is eager — without the cache
     * each of them re-ran the whole IVF scoring + kNN + mutual chain (the
-    * r12 verdict's job-count item). Keyed by the session too (unlike the
-    * model caches, which hold session-free arrays): a checkpointed
-    * DataFrame is pinned to its session's executors, so a dir-only key
-    * would hand a dead session's frame to a new session in the same JVM. */
-  private val ivfEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * r12 verdict's job-count item). Lives in [[graft.SessionCache]]
+    * (stopped sessions evict; a regenerated embeddings table invalidates
+    * by listing signature — the r17 ADVICE lifecycle rules), keyed by the
+    * session because a checkpointed DataFrame is pinned to its session's
+    * executors. */
   private[graft] def ivfMutualEdges(s: SparkSession, d: String): DataFrame = {
-    // Evict entries pinned to STOPPED sessions before serving: a
-    // checkpointed frame strongly references its session's context, so a
-    // session-churning JVM would otherwise leak one materialized edge set
-    // per (dead session, corpus) for the JVM lifetime.
-    ivfEdgesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    ivfEdgesCache.computeIfAbsent((s, d), { _ =>
+    // resolve the centroid model OUTSIDE the build closure (ivfModels is
+    // a separate map, but keep the no-nested-computeIfAbsent rule uniform)
+    val model = ivfModel(s, d, 16)
+    SessionCache.getOrBuild(s, s"ivfMutualEdges:$d", s"$d/embeddings.parquet") {
       Similarity.mutualEdgesWeighted(
           Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
-              ivfModel(s, d, 16), k = 5)
+              model, k = 5)
             .select(col("src"), col("dst"),
               round(col("cos") * 10000).cast("long").as("w")), "w")
         .localCheckpoint()
-    })
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1622,15 +1618,24 @@ object SparkEntry {
     // ---- LLM-pipeline: text analysis ----
     // BPE tokenizer induction: corpus scanned ONCE for word counts, then 8
     // merge rounds on the vocabulary-sized table; oracle unrolls the same
-    // rounds (exact integer counts, lexicographic ties, greedy-left merge)
-    "text_bpe" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), "doc_id", "text", 8)),
+    // rounds (exact integer counts, lexicographic ties, greedy-left merge).
+    // The model is TRAINED ONCE per (session, corpus) — the trio below
+    // shares TextOps.bpeModelCached (the r17 refit finding).
+    "text_bpe" -> ((s, d) => {
+      import s.implicits._
+      TextOps.bpeModelCached(s, d)._1.toDF("merge_rank", "mleft", "mright", "pair_n")
+    }),
     // ...and the trained tokenizer APPLIED: per-doc token counts under the
     // final segmentation (the pretraining-budget question)
-    "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.documents(s, d), "doc_id", "text", 8)),
+    "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokensFromVocab(
+      Tables.documents(s, d), "doc_id", "text", TextOps.bpeModelCached(s, d)._2)),
     // L66: per-source chars-per-BPE-token compression ratio (tokenizer
     // fertility) — exact masses, one 1e-6 integral division
-    "text_compression" -> ((s, d) =>
-      TextOps.compressionReport(Tables.documents(s, d), "doc_id", "text", "source", 8)),
+    "text_compression" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.compressionReportFromTokens(docs, "doc_id", "text", "source",
+        TextOps.bpeTokensFromVocab(docs, "doc_id", "text", TextOps.bpeModelCached(s, d)._2))
+    }),
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d), "doc_id", "text")),
@@ -1764,23 +1769,25 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style LM quality signal: per-doc mean NLL under the corpus's
-    // own add-one unigram model (integer-snapped log-probs → exact sums)
-    "text_ppl" -> ((s, d) => TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),
+    // own add-one unigram model (integer-snapped log-probs → exact sums).
+    // The LM fits ONCE per (session, corpus) — text_ppl / ppl_filter /
+    // ppl_interp and the S21 streaming cuts all read the cached frame.
+    "text_ppl" -> ((s, d) => TextOps.unigramNllCached(s, d)),
     // L44: CCNet's central curation step — per-language head/middle/tail
     // perplexity terciles (two-level rank; exact integer boundaries)
-    "pipeline_ppl_filter" -> ((s, d) =>
-      TextOps.pplBucketFilter(Tables.documents(s, d), "doc_id", "text")),
+    "pipeline_ppl_filter" -> ((s, d) => TextOps.pplBucketFilterFromNll(
+      TextOps.unigramNllCached(s, d), Tables.documents(s, d), "doc_id", "text")),
     // the next-order LM signal: add-one bigram NLL, same integer-snapped
     // exactness contract as the unigram form
-    "text_ppl_bigram" -> ((s, d) => TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
+    "text_ppl_bigram" -> ((s, d) => TextOps.bigramNllCached(s, d)),
     // Jelinek–Mercer interpolation of the two LM signals (λ=0.7 bigram):
     // integer blend (7·nll2 + 3·nll1) div 10, single-token docs fall
     // back to the unigram score — composes the two class-1 signals into
     // the smoothed LM quality score CCNet-style filters actually use
     "text_ppl_interp" -> ((s, d) => {
-      val u = TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
+      val u = TextOps.unigramNllCached(s, d)
         .select(col("doc_id"), col("nll_micro"))
-      val b = TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")
+      val b = TextOps.bigramNllCached(s, d)
         .select(col("doc_id"), col("nll2_micro"))
       u.join(b, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
@@ -1790,12 +1797,15 @@ object SparkEntry {
     }),
     // L31: one-pass Naive Bayes classifier (the fastText-filter family's
     // closed-form member) — supervised langid over the corpus's own
-    // labels, every log-prob an exact LnFix micro-nat integer
+    // labels, every log-prob an exact LnFix micro-nat integer. The score
+    // frame fits ONCE per (session, corpus): all six eval-family queries
+    // read TextOps.nbScoredCached (the r17 refit finding).
     "text_classify" -> ((s, d) =>
-      TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")),
+      TextOps.naiveBayesFromScored(TextOps.nbScoredCached(s, d))),
     // L48: classifier calibration report — per-margin-bin accuracy
     "text_calibration" -> ((s, d) =>
-      TextOps.classifierCalibration(Tables.documents(s, d), "doc_id", "text", "lang")),
+      TextOps.classifierCalibrationFromScored(TextOps.nbScoredCached(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("lang").as("_actual")))),
     // L37: count-of-counts Zipf profile (tokenizer-design statistic)
     "text_zipf" -> ((s, d) =>
       TextOps.zipfSpectrum(Tables.documents(s, d), "doc_id", "text")),
@@ -1816,7 +1826,7 @@ object SparkEntry {
       Dedup.fuzzyJoin(Tables.customer(s, d), "c_custkey", "c_name")),
     // the eval face of L31: confusion matrix of predicted vs actual lang
     "text_classify_eval" -> ((s, d) =>
-      TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+      TextOps.naiveBayesFromScored(TextOps.nbScoredCached(s, d))
         .join(Tables.documents(s, d).select(col("doc_id"),
           col("lang").as("actual")), Seq("doc_id"))
         .groupBy(col("actual"), col("pred"))
@@ -1829,10 +1839,11 @@ object SparkEntry {
     // L62: exact ROC-AUC (Mann–Whitney midranks) for the NB scorer on
     // the 'en' class — the threshold-free face of the eval family
     "text_classify_auc" -> ((s, d) =>
-      TextOps.classifierAuc(Tables.documents(s, d), "doc_id", "text",
-        "lang", posLabel = "en")),
+      TextOps.classifierAucFromScored(TextOps.nbScoredCached(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("lang").as("_actual")),
+        posLabel = "en")),
     "text_classify_f1" -> ((s, d) => {
-      val conf = TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+      val conf = TextOps.naiveBayesFromScored(TextOps.nbScoredCached(s, d))
         .join(Tables.documents(s, d).select(col("doc_id"),
           col("lang").as("actual")), Seq("doc_id"))
         .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
@@ -1857,7 +1868,7 @@ object SparkEntry {
     // decimal(38,0) with a single 6dp same-operand double division
     "report_kappa" -> ((s, d) => {
       val dec = "decimal(38,0)"
-      val conf = TextOps.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")
+      val conf = TextOps.naiveBayesFromScored(TextOps.nbScoredCached(s, d))
         .join(Tables.documents(s, d).select(col("doc_id"),
           col("lang").as("actual")), Seq("doc_id"))
         .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))

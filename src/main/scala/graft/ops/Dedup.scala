@@ -189,16 +189,18 @@ object Dedup {
     * explode + distinct; before this cache each consumer query paid that
     * build again (the r16 verdict's top s/query item: dedup_containment
     * and stream_containment built the identical index twice per run).
-    * Keyed by (session, corpus dir, shingle width); the localCheckpoint
-    * pins the index as shuffle-class blocks — id + 3-gram strings, the
-    * same data every downstream shuffle carries, never the documents.
-    * At 100 TB this cache IS the on-disk inverted index; sessions die
-    * with their entries (the map holds one frame per corpus per session). */
-  private val idxCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]()
+    * Keyed by (session, corpus dir + listing signature, shingle width)
+    * in [[graft.SessionCache]] — stopped sessions evict, a regenerated
+    * corpus invalidates (the r17 ADVICE lifecycle findings); the
+    * localCheckpoint pins the index as shuffle-class blocks — id +
+    * 3-gram strings, the same data every downstream shuffle carries,
+    * never the documents. At 100 TB this cache IS the on-disk inverted
+    * index (and a churn-tolerant pipeline would materialize it to the
+    * lake — see the SessionCache fault-tolerance note). */
   def corpusShingles(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                      shingle: Int = 3): DataFrame =
-    idxCache.computeIfAbsent((spark, sfDir, shingle), _ =>
+    graft.SessionCache.getOrBuild(spark, s"shingleIdx:$sfDir:$shingle",
+        s"$sfDir/documents.parquet")(
       // No blanket join hint here: the checkpoint carries ACCURATE size
       // stats, so Catalyst's broadcast decisions over the index are
       // driven by its real size at the running scale (broadcasting a

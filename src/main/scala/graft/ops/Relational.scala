@@ -255,18 +255,28 @@ object Relational {
     * branch's shuffle carries exactly the distinct pairs, nothing is
     * ever fact×3. Measured quiet min-of-3 at sf0.1: 4.66 → 1.28 s. */
   def q21ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    // NULL semantics must match count_distinct (the r17 ADVICE item —
+    // benign on TPC-H where key/flag are non-null, pinned by spec on
+    // planted NULLs): a NULL key is NOT a distinct value — count(col)
+    // over the deduped pairs ignores the NULL-key row (where count(lit(1))
+    // counted it) while still keeping an all-NULL-key flag group ALIVE at
+    // zero. And a NULL flag GROUP must survive the branch join — an
+    // equi-join drops it because NULL = NULL is not true, so the join is
+    // null-safe (<=>). Both branches see identical flag sets (same
+    // table), so inner + <=> is lossless and keeps the broadcast.
     def branch(key: String, exactName: String, bandName: String): DataFrame =
       lineitem(s, d)
         .groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("_n"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as(exactName),
+        .agg(count(col(key)).as(exactName),
           approx_count_distinct(col(key), 0.02).as("_a"))
         .select(col("l_returnflag"), col(exactName),
           (abs(col("_a") - col(exactName)).cast("double")
             <= lit(0.10) * col(exactName)).as(bandName))
-    branch("l_orderkey", "exact_orders", "orders_in_band")
-      .join(broadcast(branch("l_partkey", "exact_parts", "parts_in_band")),
-        Seq("l_returnflag"))
+    val l = branch("l_orderkey", "exact_orders", "orders_in_band")
+    val r = broadcast(branch("l_partkey", "exact_parts", "parts_in_band"))
+      .withColumnRenamed("l_returnflag", "_rf")
+    l.join(r, l("l_returnflag") <=> r("_rf"))
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         col("orders_in_band"), col("parts_in_band"))
   }

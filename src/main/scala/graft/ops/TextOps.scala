@@ -16,6 +16,87 @@ object TextOps {
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbols. */
   private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  // ---- per-(session, corpus) fitted-model share points ----------------
+  // The r17 verdict's single biggest perf lever: the NB classifier was
+  // refit by SIX eval queries, the BPE merge table by three, the
+  // unigram/bigram LMs by five (batch + the streaming admission gates).
+  // Each family now fits ONCE per (session, corpus) through
+  // [[graft.SessionCache]] (the Dedup.corpusShingles precedent: stopped
+  // sessions evict, a regenerated corpus invalidates by listing
+  // signature) and every consumer reads the checkpointed frame / literal
+  // model. In production these ARE the artifacts a pipeline maintains
+  // next to the corpus; a churn-tolerant deployment materializes them to
+  // the lake — see the SessionCache fault-tolerance note.
+
+  /** The (doc_id, _label, _score) NB score frame for the corpus's
+    * `documents` table under the `lang` labels — the ONE fit behind
+    * text_classify / _eval / _f1 / _auc / _calibration / report_kappa. */
+  def nbScoredCached(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String): DataFrame =
+    graft.SessionCache.getOrBuild(spark, s"nbScored:$sfDir:lang",
+        s"$sfDir/documents.parquet")(
+      nbScored(graft.Tables.documents(spark, sfDir), "doc_id", "text", "lang")
+        .localCheckpoint())
+
+  /** The SERVING form for the streaming classifier gate (S17): uncapped
+    * literal model, fit once per corpus. */
+  def nbLiteralModelCached(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): Seq[(String, Long, Long, Map[String, Long])] =
+    graft.SessionCache.getOrBuild(spark, s"nbLiteral:$sfDir:lang",
+        s"$sfDir/documents.parquet")(
+      naiveBayesModel(graft.Tables.documents(spark, sfDir),
+        "doc_id", "text", "lang", vocabCap = Int.MaxValue))
+
+  /** The (ordered merge table, final vocab frame) BPE model — the ONE
+    * train behind text_bpe / text_bpe_tokens / text_compression. */
+  def bpeModelCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     merges: Int = 8): (Seq[(Int, String, String, Long)], DataFrame) =
+    graft.SessionCache.getOrBuild(spark, s"bpe:$sfDir:$merges",
+        s"$sfDir/documents.parquet")(
+      // bpeLoop already checkpoints the vocab each round; the tuple holds
+      // the final materialized frame + the driver-sized merge list
+      bpeLoop(graft.Tables.documents(spark, sfDir), "text", merges))
+
+  /** The per-doc unigram-LM NLL frame — the ONE fit behind text_ppl /
+    * text_ppl_interp / pipeline_ppl_filter and the S21 streaming gate's
+    * tercile cuts. */
+  def unigramNllCached(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame =
+    graft.SessionCache.getOrBuild(spark, s"unigramNll:$sfDir",
+        s"$sfDir/documents.parquet")(
+      unigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text")
+        .localCheckpoint())
+
+  /** The per-doc bigram-LM NLL frame — shared by text_ppl_bigram and
+    * text_ppl_interp. */
+  def bigramNllCached(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): DataFrame =
+    graft.SessionCache.getOrBuild(spark, s"bigramNll:$sfDir",
+        s"$sfDir/documents.parquet")(
+      bigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text")
+        .localCheckpoint())
+
+  /** The S21 serving model: the literal token→micro-nat map plus the
+    * per-language tercile VALUE cuts, fit once per corpus (both are
+    * derived from the same cached unigram LM fit). */
+  def pplServingModelCached(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : (Map[String, Long], Seq[(String, Option[Long], Option[Long])]) = {
+    // resolve the nll dependency OUTSIDE the build closure: computeIfAbsent
+    // is not reentrant, so a cache build must never trigger another lookup
+    val nll = unigramNllCached(spark, sfDir)
+    graft.SessionCache.getOrBuild(spark, s"pplServing:$sfDir",
+        s"$sfDir/documents.parquet") {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val lm = unigramNllModel(docs, "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cuts = pplTercileCutsFromNll(nll, docs, "doc_id", "text")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      (lm, cuts)
+    }
+  }
+
   /** Whitespace token count. NOTE: empty/whitespace-only text counts as ONE
     * token — split('') = [''] in Spark AND DuckDB, and the oracle contract
     * pins that shared semantics rather than special-casing it. */
@@ -364,7 +445,14 @@ object TextOps {
     * global per-language row_number the oracle runs. Returns
     * (doc_id, lang, nll_micro, bucket, keep) with keep = not tail. */
   def pplBucketFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    pplRanked(docs, idCol, textCol)
+    pplBucketFilterFromNll(unigramNll(docs, idCol, textCol), docs, idCol, textCol)
+
+  /** [[pplBucketFilter]] over a pre-fit per-doc (doc_id, …, nll_micro)
+    * frame — the [[unigramNll]] share point (fit the LM once; terciles,
+    * interp, and the raw signal all read the same frame). */
+  def pplBucketFilterFromNll(nll: DataFrame, docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    pplRankedFromNll(nll, docs, idCol, textCol)
       .select(col("doc_id"), col("lang"), col("nll_micro"),
         when(col("_rk") * 3 <= col("_tot"), "head")
           .when(col("_rk") * 3 <= col("_tot") * 2, "middle")
@@ -373,12 +461,13 @@ object TextOps {
 
   /** The shared per-language rank frame behind [[pplBucketFilter]] and
     * [[pplTercileCuts]]: (doc_id, lang, nll_micro, _rk, _tot). */
-  private def pplRanked(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def pplRankedFromNll(nll: DataFrame, docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
     // (doc_id, lang, nll_micro, slab) feeds BOTH the offset table and the
     // final rank join — pin it (lazily; the offset aggregate materializes
     // it) so the whole LM-fit + langid lineage runs once, not twice. The
     // pinned frame is doc-count-sized narrow columns, not token-sized.
-    val d = unigramNll(docs, idCol, textCol)
+    val d = nll
       .join(docs.select(col(idCol).as("doc_id"),
         langIdCol(col(textCol)).as("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("nll_micro"))
@@ -407,7 +496,13 @@ object TextOps {
     * all (documented; the streaming contract). Returns (lang, t1, t2) —
     * language-count rows. */
   def pplTercileCuts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    pplRanked(docs, idCol, textCol)
+    pplTercileCutsFromNll(unigramNll(docs, idCol, textCol), docs, idCol, textCol)
+
+  /** [[pplTercileCuts]] over a pre-fit per-doc nll frame — the
+    * [[unigramNll]] share point (the streaming admission gate's fit). */
+  def pplTercileCutsFromNll(nll: DataFrame, docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    pplRankedFromNll(nll, docs, idCol, textCol)
       .groupBy(col("lang"))
       .agg(max(when(col("_rk") * 3 <= col("_tot"), col("nll_micro"))).as("t1"),
         max(when(col("_rk") * 3 <= col("_tot") * 2, col("nll_micro"))).as("t2"))
@@ -505,9 +600,12 @@ object TextOps {
     * dimension a broadcast; nothing collects — priors/fallbacks are
     * label-sized frames. Returns (doc_id, pred, cost_micro). */
   /** Per-(doc, label) exact-integer NB cost — the frame [[naiveBayes]]
-    * argmins and [[classifierCalibration]] top-2s. */
-  private def nbScored(docs: DataFrame, idCol: String, textCol: String,
-                       labelCol: String): DataFrame = {
+    * argmins and [[classifierCalibration]] top-2s. `private[graft]` so the
+    * query surface can fit it ONCE per (session, corpus) and hand the
+    * checkpointed frame to every eval-family consumer ([[graft.SessionCache]]
+    * — the r17 verdict's six-refits finding). */
+  private[graft] def nbScored(docs: DataFrame, idCol: String, textCol: String,
+                              labelCol: String): DataFrame = {
     val (toks, cost, fb, prior) = nbFrames(docs, idCol, textCol, labelCol)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -526,7 +624,12 @@ object TextOps {
 
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String): DataFrame =
-    nbScored(docs, idCol, textCol, labelCol).groupBy(col("doc_id"))
+    naiveBayesFromScored(nbScored(docs, idCol, textCol, labelCol))
+
+  /** The argmin face of [[naiveBayes]] over a pre-fit (doc_id, _label,
+    * _score) frame — the [[nbScored]] share point. */
+  def naiveBayesFromScored(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"))
       .agg(min(struct(col("_score"), col("_label"))).as("_top"))
       .select(col("doc_id"), col("_top._label").as("pred"),
         col("_top._score").as("cost_micro"))
@@ -545,8 +648,17 @@ object TextOps {
     * score list (bounded at any corpus size). One output row per bin. */
   def classifierCalibration(docs: DataFrame, idCol: String, textCol: String,
                             labelCol: String, binMicros: Long = 100000L,
-                            nBins: Int = 5): DataFrame = {
-    val top2 = nbScored(docs, idCol, textCol, labelCol)
+                            nBins: Int = 5): DataFrame =
+    classifierCalibrationFromScored(nbScored(docs, idCol, textCol, labelCol),
+      docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
+      binMicros, nBins)
+
+  /** [[classifierCalibration]] over a pre-fit score frame + an
+    * (doc_id, _actual) truth frame — the [[nbScored]] share point. */
+  def classifierCalibrationFromScored(scored: DataFrame, actuals: DataFrame,
+                                      binMicros: Long = 100000L,
+                                      nBins: Int = 5): DataFrame = {
+    val top2 = scored
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("_score"), col("_label")))).as("_a"))
       // a single-label corpus has no runner-up: no margin exists, the doc
@@ -555,8 +667,7 @@ object TextOps {
       .select(col("doc_id"), col("_a")(0).getField("_label").as("pred"),
         (col("_a")(1).getField("_score") - col("_a")(0).getField("_score")).as("margin"))
     top2
-      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
-        Seq("doc_id"))
+      .join(actuals, Seq("doc_id"))
       .select(
         least(lit((nBins - 1).toLong), expr(s"margin div $binMicros")).as("bucket"),
         when(col("pred") === col("_actual"), 1L).otherwise(0L).as("_ok"))
@@ -587,11 +698,18 @@ object TextOps {
     * slab boundaries affect nothing in the output, so they need no
     * oracle mirror. */
   def classifierAuc(docs: DataFrame, idCol: String, textCol: String,
-                    labelCol: String, posLabel: String): DataFrame = {
-    val sc = nbScored(docs, idCol, textCol, labelCol)
+                    labelCol: String, posLabel: String): DataFrame =
+    classifierAucFromScored(nbScored(docs, idCol, textCol, labelCol),
+      docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
+      posLabel)
+
+  /** [[classifierAuc]] over a pre-fit score frame + an (doc_id, _actual)
+    * truth frame — the [[nbScored]] share point. */
+  def classifierAucFromScored(scored: DataFrame, actuals: DataFrame,
+                              posLabel: String): DataFrame = {
+    val sc = scored
       .filter(col("_label") === posLabel)
-      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("_actual")),
-        Seq("doc_id"))
+      .join(actuals, Seq("doc_id"))
       .select(col("_score").as("score"),
         when(col("_actual") === posLabel, 1L).otherwise(0L).as("_p"))
     val cuts: Seq[Double] = sc
@@ -810,8 +928,14 @@ object TextOps {
     * exploded word stream against the vocab's final segment lengths plus
     * a doc-keyed sum (wordless documents count 0). */
   def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
-                merges: Int = 8): DataFrame = {
-    val vocab = bpeLoop(docs, textCol, merges)._2
+                merges: Int = 8): DataFrame =
+    bpeTokensFromVocab(docs, idCol, textCol, bpeLoop(docs, textCol, merges)._2)
+
+  /** [[bpeTokens]] over a pre-trained final-vocab (word, cnt, toks) frame
+    * — the [[bpeLoop]] share point (train once, apply from every
+    * consumer). */
+  def bpeTokensFromVocab(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("word"))
@@ -832,8 +956,15 @@ object TextOps {
     * division in 1e-6 units. Cost = the bpeTokens chain + one
     * source-sized aggregate. */
   def compressionReport(docs: DataFrame, idCol: String, textCol: String,
-                        groupCol: String, merges: Int = 8): DataFrame = {
-    val perDoc = bpeTokens(docs, idCol, textCol, merges)
+                        groupCol: String, merges: Int = 8): DataFrame =
+    compressionReportFromTokens(docs, idCol, textCol, groupCol,
+      bpeTokens(docs, idCol, textCol, merges))
+
+  /** [[compressionReport]] over a pre-computed per-doc (doc_id,
+    * n_bpe_tokens) frame — the [[bpeLoop]] share point. */
+  def compressionReportFromTokens(docs: DataFrame, idCol: String,
+                                  textCol: String, groupCol: String,
+                                  perDoc: DataFrame): DataFrame = {
     docs.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
         length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("_ch"))
       .join(perDoc, Seq("doc_id"))
@@ -848,7 +979,7 @@ object TextOps {
   /** The shared BPE merge loop: returns (ordered merge list, final vocab
     * (word, cnt, toks) frame). See [[bpeTrain]] for the algorithm and
     * parity contract. */
-  private def bpeLoop(docs: DataFrame, textCol: String, merges: Int)
+  private[graft] def bpeLoop(docs: DataFrame, textCol: String, merges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val words = docs

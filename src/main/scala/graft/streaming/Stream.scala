@@ -371,10 +371,14 @@ object Stream {
     // the stream plan as ONE referenced array behind the codegen'd
     // DsirScore kernel — the interpreted HOF fold this replaces measured
     // 236 s at the sf10 gate; the kernel is one md5 + one index per gram
-    val deltas = new Array[Long](graft.ops.Sampling.DsirBuckets)
-    graft.ops.Sampling.dsirModel(docs,
-        docs.filter(col("source") < "src10"), "doc_id", "text")
-      .collect().foreach(r => deltas(r.getLong(0).toInt) = r.getLong(1))
+    val deltas = graft.SessionCache.getOrBuild(spark, s"dsirDeltas:$sfDir",
+        s"$sfDir/documents.parquet") {
+      val a = new Array[Long](graft.ops.Sampling.DsirBuckets)
+      graft.ops.Sampling.dsirModel(docs,
+          docs.filter(col("source") < "src10"), "doc_id", "text")
+        .collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     val scored = src.select(col("doc_id"),
@@ -409,15 +413,9 @@ object Stream {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val lm: Map[String, Long] = graft.ops.TextOps
-      .unigramNllModel(docs, "doc_id", "text")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val cuts: Seq[(String, Option[Long], Option[Long])] = graft.ops.TextOps
-      .pplTercileCuts(docs, "doc_id", "text")
-      .collect().map(r => (r.getString(0),
-        if (r.isNullAt(1)) None else Some(r.getLong(1)),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // the literal LM + tercile cuts fit ONCE per (session, corpus) —
+    // shared with the batch ppl family through the same cached LM frame
+    val (lm, cuts) = graft.ops.TextOps.pplServingModelCached(spark, sfDir)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     // X15 kernel: sum-over-hits + hit count in ONE token walk per record
@@ -649,10 +647,9 @@ object Stream {
     // UNCAPPED vocabulary: this query is documented bit-equal to batch
     // text_classify and shares its oracle, so the serving-size cap (an
     // opt-in naiveBayesModel knob) must not silently drop tokens here —
-    // a capped model would diverge from both once corpus vocab > cap
-    val model = graft.ops.TextOps.naiveBayesModel(
-      spark.read.parquet(s"$sfDir/documents.parquet"),
-      "doc_id", "text", "lang", vocabCap = Int.MaxValue)
+    // a capped model would diverge from both once corpus vocab > cap.
+    // Fit ONCE per (session, corpus) via the shared model cache.
+    val model = graft.ops.TextOps.nbLiteralModelCached(spark, sfDir)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     // X15 kernel: all per-label cost sums in ONE token walk per record

@@ -1025,6 +1025,16 @@ object Zarr {
       // existing field absent from the regenerated document is carried
       // over verbatim; fields we do regenerate (shape, codecs, …) take
       // the fresh value, which is the point of the rewrite.
+      //
+      // DOCUMENTED POLICY (the r17 ADVICE trade-off, decided verbatim-
+      // preserve over allowlist): unknown fields are preserved AS WRITTEN
+      // and may go stale relative to the rewritten shape — a foreign
+      // extension that denormalizes shape (a consolidated-metadata-style
+      // cache, say) is the extension owner's to refresh, and silently
+      // DROPPING it (the allowlist route) would destroy data this engine
+      // cannot regenerate. The fields this writer understands are exactly
+      // the regenerated set; `dimension_names` in particular stays valid
+      // under append/resize because rank never changes, only extent.
       val f = s"$path/zarr.json"
       val fresh = metaJsonV3(m)
       val out =

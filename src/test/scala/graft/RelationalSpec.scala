@@ -106,6 +106,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q21 NULL semantics equal count_distinct: NULL keys uncounted, NULL flag group kept") {
+    import spark.implicits._
+    // planted NULLs (the r17 ADVICE item): a NULL-flag group, NULL keys
+    // inside a live group, and one group whose partkeys are ALL NULL
+    val dir = s"${GraftPaths.tmpRoot}/q21_nulls"
+    Seq[(Option[String], Option[Long], Option[Long])](
+      (Some("A"), Some(1L), Some(10L)), (Some("A"), Some(1L), None),
+      (Some("A"), Some(2L), Some(11L)), (Some("A"), None, Some(10L)),
+      (None, Some(3L), Some(12L)), (None, Some(4L), None),
+      (Some("Z"), Some(5L), None), (Some("Z"), Some(6L), None))
+      .toDF("l_returnflag", "l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q21ApproxDistinct(spark, dir).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val want = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet, s"group sets differ: $got vs $want")
+    got.foreach { case (k, (eo, ep, bo, bp)) =>
+      assert((eo, ep) == want(k), s"counts for $k: ($eo,$ep) vs ${want(k)}")
+      assert(bo && bp, s"in-band booleans for $k")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle rules of the fitted-model cache (the r17 ADVICE findings) and
+  * cached-vs-direct equality of every family that now shares a fit. */
+class SessionCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("getOrBuild returns the SAME artifact on a second lookup (one fit per corpus)") {
+    val a = ops.TextOps.nbScoredCached(spark, sf)
+    val b = ops.TextOps.nbScoredCached(spark, sf)
+    assert(a eq b)
+    val (m1, v1) = ops.TextOps.bpeModelCached(spark, sf)
+    val (m2, v2) = ops.TextOps.bpeModelCached(spark, sf)
+    assert((m1 eq m2) && (v1 eq v2))
+    assert(ops.TextOps.unigramNllCached(spark, sf) eq
+      ops.TextOps.unigramNllCached(spark, sf))
+  }
+
+  test("dirSignature: stable for an unchanged dir, changes on rewrite, absent for missing") {
+    val dir = s"${GraftPaths.tmpRoot}/sig_probe"
+    val df = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+    df.write.mode("overwrite").parquet(dir)
+    val s1 = SessionCache.dirSignature(spark, dir)
+    assert(s1 == SessionCache.dirSignature(spark, dir))
+    Thread.sleep(1100) // parquet mtime granularity can be 1 s
+    spark.range(11).select(col("id"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    assert(SessionCache.dirSignature(spark, dir) != s1)
+    assert(SessionCache.dirSignature(spark, s"$dir/__nope__") == "absent")
+  }
+
+  test("a REGENERATED corpus invalidates its entry and prunes the stale one") {
+    val dir = s"${GraftPaths.tmpRoot}/regen_probe"
+    spark.range(5).select(col("id"), lit("x").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    def fit(): java.lang.Long = java.lang.Long.valueOf(
+      spark.read.parquet(dir).count())
+    val n0 = SessionCache.size
+    val a = SessionCache.getOrBuild(spark, "regenTest", dir)(fit())
+    assert(a.longValue == 5L && SessionCache.size == n0 + 1)
+    assert(SessionCache.getOrBuild(spark, "regenTest", dir)(fit()) eq a)
+    Thread.sleep(1100)
+    spark.range(7).select(col("id"), lit("y").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    val b = SessionCache.getOrBuild(spark, "regenTest", dir)(fit())
+    // refit against the new data AND the stale-signature entry pruned
+    assert(b.longValue == 7L && SessionCache.size == n0 + 1)
+  }
+
+  test("cached NB / BPE / LM chains are value-identical to the direct fits") {
+    val docs = Tables.documents(spark, sf)
+    val direct = ops.TextOps.naiveBayes(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    val cached = ops.TextOps.naiveBayesFromScored(ops.TextOps.nbScoredCached(spark, sf))
+      .orderBy("doc_id").collect()
+    assert(direct.sameElements(cached))
+
+    val directBpe = ops.TextOps.bpeTokens(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    val cachedBpe = ops.TextOps.bpeTokensFromVocab(docs, "doc_id", "text",
+        ops.TextOps.bpeModelCached(spark, sf)._2)
+      .orderBy("doc_id").collect()
+    assert(directBpe.sameElements(cachedBpe))
+
+    val directNll = ops.TextOps.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val cachedNll = ops.TextOps.unigramNllCached(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(directNll.sameElements(cachedNll))
+
+    val directCuts = ops.TextOps.pplTercileCuts(docs, "doc_id", "text")
+      .orderBy("lang").collect()
+    val cachedCuts = ops.TextOps.pplServingModelCached(spark, sf)._2.sortBy(_._1)
+    assert(directCuts.length == cachedCuts.length)
+    directCuts.zip(cachedCuts).foreach { case (r, (lang, t1, t2)) =>
+      assert(r.getString(0) == lang)
+      assert((if (r.isNullAt(1)) None else Some(r.getLong(1))) == t1)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == t2)
+    }
+  }
+}
