@@ -5,9 +5,10 @@
 # reimplementation, zero shared code with graft) and compare
 # cell-for-cell against a DuckDB recomputation of the same query.
 #
-#   v2 + zlib          (zarr_*)   — .zarray, flat keys
-#   v3 + sharding+gzip (zarr3_*)  — zarr.json, sharding_indexed, crc32c
-#   v2 + blosc-lz4     (zarrbl_*) — c-blosc frames, pure-python LZ4
+#   v2 + zlib          (zarr_*)     — .zarray, flat keys
+#   v3 + sharding+gzip (zarr3_*)    — zarr.json, sharding_indexed, crc32c
+#   v2 + blosc-lz4     (zarrbl_*)   — c-blosc frames, pure-python LZ4
+#   v2 rank-3 + zlib   (zarrcube_*) — N-D geometry, padded edge chunks
 #
 # Usage: interop_check.sh [sf_dir]     (default /root/testdata/sf0.01)
 set -e
@@ -18,7 +19,9 @@ for store in "zarr_" "zarr3_" "zarrbl_"; do
   echo "== ${store}${SFNAME}"
   python3 "$(dirname "$0")/zarr_pyread.py" "$TMP/${store}${SFNAME}" "$SF"
 done
-echo "interop: 3/3 store families read by the independent engine"
+echo "== zarrcube_${SFNAME} (rank-3)"
+python3 "$(dirname "$0")/zarrnd_pycheck.py" "$TMP/zarrcube_${SFNAME}" "$SF"
+echo "interop: 4/4 store families read by the independent engine"
 
 # Third-engine check of the two xxhash64 queries the DuckDB oracle cannot
 # express: pure-python XXH64 (public spec) re-derives both minhash-LSH

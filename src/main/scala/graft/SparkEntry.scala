@@ -1023,6 +1023,26 @@ object SparkEntry {
         path, n - split)
       Zarr.readVector(s, path)
     }),
+    // Z35: rank-3 dense zarr v2 roundtrip (graft.zarr.ZarrNd — the tensor
+    // face beyond the 2-D matrix engine; closes the r17 verdict's rank
+    // boundary). Deterministic cube from lineitem (mod-folded coordinates,
+    // exact integral sums), chunks (5,3,4) over shape (32,8,6) so every
+    // axis has a ragged edge; zero sums cannot occur (quantity >= 1), so
+    // the non-fill read-back equals the aggregate and the oracle is the
+    // same GROUP BY — no dense cross join needed.
+    "zarr_cube_roundtrip" -> ((s, d) => {
+      val cube = Tables.lineitem(s, d).select(
+          (col("l_orderkey") % 32).cast("long").as("i0"),
+          (col("l_linenumber") % 8).cast("long").as("i1"),
+          (col("l_suppkey") % 6).cast("long").as("i2"),
+          col("l_quantity").cast("double").as("v"))
+        .groupBy(col("i0"), col("i1"), col("i2"))
+        .agg(sum(col("v")).as("v"))
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrcube_$sfName"
+      graft.zarr.ZarrNd.write(cube, path, Seq(32L, 8L, 6L), Seq(5, 3, 4))
+      graft.zarr.ZarrNd.read(s, path).filter(col("v") =!= 0.0)
+    }),
     // datetime64[ns] rank-1 array (anndata obs time column): event
     // timestamps as epoch NANOS — values ~1.8e18 exceed double's 2^53
     // exact range, so a hash-exact pass proves the typed long path never
@@ -4876,6 +4896,12 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(l_orderkey AS BIGINT) AS i, CAST(l_linenumber AS BIGINT) AS j,
         |  sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
         |SELECT i, j, v FROM m""".stripMargin,
+    "zarr_cube_roundtrip" ->
+      """SELECT CAST(l_orderkey % 32 AS BIGINT) AS i0,
+        |  CAST(l_linenumber % 8 AS BIGINT) AS i1,
+        |  CAST(l_suppkey % 6 AS BIGINT) AS i2,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS v
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
     "zarr_categorical_roundtrip" ->
       "SELECT doc_id AS i, source AS label FROM documents",
     "zarr_bool_mask" ->

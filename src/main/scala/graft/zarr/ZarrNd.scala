@@ -1,0 +1,267 @@
+package graft.zarr
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Rank-N (N ≥ 1, aimed at N ≥ 3) dense Zarr v2 arrays — the tensor face
+  * zappy/zarr-python expose for image stacks, (time, lat, lon) cubes and
+  * other ndarray-shaped stores that the 2-D [[Zarr]] engine (matrix-shaped,
+  * scanpy-workload) deliberately does not model. Closes the rank boundary
+  * the r17 verdict asked to decide: rank-1/2 keep their specialized
+  * engines (pushdown DSv2, sharding, append/resize, sparse groups); this
+  * module supplies spec-complete READ/WRITE for higher ranks in the same
+  * coordinate form, so `from_zarr` on a foreign rank-3 store works and a
+  * rank-3 store written here opens in stock zarr-python.
+  *
+  * Data model: a coordinate DataFrame (i0 … i{N−1}, v) — the N-D
+  * generalization of ZMatrix's (i, j, v). Chunks are the unit of
+  * parallelism both ways (partition-per-chunk read; chunk-grouped shuffle
+  * write), so the layout scales exactly like the 2-D paths: nothing ever
+  * materializes more than one chunk per task.
+  *
+  * Spec notes (v2, zarr.dev/zarr-specs — same contract the 2-D engine
+  * pins by interop test): every stored chunk is the FULL chunk shape —
+  * edge chunks are fill-padded, so all chunk objects have identical
+  * decoded length; C-order within the chunk; missing chunk reads as
+  * fill; keys are dot-joined chunk coordinates ("2.0.1"), slash-joined
+  * when `dimension_separator` is "/". Compressors: the shared codec set
+  * (null/zlib/blosc-lz4/zstd via [[Zarr.encodeChunk]]/[[Zarr.decodeChunk]]).
+  */
+object ZarrNd {
+
+  /** Rank-N v2 array metadata (the [[Zarr.Meta]] face for N dims). */
+  final case class MetaN(shape: Array[Long], chunks: Array[Int], dtype: String,
+                         zlib: Boolean, comp: String, fill: Double,
+                         nested: Boolean) {
+    def rank: Int = shape.length
+    def chunkElems: Int = chunks.product
+    /** chunk-grid extent per dim. */
+    def grid: Array[Long] =
+      shape.indices.map(d => (shape(d) + chunks(d) - 1) / chunks(d)).toArray
+    def nChunks: Long = grid.product
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fillLiteralN(m: MetaN): String = {
+    val it = Set("i8", "i4", "i2", "i1", "u2", "u1")
+    if (m.dtype.endsWith("b1")) (if (m.fill != 0.0) "true" else "false")
+    else if (it.contains(m.dtype.substring(1))) m.fill.toLong.toString
+    else if (m.fill.isNaN) "\"NaN\""
+    else if (m.fill.isPosInfinity) "\"Infinity\""
+    else if (m.fill.isNegInfinity) "\"-Infinity\""
+    else m.fill.toString
+  }
+
+  private def metaJsonN(m: MetaN): String = {
+    val comp =
+      if (m.comp == "blosc")
+        """{"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 1, "blocksize": 0}"""
+      else if (m.comp == "zstd") """{"id": "zstd", "level": 1}"""
+      else if (m.zlib) """{"id": "zlib", "level": 1}"""
+      else "null"
+    val sep = if (m.nested) "\n    \"dimension_separator\": \"/\"," else ""
+    s"""{
+       |    "chunks": [${m.chunks.mkString(", ")}],$sep
+       |    "compressor": $comp,
+       |    "dtype": "${m.dtype}",
+       |    "fill_value": ${fillLiteralN(m)},
+       |    "filters": null,
+       |    "order": "C",
+       |    "shape": [${m.shape.mkString(", ")}],
+       |    "zarr_format": 2
+       |}""".stripMargin
+  }
+
+  /** Parse a rank-N `.zarray` (any rank — shared with the 1-D/2-D specs,
+    * but without their rank restriction). */
+  def readMetaN(path: String): MetaN = {
+    val root = mapper.readTree(
+      new String(Zarr.readBytes(s"$path/.zarray"), "UTF-8"))
+    require(root.path("zarr_format").asInt() == 2,
+      s"$path: ZarrNd reads v2 stores (v3 N-D: extendable the same way)")
+    require(root.path("order").asText("C") == "C",
+      s"$path: F-order N-D stores not supported")
+    require(root.path("filters").isNull || root.path("filters").isMissingNode,
+      s"$path: filter chains not supported")
+    def longs(n: com.fasterxml.jackson.databind.JsonNode): Array[Long] = {
+      require(n.isArray && n.size() > 0, s"$path: bad shape/chunks")
+      (0 until n.size()).map(n.get(_).asLong()).toArray
+    }
+    val shape = longs(root.path("shape"))
+    val chunks = longs(root.path("chunks")).map { c =>
+      require(c > 0 && c <= Int.MaxValue, s"$path: chunk extent $c"); c.toInt
+    }
+    require(shape.length == chunks.length, s"$path: rank mismatch")
+    val compNode = root.path("compressor")
+    val (zlib, comp) =
+      if (compNode.isNull || compNode.isMissingNode) (false, "")
+      else compNode.path("id").asText() match {
+        case "zlib"  => (true, "")
+        case "blosc" => (false, "blosc")
+        case "zstd"  => (false, "zstd")
+        case other => throw new IllegalArgumentException(
+          s"$path: unsupported compressor '$other'")
+      }
+    val fillNode = root.path("fill_value")
+    val fill =
+      if (fillNode.isNull || fillNode.isMissingNode) 0.0
+      else if (fillNode.isTextual) fillNode.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"$path: fill_value '$other'")
+      }
+      else if (fillNode.isBoolean) { if (fillNode.asBoolean()) 1.0 else 0.0 }
+      else fillNode.asDouble()
+    MetaN(shape, chunks, root.path("dtype").asText(), zlib, comp, fill,
+      nested = root.path("dimension_separator").asText(".") == "/")
+  }
+
+  private def chunkKey(path: String, coord: Array[Long], nested: Boolean): String =
+    s"$path/${coord.mkString(if (nested) "/" else ".")}"
+
+  private def coordCols(rank: Int): Seq[String] = (0 until rank).map(d => s"i$d")
+
+  private def outSchema(rank: Int): StructType = StructType(
+    coordCols(rank).map(StructField(_, LongType, nullable = false)) :+
+      StructField("v", DoubleType, nullable = false))
+
+  /** Write (i0 … i{N−1}, v) as a fresh rank-N v2 store. One shuffle,
+    * keyed by linearized chunk id; each task assembles and encodes only
+    * its own chunks (one fill-initialized buffer at a time — the
+    * writeVector slab idiom), so executor memory is bounded by ONE chunk
+    * regardless of array or task size. Cells the frame omits inside the
+    * shape stay fill; out-of-shape coordinates error (fail-fast — a
+    * silently dropped cell is data loss). */
+  def write(df: DataFrame, path: String, shape: Seq[Long], chunks: Seq[Int],
+            dtype: String = "<f8", zlib: Boolean = true, comp: String = "",
+            fill: Double = 0.0, nested: Boolean = false): Unit = {
+    val rank = shape.length
+    require(rank >= 1 && chunks.length == rank, "shape/chunks rank mismatch")
+    require(shape.forall(_ > 0) && chunks.forall(_ > 0), "empty dimension")
+    val m = MetaN(shape.toArray, chunks.toArray, dtype, zlib, comp, fill, nested)
+    require(m.chunkElems.toLong == chunks.map(_.toLong).product,
+      "chunk too large: elements must fit one Int-addressable buffer")
+    val spark = df.sparkSession
+    Zarr.delete(path, recursive = true)
+    // grid strides for the linearized chunk id (row-major over the grid)
+    val grid = m.grid
+    val strides = new Array[Long](rank)
+    strides(rank - 1) = 1L
+    for (d <- rank - 2 to 0 by -1) strides(d) = strides(d + 1) * grid(d + 1)
+    val cid = (0 until rank)
+      .map(d => (col(s"i$d") / chunks(d)).cast("long") * strides(d))
+      .reduce(_ + _)
+    val shapeB = m.shape; val chunksB = m.chunks; val gridB = grid
+    val dtypeB = dtype; val zlibB = zlib; val compB = comp; val fillB = fill
+    val nestedB = nested; val elemsB = m.chunkElems
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min((m.nChunks + 7) / 8, 65536L).toInt)
+    df.select((coordCols(rank).map(col) :+ col("v").cast("double").as("v")): _*)
+      .repartition(parts, cid)
+      .sortWithinPartitions(cid)
+      .rdd.foreachPartition { it =>
+      val r = shapeB.length
+      var curCid = -1L
+      var buf: Array[Double] = null
+      val coord = new Array[Long](r)
+      def flush(): Unit = if (buf != null) {
+        Zarr.writeBytes(chunkKey(path, coord, nestedB),
+          Zarr.encodeChunk(buf, dtypeB, zlibB, 2, compB))
+        buf = null
+      }
+      it.foreach { row =>
+        var cidHere = 0L
+        var inChunkOff = 0
+        var d = 0
+        while (d < r) {
+          val i = row.getLong(d)
+          require(i >= 0 && i < shapeB(d),
+            s"coordinate i$d=$i outside shape ${shapeB.mkString("x")}")
+          val c = i / chunksB(d)
+          var cs = c; var dd = d + 1
+          while (dd < r) { cs *= gridB(dd); dd += 1 }
+          cidHere += cs
+          inChunkOff = inChunkOff * chunksB(d) + (i - c * chunksB(d)).toInt
+          d += 1
+        }
+        if (cidHere != curCid) {
+          flush()
+          curCid = cidHere
+          // decode cid -> chunk coordinates for the key
+          var rem = cidHere
+          var k = 0
+          while (k < r) {
+            val g = { var p = 1L; var dd = k + 1; while (dd < r) { p *= gridB(dd); dd += 1 }; p }
+            coord(k) = rem / g; rem = rem % g
+            k += 1
+          }
+          buf = Array.fill(elemsB)(fillB)
+        }
+        buf(inChunkOff) = row.getDouble(r)
+      }
+      flush()
+    }
+    Zarr.writeBytes(s"$path/.zarray", metaJsonN(m).getBytes("UTF-8"))
+  }
+
+  /** Read a rank-N store back as (i0 … i{N−1}, v) — partition-per-chunk
+    * (the DSv2 contract rank-1/2 reads honor), each task decoding only
+    * its own chunk object; a missing chunk emits fill for its in-bounds
+    * cells (the spec's missing-chunk rule). Ragged edges clip to shape. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val m = readMetaN(path)
+    val rank = m.rank
+    require(m.nChunks <= 16777216L,
+      s"$path: ${m.nChunks} chunks — raise chunk extents (one scheduler task per chunk)")
+    // enumerate grid coordinates on the driver: chunk-count-sized, the
+    // same listing a chunk-grid file index holds
+    val grid = m.grid
+    val coords = Iterator.iterate(new Array[Long](rank)) { c =>
+      val n = c.clone()
+      var d = rank - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        n(d) += 1
+        if (n(d) == grid(d)) { n(d) = 0; d -= 1 } else carry = false
+      }
+      n
+    }.take(m.nChunks.toInt).map(_.clone()).toSeq
+    val mB = m
+    val rdd = spark.sparkContext
+      .parallelize(coords, math.max(1, coords.size))
+      .flatMap { c =>
+        val elems = mB.chunkElems
+        val key = chunkKey(path, c, mB.nested)
+        val buf =
+          if (Zarr.exists(key))
+            Zarr.decodeChunk(Zarr.readBytes(key), elems, mB.zlib, mB.dtype, 2, mB.comp)
+          else Array.fill(elems)(mB.fill)
+        // emit in-bounds cells only (edge chunks are fill-padded on disk)
+        val r = mB.rank
+        val base = new Array[Long](r)
+        var d = 0
+        while (d < r) { base(d) = c(d) * mB.chunks(d); d += 1 }
+        (0 until elems).iterator.flatMap { off =>
+          val idx = new Array[Long](r)
+          var rem = off
+          var inBounds = true
+          var k = r - 1
+          while (k >= 0) {
+            val local = rem % mB.chunks(k)
+            rem /= mB.chunks(k)
+            val g = base(k) + local
+            if (g >= mB.shape(k)) inBounds = false
+            idx(k) = g
+            k -= 1
+          }
+          if (!inBounds) Iterator.empty
+          else Iterator.single(Row.fromSeq(idx.toSeq :+ buf(off)))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema(rank))
+  }
+}

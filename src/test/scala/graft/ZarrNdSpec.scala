@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zarr.ZarrNd
+
+/** Rank-N (≥3) dense zarr v2 arrays: roundtrips across codecs and key
+  * layouts, ragged-edge clipping, missing-chunk fill, fail-fast bounds. */
+class ZarrNdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cube(n0: Int, n1: Int, n2: Int) = {
+    import spark.implicits._
+    (for (i <- 0 until n0; j <- 0 until n1; k <- 0 until n2)
+      yield (i.toLong, j.toLong, k.toLong, (i * 10000 + j * 100 + k).toDouble))
+      .toDF("i0", "i1", "i2", "v")
+  }
+
+  private def roundtrip(tag: String, zlib: Boolean, comp: String,
+                        nested: Boolean, dtype: String = "<f8"): Unit = {
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_$tag"
+    val df = cube(7, 5, 6) // chunks (4,3,4) -> ragged on every axis
+    ZarrNd.write(df, path, Seq(7L, 5L, 6L), Seq(4, 3, 4),
+      dtype = dtype, zlib = zlib, comp = comp, nested = nested)
+    val back = ZarrNd.read(spark, path).orderBy("i0", "i1", "i2").collect()
+    val want = df.orderBy("i0", "i1", "i2").collect()
+    assert(back.length == 7 * 5 * 6)
+    assert(back.sameElements(want), s"$tag roundtrip mismatch")
+  }
+
+  test("rank-3 roundtrip: raw, zlib, blosc, zstd, nested keys, f4") {
+    roundtrip("raw", zlib = false, comp = "", nested = false)
+    roundtrip("zlib", zlib = true, comp = "", nested = false)
+    roundtrip("blosc", zlib = false, comp = "blosc", nested = false)
+    roundtrip("zstd", zlib = false, comp = "zstd", nested = false)
+    roundtrip("nested", zlib = true, comp = "", nested = true)
+    roundtrip("f4", zlib = true, comp = "", dtype = "<f4", nested = false)
+  }
+
+  test("rank-4 roundtrip (the rank boundary is gone, not moved to 3)") {
+    import spark.implicits._
+    val df = (for (a <- 0 until 3; b <- 0 until 2; c <- 0 until 4; d <- 0 until 3)
+      yield (a.toLong, b.toLong, c.toLong, d.toLong,
+        (a * 1000 + b * 100 + c * 10 + d).toDouble))
+      .toDF("i0", "i1", "i2", "i3", "v")
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_r4"
+    ZarrNd.write(df, path, Seq(3L, 2L, 4L, 3L), Seq(2, 2, 3, 2))
+    val back = ZarrNd.read(spark, path).orderBy("i0", "i1", "i2", "i3").collect()
+    assert(back.sameElements(df.orderBy("i0", "i1", "i2", "i3").collect()))
+  }
+
+  test("sparse input: omitted cells read as fill; fully-fill chunks are not stored") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, 0L, 1.5), (6L, 4L, 5L, 2.5)) // opposite corners only
+      .toDF("i0", "i1", "i2", "v")
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_sparse"
+    ZarrNd.write(df, path, Seq(7L, 5L, 6L), Seq(4, 3, 4), fill = -1.0)
+    val back = ZarrNd.read(spark, path)
+    assert(back.count() == 7 * 5 * 6)
+    val byKey = back.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(byKey((0L, 0L, 0L)) == 1.5 && byKey((6L, 4L, 5L)) == 2.5)
+    assert(byKey((3L, 2L, 2L)) == -1.0) // same chunk as origin, unset cell
+    assert(byKey((0L, 0L, 5L)) == -1.0) // chunk never written -> fill
+    // only the two corner chunks exist on disk (missing chunk == fill)
+    val stored = new java.io.File(path).listFiles().map(_.getName)
+      .filterNot(_ == ".zarray")
+    assert(stored.toSet == Set("0.0.0", "1.1.1"), stored.mkString(","))
+  }
+
+  test("metadata is stock v2: dot keys, C order, padded edge chunks") {
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_meta"
+    ZarrNd.write(cube(7, 5, 6), path, Seq(7L, 5L, 6L), Seq(4, 3, 4),
+      zlib = false)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, ".zarray")), "UTF-8")
+    assert(meta.contains("\"shape\": [7, 5, 6]"))
+    assert(meta.contains("\"chunks\": [4, 3, 4]"))
+    assert(meta.contains("\"order\": \"C\""))
+    // spec rule: EVERY stored chunk is the full chunk shape (raw codec ->
+    // byte length is exactly 4*3*4 doubles, even for the ragged corner)
+    val corner = java.nio.file.Paths.get(path, "1.1.1")
+    assert(java.nio.file.Files.size(corner) == 4L * 3 * 4 * 8)
+    val m = ZarrNd.readMetaN(path)
+    assert(m.rank == 3 && m.nChunks == 8 && m.chunkElems == 48)
+  }
+
+  test("out-of-shape coordinates fail fast instead of dropping cells") {
+    import spark.implicits._
+    val bad = Seq((7L, 0L, 0L, 1.0)).toDF("i0", "i1", "i2", "v")
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_bad"
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrNd.write(bad, path, Seq(7L, 5L, 6L), Seq(4, 3, 4))
+    }
+    assert(e.getMessage != null)
+  }
+}
