@@ -1043,6 +1043,23 @@ object SparkEntry {
       graft.zarr.ZarrNd.write(cube, path, Seq(32L, 8L, 6L), Seq(5, 3, 4))
       graft.zarr.ZarrNd.read(s, path).filter(col("v") =!= 0.0)
     }),
+    // A55: N-D COMPUTE over the rank-3 store — numpy X.sum(axis=2) read
+    // straight off the Z35 tensor (store → coordinate frame → one
+    // groupBy): the ufunc/reduction surface generalizes past rank 2 by
+    // construction, because the coordinate form makes an axis reduction
+    // a key projection. Fill cells are exact zeros over an integral-sum
+    // cube, so the reduction equals the DuckDB aggregate directly.
+    "arr_cube_reduce" -> ((s, d) => {
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrcube_$sfName"
+      // stage unconditionally (tiny store): an exists-probe would reuse a
+      // stale cube after the corpus is regenerated in place
+      queries("zarr_cube_roundtrip")(s, d).count()
+      graft.zarr.ZarrNd.read(s, path)
+        .groupBy(col("i0"), col("i1"))
+        .agg(sum(col("v")).as("v"))
+        .filter(col("v") =!= 0.0)
+    }),
     // datetime64[ns] rank-1 array (anndata obs time column): event
     // timestamps as epoch NANOS — values ~1.8e18 exceed double's 2^53
     // exact range, so a hash-exact pass proves the typed long path never
@@ -4902,6 +4919,11 @@ object SparkEntry {
         |  CAST(l_suppkey % 6 AS BIGINT) AS i2,
         |  CAST(sum(l_quantity) AS DOUBLE) AS v
         |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+    "arr_cube_reduce" ->
+      """SELECT CAST(l_orderkey % 32 AS BIGINT) AS i0,
+        |  CAST(l_linenumber % 8 AS BIGINT) AS i1,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS v
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "zarr_categorical_roundtrip" ->
       "SELECT doc_id AS i, source AS label FROM documents",
     "zarr_bool_mask" ->

@@ -278,11 +278,11 @@ object Zarr {
   }
 
   /** v2 dtype string ↔ v3 named data_type (+ endian for the bytes codec). */
-  private val v3Names: Map[String, String] =
+  private[zarr] val v3Names: Map[String, String] =
     Map("f8" -> "float64", "f4" -> "float32", "f2" -> "float16",
       "i8" -> "int64", "i4" -> "int32", "i2" -> "int16", "i1" -> "int8",
       "u2" -> "uint16", "u1" -> "uint8", "b1" -> "bool")
-  private val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
+  private[zarr] val v3NamesInv: Map[String, String] = v3Names.map(_.swap)
 
   /** `fill_value` literal per the specs (same rules in v2 and v3): an
     * INTEGER for integer data types (a conforming reader may reject `0.0`

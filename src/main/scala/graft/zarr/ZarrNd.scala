@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object ZarrNd {
 
-  /** Rank-N v2 array metadata (the [[Zarr.Meta]] face for N dims). */
+  /** Rank-N array metadata (the [[Zarr.Meta]] face for N dims).
+    * `format` 2 or 3; `nested` = v2 "/"-separated keys, or for v3 the
+    * default "/"-separated `c/…` encoding (false = "."-joined). */
   final case class MetaN(shape: Array[Long], chunks: Array[Int], dtype: String,
                          zlib: Boolean, comp: String, fill: Double,
-                         nested: Boolean) {
+                         nested: Boolean, format: Int = 2) {
     def rank: Int = shape.length
     def chunkElems: Int = chunks.product
     /** chunk-grid extent per dim. */
@@ -74,13 +76,44 @@ object ZarrNd {
        |}""".stripMargin
   }
 
-  /** Parse a rank-N `.zarray` (any rank — shared with the 1-D/2-D specs,
-    * but without their rank restriction). */
-  def readMetaN(path: String): MetaN = {
+  /** v3 `zarr.json` for a rank-N array — the stock zarr-python v3 layout
+    * (named dtype, regular chunk grid, bytes codec + optional
+    * gzip/zstd/blosc frame, default chunk-key encoding). */
+  private def metaJsonNv3(m: MetaN): String = {
+    val bytesCodec = """{"name": "bytes", "configuration": {"endian": "little"}}"""
+    val codecs =
+      if (m.comp == "blosc")
+        s"""[$bytesCodec, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 1, "shuffle": "shuffle", "typesize": ${Zarr.elemSize(m.dtype)}, "blocksize": 0}}]"""
+      else if (m.comp == "zstd")
+        s"""[$bytesCodec, {"name": "zstd", "configuration": {"level": 1, "checksum": false}}]"""
+      else if (m.zlib)
+        s"""[$bytesCodec, {"name": "gzip", "configuration": {"level": 1}}]"""
+      else s"""[$bytesCodec]"""
+    val sep = if (m.nested) "/" else "."
+    s"""{
+       |    "zarr_format": 3,
+       |    "node_type": "array",
+       |    "shape": [${m.shape.mkString(", ")}],
+       |    "data_type": "${Zarr.v3Names(m.dtype.substring(1))}",
+       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
+       |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "$sep"}},
+       |    "fill_value": ${fillLiteralN(m)},
+       |    "codecs": $codecs,
+       |    "attributes": {}
+       |}""".stripMargin
+  }
+
+  /** Parse rank-N metadata — v2 `.zarray` or v3 `zarr.json` (any rank;
+    * the 1-D/2-D engines keep their own rank-restricted parsers). */
+  def readMetaN(path: String): MetaN =
+    if (Zarr.exists(s"$path/zarr.json")) readMetaNv3(path)
+    else readMetaNv2(path)
+
+  private def readMetaNv2(path: String): MetaN = {
     val root = mapper.readTree(
       new String(Zarr.readBytes(s"$path/.zarray"), "UTF-8"))
     require(root.path("zarr_format").asInt() == 2,
-      s"$path: ZarrNd reads v2 stores (v3 N-D: extendable the same way)")
+      s"$path: .zarray must declare zarr_format 2")
     require(root.path("order").asText("C") == "C",
       s"$path: F-order N-D stores not supported")
     require(root.path("filters").isNull || root.path("filters").isMissingNode,
@@ -120,8 +153,67 @@ object ZarrNd {
       nested = root.path("dimension_separator").asText(".") == "/")
   }
 
-  private def chunkKey(path: String, coord: Array[Long], nested: Boolean): String =
-    s"$path/${coord.mkString(if (nested) "/" else ".")}"
+  private def readMetaNv3(path: String): MetaN = {
+    val root = mapper.readTree(
+      new String(Zarr.readBytes(s"$path/zarr.json"), "UTF-8"))
+    require(root.path("zarr_format").asInt() == 3 &&
+      root.path("node_type").asText() == "array", s"$path: not a v3 array")
+    def longs(n: com.fasterxml.jackson.databind.JsonNode): Array[Long] = {
+      require(n.isArray && n.size() > 0, s"$path: bad shape/chunk_shape")
+      (0 until n.size()).map(n.get(_).asLong()).toArray
+    }
+    val shape = longs(root.path("shape"))
+    val grid = root.path("chunk_grid")
+    require(grid.path("name").asText() == "regular", s"$path: chunk grid")
+    val chunks = longs(grid.path("configuration").path("chunk_shape")).map { c =>
+      require(c > 0 && c <= Int.MaxValue, s"$path: chunk extent $c"); c.toInt
+    }
+    require(shape.length == chunks.length, s"$path: rank mismatch")
+    val dtName = root.path("data_type").asText()
+    val dt = "<" + Zarr.v3NamesInv.getOrElse(dtName,
+      throw new IllegalArgumentException(s"$path: data_type '$dtName'"))
+    // codec chain: [bytes(endian)] + at most one frame codec
+    val codecs = root.path("codecs")
+    var zlib = false; var comp = ""; var big = false
+    (0 until codecs.size()).foreach { k =>
+      val c = codecs.get(k)
+      c.path("name").asText() match {
+        case "bytes" =>
+          big = c.path("configuration").path("endian").asText("little") == "big"
+        case "gzip"  => zlib = true
+        case "zstd"  => comp = "zstd"
+        case "blosc" => comp = "blosc"
+        case other => throw new IllegalArgumentException(
+          s"$path: unsupported v3 codec '$other' for N-D reads")
+      }
+    }
+    require(!big, s"$path: big-endian N-D stores not supported")
+    val kenc = root.path("chunk_key_encoding")
+    require(kenc.isMissingNode || kenc.path("name").asText("default") == "default",
+      s"$path: N-D reads support the default chunk-key encoding")
+    val sep = kenc.path("configuration").path("separator").asText("/")
+    val fillNode = root.path("fill_value")
+    val fill =
+      if (fillNode.isNull || fillNode.isMissingNode) 0.0
+      else if (fillNode.isTextual) fillNode.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"$path: fill_value '$other'")
+      }
+      else if (fillNode.isBoolean) { if (fillNode.asBoolean()) 1.0 else 0.0 }
+      else fillNode.asDouble()
+    MetaN(shape, chunks, dt, zlib, comp, fill, nested = sep == "/", format = 3)
+  }
+
+  private def chunkKey(path: String, coord: Array[Long], nested: Boolean,
+                       format: Int = 2): String =
+    if (format == 3) {
+      // v3 default encoding: "c" + sep + coords joined by sep
+      val sep = if (nested) "/" else "."
+      s"$path/${(("c" +: coord.map(_.toString)).mkString(sep))}"
+    } else s"$path/${coord.mkString(if (nested) "/" else ".")}"
 
   private def coordCols(rank: Int): Seq[String] = (0 until rank).map(d => s"i$d")
 
@@ -129,20 +221,27 @@ object ZarrNd {
     coordCols(rank).map(StructField(_, LongType, nullable = false)) :+
       StructField("v", DoubleType, nullable = false))
 
-  /** Write (i0 … i{N−1}, v) as a fresh rank-N v2 store. One shuffle,
-    * keyed by linearized chunk id; each task assembles and encodes only
-    * its own chunks (one fill-initialized buffer at a time — the
-    * writeVector slab idiom), so executor memory is bounded by ONE chunk
-    * regardless of array or task size. Cells the frame omits inside the
-    * shape stay fill; out-of-shape coordinates error (fail-fast — a
-    * silently dropped cell is data loss). */
+  /** Write (i0 … i{N−1}, v) as a fresh rank-N store (v2 default; `format
+    * = 3` emits the stock zarr-python v3 layout). One shuffle, keyed by
+    * linearized chunk id; each task assembles and encodes only its own
+    * chunks (one fill-initialized buffer at a time — the writeVector slab
+    * idiom), so executor memory is bounded by ONE chunk regardless of
+    * array or task size. Cells the frame omits inside the shape stay
+    * fill; out-of-shape coordinates error (fail-fast — a silently
+    * dropped cell is data loss). */
   def write(df: DataFrame, path: String, shape: Seq[Long], chunks: Seq[Int],
             dtype: String = "<f8", zlib: Boolean = true, comp: String = "",
-            fill: Double = 0.0, nested: Boolean = false): Unit = {
+            fill: Double = 0.0, nested: Boolean = false,
+            format: Int = 2): Unit = {
     val rank = shape.length
     require(rank >= 1 && chunks.length == rank, "shape/chunks rank mismatch")
     require(shape.forall(_ > 0) && chunks.forall(_ > 0), "empty dimension")
-    val m = MetaN(shape.toArray, chunks.toArray, dtype, zlib, comp, fill, nested)
+    require(format == 2 || format == 3, s"zarr format $format")
+    // `nested` picks the key separator in both formats (true = "/");
+    // zarr-python's v3 default is "/" — pass nested = true for v3 stores
+    // meant to open there with zero configuration
+    val m = MetaN(shape.toArray, chunks.toArray, dtype, zlib, comp, fill,
+      nested = nested, format = format)
     require(m.chunkElems.toLong == chunks.map(_.toLong).product,
       "chunk too large: elements must fit one Int-addressable buffer")
     val spark = df.sparkSession
@@ -157,7 +256,7 @@ object ZarrNd {
       .reduce(_ + _)
     val shapeB = m.shape; val chunksB = m.chunks; val gridB = grid
     val dtypeB = dtype; val zlibB = zlib; val compB = comp; val fillB = fill
-    val nestedB = nested; val elemsB = m.chunkElems
+    val nestedB = nested; val elemsB = m.chunkElems; val formatB = format
     val parts = math.max(spark.sessionState.conf.numShufflePartitions,
       math.min((m.nChunks + 7) / 8, 65536L).toInt)
     df.select((coordCols(rank).map(col) :+ col("v").cast("double").as("v")): _*)
@@ -169,8 +268,8 @@ object ZarrNd {
       var buf: Array[Double] = null
       val coord = new Array[Long](r)
       def flush(): Unit = if (buf != null) {
-        Zarr.writeBytes(chunkKey(path, coord, nestedB),
-          Zarr.encodeChunk(buf, dtypeB, zlibB, 2, compB))
+        Zarr.writeBytes(chunkKey(path, coord, nestedB, formatB),
+          Zarr.encodeChunk(buf, dtypeB, zlibB, formatB, compB))
         buf = null
       }
       it.foreach { row =>
@@ -205,7 +304,10 @@ object ZarrNd {
       }
       flush()
     }
-    Zarr.writeBytes(s"$path/.zarray", metaJsonN(m).getBytes("UTF-8"))
+    if (format == 3)
+      Zarr.writeBytes(s"$path/zarr.json", metaJsonNv3(m).getBytes("UTF-8"))
+    else
+      Zarr.writeBytes(s"$path/.zarray", metaJsonN(m).getBytes("UTF-8"))
   }
 
   /** Read a rank-N store back as (i0 … i{N−1}, v) — partition-per-chunk
@@ -235,10 +337,11 @@ object ZarrNd {
       .parallelize(coords, math.max(1, coords.size))
       .flatMap { c =>
         val elems = mB.chunkElems
-        val key = chunkKey(path, c, mB.nested)
+        val key = chunkKey(path, c, mB.nested, mB.format)
         val buf =
           if (Zarr.exists(key))
-            Zarr.decodeChunk(Zarr.readBytes(key), elems, mB.zlib, mB.dtype, 2, mB.comp)
+            Zarr.decodeChunk(Zarr.readBytes(key), elems, mB.zlib, mB.dtype,
+              mB.format, mB.comp)
           else Array.fill(elems)(mB.fill)
         // emit in-bounds cells only (edge chunks are fill-padded on disk)
         val r = mB.rank

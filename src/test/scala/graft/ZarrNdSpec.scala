@@ -38,6 +38,39 @@ class ZarrNdSpec extends AnyFunSuite {
     roundtrip("f4", zlib = true, comp = "", dtype = "<f4", nested = false)
   }
 
+  test("rank-3 v3 roundtrips: raw, gzip, zstd, both key separators") {
+    def v3(tag: String, zlib: Boolean, comp: String, nested: Boolean): Unit = {
+      val path = s"${GraftPaths.tmpRoot}/zarrnd_v3_$tag"
+      val df = cube(7, 5, 6)
+      ZarrNd.write(df, path, Seq(7L, 5L, 6L), Seq(4, 3, 4),
+        zlib = zlib, comp = comp, nested = nested, format = 3)
+      val back = ZarrNd.read(spark, path).orderBy("i0", "i1", "i2").collect()
+      assert(back.sameElements(df.orderBy("i0", "i1", "i2").collect()),
+        s"v3 $tag mismatch")
+    }
+    v3("raw", zlib = false, comp = "", nested = true)
+    v3("gzip", zlib = true, comp = "", nested = true)
+    v3("zstd", zlib = false, comp = "zstd", nested = true)
+    v3("dotkeys", zlib = true, comp = "", nested = false)
+  }
+
+  test("v3 metadata is stock zarr-python: zarr.json, named dtype, c/-keys") {
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_v3meta"
+    ZarrNd.write(cube(7, 5, 6), path, Seq(7L, 5L, 6L), Seq(4, 3, 4),
+      zlib = true, nested = true, format = 3)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "zarr.json")), "UTF-8")
+    assert(meta.contains("\"zarr_format\": 3"))
+    assert(meta.contains("\"data_type\": \"float64\""))
+    assert(meta.contains("\"chunk_shape\": [4, 3, 4]"))
+    assert(meta.contains("\"name\": \"gzip\""))
+    // default "/" key encoding -> nested c/ chunk tree on disk
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "c", "1", "1", "1")))
+    val m = ZarrNd.readMetaN(path)
+    assert(m.format == 3 && m.rank == 3 && m.zlib && m.nested)
+  }
+
   test("rank-4 roundtrip (the rank boundary is gone, not moved to 3)") {
     import spark.implicits._
     val df = (for (a <- 0 until 3; b <- 0 until 2; c <- 0 until 4; d <- 0 until 3)
