@@ -2167,6 +2167,11 @@ object SparkEntry {
     // micro-batches append chunk-aligned slabs via the DSv2 append mode;
     // the final store reads back dense against a DuckDB grid twin
     "stream_zarr_ingest" -> ((s, d) => Stream.zarrIngestStream(s, d)),
+    // S30: the tensor face of S7 — micro-batches publish chunk-aligned
+    // time bands of an (hour × event-type × user-shard) cents CUBE into
+    // one rank-3 ZarrNd store (appendBand; metadata commits last, band
+    // order free); read back dense, oracle = the dense DuckDB cube
+    "stream_tensor_ingest" -> ((s, d) => Stream.tensorIngestStream(s, d)),
     // streaming per-key admission control: first 5 events per user in
     // event-time order, one counter of state per key — the ingest-edge
     // quota of a continuous training-data pipeline
@@ -6038,6 +6043,20 @@ object SparkEntry {
         |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS j)
         |SELECT r.i, c.j, coalesce(a.v, 0.0) AS v
         |FROM r CROSS JOIN c LEFT JOIN agg a ON a.h = r.i AND a.t = c.j""".stripMargin,
+    "stream_tensor_ingest" ->
+      """WITH e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS habs,
+        |  CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS t,
+        |  ((user_id % 4) + 4) % 4 AS u,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT habs - (SELECT min(habs) FROM e) AS h, t, u, cents FROM e),
+        |agg AS (SELECT h, t, u, sum(cents)::DOUBLE AS v FROM b GROUP BY 1, 2, 3),
+        |r AS (SELECT unnest(generate_series(0, (SELECT max(h) FROM b)))::BIGINT AS i0),
+        |c AS (SELECT unnest(generate_series(0, 4))::BIGINT AS i1),
+        |s AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i2)
+        |SELECT r.i0, c.i1, s.i2, coalesce(a.v, 0.0) AS v
+        |FROM r CROSS JOIN c CROSS JOIN s
+        |LEFT JOIN agg a ON a.h = r.i0 AND a.t = c.i1 AND a.u = s.i2""".stripMargin,
   ) ++ ivfGraphOracles ++ pqFamilyOracles ++ whitenOracles ++ pcaOracles ++
     recipeFullOracles ++ louvainConvOracles
 

@@ -1431,4 +1431,73 @@ object Stream {
       s"ingested store spans ${Zarr.readMeta(store).rows} hours, expected $nHours")
     Zarr.read(spark, store).cells
   }
+
+  /** S30: streaming → rank-3 Zarr TENSOR ingestion (the S7 pattern at
+    * tensor rank — sensor cubes, telemetry grids, training-signal
+    * tensors): micro-batches of the event stream publish chunk-aligned
+    * axis-0 (time) bands of an (hour × event-type × user-shard) cents
+    * cube into one ZarrNd store via [[graft.zarr.ZarrNd.appendBand]].
+    *
+    * Same correct-by-construction slabs as S7: one staged file per time
+    * band, one file per micro-batch, axis-0 chunk == band height, so a
+    * batch only ever writes its own chunks and band ORDER doesn't matter;
+    * the metadata document commits last per band, and every stored chunk
+    * is full chunk shape (the padding rule), so even the ragged final
+    * band never forces a read-modify-write. Returns the final store read
+    * back DENSE — the DuckDB twin builds the same dense cube from the
+    * raw events (fill cells included, so a zero-cents cell is
+    * indistinguishable from absent by VALUE in both engines). */
+  def tensorIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val bandHours = 240
+    val uShards = 4
+    val ev = graft.Tables.events(spark, sfDir).select(
+      (unix_timestamp(col("ts")).cast("long") / 3600L).cast("long").as("hAbs"),
+      col("event_type"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min(col("hAbs")), max(col("hAbs"))).head()
+    val (h0, hMax) = (bounds.getLong(0), bounds.getLong(1))
+    val nHours = hMax - h0 + 1
+    val typeIdx = EventTypes.zipWithIndex
+      .foldLeft(raise_error(concat(lit("unknown event_type: "),
+        coalesce(col("event_type"), lit("NULL")))).cast("int")) {
+        case (acc, (t, i)) => when(col("event_type") === t, lit(i)).otherwise(acc) }
+    val banded = ev.select((col("hAbs") - h0).as("i0"),
+        typeIdx.cast("long").as("i1"),
+        pmod(col("user_id"), lit(uShards)).cast("long").as("i2"),
+        col("cents"))
+      .withColumn("band", expr(s"i0 div ${bandHours}L"))
+    val srcDir = s"${GraftPaths.tmpRoot}/tensor_ingest_src_$sfName"
+    banded.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(srcDir)
+
+    val store = s"${GraftPaths.tmpRoot}/tensor_ingest_store_$sfName"
+    Zarr.delete(store, recursive = true) // fresh build each run
+    val stream = spark.readStream
+      .schema("i0 LONG, i1 LONG, i2 LONG, cents LONG, band LONG")
+      .option("maxFilesPerTrigger", 1) // one band file = one micro-batch
+      .parquet(srcDir)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val agg = batch.groupBy(col("i0"), col("i1"), col("i2"))
+            .agg(sum(col("cents")).cast("double").as("v"))
+          val b = batch.agg(min(expr(s"i0 div ${bandHours}L"))).head()
+          if (!b.isNullAt(0)) { // empty batch publishes nothing
+            val band = b.getLong(0)
+            graft.zarr.ZarrNd.appendBand(agg, store,
+              bandStart = band * bandHours,
+              bandEnd = math.min((band + 1) * bandHours, nHours),
+              shapeTail = Seq(EventTypes.size.toLong, uShards.toLong),
+              chunks = Seq(bandHours, EventTypes.size, uShards))
+          }
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val m = graft.zarr.ZarrNd.readMetaN(store)
+    require(m.shape(0) == nHours,
+      s"ingested tensor spans ${m.shape(0)} hours, expected $nHours")
+    graft.zarr.ZarrNd.read(spark, store)
+  }
 }

@@ -244,8 +244,26 @@ object ZarrNd {
       nested = nested, format = format)
     require(m.chunkElems.toLong == chunks.map(_.toLong).product,
       "chunk too large: elements must fit one Int-addressable buffer")
-    val spark = df.sparkSession
     Zarr.delete(path, recursive = true)
+    writeChunks(df, path, m, 0L, shape.head)
+    writeMetaN(path, m)
+  }
+
+  private def writeMetaN(path: String, m: MetaN): Unit =
+    if (m.format == 3)
+      Zarr.writeBytes(s"$path/zarr.json", metaJsonNv3(m).getBytes("UTF-8"))
+    else
+      Zarr.writeBytes(s"$path/.zarray", metaJsonN(m).getBytes("UTF-8"))
+
+  /** The shared chunk-assembly core: shuffle by linearized chunk id, one
+    * fill-initialized buffer per chunk per task, encode + publish. Cells
+    * must sit inside `m.shape` AND inside [axis0Lo, axis0Hi) on axis 0 —
+    * the band contract appendBand enforces. */
+  private def writeChunks(df: DataFrame, path: String, m: MetaN,
+                          axis0Lo: Long, axis0Hi: Long): Unit = {
+    val rank = m.rank
+    val chunks = m.chunks
+    val spark = df.sparkSession
     // grid strides for the linearized chunk id (row-major over the grid)
     val grid = m.grid
     val strides = new Array[Long](rank)
@@ -255,8 +273,9 @@ object ZarrNd {
       .map(d => (col(s"i$d") / chunks(d)).cast("long") * strides(d))
       .reduce(_ + _)
     val shapeB = m.shape; val chunksB = m.chunks; val gridB = grid
-    val dtypeB = dtype; val zlibB = zlib; val compB = comp; val fillB = fill
-    val nestedB = nested; val elemsB = m.chunkElems; val formatB = format
+    val dtypeB = m.dtype; val zlibB = m.zlib; val compB = m.comp
+    val fillB = m.fill; val nestedB = m.nested; val elemsB = m.chunkElems
+    val formatB = m.format; val loB = axis0Lo; val hiB = axis0Hi
     val parts = math.max(spark.sessionState.conf.numShufflePartitions,
       math.min((m.nChunks + 7) / 8, 65536L).toInt)
     df.select((coordCols(rank).map(col) :+ col("v").cast("double").as("v")): _*)
@@ -280,6 +299,8 @@ object ZarrNd {
           val i = row.getLong(d)
           require(i >= 0 && i < shapeB(d),
             s"coordinate i$d=$i outside shape ${shapeB.mkString("x")}")
+          require(d != 0 || (i >= loB && i < hiB),
+            s"coordinate i0=$i outside the written band [$loB, $hiB)")
           val c = i / chunksB(d)
           var cs = c; var dd = d + 1
           while (dd < r) { cs *= gridB(dd); dd += 1 }
@@ -304,10 +325,45 @@ object ZarrNd {
       }
       flush()
     }
-    if (format == 3)
-      Zarr.writeBytes(s"$path/zarr.json", metaJsonNv3(m).getBytes("UTF-8"))
-    else
-      Zarr.writeBytes(s"$path/.zarray", metaJsonN(m).getBytes("UTF-8"))
+  }
+
+  /** Publish an axis-0 BAND into an existing (or fresh) rank-N store —
+    * the streaming/incremental ingest face (the S7 pattern at tensor
+    * rank): the band's rows [bandStart, bandEnd) must start on an axis-0
+    * chunk boundary, so the band writes only ITS OWN chunk rows and can
+    * never clobber another band's chunks; every stored chunk is full
+    * chunk shape (v2/v3 padding rule), so even a ragged band needs no
+    * read-modify-write if a later band extends the array. Shape grows to
+    * max(existing, bandEnd) and the metadata document commits LAST, so a
+    * concurrent reader never addresses chunks that aren't fully
+    * published. Bands may arrive in ANY order (disjointness at chunk
+    * granularity is the invariant, not monotonicity). Geometry/codec of
+    * an existing store are validated, not trusted. */
+  def appendBand(df: DataFrame, path: String, bandStart: Long, bandEnd: Long,
+                 shapeTail: Seq[Long], chunks: Seq[Int],
+                 dtype: String = "<f8", zlib: Boolean = true,
+                 comp: String = "", fill: Double = 0.0,
+                 nested: Boolean = false, format: Int = 2): Unit = {
+    require(bandStart >= 0 && bandEnd > bandStart, s"band [$bandStart, $bandEnd)")
+    require(chunks.nonEmpty && bandStart % chunks.head == 0,
+      s"band start $bandStart must align to the axis-0 chunk ${chunks.head}")
+    require(shapeTail.length + 1 == chunks.length, "shapeTail/chunks rank mismatch")
+    val exists = Zarr.exists(s"$path/zarr.json") || Zarr.exists(s"$path/.zarray")
+    val shape0 =
+      if (!exists) bandEnd
+      else {
+        val m0 = readMetaN(path)
+        require(m0.chunks.toSeq == chunks.toSeq &&
+          m0.shape.drop(1).toSeq == shapeTail.toSeq &&
+          m0.dtype == dtype && m0.zlib == zlib && m0.comp == comp &&
+          m0.nested == nested && m0.format == format,
+          s"$path: band geometry/codec differs from the existing store")
+        math.max(m0.shape(0), bandEnd)
+      }
+    val m = MetaN((shape0 +: shapeTail).toArray, chunks.toArray, dtype, zlib,
+      comp, fill, nested = nested, format = format)
+    writeChunks(df, path, m, bandStart, bandEnd)
+    writeMetaN(path, m)
   }
 
   /** Read a rank-N store back as (i0 … i{N−1}, v) — partition-per-chunk

@@ -313,6 +313,38 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v == batch.getOrElse(k, 0.0), s"cell $k") }
   }
 
+  test("streaming tensor ingestion: banded rank-3 appends, equals the batch cube") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.streaming.Stream.tensorIngestStream(spark, TestSpark.sf)
+    val sfName = TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val store = s"target/tmp/tensor_ingest_store_$sfName"
+    val meta = graft.zarr.ZarrNd.readMetaN(store)
+    assert(meta.rank == 3 && meta.shape(1) == 5 && meta.shape(2) == 4)
+    assert(meta.chunks.toSeq == Seq(240, 5, 4))
+    val bands = ((meta.shape(0) + 239) / 240).toInt
+    assert(bands >= 2, s"events span only ${meta.shape(0)} hours — banding degenerate")
+    // one chunk per band on disk (full chunk shape even for the ragged tail)
+    val stored = new java.io.File(store).listFiles().map(_.getName)
+      .filterNot(_ == ".zarray")
+    assert(stored.length == bands, stored.mkString(","))
+    // final store equals the one-shot batch cube
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, TestSpark.sf).select(
+      (unix_timestamp(col("ts")).cast("long") / 3600L).cast("long").as("habs"),
+      col("event_type"), pmod(col("user_id"), lit(4)).cast("long").as("u"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val h0 = ev.agg(min(col("habs"))).head().getLong(0)
+    val batch = ev.groupBy((col("habs") - h0).as("h"), col("event_type"), col("u"))
+      .agg(sum(col("cents")).cast("double").as("v"))
+      .collect().map { r =>
+        (r.getLong(0), types.indexOf(r.getString(1)).toLong, r.getLong(2)) -> r.getDouble(3)
+      }.toMap
+    val got = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.size == meta.shape(0) * 5 * 4)
+    got.foreach { case (k, v) => assert(v == batch.getOrElse(k, 0.0), s"cell $k") }
+  }
+
   test("native session_window stream equals the batch twin below the watermark cutoff") {
     val got = graft.streaming.Stream.sessionWindowAgg(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

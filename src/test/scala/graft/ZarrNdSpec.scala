@@ -119,6 +119,60 @@ class ZarrNdSpec extends AnyFunSuite {
     assert(m.rank == 3 && m.nChunks == 8 && m.chunkElems == 48)
   }
 
+  test("rank-2 cross-engine: ZarrNd stores open in the 2-D DSv2 engine and back") {
+    import spark.implicits._
+    val cells = (for (i <- 0 until 9; j <- 0 until 5)
+      yield (i.toLong, j.toLong, (i * 10 + j).toDouble))
+      .toDF("i0", "i1", "v")
+    // ZarrNd writes, the specialized 2-D engine reads (DSv2 source)
+    val p1 = s"${GraftPaths.tmpRoot}/zarrnd_x2d"
+    zarr.ZarrNd.write(cells, p1, Seq(9L, 5L), Seq(4, 3), zlib = true)
+    val via2d = spark.read.format("zarr").load(p1)
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(via2d.sameElements(cells.orderBy("i0", "i1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))))
+    // the 2-D engine writes, ZarrNd reads
+    val p2 = s"${GraftPaths.tmpRoot}/zarr2d_xnd"
+    zarr.Zarr.write(graft.array.ZMatrix(cells.toDF("i", "j", "v")), p2,
+      rows = 9, cols = 5, chunkRows = 4, chunkCols = 3, zlib = true)
+    val viaNd = zarr.ZarrNd.read(spark, p2)
+      .orderBy("i0", "i1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaNd.sameElements(cells.orderBy("i0", "i1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))))
+  }
+
+  test("appendBand: out-of-order bands compose, ragged tail never rewrites, geometry validated") {
+    import spark.implicits._
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_band"
+    graft.zarr.Zarr.delete(path, recursive = true)
+    def band(lo: Int, hi: Int) =
+      (for (i <- lo until hi; j <- 0 until 3)
+        yield (i.toLong, j.toLong, (i * 10 + j).toDouble)).toDF("i0", "i1", "v")
+    // bands arrive OUT OF ORDER: the ragged tail [8, 11) first (chunk 2),
+    // then [0, 4), then [4, 8) — axis-0 chunk = 4
+    ZarrNd.appendBand(band(8, 11), path, 8, 11, Seq(3L), Seq(4, 3))
+    assert(ZarrNd.readMetaN(path).shape.toSeq == Seq(11L, 3L))
+    ZarrNd.appendBand(band(0, 4), path, 0, 4, Seq(3L), Seq(4, 3))
+    // shape must NOT shrink when an earlier band lands after the tail
+    assert(ZarrNd.readMetaN(path).shape.toSeq == Seq(11L, 3L))
+    ZarrNd.appendBand(band(4, 8), path, 4, 8, Seq(3L), Seq(4, 3))
+    val got = ZarrNd.read(spark, path).orderBy("i0", "i1").collect()
+    val want = band(0, 11).orderBy("i0", "i1").collect()
+    assert(got.sameElements(want))
+    // band start must align to the axis-0 chunk
+    intercept[IllegalArgumentException] {
+      ZarrNd.appendBand(band(2, 4), path, 2, 4, Seq(3L), Seq(4, 3))
+    }
+    // mismatched geometry against the existing store is rejected
+    intercept[IllegalArgumentException] {
+      ZarrNd.appendBand(band(12, 16), path, 12, 16, Seq(3L), Seq(8, 3))
+    }
+    // cells outside the declared band fail fast
+    intercept[org.apache.spark.SparkException] {
+      ZarrNd.appendBand(band(0, 8), path, 0, 4, Seq(3L), Seq(4, 3))
+    }
+  }
+
   test("out-of-shape coordinates fail fast instead of dropping cells") {
     import spark.implicits._
     val bad = Seq((7L, 0L, 0L, 1.0)).toDF("i0", "i1", "i2", "v")
