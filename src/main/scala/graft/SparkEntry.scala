@@ -1060,6 +1060,18 @@ object SparkEntry {
         .agg(sum(col("v")).as("v"))
         .filter(col("v") =!= 0.0)
     }),
+    // A55's slicing face: numpy X[8:24, 2:7, 1:5] as a chunk-grid
+    // intersection at planning — readRange lists/opens ONLY intersecting
+    // chunks (pruning proven by corrupted-unprobed-chunk spec), global
+    // coordinates preserved; same staged cube, window-filtered oracle
+    "arr_cube_slice" -> ((s, d) => {
+      val sfName = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${GraftPaths.tmpRoot}/zarrcube_$sfName"
+      queries("zarr_cube_roundtrip")(s, d).count()
+      graft.zarr.ZarrNd.readRange(s, path,
+          Seq((8L, 24L), (2L, 7L), (1L, 5L)))
+        .filter(col("v") =!= 0.0)
+    }),
     // datetime64[ns] rank-1 array (anndata obs time column): event
     // timestamps as epoch NANOS — values ~1.8e18 exceed double's 2^53
     // exact range, so a hash-exact pass proves the typed long path never
@@ -4929,6 +4941,15 @@ object SparkEntry {
         |  CAST(l_linenumber % 8 AS BIGINT) AS i1,
         |  CAST(sum(l_quantity) AS DOUBLE) AS v
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "arr_cube_slice" ->
+      """WITH c AS (SELECT CAST(l_orderkey % 32 AS BIGINT) AS i0,
+        |  CAST(l_linenumber % 8 AS BIGINT) AS i1,
+        |  CAST(l_suppkey % 6 AS BIGINT) AS i2,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS v
+        |FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT i0, i1, i2, v FROM c
+        |WHERE i0 >= 8 AND i0 < 24 AND i1 >= 2 AND i1 < 7
+        |  AND i2 >= 1 AND i2 < 5""".stripMargin,
     "zarr_categorical_roundtrip" ->
       "SELECT doc_id AS i, source AS label FROM documents",
     "zarr_bool_mask" ->

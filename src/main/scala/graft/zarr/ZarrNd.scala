@@ -370,25 +370,50 @@ object ZarrNd {
     * (the DSv2 contract rank-1/2 reads honor), each task decoding only
     * its own chunk object; a missing chunk emits fill for its in-bounds
     * cells (the spec's missing-chunk rule). Ragged edges clip to shape. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readRange(spark, path, Seq.empty)
+
+  /** Range-PRUNED tensor read — numpy `X[l0:h0, l1:h1, …]` as a chunk-grid
+    * intersection AT PLANNING: only chunks overlapping every per-dim
+    * [lo, hi) window become tasks, the rest are never listed, opened, or
+    * decoded — the Z4/q26 pushdown contract at tensor rank, which at
+    * 100 TB is the difference between "read the probe band" and "read the
+    * store". `ranges` pads with full extents past its length (empty =
+    * full read); cells outside a window are dropped at the source (the
+    * window is exact, not just chunk-granular). Coordinates stay GLOBAL
+    * (zarr slicing re-bases; a relational engine keys joins on the global
+    * coordinate — callers re-base with a select when numpy semantics are
+    * wanted). */
+  def readRange(spark: SparkSession, path: String,
+                ranges: Seq[(Long, Long)]): DataFrame = {
     val m = readMetaN(path)
     val rank = m.rank
-    require(m.nChunks <= 16777216L,
-      s"$path: ${m.nChunks} chunks — raise chunk extents (one scheduler task per chunk)")
-    // enumerate grid coordinates on the driver: chunk-count-sized, the
-    // same listing a chunk-grid file index holds
-    val grid = m.grid
-    val coords = Iterator.iterate(new Array[Long](rank)) { c =>
+    require(ranges.length <= rank, s"$path: ${ranges.length} ranges for rank $rank")
+    val win: Array[(Long, Long)] = (0 until rank).map { d =>
+      val (lo, hi) = if (d < ranges.length) ranges(d) else (0L, m.shape(d))
+      require(lo >= 0 && lo < hi && hi <= m.shape(d),
+        s"$path: range [$lo, $hi) outside dim $d extent ${m.shape(d)}")
+      (lo, hi)
+    }.toArray
+    // enumerate only the INTERSECTING chunk coordinates on the driver:
+    // window-proportional, the same pruning a chunk-grid file index does
+    val cLo = (0 until rank).map(d => win(d)._1 / m.chunks(d)).toArray
+    val cHi = (0 until rank).map(d => (win(d)._2 - 1) / m.chunks(d)).toArray
+    val nSel = (0 until rank).map(d => cHi(d) - cLo(d) + 1).product
+    require(nSel <= 16777216L,
+      s"$path: $nSel selected chunks — raise chunk extents (one task per chunk)")
+    val coords = Iterator.iterate(cLo.clone()) { c =>
       val n = c.clone()
       var d = rank - 1
       var carry = true
       while (d >= 0 && carry) {
         n(d) += 1
-        if (n(d) == grid(d)) { n(d) = 0; d -= 1 } else carry = false
+        if (n(d) > cHi(d)) { n(d) = cLo(d); d -= 1 } else carry = false
       }
       n
-    }.take(m.nChunks.toInt).map(_.clone()).toSeq
+    }.take(nSel.toInt).map(_.clone()).toSeq
     val mB = m
+    val winB = win
     val rdd = spark.sparkContext
       .parallelize(coords, math.max(1, coords.size))
       .flatMap { c =>
@@ -413,7 +438,8 @@ object ZarrNd {
             val local = rem % mB.chunks(k)
             rem /= mB.chunks(k)
             val g = base(k) + local
-            if (g >= mB.shape(k)) inBounds = false
+            if (g >= mB.shape(k) || g < winB(k)._1 || g >= winB(k)._2)
+              inBounds = false
             idx(k) = g
             k -= 1
           }

@@ -173,6 +173,32 @@ class ZarrNdSpec extends AnyFunSuite {
     }
   }
 
+  test("readRange: exact window, unprobed chunks provably never opened") {
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_range"
+    val df = cube(7, 5, 6)
+    ZarrNd.write(df, path, Seq(7L, 5L, 6L), Seq(4, 3, 4), zlib = true)
+    // window straddles chunk boundaries on every axis; global coordinates
+    val got = ZarrNd.readRange(spark, path, Seq((2L, 6L), (1L, 4L), (3L, 6L)))
+      .orderBy("i0", "i1", "i2").collect()
+    val want = df.filter(col("i0") >= 2 && col("i0") < 6 &&
+        col("i1") >= 1 && col("i1") < 4 && col("i2") >= 3 && col("i2") < 6)
+      .orderBy("i0", "i1", "i2").collect()
+    assert(got.length == 4 * 3 * 3 && got.sameElements(want))
+    // pruning proof (the zarr_pushdown/L7h pattern): corrupt a chunk the
+    // window can't touch — the pruned read still succeeds, a full read dies
+    val unprobed = java.nio.file.Paths.get(path, "0.0.0") // i0<4,i1<3,i2<4 corner
+    java.nio.file.Files.write(unprobed, Array[Byte](1, 2, 3))
+    val pruned = ZarrNd.readRange(spark, path, Seq((4L, 7L), (3L, 5L), (4L, 6L)))
+    assert(pruned.count() == 3 * 2 * 2)
+    intercept[org.apache.spark.SparkException] {
+      ZarrNd.read(spark, path).count() // full read opens the poisoned chunk
+    }
+    // bad windows fail fast
+    intercept[IllegalArgumentException] {
+      ZarrNd.readRange(spark, path, Seq((0L, 8L)))
+    }
+  }
+
   test("out-of-shape coordinates fail fast instead of dropping cells") {
     import spark.implicits._
     val bad = Seq((7L, 0L, 0L, 1.0)).toDF("i0", "i1", "i2", "v")
