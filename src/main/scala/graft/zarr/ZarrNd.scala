@@ -105,9 +105,17 @@ object ZarrNd {
 
   /** Parse rank-N metadata — v2 `.zarray` or v3 `zarr.json` (any rank;
     * the 1-D/2-D engines keep their own rank-restricted parsers). */
-  def readMetaN(path: String): MetaN =
-    if (Zarr.exists(s"$path/zarr.json")) readMetaNv3(path)
-    else readMetaNv2(path)
+  def readMetaN(path: String): MetaN = {
+    val m = if (Zarr.exists(s"$path/zarr.json")) readMetaNv3(path)
+            else readMetaNv2(path)
+    // a FOREIGN store's chunk-element product must fit one JVM buffer —
+    // a silent Int overflow would decode garbage, not error (the 2-D
+    // chunkDim rule at rank N)
+    require(m.chunkElems.toLong == m.chunks.map(_.toLong).product,
+      s"$path: chunk of ${m.chunks.mkString("x")} elements exceeds one " +
+        "Int-addressable buffer")
+    m
+  }
 
   private def readMetaNv2(path: String): MetaN = {
     val root = mapper.readTree(
@@ -356,8 +364,12 @@ object ZarrNd {
         require(m0.chunks.toSeq == chunks.toSeq &&
           m0.shape.drop(1).toSeq == shapeTail.toSeq &&
           m0.dtype == dtype && m0.zlib == zlib && m0.comp == comp &&
-          m0.nested == nested && m0.format == format,
-          s"$path: band geometry/codec differs from the existing store")
+          m0.nested == nested && m0.format == format &&
+          // fill is load-bearing: the rewrite below re-emits metadata, so a
+          // divergent fill would silently change how every MISSING chunk
+          // reads (NaN-safe comparison — NaN fill is legal for floats)
+          (m0.fill == fill || (m0.fill.isNaN && fill.isNaN)),
+          s"$path: band geometry/codec/fill differs from the existing store")
         math.max(m0.shape(0), bandEnd)
       }
     val m = MetaN((shape0 +: shapeTail).toArray, chunks.toArray, dtype, zlib,

@@ -167,6 +167,10 @@ class ZarrNdSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ZarrNd.appendBand(band(12, 16), path, 12, 16, Seq(3L), Seq(8, 3))
     }
+    // ...and so is a divergent FILL (it would rewrite how missing chunks read)
+    intercept[IllegalArgumentException] {
+      ZarrNd.appendBand(band(12, 16), path, 12, 16, Seq(3L), Seq(4, 3), fill = -1.0)
+    }
     // cells outside the declared band fail fast
     intercept[org.apache.spark.SparkException] {
       ZarrNd.appendBand(band(0, 8), path, 0, 4, Seq(3L), Seq(4, 3))
