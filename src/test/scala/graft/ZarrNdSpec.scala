@@ -203,6 +203,20 @@ class ZarrNdSpec extends AnyFunSuite {
     }
   }
 
+  test("xarray dimension naming works on tensors (both formats), meta still parses") {
+    for ((format, tag) <- Seq((2, "v2"), (3, "v3"))) {
+      val path = s"${GraftPaths.tmpRoot}/zarrnd_dims_$tag"
+      ZarrNd.write(cube(7, 5, 6), path, Seq(7L, 5L, 6L), Seq(4, 3, 4),
+        nested = format == 3, format = format)
+      graft.zarr.Zarr.writeXarrayDims(path, Seq("time", "lat", "lon"))
+      assert(graft.zarr.Zarr.readXarrayDims(path) == Seq("time", "lat", "lon"))
+      // the attribute write must not corrupt the rank-N metadata document
+      val m = ZarrNd.readMetaN(path)
+      assert(m.rank == 3 && m.format == format)
+      assert(ZarrNd.read(spark, path).count() == 7 * 5 * 6)
+    }
+  }
+
   test("out-of-shape coordinates fail fast instead of dropping cells") {
     import spark.implicits._
     val bad = Seq((7L, 0L, 0L, 1.0)).toDF("i0", "i1", "i2", "v")
