@@ -49,4 +49,29 @@ object Zappy {
     ZMatrix.zeros(spark, rows, cols)
   def ones(spark: SparkSession, rows: Long, cols: Long): ZMatrix =
     ZMatrix.ones(spark, rows, cols)
+
+  // ---- rank ≥ 3 (zappy's ZappyArray is N-D in principle; Z35/A55) ----
+  // The tensor face returns the coordinate FRAME (i0…i{N−1}, v) rather
+  // than a ZMatrix: at rank ≥ 3 every ufunc is a column expression and
+  // every axis reduction a groupBy over that frame directly.
+
+  /** zappy `from_zarr(store[, key])` for a rank-N (≥ 3) array — group
+    * navigation shared with the 2-D reader (`store#key` or the explicit
+    * key overload). */
+  def from_zarr_nd(spark: SparkSession,
+                   store: String): org.apache.spark.sql.DataFrame =
+    graft.zarr.ZarrNd.read(spark, store)
+  def from_zarr_nd(spark: SparkSession, store: String,
+                   key: String): org.apache.spark.sql.DataFrame =
+    graft.zarr.ZarrNd.read(spark,
+      Zarr.resolveArray(store, Some(key).filter(_.nonEmpty)))
+
+  /** zappy `arr.to_zarr(store, chunks)` at rank N (`format = 3` for the
+    * stock zarr-python v3 layout). */
+  def to_zarr_nd(df: org.apache.spark.sql.DataFrame, store: String,
+                 shape: Seq[Long], chunks: Seq[Int], format: Int = 2,
+                 comp: String = ""): Unit =
+    graft.zarr.ZarrNd.write(df, store, shape, chunks,
+      nested = format == 3, format = format, comp = comp,
+      zlib = comp.isEmpty)
 }

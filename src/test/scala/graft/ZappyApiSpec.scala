@@ -35,4 +35,25 @@ class ZappyApiSpec extends AnyFunSuite {
     val back = Zappy.asndarray(Zappy.from_zarr(spark, store, "X"), 4, 2)
     assert(back(3)(1) == 4.0)
   }
+
+  test("rank-3 facade: to_zarr_nd → from_zarr_nd roundtrip, group key navigation") {
+    import graft.api.Zappy
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (for (i <- 0 until 5; j <- 0 until 4; k <- 0 until 3)
+      yield (i.toLong, j.toLong, k.toLong, (i * 100 + j * 10 + k).toDouble))
+      .toDF("i0", "i1", "i2", "v")
+    val store = "/root/repo/target/tmp/zappy_api_cube"
+    graft.zarr.Zarr.delete(store, recursive = true)
+    Zappy.to_zarr_nd(df, s"$store/T", Seq(5L, 4L, 3L), Seq(2, 2, 2))
+    // direct open and group-key open see the same cells (group metadata
+    // created the way any real group write does)
+    graft.zarr.Zarr.ensureGroupMeta(store, Seq("T"), format = 2)
+    val direct = Zappy.from_zarr_nd(spark, s"$store/T")
+      .orderBy("i0", "i1", "i2").collect()
+    assert(direct.sameElements(df.orderBy("i0", "i1", "i2").collect()))
+    val viaKey = Zappy.from_zarr_nd(spark, store, "T")
+      .orderBy("i0", "i1", "i2").collect()
+    assert(viaKey.sameElements(direct))
+  }
 }
