@@ -236,7 +236,11 @@ object ZarrNd {
     * idiom), so executor memory is bounded by ONE chunk regardless of
     * array or task size. Cells the frame omits inside the shape stay
     * fill; out-of-shape coordinates error (fail-fast — a silently
-    * dropped cell is data loss). */
+    * dropped cell is data loss). DUPLICATE coordinates are the caller's
+    * contract to prevent (aggregate first, as every gate query does):
+    * with duplicates present, which value lands is partition-order
+    * dependent — the same rule the 2-D writer and numpy fancy-assignment
+    * share. */
   def write(df: DataFrame, path: String, shape: Seq[Long], chunks: Seq[Int],
             dtype: String = "<f8", zlib: Boolean = true, comp: String = "",
             fill: Double = 0.0, nested: Boolean = false,
