@@ -16,65 +16,77 @@ object TextOps {
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbols. */
   private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  // ---- per-(session, corpus) fitted-model share points ----------------
+  // ---- per-corpus fitted-model share points ----------------------------
   // The r17 verdict's single biggest perf lever: the NB classifier was
   // refit by SIX eval queries, the BPE merge table by three, the
   // unigram/bigram LMs by five (batch + the streaming admission gates).
-  // Each family now fits ONCE per (session, corpus) through
-  // [[graft.SessionCache]] (the Dedup.corpusShingles precedent: stopped
-  // sessions evict, a regenerated corpus invalidates by listing
-  // signature) and every consumer reads the checkpointed frame / literal
-  // model. In production these ARE the artifacts a pipeline maintains
-  // next to the corpus; a churn-tolerant deployment materializes them to
-  // the lake — see the SessionCache fault-tolerance note.
+  // Each family now fits ONCE per corpus through the DURABLE tier of
+  // [[graft.SessionCache]] (r18 verdict ask #1): the fit is materialized
+  // signature-keyed to the model lake and every later consumer — same
+  // session, a new session, a restarted JVM — loads it instead of
+  // refitting. A regenerated corpus invalidates by listing signature;
+  // stopped sessions evict their in-memory handles.
 
   /** The (doc_id, _label, _score) NB score frame for the corpus's
     * `documents` table under the `lang` labels — the ONE fit behind
     * text_classify / _eval / _f1 / _auc / _calibration / report_kappa. */
   def nbScoredCached(spark: org.apache.spark.sql.SparkSession,
                      sfDir: String): DataFrame =
-    graft.SessionCache.getOrBuild(spark, s"nbScored:$sfDir:lang",
+    graft.SessionCache.durableFrame(spark, s"nbScored:$sfDir:lang",
         s"$sfDir/documents.parquet")(
-      nbScored(graft.Tables.documents(spark, sfDir), "doc_id", "text", "lang")
-        .localCheckpoint())
+      nbScored(graft.Tables.documents(spark, sfDir), "doc_id", "text", "lang"))
 
   /** The SERVING form for the streaming classifier gate (S17): uncapped
     * literal model, fit once per corpus. */
   def nbLiteralModelCached(spark: org.apache.spark.sql.SparkSession,
                            sfDir: String): Seq[(String, Long, Long, Map[String, Long])] =
-    graft.SessionCache.getOrBuild(spark, s"nbLiteral:$sfDir:lang",
+    graft.SessionCache.durable(spark, s"nbLiteral:$sfDir:lang",
         s"$sfDir/documents.parquet")(
       naiveBayesModel(graft.Tables.documents(spark, sfDir),
-        "doc_id", "text", "lang", vocabCap = Int.MaxValue))
+        "doc_id", "text", "lang", vocabCap = Int.MaxValue))(
+      (m, tmp) => spark.createDataFrame(m.zipWithIndex.map {
+          case ((l, prior, tot, costs), i) => (i, l, prior, tot, costs) })
+        .toDF("i", "label", "prior", "total", "costs")
+        .write.parquet(s"$tmp/model"))(
+      store => spark.read.parquet(s"$store/model").collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getMap[String, Long](4).toMap)).toSeq)
 
   /** The (ordered merge table, final vocab frame) BPE model — the ONE
     * train behind text_bpe / text_bpe_tokens / text_compression. */
   def bpeModelCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                      merges: Int = 8): (Seq[(Int, String, String, Long)], DataFrame) =
-    graft.SessionCache.getOrBuild(spark, s"bpe:$sfDir:$merges",
+    graft.SessionCache.durable(spark, s"bpe:$sfDir:$merges",
         s"$sfDir/documents.parquet")(
-      // bpeLoop already checkpoints the vocab each round; the tuple holds
-      // the final materialized frame + the driver-sized merge list
-      bpeLoop(graft.Tables.documents(spark, sfDir), "text", merges))
+      bpeLoop(graft.Tables.documents(spark, sfDir), "text", merges))(
+      { case ((ms, vocab), tmp) =>
+          spark.createDataFrame(ms).toDF("r", "a", "b", "n")
+            .write.parquet(s"$tmp/merges")
+          vocab.write.parquet(s"$tmp/vocab") })(
+      store => (
+        // merge order is the rank column, not file order
+        spark.read.parquet(s"$store/merges").collect().sortBy(_.getInt(0))
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq,
+        spark.read.parquet(s"$store/vocab")))
 
   /** The per-doc unigram-LM NLL frame — the ONE fit behind text_ppl /
     * text_ppl_interp / pipeline_ppl_filter and the S21 streaming gate's
     * tercile cuts. */
   def unigramNllCached(spark: org.apache.spark.sql.SparkSession,
                        sfDir: String): DataFrame =
-    graft.SessionCache.getOrBuild(spark, s"unigramNll:$sfDir",
+    graft.SessionCache.durableFrame(spark, s"unigramNll:$sfDir",
         s"$sfDir/documents.parquet")(
-      unigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text")
-        .localCheckpoint())
+      unigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text"))
 
   /** The per-doc bigram-LM NLL frame — shared by text_ppl_bigram and
     * text_ppl_interp. */
   def bigramNllCached(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String): DataFrame =
-    graft.SessionCache.getOrBuild(spark, s"bigramNll:$sfDir",
+    graft.SessionCache.durableFrame(spark, s"bigramNll:$sfDir",
         s"$sfDir/documents.parquet")(
-      bigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text")
-        .localCheckpoint())
+      bigramNll(graft.Tables.documents(spark, sfDir), "doc_id", "text"))
 
   /** The S21 serving model: the literal token→micro-nat map plus the
     * per-language tercile VALUE cuts, fit once per corpus (both are
@@ -84,7 +96,7 @@ object TextOps {
     // resolve the nll dependency OUTSIDE the build closure: computeIfAbsent
     // is not reentrant, so a cache build must never trigger another lookup
     val nll = unigramNllCached(spark, sfDir)
-    graft.SessionCache.getOrBuild(spark, s"pplServing:$sfDir",
+    graft.SessionCache.durable(spark, s"pplServing:$sfDir",
         s"$sfDir/documents.parquet") {
       val docs = graft.Tables.documents(spark, sfDir)
       val lm = unigramNllModel(docs, "doc_id", "text")
@@ -94,6 +106,19 @@ object TextOps {
           if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
       (lm, cuts)
+    } { case ((lm, cuts), tmp) =>
+        spark.createDataFrame(lm.toSeq).toDF("token", "nll")
+          .write.parquet(s"$tmp/lm")
+        spark.createDataFrame(cuts.zipWithIndex.map {
+            case ((l, t1, t2), i) => (i, l, t1, t2) })
+          .toDF("i", "lang", "t1", "t2").write.parquet(s"$tmp/cuts")
+    } { store => (
+        spark.read.parquet(s"$store/lm").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        spark.read.parquet(s"$store/cuts").collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq)
     }
   }
 

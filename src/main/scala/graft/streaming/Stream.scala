@@ -371,8 +371,8 @@ object Stream {
     // the stream plan as ONE referenced array behind the codegen'd
     // DsirScore kernel — the interpreted HOF fold this replaces measured
     // 236 s at the sf10 gate; the kernel is one md5 + one index per gram
-    val deltas = graft.SessionCache.getOrBuild(spark, s"dsirDeltas:$sfDir",
-        s"$sfDir/documents.parquet") {
+    val deltas = graft.SessionCache.durableLongs(spark, s"dsirDeltas:$sfDir",
+        s"$sfDir/documents.parquet", graft.ops.Sampling.DsirBuckets) {
       val a = new Array[Long](graft.ops.Sampling.DsirBuckets)
       graft.ops.Sampling.dsirModel(docs,
           docs.filter(col("source") < "src10"), "doc_id", "text")

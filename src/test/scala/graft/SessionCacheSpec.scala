@@ -51,6 +51,53 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(b.longValue == 7L && SessionCache.size == n0 + 1)
   }
 
+  test("durable tier: a NEW session loads the persisted artifact instead of refitting") {
+    val dir = s"${GraftPaths.tmpRoot}/durable_probe"
+    spark.range(20).select(col("id"), (col("id") % 3).as("k"))
+      .write.mode("overwrite").parquet(dir)
+    var builds = 0
+    def lookup(s: org.apache.spark.sql.SparkSession) =
+      SessionCache.durableFrame(s, "durableCrossSession", dir) {
+        builds += 1
+        s.read.parquet(dir).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      }
+    val a = lookup(spark).orderBy("k").collect()
+    assert(builds == 1)
+    lookup(spark) // same session: in-memory hit
+    assert(builds == 1)
+    // a NEW session is the restart proxy: no in-memory entry, so the
+    // lookup must come from the signature-keyed durable store
+    val s2 = spark.newSession()
+    val b = lookup(s2).orderBy("k").collect()
+    assert(builds == 1, "a new session must load the durable artifact, not refit")
+    assert(a.sameElements(b))
+  }
+
+  test("durable tier: a REGENERATED corpus refits and replaces the stale artifact dir") {
+    val dir = s"${GraftPaths.tmpRoot}/durable_regen"
+    spark.range(5).select(col("id"), lit("x").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    var builds = 0
+    def fit(): Long = SessionCache.durable(spark, "durableRegen", dir)({
+      builds += 1
+      java.lang.Long.valueOf(spark.read.parquet(dir).count())
+    })((v, tmp) => spark.createDataFrame(Seq((0, v.longValue)))
+        .toDF("i", "v").write.parquet(s"$tmp/n"))(
+      store => java.lang.Long.valueOf(
+        spark.read.parquet(s"$store/n").head().getLong(1))).longValue
+    assert(fit() == 5L && builds == 1)
+    assert(fit() == 5L && builds == 1)
+    Thread.sleep(1100) // parquet mtime granularity can be 1 s
+    spark.range(7).select(col("id"), lit("y").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    assert(fit() == 7L && builds == 2)
+    // the stale-signature artifact dir was pruned at publish: exactly one
+    // durable dir remains for the tag (bounded growth under regeneration)
+    val root = new java.io.File(SessionCache.modelsRoot(spark).get)
+    val dirs = root.listFiles().filter(_.getName.contains("durableRegen"))
+    assert(dirs.length == 1, dirs.map(_.getName).mkString(","))
+  }
+
   test("cached NB / BPE / LM chains are value-identical to the direct fits") {
     val docs = Tables.documents(spark, sf)
     val direct = ops.TextOps.naiveBayes(docs, "doc_id", "text", "lang")
