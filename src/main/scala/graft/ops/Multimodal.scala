@@ -211,8 +211,10 @@ object Multimodal {
     * child's exit code and captured stderr attached. Peak memory per task
     * stays one `BatchSize` batch on each side of the pipe. */
   def featuresSubprocess(docs: DataFrame, idCol: String, textCol: String,
-                         cmd: Seq[String] = Seq("/bin/cat")): DataFrame =
-    subprocessFeatures(asMedia(docs, idCol, textCol), cmd, childEmitsFeatures = false)
+                         cmd: Seq[String] = Seq("/bin/cat"),
+                         reuse: Boolean = true): DataFrame =
+    subprocessFeatures(asMedia(docs, idCol, textCol), cmd,
+      childEmitsFeatures = false, reuse = reuse)
 
   /** Decode REAL images through a REAL (non-passthrough) codec process:
     * payloads are actual PNGs ([[asPngMedia]]) and the child —
@@ -292,13 +294,17 @@ object Multimodal {
 
   /** `childEmitsFeatures`: a passthrough child echoes MEDIA batches and the
     * stub kernel runs JVM-side on what survived the pipe; a real codec
-    * child returns FEATURE batches directly and no JVM kernel runs. */
+    * child returns FEATURE batches directly and no JVM kernel runs.
+    * `reuse = false` opts out of the worker pool for one-shot children
+    * that only terminate on stdin EOF (arbitrary binaries outside the
+    * request-stream protocol — see [[CodecWorkers]]). */
   private def subprocessFeatures(media: Dataset[MediaRow], cmd: Seq[String],
-                                 childEmitsFeatures: Boolean): DataFrame = {
+                                 childEmitsFeatures: Boolean,
+                                 reuse: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     subprocessRows[MediaFeatures](media, cmd,
-      useStubKernel = !childEmitsFeatures, readFeatureBatch).toDF()
+      useStubKernel = !childEmitsFeatures, readFeatureBatch, reuse).toDF()
   }
 
   private def readFeatureBatch(feat: VectorSchemaRoot): Iterator[MediaFeatures] = {
@@ -317,129 +323,265 @@ object Multimodal {
     * row type the child's mode emits via `read` (which MUST copy values
     * out — the next batch reuses the Arrow buffers). `useStubKernel`
     * keeps the passthrough-child path: the child echoes media batches and
-    * [[stubArrowKernel]] runs JVM-side on what survived the pipe. */
+    * [[stubArrowKernel]] runs JVM-side on what survived the pipe.
+    *
+    * `reuse = true` (default) runs against the [[CodecWorkers]] pool:
+    * resident children serve one REQUEST STREAM per partition and are
+    * recycled across partitions, queries, and micro-batches — the r19
+    * adjudication showed a fresh child JVM costs ~1.5 s of class loading,
+    * which the unpooled path paid per partition per query. `reuse =
+    * false` keeps the one-shot contract (spawn, feed to stdin EOF, reap
+    * exit code) for arbitrary binaries outside the request-stream
+    * protocol. */
   private def subprocessRows[T](media: Dataset[MediaRow], cmd: Seq[String],
                                 useStubKernel: Boolean,
-                                read: VectorSchemaRoot => Iterator[T])(
-      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
-    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+                                read: VectorSchemaRoot => Iterator[T],
+                                reuse: Boolean = true)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
     media.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
-      else {
-        val proc = new ProcessBuilder(cmd.asJava).start()
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => { proc.destroyForcibly(); () }))
-        val alloc = new RootAllocator()
-        val stderrBuf = new java.io.ByteArrayOutputStream()
-        val errDrain = new Thread(() => {
-          try { proc.getErrorStream.transferTo(stderrBuf); () }
-          catch { case _: java.io.IOException => () }
-        }, "graft-codec-stderr")
-        errDrain.setDaemon(true); errDrain.start()
-        val feedErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
-        val taskCtx = org.apache.spark.TaskContext.get()
-        val feeder = new Thread(() => {
-          // the partition iterator is consumed on THIS thread: carry the
-          // task's context so upstream operator code under it still sees it
-          if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
-          val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
-          try {
-            val writer = new ArrowStreamWriter(in, null,
-              java.nio.channels.Channels.newChannel(proc.getOutputStream))
-            writer.start()
-            rows.grouped(BatchSize).foreach { batch =>
-              in.allocateNew()
-              val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
-              val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
-              batch.zipWithIndex.foreach { case (r, i) =>
-                docId.setSafe(i, r.doc_id)
-                payload.setSafe(i, r.payload)
-              }
-              in.setRowCount(batch.size)
-              writer.writeBatch()
-            }
-            writer.end(); writer.close()
-          } catch {
-            // feed failure (dead child broke the pipe, OR the upstream
-            // iterator itself threw): record it and kill the child so the
-            // reader side can never block forever on its stdout
-            case t: Throwable => feedErr.set(t); proc.destroyForcibly(); ()
-          } finally {
-            in.close()
-            // always end the child's stdin — a child still waiting on
-            // input would otherwise never finish its output stream
-            try proc.getOutputStream.close()
-            catch { case _: java.io.IOException => () }
+      else if (reuse) pooledPartition(rows, cmd, useStubKernel, read)
+      else oneShotPartition(rows, cmd, useStubKernel, read)
+    }
+
+  /** One partition through a POOLED resident worker. Deadlock-safe like
+    * the one-shot path (feeder thread writes stdin while the task thread
+    * reads stdout; stderr drains on the worker's own thread); the
+    * recycling rule is strict — ONLY a worker whose response stream
+    * completed cleanly AND whose feeder ended cleanly goes back to the
+    * pool, everything else is destroyed (a half-consumed or torn pipe can
+    * never be resynced). */
+  private def pooledPartition[T](rows: Iterator[MediaRow], cmd: Seq[String],
+                                 useStubKernel: Boolean,
+                                 read: VectorSchemaRoot => Iterator[T]): Iterator[T] = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    val worker = CodecWorkers.checkout(cmd)
+    val recycled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // a task that dies — or abandons the iterator mid-response (limit(),
+    // take()) — between checkout and the clean-path checkin must destroy
+    // the worker: its stdout may still hold response bytes
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        if (!recycled.get) worker.destroy()))
+    val alloc = new RootAllocator()
+    val feedErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val taskCtx = org.apache.spark.TaskContext.get()
+    val feeder = new Thread(() => {
+      // the partition iterator is consumed on THIS thread: carry the
+      // task's context so upstream operator code under it still sees it
+      if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
+      val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+      try {
+        val writer = new ArrowStreamWriter(in, null,
+          java.nio.channels.Channels.newChannel(worker.stdin))
+        writer.start()
+        rows.grouped(BatchSize).foreach { batch =>
+          in.allocateNew()
+          val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+          val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+          batch.zipWithIndex.foreach { case (r, i) =>
+            docId.setSafe(i, r.doc_id)
+            payload.setSafe(i, r.payload)
           }
-        }, "graft-codec-feeder")
-        feeder.setDaemon(true); feeder.start()
-
-        val reader = new ArrowStreamReader(proc.getInputStream, alloc)
-        val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
-
-        // on the error path, kill the child FIRST: that snaps both pipes,
-        // so a feeder blocked mid-write unblocks and the join returns. On
-        // the clean path, still bound the wait — a codec that ended its
-        // output but stopped draining stdin would strand the feeder on a
-        // full pipe; killing the child snaps it loose
-        def reap(destroyFirst: Boolean): Int = {
-          if (destroyFirst) proc.destroyForcibly()
-          feeder.join(10000)
-          if (feeder.isAlive) { proc.destroyForcibly(); feeder.join() }
-          errDrain.join(2000); proc.waitFor()
+          in.setRowCount(batch.size)
+          writer.writeBatch()
         }
-        def closeQuietly(): Unit = {
-          try reader.close() catch { case _: Throwable => () }
-          try out.close() catch { case _: Throwable => () }
-          try alloc.close() catch { case _: Throwable => () }
-        }
-        def childError(code: Int, cause: Throwable): Exception = {
-          val err = stderrBuf.toString("UTF-8").take(4096)
-          new RuntimeException(
-            s"codec subprocess ${cmd.mkString(" ")} exited $code" +
-              (if (err.nonEmpty) s"; stderr: $err" else ""), cause)
-        }
-        def feedFailure(): Exception =
-          new RuntimeException("codec subprocess feed failed", feedErr.get)
+        // end() writes the IPC end-of-stream marker — the REQUEST
+        // boundary; stdin stays open (that's what makes reuse possible).
+        // No writer.close(): it would close the pipe.
+        writer.end()
+        worker.stdin.flush()
+      } catch {
+        // feed failure (dead child broke the pipe, OR the upstream
+        // iterator itself threw): record it and kill the child so the
+        // reader side can never block forever on its stdout
+        case t: Throwable => feedErr.set(t); worker.destroy(); ()
+      } finally in.close()
+    }, "graft-codec-feeder")
+    feeder.setDaemon(true); feeder.start()
 
-        new Iterator[T] {
-          private var cur: Iterator[T] = Iterator.empty
-          private var done = false
-          override def hasNext: Boolean = {
-            while (!cur.hasNext && !done) {
-              val more =
-                try reader.loadNextBatch()
-                catch { // torn/empty stream — attribute it to the child
-                  case t: Throwable =>
-                    done = true
-                    val code = reap(destroyFirst = true)
-                    closeQuietly()
-                    throw (if (feedErr.get != null) feedFailure()
-                           else if (code != 0) childError(code, t) else t)
-                }
-              if (more) {
-                val feat =
-                  if (!useStubKernel) reader.getVectorSchemaRoot
-                  else {
-                    out.allocateNew()
-                    stubArrowKernel(reader.getVectorSchemaRoot, out)
-                    out
-                  }
-                cur = read(feat)
-              } else {
-                done = true
-                reader.close(); out.close()
-                val code = reap(destroyFirst = false)
-                alloc.close()
-                if (feedErr.get != null) throw feedFailure()
-                if (code != 0) throw childError(code, null)
-              }
+    val reader = new ArrowStreamReader(worker.stdout, alloc)
+    val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
+
+    def closeQuietly(): Unit = {
+      // close(false): release the reader WITHOUT closing the worker's
+      // stdout — the pipe belongs to the pool, not this task
+      try reader.close(false) catch { case _: Throwable => () }
+      try out.close() catch { case _: Throwable => () }
+      try alloc.close() catch { case _: Throwable => () }
+    }
+    def childError(cause: Throwable): Exception = {
+      val exited = worker.proc.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)
+      val code = if (exited) s" exited ${worker.proc.exitValue()}" else " failed"
+      val err = worker.stderrTail
+      new RuntimeException(
+        s"codec subprocess ${cmd.mkString(" ")}$code" +
+          (if (err.nonEmpty) s"; stderr: $err" else ""), cause)
+    }
+    def feedFailure(): Exception =
+      new RuntimeException("codec subprocess feed failed", feedErr.get)
+    def failTask(cause: Throwable): Nothing = {
+      worker.destroy() // snaps both pipes: unblocks a feeder stuck mid-write
+      feeder.join(10000)
+      closeQuietly()
+      throw (if (feedErr.get != null) feedFailure() else childError(cause))
+    }
+
+    new Iterator[T] {
+      private var cur: Iterator[T] = Iterator.empty
+      private var done = false
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && !done) {
+          val more =
+            try reader.loadNextBatch()
+            catch { // torn/empty stream — attribute it to the child
+              case t: Throwable => done = true; failTask(t)
             }
-            cur.hasNext
+          if (more) {
+            val feat =
+              if (!useStubKernel) reader.getVectorSchemaRoot
+              else {
+                out.allocateNew()
+                stubArrowKernel(reader.getVectorSchemaRoot, out)
+                out
+              }
+            cur = read(feat)
+          } else {
+            done = true
+            // response complete: the feeder must also have ended cleanly
+            // before the worker can be trusted back to the pool
+            feeder.join(10000)
+            if (feeder.isAlive || feedErr.get != null) failTask(null)
+            closeQuietly()
+            recycled.set(true)
+            CodecWorkers.checkin(worker)
           }
-          override def next(): T = { hasNext; cur.next() }
         }
+        cur.hasNext
       }
+      override def next(): T = { hasNext; cur.next() }
+    }
+  }
+
+  /** One partition through a ONE-SHOT child (the pre-pool contract: feed
+    * to stdin EOF, read to stream end, reap the exit code). Kept for
+    * arbitrary binaries that only terminate on stdin EOF. */
+  private def oneShotPartition[T](rows: Iterator[MediaRow], cmd: Seq[String],
+                                  useStubKernel: Boolean,
+                                  read: VectorSchemaRoot => Iterator[T]): Iterator[T] = {
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    val proc = new ProcessBuilder(cmd.asJava).start()
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => { proc.destroyForcibly(); () }))
+    val alloc = new RootAllocator()
+    val stderrBuf = new java.io.ByteArrayOutputStream()
+    val errDrain = new Thread(() => {
+      try { proc.getErrorStream.transferTo(stderrBuf); () }
+      catch { case _: java.io.IOException => () }
+    }, "graft-codec-stderr")
+    errDrain.setDaemon(true); errDrain.start()
+    val feedErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val taskCtx = org.apache.spark.TaskContext.get()
+    val feeder = new Thread(() => {
+      // the partition iterator is consumed on THIS thread: carry the
+      // task's context so upstream operator code under it still sees it
+      if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
+      val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+      try {
+        val writer = new ArrowStreamWriter(in, null,
+          java.nio.channels.Channels.newChannel(proc.getOutputStream))
+        writer.start()
+        rows.grouped(BatchSize).foreach { batch =>
+          in.allocateNew()
+          val docId = in.getVector("doc_id").asInstanceOf[BigIntVector]
+          val payload = in.getVector("payload").asInstanceOf[VarBinaryVector]
+          batch.zipWithIndex.foreach { case (r, i) =>
+            docId.setSafe(i, r.doc_id)
+            payload.setSafe(i, r.payload)
+          }
+          in.setRowCount(batch.size)
+          writer.writeBatch()
+        }
+        writer.end(); writer.close()
+      } catch {
+        // feed failure (dead child broke the pipe, OR the upstream
+        // iterator itself threw): record it and kill the child so the
+        // reader side can never block forever on its stdout
+        case t: Throwable => feedErr.set(t); proc.destroyForcibly(); ()
+      } finally {
+        in.close()
+        // always end the child's stdin — a child still waiting on
+        // input would otherwise never finish its output stream
+        try proc.getOutputStream.close()
+        catch { case _: java.io.IOException => () }
+      }
+    }, "graft-codec-feeder")
+    feeder.setDaemon(true); feeder.start()
+
+    val reader = new ArrowStreamReader(proc.getInputStream, alloc)
+    val out = VectorSchemaRoot.create(featureArrowSchema, alloc)
+
+    // on the error path, kill the child FIRST: that snaps both pipes,
+    // so a feeder blocked mid-write unblocks and the join returns. On
+    // the clean path, still bound the wait — a codec that ended its
+    // output but stopped draining stdin would strand the feeder on a
+    // full pipe; killing the child snaps it loose
+    def reap(destroyFirst: Boolean): Int = {
+      if (destroyFirst) proc.destroyForcibly()
+      feeder.join(10000)
+      if (feeder.isAlive) { proc.destroyForcibly(); feeder.join() }
+      errDrain.join(2000); proc.waitFor()
+    }
+    def closeQuietly(): Unit = {
+      try reader.close() catch { case _: Throwable => () }
+      try out.close() catch { case _: Throwable => () }
+      try alloc.close() catch { case _: Throwable => () }
+    }
+    def childError(code: Int, cause: Throwable): Exception = {
+      val err = stderrBuf.toString("UTF-8").take(4096)
+      new RuntimeException(
+        s"codec subprocess ${cmd.mkString(" ")} exited $code" +
+          (if (err.nonEmpty) s"; stderr: $err" else ""), cause)
+    }
+    def feedFailure(): Exception =
+      new RuntimeException("codec subprocess feed failed", feedErr.get)
+
+    new Iterator[T] {
+      private var cur: Iterator[T] = Iterator.empty
+      private var done = false
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && !done) {
+          val more =
+            try reader.loadNextBatch()
+            catch { // torn/empty stream — attribute it to the child
+              case t: Throwable =>
+                done = true
+                val code = reap(destroyFirst = true)
+                closeQuietly()
+                throw (if (feedErr.get != null) feedFailure()
+                       else if (code != 0) childError(code, t) else t)
+            }
+          if (more) {
+            val feat =
+              if (!useStubKernel) reader.getVectorSchemaRoot
+              else {
+                out.allocateNew()
+                stubArrowKernel(reader.getVectorSchemaRoot, out)
+                out
+              }
+            cur = read(feat)
+          } else {
+            done = true
+            reader.close(); out.close()
+            val code = reap(destroyFirst = false)
+            alloc.close()
+            if (feedErr.get != null) throw feedFailure()
+            if (code != 0) throw childError(code, null)
+          }
+        }
+        cur.hasNext
+      }
+      override def next(): T = { hasNext; cur.next() }
     }
   }
 

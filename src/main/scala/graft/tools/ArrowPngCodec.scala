@@ -34,6 +34,16 @@ import graft.ops.Multimodal
   * ([[Multimodal.pngCodecCmd]]); swapping in a C++/Rust decoder is a
   * command-line change, the stream contract is identical.
   *
+  * RESIDENT protocol ([[graft.ops.CodecWorkers]]): the main loop serves
+  * one complete Arrow IPC stream per REQUEST — read a request stream to
+  * its end-of-stream marker, answer with one complete response stream,
+  * flush, then block for the next request; stdin EOF means "no more
+  * requests", exit 0. That is what lets the Spark side pool one child
+  * across partitions, queries, and micro-batches instead of paying the
+  * ~1.5 s JVM class-loading spawn per partition (the r19 adjudication
+  * finding). A ONE-SHOT invocation (single request then EOF) behaves
+  * exactly as before.
+  *
   * Errors are the contract's too: an undecodable payload aborts with a
   * message on stderr and a nonzero exit, which the Spark side surfaces as
   * the task failure (exit code + captured stderr).
@@ -50,28 +60,41 @@ object ArrowPngCodec {
       case other => System.err.println(s"unknown mode $other"); sys.exit(2); null
     }
     val alloc = new RootAllocator()
-    val reader = new ArrowStreamReader(new BufferedInputStream(System.in), alloc)
-    val out = VectorSchemaRoot.create(outSchema, alloc)
+    // one-byte probe distinguishes "next request" from clean stdin EOF
+    val stdin = new java.io.PushbackInputStream(
+      new BufferedInputStream(System.in), 1)
     val stdout = new BufferedOutputStream(System.out)
-    val writer = new ArrowStreamWriter(out, null,
-      java.nio.channels.Channels.newChannel(stdout))
     try {
-      writer.start()
-      while (reader.loadNextBatch()) {
-        val in = reader.getVectorSchemaRoot
-        out.allocateNew()
-        val rows = mode match {
-          case "features" => featureBatch(in, out)
-          case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
-          case "frames"   => framesBatch(in, out, args(1).toInt)
-          case "audio"    => audioBatch(in, out)
-          case "phash"    => phashBatch(in, out)
+      var probe = stdin.read()
+      while (probe >= 0) {
+        stdin.unread(probe)
+        val reader = new ArrowStreamReader(stdin, alloc)
+        val out = VectorSchemaRoot.create(outSchema, alloc)
+        val writer = new ArrowStreamWriter(out, null,
+          java.nio.channels.Channels.newChannel(stdout))
+        writer.start()
+        while (reader.loadNextBatch()) {
+          val in = reader.getVectorSchemaRoot
+          out.allocateNew()
+          val rows = mode match {
+            case "features" => featureBatch(in, out)
+            case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
+            case "frames"   => framesBatch(in, out, args(1).toInt)
+            case "audio"    => audioBatch(in, out)
+            case "phash"    => phashBatch(in, out)
+          }
+          out.setRowCount(rows)
+          writer.writeBatch()
         }
-        out.setRowCount(rows)
-        writer.writeBatch()
+        // end() emits the response's end-of-stream marker; no close() —
+        // that would close stdout and kill the resident pipe
+        writer.end()
+        stdout.flush()
+        reader.close(false) // release the request stream, keep stdin open
+        out.close()
+        probe = stdin.read()
       }
-      writer.end(); writer.close(); stdout.flush()
-      reader.close(); out.close(); alloc.close()
+      alloc.close()
     } catch {
       case t: Throwable =>
         System.err.println(s"ArrowPngCodec failed: $t")

@@ -115,12 +115,29 @@ class MultimodalSpec extends AnyFunSuite {
   test("codec subprocess failure propagates exit code and stderr to the task") {
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val e = intercept[Exception] {
+      // reuse = false: this pathological child only terminates on stdin
+      // EOF (it drains to EOF before erroring), which is exactly the
+      // one-shot contract — a pooled worker never sees EOF
       Multimodal.featuresSubprocess(docs, "doc_id", "text",
-        cmd = Seq("/bin/sh", "-c", "cat > /dev/null; echo decode-blew-up >&2; exit 7")).collect()
+        cmd = Seq("/bin/sh", "-c", "cat > /dev/null; echo decode-blew-up >&2; exit 7"),
+        reuse = false).collect()
     }
     val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
     assert(chain.contains("exited 7") && chain.contains("decode-blew-up"), chain)
+  }
+
+  test("pooled codec workers are reused across queries — no respawn, same results") {
+    val docs = Seq((1L, "hello"), (2L, "a longer piece of text")).toDF("doc_id", "text")
+    def run() = Multimodal.realCodecFeatures(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    val first = run() // warms the pool (suites run sequentially in this JVM)
+    val before = graft.ops.CodecWorkers.spawns.get()
+    val second = run()
+    val third = run()
+    assert(graft.ops.CodecWorkers.spawns.get() == before,
+      "resident workers must serve repeat queries without spawning")
+    assert(second == first && third == first && first.nonEmpty)
   }
 
   test("codec subprocess that exits without reading stdin fails the task, no hang") {
