@@ -67,11 +67,22 @@ object Zappy {
       Zarr.resolveArray(store, Some(key).filter(_.nonEmpty)))
 
   /** zappy `arr.to_zarr(store, chunks)` at rank N (`format = 3` for the
-    * stock zarr-python v3 layout). */
+    * stock zarr-python v3 layout). The full ZarrNd.write surface is
+    * exposed (r18 ADVICE fix — the facade used to hard-wire zlib, f8,
+    * fill 0 and format-coupled key nesting):
+    *  - `comp`: "" = zlib/gzip (the default), "none" = uncompressed,
+    *    or "blosc"/"zstd";
+    *  - `dtype`/`fill`: any dtype the N-D engine writes, any fill;
+    *  - `nested`: None = follow the format's zarr-python default ("/"
+    *    keys for v3, "." for v2); Some(b) forces the separator (e.g. a
+    *    dot-keyed v3 store). */
   def to_zarr_nd(df: org.apache.spark.sql.DataFrame, store: String,
                  shape: Seq[Long], chunks: Seq[Int], format: Int = 2,
-                 comp: String = ""): Unit =
+                 comp: String = "", dtype: String = "<f8",
+                 fill: Double = 0.0, nested: Option[Boolean] = None): Unit =
     graft.zarr.ZarrNd.write(df, store, shape, chunks,
-      nested = format == 3, format = format, comp = comp,
+      dtype = dtype, fill = fill,
+      nested = nested.getOrElse(format == 3), format = format,
+      comp = if (comp == "none") "" else comp,
       zlib = comp.isEmpty)
 }

@@ -281,8 +281,13 @@ object ZarrNd {
     val strides = new Array[Long](rank)
     strides(rank - 1) = 1L
     for (d <- rank - 2 to 0 by -1) strides(d) = strides(d + 1) * grid(d + 1)
+    // `div` (integer division), NOT `/` + cast: double division rounds
+    // past 2^53, so a high coordinate could land its row in one task while
+    // the task-side exact Long arithmetic assigns it another chunk — two
+    // tasks writing the same chunk object, one silently overwriting the
+    // other (r18 ADVICE fix: partitioner and task must be bit-identical)
     val cid = (0 until rank)
-      .map(d => (col(s"i$d") / chunks(d)).cast("long") * strides(d))
+      .map(d => expr(s"i$d div ${chunks(d)}") * strides(d))
       .reduce(_ + _)
     val shapeB = m.shape; val chunksB = m.chunks; val gridB = grid
     val dtypeB = m.dtype; val zlibB = m.zlib; val compB = m.comp
@@ -411,28 +416,34 @@ object ZarrNd {
         s"$path: range [$lo, $hi) outside dim $d extent ${m.shape(d)}")
       (lo, hi)
     }.toArray
-    // enumerate only the INTERSECTING chunk coordinates on the driver:
-    // window-proportional, the same pruning a chunk-grid file index does
+    // The selection is described by its chunk-grid WINDOW, never by a
+    // materialized coordinate list (r18 ADVICE fix: the driver used to
+    // build one Seq entry and one scheduler task PER chunk — millions of
+    // driver-side coord objects and tasks at large selections, and a hard
+    // cap that made very large full reads fail outright). Tasks receive a
+    // range of linearized selection ordinals and decode each ordinal to
+    // its chunk coordinate with mixed-radix arithmetic — lazy, exact, and
+    // O(1) driver memory at ANY selection size; task count is capped so a
+    // million-chunk read is a few thousand tasks iterating chunks, not a
+    // million tasks.
     val cLo = (0 until rank).map(d => win(d)._1 / m.chunks(d)).toArray
     val cHi = (0 until rank).map(d => (win(d)._2 - 1) / m.chunks(d)).toArray
-    val nSel = (0 until rank).map(d => cHi(d) - cLo(d) + 1).product
-    require(nSel <= 16777216L,
-      s"$path: $nSel selected chunks — raise chunk extents (one task per chunk)")
-    val coords = Iterator.iterate(cLo.clone()) { c =>
-      val n = c.clone()
-      var d = rank - 1
-      var carry = true
-      while (d >= 0 && carry) {
-        n(d) += 1
-        if (n(d) > cHi(d)) { n(d) = cLo(d); d -= 1 } else carry = false
-      }
-      n
-    }.take(nSel.toInt).map(_.clone()).toSeq
+    val ext = (0 until rank).map(d => cHi(d) - cLo(d) + 1).toArray
+    val nSel = ext.foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
+    val maxSlices =
+      math.max(spark.sparkContext.defaultParallelism.toLong * 4, 4096L)
+    val numSlices = math.min(nSel, maxSlices).toInt
     val mB = m
     val winB = win
     val rdd = spark.sparkContext
-      .parallelize(coords, math.max(1, coords.size))
-      .flatMap { c =>
+      .range(0L, nSel, 1L, math.max(1, numSlices))
+      .flatMap { ord =>
+        // mixed-radix decode: selection ordinal -> chunk coordinate
+        val r = mB.rank
+        val c = new Array[Long](r)
+        var rem = ord
+        var dd = r - 1
+        while (dd >= 0) { c(dd) = cLo(dd) + rem % ext(dd); rem /= ext(dd); dd -= 1 }
         val elems = mB.chunkElems
         val key = chunkKey(path, c, mB.nested, mB.format)
         val buf =
@@ -441,7 +452,6 @@ object ZarrNd {
               mB.format, mB.comp)
           else Array.fill(elems)(mB.fill)
         // emit in-bounds cells only (edge chunks are fill-padded on disk)
-        val r = mB.rank
         val base = new Array[Long](r)
         var d = 0
         while (d < r) { base(d) = c(d) * mB.chunks(d); d += 1 }

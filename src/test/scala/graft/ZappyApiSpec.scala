@@ -56,4 +56,30 @@ class ZappyApiSpec extends AnyFunSuite {
       .orderBy("i0", "i1", "i2").collect()
     assert(viaKey.sameElements(direct))
   }
+
+  test("to_zarr_nd exposes compressor/fill/dtype/nested (r18 ADVICE fix)") {
+    import graft.api.Zappy
+    import spark.implicits._
+    val df = (for (i <- 0 until 3; j <- 0 until 2; k <- 0 until 2)
+      yield (i.toLong, j.toLong, k.toLong, (i * 4 + j * 2 + k).toDouble))
+      .toDF("i0", "i1", "i2", "v")
+    // uncompressed f4, non-zero fill, DOT-keyed v3 (every choice the old
+    // facade hard-wired away)
+    val store = "/root/repo/target/tmp/zappy_api_ndopts"
+    graft.zarr.Zarr.delete(store, recursive = true)
+    Zappy.to_zarr_nd(df, store, Seq(4L, 2L, 2L), Seq(2, 2, 2), format = 3,
+      comp = "none", dtype = "<f4", fill = -1.0, nested = Some(false))
+    val metaJson = new String(graft.zarr.Zarr.readBytes(s"$store/zarr.json"), "UTF-8")
+    assert(metaJson.contains("\"float32\""), metaJson)
+    assert(!metaJson.contains("gzip") && !metaJson.contains("blosc") &&
+      !metaJson.contains("zstd"), metaJson)
+    assert(metaJson.contains("\"separator\": \".\""), metaJson)
+    // dot-keyed chunk objects on disk, and i0 ∈ [3, 4) never written →
+    // that band reads back as the declared fill
+    assert(graft.zarr.Zarr.exists(s"$store/c.0.0.0"), "expected dot-keyed chunks")
+    val back = Zappy.from_zarr_nd(spark, store)
+    assert(back.filter($"i0" === 3L && $"v" === -1.0).count() == 4L)
+    val vals = back.filter($"i0" < 3L).orderBy("i0", "i1", "i2").collect()
+    assert(vals.sameElements(df.orderBy("i0", "i1", "i2").collect()))
+  }
 }
