@@ -70,10 +70,47 @@ object SparkEntry {
   private val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
   private val dupPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
 
+  // ---- durable-model codecs (r18 verdict ask #1) ----------------------
+  // Every trained index/model below is memoized per JVM in its map (the
+  // oracle generators iterate those maps to embed the run's exact
+  // literals) AND persisted through SessionCache's durable tier, so a new
+  // session or a restarted JVM loads the signature-keyed artifact instead
+  // of retraining. Values are plain nested double arrays — parquet rows
+  // (i[, j], vector) reproduce them bit-exactly (no float rounding in
+  // parquet's IEEE doubles).
+  private def saveMat(s: SparkSession, m: Array[Array[Double]], path: String): Unit =
+    s.createDataFrame(m.toSeq.zipWithIndex.map { case (r, i) => (i, r.toSeq) })
+      .toDF("i", "v").write.parquet(path)
+  private def loadMat(s: SparkSession, path: String): Array[Array[Double]] =
+    s.read.parquet(path).collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+  private def saveMat3(s: SparkSession, m: Array[Array[Array[Double]]],
+                       path: String): Unit =
+    s.createDataFrame(for ((sub, i) <- m.toSeq.zipWithIndex;
+                           (r, j) <- sub.toSeq.zipWithIndex)
+        yield (i, j, r.toSeq))
+      .toDF("i", "j", "v").write.parquet(path)
+  private def loadMat3(s: SparkSession, path: String): Array[Array[Array[Double]]] =
+    s.read.parquet(path).collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+      .toArray
+  private def savePca(s: SparkSession, m: graft.array.Pca.Model, tmp: String): Unit = {
+    saveMat(s, m.components, s"$tmp/comp")
+    s.createDataFrame(m.eigenvalues.toSeq.zip(m.offsets.toSeq).zipWithIndex
+        .map { case ((e, o), i) => (i, e, o) })
+      .toDF("i", "eig", "off").write.parquet(s"$tmp/vec")
+  }
+  private def loadPca(s: SparkSession, store: String): graft.array.Pca.Model = {
+    val v = s.read.parquet(s"$store/vec").collect().sortBy(_.getInt(0))
+    graft.array.Pca.Model(loadMat(s, s"$store/comp"),
+      v.map(_.getDouble(1)), v.map(_.getDouble(2)))
+  }
+
   /** IVF centroids per (sf dir, nlist): training is deterministic, so the
     * model is computed once and shared by every IVF query over the same
     * corpus (ann_ivf_topk, emb_neardup_ivf) — the production shape, where
-    * the index model is trained once and reused across queries. */
+    * the index model is trained once, persisted next to the corpus, and
+    * reused across queries AND sessions. */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
   /** Chunk-aligned [quarter, half) row band for the pushdown-read query —
@@ -85,7 +122,10 @@ object SparkEntry {
 
   private def ivfModel(s: SparkSession, d: String, nlist: Int): Array[Array[Double]] =
     ivfModels.computeIfAbsent((d, nlist), { _ =>
-      Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", nlist)
+      SessionCache.durable(s, s"ivfCentroids:$d:$nlist", s"$d/embeddings.parquet")(
+        Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", nlist))(
+        (m, tmp) => saveMat(s, m, s"$tmp/cents"))(
+        store => loadMat(s, s"$store/cents"))
     })
 
   /** Mix-rebalancing demo rates: keep 25% of the "crawl dump" half of the
@@ -121,7 +161,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.array.Pca.Model]()
   private def whitenModelFor(s: SparkSession, d: String): graft.array.Pca.Model =
     whitenModels.computeIfAbsent(d, { _ =>
-      Similarity.whitenModel(Tables.embeddings(s, d), "vec_id", "embedding", dim = 64)
+      SessionCache.durable(s, s"whiten:$d:64", s"$d/embeddings.parquet")(
+        Similarity.whitenModel(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64))(savePca(s, _, _))(loadPca(s, _))
     })
 
   /** PCA model of the full scanpy chain's preprocessed matrix. */
@@ -139,7 +181,10 @@ object SparkEntry {
     })
   private def pqModel(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqModels.computeIfAbsent(d, { _ =>
-      Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16)
+      SessionCache.durable(s, s"pq:$d:8x16", s"$d/embeddings.parquet")(
+        Similarity.pqTrain(normEmb(s, d), "vec_id", "nvec", m = 8, ksub = 16))(
+        (m, tmp) => saveMat3(s, m, s"$tmp/books"))(
+        store => loadMat3(s, s"$store/books"))
     })
 
   /** IVF-PQ composite model per sf dir: coarse centroids over the
@@ -150,8 +195,12 @@ object SparkEntry {
   private def ivfPqModel(s: SparkSession, d: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     ivfPqModels.computeIfAbsent(d, { _ =>
-      val cents = Similarity.ivfCentroids(normEmb(s, d), "vec_id", "nvec", nlist = 16)
-      (cents, Similarity.ivfPqTrain(normEmb(s, d), "vec_id", "nvec", cents))
+      SessionCache.durable(s, s"ivfpq:$d:16", s"$d/embeddings.parquet") {
+        val cents = Similarity.ivfCentroids(normEmb(s, d), "vec_id", "nvec", nlist = 16)
+        (cents, Similarity.ivfPqTrain(normEmb(s, d), "vec_id", "nvec", cents))
+      } { case ((cents, books), tmp) =>
+          saveMat(s, cents, s"$tmp/cents"); saveMat3(s, books, s"$tmp/books")
+      } { store => (loadMat(s, s"$store/cents"), loadMat3(s, s"$store/books")) }
     })
 
   /** IVF-OPQ model per sf dir (rotation + rotated-residual codebooks;
@@ -164,8 +213,14 @@ object SparkEntry {
   private def opqModel(s: SparkSession, d: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     opqModels.computeIfAbsent(d, { _ =>
+      // resolve the shared-centroid dependency OUTSIDE the build closure
+      // (the SessionCache no-nested-computeIfAbsent rule)
       val (cents, _) = ivfPqModel(s, d)
-      Similarity.ivfOpqTrain(normEmb(s, d), "vec_id", "nvec", cents)
+      SessionCache.durable(s, s"opq:$d:16", s"$d/embeddings.parquet")(
+        Similarity.ivfOpqTrain(normEmb(s, d), "vec_id", "nvec", cents)) {
+        case ((rot, books), tmp) =>
+          saveMat(s, rot, s"$tmp/rot"); saveMat3(s, books, s"$tmp/books")
+      } { store => (loadMat(s, s"$store/rot"), loadMat3(s, s"$store/books")) }
     })
 
   /** The IVF-PQ codes STORED as a parquet table partitioned by list_id —
@@ -247,28 +302,23 @@ object SparkEntry {
     * clustering paths (labelprop / louvain / spectral): IVF-bucketed kNN
     * edges over every vector (top-2 list probe, per-list cap — see
     * knnGraphIvf), mutual-restricted, integer 4dp-cos×10⁴ weights.
-    * Checkpointed because every consumer reads the edge set several
-    * times per round (degrees, neighbor joins, seeds) — without the cut
-    * each superstep would replay the whole IVF scoring lineage. */
-  /** Per-(session, corpus) cache of the materialized edge set: SIX _full
-    * queries share it, and localCheckpoint is eager — without the cache
-    * each of them re-ran the whole IVF scoring + kNN + mutual chain (the
-    * r12 verdict's job-count item). Lives in [[graft.SessionCache]]
-    * (stopped sessions evict; a regenerated embeddings table invalidates
-    * by listing signature — the r17 ADVICE lifecycle rules), keyed by the
-    * session because a checkpointed DataFrame is pinned to its session's
-    * executors. */
+    * Materialized because every consumer reads the edge set several times
+    * per round (degrees, neighbor joins, seeds) — without the cut each
+    * superstep would replay the whole IVF scoring lineage. SIX _full
+    * queries share it; it lives in the DURABLE tier of
+    * [[graft.SessionCache]] (r18 verdict ask #1): built once, persisted
+    * signature-keyed as parquet, loaded across sessions and restarts —
+    * a regenerated embeddings table invalidates by listing signature. */
   private[graft] def ivfMutualEdges(s: SparkSession, d: String): DataFrame = {
-    // resolve the centroid model OUTSIDE the build closure (ivfModels is
-    // a separate map, but keep the no-nested-computeIfAbsent rule uniform)
+    // resolve the centroid model OUTSIDE the build closure (the
+    // SessionCache no-nested-computeIfAbsent rule)
     val model = ivfModel(s, d, 16)
-    SessionCache.getOrBuild(s, s"ivfMutualEdges:$d", s"$d/embeddings.parquet") {
+    SessionCache.durableFrame(s, s"ivfMutualEdges:$d", s"$d/embeddings.parquet") {
       Similarity.mutualEdgesWeighted(
           Similarity.knnGraphIvf(Tables.embeddings(s, d), "vec_id", "embedding",
               model, k = 5)
             .select(col("src"), col("dst"),
               round(col("cos") * 10000).cast("long").as("w")), "w")
-        .localCheckpoint()
     }
   }
 
@@ -553,7 +603,9 @@ object SparkEntry {
       // transform is the sole consumer so a checkpoint would be pure waste
       val prepped = lg.hvgScale(5, nrows, 4)
       val model = fullPcaModels.computeIfAbsent(d, { _ =>
-        graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2)
+        SessionCache.durable(s, s"fullPca:$d:8x2", s"$d/lineitem.parquet")(
+          graft.array.Pca.fit(prepped, nrows, ncols = 8, k = 2))(
+          savePca(s, _, _))(loadPca(s, _))
       })
       graft.array.Pca.transform(prepped, model).cells
     }),
@@ -575,7 +627,9 @@ object SparkEntry {
       val model = pcaModels.computeIfAbsent(d, { _ =>
         // l_linenumber is 1-based: ncols=8 leaves column 0 implicit-zero
         // (zero variance — never enters the top-k components)
-        graft.array.Pca.fit(mm, matNrows(s, d), ncols = 8, k = 3)
+        SessionCache.durable(s, s"pca:$d:8x3", s"$d/lineitem.parquet")(
+          graft.array.Pca.fit(mm, matNrows(s, d), ncols = 8, k = 3))(
+          savePca(s, _, _))(loadPca(s, _))
       })
       graft.array.Pca.transform(mm, model).cells
     }),
@@ -1169,6 +1223,13 @@ object SparkEntry {
     // rebuilding it (the r16 s/query item).
     "dedup_jaccard_join" -> ((s, d) =>
       Dedup.jaccardJoinToks(Dedup.corpusShingles(s, d), minJaccardPct = 50)),
+    // the DEFAULT consumer shape of L32 (r18 verdict ask #3): the same
+    // exact prefix-filtered join, but routed through connected components
+    // to one (doc_id, component) row per clustered doc — cluster-sized
+    // output where the pair relation is output-bound (47× at sf1 under
+    // mass duplication); pair emission above stays opt-in
+    "dedup_jaccard_components" -> ((s, d) =>
+      Dedup.jaccardDedup(Dedup.corpusShingles(s, d), minJaccardPct = 50)),
     // L63: asymmetric containment join ("A mostly inside B") — exact by
     // the one-sided prefix filter; threshold 60% of A's shingles
     "dedup_containment" -> ((s, d) =>
@@ -5391,6 +5452,30 @@ object SparkEntry {
         |FROM pr JOIN sz s1 ON s1.doc_id = pr.id1
         |        JOIN sz s2 ON s2.doc_id = pr.id2
         |WHERE pr.inter * 100 >= 50 * (s1.sz + s2.sz - pr.inter)""".stripMargin,
+    // the cluster-sized default: the same qualifying-pair relation fed
+    // into min-label transitive closure (the dedup_components reach CTE)
+    "dedup_jaccard_components" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS token
+        |       FROM w, unnest(range(1, len(ws) - 1)) u(p)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |       FROM sh a JOIN sh b USING (token)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |qp AS (SELECT pr.id1, pr.id2
+        |       FROM pr JOIN sz s1 ON s1.doc_id = pr.id1
+        |               JOIN sz s2 ON s2.doc_id = pr.id2
+        |       WHERE pr.inter * 100 >= 50 * (s1.sz + s2.sz - pr.inter)),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM qp
+        |          UNION ALL SELECT id2 AS src, id1 AS dst FROM qp),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1""".stripMargin,
     // containment twin: brute-force ordered-pair intersections; the
     // prefix filter is provably lossless, so the sets must match exactly
     "dedup_containment" ->
