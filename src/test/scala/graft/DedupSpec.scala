@@ -474,6 +474,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
 
+  test("jaccardDedup: cluster-sized output under mass duplication (n rows, not n(n-1)/2 pairs)") {
+    import spark.implicits._
+    // a planted 60-member near-dup clique + 40 distinct docs: the pair
+    // relation is quadratic in the clique (the documented output-bound
+    // regime — 47× at sf1 on the replica corpus), the cluster relation
+    // stays linear. This is WHY jaccardDedup is the default consumer
+    // shape and pair emission is opt-in (r18 verdict ask #3).
+    val clique = (0 until 60).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val rest = (100 until 140).map(i => (i.toLong, s"doc $i body w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val docs = (clique ++ rest).toDF("doc_id", "text")
+    val toks = ops.Dedup.shingleToks(docs, "doc_id", "text", 3)
+    val pairs = ops.Dedup.jaccardJoinToks(toks, 50)
+    val comps = ops.Dedup.jaccardDedup(toks, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count() == 60L * 59 / 2, "clique pair relation is quadratic")
+    assert(comps.length == 60, "cluster relation is linear in clustered docs")
+    // every clique member labels to the min id; distinct docs are absent
+    assert(comps.forall { case (id, c) => id < 60 && c == 0L }, comps.take(5).toSeq)
+    // agreement with the general components path over the same pairs
+    val viaCC = ops.Dedup.connectedComponents(pairs.select($"id1", $"id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps.toSet == viaCC)
+  }
+
   test("fuzzyJoin: in-block near-names pair; cross-block twins never compared") {
     import spark.implicits._
     val recs = Seq(
