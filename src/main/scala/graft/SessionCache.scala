@@ -56,6 +56,32 @@ object SessionCache {
 
   private val entries = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
 
+  // ---- churn bound ------------------------------------------------------
+  // Stopped-session eviction alone cannot bound the map on a long-lived
+  // JVM that churns `newSession()` handles over a LIVE context (the
+  // sessions never stop, so their entries never evict — the r18 verdict's
+  // ConcurrentHashMap-under-session-churn concern). An LRU cap does:
+  // artifacts are rebuildable (in-session tier) or reloadable (durable
+  // tier), so evicting a cold entry costs at worst one reload; dropping
+  // our reference to a localCheckpoint'd frame also lets the
+  // ContextCleaner reclaim its pinned blocks.
+  private val MaxEntries = 256
+  private val ticks = new ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private val tickSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def touch(k: (SparkSession, String)): Unit = {
+    ticks.put(k, java.lang.Long.valueOf(tickSeq.incrementAndGet())); ()
+  }
+  private def bound(): Unit = if (entries.size > MaxEntries) {
+    import scala.jdk.CollectionConverters._
+    val excess = entries.size - MaxEntries
+    ticks.entrySet().asScala.toSeq.sortBy(_.getValue.longValue).take(excess)
+      .foreach { e => entries.remove(e.getKey); ticks.remove(e.getKey) }
+    // entries inserted concurrently with no tick yet survive; they get
+    // their tick on the next touch — bounded growth is the contract, not
+    // exact LRU
+    ticks.keySet.removeIf(k => !entries.containsKey(k))
+  }
+
   // ---- dataset signatures ------------------------------------------------
 
   /** Listing signature of a dataset directory: order-free combine of
@@ -131,7 +157,9 @@ object SessionCache {
     // in-place): bounded growth under any number of regenerations
     entries.keySet.removeIf(k =>
       (k._1 eq spark) && k._2 != key && k._2.startsWith(s"$tag@"))
-    entries.computeIfAbsent((spark, key), _ => build).asInstanceOf[T]
+    val v = entries.computeIfAbsent((spark, key), _ => build).asInstanceOf[T]
+    touch((spark, key)); bound()
+    v
   }
 
   // ---- durable tier ------------------------------------------------------
@@ -170,7 +198,7 @@ object SessionCache {
         val key = s"$tag@$sig"
         entries.keySet.removeIf(k =>
           (k._1 eq spark) && k._2 != key && k._2.startsWith(s"$tag@"))
-        entries.computeIfAbsent((spark, key), { _ =>
+        val v = entries.computeIfAbsent((spark, key), { _ =>
           val prefix = tagPrefix(tag)
           val name = s"$prefix@$sig"
           val store = s"$root/$name"
@@ -200,6 +228,8 @@ object SessionCache {
           }
           load(store)
         }).asInstanceOf[T]
+        touch((spark, key)); bound()
+        v
     }
 
   /** [[durable]] for the common DataFrame artifact: persisted as parquet,
@@ -238,5 +268,7 @@ object SessionCache {
     entries.keySet.removeIf(_._1.sparkContext.isStopped)
     entries.size
   }
-  private[graft] def clear(): Unit = { entries.clear(); sigMemo.clear() }
+  private[graft] def clear(): Unit = {
+    entries.clear(); sigMemo.clear(); ticks.clear()
+  }
 }

@@ -98,6 +98,19 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(dirs.length == 1, dirs.map(_.getName).mkString(","))
   }
 
+  test("session-churn bound: the entry map cannot grow past its LRU cap") {
+    val dir = s"${GraftPaths.tmpRoot}/churn_probe"
+    spark.range(3).write.mode("overwrite").parquet(dir)
+    // 300 distinct entries over fresh newSession handles: these sessions
+    // never stop, so stopped-session eviction alone would retain every
+    // one — the LRU cap is what bounds a session-churning JVM
+    (0 until 300).foreach { i =>
+      val s = spark.newSession()
+      SessionCache.getOrBuild(s, s"churn$i", dir)(java.lang.Integer.valueOf(i))
+    }
+    assert(SessionCache.size <= 256, s"size=${SessionCache.size}")
+  }
+
   test("cached NB / BPE / LM chains are value-identical to the direct fits") {
     val docs = Tables.documents(spark, sf)
     val direct = ops.TextOps.naiveBayes(docs, "doc_id", "text", "lang")
