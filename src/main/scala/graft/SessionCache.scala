@@ -204,7 +204,7 @@ object SessionCache {
           val store = s"$root/$name"
           val fs = new Path(root)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(new Path(s"$store/$CommitMarker"))) {
+          def buildAndPublish(): T = {
             val artifact = build
             val tmp = s"$root/.tmp-${java.util.UUID.randomUUID}"
             save(artifact, tmp)
@@ -225,8 +225,23 @@ object SessionCache {
             if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
             require(fs.exists(new Path(s"$store/$CommitMarker")),
               s"durable artifact commit failed: $store")
+            load(store)
           }
-          load(store)
+          if (!fs.exists(new Path(s"$store/$CommitMarker"))) buildAndPublish()
+          else
+            try load(store)
+            catch {
+              // a COMMITTED artifact that fails to load is external damage
+              // (partial delete, manual edit, a format change without a
+              // ModelFormatV bump): self-heal by rebuilding once rather
+              // than wedging every consumer until someone hand-deletes
+              // the directory. Load-time validation only — a lazily-read
+              // frame validates its schema here (parquet footer), not its
+              // every data page.
+              case scala.util.control.NonFatal(_) =>
+                fs.delete(new Path(store), true)
+                buildAndPublish()
+            }
         }).asInstanceOf[T]
         touch((spark, key)); bound()
         v

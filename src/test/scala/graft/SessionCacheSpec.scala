@@ -98,6 +98,34 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(dirs.length == 1, dirs.map(_.getName).mkString(","))
   }
 
+  test("durable tier: a damaged committed artifact self-heals by rebuilding") {
+    val dir = s"${GraftPaths.tmpRoot}/durable_damage"
+    spark.range(9).select(col("id"), (col("id") * 5).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    var builds = 0
+    def lookup(s: org.apache.spark.sql.SparkSession): Long =
+      SessionCache.durable(s, "durableDamage", dir)({
+        builds += 1
+        java.lang.Long.valueOf(s.read.parquet(dir).agg(sum(col("v"))).head().getLong(0))
+      })((v, tmp) => spark.createDataFrame(Seq((0, v.longValue)))
+          .toDF("i", "v").write.parquet(s"$tmp/n"))(
+        store => java.lang.Long.valueOf(
+          spark.read.parquet(s"$store/n").head().getLong(1))).longValue
+    val expect = 5L * (0 to 8).sum
+    assert(lookup(spark) == expect && builds == 1)
+    // damage the COMMITTED artifact: delete its payload, keep the marker
+    val root = new java.io.File(SessionCache.modelsRoot(spark).get)
+    val storeDir = root.listFiles().filter(_.getName.contains("durableDamage")).head
+    val payload = new java.io.File(storeDir, "n")
+    payload.listFiles().foreach(_.delete()); payload.delete()
+    // a NEW session forces the durable path; the broken load must rebuild
+    val s2 = spark.newSession()
+    assert(lookup(s2) == expect, "damaged artifact must self-heal")
+    assert(builds == 2)
+    // and the healed artifact serves the next session from disk again
+    assert(lookup(spark.newSession()) == expect && builds == 2)
+  }
+
   test("session-churn bound: the entry map cannot grow past its LRU cap") {
     val dir = s"${GraftPaths.tmpRoot}/churn_probe"
     spark.range(3).write.mode("overwrite").parquet(dir)
