@@ -101,6 +101,14 @@ object SessionCache {
       if (hit != null && now - hit._1 < 0) hit._2
       else {
         val s = computeSignature(spark, dir)
+        // bound the memo under (session, dir) churn: drop expired entries
+        // first, and if live entries alone exceed the cap, reset — a memo
+        // miss costs one listing, a leak costs the heap (each key pins a
+        // SparkSession)
+        if (sigMemo.size >= 1024) {
+          sigMemo.entrySet.removeIf(e => now - e.getValue._1 >= 0)
+          if (sigMemo.size >= 1024) sigMemo.clear()
+        }
         sigMemo.put((spark, dir), (now + ttl, s))
         s
       }
@@ -146,30 +154,51 @@ object SessionCache {
 
   // ---- in-session tier ---------------------------------------------------
 
-  /** Fetch-or-build the IN-SESSION artifact for `tag` fit on dataset
-    * `dir`. `tag` must encode every fit parameter (widths, label columns,
-    * merge counts, …); `dir` drives the signature. */
-  def getOrBuild[T <: AnyRef](spark: SparkSession, tag: String, dir: String)(
-      build: => T): T = {
+  /** The ONE cache-maintenance ritual both tiers share (a divergence here
+    * would split eviction behavior between them): stopped-session
+    * eviction, stale-signature prune for the tag, fetch-or-build, LRU
+    * touch + bound, and a tick sweep so `ticks` can never outgrow
+    * `entries` even when `entries` stays under the cap (stopped-session
+    * eviction shrinks `entries` without ever triggering bound()). */
+  private def cached[T <: AnyRef](spark: SparkSession, tag: String,
+                                  key: String)(mk: => T): T = {
     entries.keySet.removeIf(_._1.sparkContext.isStopped)
-    val key = s"$tag@${dirSignature(spark, dir)}"
     // prune stale signatures of the same logical tag (corpus regenerated
     // in-place): bounded growth under any number of regenerations
     entries.keySet.removeIf(k =>
       (k._1 eq spark) && k._2 != key && k._2.startsWith(s"$tag@"))
-    val v = entries.computeIfAbsent((spark, key), _ => build).asInstanceOf[T]
+    ticks.keySet.removeIf(k => !entries.containsKey(k))
+    val v = entries.computeIfAbsent((spark, key), _ => mk).asInstanceOf[T]
     touch((spark, key)); bound()
     v
   }
 
+  /** Fetch-or-build the IN-SESSION artifact for `tag` fit on dataset
+    * `dir`. `tag` must encode every fit parameter (widths, label columns,
+    * merge counts, …); `dir` drives the signature. */
+  def getOrBuild[T <: AnyRef](spark: SparkSession, tag: String, dir: String)(
+      build: => T): T =
+    cached(spark, tag, s"$tag@${dirSignature(spark, dir)}")(build)
+
   // ---- durable tier ------------------------------------------------------
 
-  /** Root of the durable model store, or None when disabled. */
+  /** Root of the durable model store, or None when disabled. UNSET
+    * default: a local-master session (one machine — the driver's
+    * filesystem IS every task's filesystem) gets `target/graft_models`;
+    * a CLUSTER session gets NO durable tier, because a driver-local path
+    * would have each executor write its part files to its own machine's
+    * disk — a torn artifact that reads back incomplete. On a cluster the
+    * lake path (hdfs://, s3a://) is strictly opt-in via
+    * `spark.graft.models.dir` / `SPARK_GRAFT_MODELS_DIR`. */
   private[graft] def modelsRoot(spark: SparkSession): Option[String] = {
     val v = spark.conf.getOption("spark.graft.models.dir")
       .orElse(sys.env.get("SPARK_GRAFT_MODELS_DIR"))
-      .getOrElse(new java.io.File(sys.props("user.dir"),
-        "target/graft_models").getAbsolutePath)
+      .getOrElse {
+        if (spark.sparkContext.isLocal)
+          new java.io.File(sys.props("user.dir"),
+            "target/graft_models").getAbsolutePath
+        else "memory"
+      }
     if (v.isEmpty || v == "memory") None else Some(v)
   }
 
@@ -193,12 +222,8 @@ object SessionCache {
     modelsRoot(spark) match {
       case None => getOrBuild(spark, tag, dir)(build)
       case Some(root) =>
-        entries.keySet.removeIf(_._1.sparkContext.isStopped)
         val sig = dirSignature(spark, dir)
-        val key = s"$tag@$sig"
-        entries.keySet.removeIf(k =>
-          (k._1 eq spark) && k._2 != key && k._2.startsWith(s"$tag@"))
-        val v = entries.computeIfAbsent((spark, key), { _ =>
+        cached[T](spark, tag, s"$tag@$sig") {
           val prefix = tagPrefix(tag)
           val name = s"$prefix@$sig"
           val store = s"$root/$name"
@@ -217,14 +242,21 @@ object SessionCache {
             if (stale != null) stale.foreach { st =>
               if (st.getPath.getName != name) fs.delete(st.getPath, true)
             }
-            // atomic publish; a concurrent winner keeps its copy and we
-            // drop ours (single-writer per (lake, corpus) is the normal
+            // publish; a concurrent winner keeps its copy and we drop
+            // ours (single-writer per (lake, corpus) is the normal
             // deployment; this is belt-and-braces for racing sessions)
             if (!fs.exists(new Path(store)))
               fs.rename(new Path(tmp), new Path(store))
             if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+            // Hadoop rename-into-existing-DIRECTORY moves src UNDER dst:
+            // a racer that lost the exists/rename window parked its temp
+            // inside the winner's store — sweep any such debris so the
+            // published artifact holds exactly one payload
+            val parked = fs.globStatus(new Path(s"$store/.tmp-*"))
+            if (parked != null) parked.foreach(st => fs.delete(st.getPath, true))
             require(fs.exists(new Path(s"$store/$CommitMarker")),
               s"durable artifact commit failed: $store")
+            gcOrphanTmps(fs, root)
             load(store)
           }
           if (!fs.exists(new Path(s"$store/$CommitMarker"))) buildAndPublish()
@@ -242,10 +274,20 @@ object SessionCache {
                 fs.delete(new Path(store), true)
                 buildAndPublish()
             }
-        }).asInstanceOf[T]
-        touch((spark, key)); bound()
-        v
+        }
     }
+
+  /** Reap `.tmp-*` dirs older than an hour — a writer that died between
+    * save() and rename would otherwise leave its copy in the lake
+    * forever. Runs only on the (rare) publish path, never per lookup. */
+  private def gcOrphanTmps(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val tmps = fs.globStatus(new Path(s"$root/.tmp-*"))
+    if (tmps != null) tmps.foreach { st =>
+      if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+    }
+  }
 
   /** [[durable]] for the common DataFrame artifact: persisted as parquet,
     * loaded back as the parquet scan — fault-tolerant (unlike a

@@ -56,8 +56,19 @@ private[graft] object CodecWorkers {
     }, "graft-codec-stderr")
     drain.setDaemon(true); drain.start()
 
-    def stderrTail: String =
-      err.synchronized { err.toString("UTF-8").takeRight(4096) }
+    // stderr position at the CURRENT request's checkout: error reports
+    // must carry this task's stderr, not warnings a recycled worker
+    // logged while serving earlier queries
+    @volatile private var errMark = 0
+    private[CodecWorkers] def markRequest(): Unit =
+      err.synchronized { errMark = err.size }
+    def stderrTail: String = err.synchronized {
+      val all = err.toByteArray
+      // the rolling reset can shrink the buffer below the mark — fall
+      // back to the whole (post-reset) tail in that case
+      val from = if (errMark <= all.length) errMark else 0
+      new String(all, from, all.length - from, "UTF-8").takeRight(4096)
+    }
     def alive: Boolean = proc.isAlive
     def destroy(): Unit = { proc.destroyForcibly(); () }
   }
@@ -71,7 +82,9 @@ private[graft] object CodecWorkers {
     val q = pools.computeIfAbsent(cmd, _ => new ConcurrentLinkedQueue[Worker]())
     var w = q.poll()
     while (w != null && !w.alive) { w.destroy(); w = q.poll() }
-    if (w == null) { spawns.incrementAndGet(); new Worker(cmd) } else w
+    val out = if (w == null) { spawns.incrementAndGet(); new Worker(cmd) } else w
+    out.markRequest()
+    out
   }
 
   /** Return a worker whose response completed cleanly. Dead or surplus

@@ -223,8 +223,10 @@ object Multimodal {
     * all. The image sizes derive from the text length, which is what lets
     * a SQL oracle independently predict the decoder's output end-to-end. */
   def realCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
-                        cmd: Seq[String] = pngCodecCmd): DataFrame =
-    subprocessFeatures(asPngMedia(docs, idCol, textCol), cmd, childEmitsFeatures = true)
+                        cmd: Seq[String] = pngCodecCmd,
+                        reuse: Boolean = true): DataFrame =
+    subprocessFeatures(asPngMedia(docs, idCol, textCol), cmd,
+      childEmitsFeatures = true, reuse = reuse)
 
   /** The JPEG twin of [[realCodecFeatures]]: payloads are actual JPEGs
     * (ImageIO's real JFIF encoder — SOI/DQT/SOF0/entropy-coded scan), so
@@ -233,9 +235,10 @@ object Multimodal {
     * stay an exact SQL-predictable function of the text length. Distinct
     * moduli from the PNG path so a format mixup cannot pass both oracles. */
   def jpegCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
-                        cmd: Seq[String] = pngCodecCmd): DataFrame =
+                        cmd: Seq[String] = pngCodecCmd,
+                        reuse: Boolean = true): DataFrame =
     subprocessFeatures(asImageMedia(docs, idCol, textCol, "jpg", "image/jpeg",
-      wMod = 13, hMod = 9), cmd, childEmitsFeatures = true)
+      wMod = 13, hMod = 9), cmd, childEmitsFeatures = true, reuse = reuse)
 
   /** The codec command for THIS environment: a fresh JVM running
     * [[graft.tools.ArrowPngCodec]] off the same classpath (the sandbox
