@@ -375,4 +375,31 @@ class PlanSpec extends AnyFunSuite {
       s"$hintedSides broadcast-hinted join sides (only the 1-row nu/nb " +
         s"totals are allowed):\n${df.queryExecution.optimizedPlan}")
   }
+
+  test("shingle-family queries scan the DURABLE index, never re-shingle the corpus") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // warm the artifact (builds + persists on first-ever use)
+    ops.Dedup.corpusShingles(spark, TestSpark.sf).queryExecution.executedPlan
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves) ++
+          other.subqueries.flatMap(leaves)
+      }
+      leaves(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    }
+    val q = SparkEntry.queries("dedup_containment")(spark, TestSpark.sf)
+    val roots = scanRoots(q)
+    // every file scan in the plan is the durable model store — the
+    // documents table itself is never re-read (the cache-hit regression
+    // pin: a rebuild would show documents.parquet + a Generate explode)
+    assert(roots.nonEmpty, "expected file scans in the containment plan")
+    assert(roots.forall(_.contains("graft_models")),
+      s"non-durable scans in the plan: ${roots.filterNot(_.contains("graft_models"))}")
+  }
 }
