@@ -430,9 +430,14 @@ object ZarrNd {
     val cHi = (0 until rank).map(d => (win(d)._2 - 1) / m.chunks(d)).toArray
     val ext = (0 until rank).map(d => cHi(d) - cLo(d) + 1).toArray
     val nSel = ext.foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
-    val maxSlices =
-      math.max(spark.sparkContext.defaultParallelism.toLong * 4, 4096L)
-    val numSlices = math.min(nSel, maxSlices).toInt
+    // spark.graft.zarrnd.maxSlices: task-count ceiling for huge chunk
+    // grids (a million-chunk read becomes a few thousand tasks iterating
+    // chunks, not a million tasks); also the test seam for the
+    // multi-chunk-per-task path
+    val maxSlices = spark.conf.getOption("spark.graft.zarrnd.maxSlices")
+      .flatMap(_.toLongOption)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism.toLong * 4, 4096L))
+    val numSlices = math.max(1L, math.min(nSel, maxSlices)).toInt
     val mB = m
     val winB = win
     val rdd = spark.sparkContext

@@ -217,6 +217,31 @@ class ZarrNdSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped-slice reads: tasks iterating MANY chunks equal partition-per-chunk") {
+    // the 100 TB read path: when the selected chunk count exceeds the
+    // task-count ceiling, each task lazily decodes a RANGE of selection
+    // ordinals — force the ceiling down so a 12-chunk read runs through
+    // the multi-chunk-per-task ordinal decode, and prove bit-equality
+    // against the one-task-per-chunk plan
+    val path = s"${GraftPaths.tmpRoot}/zarrnd_grouped"
+    val df = cube(7, 5, 6) // chunks (4,3,4) -> grid 2x2x2 = 8 full + edges
+    ZarrNd.write(df, path, Seq(7L, 5L, 6L), Seq(2, 2, 2)) // grid 4x3x3 = 36 chunks
+    val full = ZarrNd.read(spark, path).orderBy("i0", "i1", "i2").collect()
+    try {
+      spark.conf.set("spark.graft.zarrnd.maxSlices", "3")
+      val grouped = ZarrNd.read(spark, path)
+      assert(grouped.rdd.getNumPartitions == 3,
+        s"expected 3 grouped slices, got ${grouped.rdd.getNumPartitions}")
+      assert(grouped.orderBy("i0", "i1", "i2").collect().sameElements(full))
+      // a pruned window through the grouped path stays exact too
+      val win = ZarrNd.readRange(spark, path, Seq((1L, 6L), (0L, 3L)))
+        .orderBy("i0", "i1", "i2").collect()
+      val want = df.filter(col("i0") >= 1 && col("i0") < 6 && col("i1") < 3)
+        .orderBy("i0", "i1", "i2").collect()
+      assert(win.sameElements(want))
+    } finally spark.conf.unset("spark.graft.zarrnd.maxSlices")
+  }
+
   test("out-of-shape coordinates fail fast instead of dropping cells") {
     import spark.implicits._
     val bad = Seq((7L, 0L, 0L, 1.0)).toDF("i0", "i1", "i2", "v")
