@@ -2127,13 +2127,15 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => Multimodal.featuresArrow(Tables.documents(s, d), "doc_id", "text")),
     // same features, but every batch crosses a real subprocess pipe
     // (passthrough codec) — proves the out-of-JVM codec plumbing end-to-end
-    "multimodal_subprocess" -> ((s, d) => Multimodal.featuresSubprocess(Tables.documents(s, d), "doc_id", "text")),
+    "multimodal_subprocess" -> ((s, d) => Multimodal.featuresSubprocess(
+      Tables.documents(s, d), "doc_id", "text", reuse = true)),
     // REAL decode, no stub anywhere: payloads are actual PNGs (sizes
     // derived from the text length), the child process is a separate JVM
     // doing genuine ImageIO bit parsing and returning feature batches —
     // the oracle predicts the decoder's output independently
     "multimodal_real_codec" -> ((s, d) =>
-      Multimodal.realCodecFeatures(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.realCodecFeatures(Tables.documents(s, d), "doc_id", "text",
+          reuse = true)
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
     // PERCEPTUAL image dedup: bucket-patterned payloads (PNG scale 1-3 /
     // JPEG scale 8, one-pixel perturbations) decoded + aHashed by the
@@ -2153,7 +2155,8 @@ object SparkEntry {
     // parser this time; geometry (not pixels) is the lossless part a
     // SQL oracle can predict end-to-end
     "multimodal_jpeg_codec" -> ((s, d) =>
-      Multimodal.jpegCodecFeatures(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.jpegCodecFeatures(Tables.documents(s, d), "doc_id", "text",
+          reuse = true)
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
     // REAL resize: the child decodes each PNG and nearest-neighbor
     // resamples it to 5×4; the red-channel sum over the RESIZED raster is

@@ -9,8 +9,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * pushed into the scan by Catalyst (verified via explain in tests).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema per table path, read once per JVM (r20): the bare
+    * `read.parquet(path)` infers schema from a parquet footer on the
+    * DRIVER on every call — a per-query metadata tax across the 300+
+    * bench queries (the role a catalog/metastore plays in a real
+    * deployment, and the same memo Stream.schemas already keeps for the
+    * streaming source). The testdata contract (TESTDATA.md) pins the
+    * files immutable, so a cached schema can never go stale; data reads
+    * are untouched — every query still scans the parquet bytes. */
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemas.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")

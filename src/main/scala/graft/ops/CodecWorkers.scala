@@ -74,7 +74,18 @@ private[graft] object CodecWorkers {
   }
 
   private val pools = new ConcurrentHashMap[Seq[String], ConcurrentLinkedQueue[Worker]]()
-  private val MaxIdlePerCmd = 8
+  /** Idle-pool depth per command AND the codec-decode task width the
+    * media synthesis spreads to (Multimodal.spreadDocs) — ONE knob, so
+    * concurrent decode tasks never exceed the residents the pool will
+    * keep (r19 verdict ask #4: a pool shallower than the task wave reaps
+    * the overflow and re-pays its ~2 s spawn every query; r20 measured
+    * the opposite failure too — task waves sized to all 32 slots spawned
+    * a 5-cmd × 32-child fleet whose burst start-up CPU melted the box).
+    * Deployments size it to their per-executor codec budget via
+    * GRAFT_CODEC_POOL. */
+  private[graft] val PoolDepth: Int =
+    sys.env.get("GRAFT_CODEC_POOL").flatMap(_.toIntOption).getOrElse(8)
+  private def MaxIdlePerCmd: Int = PoolDepth
   /** Test seam: total child processes ever spawned. */
   private[graft] val spawns = new java.util.concurrent.atomic.AtomicLong(0L)
 

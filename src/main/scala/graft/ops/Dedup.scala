@@ -231,28 +231,43 @@ object Dedup {
     * cluster-sized default for keeper-selection consumers. */
   def jaccardJoinToks(toks: DataFrame, minJaccardPct: Int): DataFrame = {
     require(minJaccardPct > 0 && minJaccardPct <= 100)
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
-    val ranked = toks.join(freq, Seq("token"))
+    // r20: the whole join runs over xxhash64 SHINGLE HASHES, not strings —
+    // every exchange (freq aggregate, rank window, candidate join, verify
+    // sets) carries 8-byte longs instead of ~17-byte 3-gram strings, and
+    // the per-pair intersection compares longs. Output-equivalent: the
+    // prefix theorem holds for ANY consistent global token order (rarest-
+    // first stays the order, only hash ties break differently — candidates
+    // change on ties, the exact verify doesn't), and |set| / |∩| / |∪| are
+    // hash-set cardinalities — identical to the oracle's string-set counts
+    // unless two distinct shingles of one candidate pair collide in 64
+    // bits (~2⁻⁵² per corpus here; the minhash family's documented
+    // envelope, deterministic at the gate SFs).
+    val ht = toks.select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val sizes = ht.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = ht.groupBy(col("h")).agg(count(lit(1)).as("_f"))
+    val ranked = ht.join(freq, Seq("h"))
       .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("_f"), col("token"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("_f"), col("h"))))
       .join(sizes, Seq("doc_id"))
     // prefix = first |s| − ⌈t·|s|⌉ + 1 tokens; ⌈t·|s|⌉ as exact ints
     val prefix = ranked.filter(col("_rk") <=
         col("sz") - expr(s"(sz * $minJaccardPct + 99) div 100") + 1)
-      .select(col("doc_id"), col("token"))
-    val cand = prefix.select(col("doc_id").as("id1"), col("token"))
-      .join(prefix.select(col("doc_id").as("id2"), col("token")), Seq("token"))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.select(col("doc_id").as("id1"), col("h"))
+      .join(prefix.select(col("doc_id").as("id2"), col("h")), Seq("h"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .localCheckpoint() // tiny pair set, prefix-probe lineage, 2 consumers
     // verify in the array-set shape (the containmentJoinToks rationale:
-    // the (pair, token) join-count multiplied pairs by set size; string
-    // sets keep values — and the oracle — identical)
+    // the (pair, token) join-count multiplied pairs by set size)
     val candIds = cand
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    // localCheckpoint: the set table feeds BOTH attach joins — without it
+    // the whole candidate-bounded build (index scan + semi join +
+    // collect_set) ran twice, one full subtree per join (r20 plan audit)
     val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("token")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(xxhash64(col("token"))).as("sh"))
+      .localCheckpoint()
       .hint("merge")
     cand
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
@@ -289,17 +304,22 @@ object Dedup {
     * the [[corpusShingles]] entry point. */
   def containmentJoinToks(toks: DataFrame, minContainPct: Int): DataFrame = {
     require(minContainPct > 0 && minContainPct <= 100)
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
-    val prefix = toks.join(freq, Seq("token"))
+    // r20: hash-domain rewrite, same rationale as [[jaccardJoinToks]] —
+    // candidate generation and verify run over xxhash64(token) longs, so
+    // the probe against the FULL inverted index (the asymmetric side that
+    // cannot be prefix-filtered) shuffles 8-byte keys, not 3-gram strings.
+    val ht = toks.select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val sizes = ht.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = ht.groupBy(col("h")).agg(count(lit(1)).as("_f"))
+    val prefix = ht.join(freq, Seq("h"))
       .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("_f"), col("token"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("_f"), col("h"))))
       .join(sizes, Seq("doc_id"))
       .filter(col("_rk") <=
         col("sz") - expr(s"(sz * $minContainPct + 99) div 100") + 1)
-      .select(col("doc_id"), col("token"))
-    val cand = prefix.select(col("doc_id").as("id_a"), col("token"))
-      .join(toks.select(col("doc_id").as("id_b"), col("token")), Seq("token"))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("h"))
+      .join(ht.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
       // tiny pair set over the full prefix-probe lineage; two consumers
@@ -317,8 +337,14 @@ object Dedup {
     // it must shuffle, never broadcast.
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    // hash sets + localCheckpoint (r20): long arrays are ~4× narrower than
+    // the former 3-gram string arrays through the two attach sort-merge
+    // joins, the intersect compares longs, and the checkpoint stops the
+    // whole set build running once per attach join (plan audit showed two
+    // full scan+semi+collect_set subtrees)
     val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("token")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(xxhash64(col("token"))).as("sh"))
+      .localCheckpoint()
       .hint("merge")
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
@@ -412,6 +438,9 @@ object Dedup {
     val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(mdHash60(col("token"))).as("sh"))
+      // r20: consumed by BOTH attach joins — checkpoint so the candidate-
+      // bounded build (scan + semi + collect_set) runs once, not per join
+      .localCheckpoint()
       .hint("merge")
     val paired = cand
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))

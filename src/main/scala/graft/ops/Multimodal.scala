@@ -37,12 +37,33 @@ object Multimodal {
   def decodeBatches(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.grouped(BatchSize).flatMap { batch => batch.map(stubDecode) }
 
+  /** Spread the synthetic-media construction to the codec-fleet width
+    * (r20): the docs table reads as ONE small parquet split locally,
+    * which serialized the in-JVM encode AND the decode-bound codec work
+    * downstream on 1-4 tasks. Target = min(task slots,
+    * [[CodecWorkers.PoolDepth]]) — wider waves spawn children the pool
+    * then reaps (re-paying their ~2 s start-up every query; a 32-wide ×
+    * 5-cmd wave measurably melted the local box). Production media
+    * arrives with real scan splits — the split count, not the pool, sets
+    * decode task parallelism there — so this touches only fixture
+    * synthesis, and the shuffle moves doc rows, never payloads (guide
+    * §8). Skipped when the input already has enough partitions. */
+  private def spreadDocs(docs: DataFrame): DataFrame = {
+    // a STREAMING docs frame (stream_phash) cannot ask .rdd for its
+    // partition count — micro-batch parallelism is the file source's
+    // split decision; leave it untouched
+    if (docs.isStreaming) return docs
+    val target = math.min(docs.sparkSession.sparkContext.defaultParallelism,
+      CodecWorkers.PoolDepth)
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Wrap a text table as a media table (binary payload + mime metadata) —
     * the testdata stand-in for real image bytes. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    spreadDocs(docs).select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"),
         lit("application/octet-stream").as("mime"))
       .as[MediaRow]
@@ -212,7 +233,7 @@ object Multimodal {
     * stays one `BatchSize` batch on each side of the pipe. */
   def featuresSubprocess(docs: DataFrame, idCol: String, textCol: String,
                          cmd: Seq[String] = Seq("/bin/cat"),
-                         reuse: Boolean = true): DataFrame =
+                         reuse: Boolean = false): DataFrame =
     subprocessFeatures(asMedia(docs, idCol, textCol), cmd,
       childEmitsFeatures = false, reuse = reuse)
 
@@ -224,7 +245,7 @@ object Multimodal {
     * a SQL oracle independently predict the decoder's output end-to-end. */
   def realCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
                         cmd: Seq[String] = pngCodecCmd,
-                        reuse: Boolean = true): DataFrame =
+                        reuse: Boolean = false): DataFrame =
     subprocessFeatures(asPngMedia(docs, idCol, textCol), cmd,
       childEmitsFeatures = true, reuse = reuse)
 
@@ -236,7 +257,7 @@ object Multimodal {
     * moduli from the PNG path so a format mixup cannot pass both oracles. */
   def jpegCodecFeatures(docs: DataFrame, idCol: String, textCol: String,
                         cmd: Seq[String] = pngCodecCmd,
-                        reuse: Boolean = true): DataFrame =
+                        reuse: Boolean = false): DataFrame =
     subprocessFeatures(asImageMedia(docs, idCol, textCol, "jpg", "image/jpeg",
       wMod = 13, hMod = 9), cmd, childEmitsFeatures = true, reuse = reuse)
 
@@ -253,6 +274,16 @@ object Multimodal {
     "-Djava.awt.headless=true",
     "-Dio.netty.tryReflectionSetAccessible=true",
     "-Xmx512m",
+    // r20: size each child as the 1-CPU process it is. A bare `java` on a
+    // 32-core host sizes itself FOR the host — ~20 GC/C2 threads and full
+    // tiered JIT per child — so a task-slot-sized resident fleet (pool ×
+    // distinct modes) carried thousands of service threads and burned
+    // multiple CPU-minutes of C2 compilation each bench run (measured:
+    // ~2 min CPU per child against seconds of actual decode). Decode is
+    // single-threaded request serving: 1 visible CPU, serial GC, C1-only.
+    "-XX:ActiveProcessorCount=1",
+    "-XX:+UseSerialGC",
+    "-XX:TieredStopAtLevel=1",
     "-cp", System.getProperty("java.class.path"),
     "graft.tools.ArrowPngCodec")
 
@@ -273,7 +304,7 @@ object Multimodal {
                    fmt: String, mime: String, wMod: Int, hMod: Int): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    spreadDocs(docs).select(col(idCol).cast("long").as("doc_id"),
         (lit(1) + length(col(textCol)) % wMod).as("w"),
         (lit(1) + length(col(textCol)) % hMod).as("h"))
       .as[(Long, Int, Int)]
@@ -328,14 +359,17 @@ object Multimodal {
     * keeps the passthrough-child path: the child echoes media batches and
     * [[stubArrowKernel]] runs JVM-side on what survived the pipe.
     *
-    * `reuse = true` (default) runs against the [[CodecWorkers]] pool:
-    * resident children serve one REQUEST STREAM per partition and are
-    * recycled across partitions, queries, and micro-batches — the r19
-    * adjudication showed a fresh child JVM costs ~1.5 s of class loading,
-    * which the unpooled path paid per partition per query. `reuse =
-    * false` keeps the one-shot contract (spawn, feed to stdin EOF, reap
-    * exit code) for arbitrary binaries outside the request-stream
-    * protocol. */
+    * `reuse = true` runs against the [[CodecWorkers]] pool: resident
+    * children serve one REQUEST STREAM per partition and are recycled
+    * across partitions, queries, and micro-batches — the r19 adjudication
+    * showed a fresh child JVM costs ~1.5 s of class loading, which the
+    * unpooled path paid per partition per query. `reuse = false` keeps
+    * the one-shot contract (spawn, feed to stdin EOF, reap exit code).
+    * The PUBLIC entry points that accept an arbitrary `cmd` default to
+    * reuse = false (r19 ADVICE: a pooled feeder never closes stdin, so a
+    * child that only responds after stdin EOF would hang forever) —
+    * callers opt INTO pooling for protocol-compliant children; the
+    * fixed-codec internal paths (phash/resize/frames/audio) stay pooled. */
   private def subprocessRows[T](media: Dataset[MediaRow], cmd: Seq[String],
                                 useStubKernel: Boolean,
                                 read: VectorSchemaRoot => Iterator[T],
@@ -633,7 +667,7 @@ object Multimodal {
   def asGifMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    spreadDocs(docs).select(col(idCol).cast("long").as("doc_id"),
         (lit(2) + length(col(textCol)) % 4).as("nf"),
         (lit(1) + length(col(textCol)) % 7).as("w"),
         (lit(1) + length(col(textCol)) % 5).as("h"))
@@ -732,7 +766,7 @@ object Multimodal {
   def asPatternMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
+    spreadDocs(docs).select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
       val pat = (((id % 32 + 1) * 2862933555777941757L) & Long.MaxValue) | 1L
       val s = if (id % 2 == 1) 8 else 1 + (id % 3).toInt
       val wh = 8 * s
@@ -808,7 +842,7 @@ object Multimodal {
   def asWavMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    spreadDocs(docs).select(col(idCol).cast("long").as("doc_id"),
         (lit(100) + length(col(textCol)) % 200).as("n"))
       .as[(Long, Int)]
       .map { case (id, n) => MediaRow(id, encodeWav(id, n), "audio/wav") }

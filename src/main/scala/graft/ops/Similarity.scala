@@ -161,8 +161,13 @@ object Similarity {
     val (nDocs, totalLen) = (nt.getLong(0), nt.getLong(1))
     require(nDocs > 0, "BM25 needs a non-empty corpus")
     val hits = toks.filter(col("token").isin(terms: _*))
+    // ONE corpus explode (r20): df per token is an exact roll-up of the
+    // (id, token) tf table — one row per (id, token) ⇒ count(*) ==
+    // countDistinct(id) — so the explode+filter pass runs once and the
+    // checkpointed hits-bounded tf table feeds both consumers.
     val tf = hits.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfT = hits.groupBy(col("token")).agg(countDistinct(col("id")).as("df"))
+      .localCheckpoint()
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = graft.functions.LnFix.withNegLnMicro(
       dfT, "2 * df + 1", s"${2 * nDocs + 2}", "idf_micro")
     val dec = "decimal(38,0)"
@@ -1468,10 +1473,18 @@ object Similarity {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .join(assigned, Seq("doc_id"))
+    // ONE corpus pass (r20): tf is the only aggregate that needs the
+    // token-level rows; the corpus term frequency ft and the global
+    // (token count, cluster count) header are exact roll-ups of tf —
+    // the former shape re-ran the explode+join once per consumer (3×).
+    // tf is (clusters × vocab)-sized — checkpoint-safe at any corpus
+    // scale — and feeds three consumers below.
     val tf = toks.groupBy(col("list_id"), col("term"))
       .agg(count(lit(1)).as("_tf"))
-    val ft = toks.groupBy(col("term")).agg(count(lit(1)).as("_ft"))
-    val g = toks.agg(count(lit(1)), countDistinct(col("list_id"))).head()
+      .localCheckpoint()
+    val ft = tf.groupBy(col("term")).agg(sum(col("_tf")).as("_ft"))
+    val g = tf.agg(coalesce(sum(col("_tf")), lit(0L)),
+      countDistinct(col("list_id"))).head()
     val a = g.getLong(0) / math.max(1L, g.getLong(1)) // avg cluster mass
     val scored = graft.functions.LnFix.withNegLnMicro(
         tf.join(ft, Seq("term")), "_ft", s"_ft + $a", "_idf")

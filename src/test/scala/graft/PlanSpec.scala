@@ -393,12 +393,19 @@ class PlanSpec extends AnyFunSuite {
           s.relation.location.rootPaths.map(_.toString)
       }.flatten
     }
+    // the durable-hit pin, asserted at its source: the shared index frame
+    // IS a scan of the durable model store (a cache miss would rebuild
+    // from documents.parquet + a Generate explode)
+    val idxRoots = scanRoots(ops.Dedup.corpusShingles(spark, TestSpark.sf))
+    assert(idxRoots.nonEmpty, "expected a file scan under the shingle index")
+    assert(idxRoots.forall(_.contains("graft_models")),
+      s"index not served from the durable store: $idxRoots")
+    // the consumer query may carry NO file scans at all since r20 — its
+    // verify inputs are eagerly localCheckpoint'ed (built from the same
+    // index frame above) — but any scan that DOES remain must be the
+    // durable store, never a corpus re-read
     val q = SparkEntry.queries("dedup_containment")(spark, TestSpark.sf)
     val roots = scanRoots(q)
-    // every file scan in the plan is the durable model store — the
-    // documents table itself is never re-read (the cache-hit regression
-    // pin: a rebuild would show documents.parquet + a Generate explode)
-    assert(roots.nonEmpty, "expected file scans in the containment plan")
     assert(roots.forall(_.contains("graft_models")),
       s"non-durable scans in the plan: ${roots.filterNot(_.contains("graft_models"))}")
   }
