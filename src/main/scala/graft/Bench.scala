@@ -116,6 +116,15 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // r21 (r20 verdict #2): driver-visible per-query output — one SMALL
+    // fixed-shape JSON line per query, so a line-scanning consumer can
+    // rebuild the per-query map (geomean, regressions, scaling ratios)
+    // without the single-line map that overflowed the tail-capture window
+    // in r7. Strictly additive: the compact total line below stays the
+    // LAST stdout line, unchanged.
+    results.foreach { case (k, v, ok, first, n) =>
+      println(s"""{"metric":"query","name":"${esc(k)}","value":${f3(v)},"unit":"sec","ok":$ok,"first":${f3(first)},"extra_runs":$n}""")
+    }
     val rerunCount = results.count { case (_, _, _, _, n) => n > 0 }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"rerun_queries":$rerunCount,$stamps,"sf":"${esc(sfDir)}"}""")
   }
