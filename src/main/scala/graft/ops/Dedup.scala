@@ -258,24 +258,43 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .localCheckpoint() // tiny pair set, prefix-probe lineage, 2 consumers
-    // verify in the array-set shape (the containmentJoinToks rationale:
-    // the (pair, token) join-count multiplied pairs by set size)
+    // r21 (r19 ask #3 / r20 verdict #3): SPILL-SAFE exploded-token verify.
+    // The former array-set shape (collect_set per doc + per-pair
+    // array_intersect) held O(|set|) per pair row through two attach
+    // sort-merge joins — the one measured super-linear family (the sf1
+    // clique replica's 47× slope; at 100 TB a mass-duplicated boilerplate
+    // doc family makes the per-pair arrays the spill driver). Now the
+    // intersection is an equi-join COUNT over the candidate-bounded hash
+    // table: every row everywhere is a fixed-width (id, id, h) triple —
+    // per-pair memory O(1), hash-aggregated with map-side partial
+    // aggregation, spilling like any narrow aggregate (guide §2.3/§5).
+    // Counts are hash-SET cardinalities exactly as the array form's: the
+    // index is distinct per (doc, token), so (doc_id, h) rows are distinct
+    // unless two of one doc's shingles collide in 64 bits — the documented
+    // ~2⁻⁵² envelope this family already carries.
     val candIds = cand
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
-    // localCheckpoint: the set table feeds BOTH attach joins — without it
-    // the whole candidate-bounded build (index scan + semi join +
-    // collect_set) ran twice, one full subtree per join (r20 plan audit)
-    val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(xxhash64(col("token"))).as("sh"))
+    // built ONCE (checkpoint), consumed three times: the size aggregate and
+    // both pair probes. No join hint: rows are narrow longs now — the
+    // planner's size-driven choice (broadcast small / shuffle at scale) is
+    // right, unlike the fat-array relation the old merge hint guarded.
+    val vt = toks.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
       .localCheckpoint()
-      .hint("merge")
-    cand
-      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
-        (size(col("sh1")) + size(col("sh2"))
-          - size(array_intersect(col("sh1"), col("sh2")))).cast("long").as("uni"))
+    val vsz = vt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // spread the probe: the checkpointed pair set is tiny-but-dense (AQE
+    // coalesces it to ~1 partition locally) while the probe pipeline fans
+    // each pair out ×|set| — repartition the PAIRS (narrow rows, guide
+    // §2.5 "repartition after the read") so the fan-out runs slot-wide
+    val candSpread = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    candSpread
+      .join(vt.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
+      .join(vt.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(vsz.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(vsz.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("uni"))
       .filter(col("inter") * 100 >= lit(minJaccardPct) * col("uni"))
   }
 
@@ -325,34 +344,29 @@ object Dedup {
       // tiny pair set over the full prefix-probe lineage; two consumers
       // below (id extraction + the verify join) — pin it once
       .localCheckpoint()
-    // verify in the jaccardVerify ARRAY-SET shape: per-candidate-doc
-    // shingle sets built once (candidate-bounded left-semi), then ONE
-    // per-pair array_intersect — the former (pair, token) join-count
-    // multiplied every candidate pair by |A| tokens before aggregating
-    // it straight back down (measured 7.1 → 2.9 s quiet at sf0.1; same
-    // exact string-set values, so the oracle is untouched). sz_a is the
-    // set size directly (the index is distinct per doc). The set table
-    // keeps the cascade's targeted merge hint: its post-aggregate
-    // estimate undershoots the array payload, and at production scale
-    // it must shuffle, never broadcast.
+    // r21 (r19 ask #3 / r20 verdict #3): SPILL-SAFE exploded-token verify —
+    // the jaccardJoinToks rationale verbatim: per-pair intersection as an
+    // equi-join COUNT over the candidate-bounded (doc_id, h) table instead
+    // of per-pair long arrays through two attach sort-merge joins. Fixed-
+    // width rows end to end; sz_a = the doc's distinct-shingle count (the
+    // index is distinct per doc), identical to the old size(sha) modulo the
+    // family's documented ~2⁻⁵² in-doc hash-collision envelope.
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    // hash sets + localCheckpoint (r20): long arrays are ~4× narrower than
-    // the former 3-gram string arrays through the two attach sort-merge
-    // joins, the intersect compares longs, and the checkpoint stops the
-    // whole set build running once per attach join (plan audit showed two
-    // full scan+semi+collect_set subtrees)
-    val sets = toks.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(xxhash64(col("token"))).as("sh"))
+    // built ONCE (checkpoint), consumed three times (sizes + both probes);
+    // no join hint — narrow rows, planner-sized joins (see jaccardJoinToks)
+    val vt = ht.join(candIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
-      .hint("merge")
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("sz_a"))
+    val vsz = vt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // spread the probe (the jaccardJoinToks rationale): pairs fan out ×|A|
+    val candSpread = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    candSpread
+      .join(vt.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+      .join(vt.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(vsz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
   }
 
   /** L69: the containment CASCADE — [[containmentJoinToks]]' exact verify
@@ -622,14 +636,33 @@ object Dedup {
     val candIds = pairs
       .select(explode(array(col("id1"), col("id2"))).as("cand_id")).distinct()
     val candDocs = docs.join(candIds, docs(idCol) === candIds("cand_id"), "left_semi")
-    val sets = shingleHashExplode(candDocs, idCol, textCol, shingle)
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+    // r21 (r19 ask #3 / r20 verdict #3): SPILL-SAFE exploded verify — the
+    // per-pair intersection is an equi-join COUNT over the candidate-
+    // bounded DISTINCT (doc_id, h) table, never per-pair arrays (the
+    // jaccardJoinToks rationale). The checkpoint also ends the r20-audited
+    // duplicate-subtree problem HERE: the old form ran the whole
+    // scan→semi→collect_set build once per attach join (2 corpus scans in
+    // the dedup_minhash_pairs plan); the hash table now builds once.
+    val vt = shingleHashExplode(candDocs, idCol, textCol, shingle)
+      .distinct() // positional shingles → the doc's shingle SET
+      .localCheckpoint()
+    val vsz = vt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // probe with DISTINCT pairs (the public contract tolerates duplicate
+    // input rows: each must come back with its own correct jaccard, so the
+    // count below must not see the duplication)
+    val pd = pairs.select(col("id1"), col("id2")).distinct()
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism) // spread the ×|set| fan-out
+    val inter = pd
+      .join(vt.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
+      .join(vt.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("_i"))
     pairs
-      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(vsz.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(vsz.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .join(inter, Seq("id1", "id2"), "left_outer") // disjoint sets → inter 0
       .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
+        round(coalesce(col("_i"), lit(0L)).cast("double") /
+          (col("sz1") + col("sz2") - coalesce(col("_i"), lit(0L))), 6).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline → (id1, id2, jaccard ≥ minJaccard).

@@ -81,11 +81,18 @@ class PlanSpec extends AnyFunSuite {
     // candidate localCheckpoint the LSH pipeline re-ran once per use of
     // the pairs — 3 live scans and triple the exchanges.
     assert(parquetScans(plan) <= 1, s"extra corpus scan in:\n$plan")
-    // the scalar MinHashSig kernel computes signatures inside the scan
-    // stage (no sig-aggregate exchange); the 3 remaining exchanges are
-    // banding's bucket agg and the verify stage's per-side shingle-set
-    // aggregations — all candidate-bounded
-    assert(exchanges(plan) <= 3, s"added exchange in:\n$plan")
+    // r21 (the spill-safe exploded verify): NO per-pair array
+    // materialization — the collect_set ObjectHashAggregates are gone;
+    // per-pair intersection is an equi-join COUNT over the checkpointed
+    // candidate-bounded hash table. The exchange budget covers the narrow
+    // candidate-bounded stages that replaced them (distinct pairs, the
+    // fan-out spread repartition, the intersection-count aggregate, the
+    // per-doc size aggregate) — every row a fixed-width long tuple.
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"array-set verify reappeared in:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"array-set verify reappeared in:\n$plan")
+    assert(exchanges(plan) <= 6, s"added exchange in:\n$plan")
   }
 
   test("dedup_simhash (components' edge stage): one exchange, one scan") {
