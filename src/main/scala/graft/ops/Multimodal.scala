@@ -92,6 +92,19 @@ object Multimodal {
     arrowField("doc_id", new ArrowType.Int(64, true)),
     arrowField("payload", ArrowType.Binary.INSTANCE)).asJava)
 
+  /** [[mediaArrowSchema]] stamped with the request's codec MODE (+ its
+    * parameters) as Arrow schema custom metadata — the r21 shared-pool
+    * contract: the mode travels per REQUEST instead of per child argv, so
+    * every codec operator shares ONE resident child pool (one spawn wave
+    * per session) where the argv form kept a separate 8-child fleet per
+    * mode and re-paid the first-query spawn wave for each of the 5 modes
+    * (r20 verdict #3/#4 — the multimodal first-payer regression). */
+  def mediaArrowSchemaFor(mode: Seq[String]): Schema = {
+    val md = new java.util.HashMap[String, String]()
+    md.put("graft.mode", mode.mkString(" "))
+    new Schema(mediaArrowSchema.getFields, md)
+  }
+
   val featureArrowSchema: Schema = new Schema(Seq(
     arrowField("doc_id", new ArrowType.Int(64, true)),
     arrowField("n_bytes", new ArrowType.Int(64, true)),
@@ -373,13 +386,22 @@ object Multimodal {
   private def subprocessRows[T](media: Dataset[MediaRow], cmd: Seq[String],
                                 useStubKernel: Boolean,
                                 read: VectorSchemaRoot => Iterator[T],
-                                reuse: Boolean = true)(
-      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+                                reuse: Boolean = true,
+                                mode: Seq[String] = Seq("features"))(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    // the mode rides in the request schema's metadata (see
+    // [[mediaArrowSchemaFor]]); the child command stays mode-free so all
+    // modes draw from one worker pool. The schema is built INSIDE the task
+    // from the captured mode strings — Arrow's Schema is not serializable.
     media.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
-      else if (reuse) pooledPartition(rows, cmd, useStubKernel, read)
-      else oneShotPartition(rows, cmd, useStubKernel, read)
+      else {
+        val inSchema = mediaArrowSchemaFor(mode)
+        if (reuse) pooledPartition(rows, cmd, useStubKernel, read, inSchema)
+        else oneShotPartition(rows, cmd, useStubKernel, read, inSchema)
+      }
     }
+  }
 
   /** One partition through a POOLED resident worker. Deadlock-safe like
     * the one-shot path (feeder thread writes stdin while the task thread
@@ -390,7 +412,8 @@ object Multimodal {
     * never be resynced). */
   private def pooledPartition[T](rows: Iterator[MediaRow], cmd: Seq[String],
                                  useStubKernel: Boolean,
-                                 read: VectorSchemaRoot => Iterator[T]): Iterator[T] = {
+                                 read: VectorSchemaRoot => Iterator[T],
+                                 inSchema: Schema): Iterator[T] = {
     import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
     val worker = CodecWorkers.checkout(cmd)
     val recycled = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -407,7 +430,7 @@ object Multimodal {
       // the partition iterator is consumed on THIS thread: carry the
       // task's context so upstream operator code under it still sees it
       if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
-      val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+      val in = VectorSchemaRoot.create(inSchema, alloc)
       try {
         val writer = new ArrowStreamWriter(in, null,
           java.nio.channels.Channels.newChannel(worker.stdin))
@@ -505,7 +528,8 @@ object Multimodal {
     * arbitrary binaries that only terminate on stdin EOF. */
   private def oneShotPartition[T](rows: Iterator[MediaRow], cmd: Seq[String],
                                   useStubKernel: Boolean,
-                                  read: VectorSchemaRoot => Iterator[T]): Iterator[T] = {
+                                  read: VectorSchemaRoot => Iterator[T],
+                                  inSchema: Schema): Iterator[T] = {
     import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
     val proc = new ProcessBuilder(cmd.asJava).start()
     Option(org.apache.spark.TaskContext.get()).foreach(
@@ -523,7 +547,7 @@ object Multimodal {
       // the partition iterator is consumed on THIS thread: carry the
       // task's context so upstream operator code under it still sees it
       if (taskCtx != null) org.apache.spark.GraftSparkBridge.setTaskContext(taskCtx)
-      val in = VectorSchemaRoot.create(mediaArrowSchema, alloc)
+      val in = VectorSchemaRoot.create(inSchema, alloc)
       try {
         val writer = new ArrowStreamWriter(in, null,
           java.nio.channels.Channels.newChannel(proc.getOutputStream))
@@ -714,8 +738,8 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     subprocessRows[ResizedFeatures](asPngMedia(docs, idCol, textCol),
-      pngCodecCmd ++ Seq("resize", outW.toString, outH.toString),
-      useStubKernel = false, readResizedBatch).toDF()
+      pngCodecCmd, useStubKernel = false, readResizedBatch,
+      mode = Seq("resize", outW.toString, outH.toString)).toDF()
   }
 
   /** REAL frame sampling out-of-JVM: animated-GIF payloads ([[asGifMedia]])
@@ -728,8 +752,8 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     subprocessRows[FrameFeatures](asGifMedia(docs, idCol, textCol),
-      pngCodecCmd ++ Seq("frames", stride.toString),
-      useStubKernel = false, readFramesBatch).toDF()
+      pngCodecCmd, useStubKernel = false, readFramesBatch,
+      mode = Seq("frames", stride.toString)).toDF()
   }
 
   private def readResizedBatch(root: VectorSchemaRoot): Iterator[ResizedFeatures] = {
@@ -804,8 +828,8 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     subprocessRows[PhashFeatures](asPatternMedia(docs, idCol),
-      pngCodecCmd ++ Seq("phash"),
-      useStubKernel = false, readPhashBatch).toDF()
+      pngCodecCmd, useStubKernel = false, readPhashBatch,
+      mode = Seq("phash")).toDF()
   }
 
   private def readFramesBatch(root: VectorSchemaRoot): Iterator[FrameFeatures] = {
@@ -878,7 +902,8 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     subprocessRows[AudioFeatures](asWavMedia(docs, idCol, textCol),
-      pngCodecCmd ++ Seq("audio"), useStubKernel = false, readAudioBatch).toDF()
+      pngCodecCmd, useStubKernel = false, readAudioBatch,
+      mode = Seq("audio")).toDF()
   }
 
   private def readAudioBatch(root: VectorSchemaRoot): Iterator[AudioFeatures] = {

@@ -49,16 +49,55 @@ import graft.ops.Multimodal
   * the task failure (exit code + captured stderr).
   */
 object ArrowPngCodec {
-  def main(args: Array[String]): Unit = {
-    val mode = args.headOption.getOrElse("features")
-    val outSchema = mode match {
-      case "features" => Multimodal.featureArrowSchema
-      case "resize"   => Multimodal.resizedArrowSchema
-      case "frames"   => Multimodal.framesArrowSchema
-      case "audio"    => Multimodal.audioArrowSchema
-      case "phash"    => Multimodal.phashArrowSchema
-      case other => System.err.println(s"unknown mode $other"); sys.exit(2); null
+  private def outSchemaFor(mode: String) = mode match {
+    case "features" => Multimodal.featureArrowSchema
+    case "resize"   => Multimodal.resizedArrowSchema
+    case "frames"   => Multimodal.framesArrowSchema
+    case "audio"    => Multimodal.audioArrowSchema
+    case "phash"    => Multimodal.phashArrowSchema
+    case other =>
+      System.err.println(s"unknown mode $other"); sys.exit(2); null
+  }
+
+  /** Boot-time kernel warm-up (r21): load each media plugin tree (ImageIO
+    * PNG/JPEG/GIF readers+writers, javax.sound's WAV parser) and the Arrow
+    * IPC stream classes ONCE per child, before the serving loop. With the
+    * shared multi-mode pool a resident child serves every mode, so without
+    * this the first REQUEST of each mode paid that mode's class-loading
+    * inside its own query; now the one spawn wave (inside the first codec
+    * query's timed region — nothing moves off the clock) carries all of
+    * it. Failures are swallowed: warming must never kill a worker. */
+  private def warmKernels(): Unit = try {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (fmt <- Seq("png", "jpg", "gif")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
     }
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(Multimodal.encodeWav(1L, 4)))
+    ais.readAllBytes(); ais.close()
+    // loopback Arrow IPC round-trip: classloads the reader/writer stack
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(Multimodal.mediaArrowSchema, alloc)
+    try {
+      root.allocateNew()
+      root.getVector("doc_id").asInstanceOf[BigIntVector].setSafe(0, 1L)
+      root.getVector("payload").asInstanceOf[VarBinaryVector].setSafe(0, Array[Byte](1))
+      root.setRowCount(1)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(bos))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      val r = new ArrowStreamReader(new ByteArrayInputStream(bos.toByteArray), alloc)
+      while (r.loadNextBatch()) ()
+      r.close()
+    } finally { root.close(); alloc.close() }
+  } catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = {
+    warmKernels()
     val alloc = new RootAllocator()
     // one-byte probe distinguishes "next request" from clean stdin EOF
     val stdin = new java.io.PushbackInputStream(
@@ -69,17 +108,28 @@ object ArrowPngCodec {
       while (probe >= 0) {
         stdin.unread(probe)
         val reader = new ArrowStreamReader(stdin, alloc)
-        val out = VectorSchemaRoot.create(outSchema, alloc)
+        // Mode is PER REQUEST (r21): read it from the request schema's
+        // custom metadata ("graft.mode" = "<mode> [param…]", stamped by
+        // Multimodal.mediaArrowSchemaFor) so one resident child serves
+        // every mode and all operators share one pool. argv stays the
+        // fallback for one-shot/manual invocations without metadata.
+        val in = reader.getVectorSchemaRoot // forces the schema message read
+        val modeArgs: Seq[String] =
+          Option(in.getSchema.getCustomMetadata.get("graft.mode"))
+            .map(_.split(" ").toSeq.filter(_.nonEmpty))
+            .filter(_.nonEmpty)
+            .getOrElse(if (args.isEmpty) Seq("features") else args.toSeq)
+        val mode = modeArgs.head
+        val out = VectorSchemaRoot.create(outSchemaFor(mode), alloc)
         val writer = new ArrowStreamWriter(out, null,
           java.nio.channels.Channels.newChannel(stdout))
         writer.start()
         while (reader.loadNextBatch()) {
-          val in = reader.getVectorSchemaRoot
           out.allocateNew()
           val rows = mode match {
             case "features" => featureBatch(in, out)
-            case "resize"   => resizeBatch(in, out, args(1).toInt, args(2).toInt)
-            case "frames"   => framesBatch(in, out, args(1).toInt)
+            case "resize"   => resizeBatch(in, out, modeArgs(1).toInt, modeArgs(2).toInt)
+            case "frames"   => framesBatch(in, out, modeArgs(1).toInt)
             case "audio"    => audioBatch(in, out)
             case "phash"    => phashBatch(in, out)
           }
