@@ -82,14 +82,12 @@ object Blosc {
     out
   }
 
-  /** Encode `raw` as a blosc(lz4, byte-shuffle) frame: one block (blocksize
-    * = nbytes), one split. Falls back to the raw-split convention when LZ4
-    * does not shrink the (shuffled) bytes. */
-  def compress(raw: Array[Byte], typesize: Int): Array[Byte] = {
-    require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize out of range")
-    require(raw.length <= Int.MaxValue - 64, "blosc frame limited to < 2 GiB")
-    val doShuffle = typesize > 1 && raw.length % typesize == 0
-    val shuffled = if (doShuffle) shuffle(raw, typesize) else raw
+  /** Build the frame around an already-shuffled byte image: LZ4 level-1,
+    * single block, single split, raw-split fallback when LZ4 does not
+    * shrink. Shared by [[compress]] and the fused 8-byte encoders so the
+    * wire format cannot diverge between them. */
+  private def frameOf(shuffled: Array[Byte], typesize: Int,
+                      doShuffle: Boolean): Array[Byte] = {
     val comp = lz4.fastCompressor()
     val maxLen = comp.maxCompressedLength(shuffled.length)
     val tmp = new Array[Byte](maxLen)
@@ -100,13 +98,50 @@ object Blosc {
     val frame = ByteBuffer.allocate(16 + 4 + 4 + payloadLen).order(ByteOrder.LITTLE_ENDIAN)
     val flags = (if (doShuffle) ByteShuffleFlag else 0) | (1 << 5) // lz4
     frame.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
-    frame.putInt(raw.length)      // nbytes
-    frame.putInt(raw.length)      // blocksize = nbytes (single block)
+    frame.putInt(shuffled.length) // nbytes (shuffle preserves length)
+    frame.putInt(shuffled.length) // blocksize = nbytes (single block)
     frame.putInt(16 + 4 + 4 + payloadLen) // cbytes
     frame.putInt(20)              // bstart of block 0
     frame.putInt(payloadLen)      // split cbytes (== size → raw convention)
     frame.put(payload, 0, payloadLen)
     frame.array()
+  }
+
+  /** Encode `raw` as a blosc(lz4, byte-shuffle) frame: one block (blocksize
+    * = nbytes), one split. Falls back to the raw-split convention when LZ4
+    * does not shrink the (shuffled) bytes. */
+  def compress(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize out of range")
+    require(raw.length <= Int.MaxValue - 64, "blosc frame limited to < 2 GiB")
+    val doShuffle = typesize > 1 && raw.length % typesize == 0
+    frameOf(if (doShuffle) shuffle(raw, typesize) else raw, typesize, doShuffle)
+  }
+
+  /** FUSED 8-byte-element encode (r21, guide §1.2 per-task work): the
+    * byte-shuffle lanes are written straight from the double buffer —
+    * `bits` maps an element to the exact 8 bytes the row-major dtype image
+    * would hold (little-endian) — so the intermediate row-major byte image
+    * of [[graft.zarr.Zarr.encodeChunk]] + the separate [[shuffle]] pass
+    * never materialize: two passes/allocations instead of four per chunk.
+    * Frames are byte-identical to `compress(image, 8)` (same shuffle
+    * image, same LZ4 call, same header/fallback via [[frameOf]]) —
+    * differential-pinned in ZarrSpec. */
+  def compress8(buf: Array[Double], bits: Double => Long): Array[Byte] = {
+    require(buf.length <= (Int.MaxValue - 64) / 8, "blosc frame limited to < 2 GiB")
+    val n = buf.length
+    val shuffled = new Array[Byte](n * 8)
+    var k = 0
+    while (k < 8) {
+      val base = k * n
+      val sh = 8 * k
+      var e = 0
+      while (e < n) {
+        shuffled(base + e) = ((bits(buf(e)) >>> sh) & 0xFFL).toByte
+        e += 1
+      }
+      k += 1
+    }
+    frameOf(shuffled, 8, doShuffle = true)
   }
 
   /** Hard ceiling on a self-sized allocation: no legitimate vlen-string

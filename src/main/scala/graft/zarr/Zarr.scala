@@ -874,6 +874,16 @@ object Zarr {
     * (v2 zlib, v3 gzip — the v3 spec's codec). */
   def encodeChunk(buf: Array[Double], dtype: String, zlib: Boolean,
                   format: Int = 2, comp: String = ""): Array[Byte] = {
+    // r21 fused blosc path for the 8-byte dtypes (f8 data, i8 index
+    // vectors — the anndata/CSR hot path): shuffle lanes are emitted
+    // straight off the double buffer and the row-major byte image never
+    // materializes. Byte-identical frames (Blosc.compress8 shares the
+    // frame builder; doubleToRawLongBits IS what ByteBuffer.putDouble
+    // writes) — differential-pinned in ZarrSpec.
+    if (comp == "blosc" && dtype.endsWith("f8") && byteOrder(dtype) == ByteOrder.LITTLE_ENDIAN)
+      return Blosc.compress8(buf, java.lang.Double.doubleToRawLongBits)
+    if (comp == "blosc" && dtype.endsWith("i8") && byteOrder(dtype) == ByteOrder.LITTLE_ENDIAN)
+      return Blosc.compress8(buf, _.toLong)
     val bb = ByteBuffer.allocate(buf.length * elemSize(dtype)).order(byteOrder(dtype))
     dtype.substring(1) match {
       case "f8" => buf.foreach(bb.putDouble)

@@ -155,6 +155,29 @@ class ZarrSpec extends AnyFunSuite {
     assert(Blosc.decompress(Blosc.compress(noise, 4), noise.length).toSeq == noise.toSeq)
   }
 
+  test("fused blosc f8/i8 encode is byte-identical to the image+shuffle path") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.zarr.Blosc
+    // compressible, incompressible (raw-split fallback), NaN/±0.0 bit
+    // patterns, and integral values for the i8 lane
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.fill(4096)(1.5),
+      Array.fill(1024)(rnd.nextDouble() * 1e300 - 5e299),
+      Array(Double.NaN, -0.0, 0.0, Double.PositiveInfinity, -1.75, 1e-310),
+      Array.tabulate(517)(i => (i * 37 % 251).toDouble))
+    for (buf <- cases) {
+      val f8Image = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      buf.foreach(f8Image.putDouble)
+      assert(Blosc.compress8(buf, java.lang.Double.doubleToRawLongBits).toSeq ==
+        Blosc.compress(f8Image.array(), 8).toSeq, "f8 frame diverged")
+      val i8Image = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      buf.foreach(v => i8Image.putLong(v.toLong))
+      assert(Blosc.compress8(buf, _.toLong).toSeq ==
+        Blosc.compress(i8Image.array(), 8).toSeq, "i8 frame diverged")
+    }
+  }
+
   test("blosc v2 roundtrip: zarr-python's default compressor reads and writes") {
     val path = "/root/repo/target/tmp/zarr_test_blosc"
     Zarr.write(ZMatrix.fromDense(spark, dense), path, 10, 5, 4, 3, comp = "blosc")
