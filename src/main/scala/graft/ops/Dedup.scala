@@ -17,6 +17,24 @@ object Dedup {
 
   def tokensOf(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Probe-side sizing for the exploded verify (r21): the candidate-bounded
+    * hash table is broadcast-class at the gate scales (ONE in-memory copy
+    * serves every probe task — the ×|set| fan-out is never shuffled or
+    * sorted) but can grow toward corpus size on candidate-heavy corpora,
+    * where it must instead build per partition: the shuffled-hash hint
+    * builds vt's slice and STREAMS the fan-out. Never sort-merge — sorting
+    * the fan-out intermediate is exactly the giant-spill failure the
+    * exploded shape exists to remove (the sf1 clique replica's ~3.5G-row
+    * probe OOM'd in SMJ spill machinery at 8 g before this). The bound is
+    * deployment-parameterised in ROWS (~16 B/row; the default ≈ 128 MB of
+    * key data, a few hundred MB as a HashedRelation). The count is exact
+    * and cheap: vt is always a localCheckpoint when this is called. */
+  private val VerifyBroadcastRows: Long =
+    sys.env.get("GRAFT_VERIFY_BCAST_ROWS").flatMap(_.toLongOption)
+      .getOrElse(8L << 20)
+  private def probeSide(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df.hint("shuffle_hash")
+
   /** k shifted `slice`s of the token array, zipped positionally — THE
     * shingle construction, shared by hashing, string form, and MinHash so
     * signature shingles and verify shingles can never diverge. */
@@ -252,10 +270,18 @@ object Dedup {
     // prefix = first |s| − ⌈t·|s|⌉ + 1 tokens; ⌈t·|s|⌉ as exact ints
     val prefix = ranked.filter(col("_rk") <=
         col("sz") - expr(s"(sz * $minJaccardPct + 99) div 100") + 1)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.select(col("doc_id").as("id1"), col("h"))
-      .join(prefix.select(col("doc_id").as("id2"), col("h")), Seq("h"))
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = prefix.select(col("doc_id").as("id1"), col("h"), col("sz").as("_s1"))
+      .join(prefix.select(col("doc_id").as("id2"), col("h"), col("sz").as("_s2")),
+        Seq("h"))
       .filter(col("id1") < col("id2"))
+      // exact LENGTH filter (AllPairs/PPJoin): J(A,B) ≥ t forces the set
+      // sizes within 1/t of each other (J ≤ min/max) — a necessary
+      // condition, so the candidate SUPERSET shrinks and no qualifying
+      // pair is lost; prunes before the distinct AND the ×|set| verify
+      // fan-out (§2.3: fewer rows into every downstream exchange)
+      .filter(col("_s1") * 100 >= lit(minJaccardPct) * col("_s2") &&
+        col("_s2") * 100 >= lit(minJaccardPct) * col("_s1"))
       .select(col("id1"), col("id2")).distinct()
       .localCheckpoint() // tiny pair set, prefix-probe lineage, 2 consumers
     // r21 (r19 ask #3 / r20 verdict #3): SPILL-SAFE exploded-token verify.
@@ -287,9 +313,10 @@ object Dedup {
     // each pair out ×|set| — repartition the PAIRS (narrow rows, guide
     // §2.5 "repartition after the read") so the fan-out runs slot-wide
     val candSpread = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    val bcast = vt.count() <= VerifyBroadcastRows
     candSpread
-      .join(vt.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
-      .join(vt.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .join(probeSide(vt.select(col("doc_id").as("id1"), col("h")), bcast), Seq("id1"))
+      .join(probeSide(vt.select(col("doc_id").as("id2"), col("h")), bcast), Seq("id2", "h"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
       .join(vsz.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(vsz.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
@@ -336,10 +363,16 @@ object Dedup {
       .join(sizes, Seq("doc_id"))
       .filter(col("_rk") <=
         col("sz") - expr(s"(sz * $minContainPct + 99) div 100") + 1)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.select(col("doc_id").as("id_a"), col("h"))
-      .join(ht.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("h"), col("sz").as("_sa"))
+      .join(ht.join(sizes, Seq("doc_id"))
+          .select(col("doc_id").as("id_b"), col("h"), col("sz").as("_sb")),
+        Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
+      // exact LENGTH filter: |A∩B| ≥ ⌈t·|A|⌉ needs |B| ≥ ⌈t·|A|⌉ — a
+      // necessary condition, so the candidate superset shrinks and no
+      // qualifying ordered pair is lost (see jaccardJoinToks)
+      .filter(col("_sb") * 100 >= lit(minContainPct) * col("_sa"))
       .select(col("id_a"), col("id_b")).distinct()
       // tiny pair set over the full prefix-probe lineage; two consumers
       // below (id extraction + the verify join) — pin it once
@@ -360,9 +393,10 @@ object Dedup {
     val vsz = vt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // spread the probe (the jaccardJoinToks rationale): pairs fan out ×|A|
     val candSpread = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    val bcast = vt.count() <= VerifyBroadcastRows
     candSpread
-      .join(vt.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
-      .join(vt.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .join(probeSide(vt.select(col("doc_id").as("id_a"), col("h")), bcast), Seq("id_a"))
+      .join(probeSide(vt.select(col("doc_id").as("id_b"), col("h")), bcast), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       .join(vsz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .filter(col("inter") * 100 >= lit(minContainPct) * col("sz_a"))
@@ -652,9 +686,10 @@ object Dedup {
     // count below must not see the duplication)
     val pd = pairs.select(col("id1"), col("id2")).distinct()
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism) // spread the ×|set| fan-out
+    val bcast = vt.count() <= VerifyBroadcastRows
     val inter = pd
-      .join(vt.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
-      .join(vt.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .join(probeSide(vt.select(col("doc_id").as("id1"), col("h")), bcast), Seq("id1"))
+      .join(probeSide(vt.select(col("doc_id").as("id2"), col("h")), bcast), Seq("id2", "h"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("_i"))
     pairs
       .join(vsz.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
