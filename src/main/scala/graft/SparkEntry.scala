@@ -1315,8 +1315,11 @@ object SparkEntry {
     // to one exact decimal(38,0) floor division) — the RRF fusion stays
     // pure BIGINT, so the whole hybrid ranking is hash-exact
     "ann_hybrid_bm25" -> ((s, d) =>
-      Similarity.hybridBm25TopK(Tables.documents(s, d), "doc_id", "text",
-        Tables.embeddings(s, d), "vec_id", "embedding",
+      // r21: pools from the shared model store (bm25KwPoolCached /
+      // vecPoolCached) — the same fitted artifacts the S24/S25 serving
+      // queries collect, built once per (corpus, params) instead of
+      // refit per query; fusion body unchanged (rrfFusePools)
+      Similarity.hybridBm25TopKCached(s, d,
         queryTerms(s, d), queryVec(s, d), 10)),
     // L39: c-TF-IDF topic keywords per IVF cluster (the BERTopic
     // reduction) — rows-only (IVF training isn't SQL); planted-cluster

@@ -125,11 +125,18 @@ object Similarity {
   def hybridBm25TopK(docs: DataFrame, idCol: String, textCol: String,
                      emb: DataFrame, vecIdCol: String, vecCol: String,
                      terms: Seq[String], q: Array[Double],
-                     k: Int, poolK: Int = 100): DataFrame = {
-    val kwRanked = bm25KwPoolDf(docs, idCol, textCol, terms, poolK)
+                     k: Int, poolK: Int = 100): DataFrame =
+    rrfFusePools(bm25KwPoolDf(docs, idCol, textCol, terms, poolK),
+      vecPoolDf(emb, vecIdCol, vecCol, q, poolK), k)
+
+  /** The RRF fusion tail over the two (id, score) pools — ONE shared body
+    * for the direct and the cached faces, so they cannot drift. */
+  private def rrfFusePools(kwPool: DataFrame, vecPool: DataFrame,
+                           k: Int): DataFrame = {
+    val kwRanked = kwPool
       .withColumn("kw_rank", row_number().over(
         Window.orderBy(col("_kw").desc, col("id"))))
-    val vecRanked = vecPoolDf(emb, vecIdCol, vecCol, q, poolK)
+    val vecRanked = vecPool
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("_cos").desc, col("id"))))
     kwRanked.select(col("id"), col("kw_rank"))
@@ -142,6 +149,56 @@ object Similarity {
         coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"))
       .orderBy(col("rrf").desc, col("id")).limit(k)
   }
+
+  /** Cached face of [[hybridBm25TopK]] over the standard corpus tables —
+    * the pools come from [[bm25KwPoolCached]]/[[vecPoolCached]], so the
+    * fitted index artifacts are built once per (corpus, parameters) and
+    * shared with the S24/S25 serving queries instead of refit per query
+    * (the r17-adjudicated refit class; the NB/ppl model-cache precedent). */
+  def hybridBm25TopKCached(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, terms: Seq[String], q: Array[Double],
+                           k: Int, poolK: Int = 100): DataFrame =
+    rrfFusePools(bm25KwPoolCached(spark, sfDir, terms, poolK),
+      vecPoolCached(spark, sfDir, q, poolK), k)
+
+  /** [[bm25KwPoolDf]] over the corpus documents table, built once per
+    * (corpus, terms, poolK) in the shared model store. The defining
+    * (score desc, id) order is RE-APPLIED after the store round-trip
+    * (parquet read-back order is not guaranteed); values are exact longs,
+    * so the loaded pool is bit-identical to the fresh build. */
+  def bm25KwPoolCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                       terms: Seq[String], poolK: Int): DataFrame =
+    graft.SessionCache.durableFrame(spark,
+        s"bm25KwPool:$sfDir:${terms.mkString(" ")}:$poolK",
+        s"$sfDir/documents.parquet")(
+      bm25KwPoolDf(graft.Tables.documents(spark, sfDir), "doc_id", "text",
+        terms, poolK))
+      .orderBy(col("_kw").desc, col("id"))
+
+  /** [[vecPoolDf]] over the corpus embeddings table, built once per
+    * (corpus, query vector, poolK); same re-applied defining order. The
+    * tag carries the query vector's full-precision digest. */
+  def vecPoolCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    q: Array[Double], poolK: Int): DataFrame = {
+    val qSig = java.security.MessageDigest.getInstance("MD5")
+      .digest(q.map(java.lang.Double.doubleToRawLongBits)
+        .mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    graft.SessionCache.durableFrame(spark, s"vecPool:$sfDir:$qSig:$poolK",
+        s"$sfDir/embeddings.parquet")(
+      vecPoolDf(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        q, poolK))
+      .orderBy(col("_cos").desc, col("id"))
+  }
+
+  /** [[bm25Model]] over the corpus documents table, fitted once per
+    * (session, corpus, terms) — model-parameter-sized driver object. */
+  def bm25ModelCached(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      terms: Seq[String]): (Map[String, Long], Long, Long) =
+    graft.SessionCache.getOrBuild(spark,
+        s"bm25Model:$sfDir:${terms.mkString(" ")}",
+        s"$sfDir/documents.parquet")(
+      bm25Model(graft.Tables.documents(spark, sfDir), "doc_id", "text", terms))
 
   /** The hybrid ranking's KEYWORD POOL: top-poolK (id, _kw: exact BM25
     * micro-nats) in (score desc, id) order — ONE shared construction for

@@ -735,8 +735,8 @@ object Stream {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
-    val (idf, n, tl) = Similarity.bm25Model(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", terms)
+    // r21: fitted once per (session, corpus, terms) — shared with S25
+    val (idf, n, tl) = Similarity.bm25ModelCached(spark, sfDir, terms)
     val src = spark.readStream.schema(raw)
       .parquet(linkedTableDir(sfDir, sfName, "documents"))
     val out = bm25ScoreCols(src, terms, idf, n, tl)
@@ -775,12 +775,14 @@ object Stream {
     val sfName = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val raw = schemas.computeIfAbsent(s"$sfDir/documents",
       _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val (idf, n, tl) = Similarity.bm25Model(docs, "doc_id", "text", terms)
-    val kwPool = Similarity.bm25KwPoolDf(docs, "doc_id", "text", terms, poolK)
+    // r21: the three fitted artifacts come from the shared model store —
+    // the SAME pool frames the batch hybrid query fuses (bm25KwPoolCached /
+    // vecPoolCached re-apply the defining order after the store
+    // round-trip, so the collected pool order is unchanged)
+    val (idf, n, tl) = Similarity.bm25ModelCached(spark, sfDir, terms)
+    val kwPool = Similarity.bm25KwPoolCached(spark, sfDir, terms, poolK)
       .collect().map(r => (r.getLong(0), r.getLong(1))) // (id, _kw), pool order
-    val vecRanks = Similarity.vecPoolDf(emb, "vec_id", "embedding", q, poolK)
+    val vecRanks = Similarity.vecPoolCached(spark, sfDir, q, poolK)
       .collect().map(_.getLong(0)).zipWithIndex
       .map { case (id, i) => id -> (i + 1).toLong }.toMap
     val src = spark.readStream.schema(raw)
